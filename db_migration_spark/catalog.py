@@ -1,0 +1,55 @@
+"""Testdata table loading and view registration.
+
+The driver's synthetic tables (TESTDATA.md) stand in for the reference's data
+shapes per FIXTURES.md: ``lineitem`` melts to the EAVT datom stream,
+``nation``/``region`` play the small id-catalog dimensions, ``events`` is the
+late-arriving patch stream, ``documents``/``embeddings`` back the
+training-data-pipeline operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table.  Parquet scan → Catalyst gets pushdown,
+    column pruning and partition-split parallelism for free.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer — a type Spark
+    does not model — so it arrives as nanosecond longs (see
+    ``legacy.parquet.nanosAsLong`` in session.py) and is truncated to
+    microseconds here, matching DuckDB's ns→µs cast."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works 1:1 with
+    the DuckDB oracle's pre-registered views."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,301 @@
+"""Deduplication operators for the training-data pipeline (SURVEY §2.12).
+
+Four tiers, cheapest-first — the standard 100 TB dedup ladder:
+
+1. exact      — hash-groupBy on a normalized fingerprint; one shuffle of
+                (hash, id) pairs only, never the text.
+2. minhash    — MinHash signatures + LSH banding; near-dups meet in band
+                buckets, so the candidate join is equi (shuffle on small
+                bucket keys), never an O(n^2) cross.
+3. simhash    — 64-bit simhash; candidate pairs share a rotated prefix
+                (Hamming-adjacent docs collide in at least one of B bands).
+4. ngram_jaccard — exact verification of candidate pairs (or, at small
+                scale, of all shingle-sharing pairs).
+
+All hashing is seeded/deterministic (xxhash64 with literal seeds) — no RNG,
+so results are stable across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text fingerprint.
+
+    Returns (keep_id, dup_count, fp).  The shuffle carries only
+    (fingerprint, id) — at 100 TB the text never moves.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``array<bigint>`` of length num_hashes.
+
+    Each hash_i(doc) = min over shingles of xxhash64(shingle, seed=i) —
+    computed with higher-order functions over the shingle array: zero
+    shuffles, zero UDFs, one map stage.
+    """
+    sh = shingles(text_col, shingle_k).alias("sh")
+
+    # closure factory: a defaulted second lambda param would be bound to the
+    # element index by pyspark's HOF bridge, silently reusing one seed
+    def hasher(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("sh"), hasher(i))) for i in range(num_hashes)]
+    ).alias("signature")
+    return df.select(F.col(id_col), sh).select(id_col, sig)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, hash each band
+    to a bucket, self-join on (band, bucket).  Docs sharing any band bucket
+    become a candidate pair (id_a < id_b, distinct).
+
+    Scale shape: explode to bands (xB rows), shuffle on the bucket hash —
+    uniform by construction — then an equi self-join.  Never quadratic unless
+    the data is (docs that are actually identical hash to one bucket; the
+    exact-dedup tier should run first to strip those).
+    """
+    rows_per_band = (F.size("signature") / bands).cast("int")
+    banded = signatures.select(
+        id_col,
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        id_col,
+        "band",
+        F.xxhash64(
+            F.col("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        "signature",
+                        F.col("band") * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+        ).alias("bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates → verify by
+    estimated Jaccard (signature agreement rate) ≥ threshold.
+
+    Returns (id_a, id_b, est_jaccard).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    ) / F.size("sig_a")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, built from pure expressions:
+    per token a 64-bit xxhash64; bit b of the output is set when more than
+    half the token hashes have bit b set (the classic sign-of-vote rule).
+
+    One map stage, no shuffle, no UDF: the token-hash array is computed once;
+    each bit's vote is a filtered count over it (bit positions are Python
+    ints, so the shifts are constant-folded literals).
+    """
+    tok_hashes = F.transform(
+        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
+    n_tok = F.size(tok_hashes)
+
+    def ones_at(b: int):
+        return F.size(
+            F.filter(
+                tok_hashes,
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of i64
+        bit = F.when(ones_at(b) * 2 > n_tok, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = sim.bitwiseOR(bit)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into ``bands`` segments
+    (pigeonhole: ≤ max_hamming differing bits with bands > max_hamming means
+    at least one identical band), equi-join on (band, segment), verify
+    Hamming distance ≤ max_hamming.
+
+    Returns (id_a, id_b, hamming).
+    """
+    hashes = simhash(df, text_col, id_col)
+    seg_bits = 64 // bands
+    banded = hashes.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "segment",
+        # SQL shiftrightunsigned accepts a column shift amount; the pyspark
+        # wrapper only takes a literal int, hence expr()
+        F.expr(
+            f"shiftrightunsigned(simhash, band * {seg_bits}) "
+            f"& cast({(1 << seg_bits) - 1} as bigint)"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.segment") == F.col("b.segment"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    hamming = F.bit_count(xor)
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- exact n-gram Jaccard ----------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over all pairs that share ≥1 shingle.
+
+    Plan: explode distinct shingles → self-equi-join on shingle → count
+    intersections per pair → join per-doc shingle counts → |A∪B| = |A|+|B|−∩.
+    The join key is the shingle, so only genuinely-overlapping pairs are ever
+    materialized; hot shingles are the skew risk — at scale, drop top-frequency
+    shingles (stopword shingles) first, which AQE's skew-join also mitigates.
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,145 @@
+"""EAV / migration-signature transforms (SURVEY.md §2.9).
+
+The reference's intermediate IR is an append-only datom stream
+``[entity attribute value tx]`` produced from ACeDB object dumps and imported
+into Datomic in timestamp order (``/root/reference/src/azanium/pseudoace.py:69-102``,
+``runcommand.py:180-211``).  Here the datom stream is a plain DataFrame
+``(e BIGINT, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN)`` and the store is
+partitioned Parquet — Datomic's transactional ordering becomes range
+partitioning by ``tx`` with intra-partition sort (never a 1-task global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DATOM_COLS = ("e", "a", "v", "tx", "op")
+
+
+def melt(
+    df: DataFrame,
+    entity_expr,
+    value_cols: list[str],
+    tx_col: str,
+    class_name: str | None = None,
+) -> DataFrame:
+    """Wide row → datoms (the engine-side analog of X1 ``acedump-to-edn-logs``,
+    ``pseudoace.py:69-76``).
+
+    Uses the built-in ``stack`` expression — one narrow projection per value
+    column, fully codegen'd, no Python boundary, no shuffle: each input
+    partition melts independently, which is exactly the reference's
+    per-dump-file parallelism (``xargs -P`` over files).
+
+    ``entity_expr``: Column producing the entity id.  ``value_cols`` become
+    the attribute names; values are cast to string (typed casts are re-applied
+    downstream from the models schema, X3).
+    """
+    n = len(value_cols)
+    pairs = ", ".join(f"'{c}', cast({c} as string)" for c in value_cols)
+    out = df.select(
+        entity_expr.cast("long").alias("e"),
+        F.col(tx_col).cast("timestamp").alias("tx"),
+        F.expr(f"stack({n}, {pairs}) as (a, v)"),
+    ).select("e", "a", "v", "tx", F.lit(True).alias("op"))
+    if class_name is not None:
+        out = out.withColumn("class", F.lit(class_name))
+    return out
+
+
+def pivot_wide(
+    datoms: DataFrame, attributes: list[str], entity_col: str = "e"
+) -> DataFrame:
+    """X7: EAV → wide rows for a known attribute list.
+
+    ``groupBy(e).pivot(a, attributes)`` with the attribute list supplied
+    explicitly — omitting it would force an extra distinct-scan of ``a``
+    over the full stream just to discover pivot values.  ``first(v)`` matches
+    cardinality-one attributes; card-many classes should use
+    :func:`pivot_multi` (collects arrays) instead.
+
+    One shuffle on ``e``; for wide classes (1000s of attrs) prefer
+    :func:`to_attr_map` — a map column instead of 1000s of sparse columns.
+    """
+    return (
+        datoms.groupBy(F.col(entity_col).alias("e"))
+        .pivot("a", attributes)
+        .agg(F.first("v"))
+    )
+
+
+def pivot_multi(datoms: DataFrame, attributes: list[str]) -> DataFrame:
+    """X7 for cardinality-many attributes: values collected as sorted arrays
+    (sorted for determinism — collect order is partition-dependent)."""
+    return (
+        datoms.groupBy("e")
+        .pivot("a", attributes)
+        .agg(F.sort_array(F.collect_list("v")))
+    )
+
+
+def to_attr_map(datoms: DataFrame) -> DataFrame:
+    """X7 escape hatch for very wide/sparse classes: one ``map<a,v>`` column
+    per entity instead of thousands of mostly-null columns (SURVEY §7 hard
+    part (c))."""
+    return datoms.groupBy("e").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("a", "v")))
+        ).alias("attrs")
+    )
+
+
+def apply_patches(
+    base: DataFrame, patches: DataFrame, tiebreak_col: str | None = None
+) -> DataFrame:
+    """X4: late patches over the base import (``pseudoace.py:105-110``).
+
+    Last-write-wins per ``(e, a)`` by transaction time — exactly Datomic's
+    conflict resolution when the PATCHES directory is transacted after the
+    bulk import.  Ties broken deterministically: patches beat base (they are
+    transacted later in the reference's step order, ``runcommand.py:319-327``),
+    then by ``tiebreak_col`` if given.
+
+    Retractions (``op = false``) surviving as the latest fact remove the
+    datom, matching Datomic retract semantics.
+
+    Plan shape: union (no shuffle) → single hash exchange on (e,a) → window.
+    At 100 TB the union sides need no co-partitioning beforehand; AQE handles
+    the skewed-attribute case.
+    """
+    base_tagged = base.withColumn("__src", F.lit(0))
+    patch_tagged = patches.withColumn("__src", F.lit(1))
+    unioned = base_tagged.unionByName(patch_tagged)
+    order = [F.desc("tx"), F.desc("__src")]
+    if tiebreak_col:
+        order.append(F.desc(tiebreak_col))
+    w = Window.partitionBy("e", "a").orderBy(*order)
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & F.col("op"))
+        .drop("__rn", "__src")
+    )
+
+
+def tx_sorted_writer(datoms: DataFrame, partitions: int | None = None):
+    """T1/S8: the load-bearing timestamp sort before import
+    (``pseudoace.py:87-95``, ``runcommand.py:180-185``).
+
+    ``repartitionByRange('tx')`` + ``sortWithinPartitions`` reproduces the
+    reference's per-file-parallel external sort: globally range-ordered
+    partitions, each internally sorted, written in parallel — no single-task
+    bottleneck.  Returns a DataFrameWriter; caller picks format/path.
+    """
+    parts = datoms.repartitionByRange(
+        *( [partitions] if partitions else [] ), F.col("tx")
+    ).sortWithinPartitions("tx")
+    return parts.write
+
+
+def homology_split(datoms: DataFrame, homol_classes: list[str]) -> DataFrame:
+    """X5/P6: the homology subset that feeds the second database
+    ``<release>-homol`` (``pseudoace.py:127-144``, ``runcommand.py:439-461``).
+    A partition-prunable isin filter when the store is partitioned by class.
+    """
+    return datoms.filter(F.col("class").isin(homol_classes))

@@ -1,0 +1,124 @@
+"""Core relational operators (SURVEY.md §2.2-§2.7).
+
+The flagship is the QA count-reconciliation report — the reference's own
+definition of success (``/root/reference/src/azanium/runcommand.py:188-203``,
+``pseudoace.py:113-124``): per-class entity counts from the migrated store
+full-outer-joined against expected counts from an independently produced
+catalog, diffed, and sorted descending (``util.py:81-86``).
+
+Scale notes (100 TB): the count side is a map-side-combinable hash aggregate
+over the fact stream; the catalog side is tiny (thousands of classes), so the
+join is an explicit ``broadcast()`` — no shuffle of the aggregated side
+beyond the agg itself, and the agg output is already small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def qa_count_report(
+    actual: DataFrame,
+    expected: DataFrame,
+    class_col: str = "class_name",
+    actual_count_col: str = "actual_count",
+    expected_count_col: str = "expected_count",
+) -> DataFrame:
+    """QA reconciliation (SURVEY §2 J1+A1+X6).
+
+    ``actual``: (class_name, actual_count) — typically the output of
+    :func:`per_class_counts`.  ``expected``: (class_name, expected_count) —
+    the id-catalog side (``runcommand.py:38-60``).  Returns one row per class
+    with both counts (null-filled to 0, matching the reference's treatment of
+    missing classes as count mismatches), the diff, and a match flag; sorted
+    by descending actual count then class name — the reference sorts its
+    report rows descending by the first count column (``util.py:86``).
+
+    The expected side is broadcast: class catalogs are O(10^3) rows even for
+    the full WormBase model, never worth shuffling the aggregate for.
+    """
+    joined = actual.join(
+        F.broadcast(expected), on=class_col, how="full_outer"
+    )
+    return (
+        joined.select(
+            F.col(class_col),
+            F.coalesce(F.col(actual_count_col), F.lit(0)).cast("long").alias(actual_count_col),
+            F.coalesce(F.col(expected_count_col), F.lit(0)).cast("long").alias(expected_count_col),
+        )
+        .withColumn("diff", F.col(actual_count_col) - F.col(expected_count_col))
+        .withColumn("matches", F.col("diff") == 0)
+        .orderBy(F.desc(actual_count_col), F.col(class_col))
+    )
+
+
+def per_class_counts(
+    df: DataFrame, class_col: str, entity_col: str | None = None
+) -> DataFrame:
+    """A1: per-class entity count (``pseudoace.py:113-124``).
+
+    With ``entity_col`` the count is distinct entities (Datomic counts
+    entities, not datoms); without it, plain row counts.  Both are
+    partial-aggregated map-side by Catalyst before the shuffle.
+    """
+    grouped = df.groupBy(F.col(class_col).alias("class_name"))
+    if entity_col is None:
+        return grouped.agg(F.count(F.lit(1)).alias("actual_count"))
+    return grouped.agg(F.countDistinct(entity_col).alias("actual_count"))
+
+
+def dedup_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """A3/U2: distinct rows (``util.py:84-85`` set-construction dedup)."""
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """T2+T3: deterministic top-k.  Callers must include a unique tiebreak
+    column in ``order_cols`` — a LIMIT over a non-total order is
+    nondeterministic on any parallel engine."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def last_write_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+) -> DataFrame:
+    """W1: latest-fact-per-key — the Spark expression of Datomic's
+    transactional conflict resolution when patches are applied over the base
+    import (``pseudoace.py:105-110``, ``runcommand.py:214-218``).
+
+    ``version_cols`` order newest-first determination (e.g. ``[desc(tx),
+    desc(src_seq)]``); the reference pins ties by file order, so callers pass
+    a deterministic tiebreak as the last version col.
+
+    One shuffle on ``key_cols``; at 100 TB the window is preferable to a
+    groupBy+max+self-join because it is a single exchange + in-partition sort
+    instead of two joins.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*version_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rank_within(
+    df: DataFrame, partition_cols: list[str], order_cols: list, rank_col: str = "rank"
+) -> DataFrame:
+    """W2: ranking window (step-numbering analog, ``runcommand.py:395``)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U1: union of two relations, deduplicated (``runcommand.py:263-271``)."""
+    return a.unionByName(b).distinct()
+
+
+def anti_diff(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """U-ext: rows of ``a`` with no partner in ``b`` — the QA diff's
+    anti-join expression (classes whose counts disagree / are missing)."""
+    return a.join(b, on=on, how="left_anti")

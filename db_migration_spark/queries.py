@@ -1,0 +1,1046 @@
+"""Declared query registry — the driver contract surface.
+
+Each entry pairs a Spark implementation (built on the operator library) with
+an ANSI-SQL oracle that DuckDB runs over the same parquet tables.  Names key
+into SURVEY.md §2's operator inventory.
+
+Cross-engine determinism rules used throughout (so order-insensitive value
+hashes match bit-for-bit):
+
+* money/metric sums go through ``DECIMAL`` so addition is exact in both
+  engines (double summation order differs between engines), then cast back
+  to double (exact for the magnitudes here);
+* top-k queries always carry a unique tiebreak column in the ordering;
+* vector dot products accumulate in index order with explicit double casts
+  on both sides (identical IEEE op sequence → identical bits);
+* every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions import text as TXT
+from .operators import dedup, eav, relational, similarity
+
+# ---------------------------------------------------------------------------
+# §2.4/§2.3/§2.9 — the flagship: QA count-reconciliation report (X6 = A1 ⋈ J1)
+# ---------------------------------------------------------------------------
+
+
+def q_x6_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §2.9 X6; reference runcommand.py:188-203): per-class
+    counts from the live store vs expected counts from the catalog,
+    full-outer broadcast join, diff, desc sort.  Stand-ins per FIXTURES.md:
+    actual = customers per nation, expected = suppliers-per-nation ×15."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    actual = relational.per_class_counts(
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey),
+        "n_name",
+    )
+    expected = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("class_name"))
+        .agg((F.count(F.lit(1)) * 15).cast("long").alias("expected_count"))
+    )
+    return relational.qa_count_report(actual, expected)
+
+
+ORACLE_X6 = """
+WITH actual AS (
+  SELECT n_name AS class_name, count(*) AS actual_count
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+), expected AS (
+  SELECT n_name AS class_name, count(*) * 15 AS expected_count
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT coalesce(a.class_name, e.class_name) AS class_name,
+       CAST(coalesce(a.actual_count, 0) AS BIGINT) AS actual_count,
+       CAST(coalesce(e.expected_count, 0) AS BIGINT) AS expected_count,
+       CAST(coalesce(a.actual_count, 0) - coalesce(e.expected_count, 0) AS BIGINT) AS diff,
+       coalesce(a.actual_count, 0) = coalesce(e.expected_count, 0) AS matches
+FROM actual a FULL OUTER JOIN expected e ON a.class_name = e.class_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_a1_count_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (pseudoace.py:113-124): per-class counts — orders by status."""
+    return relational.per_class_counts(
+        load_table(spark, sf_dir, "orders"), "o_orderstatus"
+    )
+
+
+ORACLE_A1 = """
+SELECT o_orderstatus AS class_name, count(*) AS actual_count
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_a2_max_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (util.py:75-77): max column display width for table layout."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.agg(
+        F.max(F.length("n_name")).alias("max_name_w"),
+        F.max(F.length(F.col("n_nationkey").cast("string"))).alias("max_key_w"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_A2 = """
+SELECT max(length(n_name)) AS max_name_w,
+       max(length(CAST(n_nationkey AS VARCHAR))) AS max_key_w,
+       count(*) AS n_rows
+FROM nation
+"""
+
+
+def q_a3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/U2 (util.py:84-85): dedup via distinct."""
+    return relational.dedup_rows(
+        load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey")
+    )
+
+
+ORACLE_A3 = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+def q_agg_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-ext: multi-metric grouped aggregate with exact decimal sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec).cast("double").alias("sum_price"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.min(F.col("o_totalprice")).alias("min_price"),
+            F.max(F.col("o_totalprice")).alias("max_price"),
+        )
+    )
+
+
+ORACLE_AGG_STATS = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the bench headline scan+agg.  Exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — joins
+# ---------------------------------------------------------------------------
+
+
+def q_j1_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: broadcast dim joins — customer → nation → region."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+ORACLE_J1 = """
+SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1997-01-01"))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+    return relational.top_k(agg, [F.desc("revenue"), F.col("l_orderkey")], 10)
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+def q_t2_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (util.py:86): desc count sort + limit, deterministic tiebreak."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    counts = relational.per_class_counts(
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey),
+        "n_name",
+    )
+    return relational.top_k(
+        counts, [F.desc("actual_count"), F.col("class_name")], 10
+    )
+
+
+ORACLE_T2 = """
+SELECT n_name AS class_name, count(*) AS actual_count
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY actual_count DESC, class_name
+LIMIT 10
+"""
+
+
+def q_t3_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (github.py:78): first-element limit over a total order."""
+    return relational.top_k(
+        load_table(spark, sf_dir, "orders"), [F.col("o_orderkey")], 1
+    )
+
+
+ORACLE_T3 = "SELECT * FROM orders ORDER BY o_orderkey LIMIT 1"
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — set operations
+# ---------------------------------------------------------------------------
+
+
+def _cust_nk(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+
+
+def _supp_nk(spark, sf_dir):
+    return load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+
+
+def q_u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 (runcommand.py:263-271): distinct union."""
+    return relational.union_distinct(_cust_nk(spark, sf_dir), _supp_nk(spark, sf_dir))
+
+
+ORACLE_U1 = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-ext: EXCEPT via anti-join — the QA-diff shape (SURVEY §2.6):
+    (user, hour) cells that saw clicks but no purchases."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = lambda t: (  # noqa: E731
+        ev.filter(F.col("event_type") == t)
+        .select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .distinct()
+    )
+    return relational.anti_diff(cell("click"), cell("purchase"), ["user_id", "hour"])
+
+
+ORACLE_U2 = """
+SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-ext: INTERSECT."""
+    return _cust_nk(spark, sf_dir).intersect(_supp_nk(spark, sf_dir))
+
+
+ORACLE_U3 = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 — projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+def q_p1_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (runcommand.py:40-44): regex predicate selection."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").rlike(r"^(red|blue) (bolt|gear)$")).select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+
+
+ORACLE_P1 = r"""
+SELECT p_partkey, p_name, p_brand, p_type
+FROM part WHERE regexp_matches(p_name, '^(red|blue) (bolt|gear)$')
+"""
+
+
+def q_p2_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (util.py:81-86): positional projection + typed int casts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty_int"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+    )
+
+
+ORACLE_P2 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — scalar function suites
+# ---------------------------------------------------------------------------
+
+
+def q_f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F7: regex extract/replace, case, pad, concat, length."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.regexp_extract("c_name", r"#(\d+)$", 1).alias("digits"),
+        F.regexp_replace("c_name", r"^Customer", "Cust").alias("shortname"),
+        F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+        F.lower(F.trim(F.col("c_mktsegment"))).alias("lseg"),
+    )
+
+
+ORACLE_F_STRING = r"""
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       length(c_name) AS name_len,
+       substring(c_name, 1, 8) AS prefix,
+       concat_ws('|', c_name, c_mktsegment) AS joined,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+       regexp_extract(c_name, '#(\d+)$', 1) AS digits,
+       regexp_replace(c_name, '^Customer', 'Cust') AS shortname,
+       reverse(c_mktsegment) AS rev_seg,
+       lower(trim(c_mktsegment)) AS lseg
+FROM customer
+"""
+
+
+def q_f_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F9: date parts, ISO formatting, epoch, date arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+    )
+
+
+ORACLE_F_DATETIME = """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       quarter(o_orderdate) AS qtr,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(o_orderdate AS DATE) + 30 AS plus30,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+       date_trunc('month', o_orderdate) AS month_start
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — EAV transforms
+# ---------------------------------------------------------------------------
+
+_MELT_ATTRS = ["l_quantity", "l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def _melt_lineitem_df(li: DataFrame) -> DataFrame:
+    prepared = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("__e"),
+        F.col("l_quantity").cast("long").cast("string").alias("l_quantity"),
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("date").cast("string").alias("l_shipdate"),
+        F.col("l_shipdate").alias("__tx"),
+    )
+    return eav.melt(prepared, F.col("__e"), _MELT_ATTRS, "__tx")
+
+
+def _melted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _melt_lineitem_df(load_table(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_MELT_BODY = """
+SELECT l_orderkey * 8 + l_linenumber AS e, 'l_quantity' AS a,
+       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v, l_shipdate AS tx, true AS op
+FROM lineitem
+UNION ALL
+SELECT l_orderkey * 8 + l_linenumber, 'l_returnflag', l_returnflag, l_shipdate, true
+FROM lineitem
+UNION ALL
+SELECT l_orderkey * 8 + l_linenumber, 'l_linestatus', l_linestatus, l_shipdate, true
+FROM lineitem
+UNION ALL
+SELECT l_orderkey * 8 + l_linenumber, 'l_shipdate',
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR), l_shipdate, true
+FROM lineitem
+"""
+
+
+def q_x1_eav_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (pseudoace.py:69-76): wide records → datom stream (e,a,v,tx,op)."""
+    return _melted_lineitem(spark, sf_dir)
+
+
+ORACLE_X1 = _ORACLE_MELT_BODY
+
+
+def q_x7_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 (SURVEY §2.9): EAV → wide pivot; melt then reassemble.
+
+    Restricted to entities with a unique (orderkey, linenumber) key — the
+    synthetic lineitem has collisions there, and pivoting a multi-valued
+    card-one attribute is undefined (first(v) would be nondeterministic).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_linenumber")
+    unique_li = (
+        li.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") == 1)
+        .drop("__n")
+    )
+    melted = _melt_lineitem_df(unique_li)
+    return eav.pivot_wide(melted, _MELT_ATTRS)
+
+
+ORACLE_X7 = """
+WITH unique_li AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS __n
+    FROM lineitem
+  ) WHERE __n = 1
+)
+SELECT l_orderkey * 8 + l_linenumber AS e,
+       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS l_quantity,
+       l_returnflag, l_linestatus,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS l_shipdate
+FROM unique_li
+"""
+
+
+def q_p6_class_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/X5 (pseudoace.py:127-144): homology-style class-subset filter."""
+    datoms = _melted_lineitem(spark, sf_dir).withColumn("class", F.col("a"))
+    return eav.homology_split(datoms, ["l_returnflag", "l_linestatus"]).drop("class")
+
+
+ORACLE_P6 = f"""
+SELECT * FROM ({_ORACLE_MELT_BODY})
+WHERE a IN ('l_returnflag', 'l_linestatus')
+"""
+
+
+def q_x4_apply_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (pseudoace.py:105-110): late patches over base, last-write-wins
+    per (e,a) by tx; patches (later transactions) beat base on tx ties."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        F.col("event_id").cast("string").alias("v"),
+        F.col("ts").alias("tx"),
+        F.lit(True).alias("op"),
+        (F.col("event_id") % 2).alias("__par"),
+    )
+    base = ev.filter(F.col("__par") == 0).drop("__par")
+    patches = ev.filter(F.col("__par") == 1).drop("__par")
+    return eav.apply_patches(base, patches, tiebreak_col="v")
+
+
+ORACLE_X4 = """
+WITH datoms AS (
+  SELECT user_id AS e, event_type AS a, CAST(event_id AS VARCHAR) AS v,
+         ts AS tx, true AS op, event_id % 2 AS src
+  FROM events
+), ranked AS (
+  SELECT e, a, v, tx, op,
+         row_number() OVER (PARTITION BY e, a ORDER BY tx DESC, src DESC, v DESC) AS rn
+  FROM datoms
+)
+SELECT e, a, v, tx, op FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — windows
+# ---------------------------------------------------------------------------
+
+
+def q_w1_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest event per user — Datomic tx-order conflict resolution."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.last_write_wins(
+        ev.select("user_id", "event_id", "ts", "event_type", "value"),
+        ["user_id"],
+        [F.desc("ts"), F.desc("event_id")],
+    )
+
+
+ORACLE_W1 = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_w2_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (runcommand.py:395): ranking window — top-3 orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    ranked = relational.rank_within(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+    )
+    return ranked.filter(F.col("rank") <= 3)
+
+
+ORACLE_W2 = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext: running per-user value sum (exact via decimal accumulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+ORACLE_W3 = """
+SELECT user_id, event_id, ts,
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.10 — streaming-shaped (batch-equivalent rollup; streaming tests in tests/)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the event stream (batch plan; the
+    streaming variant in streaming/ uses the same logical agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.12 — text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents (north-star op)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = TXT.token_count(t)
+    mean_wlen = F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length(t).alias("len_chars"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        TXT.quality_score(t).alias("quality"),
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+         length(text) AS len_chars,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_tokens, len_chars,
+       round(CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
+       (CAST(n_tokens >= 5 AND n_tokens <= 100000 AS DOUBLE)
+        + CAST(CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1) >= 2.0
+               AND CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1) <= 12.0 AS DOUBLE)
+        + CAST(CAST(n_punct AS DOUBLE) / greatest(length(text), 1) <= 0.3 AS DOUBLE)
+       ) / 3.0 AS quality
+FROM base
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID heuristic (north-star op)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.lang_id("text").alias("lang_guess"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TXT.STOPWORDS[lang])
+    return (
+        f"len(list_filter(toks, x -> list_contains([{words}], x))) AS s_{lang}"
+    )
+
+
+ORACLE_LANG_ID = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         {_lang_hits_sql('en')},
+         {_lang_hits_sql('es')},
+         {_lang_hits_sql('de')},
+         {_lang_hits_sql('fr')}
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+            WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+            WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+            WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+            ELSE 'de' END AS lang_guess
+FROM hits
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via md5 of normalized text (north-star op).
+
+    (The engine's fast path is xxhash64 — functions/text.py:fingerprint —
+    md5 is used here because both engines expose it for oracle parity.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.12 — deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep lowest doc_id per normalized-text hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (seeded xxhash64 — not SQL-expressible;
+    rows-only check).  Verified in tests against exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(
+        docs, num_hashes=32, bands=8, threshold=0.4
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (bit-mix hashing — rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=3, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 — similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 8.
+
+    Dot/norm accumulate in index order with explicit double casts on both
+    sides → bit-identical IEEE results; score rounded to 6 as belt-and-braces.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                  i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS score
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(score, 6) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+              AS INTEGER) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (xxhash64-derived hyperplanes — rows-only check;
+    recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(emb, queries, dim=64, k=10, num_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 — multimodal columns
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload bytes + typed metadata extraction.
+    Text stands in for the opaque payload (see multimodal/ for the decode
+    stubs); the plan shape — binary col + metadata struct — is the real thing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1 — sources/sinks: CSV round-trip (S11 + S12)
+# ---------------------------------------------------------------------------
+
+
+def q_s11_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12 (pseudoace.py:147-153, QUOTE_ALL report CSV): write the
+    nation dim as a quoted CSV, read it back with an explicit schema."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_", dir="/tmp")
+    try:
+        path = os.path.join(out, "nation_csv")
+        (
+            nation.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .csv(path)
+        )
+        back = spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT"
+        ).option("header", True).csv(path)
+        # materialize before the temp dir can vanish
+        back = spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
+ORACLE_S11 = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x6_qa_report": q_x6_qa_report,
+    "a1_count_by_class": q_a1_count_by_class,
+    "a2_max_widths": q_a2_max_widths,
+    "a3_distinct": q_a3_distinct,
+    "agg_orders_stats": q_agg_orders_stats,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "j1_customer_geo": q_j1_customer_geo,
+    "q3_top_revenue": q_q3_top_revenue,
+    "t2_top_nations": q_t2_top_nations,
+    "t3_first_order": q_t3_first_order,
+    "u1_union": q_u1_union,
+    "u2_except": q_u2_except,
+    "u3_intersect": q_u3_intersect,
+    "p1_regex_filter": q_p1_regex_filter,
+    "p2_project_cast": q_p2_project_cast,
+    "f_string_suite": q_f_string_suite,
+    "f_datetime_suite": q_f_datetime_suite,
+    "x1_eav_melt": q_x1_eav_melt,
+    "x7_pivot_roundtrip": q_x7_pivot_roundtrip,
+    "p6_class_subset": q_p6_class_subset,
+    "x4_apply_patches": q_x4_apply_patches,
+    "w1_last_write_wins": q_w1_last_write_wins,
+    "w2_rank": q_w2_rank,
+    "w3_running_sum": q_w3_running_sum,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "text_stats": q_text_stats,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_meta": q_multimodal_meta,
+    "s11_csv_roundtrip": q_s11_csv_roundtrip,
+}
+
+ORACLES: dict[str, str] = {
+    "x6_qa_report": ORACLE_X6,
+    "a1_count_by_class": ORACLE_A1,
+    "a2_max_widths": ORACLE_A2,
+    "a3_distinct": ORACLE_A3,
+    "agg_orders_stats": ORACLE_AGG_STATS,
+    "q1_pricing_summary": ORACLE_Q1,
+    "j1_customer_geo": ORACLE_J1,
+    "q3_top_revenue": ORACLE_Q3,
+    "t2_top_nations": ORACLE_T2,
+    "t3_first_order": ORACLE_T3,
+    "u1_union": ORACLE_U1,
+    "u2_except": ORACLE_U2,
+    "u3_intersect": ORACLE_U3,
+    "p1_regex_filter": ORACLE_P1,
+    "p2_project_cast": ORACLE_P2,
+    "f_string_suite": ORACLE_F_STRING,
+    "f_datetime_suite": ORACLE_F_DATETIME,
+    "x1_eav_melt": ORACLE_X1,
+    "x7_pivot_roundtrip": ORACLE_X7,
+    "p6_class_subset": ORACLE_P6,
+    "x4_apply_patches": ORACLE_X4,
+    "w1_last_write_wins": ORACLE_W1,
+    "w2_rank": ORACLE_W2,
+    "w3_running_sum": ORACLE_W3,
+    "events_hourly_rollup": ORACLE_HOURLY,
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "ann_cosine_topk": ORACLE_ANN,
+    "multimodal_meta": ORACLE_MULTIMODAL,
+    "s11_csv_roundtrip": ORACLE_S11,
+    # intentionally no oracle (non-SQL-expressible, rows-only check):
+    #   dedup_minhash, dedup_simhash, ann_lsh_topk
+}
