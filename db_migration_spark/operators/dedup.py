@@ -139,6 +139,11 @@ def minhash_near_dups(
     Returns (id_a, id_b, est_jaccard).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # signatures are referenced 4× downstream (banding self-join + both
+    # verify sides); without a persist the 32×|shingles| hash expression
+    # re-executes each time.  The signature table is tiny — num_hashes
+    # longs per doc — so this caches O(docs) not O(text).
+    sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))

@@ -60,13 +60,17 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int) -> "F.Column":
-    """Deterministic pseudo-random hyperplane: component j of plane i is a
-    sign derived from xxhash64(i, j).  No RNG state, reproducible anywhere."""
+def _hyperplane(dim: int, plane_idx: int, table_idx: int = 0) -> "F.Column":
+    """Deterministic pseudo-random hyperplane: component j of plane i in
+    table t is a sign derived from xxhash64(t, i, j).  No RNG state,
+    reproducible anywhere."""
     return F.array(
         *[
             F.when(
-                F.xxhash64(F.lit(plane_idx), F.lit(j)).bitwiseAND(F.lit(1)) == 1,
+                F.xxhash64(
+                    F.lit(table_idx), F.lit(plane_idx), F.lit(j)
+                ).bitwiseAND(F.lit(1))
+                == 1,
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0))
             for j in range(dim)
@@ -74,13 +78,13 @@ def _hyperplane(dim: int, plane_idx: int) -> "F.Column":
     )
 
 
-def lsh_bucket(vec_col, dim: int, num_planes: int = 8):
+def lsh_bucket(vec_col, dim: int, num_planes: int = 8, table_idx: int = 0):
     """Random-hyperplane LSH bucket id (0 .. 2^num_planes-1) as a Column.
     Sign of <v, h_i> contributes bit i."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
     for i in range(num_planes):
-        plane = _hyperplane(dim, i)
+        plane = _hyperplane(dim, i, table_idx)
         d = F.aggregate(
             F.zip_with(c, plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -95,38 +99,60 @@ def lsh_bucket(vec_col, dim: int, num_planes: int = 8):
     return out
 
 
+def _bucketed(df: DataFrame, id_alias: str, vec_alias: str,
+              id_col: str, vec_col: str, dim: int,
+              num_planes: int, num_tables: int) -> DataFrame:
+    """(id, vec) × table → (id, vec, table, bucket).  OR-construction:
+    L independent hash tables; a pair is a candidate if it collides in ANY
+    table — the standard recall amplifier for sign-random-projection LSH."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(vec_col, dim, num_planes, t).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.explode(buckets).alias("tb"),
+    ).select(id_alias, vec_alias, "tb.table", "tb.bucket")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
     num_planes: int = 6,
+    num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket are
-    scored.  At 100 TB the bucket column is a partition key for the corpus
-    table, so a query touches 1/2^planes of the data (partition pruning);
-    recall is tuned by num_planes (fewer planes → bigger buckets → higher
-    recall, more compute)."""
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("corpus_vec"),
-        lsh_bucket(vec_col, dim, num_planes).alias("bucket"),
-    )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        lsh_bucket(vec_col, dim, num_planes).alias("bucket"),
-    )
-    scored = (
-        cb.join(F.broadcast(qb), "bucket")
+    """Approximate top-k: only corpus vectors sharing an LSH bucket with the
+    query (in any of ``num_tables`` tables) are scored.
+
+    Scale shape: at 100 TB the (table, bucket) pair is the corpus partition
+    key, so a query touches ``num_tables / 2^num_planes`` of the data
+    (partition pruning); recall ↑ with more tables, compute ↓ with more
+    planes.  Candidates are deduped across tables before scoring so each
+    (query, neighbor) pair's dot product is computed once."""
+    cb = _bucketed(corpus, "neighbor_id", "corpus_vec",
+                   id_col, vec_col, dim, num_planes, num_tables)
+    qb = _bucketed(queries, "query_id", "query_vec",
+                   id_col, vec_col, dim, num_planes, num_tables)
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine("query_vec", "corpus_vec").alias("score"),
-        )
+        .select("query_id", "query_vec", "neighbor_id", "corpus_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine("query_vec", "corpus_vec").alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     return (

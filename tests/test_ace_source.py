@@ -1,0 +1,71 @@
+"""X1: .ace block parsing — unit kernel + distributed end-to-end."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from db_migration_spark.sources.ace import (
+    ace_records_to_datoms,
+    parse_ace_dump,
+    parse_block,
+)
+
+SAMPLE_BLOCK = '''Gene : "WBGene00000001"
+Identity Version "1" -O "2010-01-01_12:00:00"
+CGC_name "aap-1" -C "curator note" -O "2011-06-15_08:30:00"
+Map "X" Position 3.5
+'''
+
+SAMPLE_DUMP = (
+    SAMPLE_BLOCK
+    + "\n"
+    + '''Protein : "WP:CE24730"
+Peptide "MSDNE..." -O "2009-12-31_23:59:59"
+'''
+)
+
+
+def test_parse_block_header_and_paths():
+    rows = parse_block(SAMPLE_BLOCK, "f.ace")
+    assert all(r[0] == "Gene" and r[1] == "WBGene00000001" for r in rows)
+    by_first = {tuple(r[2]) + (r[3],): r for r in rows}
+    # tag path flattened, last token is the value
+    assert ("Identity", "Version", "1") in by_first
+    assert ("CGC_name", "aap-1") in by_first
+    assert ("Map", "X", "Position", "3.5") in by_first
+
+
+def test_parse_block_timestamps_and_comments():
+    rows = parse_block(SAMPLE_BLOCK)
+    ts = {r[3]: r[4] for r in rows}
+    assert ts["1"] == "2010-01-01_12:00:00"
+    # -C comment is dropped, -O after it still applies to the value
+    assert ts["aap-1"] == "2011-06-15_08:30:00"
+    assert ts["3.5"] is None
+
+
+def test_parse_block_empty_and_garbage():
+    assert parse_block("") == []
+    assert parse_block("\n\n") == []
+    assert parse_block("no header here") == []
+
+
+def test_parse_ace_dump_end_to_end(spark, tmp_path):
+    # gzipped multi-block file → distributed parse → datoms
+    p = tmp_path / "dump.ace.gz"
+    with gzip.open(p, "wt") as fp:
+        fp.write(SAMPLE_DUMP)
+    records = parse_ace_dump(spark, str(p))
+    rows = records.collect()
+    assert {r["class"] for r in rows} == {"Gene", "Protein"}
+    assert len(rows) == 4
+
+    datoms = ace_records_to_datoms(records).collect()
+    assert len(datoms) == 4
+    gene = [d for d in datoms if d["class"] == "Gene"]
+    assert all(d["e"] == gene[0]["e"] for d in gene)  # same entity id
+    attrs = {d["a"] for d in gene}
+    assert "Gene/Identity.Version" in attrs
+    ts = {d["v"]: d["tx"] for d in datoms}
+    assert ts["1"] is not None and ts["1"].year == 2010

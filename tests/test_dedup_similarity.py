@@ -1,0 +1,102 @@
+"""Dedup tiers (exact / MinHash / SimHash / Jaccard) and ANN quality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_migration_spark.catalog import load_table
+from db_migration_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Documents plus perturbed near-copies (one word changed) and one
+    exact copy — known ground truth for the dedup tiers."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "changedword").alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") == 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(copies).unionByName(exact)
+
+
+def test_exact_dedup_finds_the_copy(spark, near_dup_docs):
+    out = dedup.exact_dedup(near_dup_docs)
+    dups = out.filter(F.col("dup_count") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0]["keep_id"] == 20
+    assert out.count() == near_dup_docs.count() - 1
+
+
+def test_minhash_recovers_planted_pairs(spark, near_dup_docs):
+    pairs = dedup.minhash_near_dups(
+        near_dup_docs, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(i, i + 100000) for i in range(10)} | {(20, 200020)}
+    assert planted <= found
+    # est_jaccard for the exact copy should be 1.0
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (20, 200020)]
+    assert exact[0]["est_jaccard"] == 1.0
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, near_dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_docs, threshold=0.5
+        ).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_near_dups(
+            near_dup_docs, num_hashes=64, bands=16, threshold=0.3
+        ).collect()
+    }
+    common = set(exact) & set(est)
+    assert len(common) >= 10
+    for k in common:
+        assert abs(exact[k] - est[k]) < 0.25  # 64 hashes ≈ ±0.12 std
+
+
+def test_simhash_exact_copy_is_distance_zero(spark, near_dup_docs):
+    hashes = {
+        r["doc_id"]: r["simhash"] for r in dedup.simhash(near_dup_docs).collect()
+    }
+    assert hashes[20] == hashes[200020]
+    pairs = dedup.simhash_near_dups(near_dup_docs, max_hamming=3, bands=4)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found[(20, 200020)] == 0
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(
+        emb, queries, dim=64, k=5, num_planes=3, num_tables=8
+    )
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # 8 tables × 3 planes OR-construction
+    # scores the two methods agree on are identical (same expression)
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        k = (r["query_id"], r["neighbor_id"])
+        if k in exact_scores:
+            assert abs(exact_scores[k] - r["score"]) < 1e-12
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(emb, q, k=3).collect()
+    assert len(out) == 3
+    assert all(r["neighbor_id"] != 0 for r in out)
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)

@@ -1,0 +1,136 @@
+"""EAV operators (melt/pivot/patches/retraction) and relational slice."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from db_migration_spark.operators import eav, relational
+
+
+def _datoms(spark, rows):
+    return spark.createDataFrame(
+        rows, "e LONG, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN"
+    )
+
+
+TS = datetime.datetime
+
+
+def test_apply_patches_lww_and_retraction(spark):
+    base = _datoms(
+        spark,
+        [
+            (1, "name", "old", TS(2020, 1, 1), True),
+            (1, "score", "5", TS(2020, 1, 1), True),
+            (2, "name", "keep", TS(2020, 1, 1), True),
+        ],
+    )
+    patches = _datoms(
+        spark,
+        [
+            (1, "name", "new", TS(2020, 2, 1), True),   # update
+            (1, "score", "5", TS(2020, 2, 1), False),   # retraction
+        ],
+    )
+    out = {(r["e"], r["a"]): r["v"] for r in eav.apply_patches(base, patches).collect()}
+    assert out == {(1, "name"): "new", (2, "name"): "keep"}  # score retracted
+
+
+def test_apply_patches_tie_prefers_patch(spark):
+    t = TS(2020, 1, 1)
+    base = _datoms(spark, [(1, "name", "base", t, True)])
+    patches = _datoms(spark, [(1, "name", "patch", t, True)])
+    out = eav.apply_patches(base, patches).collect()
+    assert out[0]["v"] == "patch"
+
+
+def test_melt_pivot_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10, TS(2020, 1, 1)), (2, "b", 20, TS(2020, 1, 2))],
+        "id LONG, s STRING, n LONG, t TIMESTAMP",
+    ).select(
+        "id", "s", F.col("n").cast("string").alias("n"), "t"
+    )
+    datoms = eav.melt(df, F.col("id"), ["s", "n"], "t", class_name="Demo")
+    assert datoms.count() == 4
+    assert set(datoms.columns) == {"e", "a", "v", "tx", "op", "class"}
+    wide = eav.pivot_wide(datoms, ["s", "n"]).collect()
+    m = {r["e"]: (r["s"], r["n"]) for r in wide}
+    assert m == {1: ("a", "10"), 2: ("b", "20")}
+
+
+def test_to_attr_map(spark):
+    datoms = _datoms(
+        spark,
+        [(1, "x", "1", TS(2020, 1, 1), True), (1, "y", "2", TS(2020, 1, 1), True)],
+    )
+    m = eav.to_attr_map(datoms).collect()[0]["attrs"]
+    assert m == {"x": "1", "y": "2"}
+
+
+def test_pivot_multi_collects_sorted(spark):
+    datoms = _datoms(
+        spark,
+        [
+            (1, "alias", "b", TS(2020, 1, 1), True),
+            (1, "alias", "a", TS(2020, 1, 2), True),
+        ],
+    )
+    out = eav.pivot_multi(datoms, ["alias"]).collect()[0]
+    assert out["alias"] == ["a", "b"]
+
+
+def test_qa_count_report_missing_classes(spark):
+    actual = spark.createDataFrame(
+        [("Gene", 10)], "class_name STRING, actual_count LONG"
+    )
+    expected = spark.createDataFrame(
+        [("Gene", 10), ("Protein", 4)], "class_name STRING, expected_count LONG"
+    )
+    rows = {
+        r["class_name"]: r
+        for r in relational.qa_count_report(actual, expected).collect()
+    }
+    assert rows["Gene"]["matches"] is True
+    assert rows["Protein"]["actual_count"] == 0
+    assert rows["Protein"]["diff"] == -4
+    assert rows["Protein"]["matches"] is False
+
+
+def test_homology_split(spark):
+    datoms = _datoms(
+        spark, [(1, "a", "v", TS(2020, 1, 1), True)]
+    ).withColumn("class", F.lit("Homology_group"))
+    assert eav.homology_split(datoms, ["Homology_group"]).count() == 1
+    assert eav.homology_split(datoms, ["Gene"]).count() == 0
+
+
+def test_tx_sorted_writer_ordering(spark, tmp_path):
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, "a", str(i), TS(2020, 1, 1 + random.randrange(28)), True)
+        for i in range(1000)
+    ]
+    out = tmp_path / "sorted"
+    eav.tx_sorted_writer(_datoms(spark, rows), partitions=4).mode(
+        "overwrite"
+    ).parquet(str(out))
+    # per-file: sorted within; across files: ranges are disjoint (T1 contract)
+    import pyarrow.parquet as pq
+
+    files = sorted(out.glob("part-*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        txs = pq.read_table(str(f)).column("tx").to_pylist()
+        if not txs:
+            continue
+        assert txs == sorted(txs)
+        ranges.append((min(txs), max(txs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

@@ -1,0 +1,148 @@
+"""Scalar function layer, text functions, vector math, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from db_migration_spark.functions import scalars, text, vectors
+from db_migration_spark.multimodal import binary_ops as mm
+
+
+def test_scalar_url_and_paths(spark):
+    df = spark.createDataFrame(
+        [("ftp://ftp.ebi.ac.uk/pub/databases/wormbase/releases/WS250",)], ["url"]
+    )
+    row = df.select(
+        scalars.url_host("url").alias("host"),
+        scalars.url_path("url").alias("path"),
+        scalars.path_segments(scalars.url_path("url")).alias("segs"),
+    ).collect()[0]
+    assert row["host"] == "ftp.ebi.ac.uk"
+    assert row["segs"][-1] == "WS250"
+    assert row["segs"][0] == "pub"
+
+
+def test_scalar_regex_helpers(spark):
+    df = spark.createDataFrame(
+        [("wspec/models.wrm.WS250", "report.txt.gz")], ["models", "gz"]
+    )
+    row = df.select(
+        scalars.release_name_from_models_path("models").alias("rel"),
+        scalars.strip_gz_suffix("gz").alias("stem"),
+        scalars.basename("models").alias("base"),
+        scalars.splitext_stem(scalars.basename("gz")).alias("noext"),
+    ).collect()[0]
+    assert row["rel"] == "WS250"
+    assert row["stem"] == "report.txt"
+    assert row["base"] == "models.wrm.WS250"
+    assert row["noext"] == "report.txt"
+
+
+def test_scalar_misc(spark):
+    df = spark.createDataFrame([(17179869184, "TRUE", "x")], ["b", "flag", "s"])
+    row = df.select(
+        scalars.gib_floor("b").alias("gib"),
+        scalars.pct_of("b", 75).alias("pct"),
+        scalars.parse_bool("flag").alias("flag"),
+        scalars.rjust(F.lit("7"), 3).alias("pad"),
+        scalars.within_len(F.lit("abc"), 2).alias("fits"),
+        scalars.to_json_payload(F.lit("hi").alias("msg")).alias("js"),
+    ).collect()[0]
+    assert row["gib"] == 16
+    assert row["pct"] == 12884901888
+    assert row["flag"] is True
+    assert row["pad"] == "  7"
+    assert row["fits"] is False
+    assert row["js"] == '{"msg":"hi"}'
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("The quick brown fox. It is fast!",)], ["t"])
+    row = df.select(
+        text.token_count("t").alias("n"),
+        text.bpe_ish_token_count("t").alias("bpe"),
+        F.round(text.punct_ratio("t"), 3).alias("punct"),
+        F.round(text.stopword_ratio("t"), 3).alias("sw"),
+        text.lang_id("t").alias("lang"),
+        text.fingerprint("t").alias("fp"),
+        text.shingles("t", 2).alias("sh"),
+    ).collect()[0]
+    assert row["n"] == 7
+    assert row["bpe"] >= 9  # words + punctuation pieces
+    assert row["lang"] == "en"
+    assert 0 < row["punct"] < 0.1
+    assert row["sw"] > 0.2  # 'the', 'it', 'is'
+    assert "the quick" in row["sh"]
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame([("a  b\tc", "A b C")], ["x", "y"])
+    row = df.select(
+        (text.fingerprint("x") == text.fingerprint("y")).alias("same")
+    ).collect()[0]
+    assert row["same"] is True
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 4.0, 4.0])], ["a", "b"])
+    row = df.select(
+        vectors.dot("a", "b").alias("dot"),
+        vectors.norm("a").alias("norm"),
+        vectors.cosine("a", "b").alias("cos"),
+        vectors.l2_distance("a", "b").alias("l2"),
+    ).collect()[0]
+    assert row["dot"] == 18.0
+    assert row["norm"] == 3.0
+    assert abs(row["cos"] - 1.0) < 1e-12
+    assert abs(row["l2"] - 3.0) < 1e-12
+
+
+def test_zero_norm_cosine_is_zero(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], ["a", "b"])
+    assert df.select(vectors.cosine("a", "b").alias("c")).collect()[0]["c"] == 0.0
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def _media(spark):
+    rows = [
+        (1, b"fake-jpeg-bytes-1", "image/jpeg", None, None, 5000, None),
+        (2, b"fake-mp4-bytes-22", "video/mp4", None, None, 12000, None),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_decode_metadata_deterministic(spark):
+    media = _media(spark)
+    a = {r["media_id"]: r for r in mm.decode_metadata(media).collect()}
+    b = {r["media_id"]: r for r in mm.decode_metadata(media).collect()}
+    assert a == b
+    assert a[1]["width"] >= 16 and a[1]["channels"] == 3
+    assert len(a[1]["pixel_digest"]) == 16
+
+
+def test_sample_frames_counts(spark):
+    frames = mm.sample_frames(_media(spark), every_ms=1000, max_frames=16)
+    per = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {1: 5, 2: 12}
+    offs = [
+        r["frame_offset_ms"]
+        for r in frames.filter(F.col("media_id") == 1).collect()
+    ]
+    assert sorted(offs) == [0, 1000, 2000, 3000, 4000]
+
+
+def test_payload_stats_jvm_only(spark):
+    stats = mm.payload_stats(_media(spark))
+    row = {r["media_id"]: r for r in stats.collect()}
+    assert row[1]["n_bytes"] == len(b"fake-jpeg-bytes-1")
+    assert len(row[1]["sha256"]) == 64
+    # plan must not contain a Python eval node
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

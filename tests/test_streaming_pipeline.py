@@ -1,0 +1,179 @@
+"""Streaming import (availableNow + checkpoint resume), late patches,
+windowed rollups; resumable pipeline DAG."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_migration_spark.catalog import load_table
+from db_migration_spark.plans.pipeline import Pipeline, Step
+from db_migration_spark.streaming import import_stream as st
+
+TS = datetime.datetime
+
+
+def _datoms(spark, rows):
+    return spark.createDataFrame(
+        rows, "e LONG, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN"
+    )
+
+
+def test_available_now_import_and_resume(spark, tmp_path):
+    log_dir = tmp_path / "logs"
+    target = tmp_path / "store"
+    ckpt = tmp_path / "ckpt"
+    batch1 = _datoms(spark, [(1, "a", "v1", TS(2020, 1, 1), True)])
+    batch1.write.parquet(str(log_dir / "f1"))
+
+    q = st.import_available_now(
+        st.stream_datoms(spark, str(log_dir) + "/*"), str(target), str(ckpt)
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(target)).count() == 1
+
+    # new log file arrives; restart processes ONLY the new file (checkpoint
+    # = the reference's resumable step cursor)
+    batch2 = _datoms(spark, [(2, "a", "v2", TS(2020, 1, 2), True)])
+    batch2.write.parquet(str(log_dir / "f2"))
+    q2 = st.import_available_now(
+        st.stream_datoms(spark, str(log_dir) + "/*"), str(target), str(ckpt)
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(str(target))
+    assert out.count() == 2  # no duplicate of batch1
+    assert {r["e"] for r in out.collect()} == {1, 2}
+
+
+def test_late_patch_merge_and_compaction(spark, tmp_path):
+    base_dir = tmp_path / "store"
+    _datoms(
+        spark,
+        [
+            (1, "name", "old", TS(2020, 1, 1), True),
+            (2, "name", "keep", TS(2020, 1, 1), True),
+        ],
+    ).write.parquet(str(base_dir))
+
+    patch_src = tmp_path / "patches_src"
+    _datoms(
+        spark,
+        [
+            (1, "name", "new", TS(2020, 2, 1), True),
+            (2, "name", "keep", TS(2020, 2, 1), False),  # late retraction
+        ],
+    ).write.parquet(str(patch_src))
+
+    q = st.late_patch_merge(
+        spark.readStream.schema(st.DATOM_SCHEMA).parquet(str(patch_src)),
+        str(base_dir),
+        str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(base_dir)).count() == 4  # appended
+
+    compacted = tmp_path / "compacted"
+    st.compact_store(spark, str(base_dir), str(compacted))
+    rows = {
+        (r["e"], r["a"]): r["v"]
+        for r in spark.read.parquet(str(compacted)).collect()
+    }
+    assert rows == {(1, "name"): "new"}  # e=2 retracted by the late patch
+
+
+def test_windowed_rollup_streaming_matches_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "events_src"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    rolled = st.windowed_event_rollup(stream)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    batch = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    )
+    want = {(r["hour"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == want
+
+
+def test_session_window_runs(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "ev2"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    q = (
+        st.session_windowed_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n = spark.sql("SELECT count(*) AS n FROM sess_test").collect()[0]["n"]
+    assert n > 0
+
+
+# --- pipeline DAG ----------------------------------------------------------
+
+
+def test_pipeline_resume_and_reset(tmp_path):
+    manifest = str(tmp_path / "manifest.json")
+    calls = []
+
+    def ok(ctx, tag):
+        calls.append(tag)
+        return tag
+
+    boom = {"fail": True}
+
+    def flaky(ctx):
+        calls.append("flaky")
+        if boom["fail"]:
+            raise RuntimeError("transient")
+        return "done"
+
+    steps = [
+        Step("one", ok, {"tag": "one"}),
+        Step("two", flaky),
+        Step("three", ok, {"tag": "three"}),
+    ]
+    p = Pipeline(steps, manifest)
+    events = []
+    p.add_listener(lambda phase, n, s: events.append((phase, n)))
+
+    with pytest.raises(RuntimeError):
+        p.run()
+    assert calls == ["one", "flaky"]
+    assert ("error", 2) in events
+
+    boom["fail"] = False
+    ctx = p.run()  # resumes at step two; step one NOT re-run
+    assert calls == ["one", "flaky", "flaky", "three"]
+    assert ctx["two"] == "done"
+
+    p.reset_to_step(2)
+    p.run()
+    assert calls.count("three") == 2  # steps 2-3 re-ran, step 1 didn't
+    assert calls.count("one") == 1
