@@ -90,6 +90,43 @@ def to_attr_map(datoms: DataFrame) -> DataFrame:
     )
 
 
+def typed_cast(datoms: DataFrame, schema: dict[str, str]) -> DataFrame:
+    """X3 (``prepare-import``, pseudoace.py:79-84): schema-driven typed
+    normalization of the stringly datom stream.
+
+    ``schema`` maps attribute → value_type ('string'|'long'|'double'|
+    'date'|'timestamp'), the engine-side form of the annotated models file
+    (X2, sources/catalog_files.py:read_models_schema).  The schema is
+    metadata — O(#attributes) — so it compiles into a CASE expression
+    rather than a join: zero shuffle, whole-stage codegen, and wrong-typed
+    values become nulls exactly like Datomic's import would reject them.
+
+    Output keeps ``v`` and adds one typed column per type class present.
+    """
+    by_type: dict[str, list[str]] = {}
+    for attr, vtype in schema.items():
+        by_type.setdefault(vtype, []).append(attr)
+
+    out = datoms
+    casts = {
+        "long": ("v_long", "long"),
+        "double": ("v_double", "double"),
+        "date": ("v_date", "date"),
+        "timestamp": ("v_ts", "timestamp"),
+    }
+    for vtype, (col_name, sql_type) in casts.items():
+        attrs = by_type.get(vtype)
+        if attrs:
+            out = out.withColumn(
+                col_name,
+                # try_cast: malformed values null out instead of failing the
+                # job under ANSI mode (Spark 4 default) — the import-reject
+                # semantics we want for dirty dump data
+                F.when(F.col("a").isin(attrs), F.col("v").try_cast(sql_type)),
+            )
+    return out
+
+
 def apply_patches(
     base: DataFrame, patches: DataFrame, tiebreak_col: str | None = None
 ) -> DataFrame:

@@ -113,6 +113,63 @@ def rank_within(
     return df.withColumn(rank_col, F.row_number().over(w))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the right row with the greatest
+    ``right_ts <= left_ts`` within the ``on`` group (left outer semantics —
+    unmatched left rows keep nulls).
+
+    Spark lacks a native as-of join; the scalable expression is the
+    union-and-carry-forward trick: tag both sides, union (no shuffle),
+    ONE exchange on ``on`` + in-partition sort by (ts, side), then
+    ``last(value, ignorenulls=True)`` carries the most recent right row
+    forward onto each left row.  This is O(n log n) per key group with a
+    single shuffle — never the O(n·m) theta-join a naive
+    ``l.ts >= r.ts`` range join would plan, which is the difference between
+    minutes and days at 100 TB.
+
+    Callers must ensure the right side has one row per (on, right_ts)
+    (pre-dedupe with :func:`last_write_wins`) for deterministic output.
+    """
+    left_only = [c for c in left.columns if c not in on]
+    left_types = dict(left.dtypes)
+    rv_struct = F.struct(*[F.col(c) for c in right_cols])
+
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rv_struct.alias("__rv"),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_only],
+    )
+    l2 = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r2.schema["__rv"].dataType).alias("__rv"),
+        *left_only,
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2).withColumn(
+        "__matched", F.last("__rv", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *on,
+        *left_only,
+        *[F.col("__matched")[c].alias(c) for c in right_cols],
+    )
+
+
 def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     """U1: union of two relations, deduplicated (``runcommand.py:263-271``)."""
     return a.unionByName(b).distinct()

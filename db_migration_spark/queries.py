@@ -1044,3 +1044,127 @@ ORACLES: dict[str, str] = {
     # intentionally no oracle (non-SQL-expressible, rows-only check):
     #   dedup_minhash, dedup_simhash, ann_lsh_topk
 }
+
+
+# ---------------------------------------------------------------------------
+# §2.3-ext — as-of join (custom operator Spark lacks; union+carry-forward)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click.
+    One shuffle + window (operators/relational.py:asof_join) — never a
+    range theta-join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = relational.last_write_wins(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("last_click_ts"),
+            F.col("event_id").alias("last_click_id"),
+        ),
+        ["user_id", "last_click_ts"],
+        [F.desc("last_click_id")],
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return relational.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="last_click_ts",
+        right_cols=["last_click_id", "last_click_ts"],
+    )
+
+
+ORACLE_ASOF = """
+WITH c0 AS (
+  SELECT user_id, ts AS last_click_ts, event_id AS last_click_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), c AS (
+  SELECT user_id, last_click_ts, last_click_id FROM c0 WHERE rn = 1
+), p AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.ts, p.value, c.last_click_id, c.last_click_ts
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.last_click_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4-ext — rollup / approx distinct
+# ---------------------------------------------------------------------------
+
+
+def q_a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (SURVEY §2.4: exposed built-ins): order counts
+    with subtotals per priority and a grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_A4 = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (rows-only: sketch internals differ across
+    engines by design; tests pin it within 5% of exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 X3 — schema-driven typed normalization
+# ---------------------------------------------------------------------------
+
+_X3_SCHEMA = {
+    "l_quantity": "long",
+    "l_returnflag": "string",
+    "l_linestatus": "string",
+    "l_shipdate": "date",
+}
+
+
+def q_x3_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (prepare-import): models-schema-driven casts over the datom
+    stream — stringly v → typed columns, CASE-compiled, no shuffle."""
+    datoms = _melted_lineitem(spark, sf_dir).select("e", "a", "v")
+    return eav.typed_cast(datoms, _X3_SCHEMA)
+
+
+ORACLE_X3 = f"""
+SELECT e, a, v,
+       CASE WHEN a = 'l_quantity' THEN CAST(v AS BIGINT) END AS v_long,
+       CASE WHEN a = 'l_shipdate' THEN CAST(v AS DATE) END AS v_date
+FROM ({_ORACLE_MELT_BODY})
+"""
+
+
+QUERIES.update(
+    {
+        "asof_join": q_asof_join,
+        "a4_rollup": q_a4_rollup,
+        "a5_approx_distinct": q_a5_approx_distinct,
+        "x3_typed_cast": q_x3_typed_cast,
+    }
+)
+ORACLES.update(
+    {
+        "asof_join": ORACLE_ASOF,
+        "a4_rollup": ORACLE_A4,
+        "x3_typed_cast": ORACLE_X3,
+        # a5_approx_distinct: rows-only by design (HLL sketch)
+    }
+)

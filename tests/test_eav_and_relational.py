@@ -134,3 +134,53 @@ def test_tx_sorted_writer_ordering(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, TS(2020, 1, 5), "p1"), (1, TS(2020, 1, 1), "p0"), (2, TS(2020, 1, 3), "p2")],
+        "user LONG, ts TIMESTAMP, pid STRING",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, TS(2020, 1, 2), "c1"),
+            (1, TS(2020, 1, 4), "c2"),
+            (1, TS(2020, 1, 6), "c3"),
+        ],
+        "user LONG, cts TIMESTAMP, cid STRING",
+    )
+    out = {
+        r["pid"]: (r["cid"], r["cts"])
+        for r in relational.asof_join(
+            left, right, ["user"], "ts", "cts", ["cid", "cts"]
+        ).collect()
+    }
+    assert out["p1"] == ("c2", TS(2020, 1, 4))  # latest click <= Jan 5
+    assert out["p0"] == (None, None)            # nothing prior
+    assert out["p2"] == (None, None)            # other user has no clicks
+
+
+def test_asof_join_equal_ts_matches(spark):
+    t = TS(2020, 1, 1)
+    left = spark.createDataFrame([(1, t, "p")], "user LONG, ts TIMESTAMP, pid STRING")
+    right = spark.createDataFrame([(1, t, "c")], "user LONG, cts TIMESTAMP, cid STRING")
+    out = relational.asof_join(left, right, ["user"], "ts", "cts", ["cid"]).collect()
+    assert out[0]["cid"] == "c"  # right_ts == left_ts counts as "prior"
+
+
+def test_typed_cast(spark):
+    datoms = _datoms(
+        spark,
+        [
+            (1, "qty", "42", TS(2020, 1, 1), True),
+            (1, "when", "2020-03-04", TS(2020, 1, 1), True),
+            (1, "name", "abc", TS(2020, 1, 1), True),
+            (1, "qty", "not-a-number", TS(2020, 1, 2), True),
+        ],
+    )
+    out = eav.typed_cast(datoms, {"qty": "long", "when": "date", "name": "string"})
+    rows = {(r["a"], r["v"]): r for r in out.collect()}
+    assert rows[("qty", "42")]["v_long"] == 42
+    assert rows[("qty", "not-a-number")]["v_long"] is None  # reject → null
+    assert rows[("when", "2020-03-04")]["v_date"].month == 3
+    assert rows[("name", "abc")]["v_long"] is None
