@@ -1,0 +1,167 @@
+"""The end-to-end migration pipeline — the ``azanium migrate`` analog.
+
+The reference's flagship command runs 11 sequential steps
+(``/root/reference/src/azanium/runcommand.py:292-334``): validate inputs →
+fetch ACeDB → tace dump → gzip → create DB → ace→EDN → sort logs → import →
+patches → QA report → backup.  Steps 2-4 are acquisition/compression of
+text the engine now reads directly; the remaining dataflow steps map 1:1
+onto the operator library:
+
+    reference step (boundary)          engine stage (native)
+    ---------------------------------  -----------------------------------
+    create-database + models (X2)      read_models_schema → schema table
+    acedump-to-edn-logs (X1)           parse_ace_dump → ace_records_to_datoms
+    sort-edn-logs (T1)                 repartitionByRange(tx) + sortWithin
+    import-logs (S8)                   checkpointed availableNow stream write
+    apply-patches (X4)                 apply_patches last-write-wins merge
+    homol-import (X5)                  class-subset filter → second store
+    qa-report (X6 = A1 ⋈ J1)           per_class_counts ⋈ id_catalog → CSV
+    backup-db (S9)                     snapshot parquet write
+
+Resume semantics come from plans.Pipeline (durable JSON cursor — the
+shelve ``LAST_STEP_OK`` analog, ``runcommand.py:393-406``) plus idempotent
+stage-output paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.eav import apply_patches, homology_split, typed_cast
+from .operators.relational import per_class_counts, qa_count_report
+from .plans.pipeline import Pipeline, Step
+from .sources.ace import ace_records_to_datoms, parse_ace_dump
+from .sources.catalog_files import (
+    read_id_catalog,
+    read_models_schema,
+    write_qa_report_csv,
+)
+
+
+class MigrationJob:
+    """One release migration: dumps dir + models file + id catalog →
+    EAVT store + QA report + homology store + snapshot."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workspace: str,
+        dumps_path: str,
+        models_path: str,
+        catalog_path: str,
+        release: str,
+        patches_path: str | None = None,
+        homol_classes: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.ws = workspace
+        self.dumps_path = dumps_path
+        self.models_path = models_path
+        self.catalog_path = catalog_path
+        self.patches_path = patches_path
+        self.release = release
+        self.homol_classes = homol_classes or []
+
+    # -- stage functions (each idempotent via its output path) -------------
+
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.ws, self.release, *parts)
+
+    def validate(self, ctx: dict) -> str:
+        """Step 1 (runcommand.py:413-421 input validation): inputs exist."""
+        for p in filter(None, [self.dumps_path, self.models_path, self.catalog_path]):
+            if not os.path.exists(p.split("*")[0].rstrip("/") or p):
+                raise FileNotFoundError(p)
+        return "ok"
+
+    def install_schema(self, ctx: dict) -> DataFrame:
+        """X2 create-database analog: per-release schema table."""
+        schema = read_models_schema(self.spark, self.models_path, self.release)
+        schema.write.mode("overwrite").parquet(self._path("schema"))
+        return schema
+
+    def dump_to_datoms(self, ctx: dict) -> str:
+        """X1+X3: parse dumps → datoms, typed per schema, T1-sorted into
+        the store layout (range-partitioned by tx, sorted within)."""
+        out = self._path("datoms")
+        records = parse_ace_dump(self.spark, self.dumps_path)
+        datoms = ace_records_to_datoms(records)
+        schema_rows = self.spark.read.parquet(self._path("schema")).collect()
+        vtypes = {
+            f"{r['class']}/{r['attribute']}": r["value_type"]
+            for r in schema_rows
+            if r["value_type"] in ("long", "double", "date", "timestamp")
+        }
+        typed = typed_cast(datoms, vtypes) if vtypes else datoms
+        (
+            typed.repartitionByRange(F.col("tx"))
+            .sortWithinPartitions("tx")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        return out
+
+    def merge_patches(self, ctx: dict) -> str:
+        """X4: late patches over the imported base, LWW per (e,a)."""
+        out = self._path("datoms_patched")
+        base = self.spark.read.parquet(self._path("datoms"))
+        if not self.patches_path:
+            base.write.mode("overwrite").parquet(out)
+            return out
+        patches = ace_records_to_datoms(
+            parse_ace_dump(self.spark, self.patches_path)
+        )
+        for c in base.columns:
+            if c not in patches.columns:
+                patches = patches.withColumn(c, F.lit(None).cast(dict(base.dtypes)[c]))
+        merged = apply_patches(base, patches.select(*base.columns))
+        merged.write.mode("overwrite").parquet(out)
+        return out
+
+    def homol_split(self, ctx: dict) -> str:
+        """X5: second store for homology classes (the '<release>-homol' DB,
+        runcommand.py:439-461)."""
+        out = self._path("homol")
+        datoms = self.spark.read.parquet(self._path("datoms_patched"))
+        homology_split(datoms, self.homol_classes).write.mode(
+            "overwrite"
+        ).parquet(out)
+        return out
+
+    def qa_report(self, ctx: dict) -> DataFrame:
+        """X6: per-class entity counts ⋈ expected id catalog → quoted CSV
+        (the reference's human gate before backup, runcommand.py:188-203)."""
+        datoms = self.spark.read.parquet(self._path("datoms_patched"))
+        actual = per_class_counts(datoms, "class", entity_col="e")
+        expected = read_id_catalog(self.spark, self.catalog_path)
+        report = qa_count_report(actual, expected)
+        write_qa_report_csv(report, self._path("qa_report"))
+        return report
+
+    def backup(self, ctx: dict) -> str:
+        """S9: snapshot of the final store (datomic backup-db analog)."""
+        out = self._path("backup")
+        self.spark.read.parquet(self._path("datoms_patched")).write.mode(
+            "overwrite"
+        ).parquet(out)
+        return out
+
+    # -- assembly -----------------------------------------------------------
+
+    def pipeline(self) -> Pipeline:
+        steps = [
+            Step("validate-inputs", self.validate),
+            Step("install-schema", self.install_schema),
+            Step("dump-to-datoms", self.dump_to_datoms),
+            Step("merge-patches", self.merge_patches),
+            Step("homol-split", self.homol_split),
+            Step("qa-report", self.qa_report),
+            Step("backup", self.backup),
+        ]
+        return Pipeline(steps, self._path("manifest.json"))
+
+    def run(self) -> dict:
+        return self.pipeline().run()

@@ -304,3 +304,34 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space near-dup pairs: all (a < b) with cosine ≥ threshold.
+
+    This is the exact O(n²) tier — correct for verification sets and small
+    corpora.  At 100 TB the candidate set must be cut first: bucket with
+    similarity.lsh_bucket (sign-random-projection) and run this only within
+    buckets, which turns the cross join into an equi-join on the bucket key
+    (same pattern as minhash banding).
+
+    Dot products accumulate in index order with explicit double casts for
+    cross-engine reproducibility.  Returns (id_a, id_b, score).
+    """
+    from ..functions.vectors import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

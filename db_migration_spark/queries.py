@@ -1168,3 +1168,61 @@ ORACLES.update(
         # a5_approx_distinct: rows-only by design (HLL sketch)
     }
 )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
+    embeddings are near-orthogonal random vectors; real corpora use ~0.9).
+    Exact tier; the LSH-bucketed scale path is ann_lsh_topk's bucketer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_cosine_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+ORACLE_DEDUP_COSINE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS score
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= 0.4
+"""
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: word/digit/punct segmentation by regex —
+    the cheap deterministic token estimator for data budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        TXT.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+ORACLE_BPE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_ws_tokens
+FROM documents
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "text_bpe_tokens": q_text_bpe_tokens,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_embedding_cosine": ORACLE_DEDUP_COSINE,
+        "text_bpe_tokens": ORACLE_BPE,
+    }
+)
