@@ -1,0 +1,105 @@
+"""CLI shell — the ``azanium`` command-group analog (SURVEY §3).
+
+Subcommands mirror the reference's entry points
+(``/root/reference/src/azanium/__init__.py:14-38``, ``runcommand.py``):
+
+    migrate        run the full migration pipeline (runcommand.py:411-436)
+    migrate-homol  homology split only (runcommand.py:439-461)
+    qa-report      regenerate the QA report (runcommand.py:188-203)
+    reset-to-step  rewind the resume cursor (runcommand.py:346-387)
+    clean          drop pipeline state (runcommand.py:258-280)
+    bench          run the benchmark suite
+
+Usage:  python -m db_migration_spark.cli migrate --workspace /tmp/ws \\
+            --dumps dumps/ --models models.wrm.WS299 \\
+            --catalog catalog.txt.gz --release WS299
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .session import get_spark
+
+
+def _add_migrate_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--workspace", required=True)
+    p.add_argument("--dumps", required=True)
+    p.add_argument("--models", required=True)
+    p.add_argument("--catalog", required=True)
+    p.add_argument("--release", required=True)
+    p.add_argument("--patches", default=None)
+    p.add_argument("--homol-classes", default="", help="comma-separated")
+
+
+def _job(args):
+    from .migrate import MigrationJob
+
+    spark = get_spark(f"migrate-{args.release}")
+    return MigrationJob(
+        spark,
+        workspace=args.workspace,
+        dumps_path=args.dumps,
+        models_path=args.models,
+        catalog_path=args.catalog,
+        patches_path=args.patches,
+        release=args.release,
+        homol_classes=[c for c in args.homol_classes.split(",") if c],
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="db-migration-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name in ("migrate", "migrate-homol", "qa-report"):
+        sp = sub.add_parser(name)
+        _add_migrate_args(sp)
+
+    sp = sub.add_parser("reset-to-step")
+    _add_migrate_args(sp)
+    sp.add_argument("--step", type=int, required=True)
+
+    sp = sub.add_parser("clean")
+    _add_migrate_args(sp)
+
+    sub.add_parser("bench")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "bench":
+        from . import queries  # noqa: F401 — import check
+        import bench
+
+        bench.main()
+        return 0
+
+    job = _job(args)
+    if args.cmd == "migrate":
+        # around-step notifications (notifications.py:75-82 analog): one
+        # JSON line per step event on stderr
+        pipe = job.pipeline()
+        pipe.add_listener(
+            lambda phase, n, step: print(
+                json.dumps(
+                    {"event": phase, "step": n, "description": step.description}
+                ),
+                file=sys.stderr,
+            )
+        )
+        pipe.run()
+    elif args.cmd == "migrate-homol":
+        job.homol_split({})
+    elif args.cmd == "qa-report":
+        job.qa_report({})
+    elif args.cmd == "reset-to-step":
+        job.pipeline().reset_to_step(args.step)
+    elif args.cmd == "clean":
+        job.pipeline().clean()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,88 @@
+"""Ingest utilities (S1/P3/S5/S6/S14) and the CLI shell."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import subprocess
+import sys
+
+import pytest
+
+from db_migration_spark.sources import ingest
+
+
+def test_select_by_regex():
+    names = [
+        "all_classes_report.WS250.txt.gz",
+        "all_classes_report.WS251.txt.gz",
+        "notes.txt",
+    ]
+    out = ingest.select_by_regex(names, r"all_classes_report\.WS250\.txt\.gz$")
+    assert out == ["all_classes_report.WS250.txt.gz"]
+
+
+def test_scan_dir_sorted(tmp_path):
+    for n in ["b.tar.gz", "a.tar.gz", "c.txt"]:
+        (tmp_path / n).write_text("x")
+    assert ingest.scan_dir(str(tmp_path), r".*\.tar\.gz$") == [
+        "a.tar.gz",
+        "b.tar.gz",
+    ]
+
+
+def test_glob_exactly_one(tmp_path):
+    (tmp_path / "WS250.tar.xz").write_text("x")
+    assert ingest.glob_exactly_one(str(tmp_path / "*.tar.xz")).endswith(
+        "WS250.tar.xz"
+    )
+    (tmp_path / "WS251.tar.xz").write_text("x")
+    with pytest.raises(ValueError, match="exactly one"):
+        ingest.glob_exactly_one(str(tmp_path / "*.tar.xz"))
+
+
+def test_gzip_roundtrip(tmp_path):
+    f = tmp_path / "dump.ace"
+    f.write_text("hello")
+    [gz] = ingest.gzip_dir(str(tmp_path), "*.ace")
+    assert gz.endswith(".gz") and not f.exists()
+    out = ingest.gunzip_file(gz)
+    assert out == str(f)
+    assert f.read_text() == "hello"
+
+
+def test_archive_roundtrip(tmp_path):
+    src = tmp_path / "backup"
+    src.mkdir()
+    (src / "data.txt").write_text("payload")
+    arch = ingest.make_archive(str(src), str(tmp_path / "backup.tar.xz"))
+    dest = tmp_path / "restored"
+    ingest.extract_archive(arch, str(dest))
+    assert (dest / "backup" / "data.txt").read_text() == "payload"
+
+
+def test_cli_migrate_end_to_end(tmp_path):
+    dumps = tmp_path / "dumps"
+    dumps.mkdir()
+    (dumps / "d.ace").write_text(
+        'Gene : "G1"\nIdentity "g-one" -O "2010-01-01_10:00:00"\n'
+    )
+    (tmp_path / "models").write_text("?Gene\n  Identity UNIQUE Text\n")
+    with gzip.open(tmp_path / "catalog.txt.gz", "wt") as fp:
+        fp.write("Gene 1\n")
+    env = dict(os.environ, PYTHONPATH="/root/repo", SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "db_migration_spark.cli", "migrate",
+            "--workspace", str(tmp_path / "ws"),
+            "--dumps", str(dumps),
+            "--models", str(tmp_path / "models"),
+            "--catalog", str(tmp_path / "catalog.txt.gz"),
+            "--release", "WS299",
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert '"event": "ok"' in proc.stderr  # step notifications emitted
+    assert (tmp_path / "ws" / "WS299" / "qa_report").exists()
+    assert (tmp_path / "ws" / "WS299" / "manifest.json").exists()
