@@ -29,6 +29,21 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Tables that carry per-row compute (parse/hash/vector work) or feed
+# shuffling operators.  The driver's testdata writes each as ONE parquet
+# file = one input split = one core, so we spread them on load.  On a real
+# deployment the input has as many splits as the data has blocks and this
+# never triggers.
+_SPREAD_TABLES = {
+    "lineitem",
+    "orders",
+    "customer",
+    "part",
+    "events",
+    "documents",
+    "embeddings",
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table.  Parquet scan → Catalyst gets pushdown,
@@ -41,6 +56,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in _SPREAD_TABLES:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # single-file inputs smaller than maxPartitionBytes scan as one
+        # split; spread them (cheap file-size probe, no plan analysis)
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path) and os.path.getsize(path) < 128 * 1024 * 1024:
+            df = df.repartition(cpus)
     return df
 
 

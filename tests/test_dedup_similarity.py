@@ -13,7 +13,9 @@ from db_migration_spark.operators import dedup, similarity
 def near_dup_docs(spark):
     """Documents plus perturbed near-copies (one word changed) and one
     exact copy — known ground truth for the dedup tiers."""
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 40
+    )
     copies = docs.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+", "changedword").alias("text"),
