@@ -96,10 +96,17 @@ class MigrationJob:
             if r["value_type"] in ("long", "double", "date", "timestamp")
         }
         typed = typed_cast(datoms, vtypes) if vtypes else datoms
+        # Store layout for scale: hive-partitioned by class (per-class QA
+        # counts, homology splits and per-class pivots prune to their
+        # directories), range-clustered so each class's files cover
+        # disjoint tx ranges and are tx-sorted inside — the per-class
+        # analog of the reference's globally sorted EDN import (T1), with
+        # no single-task global sort anywhere.
         (
-            typed.repartitionByRange(F.col("tx"))
-            .sortWithinPartitions("tx")
+            typed.repartitionByRange(F.col("class"), F.col("tx"))
+            .sortWithinPartitions("class", "tx")
             .write.mode("overwrite")
+            .partitionBy("class")
             .parquet(out)
         )
         return out
@@ -118,7 +125,7 @@ class MigrationJob:
             if c not in patches.columns:
                 patches = patches.withColumn(c, F.lit(None).cast(dict(base.dtypes)[c]))
         merged = apply_patches(base, patches.select(*base.columns))
-        merged.write.mode("overwrite").parquet(out)
+        merged.write.mode("overwrite").partitionBy("class").parquet(out)
         return out
 
     def homol_split(self, ctx: dict) -> str:

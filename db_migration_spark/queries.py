@@ -1226,3 +1226,91 @@ ORACLES.update(
         "text_bpe_tokens": ORACLE_BPE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# §2.8-ext — misc scalar suite (F4, F10, F11, F13, F14) + JSON extraction
+# ---------------------------------------------------------------------------
+
+
+def q_f_misc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 format, F10/F11 math, F13 base64/decode, F14 struct→JSON, and
+    JSON field extraction from the events props column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.format_string("%s-%05d", F.col("event_type"), F.col("event_id")).alias(
+            "tag"
+        ),
+        F.base64(F.encode(F.col("event_type"), "UTF-8")).alias("b64"),
+        F.decode(F.unbase64(F.base64(F.encode("event_type", "UTF-8"))), "UTF-8").alias(
+            "roundtrip"
+        ),
+        F.round(F.abs(F.col("value") - 250.0), 2).alias("abs_dev"),
+        F.greatest("user_id", "event_id").alias("gr"),
+        F.floor(F.col("value")).cast("long").alias("value_floor"),
+        F.get_json_object("props", "$.k").alias("prop_k"),
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        ).alias("payload"),
+    )
+
+
+ORACLE_F_MISC = """
+SELECT event_id,
+       printf('%s-%05d', event_type, event_id) AS tag,
+       base64(encode(event_type)) AS b64,
+       decode(from_base64(base64(encode(event_type)))) AS roundtrip,
+       round(abs(value - 250.0), 2) AS abs_dev,
+       greatest(user_id, event_id) AS gr,
+       CAST(floor(value) AS BIGINT) AS value_floor,
+       json_extract_string(props, '$.k') AS prop_k,
+       CAST(to_json(struct_pack(t := event_type, u := user_id)) AS VARCHAR) AS payload
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J2 — versions lookup join (util.py:270-276, install.py:173-176)
+# ---------------------------------------------------------------------------
+
+_VERSIONS = [
+    ("click", "1.0"),
+    ("view", "1.1"),
+    ("purchase", "2.0"),
+    ("signup", "2.1"),
+    ("error", "0.9"),
+]
+
+
+def q_j2_versions_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: tiny versions table broadcast-joined onto the fact stream —
+    the versions.ini lookup as a dim join."""
+    ev = load_table(spark, sf_dir, "events")
+    versions = spark.createDataFrame(_VERSIONS, "event_type STRING, version STRING")
+    return ev.join(F.broadcast(versions), "event_type").select(
+        "event_id", "event_type", "version"
+    )
+
+
+ORACLE_J2 = """
+SELECT event_id, e.event_type, version
+FROM events e
+JOIN (VALUES ('click','1.0'), ('view','1.1'), ('purchase','2.0'),
+             ('signup','2.1'), ('error','0.9')) AS v(event_type, version)
+  ON e.event_type = v.event_type
+"""
+
+
+QUERIES.update(
+    {
+        "f_misc_suite": q_f_misc_suite,
+        "j2_versions_lookup": q_j2_versions_lookup,
+    }
+)
+ORACLES.update(
+    {
+        "f_misc_suite": ORACLE_F_MISC,
+        "j2_versions_lookup": ORACLE_J2,
+    }
+)

@@ -102,3 +102,21 @@ def report_to_markdown(report: DataFrame, max_rows: int = 1000) -> str:
         return "| " + " | ".join(v.rjust(w) for v, w in zip(row, widths)) + " |"
     sep = "|" + "|".join("-" * (w + 2) for w in widths) + "|"
     return "\n".join([fmt(cols), sep] + [fmt(r) for r in cells])
+
+
+def report_to_html(report: DataFrame, max_rows: int = 1000) -> str:
+    """S13 second half (pseudoace.py:151-158): the QA report as an HTML
+    table (the reference renders markdown → HTML for the e-mailed report).
+    """
+    rows = report.limit(max_rows).collect()
+    cols = report.columns
+    head = "".join(f"<th>{c}</th>" for c in cols)
+    body = "\n".join(
+        "<tr>" + "".join(f"<td>{'' if v is None else v}</td>" for v in r) + "</tr>"
+        for r in rows
+    )
+    return (
+        "<table>\n<thead><tr>" + head + "</tr></thead>\n<tbody>\n"
+        + body
+        + "\n</tbody>\n</table>"
+    )

@@ -102,3 +102,20 @@ def test_backup_and_resume(spark, job):
     assert state["last_step_ok"] == 7
     ctx = p.run()
     assert ctx == {}  # nothing re-executed
+
+
+def test_store_partition_pruning(spark, job):
+    import contextlib, io
+    from pyspark.sql import functions as F
+
+    store = spark.read.parquet(job._path("datoms_patched"))
+    pruned = store.filter(F.col("class") == "Gene")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    # hive-partitioned by class → the filter lands in PartitionFilters,
+    # not a post-scan Filter: only Gene directories are read
+    assert "PartitionFilters" in plan
+    assert "class" in plan.split("PartitionFilters", 1)[1][:200]
+    assert pruned.count() == 3
