@@ -53,6 +53,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     does not model — so it arrives as nanosecond longs (see
     ``legacy.parquet.nanosAsLong`` in session.py) and is truncated to
     microseconds here, matching DuckDB's ns→µs cast."""
+    if name == "events":
+        # self-sufficient even when the caller built its own session (the
+        # driver does): the nanos workaround is a runtime-settable SQL conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
