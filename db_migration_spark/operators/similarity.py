@@ -159,3 +159,114 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (the IVF coarse
+    quantizer).  Centroids are broadcast; assignment is a map stage with a
+    per-row argmax over the centroid list — at 100 TB the resulting
+    ``list_id`` becomes the corpus partition key."""
+    c = centroids.select(
+        F.col("list_id"), F.col("centroid")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "list_id",
+        cosine(vec_col, "centroid").alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.col("list_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pick n_lists seed centroids deterministically: the vectors whose
+    xxhash64(id) ranks lowest — a reproducible 'random' sample with no RNG
+    state (a k-means refinement would iterate from exactly these seeds)."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        corpus.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_lists)
+        .select(
+            (F.col("__rk") - 1).alias("list_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors whose inverted list
+    is among the query's n_probe closest centroids.
+
+    Cost model vs LSH: IVF lists adapt to the data distribution (clustered
+    embeddings → tight lists → high recall at low probe count), while LSH
+    is data-independent.  Scan fraction ≈ n_probe/n_lists of the corpus,
+    via partition pruning when the store is partitioned by list_id.
+
+    Note: the seeding window ranks a deterministic hash order — an O(n log n)
+    sort of ids only (not vectors); production deployments precompute
+    centroids offline and pass them in.
+    """
+    cents = deterministic_centroids(corpus, n_lists, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    q_probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_vec",
+            "list_id",
+            cosine("query_vec", "centroid").alias("__sim"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("__sim"), F.col("list_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "query_vec", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(q_probe), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine("query_vec", vec_col).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1314,3 +1314,14 @@ ORACLES.update(
         "j2_versions_lookup": ORACLE_J2,
     }
 )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (rows-only: centroid seeding is hash-ranked;
+    recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=6)
+
+
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
