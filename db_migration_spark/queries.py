@@ -512,17 +512,13 @@ def q_x7_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Restricted to entities with a unique (orderkey, linenumber) key — the
     synthetic lineitem has collisions there, and pivoting a multi-valued
-    card-one attribute is undefined (first(v) would be nondeterministic).
+    card-one attribute is undefined.  The uniqueness check rides the pivot
+    aggregate itself (pivot_wide_exact): e = orderkey*8+linenumber is
+    injective, so a duplicated key shows up as 2×len(attrs) datoms per e
+    and is dropped by the count guard — one shuffle total, no window.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey", "l_linenumber")
-    unique_li = (
-        li.withColumn("__n", F.count(F.lit(1)).over(w))
-        .filter(F.col("__n") == 1)
-        .drop("__n")
-    )
-    melted = _melt_lineitem_df(unique_li)
-    return eav.pivot_wide(melted, _MELT_ATTRS)
+    melted = _melted_lineitem(spark, sf_dir)
+    return eav.pivot_wide_exact(melted, _MELT_ATTRS)
 
 
 ORACLE_X7 = """
