@@ -52,8 +52,9 @@ ACE_RECORD_SCHEMA = StructType(
 )
 
 _HEADER_RE = re.compile(r'^\s*(\S+)\s*:\s*"?([^"]*)"?\s*$')
-# a line token: quoted string, -O/-C annotation, or bare word
-_TOKEN_RE = re.compile(r'"((?:[^"\\]|\\.)*)"|(-[OC])|(\S+)')
+# a line token: quoted string, -O/-C annotation (standalone token only —
+# a tag named "-C0" must not be split), or bare word
+_TOKEN_RE = re.compile(r'"((?:[^"\\]|\\.)*)"|(-[OC])(?=\s|$)|(\S+)')
 
 
 def parse_block(block: str, src_file: str = "") -> list[tuple]:

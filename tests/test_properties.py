@@ -1,0 +1,162 @@
+"""Property-based tests (hypothesis): operators vs independent reference
+implementations on randomized inputs."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from db_migration_spark.operators import eav, relational
+from db_migration_spark.sources.ace import parse_block
+
+TS0 = datetime.datetime(2020, 1, 1)
+
+# --- parse_block: pure-python kernel, cheap to fuzz -------------------------
+
+ident = st.builds(
+    lambda head, tail: head + tail,
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        min_size=1, max_size=1,
+    ),
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789_-",
+        min_size=0, max_size=11,
+    ),
+)
+value_text = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz 0123456789._:/#",
+    min_size=1,
+    max_size=20,
+).map(str.strip).filter(bool)
+
+
+@given(cls=ident, obj=ident, paths=st.lists(
+    st.tuples(st.lists(ident, min_size=1, max_size=4), value_text),
+    min_size=1, max_size=8,
+))
+@settings(max_examples=200, deadline=None)
+def test_parse_block_extracts_every_line(cls, obj, paths):
+    lines = [f'{cls} : "{obj}"']
+    for path, value in paths:
+        lines.append(" ".join(path) + f' "{value}"')
+    rows = parse_block("\n".join(lines), "src")
+    assert len(rows) == len(paths)
+    for (path, value), row in zip(paths, rows):
+        assert row[0] == cls and row[1] == obj
+        assert row[2] == path
+        assert row[3] == value
+        assert row[5] == "src"
+
+
+@given(cls=ident, obj=ident, tagpath=st.lists(ident, min_size=1, max_size=3),
+       value=value_text, ts=ident)
+@settings(max_examples=100, deadline=None)
+def test_parse_block_timestamp_attaches(cls, obj, tagpath, value, ts):
+    line = " ".join(tagpath) + f' "{value}" -O "{ts}"'
+    rows = parse_block(f'{cls} : "{obj}"\n{line}')
+    assert rows[0][3] == value
+    assert rows[0][4] == ts
+
+
+# --- asof_join vs brute-force reference -------------------------------------
+
+asof_inputs = st.tuples(
+    st.lists(  # left: (user, ts_offset_s)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=15,
+    ),
+    st.lists(  # right: (user, ts_offset_s)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=0, max_size=15,
+    ),
+)
+
+
+@given(asof_inputs)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_bruteforce(spark, pair):
+    lefts, rights = pair
+    # dedupe right on (user, ts): the operator's documented precondition
+    rights = list({(u, t) for (u, t) in rights})
+    left_rows = [
+        (i, u, TS0 + datetime.timedelta(seconds=t))
+        for i, (u, t) in enumerate(lefts)
+    ]
+    right_rows = [
+        (1000 + i, u, TS0 + datetime.timedelta(seconds=t))
+        for i, (u, t) in enumerate(rights)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "lid LONG, user LONG, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        right_rows, "rid LONG, user LONG, rts TIMESTAMP"
+    ) if right_rows else spark.createDataFrame([], "rid LONG, user LONG, rts TIMESTAMP")
+    got = {
+        r["lid"]: r["rid"]
+        for r in relational.asof_join(
+            left, right, ["user"], "ts", "rts", ["rid"]
+        ).collect()
+    }
+    for lid, u, ts in left_rows:
+        cands = [(rts, rid) for rid, ru, rts in right_rows if ru == u and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+# --- apply_patches vs reference LWW -----------------------------------------
+
+datom_lists = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # e
+        st.sampled_from(["p", "q"]),  # a
+        st.integers(0, 50),           # v (unique-ish per (e,a) after dedup)
+        st.integers(0, 5),            # tx offset
+        st.booleans(),                # op
+    ),
+    min_size=0, max_size=12,
+)
+
+
+@given(base=datom_lists, patches=datom_lists)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_apply_patches_matches_reference(spark, base, patches):
+    def mk(rows, src):
+        seen = {}
+        out = []
+        for e, a, v, t, op in rows:
+            key = (e, a, t, v)
+            if key in seen:  # keep (tx, v) unique per (e,a) within a side
+                continue
+            seen[key] = True
+            out.append((e, a, str(v), TS0 + datetime.timedelta(hours=t), op, src))
+        return out
+
+    b = mk(base, 0)
+    p = mk(patches, 1)
+    schema = "e LONG, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN"
+    bdf = spark.createDataFrame([r[:5] for r in b], schema)
+    pdf = spark.createDataFrame([r[:5] for r in p], schema)
+    got = {
+        (r["e"], r["a"]): r["v"]
+        for r in eav.apply_patches(bdf, pdf, tiebreak_col="v").collect()
+    }
+    # reference: per (e,a) pick max (tx, src, v); keep only if op
+    want = {}
+    for e, a, v, tx, op, src in b + p:
+        key = (e, a)
+        cand = (tx, src, str(v), op)
+        if key not in want or cand[:3] > want[key][:3]:
+            want[key] = cand
+    want = {k: v[2] for k, v in want.items() if v[3]}
+    assert got == want
