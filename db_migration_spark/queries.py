@@ -1321,3 +1321,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+
+
+# ---------------------------------------------------------------------------
+# §2.9 X7-ext — Datalog query surface over the datoms store
+# ---------------------------------------------------------------------------
+
+
+def q_datalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic-style Datalog compiled to Catalyst self-joins: entities whose
+    returnflag is 'R' and linestatus is 'F', with their quantity."""
+    from . import datalog
+
+    datoms = _melted_lineitem(spark, sf_dir)
+    return datalog.query(
+        datoms,
+        find=["?e", "?qty"],
+        where=[
+            ["?e", "l_returnflag", "R"],
+            ["?e", "l_linestatus", "F"],
+            ["?e", "l_quantity", "?qty"],
+        ],
+    )
+
+
+# NB: datom-level join semantics, not row-level — entities melted from
+# colliding (orderkey, linenumber) keys legitimately combine facts from
+# different source rows, exactly as an EAV store would
+ORACLE_DATALOG = f"""
+WITH m AS ({_ORACLE_MELT_BODY})
+SELECT DISTINCT r.e, q.v AS qty
+FROM m r, m s, m q
+WHERE r.a = 'l_returnflag' AND r.v = 'R'
+  AND s.a = 'l_linestatus' AND s.v = 'F'
+  AND q.a = 'l_quantity'
+  AND r.e = s.e AND s.e = q.e
+"""
+
+QUERIES["datalog_query"] = q_datalog_query
+ORACLES["datalog_query"] = ORACLE_DATALOG

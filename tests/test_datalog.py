@@ -1,0 +1,112 @@
+"""Datalog query surface over the datoms store."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from db_migration_spark import datalog
+
+TS = datetime.datetime
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    rows = [
+        (1, "gene/id", "G1", TS(2020, 1, 1), True),
+        (1, "gene/name", "aap-1", TS(2020, 1, 1), True),
+        (1, "gene/status", "live", TS(2020, 1, 1), True),
+        (2, "gene/id", "G2", TS(2020, 1, 1), True),
+        (2, "gene/name", "abc-2", TS(2020, 1, 1), True),
+        (2, "gene/status", "dead", TS(2020, 1, 1), True),
+        (3, "protein/id", "P1", TS(2020, 1, 1), True),
+        (3, "protein/gene", "1", TS(2020, 1, 1), True),  # ref to e=1
+        (4, "gene/id", "G4", TS(2020, 1, 1), False),  # retracted
+    ]
+    return spark.createDataFrame(
+        rows, "e LONG, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN"
+    )
+
+
+def test_single_clause(store):
+    out = datalog.query(store, ["?e", "?id"], [["?e", "gene/id", "?id"]])
+    assert {(r["e"], r["id"]) for r in out.collect()} == {(1, "G1"), (2, "G2")}
+
+
+def test_retracted_facts_invisible(store):
+    out = datalog.query(store, ["?id"], [["_", "gene/id", "?id"]])
+    assert {r["id"] for r in out.collect()} == {"G1", "G2"}
+
+
+def test_self_join_on_entity(store):
+    out = datalog.query(
+        store,
+        ["?name"],
+        [["?e", "gene/status", "live"], ["?e", "gene/name", "?name"]],
+    )
+    assert [r["name"] for r in out.collect()] == ["aap-1"]
+
+
+def test_ref_traversal_value_to_entity(store):
+    # protein -> gene ref: ?g appears as value in one clause, entity in next
+    out = datalog.query(
+        store,
+        ["?pid", "?gname"],
+        [
+            ["?p", "protein/id", "?pid"],
+            ["?p", "protein/gene", "?g"],
+            ["?g", "gene/name", "?gname"],
+        ],
+    )
+    assert [(r["pid"], r["gname"]) for r in out.collect()] == [("P1", "aap-1")]
+
+
+def test_cross_product_when_disjoint(store):
+    out = datalog.query(
+        store,
+        ["?gid", "?pid"],
+        [["_", "gene/id", "?gid"], ["_", "protein/id", "?pid"]],
+    )
+    assert {(r["gid"], r["pid"]) for r in out.collect()} == {
+        ("G1", "P1"),
+        ("G2", "P1"),
+    }
+
+
+def test_find_unbound_raises(store):
+    with pytest.raises(ValueError, match="not bound"):
+        datalog.query(store, ["?nope"], [["?e", "gene/id", "?id"]])
+
+
+def test_constant_entity(store):
+    out = datalog.query(store, ["?a", "?v"], [[1, "?a", "?v"]])
+    got = {(r["a"], r["v"]) for r in out.collect()}
+    assert got == {("gene/id", "G1"), ("gene/name", "aap-1"), ("gene/status", "live")}
+
+
+def test_migrated_store_roundtrip(spark, tmp_path):
+    """Datalog over an actual MigrationJob store."""
+    import gzip
+
+    from db_migration_spark.migrate import MigrationJob
+
+    (tmp_path / "dumps").mkdir()
+    with gzip.open(tmp_path / "dumps" / "d.ace.gz", "wt") as fp:
+        fp.write(
+            'Gene : "G1"\nCGC_name "aap-1" -O "2010-01-01_10:00:00"\n\n'
+            'Gene : "G2"\nCGC_name "abc-2" -O "2010-01-02_10:00:00"\n'
+        )
+    (tmp_path / "models").write_text("?Gene\n  CGC_name UNIQUE Text\n")
+    with gzip.open(tmp_path / "cat.txt.gz", "wt") as fp:
+        fp.write("Gene 2\n")
+    job = MigrationJob(
+        spark, str(tmp_path / "ws"), str(tmp_path / "dumps"),
+        str(tmp_path / "models"), str(tmp_path / "cat.txt.gz"), "WS300",
+    )
+    job.run()
+    store = spark.read.parquet(job._path("datoms_patched"))
+    out = datalog.query(
+        store, ["?name"], [["?e", "Gene/CGC_name", "?name"]]
+    )
+    assert {r["name"] for r in out.collect()} == {"aap-1", "abc-2"}
