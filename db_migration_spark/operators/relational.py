@@ -179,3 +179,32 @@ def anti_diff(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
     """U-ext: rows of ``a`` with no partner in ``b`` — the QA diff's
     anti-join expression (classes whose counts disagree / are missing)."""
     return a.join(b, on=on, how="left_anti")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the small/right side ``salt`` ways
+    and scatter the left side's hot keys across the replicas.
+
+    AQE's skew-join split handles most cases at runtime
+    (``spark.sql.adaptive.skewJoin`` is on in session.py); this explicit
+    form is for the pathological ones AQE can't fix — a single key too hot
+    for any split, e.g. the empty-string class or a null-ish id at 100 TB.
+
+    left grows a deterministic salt from xxhash64 of the whole row's key +
+    a per-row discriminator; right is replicated salt× (only viable when
+    right is the smaller side — exactly the skew scenario).
+    """
+    l_salted = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(salt)),
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")

@@ -98,3 +98,54 @@ def test_snapshots_roundtrip(spark, tmp_path):
     assert (
         snapshots.read_snapshot(spark, root, label="after-patch").count() == 2
     )
+
+
+def test_merge_upsert_copy_on_write(spark, tmp_path):
+    from db_migration_spark.plans import upsert
+
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [
+            (1, "name", "old", TS(2020, 1, 1), True, "Gene"),
+            (2, "name", "keep", TS(2020, 1, 1), True, "Protein"),
+        ],
+        "e LONG, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN, class STRING",
+    )
+    snapshots.write_snapshot(base, root, label="v0")
+    patches = spark.createDataFrame(
+        [
+            (1, "name", "new", TS(2020, 2, 1), True, "Gene"),
+        ],
+        "e LONG, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN, class STRING",
+    )
+    v = upsert.merge_upsert(spark, root, patches, partition_col="class")
+    assert v == 1
+    latest = {
+        (r["e"], r["a"]): r["v"]
+        for r in snapshots.read_snapshot(spark, root).collect()
+    }
+    assert latest == {(1, "name"): "new", (2, "name"): "keep"}
+    # time travel: version 0 still shows the old fact
+    v0 = {
+        (r["e"], r["a"]): r["v"]
+        for r in snapshots.read_snapshot(spark, root, version=0).collect()
+    }
+    assert v0[(1, "name")] == "old"
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from db_migration_spark.operators.relational import salted_join
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    plain = customer.join(nation, "c_nationkey").select("c_custkey", "n_name")
+    salted = salted_join(customer, nation, "c_nationkey", salt=8).select(
+        "c_custkey", "n_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
