@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "text_stats",
+    "asof_join",
+    "x3_typed_cast",
+    "datalog_query",
 ]
 
 
