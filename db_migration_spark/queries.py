@@ -30,6 +30,14 @@ from .catalog import load_table
 from .functions import text as TXT
 from .operators import dedup, eav, relational, similarity
 
+
+def _repo_tmp() -> str:
+    """Scratch space inside the repo (the environment forbids writes
+    elsewhere); gitignored."""
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    os.makedirs(d, exist_ok=True)
+    return d
+
 # ---------------------------------------------------------------------------
 # §2.4/§2.3/§2.9 — the flagship: QA count-reconciliation report (X6 = A1 ⋈ J1)
 # ---------------------------------------------------------------------------
@@ -937,7 +945,7 @@ def q_s11_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/S12 (pseudoace.py:147-153, QUOTE_ALL report CSV): write the
     nation dim as a quoted CSV, read it back with an explicit schema."""
     nation = load_table(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="csv_roundtrip_", dir="/tmp")
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_", dir=_repo_tmp())
     try:
         path = os.path.join(out, "nation_csv")
         (
@@ -1360,3 +1368,108 @@ WHERE r.a = 'l_returnflag' AND r.v = 'R'
 
 QUERIES["datalog_query"] = q_datalog_query
 ORACLES["datalog_query"] = ORACLE_DATALOG
+
+
+# ---------------------------------------------------------------------------
+# §2.4-ext — exact percentiles; deterministic sampling; composed pipeline
+# ---------------------------------------------------------------------------
+
+
+def q_a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles of document length per language —
+    the distribution stats a data-budgeting pass needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample by key residue — reproducible across runs,
+    partitionings, and engines (training-data splits must never depend on
+    an RNG seed tied to cluster layout)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 20 == 3).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+ORACLE_SAMPLE = """
+SELECT event_id, user_id, event_type
+FROM events WHERE event_id % 20 = 3
+"""
+
+
+def q_data_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pass: quality-gate + exact-dedup survivorship
+    in one plan (filter → fingerprint group → keep lowest id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = TXT.token_count(t)
+    quality = TXT.quality_score(t)
+    norm = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    gated = docs.select(
+        "doc_id", n_tok.alias("n_tokens"), F.md5(norm).alias("fp")
+    ).filter((quality >= 0.99) & (n_tok >= 20))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+
+
+ORACLE_PIPELINE_FILTER = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), gated AS (
+  SELECT doc_id, n_tokens, fp
+  FROM base
+  WHERE n_tokens >= 20
+    AND (CAST(n_tokens >= 5 AND n_tokens <= 100000 AS DOUBLE)
+         + CAST(CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1) >= 2.0
+                AND CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1) <= 12.0 AS DOUBLE)
+         + CAST(CAST(n_punct AS DOUBLE) / greatest(length(text), 1) <= 0.3 AS DOUBLE)
+        ) / 3.0 >= 0.99
+)
+SELECT doc_id, n_tokens FROM (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM gated
+) WHERE rn = 1
+"""
+
+
+QUERIES.update(
+    {
+        "a6_percentiles": q_a6_percentiles,
+        "sample_deterministic": q_sample_deterministic,
+        "data_pipeline_filter": q_data_pipeline_filter,
+    }
+)
+ORACLES.update(
+    {
+        "a6_percentiles": ORACLE_PERCENTILES,
+        "sample_deterministic": ORACLE_SAMPLE,
+        "data_pipeline_filter": ORACLE_PIPELINE_FILTER,
+    }
+)
