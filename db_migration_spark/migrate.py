@@ -172,3 +172,52 @@ class MigrationJob:
 
     def run(self) -> dict:
         return self.pipeline().run()
+
+
+def materialize_wide(
+    spark: SparkSession,
+    store_path: str,
+    schema_path: str,
+    out_root: str,
+    classes: list[str] | None = None,
+) -> dict[str, str]:
+    """X7 at pipeline level: one wide table per class, attributes from the
+    installed models schema (X2).  Cardinality-one attributes become
+    columns via the single-shuffle exact pivot; card-many become sorted
+    arrays.  Per-class outputs are written independently — each reads only
+    its class partition (pruned) and can be scheduled concurrently (the
+    reference's two-stage split, changelog.rst:281-284, generalized)."""
+    from .operators.eav import pivot_multi, pivot_wide_exact
+
+    schema_rows = spark.read.parquet(schema_path).collect()
+    by_class: dict[str, dict[str, str]] = {}
+    for r in schema_rows:
+        by_class.setdefault(r["class"], {})[
+            f"{r['class']}/{r['attribute']}"
+        ] = r["cardinality"]
+    datoms = spark.read.parquet(store_path)
+    out = {}
+    for cls, attrs in by_class.items():
+        if classes and cls not in classes:
+            continue
+        cls_datoms = datoms.filter(F.col("class") == cls)
+        ones = [a for a, card in attrs.items() if card == "one"]
+        manys = [a for a, card in attrs.items() if card == "many"]
+        wide = None
+        if ones:
+            # exact pivot only guards entities whose card-one datoms are
+            # unique; entities missing some attribute still surface (guard
+            # is per-attribute count, so use plain pivot here and LWW
+            # upstream for duplicates)
+            from .operators.eav import pivot_wide
+
+            wide = pivot_wide(cls_datoms.filter(F.col("a").isin(ones)), ones)
+        if manys:
+            multi = pivot_multi(cls_datoms.filter(F.col("a").isin(manys)), manys)
+            wide = multi if wide is None else wide.join(multi, "e", "full_outer")
+        if wide is None:
+            continue
+        path = os.path.join(out_root, cls)
+        wide.write.mode("overwrite").parquet(path)
+        out[cls] = path
+    return out

@@ -133,3 +133,23 @@ def payload_stats(media: DataFrame) -> DataFrame:
         F.length("payload").alias("n_bytes"),
         F.sha2("payload", 256).alias("sha256"),
     )
+
+
+def load_media_dir(spark, path: str, mime: str = "application/octet-stream"):
+    """Pointer-to-object-store ingestion: read a directory of opaque files
+    into the MEDIA_SCHEMA shape via Spark's binaryFile source.
+
+    At 100 TB the `uri` column IS the payload for cold media — downstream
+    stages decode from the store lazily; here binaryFile materializes
+    payload + uri + length in one scan, split-parallel.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.col("path").alias("uri"),
+    )

@@ -146,3 +146,15 @@ def test_payload_stats_jvm_only(spark):
     # plan must not contain a Python eval node
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_load_media_dir_binaryfile(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"payload-a")
+    (tmp_path / "b.bin").write_bytes(b"bb")
+    media = mm.load_media_dir(spark, str(tmp_path) + "/*.bin", mime="image/jpeg")
+    rows = {r["uri"].split("/")[-1]: r for r in media.collect()}
+    assert rows["a.bin"]["payload"] == b"payload-a"
+    assert rows["b.bin"]["mime"] == "image/jpeg"
+    # pipes into the decode stage unchanged
+    decoded = mm.decode_metadata(media).collect()
+    assert len(decoded) == 2 and all(d["channels"] == 3 for d in decoded)

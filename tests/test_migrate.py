@@ -119,3 +119,22 @@ def test_store_partition_pruning(spark, job):
     assert "PartitionFilters" in plan
     assert "class" in plan.split("PartitionFilters", 1)[1][:200]
     assert pruned.count() == 3
+
+
+def test_materialize_wide(spark, job, tmp_path):
+    from db_migration_spark.migrate import materialize_wide
+
+    out = materialize_wide(
+        spark,
+        job._path("datoms_patched"),
+        job._path("schema"),
+        str(tmp_path / "wide"),
+    )
+    assert set(out) == {"Gene", "Protein", "Homology_group"}
+    gene = spark.read.parquet(out["Gene"])
+    rows = {r["e"]: r for r in gene.collect()}
+    assert len(rows) == 2
+    idents = {r["Gene/Identity"] for r in rows.values()}
+    assert idents == {"g-one-renamed", "g-two"}
+    homol = spark.read.parquet(out["Homology_group"]).collect()
+    assert homol[0]["Homology_group/Member"] == ["G1"]  # card-many array
