@@ -92,6 +92,18 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
 
     acc, bound = None, set()
     for i, clause in enumerate(where):
+        if isinstance(clause, str):
+            # predicate clause, e.g. "?qty > 30" — a Datomic
+            # [(> ?qty 30)] analog; compiles to a filter over bound vars
+            if acc is None:
+                raise ValueError("predicate clause before any pattern clause")
+            expr = clause
+            for name in sorted(bound, key=len, reverse=True):
+                expr = expr.replace(f"?{name}", f"`{name}`")
+            if "?" in expr:
+                raise ValueError(f"predicate references unbound variable: {clause!r}")
+            acc = acc.filter(F.expr(expr))
+            continue
         cdf, vars_here = _clause_df(datoms, i, clause)
         if acc is None:
             acc, bound = cdf, set(vars_here)

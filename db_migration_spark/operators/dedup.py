@@ -270,6 +270,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard over all pairs that share ≥1 shingle.
 
@@ -290,6 +291,19 @@ def ngram_jaccard_pairs(
             F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
         ).alias("shingle"),
     )
+    if max_df is not None:
+        # skew control at corpus scale: shingles present in > max_df docs
+        # (stopword runs) would make the self-join quadratic in their
+        # document frequency; dropping them changes Jaccard slightly (the
+        # standard near-dup approximation) so it is opt-in — the oracled
+        # exact query runs with max_df=None
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

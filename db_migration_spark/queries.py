@@ -1473,3 +1473,60 @@ ORACLES.update(
         "data_pipeline_filter": ORACLE_PIPELINE_FILTER,
     }
 )
+
+
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the CountVectorizer-style weighting
+    as pure DataFrame ops: explode tokens → tf per (doc, term) → df per
+    term → idf = ln(N/df) → top-3 by tfidf (term tiebreak).  Rounded to 6
+    (libm ln may differ in the last ulp across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df_ AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+  GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df_ ON tf.term = df_.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+                 AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+QUERIES["text_tfidf_topterms"] = q_text_tfidf_topterms
+ORACLES["text_tfidf_topterms"] = ORACLE_TFIDF

@@ -110,3 +110,32 @@ def test_migrated_store_roundtrip(spark, tmp_path):
         store, ["?name"], [["?e", "Gene/CGC_name", "?name"]]
     )
     assert {r["name"] for r in out.collect()} == {"aap-1", "abc-2"}
+
+
+def test_predicate_clause(store):
+    out = datalog.query(
+        store,
+        ["?e", "?name"],
+        [
+            ["?e", "gene/name", "?name"],
+            "?name like 'a%'",
+        ],
+    )
+    assert {(r["e"], r["name"]) for r in out.collect()} == {
+        (1, "aap-1"),
+        (2, "abc-2"),
+    }
+
+
+def test_predicate_on_entity_var(store):
+    out = datalog.query(
+        store, ["?e"], [["?e", "gene/id", "_"], "?e > 1"]
+    )
+    assert [r["e"] for r in out.collect()] == [2]
+
+
+def test_predicate_unbound_raises(store):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unbound"):
+        datalog.query(store, ["?e"], [["?e", "gene/id", "_"], "?nope > 1"])
