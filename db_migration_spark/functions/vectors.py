@@ -18,9 +18,16 @@ def _col(c: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Elementwise product summed left-to-right (deterministic fp order)."""
+    """Elementwise product summed left-to-right (deterministic fp order).
+
+    Operands are promoted to double BEFORE the multiply: float32×float32
+    in float precision loses ~1e-8 relative accuracy per product, which is
+    both worse numerically and unreproducible against engines that promote
+    first (the DuckDB oracles do)."""
     return F.aggregate(
-        F.zip_with(_col(a), _col(b), lambda x, y: x * y),
+        F.zip_with(
+            _col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -28,7 +35,11 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def norm(a: Column | str) -> Column:
     return F.sqrt(
-        F.aggregate(_col(a), F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(
+            _col(a),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
     )
 
 
@@ -42,7 +53,12 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.zip_with(_col(a), _col(b), lambda x, y: (x - y) * (x - y)),
+            F.zip_with(
+                _col(a),
+                _col(b),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
