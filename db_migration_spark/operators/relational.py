@@ -35,12 +35,14 @@ def qa_count_report(
     by descending actual count then class name — the reference sorts its
     report rows descending by the first count column (``util.py:86``).
 
-    The expected side is broadcast: class catalogs are O(10^3) rows even for
-    the full WormBase model, never worth shuffling the aggregate for.
+    Join strategy note: Spark cannot broadcast either side of a FULL OUTER
+    join, so this is a sort-merge join — of two O(#classes) *aggregates*
+    (thousands of rows at most), so the exchange is trivial at any input
+    scale.  The joins that must stay broadcast are the dim joins inside the
+    count computation (see the x6 declared query: nation is broadcast into
+    the fact-stream scan).
     """
-    joined = actual.join(
-        F.broadcast(expected), on=class_col, how="full_outer"
-    )
+    joined = actual.join(expected, on=class_col, how="full_outer")
     return (
         joined.select(
             F.col(class_col),
@@ -208,3 +210,41 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt", F.col("__salt").cast("long"))
     return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-profiling pass: one output row per column with row count, null
+    count, distinct count, and min/max (stringified for heterogeneity) —
+    the table-stats sweep a pipeline runs before trusting a new input drop.
+
+    Single aggregation job over the table (all per-column aggregates fused
+    into one map-side-combinable pass), then a driver-side unpivot of the
+    one-row result — no per-column scans.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__distinct_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            row["__rows"],
+            row[f"__nulls_{c}"],
+            row[f"__distinct_{c}"],
+            row[f"__min_{c}"],
+            row[f"__max_{c}"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column STRING, n_rows BIGINT, n_nulls BIGINT, n_distinct BIGINT, "
+        "min_value STRING, max_value STRING",
+    )

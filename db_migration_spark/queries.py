@@ -1530,3 +1530,43 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
 
 QUERIES["text_tfidf_topterms"] = q_text_tfidf_topterms
 ORACLES["text_tfidf_topterms"] = ORACLE_TFIDF
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-profiling sweep over orders (row/null/distinct/min/max per
+    column, one fused aggregation pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return relational.profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+ORACLE_PROFILE = """
+SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+       CAST(sum(CAST(o_orderkey IS NULL AS INT)) AS BIGINT) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       CAST(sum(CAST(o_custkey IS NULL AS INT)) AS BIGINT),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       CAST(sum(CAST(o_orderstatus IS NULL AS INT)) AS BIGINT),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       CAST(sum(CAST(o_orderpriority IS NULL AS INT)) AS BIGINT),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+QUERIES["profile_orders"] = q_profile_orders
+ORACLES["profile_orders"] = ORACLE_PROFILE

@@ -177,3 +177,22 @@ def test_pipeline_resume_and_reset(tmp_path):
     p.run()
     assert calls.count("three") == 2  # steps 2-3 re-ran, step 1 didn't
     assert calls.count("one") == 1
+
+
+def test_notifications_listener(tmp_path):
+    import json as _json
+
+    from db_migration_spark.plans.notifications import attachment, step_listener
+
+    log = tmp_path / "notify.jsonl"
+    listener = step_listener(log_path=str(log))
+    steps = [Step("alpha", lambda ctx: "ok")]
+    p = Pipeline(steps, str(tmp_path / "m.json"))
+    p.add_listener(listener)
+    p.run()
+    events = [_json.loads(ln) for ln in log.read_text().splitlines()]
+    assert [e["fields"][1]["value"] for e in events] == ["start", "ok"]
+    assert events[0]["title"] == "step 1: alpha"
+    # the reference's short-field rule (notifications.py:117)
+    a = attachment("t", "x", {"k": "v" * 121})
+    assert a["fields"][0]["short"] is False
