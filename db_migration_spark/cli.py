@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from .session import get_spark
@@ -66,8 +67,28 @@ def main(argv: list[str] | None = None) -> int:
     _add_migrate_args(sp)
 
     sub.add_parser("bench")
+    sub.add_parser("install")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "install":
+        # the `azanium install` analog (install.py:27-49 preliminary
+        # checks): no external binaries to fetch — the subprocess engines
+        # are native now — so "install" = validate the runtime environment
+        import pyspark
+
+        checks = {
+            "pyspark": pyspark.__version__,
+            "java_home": os.environ.get("JAVA_HOME", ""),
+            "testdata": os.path.isdir("/root/testdata"),
+        }
+        spark = get_spark("install-check")
+        checks["spark_session"] = spark.version
+        checks["parquet_read"] = bool(
+            spark.range(1).count() == 1
+        )
+        print(json.dumps(checks))
+        return 0 if all(bool(v) for v in checks.values()) else 1
 
     if args.cmd == "bench":
         from . import queries  # noqa: F401 — import check

@@ -270,3 +270,63 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd refinement of IVF centroids.
+
+    Each round: broadcast-assign every vector to its nearest centroid
+    (ivf_assign) then recompute centroids as the per-list elementwise mean.
+    Means accumulate through DECIMAL so the result is bit-identical across
+    partitionings and cluster layouts — an iterative algorithm whose output
+    does not depend on execution order, which matters for reproducible ANN
+    indexes.  Empty lists keep their previous centroid.
+
+    Plan per round: one broadcast map stage + one (list_id, dim) hash
+    aggregate; the centroid table stays O(n_lists × dim) on the driver side
+    of the loop.  At 100 TB: sample the corpus for refinement (the standard
+    IVF train/add split), then ivf_assign the full corpus once.
+    """
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        dims = assigned.select(
+            "list_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        means = (
+            dims.groupBy("list_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "list_id",
+                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias(
+                    "centroid"
+                ),
+            )
+        )
+        # carry forward centroids whose list lost all members
+        centroids = (
+            centroids.select("list_id", F.col("centroid").alias("old"))
+            .join(means, "list_id", "left_outer")
+            .select(
+                "list_id", F.coalesce("centroid", "old").alias("centroid")
+            )
+        )
+    return centroids

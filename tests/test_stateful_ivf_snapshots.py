@@ -149,3 +149,25 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_kmeans_refine_improves_or_holds_recall(spark):
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = similarity.deterministic_centroids(emb, 8)
+    refined = similarity.kmeans_refine(emb, seeds, iterations=2)
+    assert refined.count() == 8
+    # determinism: rerun produces identical centroids
+    again = similarity.kmeans_refine(emb, seeds, iterations=2)
+    a = sorted(map(tuple, refined.select("list_id", "centroid").collect()))
+    b = sorted(map(tuple, again.select("list_id", "centroid").collect()))
+    assert [(i, list(c)) for i, c in a] == [(i, list(c)) for i, c in b]
+    # refined assignment covers the corpus and is more balanced than seeds
+    assigned = similarity.ivf_assign(emb, refined)
+    assert assigned.count() == emb.count()
+    sizes = [
+        r["n"]
+        for r in assigned.groupBy("list_id").agg(F2.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) < emb.count()  # not collapsed to one list
