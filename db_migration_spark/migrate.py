@@ -187,7 +187,7 @@ def materialize_wide(
     arrays.  Per-class outputs are written independently — each reads only
     its class partition (pruned) and can be scheduled concurrently (the
     reference's two-stage split, changelog.rst:281-284, generalized)."""
-    from .operators.eav import pivot_multi, pivot_wide_exact
+    from .operators.eav import pivot_multi
 
     schema_rows = spark.read.parquet(schema_path).collect()
     by_class: dict[str, dict[str, str]] = {}

@@ -18,7 +18,7 @@ so results are stable across runs and cluster layouts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
