@@ -1570,3 +1570,188 @@ FROM orders
 
 QUERIES["profile_orders"] = q_profile_orders
 ORACLES["profile_orders"] = ORACLE_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# §2.3/2.4-ext breadth: multi-way join, selective scan, cube, lag windows,
+# semi/anti joins.  The reference's only joins are tiny reconciles
+# (pseudoace.py:113-124); these declare the full Spark join/agg surface the
+# engine exposes, each with an exact DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join — fact tables shuffle-join on their
+    keys, every dim (supplier/nation/region) broadcasts, so the plan has
+    exactly two shuffles (orders⋈customer, lineitem⋈orders) regardless of
+    fact size."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("n_name"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_q6_selective_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan → single global agg.  All
+    three predicates push to the parquet reader (row-group pruning at
+    scale); map-side partial sum means the single-row exchange is bytes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    forgone = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(forgone).cast("double").alias("forgone_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS forgone_revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_a7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping-set levels in
+    one pass (SURVEY §2.4 exposed built-ins beyond the reference's flat
+    groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(qty).cast("double").alias("sum_qty"),
+    )
+
+
+ORACLE_A7 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event delta: lag/lead frames over the stream
+    table (ordering key event_id is unique → deterministic across
+    engines; IEEE double subtraction is bit-identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+ORACLE_W4 = """
+SELECT event_id, user_id, value,
+       lag(value) OVER w AS prev_value,
+       value - lag(value) OVER w AS delta,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+def q_j4_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (the QA diff's anti-join semantics,
+    SURVEY §2.6, as first-class operators): customers partitioned into
+    has-order / no-order, one flag column, single shuffle per branch."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ok = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = customer.join(
+        ok, customer.c_custkey == ok.o_custkey, "left_semi"
+    ).withColumn("has_order", F.lit(True))
+    without = customer.join(
+        ok, customer.c_custkey == ok.o_custkey, "left_anti"
+    ).withColumn("has_order", F.lit(False))
+    return with_orders.unionByName(without)
+
+
+ORACLE_J4 = """
+SELECT c_custkey, c_name, TRUE AS has_order
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, FALSE AS has_order
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+QUERIES.update(
+    {
+        "q5_region_revenue": q_q5_region_revenue,
+        "q6_selective_sum": q_q6_selective_sum,
+        "a7_cube": q_a7_cube,
+        "w4_lag_delta": q_w4_lag_delta,
+        "j4_semi_anti": q_j4_semi_anti,
+    }
+)
+ORACLES.update(
+    {
+        "q5_region_revenue": ORACLE_Q5,
+        "q6_selective_sum": ORACLE_Q6,
+        "a7_cube": ORACLE_A7,
+        "w4_lag_delta": ORACLE_W4,
+        "j4_semi_anti": ORACLE_J4,
+    }
+)

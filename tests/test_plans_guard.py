@@ -50,3 +50,26 @@ def test_expression_only_operators_have_no_python_nodes(spark):
 def test_topk_uses_takeordered(spark):
     plan = _plan(spark, "t2_top_nations")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    # supplier/nation/region must all broadcast; only the two fact joins
+    # (customer⋈orders, orders⋈lineitem) may shuffle
+    plan = _plan(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q6_predicates_reach_scan(spark):
+    plan = _plan(spark, "q6_selective_sum")
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or f"GreaterThan({col}" in plan or f"LessThan({col}" in plan
+    # pruning: only the 4 referenced columns reach the reader
+    assert "l_comment" not in plan and "l_partkey" not in plan
+
+
+def test_w4_single_window_exchange(spark):
+    # lag/lead/delta over the same (partition, order) spec must share one
+    # Window node and one hash exchange
+    plan = _plan(spark, "w4_lag_delta")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1

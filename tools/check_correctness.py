@@ -35,7 +35,13 @@ def normalize(v):
 
 
 def row_key(row, col_order):
-    return tuple(normalize(row[i]) for i in col_order)
+    # stringify with a type tag so NULLs and mixed types sort totally
+    # (the driver hashes the multiset; sorting is just our local stand-in)
+    def k(v):
+        n = normalize(v)
+        return "\x00None" if n is None else f"{type(n).__name__}:{n}"
+
+    return tuple(k(row[i]) for i in col_order)
 
 
 def main() -> int:
