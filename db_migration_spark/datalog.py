@@ -75,6 +75,104 @@ def _clause_df(datoms: DataFrame, idx: int, clause) -> tuple[DataFrame, dict]:
     return df.select(*cols), vars_here
 
 
+def _single_entity_plan(datoms: DataFrame, find: list[str], where: list):
+    """Self-join elimination (SURVEY §4's flagged X7 rewrite): an n-clause
+    query over ONE entity variable with literal attributes is (n-1)
+    self-equi-joins on ``e`` in the fold plan — n scans of the store and
+    n-1 shuffles.  Semantically it is a per-entity constraint set, so it
+    compiles to ONE scan (``a IN (attrs)`` pushed to the reader) + ONE
+    groupBy(e) with per-clause conditional collect_set, then
+    array_contains filters (literal v), explodes (variable v), and
+    predicate filters.  Cross products between value variables of the same
+    entity are reproduced by sequential explodes; set semantics match the
+    fold+distinct path exactly.
+
+    Returns None (fall back to the fold planner) when the shape doesn't
+    qualify: multiple/zero entity vars, variable or wildcard attributes,
+    a var appearing in both e and v positions, repeated var inside one
+    clause, or a predicate referencing vars out of binding order.
+    """
+    patterns = [c for c in where if not isinstance(c, str)]
+    if not patterns:
+        return None
+    for c in patterns:
+        if len(c) != 3:
+            raise ValueError(f"clause must be [e a v], got {c!r}")
+    evars = {c[0] for c in patterns}
+    if len(evars) != 1 or not _is_var(next(iter(evars))):
+        return None
+    evar = next(iter(evars))[1:]
+    if not evar:
+        return None
+    vvars: list[str] = []
+    for e, a, v in patterns:
+        if _is_var(a) or a == "_":
+            return None  # attribute must be a literal to bucket the scan
+        if _is_var(v):
+            name = v[1:]
+            if not name or name == evar:
+                return None  # e/v unification → string-typed join path
+            if name not in vvars:
+                vvars.append(name)
+
+    # predicate clauses must only reference vars bound by earlier pattern
+    # clauses (same error surface as the fold path)
+    bound: set[str] = set()
+    for clause in where:
+        if isinstance(clause, str):
+            expr = clause
+            for n in sorted(bound, key=len, reverse=True):
+                expr = expr.replace(f"?{n}", f"`{n}`")
+            if "?" in expr:
+                if not bound and clause is where[0]:
+                    raise ValueError("predicate clause before any pattern clause")
+                raise ValueError(f"predicate references unbound variable: {clause!r}")
+        else:
+            bound.add(clause[0][1:])
+            if _is_var(clause[2]):
+                bound.add(clause[2][1:])
+
+    df = datoms
+    if "op" in df.columns:
+        df = df.filter(F.col("op"))
+    attrs = sorted({c[1] for c in patterns})
+    df = df.filter(F.col("a").isin(attrs))
+
+    aggs = [
+        F.collect_set(F.when(F.col("a") == a, F.col("v"))).alias(f"__s{i}")
+        for i, (_, a, _v) in enumerate(patterns)
+    ]
+    acc = df.groupBy(F.col("e").alias(evar)).agg(*aggs)
+
+    seen: set[str] = set()
+    for i, (_, _a, v) in enumerate(patterns):
+        s = F.col(f"__s{i}")
+        if v == "_":
+            acc = acc.filter(F.size(s) > 0)
+        elif _is_var(v):
+            name = v[1:]
+            if name in seen:
+                # repeated value var: later clause constrains the binding
+                acc = acc.filter(F.array_contains(s, F.col(name)))
+            else:
+                acc = acc.withColumn(name, F.explode(s))
+                seen.add(name)
+        else:
+            acc = acc.filter(F.array_contains(s, F.lit(v)))
+
+    for clause in where:
+        if isinstance(clause, str):
+            expr = clause
+            for n in sorted({evar, *seen}, key=len, reverse=True):
+                expr = expr.replace(f"?{n}", f"`{n}`")
+            acc = acc.filter(F.expr(expr))
+
+    missing = [t for t in find if t[1:] != evar and t[1:] not in seen]
+    if missing:
+        raise ValueError(f":find variables not bound in :where: {missing}")
+    return acc.select(*[t[1:] for t in find]).distinct()
+
+
 def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
     """Compile and return the Datalog query plan (lazy DataFrame).
 
@@ -89,6 +187,10 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
     for term in find:
         if not _is_var(term):
             raise ValueError(f":find terms must be variables, got {term!r}")
+
+    fast = _single_entity_plan(datoms, find, where)
+    if fast is not None:
+        return fast
 
     acc, bound = None, set()
     for i, clause in enumerate(where):
@@ -113,13 +215,16 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
             # unify join keys as strings when one side is the entity col
             left = acc
             right = cdf
-            cond = reduce(
-                lambda x, y: x & y,
-                [
-                    left[s].cast("string") == right[s].cast("string")
-                    for s in shared
-                ],
-            )
+            def _key_eq(s):
+                # unify as strings ONLY when an entity var (long) meets a
+                # value position (string); same-typed keys join natively so
+                # the common e=e self-join stays a long-key hash join with
+                # full codegen + statistics
+                if left.schema[s].dataType == right.schema[s].dataType:
+                    return left[s] == right[s]
+                return left[s].cast("string") == right[s].cast("string")
+
+            cond = reduce(lambda x, y: x & y, [_key_eq(s) for s in shared])
             joined = left.join(right, cond)
             # keep a single copy of each shared var (left's)
             keep = [left[c] for c in acc.columns] + [

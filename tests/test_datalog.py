@@ -139,3 +139,51 @@ def test_predicate_unbound_raises(store):
 
     with _pytest.raises(ValueError, match="unbound"):
         datalog.query(store, ["?e"], [["?e", "gene/id", "_"], "?nope > 1"])
+
+
+def test_fast_path_eliminates_self_joins(store):
+    # single-entity-var, literal-attr queries compile to one grouped pass:
+    # no join nodes at all in the physical plan
+    out = datalog.query(
+        store,
+        ["?e", "?name"],
+        [["?e", "gene/status", "live"], ["?e", "gene/name", "?name"]],
+    )
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+
+
+def test_fast_path_matches_fold_path(store):
+    # force the fold path with a two-entity-var shape anchor, then compare
+    # an equivalent qualifying query: repeated value var + wildcard + pred
+    q = dict(
+        find=["?e", "?qty"],
+        where=[
+            ["?e", "gene/id", "_"],
+            ["?e", "gene/name", "?qty"],
+            ["?e", "gene/name", "?qty"],  # repeated var: constrains binding
+            "?qty like '%-%'",
+        ],
+    )
+    fast = datalog.query(store, **q)
+    assert datalog._single_entity_plan(store, **q) is not None
+    # build the fold answer by disabling the fast path
+    import unittest.mock as mock
+
+    with mock.patch.object(datalog, "_single_entity_plan", lambda *a, **k: None):
+        fold = datalog.query(store, **q)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, fold.collect()))
+
+
+def test_fast_path_rejects_entity_value_unification(store):
+    # ?x in both e and v positions needs string unification — fold path only
+    q = dict(
+        find=["?x"],
+        where=[["?x", "gene/id", "_"], ["_", "protein/gene", "?x"]],
+    )
+    assert datalog._single_entity_plan(store, **q) is None
