@@ -38,6 +38,9 @@ HEADLINE = [
     "asof_join",
     "x3_typed_cast",
     "datalog_query",
+    "q5_region_revenue",
+    "q6_selective_sum",
+    "events_sessionize",
 ]
 
 

@@ -1755,3 +1755,45 @@ ORACLES.update(
         "j4_semi_anti": ORACLE_J4,
     }
 )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with session_window (30-min gap) — the same
+    operator the streaming profile builder uses (SURVEY §2.10), here as a
+    batch agg with an exact gaps-and-islands oracle.  One shuffle on
+    user_id; merge happens inside the aggregation, not a window-function
+    sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# Spark sessions are half-open [first, last+gap): an event exactly `gap`
+# after the previous one starts a NEW session → island break on diff >= gap
+ORACLE_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+QUERIES["events_sessionize"] = q_events_sessionize
+ORACLES["events_sessionize"] = ORACLE_SESSIONIZE
