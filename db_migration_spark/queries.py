@@ -1797,3 +1797,97 @@ FROM g GROUP BY user_id, sid
 
 QUERIES["events_sessionize"] = q_events_sessionize
 ORACLES["events_sessionize"] = ORACLE_SESSIONIZE
+
+
+def q_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional aggregation — the
+    two-branch CASE counts fold into one pass (no per-branch scans), and
+    the cross-table predicate (shipped after ordered) filters post-join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_linestatus
+"""
+
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs, blocked: candidate pairs only form
+    inside a (lang, length-bucket) block — the standard O(n²)→blocked
+    reduction — and the distance runs on a 120-char normalized prefix so
+    per-pair cost is bounded.  JVM levenshtein expression; no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    base = docs.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.floor(F.col("n_chars") / 20).alias("len_bucket"),
+        F.substring(norm, 1, 120).alias("pfx"),
+    )
+    a = base.select(
+        F.col("lang"), F.col("len_bucket"),
+        F.col("doc_id").alias("id_a"), F.col("pfx").alias("pfx_a"),
+    )
+    b = base.select(
+        F.col("lang"), F.col("len_bucket"),
+        F.col("doc_id").alias("id_b"), F.col("pfx").alias("pfx_b"),
+    )
+    return (
+        a.join(b, ["lang", "len_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pfx_a", "pfx_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 10)
+    )
+
+
+ORACLE_LEVENSHTEIN = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 20.0) AS BIGINT) AS len_bucket,
+         substr(lower(trim(text)), 1, 120) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+FROM base a JOIN base b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 10
+"""
+
+QUERIES.update(
+    {
+        "q12_priority_lines": q_q12_priority_lines,
+        "dedup_levenshtein": q_dedup_levenshtein,
+    }
+)
+ORACLES.update(
+    {
+        "q12_priority_lines": ORACLE_Q12,
+        "dedup_levenshtein": ORACLE_LEVENSHTEIN,
+    }
+)
