@@ -135,21 +135,36 @@ def _single_entity_plan(datoms: DataFrame, find: list[str], where: list):
     df = datoms
     if "op" in df.columns:
         df = df.filter(F.col("op"))
-    attrs = sorted({c[1] for c in patterns})
-    df = df.filter(F.col("a").isin(attrs))
 
-    aggs = [
-        F.collect_set(F.when(F.col("a") == a, F.col("v"))).alias(f"__s{i}")
-        for i, (_, a, _v) in enumerate(patterns)
-    ]
+    # shuffle-volume control: a datom enters the grouped pass only if it
+    # can satisfy SOME clause — literal-v clauses admit just their matching
+    # (a, v), so e.g. [?e status "live"] drops every non-live status datom
+    # BEFORE the exchange instead of carrying it into a set
+    clause_conds = []
+    for _, a, v in patterns:
+        cond = F.col("a") == a
+        if not _is_var(v) and v != "_":
+            cond = cond & (F.col("v") == F.lit(v))
+        clause_conds.append(cond)
+    df = df.filter(reduce(lambda x, y: x | y, clause_conds))
+
+    # literal/wildcard clauses aggregate to a primitive existence count
+    # (stays in hash-agg codegen); only value VARIABLES pay for an
+    # object-typed collect_set
+    aggs = []
+    for i, (cond, (_, a, v)) in enumerate(zip(clause_conds, patterns)):
+        if _is_var(v):
+            aggs.append(
+                F.collect_set(F.when(F.col("a") == a, F.col("v"))).alias(f"__s{i}")
+            )
+        else:
+            aggs.append(F.count(F.when(cond, 1)).alias(f"__s{i}"))
     acc = df.groupBy(F.col("e").alias(evar)).agg(*aggs)
 
     seen: set[str] = set()
     for i, (_, _a, v) in enumerate(patterns):
         s = F.col(f"__s{i}")
-        if v == "_":
-            acc = acc.filter(F.size(s) > 0)
-        elif _is_var(v):
+        if _is_var(v):
             name = v[1:]
             if name in seen:
                 # repeated value var: later clause constrains the binding
@@ -158,7 +173,8 @@ def _single_entity_plan(datoms: DataFrame, find: list[str], where: list):
                 acc = acc.withColumn(name, F.explode(s))
                 seen.add(name)
         else:
-            acc = acc.filter(F.array_contains(s, F.lit(v)))
+            # literal or wildcard: at least one matching datom must exist
+            acc = acc.filter(s > 0)
 
     for clause in where:
         if isinstance(clause, str):
