@@ -1891,3 +1891,41 @@ ORACLES.update(
         "dedup_levenshtein": ORACLE_LEVENSHTEIN,
     }
 )
+
+
+def q_f_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over token arrays (F12's restructuring
+    toolbox as first-class expressions): size, distinct size, slice+join,
+    negative indexing, sorted-head — all JVM-side, no explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.element_at(F.array_sort(toks), 1).alias("min_tok"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
+
+
+ORACLE_F_ARRAY = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique,
+       array_to_string(toks[1:3], ' ') AS first3,
+       toks[-1] AS last_tok,
+       list_sort(toks)[1] AS min_tok,
+       list_contains(toks, 'the') AS has_the
+FROM t
+"""
+
+QUERIES["f_array_suite"] = q_f_array_suite
+ORACLES["f_array_suite"] = ORACLE_F_ARRAY
