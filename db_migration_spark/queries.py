@@ -1929,3 +1929,31 @@ FROM t
 
 QUERIES["f_array_suite"] = q_f_array_suite
 ORACLES["f_array_suite"] = ORACLE_F_ARRAY
+
+
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + dimensionality over the embedding column —
+    the sanity scan a similarity pipeline runs before indexing (catches
+    zero/denormalized vectors).  F.aggregate accumulates index-order in
+    doubles; rounded to 6 for cross-engine ulp safety."""
+    from .functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(V.norm("embedding"), 6).alias("l2_norm"),
+    )
+
+
+ORACLE_EMB_NORMS = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6)
+         AS l2_norm
+FROM embeddings
+"""
+
+QUERIES["emb_norm_stats"] = q_emb_norm_stats
+ORACLES["emb_norm_stats"] = ORACLE_EMB_NORMS
