@@ -112,7 +112,13 @@ class MigrationJob:
         return out
 
     def merge_patches(self, ctx: dict) -> str:
-        """X4: late patches over the imported base, LWW per (e,a)."""
+        """X4: late patches over the imported base — cardinality-aware.
+
+        Card-one attributes (UNIQUE model lines) upsert LWW per (e,a);
+        card-many attributes (the ACeDB default) resolve per (e,a,v) so a
+        patch assert accumulates instead of collapsing the whole multi-value
+        set — matching the Datomic patch transact the reference runs
+        (pseudoace.py:105-110)."""
         out = self._path("datoms_patched")
         base = self.spark.read.parquet(self._path("datoms"))
         if not self.patches_path:
@@ -124,9 +130,24 @@ class MigrationJob:
         for c in base.columns:
             if c not in patches.columns:
                 patches = patches.withColumn(c, F.lit(None).cast(dict(base.dtypes)[c]))
-        merged = apply_patches(base, patches.select(*base.columns))
+        merged = apply_patches(
+            base,
+            patches.select(*base.columns),
+            card_many_attrs=self._card_many_attrs(),
+        )
         merged.write.mode("overwrite").partitionBy("class").parquet(out)
         return out
+
+    def _card_many_attrs(self) -> list[str]:
+        """Card-many attribute names ('Class/attr') from the installed
+        schema (X2).  Schema is O(#attributes) metadata — a collect here is
+        the same driver-side read typed_cast does."""
+        schema_rows = self.spark.read.parquet(self._path("schema")).collect()
+        return [
+            f"{r['class']}/{r['attribute']}"
+            for r in schema_rows
+            if r["cardinality"] == "many"
+        ]
 
     def homol_split(self, ctx: dict) -> str:
         """X5: second store for homology classes (the '<release>-homol' DB,

@@ -94,6 +94,13 @@ def lsh_candidate_pairs(
     exact-dedup tier should run first to strip those).
     """
     rows_per_band = (F.size("signature") / bands).cast("int")
+    # when num_hashes % bands != 0 the trailing signature elements must not
+    # be silently excluded (that would lower recall vs the configured
+    # signature length): the LAST band absorbs the remainder
+    band_len = F.when(
+        F.col("band") == bands - 1,
+        F.size("signature") - rows_per_band * (bands - 1),
+    ).otherwise(rows_per_band)
     banded = signatures.select(
         id_col,
         "signature",
@@ -108,7 +115,7 @@ def lsh_candidate_pairs(
                     F.slice(
                         "signature",
                         F.col("band") * rows_per_band + 1,
-                        rows_per_band,
+                        band_len,
                     ),
                     lambda x: x.cast("string"),
                 ),
@@ -182,31 +189,52 @@ def simhash(
     per token a 64-bit xxhash64; bit b of the output is set when more than
     half the token hashes have bit b set (the classic sign-of-vote rule).
 
-    One map stage, no shuffle, no UDF: the token-hash array is computed once;
-    each bit's vote is a filtered count over it (bit positions are Python
-    ints, so the shifts are constant-folded literals).
+    One map stage, no shuffle, no UDF — and ONE pass over the token-hash
+    array: a single ``F.aggregate`` folds every token into the
+    ``bits``-long vote-count vector (zip_with against the constant
+    bit-index array), then one more fold collapses votes → mask bits →
+    the 64-bit hash.  (The previous form ran ``bits`` filtered counts,
+    i.e. O(bits · n_tok) array traversals per document.)
     """
     tok_hashes = F.transform(
         tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
     )
-    n_tok = F.size(tok_hashes)
-
-    def ones_at(b: int):
-        return F.size(
-            F.filter(
-                tok_hashes,
-                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-            )
-        )
-
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of i64
-        bit = F.when(ones_at(b) * 2 > n_tok, F.lit(mask).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = sim.bitwiseOR(bit)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    bit_idx = F.array(*[F.lit(b) for b in range(bits)])
+    # bit 63 = sign bit of i64
+    masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    staged = df.select(F.col(id_col), tok_hashes.alias("__th"))
+    votes = F.aggregate(
+        F.col("__th"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda c, b: c
+            + F.call_function("shiftright", h, b)
+            .bitwiseAND(F.lit(1))
+            .cast("int"),
+        ),
+    )
+    counted = staged.select(
+        id_col, votes.alias("__votes"), F.size("__th").alias("__n")
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            F.col("__votes"),
+            masks,
+            lambda v, m: F.when(v * 2 > F.col("__n"), m).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return counted.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -345,11 +373,10 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding-space near-dup pairs: all (a < b) with cosine ≥ threshold.
 
-    This is the exact O(n²) tier — correct for verification sets and small
-    corpora.  At 100 TB the candidate set must be cut first: bucket with
-    similarity.lsh_bucket (sign-random-projection) and run this only within
-    buckets, which turns the cross join into an equi-join on the bucket key
-    (same pattern as minhash banding).
+    This is the exact O(n²) tier — kept for verification sets, small
+    corpora and the equivalence tests that pin the blocked tier.  The
+    declared query and any corpus-scale run use
+    :func:`embedding_cosine_pairs_blocked`.
 
     Dot products accumulate in index order with explicit double casts for
     cross-engine reproducibility.  Returns (id_a, id_b, score).
@@ -361,6 +388,90 @@ def embedding_cosine_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_blocked(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int | None = None,
+    num_tables: int | None = None,
+) -> DataFrame:
+    """Scale tier of :func:`embedding_cosine_pairs`: sign-random-projection
+    LSH blocking (similarity.lsh_bucket, OR-construction over L tables) cuts
+    the candidate set, then the exact cosine verifies — the cross join
+    becomes an equi self-join on (table, bucket), same pattern as minhash
+    banding.  Deterministic seeded hyperplanes, so the candidate set is
+    stable across runs and layouts.
+
+    Parameter choice (auto when None): a pair at cosine t agrees with a
+    random hyperplane with p = 1 − arccos(t)/π, collides per table with
+    p^P, and is missed by all L tables with (1 − p^P)^L.  High thresholds
+    (0.9: p≈0.86) afford P=8 and prune hard; weak thresholds (0.4: p≈0.63)
+    force small P and more tables — pruning power is bounded by the
+    threshold, not the implementation.  Defaults target per-pair miss
+    < 1e-5 at ``threshold``.
+
+    Shuffle shape at 100 TB: explode ×L on (table, bucket) keys, equi-join,
+    dropDuplicates on the pair key, then one exact-cosine map pass — no
+    CartesianProduct node anywhere (plan-guarded).
+    """
+    import math
+
+    from ..functions.vectors import cosine
+    from .similarity import lsh_bucket
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if num_planes is None:
+        # largest P keeping per-table collision ≥ ~0.35 so L stays modest
+        num_planes = max(1, int(math.log(0.35) / math.log(p))) if p < 1 else 8
+    if num_tables is None:
+        miss_target = 1e-5
+        per_table = p**num_planes
+        num_tables = max(
+            1, math.ceil(math.log(miss_target) / math.log(1.0 - per_table))
+        )
+
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(vec_col, dim, num_planes, t).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    # banding + candidate join + dedup carry ONLY (table, bucket, id) —
+    # never the vectors: the ×L exploded relation and both shuffles move
+    # 24-byte rows.  Vectors re-join once per side on the deduped pair set.
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tables).alias("tb"),
+    ).select("id", "tb.table", "tb.bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("score"))
         .filter(F.col("score") >= threshold)
     )

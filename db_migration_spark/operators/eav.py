@@ -151,22 +151,37 @@ def typed_cast(datoms: DataFrame, schema: dict[str, str]) -> DataFrame:
 
 
 def apply_patches(
-    base: DataFrame, patches: DataFrame, tiebreak_col: str | None = None
+    base: DataFrame,
+    patches: DataFrame,
+    tiebreak_col: str | None = None,
+    card_many_attrs: list[str] | None = None,
 ) -> DataFrame:
     """X4: late patches over the base import (``pseudoace.py:105-110``).
 
-    Last-write-wins per ``(e, a)`` by transaction time — exactly Datomic's
-    conflict resolution when the PATCHES directory is transacted after the
-    bulk import.  Ties broken deterministically: patches beat base (they are
-    transacted later in the reference's step order, ``runcommand.py:319-327``),
-    then by ``tiebreak_col`` if given.
+    Datomic's conflict resolution when the PATCHES directory is transacted
+    after the bulk import is *cardinality-aware*:
+
+    * **cardinality-one** attributes upsert — last-write-wins per ``(e, a)``
+      by transaction time;
+    * **cardinality-many** attributes (the ACeDB default — any non-UNIQUE
+      model line) accumulate — a patch assert *adds* a value, and only an
+      explicit retraction of the same ``(e, a, v)`` removes it.  Resolution
+      is therefore per ``(e, a, v)``.
+
+    ``card_many_attrs`` names the card-many attributes (from the installed
+    models schema, X2).  ``None`` keeps the all-card-one behavior for
+    streams known to be single-valued.  Ties broken deterministically:
+    patches beat base (transacted later in the reference's step order,
+    ``runcommand.py:319-327``), then by ``tiebreak_col`` if given.
 
     Retractions (``op = false``) surviving as the latest fact remove the
     datom, matching Datomic retract semantics.
 
-    Plan shape: union (no shuffle) → single hash exchange on (e,a) → window.
-    At 100 TB the union sides need no co-partitioning beforehand; AQE handles
-    the skewed-attribute case.
+    Plan shape: union (no shuffle) → single hash exchange on the window key
+    → window.  The cardinality split costs nothing extra: one window whose
+    partition key conditionally includes ``v``, still a single exchange.
+    At 100 TB the union sides need no co-partitioning beforehand; AQE
+    handles the skewed-attribute case.
     """
     base_tagged = base.withColumn("__src", F.lit(0))
     patch_tagged = patches.withColumn("__src", F.lit(1))
@@ -174,7 +189,15 @@ def apply_patches(
     order = [F.desc("tx"), F.desc("__src")]
     if tiebreak_col:
         order.append(F.desc(tiebreak_col))
-    w = Window.partitionBy("e", "a").orderBy(*order)
+    part: list = [F.col("e"), F.col("a")]
+    if card_many_attrs:
+        # card-many rows resolve per-value: their partition key gains v,
+        # card-one rows keep a constant (null) third key — same window,
+        # same single shuffle, no per-cardinality plan fork
+        part.append(
+            F.when(F.col("a").isin(card_many_attrs), F.col("v"))
+        )
+    w = Window.partitionBy(*part).orderBy(*order)
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & F.col("op"))

@@ -198,15 +198,26 @@ def deterministic_centroids(
 ) -> DataFrame:
     """Pick n_lists seed centroids deterministically: the vectors whose
     xxhash64(id) ranks lowest — a reproducible 'random' sample with no RNG
-    state (a k-means refinement would iterate from exactly these seeds)."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-    return (
-        corpus.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n_lists)
-        .select(
-            (F.col("__rk") - 1).alias("list_id"),
+    state (a k-means refinement would iterate from exactly these seeds).
+
+    Plan shape: ``orderBy(hash).limit(n_lists)`` compiles to
+    TakeOrderedAndProject — per-partition top-n_lists then a driver-side
+    merge of n_lists×partitions candidates.  (A global ``Window.orderBy``
+    here would funnel the entire corpus through one task; the only
+    single-partition stage left is the row_number over the n_lists
+    already-selected seeds.)"""
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
             F.col(vec_col).alias("centroid"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
         )
+        .orderBy("__h", "__id")
+        .limit(n_lists)
+    )
+    w = Window.orderBy("__h", "__id")  # over n_lists rows only
+    return seeds.withColumn("__rk", F.row_number().over(w)).select(
+        (F.col("__rk") - 1).alias("list_id"), "centroid"
     )
 
 

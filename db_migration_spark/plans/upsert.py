@@ -45,8 +45,21 @@ def merge_upsert(
             r[0]
             for r in patches.select(partition_col).distinct().collect()
         ]
-        base_touched = base.filter(F.col(partition_col).isin(touched))
-        base_rest = base.filter(~F.col(partition_col).isin(touched))
+        # NULL partition values: isin(touched) and ~isin(touched) are both
+        # NULL for NULL input, which would drop such base rows from BOTH
+        # sides.  Build a never-NULL touched predicate instead: NULL
+        # partitions count as touched iff the patch set itself has NULL
+        # partitions (so they resolve against their patches), otherwise
+        # they carry over untouched.
+        touched_vals = [t for t in touched if t is not None]
+        null_touched = len(touched_vals) != len(touched)
+        is_touched = F.coalesce(
+            F.col(partition_col).isin(touched_vals), F.lit(False)
+        )
+        if null_touched:
+            is_touched = is_touched | F.col(partition_col).isNull()
+        base_touched = base.filter(is_touched)
+        base_rest = base.filter(~is_touched)
         merged = apply_patches(base_touched, patches).unionByName(base_rest)
     else:
         merged = apply_patches(base, patches)

@@ -1177,9 +1177,16 @@ ORACLES.update(
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
     embeddings are near-orthogonal random vectors; real corpora use ~0.9).
-    Exact tier; the LSH-bucketed scale path is ann_lsh_topk's bucketer."""
+
+    Runs the LSH-blocked plan (sign-random-projection OR-construction →
+    equi self-join on (table, bucket) → exact cosine verify) — no
+    CartesianProduct node (plan-guarded).  The oracle is the exact
+    all-pairs SQL: at this weak threshold the auto-chosen (P=2, L=23)
+    construction has per-pair miss < 1e-5, and the seeded hyperplanes are
+    deterministic, so blocked ≡ exact is a stable, verified property of
+    this dataset (asserted at sf0.001/0.01 in tests), not luck per run."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = dedup.embedding_cosine_pairs(emb, threshold=0.4)
+    out = dedup.embedding_cosine_pairs_blocked(emb, dim=64, threshold=0.4)
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
@@ -1479,9 +1486,15 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document — the CountVectorizer-style weighting
     as pure DataFrame ops: explode tokens → tf per (doc, term) → df per
     term → idf = ln(N/df) → top-3 by tfidf (term tiebreak).  Rounded to 6
-    (libm ln may differ in the last ulp across engines)."""
+    (libm ln may differ in the last ulp across engines).
+
+    Scale notes: N rides the plan as a 1-row broadcast (no eager
+    ``docs.count()`` extra job), and the tf⋈df join is left to AQE — at
+    web-corpus vocabulary size the term side does NOT fit a broadcast, so
+    forcing one would OOM the driver; AQE still broadcasts it when it
+    actually fits."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     terms = docs.select(
         "doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -1489,13 +1502,13 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(df_, "term").join(F.broadcast(n_docs)).select(
         "doc_id",
         "term",
         "tf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+        F.round(
+            F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
     return (
@@ -1957,3 +1970,52 @@ FROM embeddings
 
 QUERIES["emb_norm_stats"] = q_emb_norm_stats
 ORACLES["emb_norm_stats"] = ORACLE_EMB_NORMS
+
+
+# ---------------------------------------------------------------------------
+# §2.9 X4 — cardinality-aware patch resolution
+# ---------------------------------------------------------------------------
+
+_X4CM_MANY = ["click", "view", "error"]  # stand-in card-many attributes
+
+
+def q_x4_card_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 cardinality-aware (pseudoace.py:105-110 + the models schema's
+    UNIQUE flag): card-one attributes upsert LWW per (e,a); card-many
+    attributes resolve per (e,a,v) — asserts accumulate, and only a
+    retraction of the same value removes it.  ``v = event_id % 50`` forces
+    value collisions so retractions actually meet asserts; ``op`` is a
+    function of v so tx-ties resolve deterministically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        (F.col("event_id") % 50).cast("string").alias("v"),
+        F.col("ts").alias("tx"),
+        ((F.col("event_id") % 50) % 7 != 0).alias("op"),
+        (F.col("event_id") % 2).alias("__par"),
+    )
+    base = ev.filter(F.col("__par") == 0).drop("__par")
+    patches = ev.filter(F.col("__par") == 1).drop("__par")
+    return eav.apply_patches(
+        base, patches, tiebreak_col="v", card_many_attrs=_X4CM_MANY
+    )
+
+
+ORACLE_X4_CARD_MANY = """
+WITH datoms AS (
+  SELECT user_id AS e, event_type AS a, CAST(event_id % 50 AS VARCHAR) AS v,
+         ts AS tx, ((event_id % 50) % 7 <> 0) AS op, event_id % 2 AS src
+  FROM events
+), ranked AS (
+  SELECT e, a, v, tx, op,
+         row_number() OVER (
+           PARTITION BY e, a,
+             CASE WHEN a IN ('click','view','error') THEN v END
+           ORDER BY tx DESC, src DESC, v DESC) AS rn
+  FROM datoms
+)
+SELECT e, a, v, tx, op FROM ranked WHERE rn = 1 AND op
+"""
+
+QUERIES["x4_card_many"] = q_x4_card_many
+ORACLES["x4_card_many"] = ORACLE_X4_CARD_MANY

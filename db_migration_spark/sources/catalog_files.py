@@ -108,11 +108,17 @@ def report_to_html(report: DataFrame, max_rows: int = 1000) -> str:
     """S13 second half (pseudoace.py:151-158): the QA report as an HTML
     table (the reference renders markdown → HTML for the e-mailed report).
     """
+    import html as _html
+
     rows = report.limit(max_rows).collect()
     cols = report.columns
-    head = "".join(f"<th>{c}</th>" for c in cols)
+    head = "".join(f"<th>{_html.escape(str(c))}</th>" for c in cols)
     body = "\n".join(
-        "<tr>" + "".join(f"<td>{'' if v is None else v}</td>" for v in r) + "</tr>"
+        "<tr>"
+        + "".join(
+            f"<td>{'' if v is None else _html.escape(str(v))}</td>" for v in r
+        )
+        + "</tr>"
         for r in rows
     )
     return (

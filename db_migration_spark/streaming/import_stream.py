@@ -90,14 +90,21 @@ def late_patch_merge(
     )
 
 
-def compact_store(spark: SparkSession, base_dir: str, out_dir: str) -> None:
-    """Rewrite the appended store to one fact per (e,a) — the batch
-    compaction that makes the append-based merge read-optimal again."""
+def compact_store(
+    spark: SparkSession,
+    base_dir: str,
+    out_dir: str,
+    card_many_attrs: list[str] | None = None,
+) -> None:
+    """Rewrite the appended store to one resolved fact per key — (e,a) for
+    card-one attributes, (e,a,v) for card-many (pass the schema's card-many
+    list or multi-valued tags collapse to one value) — the batch compaction
+    that makes the append-based merge read-optimal again."""
     from ..operators.eav import apply_patches
 
     datoms = spark.read.schema(DATOM_SCHEMA).parquet(base_dir)
     empty = spark.createDataFrame([], DATOM_SCHEMA)
-    resolved = apply_patches(datoms, empty)
+    resolved = apply_patches(datoms, empty, card_many_attrs=card_many_attrs)
     resolved.repartitionByRange(F.col("tx")).sortWithinPartitions(
         "tx"
     ).write.mode("overwrite").parquet(out_dir)

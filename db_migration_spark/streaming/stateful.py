@@ -48,6 +48,13 @@ def _update_profile(
     """State update: fold each micro-batch's events for this user into the
     running (count, sum, last_ts) triple.  Arrow-batched both ways."""
     (user_id,) = key
+    if state.hasTimedOut:
+        # idle-eviction path: the 1h processing-time timer fired with no new
+        # data — drop the state and emit nothing.  (Without this branch the
+        # timeout handler would re-update + re-arm, so eviction never
+        # happened and a duplicate profile row leaked per timeout.)
+        state.remove()
+        return
     if state.exists:
         n, total, last_us = state.get
     else:

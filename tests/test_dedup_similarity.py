@@ -102,3 +102,46 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
     assert all(r["neighbor_id"] != 0 for r in out)
     scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_banding_includes_signature_remainder(spark):
+    """num_hashes % bands != 0: the trailing signature elements fold into
+    the last band instead of being silently excluded from every band."""
+    # 10 hashes, 4 bands → rows_per_band=2, remainder 2 → last band = 7..10.
+    # Docs agreeing only on elements 7-8 but differing on 9-10 used to
+    # collide in the last band (trailing elements ignored); now they don't.
+    sigs = spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]),
+            (2, [11, 12, 13, 14, 15, 16, 7, 8, 19, 20]),
+        ],
+        "doc_id LONG, signature ARRAY<BIGINT>",
+    )
+    assert dedup.lsh_candidate_pairs(sigs, bands=4).collect() == []
+    # identical signatures still collide in every band
+    sigs2 = spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]),
+            (2, [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]),
+        ],
+        "doc_id LONG, signature ARRAY<BIGINT>",
+    )
+    out = dedup.lsh_candidate_pairs(sigs2, bands=4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_blocked_cosine_matches_exact(spark):
+    """The LSH-blocked embedding near-dup tier must reproduce the exact
+    all-pairs result at the declared threshold on the test corpus."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs_blocked(
+            emb, dim=64, threshold=0.4
+        ).collect()
+    }
+    assert blocked == exact and len(exact) > 0

@@ -184,3 +184,33 @@ def test_typed_cast(spark):
     assert rows[("qty", "not-a-number")]["v_long"] is None  # reject → null
     assert rows[("when", "2020-03-04")]["v_date"].month == 3
     assert rows[("name", "abc")]["v_long"] is None
+
+
+def test_apply_patches_card_many_accumulates(spark):
+    """Card-many attributes must accumulate across patches (per-(e,a,v)
+    resolution), not collapse to one value; card-one still LWW per (e,a)."""
+    base = _datoms(
+        spark,
+        [
+            (1, "member", "A", TS(2020, 1, 1), True),
+            (1, "member", "B", TS(2020, 1, 1), True),
+            (1, "name", "old", TS(2020, 1, 1), True),
+        ],
+    )
+    patches = _datoms(
+        spark,
+        [
+            (1, "member", "C", TS(2020, 2, 1), True),    # assert adds
+            (1, "member", "B", TS(2020, 2, 1), False),   # retract removes B only
+            (1, "name", "new", TS(2020, 2, 1), True),    # card-one upsert
+        ],
+    )
+    out = eav.apply_patches(base, patches, card_many_attrs=["member"]).collect()
+    members = sorted(r["v"] for r in out if r["a"] == "member")
+    names = [r["v"] for r in out if r["a"] == "name"]
+    assert members == ["A", "C"]  # A kept, B retracted, C added
+    assert names == ["new"]
+    # regression: WITHOUT the cardinality list, the multi-valued tag
+    # collapses — the silent-data-loss mode the card_many path prevents
+    legacy = eav.apply_patches(base, patches).collect()
+    assert len([r for r in legacy if r["a"] == "member"]) <= 1

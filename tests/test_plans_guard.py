@@ -73,3 +73,19 @@ def test_w4_single_window_exchange(spark):
     # Window node and one hash exchange
     plan = _plan(spark, "w4_lag_delta")
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_blocked_cosine_has_no_cartesian(spark):
+    # the declared embedding near-dup query must run the LSH-blocked
+    # equi-join plan — a CartesianProduct / nested-loop node would mean the
+    # exact O(n^2) tier leaked back into the declared path
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_seeding_uses_takeordered(spark):
+    # centroid seeding must compile to TakeOrderedAndProject (per-partition
+    # top-n + driver merge), not a global single-task Window sort of the corpus
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "TakeOrderedAndProject" in plan

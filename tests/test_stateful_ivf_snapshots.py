@@ -171,3 +171,61 @@ def test_kmeans_refine_improves_or_holds_recall(spark):
         for r in assigned.groupBy("list_id").agg(F2.count("*").alias("n")).collect()
     ]
     assert max(sizes) < emb.count()  # not collapsed to one list
+
+
+def test_merge_upsert_null_partition_rows_survive(spark, tmp_path):
+    """Base rows whose partition_col is NULL must carry over (isin() is
+    NULL for NULL input, which used to drop them from both sides)."""
+    from db_migration_spark.plans import upsert
+
+    root = str(tmp_path / "store_null")
+    base = spark.createDataFrame(
+        [
+            (1, "name", "old", TS(2020, 1, 1), True, "Gene"),
+            (3, "name", "nullpart", TS(2020, 1, 1), True, None),
+        ],
+        "e LONG, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN, class STRING",
+    )
+    snapshots.write_snapshot(base, root, label="v0")
+    patches = spark.createDataFrame(
+        [(1, "name", "new", TS(2020, 2, 1), True, "Gene")],
+        "e LONG, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN, class STRING",
+    )
+    upsert.merge_upsert(spark, root, patches, partition_col="class")
+    latest = {
+        (r["e"], r["a"]): r["v"]
+        for r in snapshots.read_snapshot(spark, root).collect()
+    }
+    assert latest == {
+        (1, "name"): "new",
+        (3, "name"): "nullpart",  # NULL-partition row survived
+    }
+
+
+def test_stateful_timeout_evicts_state():
+    """When the processing-time timeout fires, _update_profile must drop
+    the state and emit nothing (idle eviction), not re-arm the timer."""
+    from db_migration_spark.streaming.stateful import _update_profile
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (3, 1.5, 1000)
+
+        def __init__(self):
+            self.removed = False
+            self.updated = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = True
+
+        def setTimeoutDuration(self, ms):
+            self.updated = True
+
+    st = FakeState()
+    rows = list(_update_profile((7,), iter([]), st))
+    assert rows == []
+    assert st.removed and not st.updated
