@@ -943,26 +943,25 @@ FROM documents
 
 def q_s11_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/S12 (pseudoace.py:147-153, QUOTE_ALL report CSV): write the
-    nation dim as a quoted CSV, read it back with an explicit schema."""
+    nation dim as a quoted CSV, read it back with an explicit schema.
+
+    Written under a stable per-sf path and read back LAZILY — no collect
+    inside the declared query (the report is tiny, but a declared query
+    should never materialize driver-side; VERDICT r1)."""
+    from .queries_e2e import _fx
+
     nation = load_table(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="csv_roundtrip_", dir=_repo_tmp())
-    try:
-        path = os.path.join(out, "nation_csv")
-        (
-            nation.coalesce(1)
-            .write.mode("overwrite")
-            .option("header", True)
-            .option("quoteAll", True)
-            .csv(path)
-        )
-        back = spark.read.schema(
-            "n_nationkey INT, n_name STRING, n_regionkey INT"
-        ).option("header", True).csv(path)
-        # materialize before the temp dir can vanish
-        back = spark.createDataFrame(back.collect(), back.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-    return back
+    path = _fx(sf_dir, "s11_csv")
+    (
+        nation.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(path)
+    )
+    return spark.read.schema(
+        "n_nationkey INT, n_name STRING, n_regionkey INT"
+    ).option("header", True).csv(path)
 
 
 ORACLE_S11 = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
@@ -2019,3 +2018,9 @@ SELECT e, a, v, tx, op FROM ranked WHERE rn = 1 AND op
 
 QUERIES["x4_card_many"] = q_x4_card_many
 ORACLES["x4_card_many"] = ORACLE_X4_CARD_MANY
+
+
+# real-boundary end-to-end queries (.ace dump / models / id catalog / EDN)
+from .queries_e2e import register as _register_e2e  # noqa: E402
+
+_register_e2e(QUERIES, ORACLES)
