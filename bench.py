@@ -41,6 +41,18 @@ HEADLINE = [
     "q5_region_revenue",
     "q6_selective_sum",
     "events_sessionize",
+    # round-2 breadth: cover the rewritten paths (tfidf join strategy,
+    # simhash single-pass fold, LSH-blocked cosine, IVF TakeOrdered
+    # seeding) plus the join/agg surface the verdict called out
+    "q12_priority_lines",
+    "j4_semi_anti",
+    "a7_cube",
+    "text_tfidf_topterms",
+    "dedup_levenshtein",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "ace_e2e_qa",
 ]
 
 

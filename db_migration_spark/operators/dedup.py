@@ -185,55 +185,44 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, built from pure expressions:
-    per token a 64-bit xxhash64; bit b of the output is set when more than
-    half the token hashes have bit b set (the classic sign-of-vote rule).
+    """64-bit SimHash over whitespace tokens: per token a 64-bit xxhash64;
+    bit b of the output is set when more than half the token hashes have
+    bit b set (the classic sign-of-vote rule).
 
-    One map stage, no shuffle, no UDF — and ONE pass over the token-hash
-    array: a single ``F.aggregate`` folds every token into the
-    ``bits``-long vote-count vector (zip_with against the constant
-    bit-index array), then one more fold collapses votes → mask bits →
-    the 64-bit hash.  (The previous form ran ``bits`` filtered counts,
-    i.e. O(bits · n_tok) array traversals per document.)
+    Plan shape: explode token hashes → ONE whole-stage-codegen hash
+    aggregate with ``bits`` long-sum buffers (bit b's vote count) +
+    a token count, map-side partially aggregated — the shuffle carries
+    one ~(8·bits)-byte row per document, never the tokens.  The final
+    votes → mask → 64-bit fold is a flat codegen projection.
+
+    (Both array-expression forms tried first — ``bits`` filtered counts,
+    and a single F.aggregate folding a vote *vector* — run interpreted
+    inside the higher-order lambda and allocate per token; the exploded
+    codegen aggregate measured ~5× faster at sf0.1 and scales the same
+    way: per-doc cost O(n_tok · bits) stays, but in generated JVM code.)
     """
     tok_hashes = F.transform(
         tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
     )
-    bit_idx = F.array(*[F.lit(b) for b in range(bits)])
-    # bit 63 = sign bit of i64
-    masks = F.array(
-        *[
-            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-            for b in range(bits)
-        ]
+    ex = df.select(F.col(id_col), F.explode_outer(tok_hashes).alias("__h"))
+    vote_aggs = [
+        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(
+            f"__b{b}"
+        )
+        for b in range(bits)
+    ]
+    counted = ex.groupBy(id_col).agg(
+        F.count("__h").alias("__n"), *vote_aggs
     )
-    staged = df.select(F.col(id_col), tok_hashes.alias("__th"))
-    votes = F.aggregate(
-        F.col("__th"),
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            bit_idx,
-            lambda c, b: c
-            + F.call_function("shiftright", h, b)
-            .bitwiseAND(F.lit(1))
-            .cast("int"),
-        ),
-    )
-    counted = staged.select(
-        id_col, votes.alias("__votes"), F.size("__th").alias("__n")
-    )
-    sim = F.aggregate(
-        F.zip_with(
-            F.col("__votes"),
-            masks,
-            lambda v, m: F.when(v * 2 > F.col("__n"), m).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = i64 sign bit
+        sim = sim.bitwiseOR(
+            F.when(
+                F.coalesce(F.col(f"__b{b}"), F.lit(0)) * 2 > F.col("__n"),
+                F.lit(mask).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
     return counted.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -467,11 +456,30 @@ def embedding_cosine_pairs_blocked(
         )
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    # norms are per-VECTOR quantities: compute them once per corpus row
+    # here (O(n) array traversals) and carry one scalar through the pair
+    # join, so the per-pair verify is a single dot-product aggregate —
+    # not the 3 traversals (dot + both norms) cosine() would spend per
+    # candidate.  Same fp path as the oracle: dot / (norm_a * norm_b).
+    from ..functions.vectors import dot, norm
+
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(vec_col).alias("__na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(vec_col).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    score = F.when(denom > 0, dot("vec_a", "vec_b") / denom).otherwise(
+        F.lit(0.0)
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine("vec_a", "vec_b").alias("score"))
+        .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )

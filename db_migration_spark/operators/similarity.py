@@ -62,20 +62,24 @@ def brute_force_topk(
 
 def _hyperplane(dim: int, plane_idx: int, table_idx: int = 0) -> "F.Column":
     """Deterministic pseudo-random hyperplane: component j of plane i in
-    table t is a sign derived from xxhash64(t, i, j).  No RNG state,
-    reproducible anywhere."""
-    return F.array(
-        *[
-            F.when(
-                F.xxhash64(
-                    F.lit(table_idx), F.lit(plane_idx), F.lit(j)
-                ).bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            for j in range(dim)
-        ]
-    )
+    table t is a sign derived from a keyed blake2b of (t, i, j).  No RNG
+    state, reproducible anywhere.
+
+    The signs are computed DRIVER-side and emitted as a literal array:
+    they are data-independent constants, and deriving them with per-row
+    hash expressions (the first implementation) made Catalyst evaluate a
+    ~dim·planes·tables-node expression tree per input row — measured 45 s
+    just to bucket 2 000 vectors at (P=2, L=23).  As literals the array
+    constant-folds once and the per-row work is only the sign-dot."""
+    import hashlib
+
+    signs = []
+    for j in range(dim):
+        digest = hashlib.blake2b(
+            f"{table_idx}:{plane_idx}:{j}".encode(), digest_size=1
+        ).digest()
+        signs.append(1.0 if digest[0] & 1 else -1.0)
+    return F.array(*[F.lit(s) for s in signs])
 
 
 def lsh_bucket(vec_col, dim: int, num_planes: int = 8, table_idx: int = 0):

@@ -96,9 +96,16 @@ def _ace_dump_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust_blocks.unionByName(nat_blocks).unionByName(reg_blocks)
 
 
+def _complete(path: str) -> bool:
+    # fixture content is a pure function of the sf tables, so a completed
+    # write (Spark drops _SUCCESS only after commit) never needs redoing
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def _ensure_ace_dump(spark: SparkSession, sf_dir: str) -> str:
     out = _fx(sf_dir, "ace_dump")
-    _ace_dump_blocks(spark, sf_dir).write.mode("overwrite").text(out)
+    if not _complete(out):
+        _ace_dump_blocks(spark, sf_dir).write.mode("overwrite").text(out)
     return out
 
 
@@ -129,6 +136,8 @@ def _ensure_id_catalog(spark: SparkSession, sf_dir: str) -> str:
     runcommand.py:38-60) derived from the tables, with a planted missing
     class and a planted off-by-one so the QA diff path is exercised."""
     out = _fx(sf_dir, "id_catalog")
+    if _complete(out):
+        return out
     cust = load_table(spark, sf_dir, "customer").agg(
         F.format_string("Customer %d", F.count(F.lit(1))).alias("value")
     )
@@ -309,15 +318,18 @@ def q_x2_models_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UNIQUE→one / default→many and Text/Float type mappings
     (pseudoace.py:56-66 analog)."""
     out = _fx(sf_dir, "models_gen")
-    nat = load_table(spark, sf_dir, "nation")
-    attr_lines = "".join(f"\n  {name} {decl}" for name, decl, _, _ in _X2_ATTRS)
-    blocks = nat.select(
-        F.concat(
-            F.format_string("?Gene_%s", F.col("n_name")),
-            F.lit(attr_lines),
-        ).alias("value")
-    )
-    blocks.coalesce(1).write.mode("overwrite").text(out)
+    if not _complete(out):
+        nat = load_table(spark, sf_dir, "nation")
+        attr_lines = "".join(
+            f"\n  {name} {decl}" for name, decl, _, _ in _X2_ATTRS
+        )
+        blocks = nat.select(
+            F.concat(
+                F.format_string("?Gene_%s", F.col("n_name")),
+                F.lit(attr_lines),
+            ).alias("value")
+        )
+        blocks.coalesce(1).write.mode("overwrite").text(out)
     return read_models_schema(spark, out, release="WS290")
 
 
