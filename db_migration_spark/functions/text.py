@@ -108,6 +108,27 @@ def fingerprint(text: Column | str) -> Column:
     return F.xxhash64(norm)
 
 
+# PII patterns — deliberately RE2-compatible (no backrefs/lookaround) so
+# the same pattern text runs in Spark (java.util.regex) and any RE2-based
+# engine (DuckDB oracle, Go/Rust scrubbers) with identical matches.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails, IPv4 addresses and phone numbers to typed placeholder
+    tags — the standard pre-training privacy pass.  Chained
+    ``regexp_replace`` (replace-all), fully codegen'd: a pure map stage at
+    any corpus size.  Email first so address-like tails can't be half
+    matched by the later patterns."""
+    t = _col(text)
+    t = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    return t
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles as an array of strings (distinct), the MinHash/Jaccard
     input unit.  Built with transform over a token array — no explode needed

@@ -352,6 +352,99 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- near-dup clustering (connected components + survivorship) --------------
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the survivorship
+    step every corpus-scale dedup pipeline runs after pair generation
+    (pairs only say "a~b"; keeping one doc per *family* needs the
+    transitive closure).
+
+    Iterative min-label propagation: every node starts as its own
+    component; each round a node adopts the smallest label among itself
+    and its neighbors; converged when no label changes.  Deterministic
+    (min over ids — no ordering sensitivity) and exactly the fixpoint a
+    recursive-CTE oracle computes.
+
+    Scale shape: one equi-join + one map-side-combinable min-aggregate
+    per round, O(component diameter) rounds — near-dup families are
+    shallow (stars/cliques), so 2-4 rounds in practice.  The frontier is
+    persisted per round and the convergence check is a count action; this
+    is the standard bounded-iteration fixpoint (GraphX/GraphFrames CC
+    does the same dance), not an unbounded driver loop.  At 100 TB the
+    edge list is the already-reduced candidate-pair output — orders of
+    magnitude smaller than the corpus.
+
+    Returns (id, component) for every node appearing in ``edges``;
+    ``component`` = the smallest id reachable.
+    """
+    half = edges.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("dst"), "comp"), "dst"
+        ).select(F.col("src").alias("id"), "comp")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("comp").alias("comp_old")), "id"
+            )
+            .filter(F.col("comp") != F.col("comp_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Survivorship over the full corpus: every document labeled with its
+    near-dup family and whether it is the canonical keeper (smallest id
+    in the family; isolated docs keep themselves).
+
+    Returns (doc_id, component, is_canonical) — filtering
+    ``is_canonical`` is the dedup; grouping by ``component`` is the
+    family audit."""
+    comps = connected_components(edges, max_iter=max_iter)
+    joined = docs.select(F.col(id_col)).join(
+        comps.select(F.col("id").alias(id_col), "comp"), id_col, "left"
+    )
+    component = F.coalesce(F.col("comp"), F.col(id_col))
+    return joined.select(
+        id_col,
+        component.alias("component"),
+        (component == F.col(id_col)).alias("is_canonical"),
+    )
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 
 def embedding_cosine_pairs(

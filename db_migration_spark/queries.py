@@ -2020,6 +2020,312 @@ QUERIES["x4_card_many"] = q_x4_card_many
 ORACLES["x4_card_many"] = ORACLE_X4_CARD_MANY
 
 
+# ---------------------------------------------------------------------------
+# §2.12 — near-dup clustering + survivorship (connected components)
+# ---------------------------------------------------------------------------
+
+# the ngram-Jaccard pair graph (same params as dedup_ngram_jaccard) as a
+# WITH-clause body reusable by both clustering oracles
+_ORACLE_NGRAM_PAIRS_CTES = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+), comps AS (
+  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+)
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup family clustering: ngram-Jaccard pair graph → connected
+    components by iterative min-label propagation (operators/dedup.py
+    connected_components).  The DuckDB oracle computes the same fixpoint
+    as a recursive-CTE transitive closure + min — an iterative Spark
+    algorithm under the exact-correctness gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return dedup.connected_components(edges.select("id_a", "id_b"))
+
+
+ORACLE_DEDUP_COMPONENTS = (
+    "WITH RECURSIVE " + _ORACLE_NGRAM_PAIRS_CTES + "SELECT id, comp FROM comps"
+)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus survivorship: every document labeled with its near-dup
+    family and canonical-keeper flag (smallest id per family; isolated
+    docs keep themselves).  ``WHERE is_canonical`` IS the dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return dedup.dedup_survivors(docs, edges.select("id_a", "id_b"))
+
+
+ORACLE_DEDUP_SURVIVORS = (
+    "WITH RECURSIVE "
+    + _ORACLE_NGRAM_PAIRS_CTES
+    + """
+SELECT d.doc_id,
+       coalesce(c.comp, d.doc_id) AS component,
+       coalesce(c.comp, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+"""
+)
+
+QUERIES.update(
+    {
+        "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_components": ORACLE_DEDUP_COMPONENTS,
+        "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 — training-data hygiene: PII redaction, repetition quality gate,
+# benchmark-contamination screen, per-language budget sampling
+# ---------------------------------------------------------------------------
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: deterministic synthetic PII (email / phone /
+    IPv4 derived from doc_id) is planted into each document, then redacted
+    to typed tags with RE2-compatible patterns (functions/text.py) — the
+    oracle replants and re-redacts the same text in DuckDB, so pattern
+    semantics must agree engine-to-engine.  Counts audit what was found."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.format_string(
+            " contact user%d@example.com or +1-555-%04d from 10.0.%d.%d",
+            F.col("doc_id"),
+            F.col("doc_id") % 10000,
+            F.col("doc_id") % 256,
+            (F.col("doc_id") * 7) % 256,
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        TXT.redact_pii(planted).alias("redacted"),
+        F.regexp_count(planted, F.lit(TXT.PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(TXT.PII_IPV4)).alias("n_ips"),
+        F.regexp_count(planted, F.lit(TXT.PII_PHONE)).alias("n_phones"),
+    )
+
+
+ORACLE_PII = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+         '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS INTEGER) AS n_phones
+FROM planted
+"""
+
+
+def q_text_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: top-token frequency ratio
+    (explode → codegen'd two-level aggregate) and duplicate-2-gram ratio
+    (pure array expressions, no explode) per document, plus the pass
+    flag.  The shuffle carries one (doc, token) count row per distinct
+    token — never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.lower(F.col("text")))
+    ex = docs.select("doc_id", F.explode(toks).alias("tok"))
+    per_tok = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    top = per_tok.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"), F.sum("c").alias("n_tok")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    arr = docs.select(
+        "doc_id",
+        F.size(grams).alias("n2"),
+        F.size(F.array_distinct(grams)).alias("n2_distinct"),
+    )
+    top_ratio = F.col("top_cnt") / F.col("n_tok")
+    dup_ratio = (F.col("n2") - F.col("n2_distinct")) / F.col("n2")
+    return (
+        top.join(arr, "doc_id")
+        .select(
+            "doc_id",
+            F.round(top_ratio, 6).alias("top_tok_ratio"),
+            F.round(dup_ratio, 6).alias("dup_2gram_ratio"),
+            ((top_ratio <= 0.1) & (dup_ratio <= 0.55)).alias("passes"),
+        )
+    )
+
+
+ORACLE_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toks
+), counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM per_tok GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_tok
+  FROM counts GROUP BY doc_id
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g
+  FROM toks
+), arr AS (
+  SELECT doc_id, len(g) AS n2, len(list_distinct(g)) AS n2_distinct FROM grams
+)
+SELECT t.doc_id,
+       round(CAST(top_cnt AS DOUBLE) / n_tok, 6) AS top_tok_ratio,
+       round(CAST(n2 - n2_distinct AS DOUBLE) / n2, 6) AS dup_2gram_ratio,
+       (CAST(top_cnt AS DOUBLE) / n_tok <= 0.1
+        AND CAST(n2 - n2_distinct AS DOUBLE) / n2 <= 0.55) AS passes
+FROM top t JOIN arr USING (doc_id)
+"""
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: corpus documents sharing any word
+    5-gram with the benchmark set (doc_id < 20 stands in for the eval
+    suite).  Join key is the hashed shingle (8-byte longs shuffle, never
+    strings); the oracle joins the same shingles as strings — identical
+    result barring 64-bit collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                TXT.shingles("text", 5), lambda s: F.xxhash64(s)
+            )
+        ).alias("g"),
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select("g").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_5grams"))
+    )
+
+
+ORACLE_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 5 + 2),
+                i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id < 20
+)
+SELECT s.doc_id, count(*) AS n_shared_5grams
+FROM sh s JOIN bench b ON s.g = b.g
+WHERE s.doc_id >= 20
+GROUP BY s.doc_id
+"""
+
+_LANG_BUDGET = {"en": 100, "es": 40, "de": 40, "fr": 40, "zh": 40}
+
+
+def q_sample_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling: deterministic priority sample —
+    rank documents inside each language by md5(doc_id) (an engine-portable
+    keyed priority; never an RNG tied to cluster layout) and keep each
+    language's budget.  The down-sampling knob of a multilingual data
+    mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = F.create_map(
+        *[F.lit(x) for kv in _LANG_BUDGET.items() for x in kv]
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("priority_rank", F.row_number().over(w))
+        .filter(F.col("priority_rank") <= budget[F.col("lang")])
+    )
+
+
+ORACLE_LANG_BUDGET = """
+SELECT doc_id, lang, priority_rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INTEGER) AS priority_rank
+  FROM documents
+)
+WHERE priority_rank <= CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 40
+                       WHEN 'de' THEN 40 WHEN 'fr' THEN 40
+                       WHEN 'zh' THEN 40 ELSE 0 END
+"""
+
+QUERIES.update(
+    {
+        "text_pii_redact": q_text_pii_redact,
+        "text_repetition_gate": q_text_repetition_gate,
+        "text_contamination": q_text_contamination,
+        "sample_lang_budget": q_sample_lang_budget,
+    }
+)
+ORACLES.update(
+    {
+        "text_pii_redact": ORACLE_PII,
+        "text_repetition_gate": ORACLE_REPETITION,
+        "text_contamination": ORACLE_CONTAMINATION,
+        "sample_lang_budget": ORACLE_LANG_BUDGET,
+    }
+)
+
+
 # real-boundary end-to-end queries (.ace dump / models / id catalog / EDN)
 from .queries_e2e import register as _register_e2e  # noqa: E402
 

@@ -145,3 +145,24 @@ def test_blocked_cosine_matches_exact(spark):
         ).collect()
     }
     assert blocked == exact and len(exact) > 0
+
+
+def test_connected_components_path_clique_isolated(spark):
+    """Min-label propagation: a 4-node path (needs >1 round), a triangle,
+    and a separate pair must each collapse to their smallest id."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a LONG, id_b LONG",
+    )
+    out = {r["id"]: r["comp"] for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_survivors_isolated_docs_keep_themselves(spark):
+    docs = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id LONG")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a LONG, id_b LONG")
+    out = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup.dedup_survivors(docs, edges).collect()
+    }
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
