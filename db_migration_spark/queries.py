@@ -1376,6 +1376,62 @@ QUERIES["datalog_query"] = q_datalog_query
 ORACLES["datalog_query"] = ORACLE_DATALOG
 
 
+def q_datalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-entity-variable Datalog — orders (?o) joined to customers (?c)
+    through the shared value variable ?ck, with a literal status
+    constraint.  Exercises the general clause-fold path (multi-entity
+    equi-joins, string-unification of value variables), not the
+    single-entity grouped rewrite that datalog_query covers."""
+    from . import datalog
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    order_datoms = o.select(
+        F.col("o_orderkey").alias("e"),
+        F.lit("order/cust").alias("a"),
+        F.col("o_custkey").cast("string").alias("v"),
+    ).unionByName(
+        o.select(
+            F.col("o_orderkey").alias("e"),
+            F.lit("order/status").alias("a"),
+            F.col("o_orderstatus").alias("v"),
+        )
+    )
+    cust_datoms = c.select(
+        (F.col("c_custkey") + 100_000_000).alias("e"),
+        F.lit("cust/key").alias("a"),
+        F.col("c_custkey").cast("string").alias("v"),
+    ).unionByName(
+        c.select(
+            (F.col("c_custkey") + 100_000_000).alias("e"),
+            F.lit("cust/segment").alias("a"),
+            F.col("c_mktsegment").alias("v"),
+        )
+    )
+    datoms = order_datoms.unionByName(cust_datoms)
+    return datalog.query(
+        datoms,
+        find=["?o", "?ck", "?seg"],
+        where=[
+            ["?o", "order/cust", "?ck"],
+            ["?o", "order/status", "F"],
+            ["?c", "cust/key", "?ck"],
+            ["?c", "cust/segment", "?seg"],
+        ],
+    )
+
+
+ORACLE_DATALOG_JOIN = """
+SELECT DISTINCT o.o_orderkey AS o, CAST(o.o_custkey AS VARCHAR) AS ck,
+       c.c_mktsegment AS seg
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+"""
+
+QUERIES["datalog_join"] = q_datalog_join
+ORACLES["datalog_join"] = ORACLE_DATALOG_JOIN
+
+
 # ---------------------------------------------------------------------------
 # §2.4-ext — exact percentiles; deterministic sampling; composed pipeline
 # ---------------------------------------------------------------------------

@@ -110,6 +110,22 @@ def compact_store(
     ).write.mode("overwrite").parquet(out_dir)
 
 
+def stream_dedup(
+    records: DataFrame,
+    subset: list[str],
+    ts_col: str = "tx",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingest dedup: drop records whose ``subset`` key was
+    already seen within the watermark horizon — the streaming form of the
+    exact-dedup tier (a training-data feed re-delivers documents; the
+    fingerprint key bounds state to one row per key per horizon, evicted
+    by the watermark instead of growing forever)."""
+    return records.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        subset
+    )
+
+
 def windowed_event_rollup(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -196,3 +196,38 @@ def test_notifications_listener(tmp_path):
     # the reference's short-field rule (notifications.py:117)
     a = attachment("t", "x", {"k": "v" * 121})
     assert a["fields"][0]["short"] is False
+
+
+def test_stream_dedup_drops_redelivered_keys(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per fingerprint key
+    across micro-batch redelivery."""
+    import datetime
+
+    from db_migration_spark.streaming.import_stream import (
+        DATOM_SCHEMA,
+        stream_dedup,
+        stream_datoms,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "doc/fp", "AAA", t, True),
+        (1, "doc/fp", "AAA", t, True),          # exact redelivery
+        (2, "doc/fp", "BBB", t, True),
+        (3, "doc/fp", "AAA", t, True),          # same fp, other entity
+    ]
+    spark.createDataFrame(rows, DATOM_SCHEMA).write.parquet(src)
+    deduped = stream_dedup(stream_datoms(spark, src), ["a", "v"])
+    q = (
+        deduped.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["v"] for r in spark.read.parquet(out).collect())
+    assert got == ["AAA", "BBB"]  # one row per (a, v) fingerprint
