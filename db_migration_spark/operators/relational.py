@@ -172,6 +172,55 @@ def asof_join(
     )
 
 
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Interval-containment join at scale: each fact row matched to every
+    interval with ``start <= ts < end``.
+
+    Spark compiles a raw range predicate to a nested-loop/cartesian join —
+    O(|facts|·|intervals|) and a driver OOM the moment the interval side
+    stops fitting a broadcast.  The scalable expression is the standard
+    bucketed range join (what Databricks' range-join hints and KDB's
+    window joins do under the hood):
+
+    1. explode each interval into the time buckets it spans
+       (``sequence(floor(start/b), floor(end/b))`` — O(span/bucket) rows);
+    2. equi-join facts on their single bucket key (hash join, AQE-sized);
+    3. refine with the exact predicate (drops the bucket-edge false hits).
+
+    Bucket granularity trades interval-side blowup against candidate
+    false-positive rate: pick ~the median interval length.  Returns the
+    inner join; every column of both inputs survives.
+    """
+    b = F.lit(bucket_seconds).cast("long")
+    f = facts.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(ts_col)) / b).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        f.join(iv, "__bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
 def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     """U1: union of two relations, deduplicated (``runcommand.py:263-271``)."""
     return a.unionByName(b).distinct()

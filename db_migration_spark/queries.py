@@ -1432,6 +1432,40 @@ QUERIES["datalog_join"] = q_datalog_join
 ORACLES["datalog_join"] = ORACLE_DATALOG_JOIN
 
 
+def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: events matched to overlapping campaign
+    windows (6-day windows every 5 days, derived from region — adjacent
+    campaigns overlap so multi-match is exercised).  Runs the bucketed
+    range join (relational.range_join): interval side explodes into day
+    buckets, facts equi-join on their bucket, exact predicate refines —
+    never the nested-loop plan a raw range predicate compiles to."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    base = F.to_date(F.lit("2024-01-01"))
+    iv = load_table(spark, sf_dir, "region").select(
+        F.format_string("CAMP_%d", F.col("r_regionkey")).alias("campaign"),
+        F.to_timestamp(
+            F.date_add(base, (F.col("r_regionkey") * 5).cast("int"))
+        ).alias("c_start"),
+        F.to_timestamp(
+            F.date_add(base, (F.col("r_regionkey") * 5 + 6).cast("int"))
+        ).alias("c_end"),
+    )
+    out = relational.range_join(ev, iv, "ts", "c_start", "c_end")
+    return out.select("event_id", "campaign")
+
+
+ORACLE_RANGE_JOIN = """
+SELECT e.event_id, 'CAMP_' || r.r_regionkey AS campaign
+FROM events e
+JOIN region r
+  ON e.ts >= TIMESTAMP '2024-01-01' + r.r_regionkey * 5 * INTERVAL 1 DAY
+ AND e.ts <  TIMESTAMP '2024-01-01' + (r.r_regionkey * 5 + 6) * INTERVAL 1 DAY
+"""
+
+QUERIES["range_join_campaigns"] = q_range_join_campaigns
+ORACLES["range_join_campaigns"] = ORACLE_RANGE_JOIN
+
+
 # ---------------------------------------------------------------------------
 # §2.4-ext — exact percentiles; deterministic sampling; composed pipeline
 # ---------------------------------------------------------------------------

@@ -214,3 +214,28 @@ def test_apply_patches_card_many_accumulates(spark):
     # collapses — the silent-data-loss mode the card_many path prevents
     legacy = eav.apply_patches(base, patches).collect()
     assert len([r for r in legacy if r["a"] == "member"]) <= 1
+
+
+def test_range_join_boundaries_and_multimatch(spark):
+    """start-inclusive / end-exclusive, multi-interval match, no-match."""
+    facts = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 0, 0, 0)),    # == start of A
+            (2, TS(2024, 1, 3, 12, 0, 0)),   # inside A and B (overlap)
+            (3, TS(2024, 1, 6, 0, 0, 0)),    # == end of A (excluded), in B
+            (4, TS(2024, 2, 1, 0, 0, 0)),    # no interval
+        ],
+        "fact_id LONG, ts TIMESTAMP",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("A", TS(2024, 1, 1), TS(2024, 1, 6)),
+            ("B", TS(2024, 1, 3), TS(2024, 1, 9)),
+        ],
+        "name STRING, s TIMESTAMP, e TIMESTAMP",
+    )
+    out = sorted(
+        (r["fact_id"], r["name"])
+        for r in relational.range_join(facts, intervals, "ts", "s", "e").collect()
+    )
+    assert out == [(1, "A"), (2, "A"), (2, "B"), (3, "B")]

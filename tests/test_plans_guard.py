@@ -89,3 +89,12 @@ def test_ivf_seeding_uses_takeordered(spark):
     # top-n + driver merge), not a global single-task Window sort of the corpus
     plan = _plan(spark, "ann_ivf_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    # the bucketed range join must compile to a hash equi-join on the
+    # bucket key; a raw range predicate would be a nested-loop node
+    plan = _plan(spark, "range_join_campaigns")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
