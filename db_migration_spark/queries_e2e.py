@@ -112,7 +112,7 @@ def _ensure_ace_dump(spark: SparkSession, sf_dir: str) -> str:
 _MODELS_TEXT = """// annotated models (X2 fixture) — pseudoace.py:14-53 grammar
 ?Customer
   Name UNIQUE Text
-  Address.City UNIQUE Text
+  Address.City Text
   Acctbal UNIQUE Float
   Segment UNIQUE Text
 ?Nation
@@ -242,6 +242,97 @@ FROM region
 """
 
 
+def _ensure_ace_patches(spark: SparkSession, sf_dir: str) -> str:
+    """PATCHES-directory fixture: for every 10th customer a later-stamped
+    Segment update (card-one upsert) plus an extra City value (card-many
+    accumulate) — the two patch behaviors the cardinality-aware merge must
+    distinguish."""
+    out = _fx(sf_dir, "ace_patches")
+    if _complete(out):
+        return out
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 == 0
+    )
+    blocks = cust.select(
+        F.concat(
+            F.format_string('Customer : "C%d"\n', F.col("c_custkey")),
+            F.lit('Segment "PATCHED" -O "2024-03-01_00:00:00"\n'),
+            F.format_string(
+                'Address City "CITY_P%d" -O "2024-03-01_00:00:00"\n',
+                F.col("c_nationkey"),
+            ),
+        ).alias("value")
+    )
+    blocks.write.mode("overwrite").text(out)
+    return out
+
+
+def q_ace_e2e_patched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X4 patch step on REAL dump text: base ``.ace`` dump + PATCHES
+    dir both parsed by the real parser, merged cardinality-aware per the
+    installed models schema (Segment is card-one → the patch upserts;
+    Address.City is card-many → the patch value accumulates alongside the
+    base value), then profiled per (class, attribute).  This closes the
+    last unoracled stage of the reference's 11-step flagship
+    (runcommand.py:319-327 analog)."""
+    dump = _ensure_ace_dump(spark, sf_dir)
+    patches_dir = _ensure_ace_patches(spark, sf_dir)
+    models = _ensure_models_file(sf_dir)
+    schema_rows = read_models_schema(spark, models, release="WS999").collect()
+    card_many = [
+        f"{r['class']}/{r['attribute']}"
+        for r in schema_rows
+        if r["cardinality"] == "many"
+    ]
+    base = ace_records_to_datoms(parse_ace_dump(spark, dump))
+    patches = ace_records_to_datoms(parse_ace_dump(spark, patches_dir))
+    from .operators.eav import apply_patches
+
+    merged = apply_patches(
+        base, patches, tiebreak_col="v", card_many_attrs=card_many
+    )
+    return (
+        merged.filter(F.col("class") == "Customer")
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).alias("n_datoms"),
+            F.countDistinct("e").alias("n_entities"),
+            F.sum((F.col("v") == "PATCHED").cast("long")).alias("n_patched"),
+            F.max("tx").alias("max_tx"),
+        )
+    )
+
+
+# Segment is card-one (UNIQUE): the later-stamped patch REPLACES the base
+# value per (e,a) — one datom per customer, patched ones read 'PATCHED'.
+# Address.City is card-many: the patch value ACCUMULATES per (e,a,v) —
+# patched customers carry both the base and the patch city.
+ORACLE_ACE_E2E_PATCHED = """
+SELECT 'Customer/Name' AS a, count(*) AS n_datoms,
+       count(DISTINCT c_custkey) AS n_entities,
+       CAST(0 AS BIGINT) AS n_patched,
+       CAST(max(TIMESTAMP '2024-01-01' + (c_custkey % 28) * INTERVAL 1 DAY)
+            AS TIMESTAMP) AS max_tx
+FROM customer
+UNION ALL
+SELECT 'Customer/Segment', count(*), count(DISTINCT c_custkey),
+       CAST(sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+       TIMESTAMP '2024-03-01'
+FROM customer
+UNION ALL
+SELECT 'Customer/Address.City',
+       CAST(count(*) + sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       count(DISTINCT c_custkey),
+       CAST(0 AS BIGINT), TIMESTAMP '2024-03-01'
+FROM customer
+UNION ALL
+SELECT 'Customer/Acctbal', count(*), count(DISTINCT c_custkey),
+       CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP)
+FROM customer
+"""
+
+
 def q_ace_e2e_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real X6 flagship on real parsed data: ``.ace`` dump → datoms →
     per-class distinct-entity counts, reconciled against the id-catalog
@@ -349,6 +440,7 @@ def register(queries: dict, oracles: dict) -> None:
         {
             "ace_e2e_datoms": q_ace_e2e_datoms,
             "ace_e2e_qa": q_ace_e2e_qa,
+            "ace_e2e_patched": q_ace_e2e_patched,
             "edn_roundtrip": q_edn_roundtrip,
             "x2_models_schema": q_x2_models_schema,
         }
@@ -357,6 +449,7 @@ def register(queries: dict, oracles: dict) -> None:
         {
             "ace_e2e_datoms": ORACLE_ACE_E2E_DATOMS,
             "ace_e2e_qa": ORACLE_ACE_E2E_QA,
+            "ace_e2e_patched": ORACLE_ACE_E2E_PATCHED,
             "edn_roundtrip": ORACLE_EDN_ROUNDTRIP,
             "x2_models_schema": ORACLE_X2_MODELS,
         }
