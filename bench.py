@@ -53,6 +53,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "ace_e2e_qa",
+    "datalog_join",
+    "range_join_campaigns",
+    "dedup_components",
 ]
 
 
