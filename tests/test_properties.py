@@ -160,3 +160,141 @@ def test_apply_patches_matches_reference(spark, base, patches):
             want[key] = cand
     want = {k: v[2] for k, v in want.items() if v[3]}
     assert got == want
+
+
+# --- connected_components vs union-find reference ----------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1, max_size=25,
+).map(lambda es: [(a, b) for a, b in es if a != b]).filter(bool)
+
+
+@given(edges=edge_lists)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from db_migration_spark.operators import dedup
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == want
+
+
+# --- range_join vs brute-force filter ----------------------------------------
+
+range_inputs = st.tuples(
+    st.lists(st.integers(0, 400), min_size=1, max_size=15),       # fact secs
+    st.lists(
+        st.tuples(st.integers(0, 300), st.integers(1, 200)),      # (start, len)
+        min_size=1, max_size=6,
+    ),
+)
+
+
+@given(pair=range_inputs)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_join_matches_bruteforce(spark, pair):
+    fact_secs, intervals = pair
+    facts = spark.createDataFrame(
+        [
+            (i, TS0 + datetime.timedelta(seconds=s))
+            for i, s in enumerate(fact_secs)
+        ],
+        "fid LONG, ts TIMESTAMP",
+    )
+    iv = spark.createDataFrame(
+        [
+            (
+                j,
+                TS0 + datetime.timedelta(seconds=s),
+                TS0 + datetime.timedelta(seconds=s + ln),
+            )
+            for j, (s, ln) in enumerate(intervals)
+        ],
+        "ivid LONG, s TIMESTAMP, e TIMESTAMP",
+    )
+    # bucket far smaller than interval spans to stress multi-bucket explode
+    got = sorted(
+        (r["fid"], r["ivid"])
+        for r in relational.range_join(
+            facts, iv, "ts", "s", "e", bucket_seconds=60
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, fs in enumerate(fact_secs)
+        for j, (s, ln) in enumerate(intervals)
+        if s <= fs < s + ln
+    )
+    assert got == want
+
+
+# --- cardinality-aware apply_patches vs reference ----------------------------
+
+@given(base=datom_lists, patches=datom_lists)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_apply_patches_card_many_matches_reference(spark, base, patches):
+    """Attribute 'q' is cardinality-many (per-(e,a,v) resolution); 'p'
+    stays card-one LWW per (e,a)."""
+    def mk(rows, src):
+        seen = set()
+        out = []
+        for e, a, v, t, op in rows:
+            key = (e, a, t, v)
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((e, a, str(v), TS0 + datetime.timedelta(hours=t), op, src))
+        return out
+
+    b, p = mk(base, 0), mk(patches, 1)
+    schema = "e LONG, a STRING, v STRING, tx TIMESTAMP, op BOOLEAN"
+    bdf = spark.createDataFrame([r[:5] for r in b], schema)
+    pdf = spark.createDataFrame([r[:5] for r in p], schema)
+    got = {
+        (r["e"], r["a"], r["v"])
+        for r in eav.apply_patches(
+            bdf, pdf, tiebreak_col="v", card_many_attrs=["q"]
+        ).collect()
+    }
+    want = {}
+    for e, a, v, tx, op, src in b + p:
+        key = (e, a, str(v)) if a == "q" else (e, a)
+        cand = (tx, src, str(v), op)
+        if key not in want or cand[:3] > want[key][:3]:
+            want[key] = cand
+    want_set = set()
+    for key, (tx, src, v, op) in want.items():
+        if op:
+            want_set.add((key[0], key[1], v))
+    assert got == want_set
