@@ -1466,6 +1466,33 @@ QUERIES["range_join_campaigns"] = q_range_join_campaigns
 ORACLES["range_join_campaigns"] = ORACLE_RANGE_JOIN
 
 
+def q_f_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type: ``parse_json``
+    once, then typed ``variant_get`` extraction — the shredded-JSON path a
+    training-data metadata column takes (vs per-access get_json_object
+    re-parsing, covered by f_misc_suite)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "string").alias("absent"),
+    )
+
+
+ORACLE_VARIANT = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+       json_extract_string(props, '$.k') AS k_str,
+       json_extract_string(props, '$.missing') AS absent
+FROM events
+"""
+
+QUERIES["f_variant_json"] = q_f_variant_json
+ORACLES["f_variant_json"] = ORACLE_VARIANT
+
+
 # ---------------------------------------------------------------------------
 # §2.4-ext — exact percentiles; deterministic sampling; composed pipeline
 # ---------------------------------------------------------------------------
