@@ -22,7 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -42,19 +44,29 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-REAL_CODECS_AVAILABLE = False  # flip when PIL/ffmpeg bindings exist
+# PNG decodes for real via the pure-stdlib codec (png_codec.py: struct +
+# zlib, full filter support).  JPEG/audio/video still need native libs
+# absent from this container and keep the deterministic fake seam.
+REAL_CODECS_AVAILABLE = {"image/png": True}
 
 
 class DeterministicFakeCodec:
-    """Stand-in decode kernel: deterministic pseudo-decode so the full
-    distributed pipeline (batching, schema, partitioning) is testable.
-    A real deployment replaces `decode` with the PIL/libjpeg call — the
-    signature (bytes in, (w, h, channels, pixel_digest) out) is the seam."""
+    """Decode kernel: REAL for PNG payloads (signature-sniffed, header +
+    zlib-inflate + unfilter via png_codec), deterministic pseudo-decode
+    for everything else so the distributed pipeline stays testable.  A
+    native deployment fills the non-PNG branch with the libjpeg/ffmpeg
+    call — the signature (bytes in, (w, h, channels, pixel_digest) out)
+    is the seam."""
 
     @staticmethod
     def decode(payload: bytes) -> tuple[int, int, int, str]:
         if payload is None:
             return (0, 0, 0, "")
+        from . import png_codec
+
+        if png_codec.is_png(payload):
+            w, h, ch, pix = png_codec.decode_png_pixels(payload)
+            return (w, h, ch, hashlib.sha256(bytes(pix)).hexdigest()[:16])
         digest = hashlib.sha256(payload).hexdigest()
         w = 16 + int(digest[:4], 16) % 1024
         h = 16 + int(digest[4:8], 16) % 1024
@@ -62,10 +74,24 @@ class DeterministicFakeCodec:
 
     @staticmethod
     def resize(payload: bytes, w: int, h: int) -> bytes:
-        if not REAL_CODECS_AVAILABLE:
-            # deterministic fake: tag the payload with the target size
-            return hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
-        raise NotImplementedError("real resize kernel not bundled")
+        from . import png_codec
+
+        if png_codec.is_png(payload):
+            # real nearest-neighbor resize through the stdlib codec
+            sw, sh, ch, pix = png_codec.decode_png_pixels(payload)
+            if ch != 3:
+                raise NotImplementedError("resize supports RGB PNGs only")
+            out = bytearray(w * h * 3)
+            for y in range(h):
+                sy = min(sh - 1, y * sh // h)
+                for x in range(w):
+                    sx = min(sw - 1, x * sw // w)
+                    src = (sy * sw + sx) * 3
+                    dst = (y * w + x) * 3
+                    out[dst : dst + 3] = pix[src : src + 3]
+            return png_codec.encode_png_rgb(w, h, bytes(out))
+        # deterministic fake for formats without a bundled kernel
+        return hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
 
 
 DECODED_SCHEMA = StructType(
@@ -100,6 +126,40 @@ def decode_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("means", ArrayType(DoubleType())),
+    ]
+)
+
+
+def decode_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel-level decode for PNG payloads: inflate + unfilter via
+    the stdlib codec, then per-channel means — the verification statistic
+    (a wrong filter/inflate shifts the means).  Arrow-batched mapInPandas
+    like decode_metadata; non-PNG payloads raise (route them to the
+    metadata-only path)."""
+    from . import png_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, means = png_codec.channel_means(bytes(p))
+                rows.append((int(mid), w, h, ch, means))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "means"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, PIXEL_STATS_SCHEMA
+    )
 
 
 def sample_frames(

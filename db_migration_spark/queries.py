@@ -1493,6 +1493,63 @@ QUERIES["f_variant_json"] = q_f_variant_json
 ORACLES["f_variant_json"] = ORACLE_VARIANT
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracled: one constant-color PNG per nation is
+    encoded distributed (pure-stdlib codec: struct + zlib + row filters),
+    then decoded back — header parse, inflate, unfilter, per-channel
+    pixel means — in the Arrow-batched codec seam.  The oracle recomputes
+    width/height/means from the generation formulas, so a wrong filter or
+    inflate path shifts the means and fails the gate.  (PIL/ffmpeg are
+    not in this container; PNG needs neither.)"""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import decode_pixel_stats
+    from .multimodal.png_codec import encode_png_rgb
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                w, h = 8 + k % 16, 8 + (3 * k) % 16
+                color = bytes([(k * 9) % 256, (k * 5) % 256, (k * 3) % 256])
+                rows.append((k, encode_png_rgb(w, h, color * (w * h))))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+    stats = decode_pixel_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("means", 1).alias("mean_r"),
+        F.element_at("means", 2).alias("mean_g"),
+        F.element_at("means", 3).alias("mean_b"),
+    )
+
+
+ORACLE_MULTIMODAL_PNG = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CAST(8 + n_nationkey % 16 AS INTEGER) AS width,
+       CAST(8 + (3 * n_nationkey) % 16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST((n_nationkey * 9) % 256 AS DOUBLE) AS mean_r,
+       CAST((n_nationkey * 5) % 256 AS DOUBLE) AS mean_g,
+       CAST((n_nationkey * 3) % 256 AS DOUBLE) AS mean_b
+FROM nation
+"""
+
+QUERIES["multimodal_png_decode"] = q_multimodal_png_decode
+ORACLES["multimodal_png_decode"] = ORACLE_MULTIMODAL_PNG
+
+
 # ---------------------------------------------------------------------------
 # §2.4-ext — exact percentiles; deterministic sampling; composed pipeline
 # ---------------------------------------------------------------------------

@@ -158,3 +158,62 @@ def test_load_media_dir_binaryfile(spark, tmp_path):
     # pipes into the decode stage unchanged
     decoded = mm.decode_metadata(media).collect()
     assert len(decoded) == 2 and all(d["channels"] == 3 for d in decoded)
+
+
+def test_png_codec_all_filter_types_roundtrip():
+    """Decoder must undo every PNG scanline filter (None/Sub/Up/Average/
+    Paeth), not just the filter-0 rows our encoder emits."""
+    import random
+    import struct
+    import zlib
+
+    from db_migration_spark.multimodal import png_codec as pc
+
+    w, h = 13, 7
+    pix = bytes(random.Random(42).randrange(256) for _ in range(w * h * 3))
+    assert bytes(pc.decode_png_pixels(pc.encode_png_rgb(w, h, pix))[3]) == pix
+
+    def encode_with_filter(ftype):
+        stride = w * 3
+        rows, prev = [], bytearray(stride)
+        for y in range(h):
+            line = bytearray(pix[y * stride : (y + 1) * stride])
+            filt = bytearray(stride)
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                up = prev[i]
+                ul = prev[i - 3] if i >= 3 else 0
+                pred = {
+                    1: left,
+                    2: up,
+                    3: (left + up) >> 1,
+                    4: pc._paeth(left, up, ul),
+                }[ftype]
+                filt[i] = (line[i] - pred) & 0xFF
+            rows.append(bytes([ftype]) + bytes(filt))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            pc.PNG_SIGNATURE
+            + pc._chunk(b"IHDR", ihdr)
+            + pc._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + pc._chunk(b"IEND", b"")
+        )
+
+    for ftype in (1, 2, 3, 4):
+        got = bytes(pc.decode_png_pixels(encode_with_filter(ftype))[3])
+        assert got == pix, f"filter {ftype}"
+
+
+def test_png_resize_real_kernel():
+    from db_migration_spark.multimodal import png_codec as pc
+    from db_migration_spark.multimodal.binary_ops import DeterministicFakeCodec
+
+    # 2x2 quadrant image upscaled 2x: nearest-neighbor preserves quadrants
+    quad = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    png = pc.encode_png_rgb(2, 2, quad)
+    out = DeterministicFakeCodec.resize(png, 4, 4)
+    w, h, ch, pix = pc.decode_png_pixels(out)
+    assert (w, h, ch) == (4, 4, 3)
+    assert bytes(pix[0:3]) == bytes([255, 0, 0])      # top-left quadrant
+    assert bytes(pix[45:48]) == bytes([255, 255, 0])  # bottom-right quadrant
