@@ -1550,6 +1550,50 @@ QUERIES["multimodal_png_decode"] = q_multimodal_png_decode
 ORACLES["multimodal_png_decode"] = ORACLE_MULTIMODAL_PNG
 
 
+def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio metadata decode, oracled: one 16-bit PCM WAV per region
+    (stdlib ``wave`` encode — rate and length derived from the region
+    key), RIFF header parsed back in the Arrow codec seam.  Oracle
+    recomputes channels/rate/frames/duration from the formulas."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import decode_wav_meta, encode_wav_pcm16
+
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                rate = 8000 + 1000 * k
+                n_frames = 1600 + 100 * k
+                frames = bytes(2 * n_frames)  # silence, 16-bit mono
+                rows.append((k, encode_wav_pcm16(rate, frames)))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = reg.mapInPandas(gen, "media_id LONG, payload BINARY")
+    return decode_wav_meta(media)
+
+
+ORACLE_MULTIMODAL_WAV = """
+SELECT CAST(r_regionkey AS BIGINT) AS media_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 + 1000 * r_regionkey AS INTEGER) AS sample_rate,
+       CAST(1600 + 100 * r_regionkey AS BIGINT) AS n_frames,
+       CAST(1600 + 100 * r_regionkey AS DOUBLE) * 1000.0
+         / (8000 + 1000 * r_regionkey) AS duration_ms
+FROM region
+"""
+
+QUERIES["multimodal_wav_meta"] = q_multimodal_wav_meta
+ORACLES["multimodal_wav_meta"] = ORACLE_MULTIMODAL_WAV
+
+
 # ---------------------------------------------------------------------------
 # §2.4-ext — exact percentiles; deterministic sampling; composed pipeline
 # ---------------------------------------------------------------------------

@@ -217,3 +217,20 @@ def test_png_resize_real_kernel():
     assert (w, h, ch) == (4, 4, 3)
     assert bytes(pix[0:3]) == bytes([255, 0, 0])      # top-left quadrant
     assert bytes(pix[45:48]) == bytes([255, 255, 0])  # bottom-right quadrant
+
+
+def test_wav_meta_roundtrip(spark):
+    from db_migration_spark.multimodal.binary_ops import (
+        decode_wav_meta,
+        encode_wav_pcm16,
+    )
+
+    wav = encode_wav_pcm16(16000, bytes(2 * 2 * 800), n_channels=2)
+    media = spark.createDataFrame([(7, wav)], "media_id LONG, payload BINARY")
+    row = decode_wav_meta(media).collect()[0]
+    assert (
+        row["n_channels"],
+        row["sample_rate"],
+        row["n_frames"],
+        row["duration_ms"],
+    ) == (2, 16000, 800, 50.0)
