@@ -1594,6 +1594,112 @@ QUERIES["multimodal_wav_meta"] = q_multimodal_wav_meta
 ORACLES["multimodal_wav_meta"] = ORACLE_MULTIMODAL_WAV
 
 
+def q_j_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join under the oracle gate: events (user_id is the
+    hot-key-prone fact side) ⋈ a small per-user dim built from customer.
+    The salted plan must produce exactly the plain-join result — the
+    oracle IS the plain join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_custkey") % 500).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("segment").alias("segment"))
+    )
+    return relational.salted_join(ev, dim, on="user_id", salt=8)
+
+
+ORACLE_SALTED = """
+WITH dim AS (
+  SELECT c_custkey % 500 AS user_id, max(c_mktsegment) AS segment
+  FROM customer GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.event_type, d.segment
+FROM events e JOIN dim d ON e.user_id = d.user_id
+"""
+
+QUERIES["j_salted_hot_key"] = q_j_salted_hot_key
+ORACLES["j_salted_hot_key"] = ORACLE_SALTED
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup — the per-(lang, source) summary a training-data
+    release ships with: doc and token counts, exact-dup rate, mean quality
+    score.  One composed plan: per-doc map stage (tokens, fingerprint,
+    quality) → two-level aggregate; shuffles carry per-doc scalars only."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        TXT.token_count("text").alias("n_tok"),
+        TXT.fingerprint("text").alias("fp"),
+        TXT.quality_score("text").alias("q"),
+    )
+    # dup rate = 1 - distinct fingerprints / docs, per (lang, source)
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct("fp").alias("n_unique_fp"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,6)"))
+                / F.count(F.lit(1)),
+                6,
+            ).cast("double").alias("mean_quality"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.lit(1.0) - F.col("n_unique_fp") / F.col("n_docs"), 6
+            ),
+        )
+    )
+
+
+ORACLE_DATACARD = r"""
+WITH base AS (
+  SELECT lang, source, doc_id, text,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '')) AS n_tok,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+           AS n_punct
+  FROM documents
+), per_doc AS (
+  SELECT lang, source, doc_id, n_tok,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         (CAST(n_tok >= 5 AND n_tok <= 100000 AS DOUBLE)
+          + CAST(CAST(n_nonspace AS DOUBLE) / greatest(n_tok, 1) >= 2.0
+                 AND CAST(n_nonspace AS DOUBLE) / greatest(n_tok, 1) <= 12.0
+                 AS DOUBLE)
+          + CAST(CAST(n_punct AS DOUBLE) / greatest(length(text), 1) <= 0.3
+                 AS DOUBLE)
+         ) / 3.0 AS q
+  FROM base
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       count(DISTINCT fp) AS n_unique_fp,
+       CAST(round(sum(CAST(q AS DECIMAL(18,6))) / count(*), 6) AS DOUBLE)
+         AS mean_quality,
+       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+         AS dup_rate
+FROM per_doc
+GROUP BY lang, source
+"""
+
+QUERIES["corpus_datacard"] = q_corpus_datacard
+ORACLES["corpus_datacard"] = ORACLE_DATACARD
+
+
 # ---------------------------------------------------------------------------
 # §2.4-ext — exact percentiles; deterministic sampling; composed pipeline
 # ---------------------------------------------------------------------------
