@@ -32,6 +32,7 @@ unifies on string form.
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -189,6 +190,42 @@ def _single_entity_plan(datoms: DataFrame, find: list[str], where: list):
     return acc.select(*[t[1:] for t in find]).distinct()
 
 
+_AGG_RE = re.compile(
+    r"^\(\s*(count-distinct|count|sum|min|max|avg)\s+(\?\w+)\s*\)$"
+)
+
+_AGG_FNS = {
+    "count": lambda c: F.count(c),
+    "count-distinct": lambda c: F.countDistinct(c),
+    "sum": lambda c: F.sum(c.cast("double")),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.avg(c.cast("double")),
+}
+
+
+def _parse_find(find: list[str]):
+    """Split :find into plain variables and ``(agg ?var)`` terms.  Datomic
+    semantics: with any aggregate present, the plain find vars become the
+    group key and each aggregate runs over the SET of solutions (the
+    result is a set, so aggregation sees distinct bindings — Datomic's
+    default without :with)."""
+    plain, aggs = [], []
+    for term in find:
+        m = _AGG_RE.match(term) if isinstance(term, str) else None
+        if m:
+            fn, var = m.group(1), m.group(2)[1:]
+            alias = f"{m.group(1).replace('-', '_')}_{var}"
+            aggs.append((fn, var, alias))
+        elif _is_var(term):
+            plain.append(term)
+        else:
+            raise ValueError(
+                f":find terms must be variables or (agg ?var), got {term!r}"
+            )
+    return plain, aggs
+
+
 def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
     """Compile and return the Datalog query plan (lazy DataFrame).
 
@@ -197,12 +234,34 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
     meets a value position); disjoint clauses cross-join (Datalog product
     semantics).  Duplicate solutions collapse with ``distinct`` — set
     semantics, as Datomic's q returns a set.
+
+    :find supports Datomic-style aggregates — ``(count ?e)``,
+    ``(count-distinct ?v)``, ``(sum ?v)``, ``(min ?v)``, ``(max ?v)``,
+    ``(avg ?v)`` — computed per group of the plain find variables over
+    the distinct solution set.  Aggregate output columns are named
+    ``<agg>_<var>`` (e.g. ``count_e``).
     """
     if not where:
         raise ValueError("empty :where")
-    for term in find:
-        if not _is_var(term):
-            raise ValueError(f":find terms must be variables, got {term!r}")
+    plain_find, agg_find = _parse_find(find)
+    if agg_find:
+        # project every referenced var as a plain solution set, then
+        # aggregate over its distinct tuples
+        needed = plain_find + sorted(
+            {f"?{var}" for _, var, _ in agg_find} - set(plain_find)
+        )
+        solutions = query(datoms, needed, where)
+        grouped = (
+            solutions.groupBy(*[t[1:] for t in plain_find])
+            if plain_find
+            else solutions.groupBy()
+        )
+        return grouped.agg(
+            *[
+                _AGG_FNS[fn](F.col(var)).alias(alias)
+                for fn, var, alias in agg_find
+            ]
+        )
 
     fast = _single_entity_plan(datoms, find, where)
     if fast is not None:

@@ -1432,6 +1432,31 @@ QUERIES["datalog_join"] = q_datalog_join
 ORACLES["datalog_join"] = ORACLE_DATALOG_JOIN
 
 
+def q_datalog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic-style aggregate find: per attribute, the count of distinct
+    entities carrying it — ``[:find ?a (count ?e) :where [?e ?a _]]``.
+    Set semantics: the aggregate runs over distinct (a, e) solutions, so
+    (count ?e) is a distinct-entity count, exactly Datomic's default."""
+    from . import datalog
+
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        F.col("event_id").cast("string").alias("v"),
+    )
+    return datalog.query(datoms, find=["?a", "(count ?e)"], where=[["?e", "?a", "_"]])
+
+
+ORACLE_DATALOG_AGG = """
+SELECT event_type AS a, count(DISTINCT user_id) AS count_e
+FROM events GROUP BY event_type
+"""
+
+QUERIES["datalog_agg"] = q_datalog_agg
+ORACLES["datalog_agg"] = ORACLE_DATALOG_AGG
+
+
 def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: events matched to overlapping campaign
     windows (6-day windows every 5 days, derived from region — adjacent

@@ -187,3 +187,34 @@ def test_fast_path_rejects_entity_value_unification(store):
         where=[["?x", "gene/id", "_"], ["_", "protein/gene", "?x"]],
     )
     assert datalog._single_entity_plan(store, **q) is None
+
+
+def test_find_aggregates_set_semantics(spark):
+    """(count ?v) aggregates over DISTINCT solutions (Datomic default):
+    duplicate datoms contribute once."""
+    from db_migration_spark import datalog
+
+    datoms = spark.createDataFrame(
+        [
+            (1, "tag", "x"),
+            (1, "tag", "x"),   # duplicate solution — counted once
+            (1, "tag", "y"),
+            (2, "tag", "x"),
+            (2, "other", "z"),
+        ],
+        "e LONG, a STRING, v STRING",
+    )
+    out = {
+        r["e"]: r["count_v"]
+        for r in datalog.query(
+            datoms, find=["?e", "(count ?v)"], where=[["?e", "tag", "?v"]]
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1}
+    # global aggregate (no plain find var) + min/max
+    row = datalog.query(
+        datoms,
+        find=["(count-distinct ?e)", "(min ?v)", "(max ?v)"],
+        where=[["?e", "tag", "?v"]],
+    ).collect()[0]
+    assert (row["count_distinct_e"], row["min_v"], row["max_v"]) == (2, "x", "y")
