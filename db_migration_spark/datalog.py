@@ -43,6 +43,15 @@ def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _is_not_clause(c) -> bool:
+    """Datomic ``(not [?e :attr ?v])`` — here ``("not", [e a v])``."""
+    return (
+        isinstance(c, (tuple, list))
+        and len(c) == 2
+        and c[0] == "not"
+    )
+
+
 def _clause_df(datoms: DataFrame, idx: int, clause) -> tuple[DataFrame, dict]:
     """One [e a v] pattern → filtered/projected DataFrame whose columns are
     the clause's variable names (without '?')."""
@@ -244,6 +253,44 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
     if not where:
         raise ValueError("empty :where")
     plain_find, agg_find = _parse_find(find)
+    negs = [c[1] for c in where if _is_not_clause(c)]
+    pos = [c for c in where if not _is_not_clause(c)]
+    if negs and not agg_find:
+        if not pos:
+            raise ValueError("not-clause requires at least one pattern clause")
+        # bind every positive-pattern variable, anti-join each negated
+        # pattern on its shared variables (Datomic not-clause = set
+        # difference), then project the find terms
+        all_vars = []
+        for c in pos:
+            if isinstance(c, str):
+                continue
+            for term in c:
+                if _is_var(term) and term[1:] not in all_vars:
+                    all_vars.append(term[1:])
+        sol = query(datoms, [f"?{v}" for v in all_vars], pos)
+        for nc in negs:
+            cdf, vars_here = _clause_df(datoms, 0, nc)
+            shared = sorted(v for v in vars_here if v in sol.columns)
+            if not shared:
+                raise ValueError(
+                    f"not-clause shares no variable with the query: {nc!r}"
+                )
+            renamed = cdf.select(
+                *[F.col(v).alias(f"__not_{v}") for v in shared]
+            )
+            conds = []
+            for v in shared:
+                left, right = sol[v], renamed[f"__not_{v}"]
+                if sol.schema[v].dataType == cdf.schema[v].dataType:
+                    conds.append(left == right)
+                else:
+                    conds.append(left.cast("string") == right.cast("string"))
+            sol = sol.join(
+                renamed, reduce(lambda x, y: x & y, conds), "left_anti"
+            )
+        return sol.select(*[t[1:] for t in find]).distinct()
+
     if agg_find:
         # project every referenced var as a plain solution set, then
         # aggregate over its distinct tuples

@@ -1457,6 +1457,34 @@ QUERIES["datalog_agg"] = q_datalog_agg
 ORACLES["datalog_agg"] = ORACLE_DATALOG_AGG
 
 
+def q_datalog_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic not-clause → anti-join: users who clicked but never
+    errored — ``[:find ?e :where [?e "click" _] (not [?e "error" _])]``."""
+    from . import datalog
+
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        F.col("event_id").cast("string").alias("v"),
+    )
+    return datalog.query(
+        datoms,
+        find=["?e"],
+        where=[["?e", "click", "_"], ("not", ["?e", "error", "_"])],
+    )
+
+
+ORACLE_DATALOG_NOT = """
+SELECT DISTINCT user_id AS e FROM events
+WHERE event_type = 'click'
+  AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+"""
+
+QUERIES["datalog_not"] = q_datalog_not
+ORACLES["datalog_not"] = ORACLE_DATALOG_NOT
+
+
 def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: events matched to overlapping campaign
     windows (6-day windows every 5 days, derived from region — adjacent

@@ -218,3 +218,36 @@ def test_find_aggregates_set_semantics(spark):
         where=[["?e", "tag", "?v"]],
     ).collect()[0]
     assert (row["count_distinct_e"], row["min_v"], row["max_v"]) == (2, "x", "y")
+
+
+def test_not_clause_anti_join(spark):
+    from db_migration_spark import datalog
+
+    datoms = spark.createDataFrame(
+        [
+            (1, "click", "a"),
+            (1, "error", "b"),
+            (2, "click", "c"),
+            (3, "view", "d"),
+        ],
+        "e LONG, a STRING, v STRING",
+    )
+    out = sorted(
+        r["e"]
+        for r in datalog.query(
+            datoms,
+            find=["?e"],
+            where=[["?e", "click", "_"], ("not", ["?e", "error", "_"])],
+        ).collect()
+    )
+    assert out == [2]  # 1 errored, 3 never clicked
+    # not-clause with a value variable shared through the solution set
+    out2 = sorted(
+        (r["e"], r["v"])
+        for r in datalog.query(
+            datoms,
+            find=["?e", "?v"],
+            where=[["?e", "click", "?v"], ("not", ["_", "error", "?v"])],
+        ).collect()
+    )
+    assert out2 == [(1, "a"), (2, "c")]
