@@ -52,6 +52,18 @@ def _is_not_clause(c) -> bool:
     )
 
 
+def _is_or_clause(c) -> bool:
+    """Datomic ``(or [?e :a ?v] [?e :b ?v])`` — here
+    ``("or", [clause, clause, ...])``.  Every branch must bind the same
+    variables (Datomic's rule)."""
+    return (
+        isinstance(c, (tuple, list))
+        and len(c) == 2
+        and c[0] == "or"
+        and isinstance(c[1], (list, tuple))
+    )
+
+
 def _clause_df(datoms: DataFrame, idx: int, clause) -> tuple[DataFrame, dict]:
     """One [e a v] pattern → filtered/projected DataFrame whose columns are
     the clause's variable names (without '?')."""
@@ -253,6 +265,31 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
     if not where:
         raise ValueError("empty :where")
     plain_find, agg_find = _parse_find(find)
+    ors = [c[1] for c in where if _is_or_clause(c)]
+    if ors and not agg_find:  # with aggregates, the agg branch recurses
+        # into the or-rewrite on the plain solution set first
+        # (or b1 b2 …) = union of the query with each branch substituted;
+        # branches must bind identical variables, so each substitution
+        # yields the same schema and unionByName + the final distinct give
+        # Datomic's set-union semantics.  One or-clause per rewrite pass;
+        # nested/multiple or-clauses recurse.
+        idx = next(i for i, c in enumerate(where) if _is_or_clause(c))
+        branches = where[idx][1]
+        if not branches:
+            raise ValueError("empty or-clause")
+        parts = [
+            query(datoms, find, list(where[:idx]) + [b] + list(where[idx + 1:]))
+            for b in branches
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            if set(p.columns) != set(out.columns):
+                raise ValueError(
+                    "or-clause branches must bind the same variables"
+                )
+            out = out.unionByName(p)
+        return out.distinct()
+
     negs = [c[1] for c in where if _is_not_clause(c)]
     pos = [c for c in where if not _is_not_clause(c)]
     if negs and not agg_find:

@@ -1485,6 +1485,38 @@ QUERIES["datalog_not"] = q_datalog_not
 ORACLES["datalog_not"] = ORACLE_DATALOG_NOT
 
 
+def q_datalog_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic or + not composed: users with a click OR a view who never
+    errored — the or-clause rewrites to a union of branch queries, the
+    not-clause anti-joins the result."""
+    from . import datalog
+
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        F.col("event_id").cast("string").alias("v"),
+    )
+    return datalog.query(
+        datoms,
+        find=["?e"],
+        where=[
+            ("or", [["?e", "click", "_"], ["?e", "view", "_"]]),
+            ("not", ["?e", "error", "_"]),
+        ],
+    )
+
+
+ORACLE_DATALOG_OR = """
+SELECT DISTINCT user_id AS e FROM events
+WHERE event_type IN ('click', 'view')
+  AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+"""
+
+QUERIES["datalog_or"] = q_datalog_or
+ORACLES["datalog_or"] = ORACLE_DATALOG_OR
+
+
 def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: events matched to overlapping campaign
     windows (6-day windows every 5 days, derived from region — adjacent

@@ -251,3 +251,37 @@ def test_not_clause_anti_join(spark):
         ).collect()
     )
     assert out2 == [(1, "a"), (2, "c")]
+
+
+def test_or_clause_union(spark):
+    from db_migration_spark import datalog
+
+    datoms = spark.createDataFrame(
+        [
+            (1, "click", "a"),
+            (2, "view", "b"),
+            (3, "error", "c"),
+            (4, "click", "d"),
+            (4, "view", "e"),
+        ],
+        "e LONG, a STRING, v STRING",
+    )
+    out = sorted(
+        r["e"]
+        for r in datalog.query(
+            datoms,
+            find=["?e"],
+            where=[("or", [["?e", "click", "_"], ["?e", "view", "_"]])],
+        ).collect()
+    )
+    assert out == [1, 2, 4]  # 4 matches both branches, appears once (set)
+    # or composed with not and an aggregate
+    row = datalog.query(
+        datoms,
+        find=["(count ?e)"],
+        where=[
+            ("or", [["?e", "click", "_"], ["?e", "view", "_"]]),
+            ("not", ["?e", "error", "_"]),
+        ],
+    ).collect()[0]
+    assert row["count_e"] == 3
