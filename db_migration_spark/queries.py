@@ -1517,6 +1517,38 @@ QUERIES["datalog_or"] = q_datalog_or
 ORACLES["datalog_or"] = ORACLE_DATALOG_OR
 
 
+def q_datalog_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive Datalog rule (ancestor over a parent relation) via path
+    doubling: parent edges k → k/2 over the customer keys form a binary
+    tree ~log₂(n) deep; the closure finds every (node, ancestor) pair in
+    ⌈log₂ depth⌉ self-join rounds.  Oracled by a DuckDB recursive CTE —
+    the iterative fixpoint sits inside the exact-correctness gate."""
+    from . import datalog
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") >= 1).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("long").alias("dst"),
+    )
+    return datalog.transitive_closure(edges)
+
+
+ORACLE_DATALOG_ANCESTORS = """
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS src, CAST(floor(c_custkey / 2) AS BIGINT) AS dst
+  FROM customer WHERE c_custkey >= 1
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src, dst FROM reach
+"""
+
+QUERIES["datalog_ancestors"] = q_datalog_ancestors
+ORACLES["datalog_ancestors"] = ORACLE_DATALOG_ANCESTORS
+
+
 def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: events matched to overlapping campaign
     windows (6-day windows every 5 days, derived from region — adjacent

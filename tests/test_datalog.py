@@ -285,3 +285,23 @@ def test_or_clause_union(spark):
         ],
     ).collect()[0]
     assert row["count_e"] == 3
+
+
+def test_transitive_closure_chain_and_dag(spark):
+    from db_migration_spark import datalog
+
+    # chain 1→2→3→4 plus a diamond 10→{11,12}→13
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 13), (12, 13)],
+        "src LONG, dst LONG",
+    )
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in datalog.transitive_closure(edges).collect()
+    )
+    assert got == sorted(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (10, 11), (10, 12), (10, 13), (11, 13), (12, 13),
+        ]
+    )
