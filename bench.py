@@ -56,6 +56,8 @@ HEADLINE = [
     "datalog_join",
     "range_join_campaigns",
     "dedup_components",
+    "datalog_ancestors",
+    "corpus_datacard",
 ]
 
 

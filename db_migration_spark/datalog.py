@@ -240,6 +240,7 @@ def transitive_closure(
         .distinct()
         .persist()
     )
+    n_prev = reach.count()
     for _ in range(max_rounds):
         hop = (
             reach.alias("l")
@@ -250,11 +251,14 @@ def transitive_closure(
             .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
         )
         new_reach = reach.unionByName(hop).distinct().persist()
-        grew = new_reach.count() > reach.count()
+        # one count action per round; the previous round's size is carried
+        # in the driver variable instead of re-counting cached data
+        n_new = new_reach.count()
         reach.unpersist()
         reach = new_reach
-        if not grew:
+        if n_new == n_prev:
             break
+        n_prev = n_new
     return reach
 
 

@@ -105,7 +105,12 @@ def _complete(path: str) -> bool:
 def _ensure_ace_dump(spark: SparkSession, sf_dir: str) -> str:
     out = _fx(sf_dir, "ace_dump")
     if not _complete(out):
-        _ace_dump_blocks(spark, sf_dir).write.mode("overwrite").text(out)
+        # gzip so the oracled e2e path exercises S5 (transparent .gz
+        # decompression through the blank-line block source) like the
+        # reference's gzipped dumps
+        _ace_dump_blocks(spark, sf_dir).write.mode("overwrite").option(
+            "compression", "gzip"
+        ).text(out)
     return out
 
 

@@ -132,6 +132,44 @@ def parse_ace_dump(spark: SparkSession, path: str) -> DataFrame:
     return blocks.mapInPandas(parse_batches, ACE_RECORD_SCHEMA)
 
 
+REJECT_SCHEMA = StructType(
+    [
+        StructField("block", StringType()),
+        StructField("reason", StringType()),
+        StructField("src_file", StringType()),
+    ]
+)
+
+
+def parse_ace_rejects(spark: SparkSession, path: str) -> DataFrame:
+    """Reject side-channel: blocks the parser drops (no parsable header)
+    or whose lines yield no records — the engine-side analog of the
+    reference's import error log (pseudoace reports rejected objects
+    rather than failing the run).  Run over the same dump dir as
+    :func:`parse_ace_dump`; a healthy dump returns 0 rows.
+
+    Same scale shape as the parse itself: mapInPandas over the block
+    source, no shuffle."""
+    blocks = read_ace_blocks(spark, path)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for block, src in zip(pdf["value"], pdf["src_file"]):
+                lines = [ln for ln in block.splitlines() if ln.strip()]
+                if not lines:
+                    continue
+                if not _HEADER_RE.match(lines[0]):
+                    rows.append((block, "unparsable header", src))
+                elif len(lines) > 1 and not parse_block(block, src):
+                    rows.append((block, "no records extracted", src))
+            yield pd.DataFrame(
+                rows, columns=["block", "reason", "src_file"]
+            )
+
+    return blocks.mapInPandas(scan, REJECT_SCHEMA)
+
+
 def ace_records_to_datoms(records: DataFrame) -> DataFrame:
     """X1 second half: parsed .ace records → datom stream (e,a,v,tx,op,class).
 

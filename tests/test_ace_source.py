@@ -69,3 +69,21 @@ def test_parse_ace_dump_end_to_end(spark, tmp_path):
     assert "Gene/Identity.Version" in attrs
     ts = {d["v"]: d["tx"] for d in datoms}
     assert ts["1"] is not None and ts["1"].year == 2010
+
+
+def test_parse_ace_rejects_side_channel(spark, tmp_path):
+    from db_migration_spark.sources.ace import parse_ace_dump, parse_ace_rejects
+
+    dump = tmp_path / "dump.ace"
+    dump.write_text(
+        'Gene : "g1"\nName "abc"\n'
+        "\n"
+        "this is not a header ::: at all ::\njunk line\n"
+        "\n"
+        'Gene : "g2"\nName "def"\n'
+    )
+    good = parse_ace_dump(spark, str(dump))
+    bad = parse_ace_rejects(spark, str(dump))
+    assert good.count() == 2
+    rejects = bad.collect()
+    assert len(rejects) == 1 and rejects[0]["reason"] == "unparsable header"
