@@ -110,6 +110,19 @@ def compact_store(
     ).write.mode("overwrite").parquet(out_dir)
 
 
+def streaming_class_counts(datoms: DataFrame) -> DataFrame:
+    """Streaming analog of the X6 flagship's count side: running
+    per-class distinct-entity counts maintained incrementally as the
+    import stream lands (``approx_count_distinct`` — exact distinct needs
+    unbounded state; the QA gate re-checks exactly on the final store).
+    Pair with ``outputMode('update')`` and a foreachBatch reconcile
+    against the id catalog for a live QA dashboard."""
+    return datoms.groupBy("class" if "class" in datoms.columns else "a").agg(
+        F.count(F.lit(1)).alias("n_datoms"),
+        F.approx_count_distinct("e").alias("approx_entities"),
+    )
+
+
 def stream_dedup(
     records: DataFrame,
     subset: list[str],

@@ -231,3 +231,43 @@ def test_stream_dedup_drops_redelivered_keys(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["v"] for r in spark.read.parquet(out).collect())
     assert got == ["AAA", "BBB"]  # one row per (a, v) fingerprint
+
+
+def test_streaming_class_counts_update_mode(spark, tmp_path):
+    """Running per-attribute counts maintained across the stream; final
+    state equals the batch aggregate."""
+    import datetime
+
+    from db_migration_spark.streaming.import_stream import (
+        DATOM_SCHEMA,
+        stream_datoms,
+        streaming_class_counts,
+    )
+
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "Gene", "a", t, True),
+        (2, "Gene", "b", t, True),
+        (1, "Gene", "c", t, True),
+        (3, "Protein", "d", t, True),
+    ]
+    spark.createDataFrame(rows, DATOM_SCHEMA).write.parquet(src)
+    counts = streaming_class_counts(stream_datoms(spark, src))
+    q = (
+        counts.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .format("memory")
+        .queryName("cls_counts")
+        .outputMode("complete")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["a"]: (r["n_datoms"], r["approx_entities"])
+        for r in spark.sql("SELECT * FROM cls_counts").collect()
+    }
+    assert got["Gene"][0] == 3 and got["Protein"][0] == 1
+    # approx distinct is exact at this cardinality
+    assert got["Gene"][1] == 2 and got["Protein"][1] == 1
