@@ -555,30 +555,35 @@ def embedding_cosine_pairs_blocked(
         )
         .distinct()
     )
-    # norms are per-VECTOR quantities: compute them once per corpus row
-    # here (O(n) array traversals) and carry one scalar through the pair
-    # join, so the per-pair verify is a single dot-product aggregate —
-    # not the 3 traversals (dot + both norms) cosine() would spend per
-    # candidate.  Same fp path as the oracle: dot / (norm_a * norm_b).
-    from ..functions.vectors import dot, norm
+    # Verify stage, codegen-flat: higher-order-function lambdas run
+    # INTERPRETED per element, so an aggregate-over-zip_with dot on
+    # millions of candidate pairs dominates the query.  Instead each
+    # vector is unpacked once into ``dim`` double columns (getItem is a
+    # plain codegen expression) and the dot is a flat 64-term
+    # multiply-add — whole-stage codegen end to end.  Accumulation stays
+    # left-to-right in index order, so results are bit-identical to the
+    # aggregate form and the oracle.  Norms are per-VECTOR: computed once
+    # per corpus row, carried as one scalar through the join.
+    from ..functions.vectors import norm
 
-    va = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        norm(vec_col).alias("__na"),
-    )
-    vb = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        norm(vec_col).alias("__nb"),
-    )
+    def unpack(side: str):
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            norm(vec_col).alias(f"__n{side}"),
+            *[
+                F.col(vec_col)[i].cast("double").alias(f"__{side}{i}")
+                for i in range(dim)
+            ],
+        )
+
+    dot_flat = F.col("__a0") * F.col("__b0")
+    for i in range(1, dim):
+        dot_flat = dot_flat + F.col(f"__a{i}") * F.col(f"__b{i}")
     denom = F.col("__na") * F.col("__nb")
-    score = F.when(denom > 0, dot("vec_a", "vec_b") / denom).otherwise(
-        F.lit(0.0)
-    )
+    score = F.when(denom > 0, dot_flat / denom).otherwise(F.lit(0.0))
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        cands.join(unpack("a"), "id_a")
+        .join(unpack("b"), "id_b")
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
