@@ -61,11 +61,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # COUNT/MIN/MAX over plain parquet scans answer from row-group
-        # footers instead of data pages — the profile/QA count queries
-        # read metadata only (off by default; safe for our immutable
-        # snapshot stores)
-        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # the events fixture carries TIMESTAMP(NANOS) parquet columns, which
         # Spark has no native type for; read as long and convert in catalog
