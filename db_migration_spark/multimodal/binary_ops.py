@@ -195,6 +195,37 @@ def payload_stats(media: DataFrame) -> DataFrame:
     )
 
 
+SNIFF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def sniff_image_meta(media: DataFrame) -> DataFrame:
+    """Header-only image metadata (REAL parsing, no codec libs): sniff
+    PNG/JPEG/GIF/BMP and extract dimensions from the fixed headers
+    (multimodal/image_meta.py).  The canonical first pass over a raw
+    media corpus — routes payloads by format and dimension band without
+    ever touching pixel data."""
+    from .image_meta import image_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fmt, w, h = image_meta(bytes(p) if p is not None else None)
+                rows.append((int(mid), fmt, w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "format", "width", "height"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, SNIFF_SCHEMA)
+
+
 WAV_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -1711,6 +1711,63 @@ QUERIES["multimodal_wav_meta"] = q_multimodal_wav_meta
 ORACLES["multimodal_wav_meta"] = ORACLE_MULTIMODAL_WAV
 
 
+def q_multimodal_image_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format sniffing + header-only dimension extraction across four
+    raster formats (PNG real encode; JPEG/GIF/BMP minimal real headers)
+    — the first pass over a raw media corpus, no codec libs involved.
+    One payload per (nation, format); oracle recomputes format and the
+    formula dimensions."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import sniff_image_meta
+    from .multimodal.image_meta import (
+        make_bmp_header,
+        make_gif_header,
+        make_jpeg_header,
+    )
+    from .multimodal.png_codec import encode_png_rgb
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for kk in pdf["k"]:
+                k = int(kk)
+                w, h = 4 + k % 8, 4 + (k * 7) % 8
+                rows.append((k * 4 + 0, encode_png_rgb(w, h, b"\x10" * (w * h * 3))))
+                rows.append((k * 4 + 1, make_jpeg_header(w + 100, h + 100)))
+                rows.append((k * 4 + 2, make_gif_header(w + 200, h + 200)))
+                rows.append((k * 4 + 3, make_bmp_header(w + 300, h + 300)))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+    return sniff_image_meta(media)
+
+
+ORACLE_IMAGE_SNIFF = """
+WITH base AS (
+  SELECT n_nationkey AS k,
+         4 + n_nationkey % 8 AS w,
+         4 + (n_nationkey * 7) % 8 AS h
+  FROM nation
+)
+SELECT CAST(k * 4 + f.i AS BIGINT) AS media_id, f.fmt AS format,
+       CAST(w + f.off AS INTEGER) AS width,
+       CAST(h + f.off AS INTEGER) AS height
+FROM base
+CROSS JOIN (VALUES (0, 'png', 0), (1, 'jpeg', 100),
+                   (2, 'gif', 200), (3, 'bmp', 300)) AS f(i, fmt, off)
+"""
+
+QUERIES["multimodal_image_sniff"] = q_multimodal_image_sniff
+ORACLES["multimodal_image_sniff"] = ORACLE_IMAGE_SNIFF
+
+
 def q_j_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join under the oracle gate: events (user_id is the
     hot-key-prone fact side) ⋈ a small per-user dim built from customer.

@@ -234,3 +234,27 @@ def test_wav_meta_roundtrip(spark):
         row["n_frames"],
         row["duration_ms"],
     ) == (2, 16000, 800, 50.0)
+
+
+def test_image_meta_sniffs_all_formats_and_unknowns():
+    from db_migration_spark.multimodal.image_meta import (
+        image_meta,
+        make_bmp_header,
+        make_gif_header,
+        make_jpeg_header,
+    )
+    from db_migration_spark.multimodal.png_codec import encode_png_rgb
+
+    assert image_meta(encode_png_rgb(5, 7, b"\x01" * 105)) == ("png", 5, 7)
+    assert image_meta(make_jpeg_header(640, 480)) == ("jpeg", 640, 480)
+    assert image_meta(make_gif_header(31, 17)) == ("gif", 31, 17)
+    assert image_meta(make_bmp_header(12, 34)) == ("bmp", 12, 34)
+    # JPEG with a leading APP0 segment before SOF0 (the common case)
+    import struct
+
+    jpeg = make_jpeg_header(99, 44)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    assert image_meta(jpeg[:2] + app0 + jpeg[2:]) == ("jpeg", 99, 44)
+    assert image_meta(b"\x00" * 64) == ("unknown", 0, 0)
+    assert image_meta(None) == ("unknown", 0, 0)
+    assert image_meta(b"BM") == ("unknown", 0, 0)  # truncated
