@@ -1768,6 +1768,34 @@ QUERIES["multimodal_image_sniff"] = q_multimodal_image_sniff
 ORACLES["multimodal_image_sniff"] = ORACLE_IMAGE_SNIFF
 
 
+def q_x7_multi_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 cardinality-many pivot: EAV → one sorted ``array<string>`` per
+    attribute per entity (pivot_multi) — the wide form for multi-valued
+    ACeDB tags (the card-one exact pivot is x7_pivot_roundtrip).  Arrays
+    are sorted, so results are layout-independent and hashable."""
+    melted = _melted_lineitem(spark, sf_dir)
+    return eav.pivot_multi(
+        melted.filter(F.col("a").isin("l_returnflag", "l_linestatus")),
+        ["l_returnflag", "l_linestatus"],
+    )
+
+
+ORACLE_X7_MULTI = f"""
+WITH m AS ({_ORACLE_MELT_BODY})
+SELECT e,
+       array_agg(v ORDER BY v) FILTER (WHERE a = 'l_returnflag')
+         AS l_returnflag,
+       array_agg(v ORDER BY v) FILTER (WHERE a = 'l_linestatus')
+         AS l_linestatus
+FROM m
+WHERE a IN ('l_returnflag', 'l_linestatus')
+GROUP BY e
+"""
+
+QUERIES["x7_multi_pivot"] = q_x7_multi_pivot
+ORACLES["x7_multi_pivot"] = ORACLE_X7_MULTI
+
+
 def q_j_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join under the oracle gate: events (user_id is the
     hot-key-prone fact side) ⋈ a small per-user dim built from customer.
