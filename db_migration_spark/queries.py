@@ -1796,6 +1796,45 @@ QUERIES["x7_multi_pivot"] = q_x7_multi_pivot
 ORACLES["x7_multi_pivot"] = ORACLE_X7_MULTI
 
 
+def q_x7_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 escape hatch for very wide/sparse classes: one ``map<a,v>`` per
+    entity instead of thousands of sparse columns (to_attr_map), rendered
+    as sorted-key JSON for engine-portable comparison.  Restricted to
+    entities with unique (orderkey, linenumber) — duplicate map keys are
+    an error by design (mapKeyDedupPolicy=EXCEPTION)."""
+    melted = _melted_lineitem(spark, sf_dir)
+    w = Window.partitionBy("e")
+    unique = (
+        melted.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") == len(_MELT_ATTRS))
+        .drop("__n")
+    )
+    mapped = eav.to_attr_map(unique)
+    return mapped.select("e", F.to_json("attrs").alias("attrs_json"))
+
+
+ORACLE_X7_ATTR_MAP = (
+    "WITH m AS ("
+    + _ORACLE_MELT_BODY
+    + """),
+u AS (
+  SELECT * FROM (
+    SELECT m.*, count(*) OVER (PARTITION BY e) AS __n FROM m
+  ) WHERE __n = """
+    + str(len(_MELT_ATTRS))
+    + """
+)
+SELECT e,
+       '{' || string_agg('"' || a || '":"' || v || '"', ',' ORDER BY a, v)
+           || '}' AS attrs_json
+FROM u GROUP BY e
+"""
+)
+
+QUERIES["x7_attr_map"] = q_x7_attr_map
+ORACLES["x7_attr_map"] = ORACLE_X7_ATTR_MAP
+
+
 def q_j_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join under the oracle gate: events (user_id is the
     hot-key-prone fact side) ⋈ a small per-user dim built from customer.
