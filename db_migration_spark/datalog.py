@@ -232,13 +232,19 @@ def transitive_closure(
     Returns all (src, dst) pairs with a directed path, self-pairs
     excluded unless present as cycles.
     """
+    # localCheckpoint, not persist: the doubling round references `reach`
+    # THREE times (both join sides + union), so without lineage truncation
+    # the logical plan grows 3^rounds and the driver OOMs rendering it on
+    # deep graphs (same failure mode hypothesis caught in
+    # connected_components).  On a cluster prefer reliable
+    # checkpoint(dir) for executor-loss tolerance.
     reach = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
             F.col(dst_col).cast("long").alias("dst"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     n_prev = reach.count()
     for _ in range(max_rounds):
@@ -250,11 +256,10 @@ def transitive_closure(
             )
             .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
         )
-        new_reach = reach.unionByName(hop).distinct().persist()
+        new_reach = reach.unionByName(hop).distinct().localCheckpoint()
         # one count action per round; the previous round's size is carried
         # in the driver variable instead of re-counting cached data
         n_new = new_reach.count()
-        reach.unpersist()
         reach = new_reach
         if n_new == n_prev:
             break

@@ -395,11 +395,19 @@ def connected_components(
     sym = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # Lineage MUST be truncated each round, not just cached: the round
+    # plan references `labels` twice (join side + union side), so the
+    # logical tree doubles per iteration — a long-chain graph OOMs the
+    # driver merely rendering the plan after ~10 rounds (found by the
+    # hypothesis property suite).  localCheckpoint materializes the rows
+    # AND cuts the plan back to a leaf; on a production cluster prefer
+    # reliable checkpoint(dir) (localCheckpoint does not survive executor
+    # loss).
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = sym.join(
@@ -409,7 +417,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -418,7 +426,6 @@ def connected_components(
             .filter(F.col("comp") != F.col("comp_old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
