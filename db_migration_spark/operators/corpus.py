@@ -1,0 +1,277 @@
+"""Corpus-preparation operators for the training-data pipeline (SURVEY
+§2.12 north star): n-gram LM quality scoring, frequent-span scrubbing,
+sequence packing, deterministic splits, URL canonicalization.
+
+All operators take a ``documents``-shaped DataFrame (``doc_id, text``
+plus optional metadata columns) and compose into the existing
+quality/dedup pipeline (operators/dedup.py, functions/text.py).  Design
+rules as elsewhere in the package: built-in expressions only (no Python
+per row), shuffles carry hashes/ids — never the document text — and no
+global single-task stages on corpus-sized inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+
+def lm_score(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-one-smoothed bigram LM
+    on the corpus itself and score every document by its mean bigram
+    negative log-likelihood (and perplexity).  Documents far from the
+    corpus distribution (noise, boilerplate, wrong language) score high —
+    the standard "perplexity filter" knob of a pre-training data mix, here
+    self-trained so it needs no external model artifact.
+
+    Plan shape: one explode of (h1=hash(w1), h2=hash(w1 w2)) pairs feeds
+    three hash aggregates (bigram counts, context counts, distinct-vocab
+    size) and the scoring join.  Every shuffle carries 8-byte hashes and
+    counts — the text never moves after the map stage.  The vocab-size
+    scalar rides the plan as a broadcast 1-row join, not an eager
+    ``.collect()``.  P(w2|w1) = (C(w1 w2)+1) / (C(w1)+V) with C(w1)
+    counted over bigram contexts, so probabilities sum to 1 per context.
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+    base = docs.select(F.col("doc_id"), toks.alias("toks"))
+    pairs = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.xxhash64(F.element_at(F.col("toks"), i)).alias("h1"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                " ",
+                                F.element_at(F.col("toks"), i),
+                                F.element_at(F.col("toks"), i + 1),
+                            )
+                        ).alias("h2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.h1", "p.h2")
+    )
+    bigram_counts = pairs.groupBy("h2").agg(F.count(F.lit(1)).alias("c2"))
+    context_counts = pairs.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = base.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    nll = F.log(F.col("c1") + F.col("v")) - F.log(F.col("c2") + F.lit(1))
+    return (
+        pairs.join(bigram_counts, "h2")
+        .join(context_counts, "h1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), round_to).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), round_to).alias("ppl"),
+        )
+    )
+
+
+def scrub_frequent_ngrams(docs: DataFrame, k: int = 3, min_df: int = 5) -> DataFrame:
+    """Boilerplate / duplicate-span removal (the C4 "repeated lines" and
+    Lee-et-al duplicate-substring pass, at n-gram granularity): any word
+    ``k``-gram occurring in ≥ ``min_df`` distinct documents is boilerplate;
+    every token covered by an occurrence of a boilerplate k-gram is dropped
+    and the document is rebuilt from the surviving tokens.
+
+    Plan shape: posexplode of per-doc (start, hash(k-gram)) pairs → df
+    count by hash → semi-ish join back to occurrences → ``collect_list``
+    of covered starts per doc (ints only) → array-expression rebuild.
+    Shuffles carry (doc_id, start, 8-byte hash); the text stays in the
+    map stages.  k-gram identity is by 64-bit hash, as in the
+    contamination screen — identical to string identity barring xxhash64
+    collisions.
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+    base = docs.select(F.col("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    grams = (
+        base.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - k + 1),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(F.col("toks"), i, k), " ")
+                    ),
+                )
+            ).alias("pos", "g"),
+        )
+        # posexplode is 0-based; starts are 1-based token indices
+        .select("doc_id", (F.col("pos") + 1).alias("s"), "g")
+    )
+    frequent = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    covered = (
+        grams.join(frequent, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("starts"))
+    )
+    joined = base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("st"),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda t: F.size(
+            F.filter(F.col("st"), lambda x: (x <= t) & (t < x + k))
+        )
+        == 0,
+    )
+    return joined.select(
+        "doc_id",
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at(F.col("toks"), i)), " "
+        ).alias("clean_text"),
+    )
+
+
+def pack_manifest(
+    docs: DataFrame, seq_len: int = 512, bucket_size: int = 64
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay all documents end-to-end in
+    ``doc_id`` order and cut the token stream into fixed ``seq_len``
+    windows — the manifest every LLM pre-training loader consumes.  Output
+    is one row per (sequence, document-piece): ``seq_id, doc_id,
+    doc_offset`` (first packed token's index within the doc), ``seq_offset``
+    (its position within the sequence), ``seg_len``.
+
+    The global running-token-offset is a prefix sum, computed scalably as a
+    two-level scan: an in-bucket cumulative window (partitioned by
+    ``doc_id div bucket_size`` — parallel), plus bucket base offsets from a
+    window over the per-bucket totals table, which is ``bucket_size``×
+    smaller than the corpus.  No corpus-sized single-task stage; for
+    extreme scales the same fan-in recurses (buckets of buckets).  The
+    bucket-offset table joins back broadcast.
+    """
+    n_tok = TXT.token_count(F.col("text")).cast("long")
+    base = (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tok"),
+            F.expr(f"doc_id div {bucket_size}").alias("bucket"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = base.withColumn(
+        "start_in_bucket", F.sum("n_tok").over(in_bucket) - F.col("n_tok")
+    )
+    bucket_totals = base.groupBy("bucket").agg(F.sum("n_tok").alias("tot"))
+    over_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_offsets = bucket_totals.select(
+        "bucket",
+        F.coalesce(F.sum("tot").over(over_buckets), F.lit(0)).alias("base"),
+    )
+    spans = with_cum.join(F.broadcast(bucket_offsets), "bucket").select(
+        "doc_id",
+        (F.col("base") + F.col("start_in_bucket")).alias("start"),
+        (F.col("base") + F.col("start_in_bucket") + F.col("n_tok")).alias("end"),
+    )
+    pieces = spans.select(
+        "doc_id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {seq_len}"), F.expr(f"(end - 1) div {seq_len}")
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+    seg_end = F.least(F.col("end"), (F.col("seq_id") + 1) * seq_len)
+    return pieces.select(
+        "seq_id",
+        "doc_id",
+        (seg_start - F.col("start")).alias("doc_offset"),
+        (seg_start - F.col("seq_id") * seq_len).alias("seq_offset"),
+        (seg_end - seg_start).alias("seg_len"),
+    )
+
+
+def split_assign(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket on the first two hex
+    chars of ``md5(doc_id)`` — engine-portable, layout-independent, and a
+    pure map stage (no shuffle, no per-stratum window), so it is exactly as
+    scalable as a filter.  ~10.2% test (< 0x1a), ~10.2% val (< 0x34), rest
+    train; membership is stable under any repartition or corpus growth,
+    unlike fraction-based ``randomSplit``.
+    """
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < "1a", F.lit("test"))
+        .when(b < "34", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+def canonical_url(url: F.Column) -> F.Column:
+    """Canonicalize a URL with engine-portable regexp/array expressions
+    (no ``parse_url``, which the DuckDB oracle lacks): lowercase scheme and
+    host, strip a leading ``www.``, the default ``:443`` port, the fragment,
+    and ``utm_*``/``ref`` tracking parameters; sort surviving query params.
+    Pure expression — composes into any scan as a map stage."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/]+)", 1))
+    host = F.regexp_replace(F.regexp_replace(host, r"^www\.", ""), ":443$", "")
+    path_q = F.regexp_extract(u, r"^[A-Za-z]+://[^/]+(.*)$", 1)
+    path = F.regexp_extract(path_q, r"^([^?]*)", 1)
+    q = F.regexp_extract(path_q, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|ref)="),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_dedup(docs_with_url: DataFrame) -> DataFrame:
+    """URL-keyed dedup over a ``(doc_id, url)`` frame: group by canonical
+    URL, keep the lowest ``doc_id`` as survivor.  One hash aggregate on the
+    canonical string; at crawl scale the canonical form should be hashed
+    first (``xxhash64``) so the shuffle carries 8 bytes — kept as the
+    readable string here because the declared query's oracle compares the
+    URLs themselves."""
+    return (
+        docs_with_url.select(
+            "doc_id", canonical_url(F.col("url")).alias("canon_url")
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )

@@ -2895,3 +2895,9 @@ ORACLES.update(
 from .queries_e2e import register as _register_e2e  # noqa: E402
 
 _register_e2e(QUERIES, ORACLES)
+
+# corpus-preparation pipeline queries (LM scoring, scrubbing, packing,
+# splits, URL dedup)
+from .queries_corpus import register as _register_corpus  # noqa: E402
+
+_register_corpus(QUERIES, ORACLES)

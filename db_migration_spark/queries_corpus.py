@@ -1,0 +1,219 @@
+"""Declared queries for the corpus-preparation operators
+(operators/corpus.py): self-trained bigram-LM perplexity scoring,
+frequent-span boilerplate scrubbing, sequence packing, deterministic
+stratified splits, canonical-URL dedup — the remaining standard passes of
+a pre-training data pipeline, each with an exact DuckDB oracle.
+
+URL inputs are planted deterministically from ``doc_id`` (the documents
+table carries no URLs), the same pattern the PII query uses: both engines
+plant identical strings, so canonicalization semantics are inside the
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import corpus as C
+
+
+def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter over ``documents`` (operators/corpus.py
+    ``lm_score``): the CCNet-style quality knob, self-trained on the corpus
+    so it ships no external model artifact."""
+    return C.lm_score(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_LM_PPL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+  FROM toks
+), pairs AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM toks)
+), scored AS (
+  SELECT p.doc_id, ln(c1.c1 + v.v) - ln(c2.c2 + 1) AS nll
+  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll,
+       round(exp(avg(nll)), 6) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-3-gram span removal over ``documents`` (operators/corpus.py
+    ``scrub_frequent_ngrams``, df ≥ 5) — the C4 repeated-line / duplicate-
+    substring boilerplate pass at n-gram granularity."""
+    return C.scrub_frequent_ngrams(
+        load_table(spark, sf_dir, "documents"), k=3, min_df=5
+    )
+
+
+ORACLE_SCRUB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT * FROM toks WHERE len(toks) > 0
+), pos AS (
+  SELECT doc_id, p.s AS s, p.g AS g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 3 + 2),
+                  i -> struct_pack(s := i, g := array_to_string(list_slice(toks, i, i + 2), ' ')))) AS p
+    FROM base WHERE len(toks) >= 3
+  )
+), freq AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g)
+  WHERE df >= 5
+), starts AS (
+  SELECT doc_id, list(DISTINCT s) AS starts FROM pos JOIN freq USING (g) GROUP BY doc_id
+), joined AS (
+  SELECT b.doc_id, b.toks, coalesce(s.starts, CAST([] AS BIGINT[])) AS st
+  FROM base b LEFT JOIN starts s USING (doc_id)
+), rebuilt AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks) + 1),
+                     t -> len(list_filter(st, x -> x <= t AND t < x + 3)) = 0) AS kept
+  FROM joined
+)
+SELECT doc_id,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       array_to_string(list_transform(kept, i -> toks[i]), ' ') AS clean_text
+FROM rebuilt
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest over ``documents``
+    (operators/corpus.py ``pack_manifest``, seq_len=512): which piece of
+    which document lands where in each fixed-length training sequence.
+    The prefix sum is a two-level scan — no corpus-sized single-task
+    stage (the oracle, single-node, uses a plain global window)."""
+    return C.pack_manifest(
+        load_table(spark, sf_dir, "documents"), seq_len=512, bucket_size=64
+    )
+
+
+ORACLE_PACK = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS s
+  FROM d WHERE n_tok > 0
+), spans AS (
+  SELECT doc_id, s, s + n_tok AS e FROM c
+), pieces AS (
+  SELECT doc_id, s, e, unnest(range(s // 512, (e - 1) // 512 + 1)) AS seq_id FROM spans
+)
+SELECT seq_id, doc_id,
+       greatest(s, seq_id * 512) - s AS doc_offset,
+       greatest(s, seq_id * 512) - seq_id * 512 AS seq_offset,
+       least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS seg_len
+FROM pieces
+"""
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split over ``documents``
+    (operators/corpus.py ``split_assign``) — map-only, stable under
+    repartition and corpus growth."""
+    return C.split_assign(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SPLIT = """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: deterministic messy URLs (mixed-case host,
+    default port, www, fragment, utm/ref tracking params) planted from
+    ``doc_id``, canonicalized with portable expressions
+    (operators/corpus.py ``canonical_url``), grouped to survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.format_string(
+        "HTTPS://WWW.Example%d.COM:443/cat%d/item?utm_source=feed&ref=%d&id=%d#s%d",
+        F.col("doc_id") % 7,
+        F.col("doc_id") % 40,
+        F.col("doc_id") % 3,
+        F.col("doc_id") % 20,
+        F.col("doc_id"),
+    )
+    return C.url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+ORACLE_URL_DEDUP = r"""
+WITH planted AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/cat' || (doc_id % 40)
+         || '/item?utm_source=feed&ref=' || (doc_id % 3) || '&id=' || (doc_id % 20)
+         || '#s' || doc_id AS url
+  FROM documents
+), stripped AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM planted
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(u, '^[A-Za-z]+://([^/]+)', 1)), '^www\.', ''), ':443$', '') AS host,
+         regexp_extract(u, '^[A-Za-z]+://[^/]+(.*)$', 1) AS pq
+  FROM stripped
+), canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || regexp_extract(pq, '^([^?]*)', 1) ||
+         CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+  FROM (
+    SELECT doc_id, scheme, host, pq,
+           list_sort(list_filter(string_split(regexp_extract(pq, '\?(.*)$', 1), '&'),
+                     p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref)='))) AS params
+    FROM parts
+  )
+)
+SELECT canon_url, min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY canon_url
+"""
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries.update(
+        {
+            "text_lm_perplexity": q_text_lm_perplexity,
+            "text_boilerplate_scrub": q_text_boilerplate_scrub,
+            "pack_sequences": q_pack_sequences,
+            "sample_split": q_sample_split,
+            "url_canonical_dedup": q_url_canonical_dedup,
+        }
+    )
+    oracles.update(
+        {
+            "text_lm_perplexity": ORACLE_LM_PPL,
+            "text_boilerplate_scrub": ORACLE_SCRUB,
+            "pack_sequences": ORACLE_PACK,
+            "sample_split": ORACLE_SPLIT,
+            "url_canonical_dedup": ORACLE_URL_DEDUP,
+        }
+    )
