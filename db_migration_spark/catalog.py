@@ -49,17 +49,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table.  Parquet scan → Catalyst gets pushdown,
     column pruning and partition-split parallelism for free.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer — a type Spark
-    does not model — so it arrives as nanosecond longs (see
-    ``legacy.parquet.nanosAsLong`` in session.py) and is truncated to
-    microseconds here, matching DuckDB's ns→µs cast."""
+    ``events.ts`` is normalized to Spark's TIMESTAMP (local-tz) type
+    whatever the fixture's parquet annotation is — generations have
+    shipped TIMESTAMP(NANOS) (no Spark type; arrives as nanosecond longs
+    via ``legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ, which watermarks
+    and window functions reject).  The session timezone is pinned to UTC,
+    so the NTZ→LTZ cast is the identity on the wall-clock values and
+    matches DuckDB's naive-timestamp reading."""
     if name == "events":
         # self-sufficient even when the caller built its own session (the
         # driver does): the nanos workaround is a runtime-settable SQL conf
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name in _SPREAD_TABLES:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         # single-file inputs smaller than maxPartitionBytes scan as one

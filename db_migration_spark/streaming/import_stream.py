@@ -144,7 +144,13 @@ def windowed_event_rollup(
 ) -> DataFrame:
     """§2.10 windowed agg surface: tumbling-window counts/sums with late
     data bounded by the watermark.  Same logical agg as the batch
-    ``events_hourly_rollup`` declared query."""
+    ``events_hourly_rollup`` declared query.  ``ts`` is coerced to the
+    local-tz TIMESTAMP type first: event-time watermarks reject
+    TIMESTAMP_NTZ, and file sources written without the UTC-adjusted
+    parquet annotation arrive as NTZ (identity cast under the engine's
+    pinned-UTC session timezone)."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
