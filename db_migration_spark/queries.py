@@ -2901,3 +2901,9 @@ _register_e2e(QUERIES, ORACLES)
 from .queries_corpus import register as _register_corpus  # noqa: E402
 
 _register_corpus(QUERIES, ORACLES)
+
+# hard relational patterns (EXISTS/NOT EXISTS, correlated scalar
+# subqueries, HAVING join-back, argmax, disjunctive ranges)
+from .queries_tpch_ext import register as _register_tpch_ext  # noqa: E402
+
+_register_tpch_ext(QUERIES, ORACLES)

@@ -1,0 +1,589 @@
+"""Hard relational patterns (TPC-H-shaped) over the cut-down schema.
+
+Round-1 coverage had Q1/Q3/Q5/Q6/Q12; this module adds the remaining
+patterns a relational engine must express — EXISTS / NOT EXISTS semi- and
+anti-joins on the same fact table, correlated scalar subqueries
+(decorrelated to aggregate joins), HAVING + join-back, argmax-vs-max
+scalar subqueries, disjunctive multi-range predicates, and two-role
+dimension joins — each adapted to the columns the test tables actually
+have (no partsupp / commitdate / receiptdate / phone in TESTDATA.md, so
+predicates are re-anchored on shipdate-vs-orderdate lateness and
+name-derived digits while keeping the plan shape).
+
+Spark-first notes per query are in the docstrings; the shared
+determinism rules (decimal-exact money sums, unique tiebreaks in top-k,
+identical aliases in both engines) are described in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import relational
+
+def _rev():
+    """Decimal-exact extended revenue term (built lazily — Column
+    construction needs an active SparkContext)."""
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — EXISTS → left-semi join, no fact duplication
+# ---------------------------------------------------------------------------
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-priority for one quarter where EXISTS a line shipped
+    after the order date.  The EXISTS decorrelates to a left-semi join:
+    the orders side is never duplicated by multi-line matches, so the
+    count needs no pre-distinct.  Both filters sit below the join and
+    reach the parquet scans."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape — one dimension table in two roles (supplier vs customer nation)
+# ---------------------------------------------------------------------------
+
+
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations by ship year.  nation
+    joins twice under different aliases (supplier side / customer side),
+    both broadcast; the pair filter is a symmetric OR evaluated after
+    both roles resolve — one shuffle total (the final groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    ) | ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape — returned-item revenue ranking (join + agg + top-k)
+# ---------------------------------------------------------------------------
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter.  The
+    orders date filter prunes the fact join; nation broadcasts; top-k is
+    TakeOrderedAndProject with c_custkey as the unique tiebreak."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    agg = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+    return relational.top_k(agg, [F.desc("revenue"), F.col("c_custkey")], 20)
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — conditional revenue share in one pass
+# ---------------------------------------------------------------------------
+
+
+def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share for one month: both CASE branches fold into a
+    single aggregate pass over the part⋈lineitem join (part broadcasts).
+    Division happens once, on the exact decimal sums, at the very end."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return joined.agg(
+        (
+            F.sum(promo).cast("double") * 100 / F.sum(_rev()).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+ORACLE_Q14 = """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — argmax via scalar subquery (revenue = max(revenue))
+# ---------------------------------------------------------------------------
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) whose quarterly revenue equals the maximum.  The max
+    is a one-row aggregate broadcast back over the revenue relation —
+    Spark's decorrelated form of the scalar subquery; no global sort, no
+    second scan of lineitem (the revenue relation is reused for both
+    sides of the comparison)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("rev_dec")
+    )
+    top = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("rev_dec") == F.col("max_rev"))
+        .join(
+            F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — correlated scalar AVG, decorrelated to a per-key aggregate join
+# ---------------------------------------------------------------------------
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from small-quantity lines of one brand: the correlated
+    ``l_quantity < 0.2 * avg(quantity per part)`` rewrites to a per-part
+    aggregate joined back to the fact.  The comparison is kept exact and
+    division-free — ``5 * cnt * qty < sum_qty`` on decimals — so the
+    predicate can never flip on engine-specific float rounding.  Brand
+    filter prunes both the aggregate input and the probe side."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    small = brand_lines.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("agg_partkey")
+    ).filter(
+        F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("cnt_qty")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            / 7
+        ).alias("avg_yearly")
+    )
+
+
+ORACLE_Q17 = """
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+), per_part AS (
+  SELECT l_partkey AS agg_partkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         count(*) AS cnt_qty
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7 AS avg_yearly
+FROM brand_lines JOIN per_part ON l_partkey = agg_partkey
+WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt_qty < sum_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — HAVING on a fact aggregate, joined back to dimensions
+# ---------------------------------------------------------------------------
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold, with customer
+    context.  The HAVING filter runs on the per-order aggregate BEFORE
+    the join-back, so only qualifying orderkeys (a tiny set) flow into
+    the dimension joins — Spark broadcasts them automatically under AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty_dec > 250
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunction of conjunctive range predicates, single scan
+# ---------------------------------------------------------------------------
+
+
+def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of three brand/size/quantity range bundles.
+    All three disjuncts evaluate in one pass over the broadcast
+    part⋈lineitem join — the common ``l_partkey = p_partkey`` conjunct
+    stays an equi-join key (no fallback to nested-loop), and the OR
+    collapses into the join's residual filter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(d1 | d2 | d3).agg(
+        F.sum(_rev()).cast("double").alias("revenue")
+    )
+
+
+ORACLE_Q19 = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — EXISTS + NOT EXISTS against the same fact table
+# ---------------------------------------------------------------------------
+
+
+def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers from one nation who were the ONLY late supplier on a
+    multi-supplier order (late = shipped >60 days after the order date).
+    The EXISTS (another supplier) / NOT EXISTS (another LATE supplier)
+    pair decorrelates into one per-order aggregate — distinct supplier
+    count and distinct late-supplier count — computed in a single
+    shuffle, then joined back to the candidate lines; no self-join of
+    lineitem against itself twice."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            (
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+            ).cast("int"),
+        )
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    candidates = (
+        li.filter(F.col("is_late") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("agg_orderkey"))
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1),
+        )
+    )
+    return (
+        candidates.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_Q21 = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey AS agg_orderkey,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supps
+  FROM li GROUP BY l_orderkey
+), candidates AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM candidates
+JOIN per_order ON l_orderkey = agg_orderkey AND n_supps > 1 AND n_late_supps = 1
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation    ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+GROUP BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — scalar-subquery threshold + NOT EXISTS anti-join
+# ---------------------------------------------------------------------------
+
+
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers with no orders, by market segment: acctbal
+    above the all-positive-balance average (a one-row aggregate broadcast
+    — the decorrelated scalar subquery) and NOT EXISTS orders (left-anti
+    join).  The average comparison is division-free on decimals
+    (``bal * n > total``), immune to float-rounding disagreement."""
+    customer = load_table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "HOUSEHOLD")
+    pos = customer.filter(seg & (F.col("c_acctbal") > 0))
+    thresh = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(14,2)")).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_n"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        customer.filter(seg)
+        .join(F.broadcast(thresh))
+        .filter(
+            F.col("c_acctbal").cast("decimal(14,2)") * F.col("bal_n")
+            > F.col("bal_sum")
+        )
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+WITH thresh AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(14,2))) AS bal_sum, count(*) AS bal_n
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD') AND c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+FROM customer, thresh
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')
+  AND CAST(c_acctbal AS DECIMAL(14,2)) * bal_n > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries.update(
+        {
+            "q4_order_priority": q_q4_order_priority,
+            "q7_nation_volume": q_q7_nation_volume,
+            "q10_returned_items": q_q10_returned_items,
+            "q14_promo_share": q_q14_promo_share,
+            "q15_top_supplier": q_q15_top_supplier,
+            "q17_small_qty_revenue": q_q17_small_qty_revenue,
+            "q18_large_orders": q_q18_large_orders,
+            "q19_disjunctive": q_q19_disjunctive,
+            "q21_sole_late_supplier": q_q21_sole_late_supplier,
+            "q22_idle_customers": q_q22_idle_customers,
+        }
+    )
+    oracles.update(
+        {
+            "q4_order_priority": ORACLE_Q4,
+            "q7_nation_volume": ORACLE_Q7,
+            "q10_returned_items": ORACLE_Q10,
+            "q14_promo_share": ORACLE_Q14,
+            "q15_top_supplier": ORACLE_Q15,
+            "q17_small_qty_revenue": ORACLE_Q17,
+            "q18_large_orders": ORACLE_Q18,
+            "q19_disjunctive": ORACLE_Q19,
+            "q21_sole_late_supplier": ORACLE_Q21,
+            "q22_idle_customers": ORACLE_Q22,
+        }
+    )

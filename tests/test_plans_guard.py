@@ -98,3 +98,37 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    # EXISTS must stay a left-semi join (no fact-row duplication, no
+    # distinct-after-inner-join workaround)
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q7_both_nation_roles_broadcast(spark):
+    # nation appears in two roles plus supplier — all three broadcast;
+    # only the lineitem⋈orders⋈customer fact joins may shuffle
+    plan = _plan(spark, "q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q10_topk_uses_takeordered(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_stays_equi_join(spark):
+    # the OR of range bundles must remain a residual filter on the
+    # broadcast equi-join, never a nested-loop fallback
+    plan = _plan(spark, "q19_disjunctive")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    # NOT EXISTS → left-anti; the one-row threshold aggregate broadcasts
+    plan = _plan(spark, "q22_idle_customers")
+    assert "LeftAnti" in plan
