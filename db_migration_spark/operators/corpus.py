@@ -275,3 +275,107 @@ def url_dedup(docs_with_url: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
     )
+
+
+def chunk_dedup(docs: DataFrame, chunk_words: int = 32) -> DataFrame:
+    """ExactSubstr-style chunk-level dedup with keep-first survivorship:
+    split every document into non-overlapping ``chunk_words``-word chunks,
+    drop every chunk whose content already appeared earlier in the corpus
+    (first occurrence = lowest ``(doc_id, chunk_idx)``), and reassemble
+    each document from its surviving chunks.
+
+    Unlike ``scrub_frequent_ngrams`` (which removes *frequent* spans from
+    every document, first copy included), this is the dedup-side
+    operation: the first copy survives verbatim and only re-occurrences
+    are cut — the Lee-et-al "Deduplicating Training Data" recipe at chunk
+    granularity, which is the Spark-friendly approximation of suffix-array
+    exact-substring dedup.
+
+    Plan shape: one explode to (md5(chunk), doc_id, idx) — the window
+    that ranks occurrences partitions by the 128-bit content hash, so the
+    shuffle carries hash+ids, never chunk text a second time; the
+    reassembly groupBy(doc_id) sorts each doc's surviving chunk structs
+    with ``array_sort`` (per-group, no global sort stage).
+    """
+    toks = TXT.tokens(F.col("text"))
+    W = chunk_words
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                # greatest(...) guards zero-token docs: sequence(0, -1)
+                # would count DOWN; the resulting lone empty chunk is
+                # filtered below, dropping the doc (matching the oracle)
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.size(toks) / W).cast("int") - 1, F.lit(0)
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, i * W + 1, W), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    ).filter(F.col("chunk") != "")
+    ranked = chunked.withColumn(
+        "occ",
+        F.row_number().over(
+            Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+                "doc_id", "idx"
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("occ") == 1,
+                                F.struct("idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+
+
+def mixture_interleave(docs: DataFrame, seed: str = "epoch0") -> DataFrame:
+    """Training-order mixture interleaving: give every document a
+    deterministic shuffled rank WITHIN its source, so that ordering the
+    corpus by ``(rr_rank, source, doc_id)`` round-robins across sources —
+    each consecutive window of the training stream sees every live source
+    once before any source repeats.  Changing ``seed`` reshuffles every
+    epoch reproducibly.
+
+    The per-source ``row_number`` is the only shuffle, partitioned by
+    source (bounded cardinality → optionally salt a giant source; ranks
+    only need to be dense per source, so any disjoint partitioning of one
+    source's docs also works with a two-level rank).  No global-order
+    single-task stage exists here: a cluster writer materializes the
+    stream with ``repartitionByRange('rr_rank', 'source')`` +
+    ``sortWithinPartitions`` — totally ordered output files without a
+    driver-side sort.
+    """
+    shuffle_key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(shuffle_key, "doc_id")
+        )
+        .cast("long")
+        .alias("rr_rank"),
+    )

@@ -198,6 +198,55 @@ FROM canon GROUP BY canon_url
 """
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level keep-first dedup over ``documents``
+    (operators/corpus.py ``chunk_dedup``, 32-word chunks): ExactSubstr-style
+    — the first occurrence of a chunk survives, later re-occurrences are
+    cut and each document is reassembled from its surviving chunks."""
+    return C.chunk_dedup(load_table(spark, sf_dir, "documents"), chunk_words=32)
+
+
+ORACLE_CHUNK_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), chunked AS (
+  SELECT doc_id, CAST(i AS INT) AS idx,
+         array_to_string(t[i*32+1 : i*32+32], ' ') AS chunk
+  FROM toks, unnest(range(0, greatest(CAST(ceil(len(t)/32.0) AS BIGINT), 1))) AS u(i)
+), ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS occ
+  FROM chunked WHERE chunk <> ''
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS n_kept,
+       coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' ' ORDER BY idx), '') AS text_dedup
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order mixture interleave over ``documents``
+    (operators/corpus.py ``mixture_interleave``): a deterministic
+    per-source shuffled rank; ordering by (rr_rank, source) round-robins
+    the sources through the training stream."""
+    return C.mixture_interleave(load_table(spark, sf_dir, "documents"), seed="epoch0")
+
+
+ORACLE_INTERLEAVE = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (
+              PARTITION BY source
+              ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+            ) AS BIGINT) AS rr_rank
+FROM documents
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -206,6 +255,8 @@ def register(queries: dict, oracles: dict) -> None:
             "pack_sequences": q_pack_sequences,
             "sample_split": q_sample_split,
             "url_canonical_dedup": q_url_canonical_dedup,
+            "chunk_dedup": q_chunk_dedup,
+            "mixture_interleave": q_mixture_interleave,
         }
     )
     oracles.update(
@@ -215,5 +266,7 @@ def register(queries: dict, oracles: dict) -> None:
             "pack_sequences": ORACLE_PACK,
             "sample_split": ORACLE_SPLIT,
             "url_canonical_dedup": ORACLE_URL_DEDUP,
+            "chunk_dedup": ORACLE_CHUNK_DEDUP,
+            "mixture_interleave": ORACLE_INTERLEAVE,
         }
     )

@@ -1,0 +1,80 @@
+"""Semantic tests for the corpus-preparation operators added this round:
+chunk-level keep-first dedup and training-order mixture interleaving.
+(The declared queries' DuckDB oracles cover cross-engine value equality;
+these tests pin the *semantics* on hand-built fixtures.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_migration_spark.operators import corpus as C
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    # 4-word chunks; doc 2 repeats doc 1's first chunk verbatim
+    rows = [
+        (1, "a b c d e f g h", "s1"),
+        (2, "a b c d x y z w", "s1"),
+        (3, "p q r s", "s2"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in C.chunk_dedup(_mkdocs(spark, rows), chunk_words=4).collect()
+    }
+    # doc 1 fully survives (it owns the first occurrence)
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == "a b c d e f g h"
+    # doc 2 loses the repeated chunk but keeps its own tail
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "x y z w"
+    # untouched doc passes through
+    assert out[3]["text_dedup"] == "p q r s"
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    # the same chunk twice INSIDE one doc: second occurrence cut
+    rows = [(1, "a b c d a b c d", "s1")]
+    r = C.chunk_dedup(_mkdocs(spark, rows), chunk_words=4).collect()[0]
+    assert (r["n_chunks"], r["n_kept"], r["text_dedup"]) == (2, 1, "a b c d")
+
+
+def test_chunk_dedup_fully_duplicated_doc_yields_empty_text(spark):
+    rows = [(1, "a b c d", "s1"), (2, "a b c d", "s1")]
+    out = {
+        r["doc_id"]: r
+        for r in C.chunk_dedup(_mkdocs(spark, rows), chunk_words=4).collect()
+    }
+    assert out[2]["n_kept"] == 0 and out[2]["text_dedup"] == ""
+
+
+def test_mixture_interleave_round_robins_sources(spark):
+    # 3 sources × 5 docs: every rr_rank level contains each source once,
+    # so any prefix of the (rr_rank, source) order is maximally mixed
+    rows = [
+        (i * 10 + j, f"doc {i} {j}", f"s{j}") for i in range(5) for j in range(3)
+    ]
+    got = C.mixture_interleave(_mkdocs(spark, rows), seed="e1").collect()
+    by_rank: dict[int, set] = {}
+    for r in got:
+        by_rank.setdefault(r["rr_rank"], set()).add(r["source"])
+    assert all(v == {"s0", "s1", "s2"} for v in by_rank.values())
+    # ranks are dense 1..5 per source
+    per_src: dict[str, list] = {}
+    for r in got:
+        per_src.setdefault(r["source"], []).append(r["rr_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_src.values())
+
+
+def test_mixture_interleave_seed_reshuffles_deterministically(spark):
+    rows = [(i, f"doc {i}", "s0") for i in range(50)]
+    docs = _mkdocs(spark, rows)
+    e1 = {r["doc_id"]: r["rr_rank"] for r in C.mixture_interleave(docs, "e1").collect()}
+    e1b = {r["doc_id"]: r["rr_rank"] for r in C.mixture_interleave(docs, "e1").collect()}
+    e2 = {r["doc_id"]: r["rr_rank"] for r in C.mixture_interleave(docs, "e2").collect()}
+    assert e1 == e1b  # same seed → identical order
+    assert e1 != e2  # new epoch seed → different order
