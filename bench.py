@@ -58,6 +58,10 @@ HEADLINE = [
     "dedup_components",
     "datalog_ancestors",
     "corpus_datacard",
+    # round-2 continuation: hard relational patterns + chunk-granular dedup
+    "q17_small_qty_revenue",
+    "q21_sole_late_supplier",
+    "chunk_dedup",
 ]
 
 
