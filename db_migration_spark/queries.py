@@ -2907,3 +2907,59 @@ _register_corpus(QUERIES, ORACLES)
 from .queries_tpch_ext import register as _register_tpch_ext  # noqa: E402
 
 _register_tpch_ext(QUERIES, ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 — int8 embedding quantization (storage/serving path)
+# ---------------------------------------------------------------------------
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization over ``embeddings``
+    (functions/vectors.py quantize_int8): per-vector scale, int8 codes,
+    and max reconstruction error — one scan, pure expressions.  The
+    round-half-up is spelled ``floor(x+0.5)`` in both engines so codes
+    are bit-identical (see the function docstring)."""
+    from .functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("q", V.quantize_int8(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.col("q.scale").alias("scale"),
+            F.col("q.qvec").alias("qvec"),
+            F.when(
+                F.col("q.scale") > 0,
+                V.dequant_err(
+                    F.col("q.qvec"), F.col("q.scale"), F.col("embedding")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("max_abs_err"),
+        )
+    )
+
+
+ORACLE_EMB_QUANTIZE = """
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM b
+)
+SELECT vec_id, scale,
+       CASE WHEN scale > 0
+            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+            ELSE list_transform(v, x -> 0) END AS qvec,
+       CASE WHEN scale > 0
+            THEN list_max(list_transform(range(1, len(v) + 1),
+                   i -> abs(CAST(floor(v[i] / scale + 0.5) AS INT) * scale - v[i])))
+            ELSE 0.0 END AS max_abs_err
+FROM s
+"""
+
+QUERIES["emb_quantize"] = q_emb_quantize
+ORACLES["emb_quantize"] = ORACLE_EMB_QUANTIZE

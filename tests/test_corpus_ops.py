@@ -78,3 +78,29 @@ def test_mixture_interleave_seed_reshuffles_deterministically(spark):
     e2 = {r["doc_id"]: r["rr_rank"] for r in C.mixture_interleave(docs, "e2").collect()}
     assert e1 == e1b  # same seed → identical order
     assert e1 != e2  # new epoch seed → different order
+
+
+def test_quantize_int8_error_bound_and_zero_vector(spark):
+    from db_migration_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in df.withColumn("q", V.quantize_int8(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.col("q.scale").alias("scale"),
+            F.col("q.qvec").alias("qvec"),
+            V.dequant_err(F.col("q.qvec"), F.col("q.scale"), F.col("embedding")).alias("err"),
+        )
+        .collect()
+    }
+    r1 = out[1]
+    # the max component quantizes to exactly ±127; error ≤ scale/2
+    assert max(map(abs, r1["qvec"])) == 127
+    assert r1["err"] <= r1["scale"] / 2 + 1e-12
+    # all-zero vector → scale 0, zero codes
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0, 0]
