@@ -345,3 +345,63 @@ def kmeans_refine(
             )
         )
     return centroids
+
+
+def projection_matrix(seed: str, dim: int, k: int) -> list[list[float]]:
+    """Deterministic seeded K×D random-projection matrix with entries
+    uniform in [-1, 1): entry (r, j) = md5("{seed}:{r}:{j}") first 8 hex
+    digits / 2^31 - 1.  Every term is exact in an IEEE double (the
+    numerator is an integer < 2^32, the divisor a power of two), so any
+    engine evaluating the same formula produces bit-identical weights —
+    the declared query's DuckDB oracle recomputes the matrix in SQL.
+
+    Driver-computed and embedded as literals: Catalyst constant-folds the
+    weights into the projection expressions, so executors never hash."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"{seed}:{r}:{j}".encode()).hexdigest()[:8], 16
+            )
+            / 2147483648.0
+            - 1.0
+            for j in range(1, dim + 1)
+        ]
+        for r in range(k)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    seed: str = "jl",
+    dim: int = 64,
+    k: int = 8,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection D→K over an embedding
+    column: proj[r] = Σ_j v[j] · W[r][j], accumulated in index order (a
+    left fold, same IEEE op sequence as the oracle's ``list_sum``).
+
+    Pure map stage — no shuffle, no UDF; the K folds share the one row
+    scan and whole-stage codegen.  The standard cheap pre-step before
+    clustering/ANN when the full dimensionality is wasted on the task
+    (distance distortion bounded by the JL lemma)."""
+    W = projection_matrix(seed, dim, k)
+    v = F.col(vec_col)
+
+    def _fold(row: list[float]):
+        # closure factory, NOT a defaulted lambda param: pyspark binds any
+        # extra (even defaulted) HOF-lambda parameter to the element index
+        arr = F.array(*[F.lit(w) for w in row])
+        return lambda acc, j: acc + F.element_at(v, j).cast(
+            "double"
+        ) * F.element_at(arr, j)
+
+    proj = F.array(
+        *[
+            F.aggregate(F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), _fold(W[r]))
+            for r in range(k)
+        ]
+    )
+    return emb.withColumn("proj", proj)

@@ -2963,3 +2963,28 @@ FROM s
 
 QUERIES["emb_quantize"] = q_emb_quantize
 ORACLES["emb_quantize"] = ORACLE_EMB_QUANTIZE
+
+
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→8 over ``embeddings``
+    (operators/similarity.py random_projection): seeded md5-derived
+    weight matrix (driver-side literals, constant-folded), index-order
+    folds — bit-identical to the oracle recomputing the matrix in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(
+        emb, "embedding", seed="jl", dim=64, k=8
+    ).select("vec_id", "proj")
+
+
+ORACLE_EMB_RANDOM_PROJECTION = """
+SELECT vec_id,
+       list_transform(range(0, 8), r ->
+         list_sum(list_transform(range(1, 65), j ->
+           CAST(embedding[j] AS DOUBLE)
+           * (CAST(('0x' || substr(md5('jl:' || r || ':' || j), 1, 8)) AS BIGINT)
+              / 2147483648.0 - 1.0)))) AS proj
+FROM embeddings
+"""
+
+QUERIES["emb_random_projection"] = q_emb_random_projection
+ORACLES["emb_random_projection"] = ORACLE_EMB_RANDOM_PROJECTION

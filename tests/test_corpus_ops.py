@@ -104,3 +104,32 @@ def test_quantize_int8_error_bound_and_zero_vector(spark):
     assert r1["err"] <= r1["scale"] / 2 + 1e-12
     # all-zero vector → scale 0, zero codes
     assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0, 0]
+
+
+def test_random_projection_is_linear_and_deterministic(spark):
+    import random
+
+    from db_migration_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    a = [rng.uniform(-1, 1) for _ in range(16)]
+    b = [rng.uniform(-1, 1) for _ in range(16)]
+    ab = [x + y for x, y in zip(a, b)]
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, ab)], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in S.random_projection(df, dim=16, k=4).collect()
+    }
+    # linearity: proj(a+b) == proj(a) + proj(b) up to float32-input noise
+    for pa, pb, pab in zip(out[1], out[2], out[3]):
+        assert abs((pa + pb) - pab) < 1e-5
+    # deterministic across invocations
+    again = {
+        r["vec_id"]: r["proj"]
+        for r in S.random_projection(df, dim=16, k=4).collect()
+    }
+    assert out == again
+    # distinct inputs project to distinct outputs
+    assert out[1] != out[2]
