@@ -571,6 +571,9 @@ def register(queries: dict, oracles: dict) -> None:
             "q19_disjunctive": q_q19_disjunctive,
             "q21_sole_late_supplier": q_q21_sole_late_supplier,
             "q22_idle_customers": q_q22_idle_customers,
+            "w5_distribution_ranks": q_w5_distribution_ranks,
+            "a8_grouping_sets": q_a8_grouping_sets,
+            "u4_union_by_name": q_u4_union_by_name,
         }
     )
     oracles.update(
@@ -585,5 +588,115 @@ def register(queries: dict, oracles: dict) -> None:
             "q19_disjunctive": ORACLE_Q19,
             "q21_sole_late_supplier": ORACLE_Q21,
             "q22_idle_customers": ORACLE_Q22,
+            "w5_distribution_ranks": ORACLE_W5,
+            "a8_grouping_sets": ORACLE_A8,
+            "u4_union_by_name": ORACLE_U4,
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions / grouping sets / union harmonization
+# ---------------------------------------------------------------------------
+
+
+def q_w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over one shared exchange: decile
+    (ntile), percent_rank and cume_dist of order value within each
+    priority class.  The three functions ride a single Window spec
+    (same partition + total order with o_orderkey tiebreak), so the plan
+    has exactly one sort-exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+ORACLE_W5 = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(10)      OVER w AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — (priority, status), (priority), (status),
+    () — with grouping_id to disambiguate the null-filled superaggregate
+    rows.  One Expand + one hash aggregate, the same physical shape as
+    rollup/cube but with a user-chosen lattice subset."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+ORACLE_A8 = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+def q_u4_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-harmonizing union: customers and suppliers merge into one
+    party dimension by COLUMN NAME with missing columns null-filled
+    (unionByName allowMissingColumns) — positional union would silently
+    misalign; this is the engine's heterogeneous-source append path."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("party_kind"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("party_kind"),
+    )
+    return customer.unionByName(supplier, allowMissingColumns=True)
+
+
+ORACLE_U4 = """
+SELECT c_custkey AS party_id, c_name AS name,
+       CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal AS acctbal,
+       c_mktsegment AS mktsegment, 'customer' AS party_kind
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), s_acctbal,
+       NULL, 'supplier'
+FROM supplier
+"""
