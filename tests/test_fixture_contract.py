@@ -1,0 +1,100 @@
+"""Fixture-drift guard: the driver regenerates /root/testdata between
+rounds and has already changed physical parquet details once (events.ts
+went TIMESTAMP(NANOS) → TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+surfaces as TIMESTAMP_NTZ and broke watermarks).  This test pins the
+POST-load_table contract — the schema every operator in the package is
+written against — so any future drift fails loudly here instead of deep
+inside a query plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from db_migration_spark.catalog import TABLES, load_table
+
+EXPECTED = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+    },
+    "events": {
+        "event_id": "bigint",
+        # the load_table contract: ts is ALWAYS local-tz timestamp after
+        # normalization, whatever the parquet annotation was
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+# date/timestamp columns whose flavor (timestamp vs timestamp_ntz) queries
+# tolerate — both compare fine against literals and DuckDB naive timestamps
+_TS_EITHER = {"o_orderdate", "l_shipdate"}
+
+
+@pytest.mark.parametrize("name", TABLES)
+def test_table_contract(spark, sf_dir, name):
+    got = dict(load_table(spark, sf_dir, name).dtypes)
+    want = EXPECTED[name]
+    missing = set(want) - set(got)
+    assert not missing, f"{name}: missing columns {missing}"
+    for col, typ in want.items():
+        assert got[col] == typ, f"{name}.{col}: {got[col]} != {typ}"
+    for col in set(got) - set(want):
+        assert col in _TS_EITHER and got[col] in (
+            "timestamp",
+            "timestamp_ntz",
+        ), f"{name}.{col}: unexpected column/type {got[col]}"
