@@ -574,6 +574,8 @@ def register(queries: dict, oracles: dict) -> None:
             "w5_distribution_ranks": q_w5_distribution_ranks,
             "a8_grouping_sets": q_a8_grouping_sets,
             "u4_union_by_name": q_u4_union_by_name,
+            "user_profiles": q_user_profiles,
+            "events_sliding_rollup": q_events_sliding_rollup,
         }
     )
     oracles.update(
@@ -591,6 +593,8 @@ def register(queries: dict, oracles: dict) -> None:
             "w5_distribution_ranks": ORACLE_W5,
             "a8_grouping_sets": ORACLE_A8,
             "u4_union_by_name": ORACLE_U4,
+            "user_profiles": ORACLE_USER_PROFILES,
+            "events_sliding_rollup": ORACLE_SLIDING,
         }
     )
 
@@ -699,4 +703,81 @@ UNION ALL
 SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT), s_acctbal,
        NULL, 'supplier'
 FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming-pillar batch twins: per-user profiles, sliding-window rollup
+# ---------------------------------------------------------------------------
+
+
+def q_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operator
+    (streaming/stateful.py user_profiles — applyInPandasWithState): the
+    per-user profile the stream maintains incrementally, computed here as
+    one hash aggregate so the oracle gate pins the target semantics the
+    stateful operator's tests compare against."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.countDistinct("event_type").cast("long").alias("n_event_types"),
+    )
+
+
+ORACLE_USER_PROFILES = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h window, 30 min slide): each event lands
+    in exactly two windows; Spark's ``window()`` expands them JVM-side
+    (an Expand node — no explode of hand-built arrays, no UDF).  The
+    oracle replays the same assignment by unioning the two half-hour
+    aligned window starts per event."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SLIDING = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value
+  FROM events
+)
+SELECT win_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY win_start, event_type
 """
