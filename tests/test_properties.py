@@ -298,3 +298,50 @@ def test_apply_patches_card_many_matches_reference(spark, base, patches):
         if op:
             want_set.add((key[0], key[1], v))
     assert got == want_set
+
+
+# --- chunk_dedup vs brute-force keep-first reference ------------------------
+
+
+def _brute_chunk_dedup(docs: list[tuple[int, str]], w: int):
+    """Reference implementation: global keep-first at chunk granularity."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        toks = text.split()
+        if not toks:
+            continue
+        chunks = [
+            " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+        ]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        out[doc_id] = (len(chunks), len(kept), " ".join(kept))
+    return out
+
+
+word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+doc_text = st.lists(word, min_size=0, max_size=20).map(" ".join)
+
+
+@given(texts=st.lists(doc_text, min_size=1, max_size=8))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_dedup_matches_brute_force(spark, texts):
+    from db_migration_spark.operators import corpus as C
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in docs], "doc_id long, text string, source string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_dedup"])
+        for r in C.chunk_dedup(df, chunk_words=3).collect()
+    }
+    assert got == _brute_chunk_dedup(docs, 3)
