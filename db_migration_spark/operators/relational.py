@@ -297,3 +297,35 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "column STRING, n_rows BIGINT, n_nulls BIGINT, n_distinct BIGINT, "
         "min_value STRING, max_value STRING",
     )
+
+
+def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative integer columns —
+    the data-layout key for multi-dimensional scan locality: writing a
+    100 TB table range-partitioned and sorted by ``zorder_key(day_number,
+    part_bucket)`` keeps rows close in BOTH dimensions within each
+    parquet row group, so min/max footer stats prune scans filtered on
+    either column (the effect DBs market as Z-ORDER clustering; here it
+    is a pure Catalyst expression usable in ``repartitionByRange`` /
+    ``sortWithinPartitions``).
+
+    Pure integer arithmetic (shifts, masks, adds) — identical in any
+    engine, so the declared query is under the exact oracle gate.  Inputs
+    are clamped to ``bits`` low bits first (callers bucket/offset real
+    values into that range)."""
+
+    def _c(x):
+        return F.col(x) if isinstance(x, str) else x
+
+    mask = F.lit((1 << bits) - 1).cast("long")
+    one = F.lit(1).cast("long")
+    av = _c(a).cast("long").bitwiseAND(mask)
+    bv = _c(b).cast("long").bitwiseAND(mask)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(av, i).bitwiseAND(one), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(bv, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return z

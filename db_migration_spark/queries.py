@@ -2988,3 +2988,36 @@ FROM embeddings
 
 QUERIES["emb_random_projection"] = q_emb_random_projection
 ORACLES["emb_random_projection"] = ORACLE_EMB_RANDOM_PROJECTION
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over lineitem
+    (operators/relational.py zorder_key): interleaves ship-day and part
+    buckets so range-partitioned, sorted-within-partition writes give
+    parquet row groups that prune on EITHER dimension.  The declared
+    query computes the key (pure integer expressions, exact oracle); the
+    layout write itself is `repartitionByRange("zval").sortWithinPartitions("zval")`
+    at the sink (see DEPLOY.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        relational.zorder_key(a, F.col("l_partkey"), bits=16).alias("zval"),
+    )
+
+
+ORACLE_ZORDER = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate) AS BIGINT) & 65535 AS za,
+         l_partkey & 65535 AS zb
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       CAST((((za >> 0) & 1) << 0) + (((zb >> 0) & 1) << 1) + (((za >> 1) & 1) << 2) + (((zb >> 1) & 1) << 3) + (((za >> 2) & 1) << 4) + (((zb >> 2) & 1) << 5) + (((za >> 3) & 1) << 6) + (((zb >> 3) & 1) << 7) + (((za >> 4) & 1) << 8) + (((zb >> 4) & 1) << 9) + (((za >> 5) & 1) << 10) + (((zb >> 5) & 1) << 11) + (((za >> 6) & 1) << 12) + (((zb >> 6) & 1) << 13) + (((za >> 7) & 1) << 14) + (((zb >> 7) & 1) << 15) + (((za >> 8) & 1) << 16) + (((zb >> 8) & 1) << 17) + (((za >> 9) & 1) << 18) + (((zb >> 9) & 1) << 19) + (((za >> 10) & 1) << 20) + (((zb >> 10) & 1) << 21) + (((za >> 11) & 1) << 22) + (((zb >> 11) & 1) << 23) + (((za >> 12) & 1) << 24) + (((zb >> 12) & 1) << 25) + (((za >> 13) & 1) << 26) + (((zb >> 13) & 1) << 27) + (((za >> 14) & 1) << 28) + (((zb >> 14) & 1) << 29) + (((za >> 15) & 1) << 30) + (((zb >> 15) & 1) << 31) AS BIGINT) AS zval
+FROM base
+"""
+
+QUERIES["zorder_layout"] = q_zorder_layout
+ORACLES["zorder_layout"] = ORACLE_ZORDER

@@ -133,3 +133,25 @@ def test_random_projection_is_linear_and_deterministic(spark):
     assert out == again
     # distinct inputs project to distinct outputs
     assert out[1] != out[2]
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from db_migration_spark.operators.relational import zorder_key
+
+    def ref(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(zorder_key("a", "b").alias("z"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+    want = [ref(a, b) for a, b in sorted(pts)]
+    assert got == want
