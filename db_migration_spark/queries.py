@@ -3021,3 +3021,37 @@ FROM base
 
 QUERIES["zorder_layout"] = q_zorder_layout
 ORACLES["zorder_layout"] = ORACLE_ZORDER
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus interchange (sources/jsonl.py): write ``documents``
+    as gzipped JSONL shards, read back with an explicit schema, and
+    profile the round-tripped corpus per (lang, source) — doc count,
+    char sum, and distinct text fingerprints, so any encoding loss in
+    the writer/reader (unicode escapes, line splitting) breaks the
+    oracle match against the original parquet."""
+    from .queries_e2e import _fx
+    from .sources import jsonl as J
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _fx(sf_dir, "jsonl_docs")
+    J.write_jsonl(docs, path, shards=8)
+    back, _bad = J.quarantine_split(spark, path, J.DOCUMENTS_SCHEMA)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(F.md5(F.col("text"))).cast("long").alias("n_fingerprints"),
+    )
+
+
+ORACLE_JSONL = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_fingerprints
+FROM documents
+GROUP BY lang, source
+"""
+
+QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+ORACLES["jsonl_roundtrip"] = ORACLE_JSONL

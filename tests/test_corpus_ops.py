@@ -155,3 +155,34 @@ def test_zorder_key_matches_reference_interleave(spark):
     ]
     want = [ref(a, b) for a, b in sorted(pts)]
     assert got == want
+
+
+def test_jsonl_quarantine_side_channel(spark, tmp_path):
+    import gzip
+
+    from db_migration_spark.sources import jsonl as J
+
+    p = tmp_path / "shard.jsonl.gz"
+    lines = [
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}',
+        "{not json at all",
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}',
+    ]
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines))
+    good, bad = J.quarantine_split(spark, str(p), J.DOCUMENTS_SCHEMA)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not json" in bad_rows[0][0]
+
+
+def test_jsonl_roundtrip_preserves_unicode(spark, tmp_path):
+    from db_migration_spark.sources import jsonl as J
+
+    df = spark.createDataFrame(
+        [(1, "héllo wörld — ünïcode ✓", "de", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    J.write_jsonl(df, str(tmp_path / "u"), compress=False)
+    back, _ = J.quarantine_split(spark, str(tmp_path / "u"), J.DOCUMENTS_SCHEMA)
+    assert back.collect()[0]["text"] == "héllo wörld — ünïcode ✓"
