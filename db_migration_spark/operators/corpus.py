@@ -379,3 +379,51 @@ def mixture_interleave(docs: DataFrame, seed: str = "epoch0") -> DataFrame:
         .cast("long")
         .alias("rr_rank"),
     )
+
+
+def dense_ids(
+    df: DataFrame, key: str, id_name: str = "dense_id", partitions: int = 64
+) -> DataFrame:
+    """Dense, contiguous, deterministic 1..N ids in ``key`` order WITHOUT
+    a global single-task sort: range-repartition on the key, rank within
+    each partition, then add per-partition offsets (a tiny
+    #partitions-row prefix sum, broadcast back).  Because range
+    partitions are themselves key-ordered, offset + local rank equals the
+    global rank for any partition-boundary placement — the result is
+    layout-independent even though the computation is fully distributed.
+
+    ``monotonically_increasing_id`` is neither dense nor stable;
+    ``zipWithIndex`` leaves the DataFrame API and still serializes a
+    pass; a bare ``row_number() OVER (ORDER BY …)`` funnels the corpus
+    through one task.  This is the standard two-level construction an
+    entity-numbering step (e.g. assigning datom entity ids at import)
+    needs at 100 TB."""
+    ranged = df.repartitionByRange(partitions, F.col(key))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "__lrank",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy(key)
+        ),
+    )
+    offsets = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_name, (F.col("__offset") + F.col("__lrank")).cast("long"))
+        .drop("__pid", "__lrank", "__offset")
+    )

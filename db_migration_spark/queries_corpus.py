@@ -257,6 +257,7 @@ def register(queries: dict, oracles: dict) -> None:
             "url_canonical_dedup": q_url_canonical_dedup,
             "chunk_dedup": q_chunk_dedup,
             "mixture_interleave": q_mixture_interleave,
+            "dense_ids": q_dense_ids,
         }
     )
     oracles.update(
@@ -268,5 +269,24 @@ def register(queries: dict, oracles: dict) -> None:
             "url_canonical_dedup": ORACLE_URL_DEDUP,
             "chunk_dedup": ORACLE_CHUNK_DEDUP,
             "mixture_interleave": ORACLE_INTERLEAVE,
+            "dense_ids": ORACLE_DENSE_IDS,
         }
     )
+
+
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1..N id assignment in doc_id order (operators/corpus.py
+    dense_ids): two-level construction — range partitions, local ranks,
+    tiny offset prefix-sum — no corpus-sized single-task sort; the
+    oracle is the semantic spec (a global row_number)."""
+    return C.dense_ids(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        key="doc_id",
+    ).select("doc_id", "lang", "dense_id")
+
+
+ORACLE_DENSE_IDS = """
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS dense_id
+FROM documents
+"""

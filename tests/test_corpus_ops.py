@@ -186,3 +186,18 @@ def test_jsonl_roundtrip_preserves_unicode(spark, tmp_path):
     J.write_jsonl(df, str(tmp_path / "u"), compress=False)
     back, _ = J.quarantine_split(spark, str(tmp_path / "u"), J.DOCUMENTS_SCHEMA)
     assert back.collect()[0]["text"] == "héllo wörld — ünïcode ✓"
+
+
+def test_dense_ids_contiguous_and_layout_independent(spark):
+    from db_migration_spark.operators import corpus as C
+
+    rows = [(i * 7 % 101, f"d{i}", "s") for i in range(101)]  # permuted keys
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for parts in (2, 8, 32):
+        got = {
+            r["doc_id"]: r["dense_id"]
+            for r in C.dense_ids(df, "doc_id", partitions=parts).collect()
+        }
+        keys = sorted(got)
+        # dense 1..N in key order, regardless of partition count
+        assert [got[k] for k in keys] == list(range(1, 102))
