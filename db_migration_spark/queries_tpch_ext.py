@@ -576,6 +576,7 @@ def register(queries: dict, oracles: dict) -> None:
             "u4_union_by_name": q_u4_union_by_name,
             "user_profiles": q_user_profiles,
             "events_sliding_rollup": q_events_sliding_rollup,
+            "winsorize_values": q_winsorize_values,
         }
     )
     oracles.update(
@@ -595,6 +596,7 @@ def register(queries: dict, oracles: dict) -> None:
             "u4_union_by_name": ORACLE_U4,
             "user_profiles": ORACLE_USER_PROFILES,
             "events_sliding_rollup": ORACLE_SLIDING,
+            "winsorize_values": ORACLE_WINSORIZE,
         }
     )
 
@@ -780,4 +782,73 @@ SELECT win_start, event_type,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM assigned
 GROUP BY win_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorization — order-statistic outlier clipping (data-cleaning pass)
+# ---------------------------------------------------------------------------
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip event values to their per-type [p05, p95] ORDER STATISTICS
+    (rank ceil(q·n), an existing element — no interpolation arithmetic,
+    so both engines pick the identical double) and report clip counts and
+    the clipped decimal sum.  One ranking window + a broadcast bounds
+    join — the standard outlier-trim pass before metric aggregation.
+
+    Scale note: ranking within event_type concentrates each type's rows
+    in one task; with few huge groups the 100 TB path swaps the window
+    for ``approx_percentile`` bounds (one pass, mergeable sketches) —
+    the exact order statistic here is what makes the oracle gate exact."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    lo_rank = F.greatest(F.ceil(F.col("n") * 0.05), F.lit(1).cast("long"))
+    hi_rank = F.ceil(F.col("n") * 0.95)
+    bounds = (
+        ranked.filter((F.col("rnk") == lo_rank) | (F.col("rnk") == hi_rank))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rnk") == lo_rank, F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("rnk") == hi_rank, F.col("value"))).alias("hi"),
+        )
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))).alias(
+            "cv"
+        ),
+        (F.col("value") < F.col("lo")).cast("int").alias("is_lo"),
+        (F.col("value") > F.col("hi")).cast("int").alias("is_hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_lo").cast("long").alias("n_clipped_lo"),
+        F.sum("is_hi").cast("long").alias("n_clipped_hi"),
+        F.sum(F.col("cv").cast("decimal(18,6)")).cast("double").alias("sum_clipped"),
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+         count(*)     OVER (PARTITION BY event_type) AS n
+  FROM events
+), bounds AS (
+  SELECT event_type,
+         min(CASE WHEN rnk = greatest(CAST(ceil(n * 0.05) AS BIGINT), 1) THEN value END) AS lo,
+         max(CASE WHEN rnk = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       CAST(sum(CAST(greatest(b.lo, least(b.hi, e.value)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY e.event_type
 """
