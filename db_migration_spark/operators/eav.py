@@ -226,3 +226,34 @@ def homology_split(datoms: DataFrame, homol_classes: list[str]) -> DataFrame:
     A partition-prunable isin filter when the store is partitioned by class.
     """
     return datoms.filter(F.col("class").isin(homol_classes))
+
+
+def store_diff(
+    before: DataFrame, after: DataFrame, keys: tuple[str, str, str] = ("e", "a", "v")
+) -> DataFrame:
+    """Datom-level diff of two store snapshots — the migration-audit step
+    beneath the count-level QA report (reference verifies migrations only
+    by per-class counts, runcommand.py:188-203; this pins WHICH datoms
+    moved): full-outer join on (e, a, v), classify each row as
+    ``retained`` / ``added`` / ``removed``, and report per-attribute
+    counts.  One shuffle per side on the join key; at 100 TB both sides
+    bucket by ``e`` so the join co-locates without re-shuffling the
+    larger snapshot."""
+    e, a, v = keys
+    lhs = before.select(
+        F.col(e).alias("e"), F.col(a).alias("a"), F.col(v).alias("v")
+    ).withColumn("__l", F.lit(1))
+    rhs = after.select(
+        F.col(e).alias("e"), F.col(a).alias("a"), F.col(v).alias("v")
+    ).withColumn("__r", F.lit(1))
+    joined = lhs.join(rhs, ["e", "a", "v"], "full_outer")
+    status = (
+        F.when(F.col("__l").isNotNull() & F.col("__r").isNotNull(), "retained")
+        .when(F.col("__r").isNotNull(), "added")
+        .otherwise("removed")
+    )
+    return (
+        joined.select("a", status.alias("status"))
+        .groupBy("a", "status")
+        .agg(F.count(F.lit(1)).alias("n_datoms"))
+    )

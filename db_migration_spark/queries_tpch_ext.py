@@ -577,6 +577,7 @@ def register(queries: dict, oracles: dict) -> None:
             "user_profiles": q_user_profiles,
             "events_sliding_rollup": q_events_sliding_rollup,
             "winsorize_values": q_winsorize_values,
+            "store_diff": q_store_diff,
         }
     )
     oracles.update(
@@ -597,6 +598,7 @@ def register(queries: dict, oracles: dict) -> None:
             "user_profiles": ORACLE_USER_PROFILES,
             "events_sliding_rollup": ORACLE_SLIDING,
             "winsorize_values": ORACLE_WINSORIZE,
+            "store_diff": ORACLE_STORE_DIFF,
         }
     )
 
@@ -851,4 +853,42 @@ SELECT e.event_type,
        CAST(sum(CAST(greatest(b.lo, least(b.hi, e.value)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped
 FROM events e JOIN bounds b ON e.event_type = b.event_type
 GROUP BY e.event_type
+"""
+
+
+def q_store_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datom-level snapshot diff (operators/eav.py store_diff): events
+    split into before/after stores by transaction parity (the x4 stand-in
+    convention), full-outer joined on (e, a, v), per-attribute
+    added/removed/retained counts — the audit a count-level QA report
+    can't provide (two swapped values keep counts identical; this
+    catches them)."""
+    from .operators import eav
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        (F.col("event_id") % 500).cast("string").alias("v"),
+        (F.col("event_id") % 3).alias("__par"),
+    )
+    before = ev.filter(F.col("__par") != 2).select("e", "a", "v").distinct()
+    after = ev.filter(F.col("__par") != 0).select("e", "a", "v").distinct()
+    return eav.store_diff(before, after)
+
+
+ORACLE_STORE_DIFF = """
+WITH datoms AS (
+  SELECT user_id AS e, event_type AS a,
+         CAST(event_id % 500 AS VARCHAR) AS v, event_id % 3 AS par
+  FROM events
+), before_s AS (SELECT DISTINCT e, a, v FROM datoms WHERE par != 2),
+   after_s  AS (SELECT DISTINCT e, a, v FROM datoms WHERE par != 0)
+SELECT coalesce(b.a, f.a) AS a,
+       CASE WHEN b.e IS NOT NULL AND f.e IS NOT NULL THEN 'retained'
+            WHEN f.e IS NOT NULL THEN 'added'
+            ELSE 'removed' END AS status,
+       count(*) AS n_datoms
+FROM before_s b FULL OUTER JOIN after_s f
+  ON b.e = f.e AND b.a = f.a AND b.v = f.v
+GROUP BY 1, 2
 """
