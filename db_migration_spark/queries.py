@@ -3055,3 +3055,9 @@ GROUP BY lang, source
 
 QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
 ORACLES["jsonl_roundtrip"] = ORACLE_JSONL
+
+
+# structured-streaming executions under the exact oracle gate
+from .queries_streaming import register as _register_streaming  # noqa: E402
+
+_register_streaming(QUERIES, ORACLES)

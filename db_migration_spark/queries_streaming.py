@@ -1,0 +1,121 @@
+"""Declared queries that run the ACTUAL Structured Streaming engine under
+the exact oracle gate.
+
+The batch twins (events_hourly_rollup, user_profiles, …) pin the target
+semantics; these entries execute the streaming plans themselves —
+file-source stream → watermark → stateful operator → availableNow drain
+into a memory sink — and return the drained result as a batch DataFrame,
+so the driver's DuckDB comparison hashes what the STREAMING engine
+produced.  pytest covers incremental/multi-batch behavior (resume,
+late-data, redelivery); here the whole input arrives within one
+availableNow run, which is exactly when streaming output must equal the
+batch/SQL answer.
+
+Memory-sink names are derived from the sf_dir so repeated runs in one
+session overwrite rather than collide.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .streaming import import_stream as ST
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with the batch loader's
+    normalized schema (ts already local-tz TIMESTAMP)."""
+    batch = load_table(spark, sf_dir, "events")
+    path = f"{sf_dir}/events.parquet"
+    # file-source streams take a DIRECTORY; select the one table file out
+    # of the fixture dir with a glob filter instead of copying it
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # apply the same ts normalization load_table performs
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+    return stream
+
+
+def _drain(df: DataFrame, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def _sink_name(prefix: str, sf_dir: str) -> str:
+    return prefix + "_" + re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+
+
+def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed aggregate itself (import_stream.py
+    windowed_event_rollup): tumbling 1 h windows with a 2 h watermark,
+    drained availableNow — output must equal the batch
+    events_hourly_rollup, and the oracle is the same SQL."""
+    name = _sink_name("stream_rollup", sf_dir)
+    rolled = ST.windowed_event_rollup(_events_stream(spark, sf_dir))
+    _drain(rolled, name, "complete")
+    return spark.table(name)
+
+
+ORACLE_STREAM_ROLLUP = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest-dedup operator itself (import_stream.py
+    stream_dedup — dropDuplicatesWithinWatermark): distinct (user_id,
+    event_type) keys surviving the watermarked dedup.  WHICH duplicate
+    survives is arrival-order-dependent, so the declared result carries
+    the keys only — deterministic — and the oracle is a plain DISTINCT."""
+    name = _sink_name("stream_dedup", sf_dir)
+    deduped = ST.stream_dedup(
+        _events_stream(spark, sf_dir),
+        ["user_id", "event_type"],
+        ts_col="ts",
+        delay="2 hours",
+    ).select("user_id", "event_type")
+    _drain(deduped, name, "append")
+    return spark.table(name).distinct()
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries.update(
+        {
+            "stream_hourly_rollup": q_stream_hourly_rollup,
+            "stream_dedup_keys": q_stream_dedup_keys,
+        }
+    )
+    oracles.update(
+        {
+            "stream_hourly_rollup": ORACLE_STREAM_ROLLUP,
+            "stream_dedup_keys": ORACLE_STREAM_DEDUP,
+        }
+    )
