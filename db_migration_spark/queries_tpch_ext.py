@@ -578,6 +578,8 @@ def register(queries: dict, oracles: dict) -> None:
             "events_sliding_rollup": q_events_sliding_rollup,
             "winsorize_values": q_winsorize_values,
             "store_diff": q_store_diff,
+            "w6_revenue_share": q_w6_revenue_share,
+            "funnel_view_purchase": q_funnel_view_purchase,
         }
     )
     oracles.update(
@@ -599,6 +601,8 @@ def register(queries: dict, oracles: dict) -> None:
             "events_sliding_rollup": ORACLE_SLIDING,
             "winsorize_values": ORACLE_WINSORIZE,
             "store_diff": ORACLE_STORE_DIFF,
+            "w6_revenue_share": ORACLE_W6,
+            "funnel_view_purchase": ORACLE_FUNNEL,
         }
     )
 
@@ -891,4 +895,103 @@ SELECT coalesce(b.a, f.a) AS a,
 FROM before_s b FULL OUTER JOIN after_s f
   ON b.e = f.e AND b.a = f.a AND b.v = f.v
 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total window aggregate; event-sequence funnel
+# ---------------------------------------------------------------------------
+
+
+def q_w6_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's customer
+    deposits — a window SUM over the partition dividing the row value.
+    The denominator rides the same exchange as the grouping (no second
+    scan, no collect); division happens once per output row on exact
+    decimal sums cast to double."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).alias("bal_dec")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("bal_dec").cast("double").alias("nation_bal"),
+        (
+            F.col("bal_dec").cast("double")
+            / F.sum("bal_dec").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+ORACLE_W6 = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         sum(CAST(c_acctbal AS DECIMAL(14,2))) AS bal_dec
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(bal_dec AS DOUBLE) AS nation_bal,
+       CAST(bal_dec AS DOUBLE)
+         / CAST(sum(bal_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+FROM per_nation
+"""
+
+
+def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: per user, how many ``view`` events are
+    followed by a ``purchase`` within 30 minutes (consecutive in the
+    user's stream) — the lag/lead sequential-pattern shape: one sorted
+    exchange per user, adjacent-pair predicate, conditional count.
+    Ordering ties broken by event_id so both engines see one stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt_type = F.lead("event_type").over(w)
+    nxt_ts = F.lead("ts").over(w)
+    hit = (
+        (F.col("event_type") == "view")
+        & (nxt_type == "purchase")
+        & (nxt_ts <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        ev.withColumn("hit", hit.cast("int"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_views"),
+            F.sum("hit").cast("long").alias("n_converted"),
+        )
+    )
+
+
+ORACLE_FUNNEL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type) OVER w AS nxt_type,
+         lead(ts)         OVER w AS nxt_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+       CAST(sum(CASE WHEN event_type = 'view' AND nxt_type = 'purchase'
+                      AND nxt_ts <= ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM seq
+GROUP BY user_id
 """
