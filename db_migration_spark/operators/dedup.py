@@ -413,20 +413,30 @@ def connected_components(
         nbr = sym.join(
             labels.select(F.col("id").alias("dst"), "comp"), "dst"
         ).select(F.col("src").alias("id"), "comp")
+        # carry the node's own previous label THROUGH the min-aggregate
+        # (self rows contribute it, neighbor rows contribute null) so
+        # convergence detection is a filter over the already-materialized
+        # output — no per-round label⋈label join, one shuffle per round
+        # instead of two
+        self_rows = labels.select(
+            "id", "comp", F.col("comp").alias("own")
+        )
+        nbr_rows = nbr.select(
+            "id", "comp", F.lit(None).cast("long").alias("own")
+        )
         new_labels = (
-            labels.unionByName(nbr)
+            self_rows.unionByName(nbr_rows)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min("own").alias("comp_old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("comp").alias("comp_old")), "id"
-            )
-            .filter(F.col("comp") != F.col("comp_old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("comp") < F.col("comp_old")
+        ).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     sym.unpersist()
