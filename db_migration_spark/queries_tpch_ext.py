@@ -580,6 +580,7 @@ def register(queries: dict, oracles: dict) -> None:
             "store_diff": q_store_diff,
             "w6_revenue_share": q_w6_revenue_share,
             "funnel_view_purchase": q_funnel_view_purchase,
+            "copurchase_triangles": q_copurchase_triangles,
         }
     )
     oracles.update(
@@ -603,6 +604,7 @@ def register(queries: dict, oracles: dict) -> None:
             "store_diff": ORACLE_STORE_DIFF,
             "w6_revenue_share": ORACLE_W6,
             "funnel_view_purchase": ORACLE_FUNNEL,
+            "copurchase_triangles": ORACLE_TRIANGLES,
         }
     )
 
@@ -994,4 +996,63 @@ SELECT user_id,
                       AND nxt_ts <= ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM seq
 GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: co-purchase graph, triangle count
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (parts appearing in the
+    same order).  Edge generation is a per-order self-join — bounded by
+    (lines-per-order choose 2), so it scales linearly in orders, not
+    quadratically in parts; triangles close with two joins over the
+    canonical (lo < hi) edge list, each triangle counted exactly once via
+    the a < b < c representation.  The classic beyond-relational graph
+    metric that still compiles to three equi-joins — no vertex-centric
+    runtime needed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("x"), li.alias("y")
+    edges = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("lo"), F.col("y.l_partkey").alias("hi")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
+        .join(
+            e3,
+            (F.col("e1.lo") == F.col("e3.lo"))
+            & (F.col("e2.hi") == F.col("e3.hi")),
+        )
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+ORACLE_TRIANGLES = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+)
+SELECT (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*)
+        FROM edges e1
+        JOIN edges e2 ON e1.hi = e2.lo
+        JOIN edges e3 ON e1.lo = e3.lo AND e2.hi = e3.hi) AS n_triangles
 """
