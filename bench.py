@@ -62,6 +62,11 @@ HEADLINE = [
     "q17_small_qty_revenue",
     "q21_sole_late_supplier",
     "chunk_dedup",
+    # corpus numbering / cleaning / graph / streaming-engine paths
+    "dense_ids",
+    "winsorize_values",
+    "copurchase_triangles",
+    "stream_hourly_rollup",
 ]
 
 
