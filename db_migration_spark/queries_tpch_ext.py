@@ -581,6 +581,7 @@ def register(queries: dict, oracles: dict) -> None:
             "w6_revenue_share": q_w6_revenue_share,
             "funnel_view_purchase": q_funnel_view_purchase,
             "copurchase_triangles": q_copurchase_triangles,
+            "snapshot_time_travel": q_snapshot_time_travel,
         }
     )
     oracles.update(
@@ -605,6 +606,7 @@ def register(queries: dict, oracles: dict) -> None:
             "w6_revenue_share": ORACLE_W6,
             "funnel_view_purchase": ORACLE_FUNNEL,
             "copurchase_triangles": ORACLE_TRIANGLES,
+            "snapshot_time_travel": ORACLE_TIME_TRAVEL,
         }
     )
 
@@ -1055,4 +1057,60 @@ SELECT (SELECT count(*) FROM edges) AS n_edges,
         FROM edges e1
         JOIN edges e2 ON e1.hi = e2.lo
         JOIN edges e3 ON e1.lo = e3.lo AND e2.hi = e3.hi) AS n_triangles
+"""
+
+
+# ---------------------------------------------------------------------------
+# S9 time travel: the versioned snapshot sink under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF over the plain-Parquet snapshot store
+    (plans/snapshots.py — the reference's dated-backup analog,
+    runcommand.py:221-255): write a base version, write a patched
+    version ('en' docs grow one char), read BOTH versions back by label
+    and compare per-lang — the time-travel read path, end to end, with a
+    DuckDB oracle recomputing both versions from the live table."""
+    import shutil
+
+    from .plans import snapshots as SNAP
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "ttravel_store")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    patched = docs.withColumn(
+        "n_chars",
+        F.when(F.col("lang") == "en", F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    SNAP.write_snapshot(docs, root, label="base")
+    SNAP.write_snapshot(patched, root, label="patched")
+    v0 = SNAP.read_snapshot(spark, root, label="base")
+    v1 = SNAP.read_snapshot(spark, root, label="patched")
+    return (
+        v0.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_v0"),
+        )
+        .join(
+            v1.groupBy("lang").agg(F.sum("n_chars").alias("chars_v1")),
+            "lang",
+        )
+        .withColumn("chars_delta", F.col("chars_v1") - F.col("chars_v0"))
+    )
+
+
+ORACLE_TIME_TRAVEL = """
+SELECT lang, count(*) AS n_docs,
+       sum(n_chars) AS chars_v0,
+       sum(CASE WHEN lang = 'en' THEN n_chars + 1 ELSE n_chars END) AS chars_v1,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS chars_delta
+FROM documents
+GROUP BY lang
 """
