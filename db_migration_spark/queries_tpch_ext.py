@@ -1,14 +1,19 @@
-"""Hard relational patterns (TPC-H-shaped) over the cut-down schema.
+"""Hard relational patterns (TPC-H-shaped) and engine-surface extensions.
 
 Round-1 coverage had Q1/Q3/Q5/Q6/Q12; this module adds the remaining
 patterns a relational engine must express — EXISTS / NOT EXISTS semi- and
 anti-joins on the same fact table, correlated scalar subqueries
 (decorrelated to aggregate joins), HAVING + join-back, argmax-vs-max
-scalar subqueries, disjunctive multi-range predicates, and two-role
-dimension joins — each adapted to the columns the test tables actually
-have (no partsupp / commitdate / receiptdate / phone in TESTDATA.md, so
-predicates are re-anchored on shipdate-vs-orderdate lateness and
-name-derived digits while keeping the plan shape).
+scalar subqueries, disjunctive multi-range predicates, two-role dimension
+joins, distribution windows (ntile/percent_rank/cume_dist), GROUPING
+SETS, schema-harmonizing unions — each adapted to the columns the test
+tables actually have (no partsupp / commitdate / receiptdate / phone in
+TESTDATA.md, so predicates are re-anchored on shipdate-vs-orderdate
+lateness while keeping the plan shape) — plus engine-surface extensions
+under the same exact-oracle discipline: order-statistic winsorization,
+datom-level store diff, percent-of-total shares, event-sequence funnels,
+co-purchase triangle counting, streaming-pillar batch twins, and
+versioned-snapshot time travel.
 
 Spark-first notes per query are in the docstrings; the shared
 determinism rules (decimal-exact money sums, unique tiebreaks in top-k,
@@ -1019,7 +1024,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     ).distinct()
     a, b = li.alias("x"), li.alias("y")
-    edges = (
+    und = (
         a.join(
             b,
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
@@ -1030,16 +1035,44 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
-        .join(
-            e3,
-            (F.col("e1.lo") == F.col("e3.lo"))
-            & (F.col("e2.hi") == F.col("e3.hi")),
-        )
+    # degree-ordered orientation: point every edge from the lower-degree
+    # endpoint to the higher ((deg, id) total order), so each node's
+    # out-degree is O(sqrt(m)) and the wedge join is O(m^1.5) — the
+    # id-ordered naive form blows up on high-degree hub parts (measured
+    # 55 s -> 9 s at x10).  The triangle COUNT is orientation-invariant,
+    # so the oracle keeps the simple id-ordered SQL.
+    deg = (
+        und.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+    e = (
+        und.join(deg.select(F.col("node").alias("lo"), F.col("d").alias("d_lo")), "lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("d").alias("d_hi")), "hi")
+    )
+    lo_first = F.struct(F.col("d_lo"), F.col("lo")) < F.struct(
+        F.col("d_hi"), F.col("hi")
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        F.when(lo_first, F.col("d_hi")).otherwise(F.col("d_lo")).alias("dst_d"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            F.struct(F.col("o1.dst_d"), F.col("o1.dst"))
+            < F.struct(F.col("o2.dst_d"), F.col("o2.dst"))
+        ),
+    ).select(F.col("o1.dst").alias("wa"), F.col("o2.dst").alias("wb"))
+    tri = wedges.join(
+        o3,
+        (F.col("wa") == F.col("o3.src")) & (F.col("wb") == F.col("o3.dst")),
+        "left_semi",
+    )
+    return und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 
