@@ -75,6 +75,13 @@ INSPECT = {
     "zorder_layout": [],
     "emb_quantize": [],
     "emb_random_projection": [],
+    "w6_revenue_share": ["Window"],
+    "funnel_view_purchase": ["Window"],
+    "copurchase_triangles": ["LeftSemi"],  # degree-ordered wedge close
+    "jsonl_roundtrip": [],
+    "w5_distribution_ranks": ["Window"],
+    "a8_grouping_sets": ["Expand"],
+    "u4_union_by_name": ["Union"],
 }
 
 # plans that must NOT contain a product node (blocking worked)
