@@ -69,6 +69,17 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("bench")
     sub.add_parser("install")
 
+    sp = sub.add_parser(
+        "corpus-prep",
+        help="training-corpus pipeline: quality gate -> exact dedup "
+        "survivors -> pack manifest over a documents table",
+    )
+    sp.add_argument("--input", required=True, help="documents parquet path/dir")
+    sp.add_argument("--output", required=True, help="output directory")
+    sp.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
+    sp.add_argument("--seq-len", type=int, default=512)
+    sp.add_argument("--min-tokens", type=int, default=5)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "install":
@@ -89,6 +100,42 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(checks))
         return 0 if all(bool(v) for v in checks.values()) else 1
+
+    if args.cmd == "corpus-prep":
+        # the end-to-end corpus pass a training-data user runs: gate ->
+        # dedup -> pack, each stage a parquet output under --output
+        from pyspark.sql import functions as F
+
+        from .functions import text as TXT
+        from .operators import corpus as C, dedup as D
+
+        spark = get_spark("corpus-prep")
+        if args.format == "jsonl":
+            from .sources import jsonl as J
+
+            docs = J.quarantine_split(spark, args.input, J.DOCUMENTS_SCHEMA)[0]
+        else:
+            docs = spark.read.parquet(args.input)
+        gated = docs.filter(TXT.token_count(F.col("text")) >= args.min_tokens)
+        keepers = D.exact_dedup(gated).select("keep_id")
+        survivors = gated.join(
+            keepers, gated["doc_id"] == keepers["keep_id"], "left_semi"
+        )
+        packed = C.pack_manifest(survivors, seq_len=args.seq_len)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(args.output, "documents")
+        )
+        packed.write.mode("overwrite").parquet(
+            os.path.join(args.output, "pack_manifest")
+        )
+        stats = {
+            "input_docs": docs.count(),
+            "gated_docs": gated.count(),
+            "surviving_docs": survivors.count(),
+            "sequences": packed.agg(F.max("seq_id")).collect()[0][0],
+        }
+        print(json.dumps(stats))
+        return 0
 
     if args.cmd == "bench":
         from . import queries  # noqa: F401 — import check

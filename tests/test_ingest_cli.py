@@ -86,3 +86,26 @@ def test_cli_migrate_end_to_end(tmp_path):
     assert '"event": "ok"' in proc.stderr  # step notifications emitted
     assert (tmp_path / "ws" / "WS299" / "qa_report").exists()
     assert (tmp_path / "ws" / "WS299" / "manifest.json").exists()
+
+
+def test_cli_corpus_prep(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "db_migration_spark.cli", "corpus-prep",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out),
+            "--seq-len", "128",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["surviving_docs"] <= stats["gated_docs"] <= stats["input_docs"]
+    assert stats["sequences"] > 0
+    assert (out / "documents").is_dir()
+    assert (out / "pack_manifest").is_dir()
