@@ -1057,7 +1057,9 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
         F.when(lo_first, F.col("d_hi")).otherwise(F.col("d_lo")).alias("dst_d"),
-    )
+    ).localCheckpoint()  # referenced three times (both wedge sides + the
+    # closing probe) — materialize once instead of rebuilding the
+    # edge+degree pipeline per reference
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     wedges = o1.join(
         o2,
