@@ -345,3 +345,51 @@ def test_chunk_dedup_matches_brute_force(spark, texts):
         for r in C.chunk_dedup(df, chunk_words=3).collect()
     }
     assert got == _brute_chunk_dedup(docs, 3)
+
+
+# --- pack_manifest invariants ----------------------------------------------
+
+
+@given(
+    n_toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12)
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pack_manifest_invariants(spark, n_toks):
+    from db_migration_spark.operators import corpus as C
+
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(n_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    seq_len = 16
+    out = C.pack_manifest(df, seq_len=seq_len, bucket_size=4).collect()
+    # every document's pieces cover exactly its tokens, in order
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    total = sum(n for n in n_toks if n > 0)
+    assert sum(r["seg_len"] for r in out) == total
+    for doc_id, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["doc_offset"])
+        n = n_toks[doc_id]
+        assert pieces[0]["doc_offset"] == 0
+        assert sum(p["seg_len"] for p in pieces) == n
+        # contiguous doc coverage
+        acc = 0
+        for p in pieces:
+            assert p["doc_offset"] == acc
+            acc += p["seg_len"]
+    # per-sequence: offsets within [0, seq_len), pieces don't overflow
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq_id, pieces in by_seq.items():
+        for p in pieces:
+            assert 0 <= p["seq_offset"] < seq_len
+            assert p["seq_offset"] + p["seg_len"] <= seq_len
+        # pieces inside one sequence tile without overlap
+        spans = sorted((p["seq_offset"], p["seq_offset"] + p["seg_len"]) for p in pieces)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 <= s2
