@@ -3061,3 +3061,39 @@ ORACLES["jsonl_roundtrip"] = ORACLE_JSONL
 from .queries_streaming import register as _register_streaming  # noqa: E402
 
 _register_streaming(QUERIES, ORACLES)
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink (Spark-native columnar alternative to Parquet —
+    relevant when an ingest upstream emits ORC): write ``orders`` as
+    zlib ORC, read it back, aggregate per status.  Predicate pushdown and
+    column pruning work the same as Parquet (ORC readers expose min/max
+    stripe stats to Catalyst)."""
+    from .queries_e2e import _fx
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _fx(sf_dir, "orders_orc")
+    orders.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+ORACLE_ORC = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderstatus
+"""
+
+QUERIES["orc_roundtrip"] = q_orc_roundtrip
+ORACLES["orc_roundtrip"] = ORACLE_ORC
