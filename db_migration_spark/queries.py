@@ -3097,3 +3097,60 @@ GROUP BY o_orderstatus
 
 QUERIES["orc_roundtrip"] = q_orc_roundtrip
 ORACLES["orc_roundtrip"] = ORACLE_ORC
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join — the 100 TB big-join story:
+    ``orders`` and ``lineitem`` written bucketed (8 buckets) AND
+    bucket-sorted on the join key, then joined WITHOUT a shuffle on
+    either side (the plan guard asserts no Exchange above the scans).  At
+    cluster scale this is how the recurring orderkey join escapes its
+    shuffle entirely: pay the bucketing once at ingest, every subsequent
+    join is map-side.  Spark-native bucketing (saveAsTable) — no Hive
+    needed; table names carry the sf tag so per-sf runs don't collide."""
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").split("/")[-1])
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for name, df, key in (
+        (f"orders_bkt_{tag}", orders, "o_orderkey"),
+        (f"lineitem_bkt_{tag}", li, "l_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    ob = spark.table(f"orders_bkt_{tag}")
+    lb = spark.table(f"lineitem_bkt_{tag}")
+    return (
+        lb.join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+ORACLE_BUCKETED = """
+SELECT o_orderstatus, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+QUERIES["bucketed_join"] = q_bucketed_join
+ORACLES["bucketed_join"] = ORACLE_BUCKETED

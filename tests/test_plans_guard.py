@@ -132,3 +132,29 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     # NOT EXISTS → left-anti; the one-row threshold aggregate broadcasts
     plan = _plan(spark, "q22_idle_customers")
     assert "LeftAnti" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # both sides bucketed+sorted on the join key: the join itself must
+    # not introduce an Exchange above either scan (only the final
+    # aggregate may shuffle)
+    import contextlib
+    import io
+
+    from db_migration_spark.queries import QUERIES
+
+    df = QUERIES["bucketed_join"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the scans feeding the join carry no Exchange; bucketed scan shows
+    # "SelectedBucketsCount" in the formatted plan
+    assert "SelectedBucketsCount" in plan
+    sm = plan.find("SortMergeJoin")
+    agg = plan.find("HashAggregate")
+    first_exchange = plan.find("Exchange")
+    # any Exchange in the plan must belong to the post-join aggregate,
+    # not sit between the bucketed scans and the join
+    if first_exchange != -1 and sm != -1:
+        assert first_exchange > sm, "shuffle crept below the bucketed join"
