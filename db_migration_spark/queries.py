@@ -3121,6 +3121,15 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f"orders_bkt_{tag}", orders, "o_orderkey"),
         (f"lineitem_bkt_{tag}", li, "l_orderkey"),
     ):
+        # the warehouse DIRECTORY outlives the in-memory catalog: a fresh
+        # session sees no table but an existing location and refuses the
+        # save (LOCATION_ALREADY_EXISTS) — drop both sides first
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:"):
+            wh = wh[len("file:") :]
+        if wh:
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         (
             df.write.mode("overwrite")
             .bucketBy(8, key)
