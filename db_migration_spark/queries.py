@@ -3163,3 +3163,36 @@ GROUP BY o_orderstatus
 
 QUERIES["bucketed_join"] = q_bucketed_join
 ORACLES["bucketed_join"] = ORACLE_BUCKETED
+
+
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: every table registered as a view and the query
+    submitted as one ANSI SQL string (CTE + window + join) through
+    ``spark.sql`` — a user of the reference's SQL layer can paste their
+    query unchanged; Catalyst compiles it to the same plan the DataFrame
+    API gets.  The oracle is the IDENTICAL string run on DuckDB."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_FRONTEND)
+
+
+SQL_FRONTEND = """
+WITH cust_orders AS (
+  SELECT c_custkey, n_name,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY c_custkey, n_name
+)
+SELECT n_name, c_custkey, n_orders, spend,
+       CAST(row_number() OVER (
+              PARTITION BY n_name ORDER BY spend DESC, c_custkey
+            ) AS BIGINT) AS rank_in_nation
+FROM cust_orders
+WHERE n_orders >= 3
+"""
+
+QUERIES["sql_frontend"] = q_sql_frontend
+ORACLES["sql_frontend"] = SQL_FRONTEND
