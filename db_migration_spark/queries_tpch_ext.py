@@ -587,6 +587,7 @@ def register(queries: dict, oracles: dict) -> None:
             "funnel_view_purchase": q_funnel_view_purchase,
             "copurchase_triangles": q_copurchase_triangles,
             "snapshot_time_travel": q_snapshot_time_travel,
+            "q8_market_share": q_q8_market_share,
         }
     )
     oracles.update(
@@ -612,6 +613,7 @@ def register(queries: dict, oracles: dict) -> None:
             "funnel_view_purchase": ORACLE_FUNNEL,
             "copurchase_triangles": ORACLE_TRIANGLES,
             "snapshot_time_travel": ORACLE_TIME_TRAVEL,
+            "q8_market_share": ORACLE_Q8,
         }
     )
 
@@ -1148,4 +1150,83 @@ SELECT lang, count(*) AS n_docs,
        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS chars_delta
 FROM documents
 GROUP BY lang
+"""
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — market share: NATION_5 suppliers' slice of region
+    AMERICA-analog customer volume per order year.  Both the numerator
+    (conditional) and denominator aggregate in ONE pass as decimal sums;
+    the division happens once per year on the exact sums.  nation joins
+    in two roles (customer side filters the region, supplier side tags
+    the share)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    tagged = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cnk"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("crk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("snk"))
+    )
+    return (
+        tagged.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)).alias(
+                "__num"
+            ),
+            F.sum(vol).alias("__den"),
+        )
+        .select(
+            "o_year",
+            (
+                F.coalesce(F.col("__num"), F.lit(0).cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.col("__den").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+ORACLE_Q8 = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(coalesce(sum(CASE WHEN n2.n_name = 'NATION_5'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END),
+             CAST(0 AS DECIMAL(18,4))) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY o_year
 """
