@@ -271,3 +271,53 @@ def test_streaming_class_counts_update_mode(spark, tmp_path):
     assert got["Gene"][0] == 3 and got["Protein"][0] == 1
     # approx distinct is exact at this cardinality
     assert got["Gene"][1] == 2 and got["Protein"][1] == 1
+
+
+def test_multibatch_sliding_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental-state check: the stream processes the input across
+    SEVERAL micro-batches (maxFilesPerTrigger over a multi-file source),
+    so window state must merge correctly across triggers — a strictly
+    stronger claim than the single-batch availableNow equality.  Sliding
+    windows (1h/30min) double-assign every event."""
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "events_multi"
+    events.repartition(6).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    rolled = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("sliding_multibatch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_multibatch").collect()
+    }
+    batch = (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .select(F.col("win.start").alias("ws"), "event_type", "n", "s")
+        .collect()
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == want
