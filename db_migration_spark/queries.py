@@ -3196,3 +3196,43 @@ WHERE n_orders >= 3
 
 QUERIES["sql_frontend"] = q_sql_frontend
 ORACLES["sql_frontend"] = SQL_FRONTEND
+
+
+def q_f_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe function family: try_divide / try_cast /
+    try_element_at return NULL where the strict forms would raise
+    (division by zero, malformed casts, out-of-range subscripts) — the
+    ingest-hardening surface.  The oracle spells each NULL contract as an
+    explicit CASE, so the gate pins the exact semantics."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        "l_tax",
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_quantity"), F.round(F.col("l_tax") * 10) % 3
+        ).alias("safe_div"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.try_element_at(
+            F.split(F.lit("a,b,c"), ","), F.col("l_linenumber").cast("int")
+        ).alias("nth_token"),
+    )
+
+
+ORACLE_TRY = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN round(l_tax * 10) % 3 = 0 THEN NULL
+            ELSE l_quantity / (round(l_tax * 10) % 3) END AS safe_div,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       CASE WHEN l_linenumber BETWEEN 1 AND 3
+            THEN ['a','b','c'][l_linenumber] END AS nth_token
+FROM lineitem
+"""
+
+QUERIES["f_try_suite"] = q_f_try_suite
+ORACLES["f_try_suite"] = ORACLE_TRY
