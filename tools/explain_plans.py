@@ -82,6 +82,16 @@ INSPECT = {
     "w5_distribution_ranks": ["Window"],
     "a8_grouping_sets": ["Expand"],
     "u4_union_by_name": ["Union"],
+    "q8_market_share": ["BroadcastHashJoin"],
+    "f_try_suite": [],
+    "sql_frontend": ["Window"],
+    "orc_roundtrip": ["HashAggregate"],
+    "snapshot_time_travel": [],
+    "store_diff": ["FullOuter"],
+    "winsorize_values": ["Window"],
+    "dense_ids": ["Window"],
+    "stream_hourly_rollup": [],
+    "stream_dedup_keys": [],
 }
 
 # plans that must NOT contain a product node (blocking worked)
