@@ -87,9 +87,6 @@ INSPECT = {
     "sql_frontend": ["Window"],
     "orc_roundtrip": ["HashAggregate"],
     "snapshot_time_travel": [],
-    "store_diff": ["FullOuter"],
-    "winsorize_values": ["Window"],
-    "dense_ids": ["Window"],
     "stream_hourly_rollup": [],
     "stream_dedup_keys": [],
 }
