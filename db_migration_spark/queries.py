@@ -3236,3 +3236,41 @@ FROM lineitem
 
 QUERIES["f_try_suite"] = q_f_try_suite
 ORACLES["f_try_suite"] = ORACLE_TRY
+
+
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned scan — the coarse
+    data-skipping tier at 100 TB (directory-level pruning BEFORE footer
+    stats): documents written ``partitionBy(lang)``, read back filtered
+    to two languages; the plan's PartitionFilters prune every other
+    partition directory without opening a file (guard in
+    test_plans_guard)."""
+    from .queries_e2e import _fx
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _fx(sf_dir, "docs_by_lang")
+    (
+        docs.write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+ORACLE_PARTITIONED = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+WHERE lang IN ('en', 'de')
+GROUP BY lang, source
+"""
+
+QUERIES["partitioned_scan"] = q_partitioned_scan
+ORACLES["partitioned_scan"] = ORACLE_PARTITIONED

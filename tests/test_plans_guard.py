@@ -158,3 +158,12 @@ def test_bucketed_join_has_no_shuffle(spark):
     # not sit between the bucketed scans and the join
     if first_exchange != -1 and sm != -1:
         assert first_exchange > sm, "shuffle crept below the bucketed join"
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    plan = _plan(spark, "partitioned_scan")
+    # the lang predicate must land in PartitionFilters (directory-level
+    # pruning), not merely PushedFilters (row-group level)
+    assert "PartitionFilters" in plan
+    i = plan.find("PartitionFilters")
+    assert "lang" in plan[i : i + 200]
