@@ -3274,3 +3274,49 @@ GROUP BY lang, source
 
 QUERIES["partitioned_scan"] = q_partitioned_scan
 ORACLES["partitioned_scan"] = ORACLE_PARTITIONED
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across shards — the long-lived-corpus reality: an old
+    shard (no ``quality`` column) and a new shard (scored) land in one
+    dataset; ``mergeSchema`` unifies them with NULL back-fill and the
+    engine aggregates presence per language.  Shard membership is
+    deterministic (doc_id parity) so the DuckDB oracle recomputes the
+    same split from the live table."""
+    from .queries_e2e import _fx
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _fx(sf_dir, "evolving_docs")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") % 100 / 100.0).alias("quality"),
+    )
+    old.write.mode("overwrite").parquet(f"{root}/shard=old")
+    new.write.mode("overwrite").parquet(f"{root}/shard=new")
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("quality").alias("n_scored"),
+        F.sum(F.col("quality").cast("decimal(10,6)"))
+        .cast("double")
+        .alias("quality_sum"),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_scored,
+       CAST(sum(CASE WHEN doc_id % 2 = 1
+                THEN CAST(n_chars % 100 / 100.0 AS DECIMAL(10,6)) END) AS DOUBLE)
+         AS quality_sum
+FROM documents
+GROUP BY lang
+"""
+
+QUERIES["schema_evolution"] = q_schema_evolution
+ORACLES["schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
