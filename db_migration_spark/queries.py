@@ -3320,3 +3320,34 @@ GROUP BY lang
 
 QUERIES["schema_evolution"] = q_schema_evolution
 ORACLES["schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
+
+
+def q_crosstab_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via the DataFrame pivot API with an EXPLICIT value list
+    (src0-src3 + an absent control column): fixed values skip the extra
+    distinct-scan Spark otherwise runs to discover pivot columns — the
+    right call at 100 TB where the category set is known — and missing
+    combinations surface as NULL counts (src_absent is all-NULL by
+    construction, proving no silent drop).  Distinct from the EAV pivots
+    (x7 family): this is the two-categorical-dims reporting crosstab."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2", "src3", "src_absent"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+ORACLE_CROSSTAB = """
+SELECT lang,
+       sum(CASE WHEN source = 'src0' THEN 1 END) AS src0,
+       sum(CASE WHEN source = 'src1' THEN 1 END) AS src1,
+       sum(CASE WHEN source = 'src2' THEN 1 END) AS src2,
+       sum(CASE WHEN source = 'src3' THEN 1 END) AS src3,
+       sum(CASE WHEN source = 'src_absent' THEN 1 END) AS src_absent
+FROM documents
+GROUP BY lang
+"""
+
+QUERIES["crosstab_lang_source"] = q_crosstab_lang_source
+ORACLES["crosstab_lang_source"] = ORACLE_CROSSTAB
