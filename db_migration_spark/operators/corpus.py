@@ -382,7 +382,10 @@ def mixture_interleave(docs: DataFrame, seed: str = "epoch0") -> DataFrame:
 
 
 def dense_ids(
-    df: DataFrame, key: str, id_name: str = "dense_id", partitions: int = 64
+    df: DataFrame,
+    key: str | list[str],
+    id_name: str = "dense_id",
+    partitions: int = 64,
 ) -> DataFrame:
     """Dense, contiguous, deterministic 1..N ids in ``key`` order WITHOUT
     a global single-task sort: range-repartition on the key, rank within
@@ -398,12 +401,13 @@ def dense_ids(
     through one task.  This is the standard two-level construction an
     entity-numbering step (e.g. assigning datom entity ids at import)
     needs at 100 TB."""
-    ranged = df.repartitionByRange(partitions, F.col(key))
+    keys = [key] if isinstance(key, str) else list(key)
+    ranged = df.repartitionByRange(partitions, *[F.col(k) for k in keys])
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     local = with_pid.withColumn(
         "__lrank",
         F.row_number().over(
-            Window.partitionBy("__pid").orderBy(key)
+            Window.partitionBy("__pid").orderBy(*keys)
         ),
     )
     offsets = (
@@ -426,4 +430,75 @@ def dense_ids(
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(id_name, (F.col("__offset") + F.col("__lrank")).cast("long"))
         .drop("__pid", "__lrank", "__offset")
+    )
+
+
+def length_batches(
+    docs: DataFrame, batch_size: int = 32, partitions: int = 64
+) -> DataFrame:
+    """Padding-minimizing batch assignment (sorted/bucketed batching):
+    rank documents by token length (doc_id tiebreak) with the
+    distributed two-level :func:`dense_ids` — no global single-task sort
+    — and cut consecutive ranks into fixed-size batches.  Documents of
+    similar length share a batch, so per-batch padding
+    (batch_size·max_len − Σlen) collapses versus random batching — the
+    standard throughput lever for variable-length LLM training/eval.
+
+    Returns one row per batch: size, min/max token length, and the
+    padding-token overhead."""
+    from ..functions import text as TXT
+
+    base = docs.select(
+        "doc_id", TXT.token_count(F.col("text")).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    ranked = dense_ids(
+        base, ["n_tok", "doc_id"], id_name="rank", partitions=partitions
+    )
+    return (
+        ranked.withColumn(
+            "batch_id", ((F.col("rank") - 1) / batch_size).cast("long")
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+            (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+            .cast("long")
+            .alias("padding_tokens"),
+        )
+    )
+
+
+def best_survivor(
+    docs: DataFrame,
+    score: F.Column,
+    id_col: str = "doc_id",
+    fingerprint_col: F.Column | None = None,
+) -> DataFrame:
+    """Quality-policy survivorship: within each exact-duplicate family
+    (normalized-text fingerprint), keep the HIGHEST-``score`` document
+    (id tiebreak) instead of the lowest id — real pipelines keep the best
+    copy (longest, highest quality score, preferred source), not the
+    first-crawled one.  One struct-max aggregate per family: the shuffle
+    carries (fingerprint, score, id), never text."""
+    if fingerprint_col is None:
+        from ..functions.text import fingerprint as _fp
+
+        fingerprint_col = _fp("text")
+    fam = docs.select(
+        F.col(id_col),
+        fingerprint_col.alias("fp"),
+        score.alias("__score"),
+    )
+    keepers = fam.groupBy("fp").agg(
+        F.max(F.struct(F.col("__score"), (-F.col(id_col)).alias("__negid"))).alias(
+            "__best"
+        ),
+        F.count(F.lit(1)).alias("family_size"),
+    )
+    return keepers.select(
+        "fp",
+        (-F.col("__best.__negid")).cast("long").alias("keeper_doc_id"),
+        "family_size",
     )

@@ -258,6 +258,8 @@ def register(queries: dict, oracles: dict) -> None:
             "chunk_dedup": q_chunk_dedup,
             "mixture_interleave": q_mixture_interleave,
             "dense_ids": q_dense_ids,
+            "dedup_best_survivor": q_dedup_best_survivor,
+            "length_batching": q_length_batching,
         }
     )
     oracles.update(
@@ -270,6 +272,8 @@ def register(queries: dict, oracles: dict) -> None:
             "chunk_dedup": ORACLE_CHUNK_DEDUP,
             "mixture_interleave": ORACLE_INTERLEAVE,
             "dense_ids": ORACLE_DENSE_IDS,
+            "dedup_best_survivor": ORACLE_BEST_SURVIVOR,
+            "length_batching": ORACLE_LENGTH_BATCHING,
         }
     )
 
@@ -289,4 +293,64 @@ ORACLE_DENSE_IDS = """
 SELECT doc_id, lang,
        CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS dense_id
 FROM documents
+"""
+
+
+def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy survivorship (operators/corpus.py best_survivor):
+    within each exact-dup family keep the LONGEST copy (n_chars score,
+    lowest-id tiebreak) — the keep-the-best-copy policy real pipelines
+    use instead of first-crawled-wins.  md5 fingerprint here so the
+    oracle computes identical family keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    )
+    return C.best_survivor(
+        docs, score=F.col("n_chars"), fingerprint_col=fp
+    )
+
+
+ORACLE_BEST_SURVIVOR = r"""
+WITH fam AS (
+  SELECT doc_id, n_chars,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), ranked AS (
+  SELECT fp, doc_id,
+         row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY fp) AS family_size
+  FROM fam
+)
+SELECT fp, CAST(doc_id AS BIGINT) AS keeper_doc_id, family_size
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-minimizing sorted batching (operators/corpus.py
+    length_batches over the distributed dense_ids rank): batches of 32
+    similar-length docs with their padding overhead — the oracle ranks
+    with a plain global window (single-node semantics spec)."""
+    return C.length_batches(
+        load_table(spark, sf_dir, "documents"), batch_size=32
+    )
+
+
+ORACLE_LENGTH_BATCHING = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), ranked AS (
+  SELECT n_tok, row_number() OVER (ORDER BY n_tok, doc_id) AS rank FROM base
+  WHERE n_tok > 0
+)
+SELECT (rank - 1) // 32 AS batch_id,
+       count(*) AS n_docs,
+       min(n_tok) AS min_tok,
+       max(n_tok) AS max_tok,
+       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding_tokens
+FROM ranked
+GROUP BY 1
 """

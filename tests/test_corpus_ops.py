@@ -201,3 +201,46 @@ def test_dense_ids_contiguous_and_layout_independent(spark):
         keys = sorted(got)
         # dense 1..N in key order, regardless of partition count
         assert [got[k] for k in keys] == list(range(1, 102))
+
+
+def test_best_survivor_keeps_longest_copy(spark):
+    from db_migration_spark.operators import corpus as C
+
+    rows = [
+        (1, "hello  world", 11, "s"),   # same normalized text, shorter raw
+        (2, "hello world", 12, "s"),    # same family, higher score -> keeper
+        (3, "unique doc", 10, "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long, source string"
+    )
+    out = {
+        r["keeper_doc_id"]: r["family_size"]
+        for r in C.best_survivor(df, score=F.col("n_chars")).collect()
+    }
+    assert out == {2: 2, 3: 1}
+
+
+def test_length_batches_reduce_padding(spark):
+    import random
+
+    from db_migration_spark.operators import corpus as C
+
+    rng = random.Random(3)
+    rows = [
+        (i, " ".join(["w"] * rng.randint(1, 100)), "s") for i in range(256)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    batches = C.length_batches(df, batch_size=32).collect()
+    assert sum(r["n_docs"] for r in batches) == 256
+    sorted_padding = sum(r["padding_tokens"] for r in batches)
+    # random batching baseline: assign by doc_id order instead of length
+    lens = sorted(
+        (r[0], len(r[1].split())) for r in rows
+    )
+    rand_batches = [lens[i : i + 32] for i in range(0, 256, 32)]
+    # (doc_id order == insertion order here since doc_id is 0..255)
+    rand_padding = sum(
+        32 * max(n for _, n in b) - sum(n for _, n in b) for b in rand_batches
+    )
+    assert sorted_padding < rand_padding
