@@ -111,11 +111,64 @@ def register(queries: dict, oracles: dict) -> None:
         {
             "stream_hourly_rollup": q_stream_hourly_rollup,
             "stream_dedup_keys": q_stream_dedup_keys,
+            "stream_stream_join": q_stream_stream_join,
         }
     )
     oracles.update(
         {
             "stream_hourly_rollup": ORACLE_STREAM_ROLLUP,
             "stream_dedup_keys": ORACLE_STREAM_DEDUP,
+            "stream_stream_join": ORACLE_STREAM_SSJOIN,
         }
     )
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the hardest Structured Streaming
+    shape (state on BOTH sides, bounded by watermarks + the time-range
+    condition): view events join purchase events of the same user within
+    30 minutes; drained availableNow, then counted per user batch-side.
+    The oracle is the equivalent relational interval join, so the gate
+    hashes what the double-buffered streaming join actually emitted."""
+    name = _sink_name("stream_ssjoin", sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("v_user", "v_id", "p_id")
+    _drain(joined, name, "append")
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+ORACLE_STREAM_SSJOIN = """
+SELECT v.user_id, count(*) AS n_pairs
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY v.user_id
+"""
