@@ -89,6 +89,13 @@ INSPECT = {
     "snapshot_time_travel": [],
     "stream_hourly_rollup": [],
     "stream_dedup_keys": [],
+    "stream_stream_join": [],
+    "partitioned_scan": ["PartitionFilters"],
+    "schema_evolution": [],
+    "crosstab_lang_source": [],
+    "length_batching": ["Window"],
+    "dedup_best_survivor": ["SortAggregate"],  # struct-max is sort-agg, still map-side partial
+    "bucketed_join": ["SelectedBucketsCount"],
 }
 
 # plans that must NOT contain a product node (blocking worked)
