@@ -3351,3 +3351,47 @@ GROUP BY lang
 
 QUERIES["crosstab_lang_source"] = q_crosstab_lang_source
 ORACLES["crosstab_lang_source"] = ORACLE_CROSSTAB
+
+
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics a
+    dimension-join on an optional attribute needs (plain ``=`` silently
+    drops every NULL-keyed row).  Key is NULLIF(mktsegment, 'BUILDING'),
+    so one dim value is genuinely NULL; the oracle uses DuckDB's
+    IS NOT DISTINCT FROM."""
+    customer = load_table(spark, sf_dir, "customer").withColumn(
+        "seg_key", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    )
+    dim = (
+        customer.select("seg_key")
+        .distinct()
+        .withColumn(
+            "seg_label",
+            F.coalesce(F.concat(F.lit("seg:"), F.col("seg_key")), F.lit("seg:DEFAULT")),
+        )
+    )
+    return (
+        customer.join(
+            F.broadcast(dim), customer["seg_key"].eqNullSafe(dim["seg_key"])
+        )
+        .groupBy("seg_label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_NULLSAFE = """
+WITH c AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg_key FROM customer
+), dim AS (
+  SELECT DISTINCT seg_key,
+         coalesce('seg:' || seg_key, 'seg:DEFAULT') AS seg_label
+  FROM c
+)
+SELECT seg_label, count(*) AS n_customers
+FROM c JOIN dim ON c.seg_key IS NOT DISTINCT FROM dim.seg_key
+GROUP BY seg_label
+"""
+
+QUERIES["nullsafe_join"] = q_nullsafe_join
+ORACLES["nullsafe_join"] = ORACLE_NULLSAFE

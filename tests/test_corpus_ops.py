@@ -244,3 +244,32 @@ def test_length_batches_reduce_padding(spark):
         32 * max(n for _, n in b) - sum(n for _, n in b) for b in rand_batches
     )
     assert sorted_padding < rand_padding
+
+
+def test_global_sorted_export_without_single_task(spark, tmp_path):
+    """Total-order output files via repartitionByRange +
+    sortWithinPartitions — cross-file ordering must hold (part-00000's
+    max <= part-00001's min, ...), proving globally sorted export needs
+    no driver-side or single-task sort."""
+    import glob
+    import os
+
+    from db_migration_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = tmp_path / "sorted_export"
+    (
+        docs.repartitionByRange(4, "n_chars", "doc_id")
+        .sortWithinPartitions("n_chars", "doc_id")
+        .write.parquet(str(out))
+    )
+    parts = sorted(glob.glob(os.path.join(str(out), "part-*.parquet")))
+    assert len(parts) >= 2
+    prev_max = None
+    for p in parts:
+        vals = [r["n_chars"] for r in spark.read.parquet(p).collect()]
+        assert vals == sorted(vals)  # sorted within the file
+        if vals:
+            if prev_max is not None:
+                assert prev_max <= vals[0]  # sorted across files
+            prev_max = vals[-1]
