@@ -3395,3 +3395,44 @@ GROUP BY seg_label
 
 QUERIES["nullsafe_join"] = q_nullsafe_join
 ORACLES["nullsafe_join"] = ORACLE_NULLSAFE
+
+
+def q_f_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP expression family: map_from_arrays,
+    transform_values, map_filter, map_concat, element_at and an
+    aggregate over map_values — each result extracted to a scalar so the
+    oracle pins the semantics with explicit ground-truth arithmetic
+    (DuckDB's map internals differ; the CONTRACT is what must match)."""
+    c = load_table(spark, sf_dir, "customer")
+    m = F.map_from_arrays(
+        F.array(F.lit("bal"), F.lit("key")),
+        F.array(F.col("c_acctbal"), F.col("c_custkey").cast("double")),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    positive = F.map_filter(m, lambda k, v: v > 0)
+    merged = F.map_concat(
+        m, F.create_map(F.lit("nation"), F.col("c_nationkey").cast("double"))
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at(doubled, "bal").alias("bal_doubled"),
+        F.size(positive).cast("long").alias("n_positive"),
+        F.size(merged).cast("long").alias("n_merged"),
+        F.aggregate(
+            F.map_values(m), F.lit(0.0), lambda acc, v: acc + v
+        ).alias("values_sum"),
+    )
+
+
+ORACLE_MAP = """
+SELECT c_custkey,
+       c_acctbal * 2 AS bal_doubled,
+       CAST((CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN c_custkey > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(3 AS BIGINT) AS n_merged,
+       c_acctbal + CAST(c_custkey AS DOUBLE) AS values_sum
+FROM customer
+"""
+
+QUERIES["f_map_suite"] = q_f_map_suite
+ORACLES["f_map_suite"] = ORACLE_MAP
