@@ -3436,3 +3436,28 @@ FROM customer
 
 QUERIES["f_map_suite"] = q_f_map_suite
 ORACLES["f_map_suite"] = ORACLE_MAP
+
+
+def q_hist_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of document length per language (bin width
+    128 chars) — the dataset-profiling staple; one map stage + one
+    aggregate, bins derived arithmetically so both engines bucket
+    identically (no histogram UDAF needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "bin", (F.col("n_chars") / 128).cast("long") * 128
+        )
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_HIST = """
+SELECT lang, CAST(n_chars // 128 * 128 AS BIGINT) AS bin, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES["hist_doc_lengths"] = q_hist_doc_lengths
+ORACLES["hist_doc_lengths"] = ORACLE_HIST
