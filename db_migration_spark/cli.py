@@ -132,7 +132,11 @@ def main(argv: list[str] | None = None) -> int:
             "input_docs": docs.count(),
             "gated_docs": gated.count(),
             "surviving_docs": survivors.count(),
-            "sequences": packed.agg(F.max("seq_id")).collect()[0][0],
+            # seq_ids are 0-based (start div seq_len) and not necessarily
+            # contiguous across docs, so count distinct ids (0 when empty)
+            "sequences": packed.agg(
+                F.coalesce(F.countDistinct("seq_id"), F.lit(0))
+            ).collect()[0][0],
         }
         print(json.dumps(stats))
         return 0

@@ -79,10 +79,14 @@ def quantize_int8(v: Column | str) -> Column:
     vd = F.transform(_col(v), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
     scale = amax / F.lit(127.0)
+    # codes are provably in [-127, 127] (|x| <= amax = 127*scale), so store
+    # them as real int8 — the 4x storage claim only holds at 1 byte/code
     qvec = F.when(
         scale > 0,
-        F.transform(vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
-    ).otherwise(F.transform(vd, lambda x: F.lit(0)))
+        F.transform(
+            vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint")
+        ),
+    ).otherwise(F.transform(vd, lambda x: F.lit(0).cast("tinyint")))
     return F.struct(scale.alias("scale"), qvec.alias("qvec"))
 
 

@@ -400,10 +400,24 @@ def dense_ids(
     pass; a bare ``row_number() OVER (ORDER BY …)`` funnels the corpus
     through one task.  This is the standard two-level construction an
     entity-numbering step (e.g. assigning datom entity ids at import)
-    needs at 100 TB."""
+    needs at 100 TB.
+
+    ``keys`` must form a unique total order over the rows (ids are then
+    fully deterministic); under duplicate keys the ids are still dense
+    and contiguous but the assignment among tied rows is
+    partition-placement-dependent.  The partition ids are pinned with a
+    ``localCheckpoint`` before the plan branches, so the local-rank
+    branch and the offsets branch can never observe different range
+    boundaries (correctness does not ride on ReuseExchange)."""
     keys = [key] if isinstance(key, str) else list(key)
     ranged = df.repartitionByRange(partitions, *[F.col(k) for k in keys])
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # eager localCheckpoint: both downstream branches (local ranks and the
+    # per-partition counts) must see the SAME physical partitioning; without
+    # it each branch re-evaluates the range exchange and correctness would
+    # depend on ReuseExchange deduplicating the two subplans
+    with_pid = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
     local = with_pid.withColumn(
         "__lrank",
         F.row_number().over(

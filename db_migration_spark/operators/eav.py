@@ -238,22 +238,36 @@ def store_diff(
     ``retained`` / ``added`` / ``removed``, and report per-attribute
     counts.  One shuffle per side on the join key; at 100 TB both sides
     bucket by ``e`` so the join co-locates without re-shuffling the
-    larger snapshot."""
+    larger snapshot.
+
+    The join keys are null-safe (``eqNullSafe``): a datom with a NULL
+    component present in both snapshots is correctly ``retained`` rather
+    than counted as both ``removed`` and ``added``.  (Null-safe equality
+    still hash-partitions like plain equality — Spark plans it as a
+    normal shuffled equi-join, not a nested loop.)"""
     e, a, v = keys
     lhs = before.select(
-        F.col(e).alias("e"), F.col(a).alias("a"), F.col(v).alias("v")
+        F.col(e).alias("le"), F.col(a).alias("la"), F.col(v).alias("lv")
     ).withColumn("__l", F.lit(1))
     rhs = after.select(
-        F.col(e).alias("e"), F.col(a).alias("a"), F.col(v).alias("v")
+        F.col(e).alias("re"), F.col(a).alias("ra"), F.col(v).alias("rv")
     ).withColumn("__r", F.lit(1))
-    joined = lhs.join(rhs, ["e", "a", "v"], "full_outer")
+    cond = (
+        lhs["le"].eqNullSafe(rhs["re"])
+        & lhs["la"].eqNullSafe(rhs["ra"])
+        & lhs["lv"].eqNullSafe(rhs["rv"])
+    )
+    joined = lhs.join(rhs, cond, "full_outer")
     status = (
         F.when(F.col("__l").isNotNull() & F.col("__r").isNotNull(), "retained")
         .when(F.col("__r").isNotNull(), "added")
         .otherwise("removed")
     )
     return (
-        joined.select("a", status.alias("status"))
+        joined.select(
+            F.coalesce(F.col("la"), F.col("ra")).alias("a"),
+            status.alias("status"),
+        )
         .groupBy("a", "status")
         .agg(F.count(F.lit(1)).alias("n_datoms"))
     )

@@ -2952,8 +2952,8 @@ WITH b AS (
 )
 SELECT vec_id, scale,
        CASE WHEN scale > 0
-            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
-            ELSE list_transform(v, x -> 0) END AS qvec,
+            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS TINYINT))
+            ELSE list_transform(v, x -> CAST(0 AS TINYINT)) END AS qvec,
        CASE WHEN scale > 0
             THEN list_max(list_transform(range(1, len(v) + 1),
                    i -> abs(CAST(floor(v[i] / scale + 0.5) AS INT) * scale - v[i])))
