@@ -31,7 +31,9 @@ from .sources.ace import ace_records_to_datoms, parse_ace_dump
 from .sources.catalog_files import read_id_catalog, read_models_schema
 from .sources.edn import parse_edn_log, write_edn_style_log
 
-FIXTURE_ROOT = "/tmp/dbm_spark_e2e"
+# bump the version suffix whenever fixture CONTENT changes (the _SUCCESS
+# completeness gate would otherwise serve stale pre-change fixtures)
+FIXTURE_ROOT = "/tmp/dbm_spark_e2e_v3"
 
 
 def _fx(sf_dir: str, name: str) -> str:
@@ -77,11 +79,15 @@ def _ace_dump_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value")
     )
     nat = load_table(spark, sf_dir, "nation")
+    # RegionKey carries BOTH a -C curator comment and a -O timestamp (the
+    # tace 'Dump -s -T -C' emission shape, runcommand.py:134-150) so the
+    # comment-metadata path is value-level oracled
     nat_blocks = nat.select(
         F.concat(
             F.format_string('Nation : "%s"\n', F.col("n_name")),
             F.format_string(
-                'RegionKey "%d" -O "2024-02-01_00:00:00"\n',
+                'RegionKey "%d" -C "curator N%d" -O "2024-02-01_00:00:00"\n',
+                F.col("n_regionkey"),
                 F.col("n_regionkey"),
             ),
         ).alias("value")
@@ -200,6 +206,9 @@ def q_ace_e2e_datoms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_num"),
             F.sum("v_long").alias("sum_long"),
             F.max("tx").alias("max_tx"),
+            # -C curator-comment metadata (planted on Nation/RegionKey)
+            F.count("comment").alias("n_comments"),
+            F.max("comment").alias("max_comment"),
         )
     )
 
@@ -210,13 +219,14 @@ SELECT 'Customer' AS class, 'Customer/Name' AS a,
        min(c_name) AS min_v, max(c_name) AS max_v,
        CAST(NULL AS DOUBLE) AS sum_num, CAST(NULL AS BIGINT) AS sum_long,
        CAST(max(TIMESTAMP '2024-01-01' + (c_custkey % 28) * INTERVAL 1 DAY)
-            AS TIMESTAMP) AS max_tx
+            AS TIMESTAMP) AS max_tx,
+       CAST(0 AS BIGINT) AS n_comments, CAST(NULL AS VARCHAR) AS max_comment
 FROM customer
 UNION ALL
 SELECT 'Customer', 'Customer/Address.City',
        count(*), count(DISTINCT c_custkey),
        min('CITY_' || c_nationkey), max('CITY_' || c_nationkey),
-       NULL, NULL, NULL
+       NULL, NULL, NULL, 0, NULL
 FROM customer
 UNION ALL
 SELECT 'Customer', 'Customer/Acctbal',
@@ -225,24 +235,25 @@ SELECT 'Customer', 'Customer/Acctbal',
        max(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)),
        CAST(sum(CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
                      AS DECIMAL(28,6))) AS DOUBLE),
-       NULL, NULL
+       NULL, NULL, 0, NULL
 FROM customer
 UNION ALL
 SELECT 'Customer', 'Customer/Segment',
        count(*), count(DISTINCT c_custkey),
-       min(c_mktsegment), max(c_mktsegment), NULL, NULL, NULL
+       min(c_mktsegment), max(c_mktsegment), NULL, NULL, NULL, 0, NULL
 FROM customer
 UNION ALL
 SELECT 'Nation', 'Nation/RegionKey',
        count(*), count(DISTINCT n_name),
        min(CAST(n_regionkey AS VARCHAR)), max(CAST(n_regionkey AS VARCHAR)),
-       NULL, CAST(sum(n_regionkey) AS BIGINT), max(TIMESTAMP '2024-02-01')
+       NULL, CAST(sum(n_regionkey) AS BIGINT), max(TIMESTAMP '2024-02-01'),
+       count(*), max('curator N' || n_regionkey)
 FROM nation
 UNION ALL
 SELECT 'Region', 'Region/Comment.Note',
        count(*), count(DISTINCT r_name),
        min('area ' || r_regionkey), max('area ' || r_regionkey),
-       NULL, NULL, NULL
+       NULL, NULL, NULL, 0, NULL
 FROM region
 """
 

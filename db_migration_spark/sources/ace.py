@@ -47,6 +47,7 @@ ACE_RECORD_SCHEMA = StructType(
         StructField("tag_path", ArrayType(StringType())),
         StructField("value", StringType()),
         StructField("ts", StringType()),
+        StructField("comment", StringType()),
         StructField("src_file", StringType()),
     ]
 )
@@ -79,6 +80,7 @@ def parse_block(block: str, src_file: str = "") -> list[tuple]:
     for ln in lines[1:]:
         tokens: list[str] = []
         ts = None
+        comment = None
         pending_annot = None
         for qm in _TOKEN_RE.finditer(ln):
             quoted, annot, bare = qm.group(1), qm.group(2), qm.group(3)
@@ -88,13 +90,17 @@ def parse_block(block: str, src_file: str = "") -> list[tuple]:
                 ts = quoted if quoted is not None else bare
                 pending_annot = None
             elif pending_annot == "-C":
-                pending_annot = None  # comments dropped (tace -C metadata)
+                # tace dumps with -C precisely so curator comments become
+                # transaction metadata downstream (runcommand.py:134-150);
+                # the last -C on the line stamps the value, like -O
+                comment = quoted if quoted is not None else bare
+                pending_annot = None
             else:
                 tokens.append(quoted if quoted is not None else bare)
         if not tokens:
             continue
         *path, value = tokens
-        out.append((cls, obj_id, path, value, ts, src_file))
+        out.append((cls, obj_id, path, value, ts, comment, src_file))
     return out
 
 
@@ -126,7 +132,15 @@ def parse_ace_dump(spark: SparkSession, path: str) -> DataFrame:
                 rows.extend(parse_block(block, src))
             yield pd.DataFrame(
                 rows,
-                columns=["class", "obj_id", "tag_path", "value", "ts", "src_file"],
+                columns=[
+                    "class",
+                    "obj_id",
+                    "tag_path",
+                    "value",
+                    "ts",
+                    "comment",
+                    "src_file",
+                ],
             )
 
     return blocks.mapInPandas(parse_batches, ACE_RECORD_SCHEMA)
@@ -176,7 +190,10 @@ def ace_records_to_datoms(records: DataFrame) -> DataFrame:
     Entity id = xxhash64(class, obj_id) — deterministic surrogate keys with
     no driver-side id assignment (the Spark analog of pseudoace's id
     allocation in ``prepare-import``, X3).  Attribute = class/tag-path
-    joined with '.' (the ':class/attr' ident shape).
+    joined with '.' (the ':class/attr' ident shape).  ``-C`` curator
+    comments ride along as the ``comment`` datom-metadata column (the
+    reference dumps with ``-C`` so they become transaction metadata,
+    runcommand.py:134-150).
     """
     return records.select(
         F.xxhash64("class", "obj_id").alias("e"),
@@ -187,4 +204,5 @@ def ace_records_to_datoms(records: DataFrame) -> DataFrame:
         F.to_timestamp(F.regexp_replace(F.col("ts"), "_", " ")).alias("tx"),
         F.lit(True).alias("op"),
         F.col("class").alias("class"),
+        F.col("comment").alias("comment"),
     )

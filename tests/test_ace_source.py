@@ -40,9 +40,12 @@ def test_parse_block_timestamps_and_comments():
     rows = parse_block(SAMPLE_BLOCK)
     ts = {r[3]: r[4] for r in rows}
     assert ts["1"] == "2010-01-01_12:00:00"
-    # -C comment is dropped, -O after it still applies to the value
+    # -C comment is captured as metadata, -O after it still stamps the value
     assert ts["aap-1"] == "2011-06-15_08:30:00"
     assert ts["3.5"] is None
+    comments = {r[3]: r[5] for r in rows}
+    assert comments["aap-1"] == "curator note"
+    assert comments["1"] is None and comments["3.5"] is None
 
 
 def test_parse_block_empty_and_garbage():
@@ -69,6 +72,10 @@ def test_parse_ace_dump_end_to_end(spark, tmp_path):
     assert "Gene/Identity.Version" in attrs
     ts = {d["v"]: d["tx"] for d in datoms}
     assert ts["1"] is not None and ts["1"].year == 2010
+    # -C curator comment rides along as datom metadata
+    comments = {d["v"]: d["comment"] for d in datoms}
+    assert comments["aap-1"] == "curator note"
+    assert comments["1"] is None
 
 
 def test_parse_ace_rejects_side_channel(spark, tmp_path):
