@@ -18,10 +18,43 @@ so results are stable across runs and cluster layouts.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
+
+# Above this dimensionality the flat per-component unpack dot would emit a
+# single codegen method past the JVM 64 KB limit (one dim-term Add chain is
+# unsplittable), silently degrading to interpreted row-at-a-time eval; the
+# verify stage switches to an Arrow-batched numpy cosine instead.
+FLAT_DOT_MAX_DIM = 256
+
+
+def _batched_cosine(a_col: str, b_col: str):
+    """Vectorized cosine over two array<float/double> columns: one numpy
+    einsum per Arrow batch (SIMD multiply-add), zero per-element Python.
+    Used only above FLAT_DOT_MAX_DIM where codegen-flat unpack is
+    unavailable; float64 accumulation, pairwise-summed by numpy (within
+    1 ulp-per-log2(dim) of the strict left-to-right form)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack([np.asarray(x, dtype=np.float64) for x in va])
+        B = np.vstack([np.asarray(x, dtype=np.float64) for x in vb])
+        dots = np.einsum("ij,ij->i", A, B)
+        denom = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+        return pd.Series(out)
+
+    return _cos(F.col(a_col), F.col(b_col))
 
 
 def exact_dedup(
@@ -572,35 +605,58 @@ def embedding_cosine_pairs_blocked(
         )
         .distinct()
     )
-    # Verify stage, codegen-flat: higher-order-function lambdas run
-    # INTERPRETED per element, so an aggregate-over-zip_with dot on
-    # millions of candidate pairs dominates the query.  Instead each
-    # vector is unpacked once into ``dim`` double columns (getItem is a
-    # plain codegen expression) and the dot is a flat 64-term
-    # multiply-add — whole-stage codegen end to end.  Accumulation stays
-    # left-to-right in index order, so results are bit-identical to the
-    # aggregate form and the oracle.  Norms are per-VECTOR: computed once
-    # per corpus row, carried as one scalar through the join.
-    from ..functions.vectors import norm
+    # Verify stage.  Two regimes by dimensionality:
+    #
+    # dim <= FLAT_DOT_MAX_DIM — codegen-flat: higher-order-function
+    # lambdas run INTERPRETED per element, so an aggregate-over-zip_with
+    # dot on millions of candidate pairs dominates the query.  Instead
+    # each vector is unpacked once into ``dim`` double columns (getItem
+    # is a plain codegen expression) and the dot is a flat multiply-add —
+    # whole-stage codegen end to end.  Accumulation stays left-to-right
+    # in index order, so results are bit-identical to the aggregate form
+    # and the oracle.  Norms are per-VECTOR: computed once per corpus
+    # row, carried as one scalar through the join.
+    #
+    # dim > FLAT_DOT_MAX_DIM — Arrow-batched vectorized cosine: the flat
+    # unpack would generate a single projection whose method exceeds the
+    # JVM 64 KB codegen limit (a dim-term Add chain cannot be split), so
+    # Spark would silently fall back to interpreted evaluation.  Above
+    # the cutoff the pair vectors join once per side and a pandas_udf
+    # computes the whole batch's cosines with one numpy einsum — SIMD
+    # dot at memory-bandwidth speed, no per-element Python, and the
+    # candidate shuffles still carry only ids (vectors join post-dedup).
+    if dim <= FLAT_DOT_MAX_DIM:
+        from ..functions.vectors import norm
 
-    def unpack(side: str):
-        return df.select(
-            F.col(id_col).alias(f"id_{side}"),
-            norm(vec_col).alias(f"__n{side}"),
-            *[
-                F.col(vec_col)[i].cast("double").alias(f"__{side}{i}")
-                for i in range(dim)
-            ],
+        def unpack(side: str):
+            return df.select(
+                F.col(id_col).alias(f"id_{side}"),
+                norm(vec_col).alias(f"__n{side}"),
+                *[
+                    F.col(vec_col)[i].cast("double").alias(f"__{side}{i}")
+                    for i in range(dim)
+                ],
+            )
+
+        dot_flat = F.col("__a0") * F.col("__b0")
+        for i in range(1, dim):
+            dot_flat = dot_flat + F.col(f"__a{i}") * F.col(f"__b{i}")
+        denom = F.col("__na") * F.col("__nb")
+        score = F.when(denom > 0, dot_flat / denom).otherwise(F.lit(0.0))
+        return (
+            cands.join(unpack("a"), "id_a")
+            .join(unpack("b"), "id_b")
+            .select("id_a", "id_b", score.alias("score"))
+            .filter(F.col("score") >= threshold)
         )
 
-    dot_flat = F.col("__a0") * F.col("__b0")
-    for i in range(1, dim):
-        dot_flat = dot_flat + F.col(f"__a{i}") * F.col(f"__b{i}")
-    denom = F.col("__na") * F.col("__nb")
-    score = F.when(denom > 0, dot_flat / denom).otherwise(F.lit(0.0))
+    side_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    side_b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        cands.join(unpack("a"), "id_a")
-        .join(unpack("b"), "id_b")
-        .select("id_a", "id_b", score.alias("score"))
+        cands.join(side_a, "id_a")
+        .join(side_b, "id_b")
+        .select(
+            "id_a", "id_b", _batched_cosine("__va", "__vb").alias("score")
+        )
         .filter(F.col("score") >= threshold)
     )

@@ -147,6 +147,47 @@ def test_blocked_cosine_matches_exact(spark):
     assert blocked == exact and len(exact) > 0
 
 
+def test_blocked_cosine_high_dim_arrow_path(spark):
+    """dim > FLAT_DOT_MAX_DIM must take the Arrow-batched cosine path
+    (the flat unpack would exceed JVM codegen limits and silently run
+    interpreted): the plan shows ArrowEvalPython, still no
+    CartesianProduct, and the result matches a numpy brute force on
+    planted high-similarity pairs."""
+    import numpy as np
+
+    dim, n = 1024, 120
+    rng = np.random.RandomState(7)
+    base = rng.randn(n, dim)
+    # plant 8 near-dup pairs: rows 100+i are tiny perturbations of rows i
+    for i in range(8):
+        base[100 + i] = base[i] + 0.02 * rng.randn(dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    out = dedup.embedding_cosine_pairs_blocked(
+        emb, dim=dim, threshold=0.9
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "high-dim verify must be Arrow-batched"
+    assert "CartesianProduct" not in plan
+
+    norms = np.linalg.norm(base, axis=1)
+    sims = (base @ base.T) / np.outer(norms, norms)
+    expect = {
+        (a, b): sims[a, b]
+        for a in range(n)
+        for b in range(a + 1, n)
+        if sims[a, b] >= 0.9
+    }
+    got = {(r["id_a"], r["id_b"]): r["score"] for r in out.collect()}
+    # at threshold 0.9 the auto (P, L) targets per-pair miss < 1e-5 —
+    # every planted pair must surface, scores equal to numpy's within fp
+    # summation-order noise
+    assert set(got) == set(expect) and len(expect) >= 8
+    for k, v in got.items():
+        assert abs(v - expect[k]) < 1e-9
+
+
 def test_connected_components_path_clique_isolated(spark):
     """Min-label propagation: a 4-node path (needs >1 round), a triangle,
     and a separate pair must each collapse to their smallest id."""
