@@ -454,3 +454,119 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
     if missing:
         raise ValueError(f":find variables not bound in :where: {missing}")
     return acc.select(*[t[1:] for t in find]).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Pull patterns — Datomic's entity-navigation API over the same store
+# ---------------------------------------------------------------------------
+
+_JSON_ESC = [("\\", "\\\\"), ('"', '\\"')]
+
+
+def _esc(col):
+    out = col
+    for raw, esc in _JSON_ESC:
+        out = F.regexp_replace(
+            out, re.escape(raw), esc.replace("\\", "\\\\")
+        )
+    return out
+
+
+def pull(datoms: DataFrame, pattern: list) -> DataFrame:
+    """Datomic pull-pattern surface: ``pull(datoms, ["gene/name",
+    {"gene/parent": ["gene/name"]}])`` → one row per entity with a
+    canonical-JSON document of the requested attributes, refs navigated
+    recursively.
+
+    Pattern grammar (Python literals instead of EDN): a list whose items
+    are attribute-name strings, or single-key dicts ``{ref_attr:
+    sub_pattern}`` — the ref attribute's values are entity ids whose
+    sub-document is pulled with ``sub_pattern`` and nested.
+
+    Output shape: ``(e LONG, pulled STRING)``.  The JSON is CANONICAL —
+    keys in pattern order, every attribute a sorted array of values
+    (ACeDB attributes are card-many by default; absent attributes surface
+    as empty arrays rather than omitted keys, a fixed shape suiting
+    DataFrames), nested documents sorted by their serialized form.  The
+    canonical form is built with plain string expressions, so an oracle
+    can reproduce it byte-for-byte without depending on any engine's JSON
+    emitter.
+
+    Plan shape: per nesting level, ONE hash aggregation on ``e``
+    (per-attribute conditional collect_lists — a single shuffle carrying
+    (e, a, v) for the pattern's attributes only, filter pushed to the
+    scan) plus, per ref attribute, an equi-join of the ref edges against
+    the recursively pulled sub-documents.  Depth-d patterns cost d
+    aggregations and the ref joins — no per-entity driver work, no UDFs.
+    Cycles are the caller's responsibility (Datomic pulls also recurse
+    only as deep as the pattern).
+    """
+    asserted = (
+        datoms.filter(F.col("op")) if "op" in datoms.columns else datoms
+    )
+    scalar_attrs = [p for p in pattern if isinstance(p, str)]
+    ref_specs: list[tuple[str, list]] = []
+    for p in pattern:
+        if isinstance(p, dict):
+            if len(p) != 1:
+                raise ValueError(f"ref spec must be single-key, got {p!r}")
+            ((attr, sub),) = p.items()
+            ref_specs.append((attr, list(sub)))
+        elif not isinstance(p, str):
+            raise ValueError(f"pattern item must be str or dict, got {p!r}")
+    all_attrs = scalar_attrs + [a for a, _ in ref_specs]
+    if not all_attrs:
+        raise ValueError("empty pull pattern")
+
+    base = asserted.filter(F.col("a").isin(all_attrs)).select("e", "a", "v")
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col("a") == F.lit(attr), F.col("v")))
+        ).alias(f"__s{i}")
+        for i, attr in enumerate(scalar_attrs)
+    ]
+    # entities = anything carrying at least one requested attribute
+    grouped = base.groupBy("e").agg(*aggs) if aggs else (
+        base.select("e").distinct()
+    )
+
+    for j, (attr, sub) in enumerate(ref_specs):
+        sub_docs = pull(datoms, sub).select(
+            F.col("e").alias("__ref_e"), F.col("pulled").alias("__doc")
+        )
+        edges = asserted.filter(F.col("a") == attr).select(
+            "e", F.col("v").cast("long").alias("__ref_e")
+        )
+        nested = (
+            edges.join(sub_docs, "__ref_e")
+            .groupBy("e")
+            .agg(F.sort_array(F.collect_list("__doc")).alias(f"__r{j}"))
+        )
+        grouped = grouped.join(nested, "e", "left")
+
+    frags = []
+    for i, attr in enumerate(scalar_attrs):
+        vals = F.col(f"__s{i}")
+        arr = F.when(
+            F.size(vals) > 0,
+            F.concat(
+                F.lit('["'),
+                F.array_join(F.transform(vals, _esc), '","'),
+                F.lit('"]'),
+            ),
+        ).otherwise(F.lit("[]"))
+        frags.append(F.concat(F.lit(f'"{attr}":'), arr))
+    for j, (attr, _) in enumerate(ref_specs):
+        vals = F.col(f"__r{j}")
+        arr = F.when(
+            vals.isNotNull() & (F.size(vals) > 0),
+            F.concat(F.lit("["), F.array_join(vals, ","), F.lit("]")),
+        ).otherwise(F.lit("[]"))
+        frags.append(F.concat(F.lit(f'"{attr}":'), arr))
+
+    doc = F.concat(
+        F.lit("{"),
+        F.concat_ws(",", *frags) if len(frags) > 1 else frags[0],
+        F.lit("}"),
+    )
+    return grouped.select("e", doc.alias("pulled"))

@@ -1549,6 +1549,56 @@ QUERIES["datalog_ancestors"] = q_datalog_ancestors
 ORACLES["datalog_ancestors"] = ORACLE_DATALOG_ANCESTORS
 
 
+def q_datalog_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic pull-pattern surface (datalog.pull): nation entities pulled
+    with a card-one attribute, a card-many attribute (two planted tag
+    datoms per nation), and a ref navigation into region entities —
+    ``pull(e, ["nation/name", "nation/tag", {"nation/region":
+    ["region/name"]}])``.  The output is the canonical-JSON document the
+    pull API defines (pattern-order keys, sorted value arrays), which the
+    oracle rebuilds byte-for-byte with plain string concatenation."""
+    from . import datalog
+
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    e = F.col("n_nationkey").cast("long")
+    datoms = (
+        nat.select(e.alias("e"), F.lit("nation/name").alias("a"),
+                   F.col("n_name").alias("v"))
+        .unionByName(nat.select(
+            e.alias("e"), F.lit("nation/tag").alias("a"),
+            F.format_string("alpha_%d", (F.col("n_nationkey") % 3)).alias("v")))
+        .unionByName(nat.select(
+            e.alias("e"), F.lit("nation/tag").alias("a"),
+            F.format_string("beta_%d", (F.col("n_nationkey") % 2)).alias("v")))
+        .unionByName(nat.select(
+            e.alias("e"), F.lit("nation/region").alias("a"),
+            (F.col("n_regionkey").cast("long") + 1000).cast("string").alias("v")))
+        .unionByName(reg.select(
+            (F.col("r_regionkey").cast("long") + 1000).alias("e"),
+            F.lit("region/name").alias("a"), F.col("r_name").alias("v")))
+    )
+    return datalog.pull(
+        datoms,
+        ["nation/name", "nation/tag", {"nation/region": ["region/name"]}],
+    )
+
+
+ORACLE_DATALOG_PULL = """
+SELECT CAST(n.n_nationkey AS BIGINT) AS e,
+       '{"nation/name":["' || n.n_name || '"],"nation/tag":["' ||
+       array_to_string(list_sort(['alpha_' || CAST(n.n_nationkey % 3 AS VARCHAR),
+                                  'beta_'  || CAST(n.n_nationkey % 2 AS VARCHAR)]),
+                       '","') ||
+       '"],"nation/region":[{"region/name":["' || r.r_name || '"]}]}'
+       AS pulled
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+"""
+
+QUERIES["datalog_pull"] = q_datalog_pull
+ORACLES["datalog_pull"] = ORACLE_DATALOG_PULL
+
+
 def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: events matched to overlapping campaign
     windows (6-day windows every 5 days, derived from region — adjacent

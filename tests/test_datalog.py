@@ -305,3 +305,73 @@ def test_transitive_closure_chain_and_dag(spark):
             (10, 11), (10, 12), (10, 13), (11, 13), (12, 13),
         ]
     )
+
+
+def test_pull_scalar_and_ref(store):
+    # protein 3 pulls its id and navigates protein/gene → gene entity 1
+    out = {
+        r["e"]: r["pulled"]
+        for r in datalog.pull(
+            store,
+            ["protein/id", {"protein/gene": ["gene/id", "gene/name"]}],
+        ).collect()
+    }
+    assert out == {
+        3: '{"protein/id":["P1"],"protein/gene":'
+        '[{"gene/id":["G1"],"gene/name":["aap-1"]}]}'
+    }
+
+
+def test_pull_absent_attr_is_empty_array_and_retracted_invisible(store):
+    out = {
+        r["e"]: r["pulled"]
+        for r in datalog.pull(store, ["gene/id", "gene/missing"]).collect()
+    }
+    # e=4's gene/id is retracted (op=false) → entity absent entirely
+    assert set(out) == {1, 2}
+    assert out[1] == '{"gene/id":["G1"],"gene/missing":[]}'
+
+
+def test_pull_multivalued_sorted_and_escaped(spark):
+    rows = [
+        (7, "doc/tag", "zeta", True),
+        (7, "doc/tag", "alpha", True),
+        (7, "doc/note", 'say "hi" \\ there', True),
+    ]
+    df = spark.createDataFrame(rows, "e LONG, a STRING, v STRING, op BOOLEAN")
+    out = datalog.pull(df, ["doc/tag", "doc/note"]).collect()
+    assert len(out) == 1
+    assert out[0]["pulled"] == (
+        '{"doc/tag":["alpha","zeta"],'
+        '"doc/note":["say \\"hi\\" \\\\ there"]}'
+    )
+    # the canonical form must be real JSON
+    import json
+
+    doc = json.loads(out[0]["pulled"])
+    assert doc["doc/note"] == ['say "hi" \\ there']
+
+
+def test_pull_depth_two_and_multi_ref(spark):
+    rows = [
+        (1, "a/name", "root", True),
+        (1, "a/child", "10", True),
+        (1, "a/child", "11", True),
+        (10, "b/name", "left", True),
+        (10, "b/leaf", "100", True),
+        (11, "b/name", "right", True),
+        (100, "c/name", "deep", True),
+    ]
+    df = spark.createDataFrame(rows, "e LONG, a STRING, v STRING, op BOOLEAN")
+    out = datalog.pull(
+        df,
+        ["a/name", {"a/child": ["b/name", {"b/leaf": ["c/name"]}]}],
+    ).collect()
+    docs = {r["e"]: r["pulled"] for r in out}
+    # top level only includes entities with a/* attrs
+    assert set(docs) == {1}
+    assert docs[1] == (
+        '{"a/name":["root"],"a/child":['
+        '{"b/name":["left"],"b/leaf":[{"c/name":["deep"]}]},'
+        '{"b/name":["right"],"b/leaf":[]}]}'
+    )
