@@ -106,12 +106,89 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stream_ace_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X1 ingest itself as a STREAMING query (SURVEY §2.10: the datom
+    log doubles as a streaming source): the gzipped ``.ace`` dump dir is
+    read as a streaming blank-line block source, melted to datoms by the
+    real mapInPandas parser (a stateless streaming map — append mode, no
+    watermark needed), drained ``availableNow`` into a memory sink, and
+    profiled batch-side per (class, attribute) — value-level counts,
+    min/max, curator comments, max tx.  The oracle recomputes the profile
+    from the parquet tables, so the gate hashes what the streaming melt
+    actually emitted."""
+    from .queries_e2e import _ensure_ace_dump
+    from .sources.ace import ace_records_to_datoms, parse_ace_blocks_df
+    from .sources.ace import read_ace_blocks_stream
+
+    dump = _ensure_ace_dump(spark, sf_dir)
+    name = _sink_name("stream_ace", sf_dir)
+    datoms = ace_records_to_datoms(
+        parse_ace_blocks_df(read_ace_blocks_stream(spark, dump))
+    )
+    _drain(datoms, name, "append")
+    return (
+        spark.table(name)
+        .groupBy("class", "a")
+        .agg(
+            F.count(F.lit(1)).alias("n_datoms"),
+            F.countDistinct("e").alias("n_entities"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.max("tx").alias("max_tx"),
+            F.count("comment").alias("n_comments"),
+            F.max("comment").alias("max_comment"),
+        )
+    )
+
+
+ORACLE_STREAM_ACE = """
+SELECT 'Customer' AS class, 'Customer/Name' AS a,
+       count(*) AS n_datoms, count(DISTINCT c_custkey) AS n_entities,
+       min(c_name) AS min_v, max(c_name) AS max_v,
+       CAST(max(TIMESTAMP '2024-01-01' + (c_custkey % 28) * INTERVAL 1 DAY)
+            AS TIMESTAMP) AS max_tx,
+       CAST(0 AS BIGINT) AS n_comments, CAST(NULL AS VARCHAR) AS max_comment
+FROM customer
+UNION ALL
+SELECT 'Customer', 'Customer/Address.City',
+       count(*), count(DISTINCT c_custkey),
+       min('CITY_' || c_nationkey), max('CITY_' || c_nationkey),
+       NULL, 0, NULL
+FROM customer
+UNION ALL
+SELECT 'Customer', 'Customer/Acctbal',
+       count(*), count(DISTINCT c_custkey),
+       min(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)),
+       max(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)),
+       NULL, 0, NULL
+FROM customer
+UNION ALL
+SELECT 'Customer', 'Customer/Segment',
+       count(*), count(DISTINCT c_custkey),
+       min(c_mktsegment), max(c_mktsegment), NULL, 0, NULL
+FROM customer
+UNION ALL
+SELECT 'Nation', 'Nation/RegionKey',
+       count(*), count(DISTINCT n_name),
+       min(CAST(n_regionkey AS VARCHAR)), max(CAST(n_regionkey AS VARCHAR)),
+       max(TIMESTAMP '2024-02-01'), count(*), max('curator N' || n_regionkey)
+FROM nation
+UNION ALL
+SELECT 'Region', 'Region/Comment.Note',
+       count(*), count(DISTINCT r_name),
+       min('area ' || r_regionkey), max('area ' || r_regionkey),
+       NULL, 0, NULL
+FROM region
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
             "stream_hourly_rollup": q_stream_hourly_rollup,
             "stream_dedup_keys": q_stream_dedup_keys,
             "stream_stream_join": q_stream_stream_join,
+            "stream_ace_import": q_stream_ace_import,
         }
     )
     oracles.update(
@@ -119,6 +196,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_hourly_rollup": ORACLE_STREAM_ROLLUP,
             "stream_dedup_keys": ORACLE_STREAM_DEDUP,
             "stream_stream_join": ORACLE_STREAM_SSJOIN,
+            "stream_ace_import": ORACLE_STREAM_ACE,
         }
     )
 

@@ -115,15 +115,31 @@ def read_ace_blocks(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def parse_ace_dump(spark: SparkSession, path: str) -> DataFrame:
-    """Full .ace source → record DataFrame (FIXTURES.md §1 shape).
+def read_ace_blocks_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_ace_blocks`: the same blank-line
+    block source as a Structured Streaming file source — the datom log
+    doubles as a stream (SURVEY §2.10), so the X1 melt itself can run
+    under ``availableNow`` with checkpointed resume instead of the
+    reference's shelve step counter."""
+    return (
+        spark.readStream.option("lineSep", "\n\n")
+        .text(path)
+        .withColumn("src_file", F.input_file_name())
+        .filter(F.trim(F.col("value")) != "")
+    )
+
+
+def parse_ace_blocks_df(blocks: DataFrame) -> DataFrame:
+    """Block rows (``value``, ``src_file``) → parsed record rows.  Works
+    identically on batch and streaming DataFrames: the melt is a
+    stateless mapInPandas, so under streaming it needs no watermark and
+    emits in append mode.
 
     mapInPandas: Arrow batches in, Arrow batches out; per-partition Python
     cost is one pass over the block strings.  At 100 TB the parse
     parallelism equals input splits, same as the reference's per-file
     ``xargs -P`` fan-out but elastic.
     """
-    blocks = read_ace_blocks(spark, path)
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,6 +160,11 @@ def parse_ace_dump(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return blocks.mapInPandas(parse_batches, ACE_RECORD_SCHEMA)
+
+
+def parse_ace_dump(spark: SparkSession, path: str) -> DataFrame:
+    """Full batch .ace source → record DataFrame (FIXTURES.md §1 shape)."""
+    return parse_ace_blocks_df(read_ace_blocks(spark, path))
 
 
 REJECT_SCHEMA = StructType(

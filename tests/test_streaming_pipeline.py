@@ -321,3 +321,63 @@ def test_multibatch_sliding_rollup_matches_batch(spark, sf_dir, tmp_path):
     )
     want = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch}
     assert got == want
+
+
+def test_streaming_ace_melt_matches_batch(spark, tmp_path):
+    """The streaming block source + mapInPandas melt must emit exactly the
+    batch parser's datoms (same dump dir, gzip, comments included) —
+    including across a second incremental batch when a new dump file
+    lands (the availableNow re-run picks up only the new file but the
+    union of drained batches equals the batch parse of the whole dir)."""
+    import gzip
+
+    from db_migration_spark.sources.ace import (
+        ace_records_to_datoms,
+        parse_ace_blocks_df,
+        parse_ace_dump,
+        read_ace_blocks_stream,
+    )
+
+    dump = tmp_path / "dumps"
+    dump.mkdir()
+    with gzip.open(dump / "a.ace.gz", "wt") as fp:
+        fp.write(
+            'Gene : "g1"\nName "n1" -C "note one" -O "2020-01-01_00:00:00"\n'
+            "\n"
+            'Gene : "g2"\nName "n2"\nTag Sub "v2"\n'
+        )
+    ckpt = tmp_path / "ckpt"
+    sink = tmp_path / "sink"
+
+    def drain():
+        q = (
+            ace_records_to_datoms(
+                parse_ace_blocks_df(read_ace_blocks_stream(spark, str(dump)))
+            )
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(str(sink)).collect()
+    assert len(first) == 3
+    by_v = {r["v"]: r for r in first}
+    assert by_v["n1"]["comment"] == "note one"
+    assert by_v["n1"]["tx"] is not None
+
+    # a second file lands; the checkpointed re-run processes ONLY it
+    with gzip.open(dump / "b.ace.gz", "wt") as fp:
+        fp.write('Gene : "g3"\nName "n3"\n')
+    drain()
+    after = spark.read.parquet(str(sink)).collect()
+    assert len(after) == 4  # incremental: 1 new datom, no reprocessing
+
+    batch = ace_records_to_datoms(parse_ace_dump(spark, str(dump))).collect()
+    assert {(r["e"], r["a"], r["v"]) for r in after} == {
+        (r["e"], r["a"], r["v"]) for r in batch
+    }
