@@ -45,27 +45,33 @@ MEDIA_SCHEMA = StructType(
 )
 
 # PNG decodes for real via the pure-stdlib codec (png_codec.py: struct +
-# zlib, full filter support).  JPEG/audio/video still need native libs
-# absent from this container and keep the deterministic fake seam.
-REAL_CODECS_AVAILABLE = {"image/png": True}
+# zlib, full filter support); baseline JPEG decodes for real via
+# jpeg_codec.py (Huffman + IDCT, grayscale/4:4:4/4:2:0, restart markers).
+# Progressive JPEG, audio DSP and video still need native libs absent
+# from this container and keep the deterministic fake seam.
+REAL_CODECS_AVAILABLE = {"image/png": True, "image/jpeg": True}
 
 
 class DeterministicFakeCodec:
     """Decode kernel: REAL for PNG payloads (signature-sniffed, header +
-    zlib-inflate + unfilter via png_codec), deterministic pseudo-decode
-    for everything else so the distributed pipeline stays testable.  A
-    native deployment fills the non-PNG branch with the libjpeg/ffmpeg
-    call — the signature (bytes in, (w, h, channels, pixel_digest) out)
-    is the seam."""
+    zlib-inflate + unfilter via png_codec) and baseline JPEG payloads
+    (marker parse + Huffman + IDCT via jpeg_codec), deterministic
+    pseudo-decode for everything else so the distributed pipeline stays
+    testable.  A native deployment fills the remaining branch with the
+    ffmpeg call — the signature (bytes in, (w, h, channels,
+    pixel_digest) out) is the seam."""
 
     @staticmethod
     def decode(payload: bytes) -> tuple[int, int, int, str]:
         if payload is None:
             return (0, 0, 0, "")
-        from . import png_codec
+        from . import jpeg_codec, png_codec
 
         if png_codec.is_png(payload):
             w, h, ch, pix = png_codec.decode_png_pixels(payload)
+            return (w, h, ch, hashlib.sha256(bytes(pix)).hexdigest()[:16])
+        if jpeg_codec.is_jpeg(payload):
+            w, h, ch, pix = jpeg_codec.decode_jpeg_pixels(payload)
             return (w, h, ch, hashlib.sha256(bytes(pix)).hexdigest()[:16])
         digest = hashlib.sha256(payload).hexdigest()
         w = 16 + int(digest[:4], 16) % 1024
@@ -140,18 +146,22 @@ PIXEL_STATS_SCHEMA = StructType(
 
 
 def decode_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL pixel-level decode for PNG payloads: inflate + unfilter via
-    the stdlib codec, then per-channel means — the verification statistic
-    (a wrong filter/inflate shifts the means).  Arrow-batched mapInPandas
-    like decode_metadata; non-PNG payloads raise (route them to the
-    metadata-only path)."""
-    from . import png_codec
+    """REAL pixel-level decode for PNG (inflate + unfilter) and baseline
+    JPEG (Huffman + IDCT) payloads, then per-channel means — the
+    verification statistic (a wrong filter/inflate/IDCT shifts the
+    means).  Arrow-batched mapInPandas like decode_metadata; other
+    payloads raise (route them to the metadata-only path)."""
+    from . import jpeg_codec, png_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                w, h, ch, means = png_codec.channel_means(bytes(p))
+                b = bytes(p)
+                if jpeg_codec.is_jpeg(b):
+                    w, h, ch, means = jpeg_codec.channel_means(b)
+                else:
+                    w, h, ch, means = png_codec.channel_means(b)
                 rows.append((int(mid), w, h, ch, means))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "channels", "means"]

@@ -1717,6 +1717,64 @@ QUERIES["multimodal_png_decode"] = q_multimodal_png_decode
 ORACLES["multimodal_png_decode"] = ORACLE_MULTIMODAL_PNG
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, oracled: per nation a grayscale JPEG of
+    flat 8×8 blocks (pure-stdlib encoder: Annex-K Huffman tables, uniform
+    quant of 8s — block value ``(k·37 + 11·i) % 256`` decodes bit-exactly,
+    see jpeg_codec.py) is encoded distributed, then decoded back through
+    the real marker-parse → Huffman → dequant → IDCT path in the Arrow
+    codec seam.  The oracle recomputes width/height/mean from the
+    generation formulas, so a wrong Huffman table, predictor, or IDCT
+    shifts the mean and fails the gate.  (libjpeg is not in this
+    container; baseline JPEG needs only stdlib.)"""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import decode_pixel_stats
+    from .multimodal.jpeg_codec import encode_jpeg_gray_blocks
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                wb, hb = 1 + k % 4, 1 + (k // 4) % 3
+                vals = [(k * 37 + 11 * i) % 256 for i in range(wb * hb)]
+                rows.append((k, encode_jpeg_gray_blocks(wb, hb, vals)))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+    stats = decode_pixel_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("means", 1).alias("mean_gray"),
+    )
+
+
+ORACLE_MULTIMODAL_JPEG = """
+SELECT CAST(n.n_nationkey AS BIGINT) AS media_id,
+       CAST(8 * (1 + n.n_nationkey % 4) AS INTEGER) AS width,
+       CAST(8 * (1 + (n.n_nationkey // 4) % 3) AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       avg(CAST((n.n_nationkey * 37 + 11 * r.range) % 256 AS DOUBLE))
+           AS mean_gray
+FROM nation n CROSS JOIN range(12) r
+WHERE r.range < (1 + n.n_nationkey % 4) * (1 + (n.n_nationkey // 4) % 3)
+GROUP BY 1, 2, 3, 4
+"""
+
+QUERIES["multimodal_jpeg_decode"] = q_multimodal_jpeg_decode
+ORACLES["multimodal_jpeg_decode"] = ORACLE_MULTIMODAL_JPEG
+
+
 def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio metadata decode, oracled: one 16-bit PCM WAV per region
     (stdlib ``wave`` encode — rate and length derived from the region

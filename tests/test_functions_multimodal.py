@@ -258,3 +258,166 @@ def test_image_meta_sniffs_all_formats_and_unknowns():
     assert image_meta(b"\x00" * 64) == ("unknown", 0, 0)
     assert image_meta(None) == ("unknown", 0, 0)
     assert image_meta(b"BM") == ("unknown", 0, 0)  # truncated
+
+
+# --- baseline JPEG codec (jpeg_codec.py) -----------------------------------
+
+
+def test_jpeg_gray_roundtrip_bit_exact():
+    from db_migration_spark.multimodal import jpeg_codec as J
+
+    vals = [(5 * 37 + 11 * i) % 256 for i in range(12)]
+    data = J.encode_jpeg_gray_blocks(4, 3, vals)
+    w, h, ch, pix = J.decode_jpeg_pixels(data)
+    assert (w, h, ch) == (32, 24, 1)
+    for y in range(h):
+        for x in range(w):
+            assert pix[y * w + x] == vals[(y // 8) * 4 + (x // 8)]
+
+
+def test_jpeg_restart_markers_reset_predictor():
+    from db_migration_spark.multimodal import jpeg_codec as J
+
+    vals = [(37 * i * i + 5) % 256 for i in range(12)]
+    data = J.encode_jpeg_gray_blocks(4, 3, vals, restart_interval=5)
+    assert b"\xff\xdd" in data and b"\xff\xd0" in data
+    w, h, ch, pix = J.decode_jpeg_pixels(data)
+    for y in range(h):
+        for x in range(w):
+            assert pix[y * w + x] == vals[(y // 8) * 4 + (x // 8)]
+
+
+def _rgb_of(y, cb, cr):
+    def cl(v):
+        return 0 if v < 0 else (255 if v > 255 else int(round(v)))
+
+    return (
+        cl(y + 1.402 * (cr - 128)),
+        cl(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        cl(y + 1.772 * (cb - 128)),
+    )
+
+
+def test_jpeg_color_444_and_420():
+    from db_migration_spark.multimodal import jpeg_codec as J
+
+    mcus = [(100, 90, 200), (50, 128, 128), (250, 30, 60), (0, 255, 0)]
+    data = J.encode_jpeg_color_dc(2, 2, mcus, subsample=False)
+    w, h, ch, pix = J.decode_jpeg_pixels(data)
+    assert (w, h, ch) == (16, 16, 3)
+    for y in range(h):
+        for x in range(w):
+            exp = _rgb_of(*mcus[(y // 8) * 2 + (x // 8)])
+            assert tuple(pix[(y * w + x) * 3 :][:3]) == exp
+
+    data = J.encode_jpeg_color_dc(2, 1, mcus[:2], subsample=True)
+    w, h, ch, pix = J.decode_jpeg_pixels(data)
+    assert (w, h, ch) == (32, 16, 3)  # 4:2:0 MCU is 16x16
+    for y in range(h):
+        for x in range(w):
+            exp = _rgb_of(*mcus[x // 16])
+            assert tuple(pix[(y * w + x) * 3 :][:3]) == exp
+
+
+def test_jpeg_ac_coefficients_match_independent_idct():
+    """Hand-build an entropy stream with NONZERO AC coefficients and check
+    the decoded block against a from-scratch numpy IDCT — exercises the
+    run-length/ZRL/EOB path and the IDCT, independently of the encoder."""
+    import numpy as np
+
+    from db_migration_spark.multimodal import jpeg_codec as J
+
+    # zigzag-position -> quantized coefficient (incl. a long zero run)
+    coefs = {0: 3, 1: -7, 5: 12, 8: -2, 40: 9}
+    dc_enc = J._encode_table(J._DC_LUM_BITS, J._DC_LUM_VALS)
+    ac_enc = J._encode_table(J._AC_LUM_BITS, J._AC_LUM_VALS)
+    bw = J._BitWriter()
+
+    def put_magnitude(v):
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        return s, (v if v > 0 else v + (1 << s) - 1)
+
+    s, bits = put_magnitude(coefs[0])
+    code, ln = dc_enc[s]
+    bw.write(code, ln)
+    bw.write(bits, s)
+    k = 0
+    for pos in sorted(p for p in coefs if p > 0):
+        run = pos - k - 1
+        while run >= 16:
+            zc, zl = ac_enc[0xF0]  # ZRL
+            bw.write(zc, zl)
+            run -= 16
+        s, bits = put_magnitude(coefs[pos])
+        cc, cl_ = ac_enc[(run << 4) | s]
+        bw.write(cc, cl_)
+        bw.write(bits, s)
+        k = pos
+    ec, el = ac_enc[0x00]
+    bw.write(ec, el)
+
+    q = 8
+    jpg = bytearray(b"\xff\xd8")
+    jpg += J._seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    jpg += J._seg(
+        0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    jpg += J._seg(0xC4, bytes([0x00]) + bytes(J._DC_LUM_BITS) + bytes(J._DC_LUM_VALS))
+    jpg += J._seg(0xC4, bytes([0x10]) + bytes(J._AC_LUM_BITS) + bytes(J._AC_LUM_VALS))
+    jpg += J._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jpg += bw.flush()
+    jpg += b"\xff\xd9"
+
+    w, h, ch, pix = J.decode_jpeg_pixels(bytes(jpg))
+    assert (w, h, ch) == (8, 8, 1)
+
+    # independent reference IDCT
+    F2 = np.zeros((8, 8))
+    for pos, v in coefs.items():
+        nat = J.ZIGZAG[pos]
+        F2[nat // 8][nat % 8] = v * q
+    C = np.array([math.sqrt(0.5)] + [1.0] * 7)
+    ref = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        C[u] * C[v] * F2[v][u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            ref[y][x] = np.clip(round(s / 4) + 128, 0, 255)
+    got = np.array(list(pix)).reshape(8, 8)
+    assert (got == ref).all()
+
+
+def test_jpeg_progressive_rejected():
+    import pytest as _pytest
+
+    from db_migration_spark.multimodal import jpeg_codec as J
+
+    data = bytearray(J.encode_jpeg_gray_blocks(1, 1, [100]))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError):
+        J.decode_jpeg_pixels(bytes(data))
+
+
+def test_jpeg_decode_through_codec_seam(spark):
+    """decode_metadata routes JPEG payloads through the REAL decoder."""
+    from db_migration_spark.multimodal import binary_ops as B
+    from db_migration_spark.multimodal import jpeg_codec as J
+
+    payload = J.encode_jpeg_gray_blocks(2, 1, [10, 250])
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id LONG, payload BINARY"
+    )
+    row = B.decode_metadata(media).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (16, 8, 1)
+    import hashlib
+
+    _, _, _, pix = J.decode_jpeg_pixels(payload)
+    assert row["pixel_digest"] == hashlib.sha256(bytes(pix)).hexdigest()[:16]
