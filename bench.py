@@ -67,6 +67,13 @@ HEADLINE = [
     "winsorize_values",
     "copurchase_triangles",
     "stream_hourly_rollup",
+    # round-3: the remaining streaming-engine gates + the new surfaces
+    # (r2 entries above are unchanged so r3/r2 deltas compare 1:1)
+    "stream_dedup_keys",
+    "stream_stream_join",
+    "stream_ace_import",
+    "datalog_pull",
+    "multimodal_jpeg_decode",
 ]
 
 
