@@ -271,3 +271,28 @@ def store_diff(
         .groupBy("a", "status")
         .agg(F.count(F.lit(1)).alias("n_datoms"))
     )
+
+
+def as_of(datoms: DataFrame, t, tx_col: str = "tx") -> DataFrame:
+    """Datomic ``as-of`` view: the datoms visible at transaction ``t``.
+
+    A datom (e, a, v) is visible iff the LATEST fact about it at
+    ``tx <= t`` is an assertion (``op = true``) — a later retraction
+    hides it, and a retraction followed by a re-assert restores it.
+    ``history`` needs no operator: the raw log IS the history view
+    (Datomic's history database is exactly the unfiltered datom set).
+
+    Plan shape: one tx-range filter (pushed to the scan — on a
+    tx-range-partitioned store this prunes files) + one window over
+    (e, a, v).  The window key includes ``v``, so cardinality-many
+    attributes resolve per value exactly like ``apply_patches``; ``t``
+    and ``tx`` must be totally ordered (Datomic tx ids are monotonic —
+    ties would make "latest" ambiguous in any engine).
+    """
+    w = Window.partitionBy("e", "a", "v").orderBy(F.desc(tx_col))
+    return (
+        datoms.filter(F.col(tx_col) <= t)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & F.col("op"))
+        .drop("__rn")
+    )

@@ -3569,3 +3569,55 @@ GROUP BY 1, 2
 
 QUERIES["hist_doc_lengths"] = q_hist_doc_lengths
 ORACLES["hist_doc_lengths"] = ORACLE_HIST
+
+
+# ---------------------------------------------------------------------------
+# §2.9 ext — Datomic as-of time travel over the datom log
+# ---------------------------------------------------------------------------
+
+
+def q_eav_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic ``as-of`` view (eav.as_of): a datom log with asserts AND
+    retracts derived from events (monotonic tx = event_id, value =
+    event_id % 5 so (e,a,v) keys collide across time and the
+    latest-fact-wins resolution is actually exercised), cut at tx ≤
+    50000, profiled per attribute.  A datom is visible iff its latest
+    fact at the cut is an assert — retract hides, re-assert restores.
+    The history view needs no operator (the raw log IS Datomic's history
+    database)."""
+    from .operators.eav import as_of
+
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        (F.col("event_id") % 5).cast("string").alias("v"),
+        F.col("event_id").alias("tx"),
+        (F.col("event_id") % 3 != 0).alias("op"),
+    )
+    visible = as_of(datoms, F.lit(50000), tx_col="tx")
+    return visible.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_visible"),
+        F.countDistinct("e").alias("n_entities"),
+        F.max("tx").alias("latest_tx"),
+    )
+
+
+ORACLE_EAV_AS_OF = """
+WITH cut AS (
+  SELECT user_id AS e, event_type AS a,
+         CAST(event_id % 5 AS VARCHAR) AS v,
+         event_id AS tx, (event_id % 3 <> 0) AS op
+  FROM events WHERE event_id <= 50000
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY e, a, v ORDER BY tx DESC) AS rn
+  FROM cut
+)
+SELECT a, count(*) AS n_visible, count(DISTINCT e) AS n_entities,
+       max(tx) AS latest_tx
+FROM latest WHERE rn = 1 AND op
+GROUP BY a
+"""
+
+QUERIES["eav_as_of"] = q_eav_as_of
+ORACLES["eav_as_of"] = ORACLE_EAV_AS_OF

@@ -563,6 +563,51 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Q13 shape — left-outer join + count-of-counts histogram
+# ---------------------------------------------------------------------------
+
+
+def q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution: every customer left-outer joined
+    to its non-urgent orders, counted per customer (0 for order-less
+    customers — the reason an inner join is wrong here), then the
+    count-of-counts histogram.  Two hash aggregations back-to-back; the
+    second one's key space (distinct order counts) is tiny, so the plan
+    is one real shuffle plus a cheap final exchange.  At 100 TB the
+    left-outer join co-locates on ``custkey`` bucketing and the histogram
+    never materializes per-customer rows driver-side."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) pc
+GROUP BY c_count
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -576,6 +621,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q19_disjunctive": q_q19_disjunctive,
             "q21_sole_late_supplier": q_q21_sole_late_supplier,
             "q22_idle_customers": q_q22_idle_customers,
+            "q13_order_distribution": q_q13_order_distribution,
             "w5_distribution_ranks": q_w5_distribution_ranks,
             "a8_grouping_sets": q_a8_grouping_sets,
             "u4_union_by_name": q_u4_union_by_name,
@@ -602,6 +648,7 @@ def register(queries: dict, oracles: dict) -> None:
             "q19_disjunctive": ORACLE_Q19,
             "q21_sole_late_supplier": ORACLE_Q21,
             "q22_idle_customers": ORACLE_Q22,
+            "q13_order_distribution": ORACLE_Q13,
             "w5_distribution_ranks": ORACLE_W5,
             "a8_grouping_sets": ORACLE_A8,
             "u4_union_by_name": ORACLE_U4,

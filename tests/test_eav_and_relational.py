@@ -239,3 +239,29 @@ def test_range_join_boundaries_and_multimatch(spark):
         for r in relational.range_join(facts, intervals, "ts", "s", "e").collect()
     )
     assert out == [(1, "A"), (2, "A"), (2, "B"), (3, "B")]
+
+
+def test_as_of_retract_and_reassert(spark):
+    """as-of semantics: retract hides a datom, later re-assert restores
+    it, and the cut point decides which state is visible."""
+    from db_migration_spark.operators.eav import as_of
+
+    rows = [
+        (1, "name", "x", 10, True),   # assert
+        (1, "name", "x", 20, False),  # retract
+        (1, "name", "x", 30, True),   # re-assert
+        (2, "name", "y", 15, True),
+        (2, "name", "y", 40, False),  # retracted at the end
+    ]
+    df = spark.createDataFrame(rows, "e LONG, a STRING, v STRING, tx LONG, op BOOLEAN")
+
+    def vis(t):
+        return {
+            (r["e"], r["v"]) for r in as_of(df, t, tx_col="tx").collect()
+        }
+
+    assert vis(12) == {(1, "x")}
+    assert vis(18) == {(1, "x"), (2, "y")}
+    assert vis(25) == {(2, "y")}          # x retracted at 20
+    assert vis(35) == {(1, "x"), (2, "y")}  # x re-asserted at 30
+    assert vis(45) == {(1, "x")}          # y retracted at 40

@@ -49,7 +49,8 @@ def test_parse_block_extracts_every_line(cls, obj, paths):
         assert row[0] == cls and row[1] == obj
         assert row[2] == path
         assert row[3] == value
-        assert row[5] == "src"
+        assert row[5] is None  # no -C annotation in generated lines
+        assert row[6] == "src"
 
 
 @given(cls=ident, obj=ident, tagpath=st.lists(ident, min_size=1, max_size=3),

@@ -5,7 +5,11 @@ sf dir, compares row count, column names, and an order-insensitive value
 multiset (with exact equality — no tolerance — since the declared queries
 are engineered for bit-identical results).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json out.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a driver-artifact-shaped file: one record
+per query with rows/schema/hash match booleans (hash here = the sorted
+row-multiset comparison; "no_oracle" rows report spark_rows only).
 """
 
 from __future__ import annotations
@@ -45,8 +49,16 @@ def row_key(row, col_order):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in (
@@ -68,9 +80,15 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark: {exc}"[:300]}
             print(f"FAIL {name}: spark error: {exc}")
             continue
         if name not in ORACLES:
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": "no_oracle"}
             print(f"pass {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
             if len(srows) == 0:
@@ -82,13 +100,21 @@ def main() -> int:
             drows = ddf.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": f"duckdb: {exc}"[:300]}
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
-        if sorted(scols) != sorted(dcols):
+        rec = {"rows_match": len(srows) == len(drows),
+               "schema_match": sorted(scols) == sorted(dcols),
+               "hash_match": None, "spark_rows": len(srows),
+               "oracle_rows": len(drows), "err": None}
+        report[name] = rec
+        if not rec["schema_match"]:
             failures.append(name)
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             continue
-        if len(srows) != len(drows):
+        if not rec["rows_match"]:
             failures.append(name)
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
             continue
@@ -96,6 +122,7 @@ def main() -> int:
         d_order = [dcols.index(c) for c in sorted(dcols)]
         s_set = sorted(row_key(tuple(r), s_order) for r in srows)
         d_set = sorted(row_key(r, d_order) for r in drows)
+        rec["hash_match"] = s_set == d_set
         if s_set != d_set:
             failures.append(name)
             ndiff = sum(1 for a, b in zip(s_set, d_set) if a != b)
@@ -109,6 +136,10 @@ def main() -> int:
                 f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)"
             )
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if failures else 0
 
 
