@@ -481,7 +481,11 @@ def pull(datoms: DataFrame, pattern: list) -> DataFrame:
     Pattern grammar (Python literals instead of EDN): a list whose items
     are attribute-name strings, or single-key dicts ``{ref_attr:
     sub_pattern}`` — the ref attribute's values are entity ids whose
-    sub-document is pulled with ``sub_pattern`` and nested.
+    sub-document is pulled with ``sub_pattern`` and nested.  Datomic's
+    reverse-ref syntax is supported: ``{"ns/_attr": sub}`` navigates the
+    same ``ns/attr`` datoms v→e ("entities whose ns/attr points at me"),
+    and reverse-ref targets join the entity universe even if they carry
+    none of the forward attributes.
 
     Output shape: ``(e LONG, pulled STRING)``.  The JSON is CANONICAL —
     keys in pattern order, every attribute a sorted array of values
@@ -514,31 +518,68 @@ def pull(datoms: DataFrame, pattern: list) -> DataFrame:
             ref_specs.append((attr, list(sub)))
         elif not isinstance(p, str):
             raise ValueError(f"pattern item must be str or dict, got {p!r}")
-    all_attrs = scalar_attrs + [a for a, _ in ref_specs]
-    if not all_attrs:
+    if not scalar_attrs and not ref_specs:
         raise ValueError("empty pull pattern")
 
-    base = asserted.filter(F.col("a").isin(all_attrs)).select("e", "a", "v")
+    def _is_reverse(attr: str) -> bool:
+        # Datomic reverse-ref syntax :ns/_attr — "entities whose ns/attr
+        # points at me"; the underscore names the same datoms navigated
+        # v→e instead of e→v
+        return attr.rsplit("/", 1)[-1].startswith("_")
+
+    fwd_attrs = scalar_attrs + [
+        a for a, _ in ref_specs if not _is_reverse(a)
+    ]
+
+    base = asserted.filter(F.col("a").isin(fwd_attrs)).select("e", "a", "v")
     aggs = [
         F.sort_array(
             F.collect_list(F.when(F.col("a") == F.lit(attr), F.col("v")))
         ).alias(f"__s{i}")
         for i, attr in enumerate(scalar_attrs)
     ]
-    # entities = anything carrying at least one requested attribute
-    grouped = base.groupBy("e").agg(*aggs) if aggs else (
-        base.select("e").distinct()
-    )
+    # entity universe: anything carrying a requested forward attribute,
+    # plus anything POINTED AT by a requested reverse ref
+    members = []
+    if fwd_attrs:
+        members.append(base.select("e"))
+    for attr, _ in ref_specs:
+        if _is_reverse(attr):
+            ns, name = attr.rsplit("/", 1)
+            fwd = f"{ns}/{name[1:]}"
+            members.append(
+                asserted.filter(F.col("a") == fwd)
+                .select(F.col("v").cast("long").alias("e"))
+                .filter(F.col("e").isNotNull())
+            )
+    universe = members[0]
+    for m in members[1:]:
+        universe = universe.unionByName(m)
+    universe = universe.distinct()
+    if aggs:
+        grouped = universe.join(base.groupBy("e").agg(*aggs), "e", "left")
+    else:
+        grouped = universe
 
     for j, (attr, sub) in enumerate(ref_specs):
         sub_docs = pull(datoms, sub).select(
-            F.col("e").alias("__ref_e"), F.col("pulled").alias("__doc")
+            F.col("e").alias("__sub_e"), F.col("pulled").alias("__doc")
         )
-        edges = asserted.filter(F.col("a") == attr).select(
-            "e", F.col("v").cast("long").alias("__ref_e")
-        )
+        if _is_reverse(attr):
+            ns, name = attr.rsplit("/", 1)
+            fwd = f"{ns}/{name[1:]}"
+            # reverse: the pulled entity is the TARGET (v); the sub-doc
+            # entity is the pointer (e)
+            edges = asserted.filter(F.col("a") == fwd).select(
+                F.col("v").cast("long").alias("e"),
+                F.col("e").alias("__sub_e"),
+            )
+        else:
+            edges = asserted.filter(F.col("a") == attr).select(
+                "e", F.col("v").cast("long").alias("__sub_e")
+            )
         nested = (
-            edges.join(sub_docs, "__ref_e")
+            edges.join(sub_docs, "__sub_e")
             .groupBy("e")
             .agg(F.sort_array(F.collect_list("__doc")).alias(f"__r{j}"))
         )

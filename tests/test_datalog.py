@@ -375,3 +375,35 @@ def test_pull_depth_two_and_multi_ref(spark):
         '{"b/name":["left"],"b/leaf":[{"c/name":["deep"]}]},'
         '{"b/name":["right"],"b/leaf":[]}]}'
     )
+
+
+def test_pull_reverse_ref(spark):
+    """Datomic :ns/_attr reverse navigation: a region pulls the nations
+    pointing at it, including a target entity with no forward attrs."""
+    rows = [
+        (1, "nation/name", "AAA", True),
+        (1, "nation/region", "100", True),
+        (2, "nation/name", "BBB", True),
+        (2, "nation/region", "100", True),
+        (3, "nation/name", "CCC", True),
+        (3, "nation/region", "200", True),
+        (100, "region/name", "R1", True),
+        # 200 carries NO region/* attrs — must still appear (it is
+        # pointed at), with empty scalar arrays
+    ]
+    df = spark.createDataFrame(rows, "e LONG, a STRING, v STRING, op BOOLEAN")
+    out = {
+        r["e"]: r["pulled"]
+        for r in datalog.pull(
+            df,
+            ["region/name", {"nation/_region": ["nation/name"]}],
+        ).collect()
+    }
+    assert set(out) == {100, 200}
+    assert out[100] == (
+        '{"region/name":["R1"],"nation/_region":['
+        '{"nation/name":["AAA"]},{"nation/name":["BBB"]}]}'
+    )
+    assert out[200] == (
+        '{"region/name":[],"nation/_region":[{"nation/name":["CCC"]}]}'
+    )
