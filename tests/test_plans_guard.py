@@ -167,3 +167,33 @@ def test_partitioned_scan_prunes_directories(spark):
     assert "PartitionFilters" in plan
     i = plan.find("PartitionFilters")
     assert "lang" in plan[i : i + 200]
+
+
+def test_as_of_single_window_exchange(spark):
+    # the as-of view is one pushed tx filter + ONE (e,a,v) window — the
+    # grouped profile afterwards may add its own agg exchange, but the
+    # time-travel resolution itself must not multiply exchanges.  (The
+    # WindowGroupLimit pair around the exchange is Spark's partial
+    # rank-limit pushdown — rows beyond rank 1 drop BEFORE shuffling,
+    # exactly what a 100 TB as-of wants.)
+    plan = _plan(spark, "eav_as_of")
+    assert plan.count(") Window\n") == 1
+    assert "WindowGroupLimit" in plan  # partial top-1 before the exchange
+    assert "CartesianProduct" not in plan
+
+
+def test_pull_is_equi_join_shaped(spark):
+    # pull compiles to hash aggregations + ref-edge equi-joins: no
+    # nested-loop anywhere, and the datoms scan is attribute-filtered
+    # (pushed), not a full-store scan per level
+    plan = _plan(spark, "datalog_pull")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_left_outer_then_two_aggs(spark):
+    # count-of-counts: left-outer join + per-customer agg + histogram agg;
+    # no nested loop, and the order-side filter is pushed below the join
+    plan = _plan(spark, "q13_order_distribution")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
