@@ -46,10 +46,18 @@ MEDIA_SCHEMA = StructType(
 
 # PNG decodes for real via the pure-stdlib codec (png_codec.py: struct +
 # zlib, full filter support); baseline JPEG decodes for real via
-# jpeg_codec.py (Huffman + IDCT, grayscale/4:4:4/4:2:0, restart markers).
-# Progressive JPEG, audio DSP and video still need native libs absent
+# jpeg_codec.py (Huffman + IDCT, grayscale/4:4:4/4:2:0, restart markers);
+# WAV decodes for real down to SAMPLE level (stdlib wave + struct:
+# RMS/peak/zero-crossings); MP4 container metadata parses for real
+# (mp4_meta.py ISO BMFF box walk).  Progressive JPEG, audio resample/
+# spectrogram DSP, and video FRAME decode still need native libs absent
 # from this container and keep the deterministic fake seam.
-REAL_CODECS_AVAILABLE = {"image/png": True, "image/jpeg": True}
+REAL_CODECS_AVAILABLE = {
+    "image/png": True,
+    "image/jpeg": True,
+    "audio/wav": True,
+    "video/mp4": "container-metadata",
+}
 
 
 class DeterministicFakeCodec:
@@ -314,4 +322,97 @@ def load_media_dir(spark, path: str, mime: str = "application/octet-stream"):
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
         F.col("path").alias("uri"),
+    )
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def decode_wav_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL sample-level audio analysis, no DSP libs: 16-bit mono PCM
+    decoded with stdlib ``wave`` + ``struct``, then per-file RMS, peak
+    amplitude, and zero-crossing count — the first-pass audio quality
+    triage (silence/clipping/noise detection) a media corpus needs
+    before any expensive model runs.  Arrow-batched like
+    decode_metadata; resample/spectrogram stay the native-lib seam."""
+    import math
+    import io
+    import struct
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise NotImplementedError(
+                            "sample stats support 16-bit mono PCM"
+                        )
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                sq = sum(s * s for s in samples)  # exact int arithmetic
+                rms = math.sqrt(sq / n) if n else 0.0
+                peak = max((abs(s) for s in samples), default=0)
+                zc = sum(
+                    1
+                    for i in range(1, n)
+                    if (samples[i] >= 0) != (samples[i - 1] >= 0)
+                )
+                rows.append((int(mid), n, rms, peak, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, WAV_STATS_SCHEMA
+    )
+
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("major_brand", StringType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("n_tracks", IntegerType()),
+    ]
+)
+
+
+def decode_mp4_meta(media: DataFrame) -> DataFrame:
+    """REAL video-container metadata: ISO BMFF box walk via stdlib struct
+    (multimodal/mp4_meta.py) — major brand, movie timescale, duration,
+    track count.  The container triage pass of a video corpus; frame
+    decode stays the native-lib seam."""
+    from .mp4_meta import parse_mp4_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                brand, ts, dur_ms, n_trk = parse_mp4_meta(bytes(p))
+                rows.append((int(mid), brand, ts, dur_ms, n_trk))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "major_brand", "timescale",
+                    "duration_ms", "n_tracks",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, MP4_META_SCHEMA
     )

@@ -3621,3 +3621,123 @@ GROUP BY a
 
 QUERIES["eav_as_of"] = q_eav_as_of
 ORACLES["eav_as_of"] = ORACLE_EAV_AS_OF
+
+
+# ---------------------------------------------------------------------------
+# §2.12 — sample-level audio analysis (REAL PCM kernel, stdlib only)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-level audio decode, oracled: per region a 16-bit mono
+    PCM WAV whose samples follow ``s_i = ((i·(k+3)) % 201) − 100``
+    (full-scale ±100, deterministic), then RMS / peak / zero-crossing
+    analysis through the stdlib wave+struct kernel
+    (binary_ops.decode_wav_sample_stats).  The oracle recomputes all
+    three statistics from the sample formula in SQL — integer-exact
+    sums, so RMS is bit-identical across engines."""
+    from collections.abc import Iterator as _It
+    import struct as _struct
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import (
+        decode_wav_sample_stats,
+        encode_wav_pcm16,
+    )
+
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                n = 1600 + 100 * k
+                samples = [((i * (k + 3)) % 201) - 100 for i in range(n)]
+                frames = _struct.pack(f"<{n}h", *samples)
+                rows.append((k, encode_wav_pcm16(8000, frames)))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = reg.mapInPandas(gen, "media_id LONG, payload BINARY")
+    return decode_wav_sample_stats(media)
+
+
+ORACLE_MULTIMODAL_WAV_STATS = """
+WITH samples AS (
+  SELECT g.r_regionkey AS k, 1600 + 100 * g.r_regionkey AS n,
+         r.range AS i,
+         ((r.range * (g.r_regionkey + 3)) % 201) - 100 AS s
+  FROM region g CROSS JOIN range(2100) r
+  WHERE r.range < 1600 + 100 * g.r_regionkey
+), lagged AS (
+  SELECT k, n, s,
+         lag(s) OVER (PARTITION BY k ORDER BY i) AS prev
+  FROM samples
+)
+SELECT CAST(k AS BIGINT) AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       sqrt(avg(CAST(s * s AS DOUBLE))) AS rms,
+       CAST(max(abs(s)) AS INTEGER) AS peak,
+       count(CASE WHEN prev IS NOT NULL AND ((s >= 0) <> (prev >= 0))
+                  THEN 1 END) AS zero_crossings
+FROM lagged
+GROUP BY k, n
+"""
+
+QUERIES["multimodal_wav_stats"] = q_multimodal_wav_stats
+ORACLES["multimodal_wav_stats"] = ORACLE_MULTIMODAL_WAV_STATS
+
+
+def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata, oracled: per nation a minimal ISO
+    BMFF file (ftyp + moov/mvhd + trak stubs; mvhd alternates 32-bit and
+    64-bit versions by key) parsed back through the stdlib box walker
+    (multimodal/mp4_meta.py).  Oracle recomputes
+    brand/timescale/duration/tracks from the generation formulas."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import decode_mp4_meta
+    from .multimodal.mp4_meta import encode_minimal_mp4
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                rows.append(
+                    (
+                        k,
+                        encode_minimal_mp4(
+                            timescale=600,
+                            duration=600 * (k + 7),
+                            n_tracks=1 + k % 3,
+                            version=k % 2,
+                        ),
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+    return decode_mp4_meta(media)
+
+
+ORACLE_MULTIMODAL_MP4 = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       'isom' AS major_brand,
+       CAST(600 AS INTEGER) AS timescale,
+       CAST((n_nationkey + 7) * 1000.0 AS DOUBLE) AS duration_ms,
+       CAST(1 + n_nationkey % 3 AS INTEGER) AS n_tracks
+FROM nation
+"""
+
+QUERIES["multimodal_mp4_meta"] = q_multimodal_mp4_meta
+ORACLES["multimodal_mp4_meta"] = ORACLE_MULTIMODAL_MP4

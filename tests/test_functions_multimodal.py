@@ -421,3 +421,47 @@ def test_jpeg_decode_through_codec_seam(spark):
 
     _, _, _, pix = J.decode_jpeg_pixels(payload)
     assert row["pixel_digest"] == hashlib.sha256(bytes(pix)).hexdigest()[:16]
+
+
+# --- sample-level WAV stats + MP4 container metadata ------------------------
+
+
+def test_wav_sample_stats_silence_and_square(spark):
+    import struct
+
+    from db_migration_spark.multimodal import binary_ops as B
+
+    silence = B.encode_wav_pcm16(8000, bytes(2 * 100))
+    # square wave: +100 / -100 alternating → zero crossing at every step
+    sq = struct.pack("<200h", *([100, -100] * 100))
+    square = B.encode_wav_pcm16(8000, sq)
+    media = spark.createDataFrame(
+        [(1, bytearray(silence)), (2, bytearray(square))],
+        "media_id LONG, payload BINARY",
+    )
+    rows = {r["media_id"]: r for r in B.decode_wav_sample_stats(media).collect()}
+    assert rows[1]["rms"] == 0.0 and rows[1]["peak"] == 0
+    assert rows[1]["zero_crossings"] == 0
+    assert rows[2]["rms"] == 100.0 and rows[2]["peak"] == 100
+    assert rows[2]["zero_crossings"] == 199
+
+
+def test_mp4_box_walk_both_mvhd_versions():
+    from db_migration_spark.multimodal import mp4_meta as M
+
+    for ver in (0, 1):
+        data = M.encode_minimal_mp4(
+            timescale=90000, duration=450000, n_tracks=2, version=ver
+        )
+        brand, ts, dur_ms, n_trk = M.parse_mp4_meta(data)
+        assert (brand, ts, n_trk) == ("isom", 90000, 2)
+        assert dur_ms == 5000.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.parse_mp4_meta(b"\x00" * 64)
+    # truncated box table must not loop or crash
+    data = M.encode_minimal_mp4(1000, 1000, 1)
+    with _pytest.raises(ValueError):
+        M.parse_mp4_meta(data[:20])
