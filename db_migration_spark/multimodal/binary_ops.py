@@ -87,9 +87,29 @@ class DeterministicFakeCodec:
         return (w, h, 3, digest[:16])
 
     @staticmethod
-    def resize(payload: bytes, w: int, h: int) -> bytes:
-        from . import png_codec
+    def transcode_to_png(payload: bytes) -> bytes:
+        """REAL format conversion between the two real codecs: baseline
+        JPEG (or PNG passthrough) → RGB PNG, pixels preserved exactly
+        (grayscale replicates to RGB).  The canonical normalize-the-
+        corpus-to-one-format step before a training pipeline."""
+        from . import jpeg_codec, png_codec
 
+        if png_codec.is_png(payload):
+            return payload
+        if not jpeg_codec.is_jpeg(payload):
+            raise NotImplementedError("transcode supports PNG/JPEG")
+        w, h, ch, pix = jpeg_codec.decode_jpeg_pixels(payload)
+        if ch == 1:
+            pix = bytes(b for p in pix for b in (p, p, p))
+        return png_codec.encode_png_rgb(w, h, pix)
+
+    @staticmethod
+    def resize(payload: bytes, w: int, h: int) -> bytes:
+        from . import jpeg_codec, png_codec
+
+        if jpeg_codec.is_jpeg(payload):
+            # real JPEG path: decode + transcode, then resize as PNG
+            payload = DeterministicFakeCodec.transcode_to_png(payload)
         if png_codec.is_png(payload):
             # real nearest-neighbor resize through the stdlib codec
             sw, sh, ch, pix = png_codec.decode_png_pixels(payload)

@@ -465,3 +465,28 @@ def test_mp4_box_walk_both_mvhd_versions():
     data = M.encode_minimal_mp4(1000, 1000, 1)
     with _pytest.raises(ValueError):
         M.parse_mp4_meta(data[:20])
+
+
+def test_jpeg_to_png_transcode_and_resize_pixel_exact():
+    from db_migration_spark.multimodal import binary_ops as B
+    from db_migration_spark.multimodal import jpeg_codec as J
+    from db_migration_spark.multimodal import png_codec as P
+
+    vals = [(7 * 37 + 11 * i) % 256 for i in range(6)]
+    jpg = J.encode_jpeg_gray_blocks(3, 2, vals)
+    png = B.DeterministicFakeCodec.transcode_to_png(jpg)
+    assert P.is_png(png)
+    w, h, ch, pix = P.decode_png_pixels(png)
+    assert (w, h, ch) == (24, 16, 3)
+    _, _, _, jpix = J.decode_jpeg_pixels(jpg)
+    assert bytes(pix) == bytes(b for p in jpix for b in (p, p, p))
+
+    # resize routes the JPEG through the real decode, result is a PNG
+    half = B.DeterministicFakeCodec.resize(jpg, 12, 8)
+    hw, hh, hch, hpix = P.decode_png_pixels(half)
+    assert (hw, hh, hch) == (12, 8, 3)
+    # nearest-neighbor of flat 8x8 blocks: each 4x4 output block is flat
+    # with the source block's value
+    for y in range(hh):
+        for x in range(hw):
+            assert hpix[(y * hw + x) * 3] == vals[(y // 4) * 3 + (x // 4)]
