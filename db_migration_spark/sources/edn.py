@@ -18,8 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# entity ids may be negative (xxhash64-derived surrogates, e.g. reified
+# tx entities from tx_comment_datoms)
 _LINE_PAT = (
-    r'^\[:db/(add|retract)\s+(\d+)\s+:([^\s]+)\s+'
+    r'^\[:db/(add|retract)\s+(-?\d+)\s+:([^\s]+)\s+'
     r'(?:"((?:[^"\\]|\\.)*)"|([^\s"\]]+))'
     r'(?:\s+#inst\s+"([^"]+)")?\s*\]$'
 )
@@ -65,3 +67,25 @@ def write_edn_style_log(datoms: DataFrame, path: str, partitions: int | None = N
         ).alias("value")
     )
     out.write.mode("overwrite").option("compression", "gzip").text(path)
+
+
+def tx_comment_datoms(datoms: DataFrame) -> DataFrame:
+    """Reify curator comments as TRANSACTION metadata datoms — Datomic's
+    model for tace ``-C`` comments (the reference dumps with ``-C`` so
+    comments ride into transaction metadata, runcommand.py:134-150): one
+    ``[:db/add <tx-entity> :db/doc "comment"]`` datom per distinct
+    (tx, comment), where the tx entity id is a deterministic hash of the
+    transaction timestamp.  Union the result with the data datoms before
+    an EDN write and the comments survive the log roundtrip with no
+    format extension."""
+    return (
+        datoms.filter(F.col("comment").isNotNull())
+        .select(
+            F.xxhash64(F.lit("tx-entity"), F.col("tx")).alias("e"),
+            F.lit("db/doc").alias("a"),
+            F.col("comment").alias("v"),
+            F.col("tx").alias("tx"),
+            F.lit(True).alias("op"),
+        )
+        .distinct()
+    )

@@ -98,3 +98,41 @@ def test_qa_csv_and_markdown(spark, tmp_path):
     md = report_to_markdown(report.orderBy(F.desc("acedb_count")))
     assert "class_name" in md and "| " in md
     assert md.splitlines()[2].index("Gene") > 0
+
+
+def test_comments_survive_edn_roundtrip_as_tx_datoms(spark, tmp_path):
+    """tace -C comments reified as [:db/add <tx-e> :db/doc ...] datoms
+    survive the EDN write/parse cycle alongside the data datoms."""
+    import gzip
+
+    from db_migration_spark.sources.ace import (
+        ace_records_to_datoms,
+        parse_ace_dump,
+    )
+    from db_migration_spark.sources.edn import (
+        parse_edn_log,
+        tx_comment_datoms,
+        write_edn_style_log,
+    )
+
+    dump = tmp_path / "d.ace.gz"
+    with gzip.open(dump, "wt") as fp:
+        fp.write(
+            'Gene : "g1"\n'
+            'Name "n1" -C "curated by x" -O "2020-01-01_00:00:00"\n'
+            'Desc "plain" -O "2020-01-02_00:00:00"\n'
+        )
+    datoms = ace_records_to_datoms(parse_ace_dump(spark, str(dump)))
+    full = datoms.select("e", "a", "v", "tx", "op").unionByName(
+        tx_comment_datoms(datoms)
+    )
+    out = tmp_path / "edn"
+    write_edn_style_log(full, str(out))
+    back = parse_edn_log(spark, str(out)).collect()
+    assert len(back) == 3
+    docs = [r for r in back if r["a"] == "db/doc"]
+    assert len(docs) == 1 and docs[0]["v"] == "curated by x"
+    assert docs[0]["tx"] is not None
+    # tx entity id differs from the data entity id
+    data_e = {r["e"] for r in back if r["a"] != "db/doc"}
+    assert docs[0]["e"] not in data_e
