@@ -303,7 +303,80 @@ def _parse_find(find: list[str]):
     return plain, aggs
 
 
-def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
+def _is_rule_call(c) -> bool:
+    """Datomic rule invocation ``(ancestor ?x ?y)`` — here
+    ``("rule", "ancestor", ["?x", "?y"])``."""
+    return (
+        isinstance(c, (tuple, list))
+        and len(c) == 3
+        and c[0] == "rule"
+        and isinstance(c[1], str)
+        and isinstance(c[2], (list, tuple))
+    )
+
+
+def _expand_first_rule(where: list, rules: dict, depth: int):
+    """Replace the first rule invocation with each of its definitions'
+    bodies (args substituted, rule-local vars freshened against capture).
+    Returns a list of where-variants, or None if no invocation remains."""
+    for i, c in enumerate(where):
+        if not _is_rule_call(c):
+            continue
+        _, name, args = c
+        if name not in rules:
+            raise ValueError(f"unknown rule: {name}")
+        variants = []
+        for d_idx, (head, body) in enumerate(rules[name]):
+            if len(head) != len(args):
+                raise ValueError(
+                    f"rule {name} arity {len(head)} called with {len(args)}"
+                )
+            sub = dict(zip(head, args))
+            fresh: dict[str, str] = {}
+
+            def subst_term(t):
+                if _is_var(t):
+                    if t in sub:
+                        return sub[t]
+                    return fresh.setdefault(
+                        t, f"?__rule{depth}_{d_idx}_{t[1:]}"
+                    )
+                return t
+
+            new_body = []
+            for cl in body:
+                if isinstance(cl, str):  # predicate clause
+                    expr = cl
+                    for var in sorted(
+                        set(re.findall(r"\?[A-Za-z_][\w-]*", cl)),
+                        key=len,
+                        reverse=True,
+                    ):
+                        expr = expr.replace(var, subst_term(var))
+                    new_body.append(expr)
+                elif _is_rule_call(cl):
+                    new_body.append(
+                        ("rule", cl[1], [subst_term(t) for t in cl[2]])
+                    )
+                elif _is_not_clause(cl) or _is_or_clause(cl):
+                    raise ValueError(
+                        "not/or inside rule bodies is not supported — "
+                        "lift them into the calling query"
+                    )
+                else:
+                    new_body.append([subst_term(t) for t in cl])
+            variants.append(list(where[:i]) + new_body + list(where[i + 1:]))
+        return variants
+    return None
+
+
+def query(
+    datoms: DataFrame,
+    find: list[str],
+    where: list,
+    rules: dict | None = None,
+    _depth: int = 0,
+) -> DataFrame:
     """Compile and return the Datalog query plan (lazy DataFrame).
 
     Join strategy: clauses fold left-to-right; consecutive clauses sharing
@@ -317,10 +390,41 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
     ``(avg ?v)`` — computed per group of the plain find variables over
     the distinct solution set.  Aggregate output columns are named
     ``<agg>_<var>`` (e.g. ``count_e``).
+
+    ``rules`` is a Datomic rule set (the ``%`` input): ``{name:
+    [(head_args, body_clauses), ...]}``; invoke with ``("rule", name,
+    [args...])`` in :where.  Multiple definitions of a name are
+    disjunctive (expanded like or-branches, rule-local variables
+    freshened).  Rules may call other rules; RECURSIVE rules are
+    macro-expanded up to a bounded depth and rejected beyond it — express
+    genuine fixpoints with :func:`transitive_closure`, which computes
+    them in O(log depth) doubling rounds instead of unbounded expansion.
     """
     if not where:
         raise ValueError("empty :where")
     plain_find, agg_find = _parse_find(find)
+    # rule expansion unions PLAIN solution sets; with aggregates in :find
+    # the agg branch below recurses into this rewrite on the solution set
+    # first (aggregating each disjunct separately would double-count)
+    if rules and not agg_find:
+        if _depth > 16:
+            raise ValueError(
+                "rule expansion depth exceeded — for recursive rules use "
+                "transitive_closure (log-depth fixpoint) instead"
+            )
+        variants = _expand_first_rule(where, rules, _depth)
+        if variants is not None:
+            parts = [
+                query(datoms, find, w, rules, _depth + 1) for w in variants
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                if set(p.columns) != set(out.columns):
+                    raise ValueError(
+                        "rule definitions must bind the same variables"
+                    )
+                out = out.unionByName(p)
+            return out.distinct()
     ors = [c[1] for c in where if _is_or_clause(c)]
     if ors and not agg_find:  # with aggregates, the agg branch recurses
         # into the or-rewrite on the plain solution set first
@@ -334,7 +438,13 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
         if not branches:
             raise ValueError("empty or-clause")
         parts = [
-            query(datoms, find, list(where[:idx]) + [b] + list(where[idx + 1:]))
+            query(
+                datoms,
+                find,
+                list(where[:idx]) + [b] + list(where[idx + 1:]),
+                rules,
+                _depth,
+            )
             for b in branches
         ]
         out = parts[0]
@@ -361,7 +471,7 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
             for term in c:
                 if _is_var(term) and term[1:] not in all_vars:
                     all_vars.append(term[1:])
-        sol = query(datoms, [f"?{v}" for v in all_vars], pos)
+        sol = query(datoms, [f"?{v}" for v in all_vars], pos, rules, _depth)
         for nc in negs:
             cdf, vars_here = _clause_df(datoms, 0, nc)
             shared = sorted(v for v in vars_here if v in sol.columns)
@@ -390,7 +500,7 @@ def query(datoms: DataFrame, find: list[str], where: list) -> DataFrame:
         needed = plain_find + sorted(
             {f"?{var}" for _, var, _ in agg_find} - set(plain_find)
         )
-        solutions = query(datoms, needed, where)
+        solutions = query(datoms, needed, where, rules, _depth)
         grouped = (
             solutions.groupBy(*[t[1:] for t in plain_find])
             if plain_find

@@ -3741,3 +3741,64 @@ FROM nation
 
 QUERIES["multimodal_mp4_meta"] = q_multimodal_mp4_meta
 ORACLES["multimodal_mp4_meta"] = ORACLE_MULTIMODAL_MP4
+
+
+def q_datalog_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic rule set (the ``%`` input): ``notable`` has two
+    definitions — big-ticket (price predicate, rule-local variable) or
+    urgent (literal constraint) — invoked from the caller's :where and
+    expanded disjunctively; per-status distinct-order counts aggregate
+    the solution set (datalog.query rules= parameter)."""
+    from . import datalog
+
+    o = load_table(spark, sf_dir, "orders")
+    datoms = (
+        o.select(
+            F.col("o_orderkey").alias("e"),
+            F.lit("order/price").alias("a"),
+            F.col("o_totalprice").cast("string").alias("v"),
+        )
+        .unionByName(
+            o.select(
+                F.col("o_orderkey").alias("e"),
+                F.lit("order/priority").alias("a"),
+                F.col("o_orderpriority").alias("v"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.col("o_orderkey").alias("e"),
+                F.lit("order/status").alias("a"),
+                F.col("o_orderstatus").alias("v"),
+            )
+        )
+    )
+    rules = {
+        "notable": [
+            (
+                ["?o"],
+                [
+                    ["?o", "order/price", "?p"],
+                    "CAST(?p AS DOUBLE) > 300000",
+                ],
+            ),
+            (["?o"], [["?o", "order/priority", "1-URGENT"]]),
+        ]
+    }
+    return datalog.query(
+        datoms,
+        find=["?s", "(count ?o)"],
+        where=[("rule", "notable", ["?o"]), ["?o", "order/status", "?s"]],
+        rules=rules,
+    )
+
+
+ORACLE_DATALOG_RULES = """
+SELECT o_orderstatus AS s, count(DISTINCT o_orderkey) AS count_o
+FROM orders
+WHERE o_totalprice > 300000 OR o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+QUERIES["datalog_rules"] = q_datalog_rules
+ORACLES["datalog_rules"] = ORACLE_DATALOG_RULES

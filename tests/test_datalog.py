@@ -407,3 +407,69 @@ def test_pull_reverse_ref(spark):
     assert out[200] == (
         '{"region/name":[],"nation/_region":[{"nation/name":["CCC"]}]}'
     )
+
+
+def test_rules_disjunctive_definitions(store):
+    # relative(?x ?y) := gene/status live OR gene/status dead — two
+    # definitions of one rule act as or-branches
+    rules = {
+        "flagged": [
+            (["?e"], [["?e", "gene/status", "live"]]),
+            (["?e"], [["?e", "gene/status", "dead"]]),
+        ]
+    }
+    out = datalog.query(
+        store, find=["?e"], where=[("rule", "flagged", ["?e"])], rules=rules
+    )
+    assert sorted(r["e"] for r in out.collect()) == [1, 2]
+
+
+def test_rules_multi_clause_body_and_local_vars(store):
+    # rule body with a join and a rule-LOCAL variable (?s must not leak
+    # or capture the caller's variables)
+    rules = {
+        "named_with_status": [
+            (
+                ["?e", "?name"],
+                [
+                    ["?e", "gene/name", "?name"],
+                    ["?e", "gene/status", "?s"],
+                    '?s = "live"',
+                ],
+            )
+        ]
+    }
+    out = datalog.query(
+        store,
+        find=["?e", "?name"],
+        where=[("rule", "named_with_status", ["?e", "?name"])],
+        rules=rules,
+    )
+    assert [(r["e"], r["name"]) for r in out.collect()] == [(1, "aap-1")]
+
+
+def test_rules_calling_rules_and_recursion_rejected(store):
+    rules = {
+        "alive": [(["?e"], [["?e", "gene/status", "live"]])],
+        "alive_named": [
+            (
+                ["?e", "?n"],
+                [("rule", "alive", ["?e"]), ["?e", "gene/name", "?n"]],
+            )
+        ],
+        "loop": [(["?e"], [("rule", "loop", ["?e"])])],
+    }
+    out = datalog.query(
+        store,
+        find=["?n"],
+        where=[("rule", "alive_named", ["?e", "?n"])],
+        rules=rules,
+    )
+    assert [r["n"] for r in out.collect()] == ["aap-1"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="transitive_closure"):
+        datalog.query(
+            store, find=["?e"], where=[("rule", "loop", ["?e"])], rules=rules
+        )
