@@ -74,6 +74,8 @@ HEADLINE = [
     "stream_ace_import",
     "datalog_pull",
     "multimodal_jpeg_decode",
+    "eav_as_of",
+    "datalog_rules",
 ]
 
 
