@@ -3016,6 +3016,12 @@ from .queries_tpch_ext import register as _register_tpch_ext  # noqa: E402
 
 _register_tpch_ext(QUERIES, ORACLES)
 
+# the five remaining TPC-H shapes (Q2/Q9/Q11/Q16/Q20) over a
+# lineitem-derived supply relation (no partsupp in TESTDATA.md)
+from .queries_tpch_close import register as _register_tpch_close  # noqa: E402
+
+_register_tpch_close(QUERIES, ORACLES)
+
 
 # ---------------------------------------------------------------------------
 # §2.12 — int8 embedding quantization (storage/serving path)
