@@ -375,6 +375,7 @@ def query(
     find: list[str],
     where: list,
     rules: dict | None = None,
+    with_vars: list[str] | None = None,
     _depth: int = 0,
 ) -> DataFrame:
     """Compile and return the Datalog query plan (lazy DataFrame).
@@ -399,6 +400,12 @@ def query(
     macro-expanded up to a bounded depth and rejected beyond it — express
     genuine fixpoints with :func:`transitive_closure`, which computes
     them in O(log depth) doubling rounds instead of unbounded expansion.
+
+    ``with_vars`` is Datomic's ``:with``: extra variables that widen the
+    solution set's distinct key without joining the group key, so
+    aggregates see bag (not set) semantics — the canonical
+    ``:find ?name (sum ?price) :with ?order`` shape where two orders at
+    the same price must both count.  Only meaningful with aggregates.
     """
     if not where:
         raise ValueError("empty :where")
@@ -415,7 +422,8 @@ def query(
         variants = _expand_first_rule(where, rules, _depth)
         if variants is not None:
             parts = [
-                query(datoms, find, w, rules, _depth + 1) for w in variants
+                query(datoms, find, w, rules, None, _depth + 1)
+                for w in variants
             ]
             out = parts[0]
             for p in parts[1:]:
@@ -443,6 +451,7 @@ def query(
                 find,
                 list(where[:idx]) + [b] + list(where[idx + 1:]),
                 rules,
+                None,
                 _depth,
             )
             for b in branches
@@ -471,7 +480,9 @@ def query(
             for term in c:
                 if _is_var(term) and term[1:] not in all_vars:
                     all_vars.append(term[1:])
-        sol = query(datoms, [f"?{v}" for v in all_vars], pos, rules, _depth)
+        sol = query(
+            datoms, [f"?{v}" for v in all_vars], pos, rules, None, _depth
+        )
         for nc in negs:
             cdf, vars_here = _clause_df(datoms, 0, nc)
             shared = sorted(v for v in vars_here if v in sol.columns)
@@ -496,11 +507,17 @@ def query(
 
     if agg_find:
         # project every referenced var as a plain solution set, then
-        # aggregate over its distinct tuples
+        # aggregate over its distinct tuples.  Datomic's ``:with``
+        # widens the distinct key WITHOUT joining the group key: the
+        # extra vars ride through the solution set (so duplicates that
+        # differ only in a :with var survive — bag semantics for the
+        # aggregate) and are projected away by the groupBy.
+        extra = [f"?{v.lstrip('?')}" for v in (with_vars or [])]
         needed = plain_find + sorted(
-            {f"?{var}" for _, var, _ in agg_find} - set(plain_find)
+            ({f"?{var}" for _, var, _ in agg_find} | set(extra))
+            - set(plain_find)
         )
-        solutions = query(datoms, needed, where, rules, _depth)
+        solutions = query(datoms, needed, where, rules, None, _depth)
         grouped = (
             solutions.groupBy(*[t[1:] for t in plain_find])
             if plain_find
@@ -721,3 +738,27 @@ def pull(datoms: DataFrame, pattern: list) -> DataFrame:
         F.lit("}"),
     )
     return grouped.select("e", doc.alias("pulled"))
+
+
+def collection(
+    datoms: DataFrame,
+    find_var: str,
+    where: list,
+    rules: dict | None = None,
+) -> DataFrame:
+    """Datomic collection find-spec ``:find [?x ...]``: the solution set
+    of a single variable gathered into ONE row holding a sorted array.
+
+    Sorting makes the result deterministic (Datomic returns an unordered
+    collection; an array column must pick an order to be comparable).
+    The gather is ``sort_array(collect_list(...))`` over the distinct
+    solution set — a single 1-row aggregate, the array itself being the
+    only driver-sized object (use only where the collection genuinely
+    fits one row, same contract as Datomic's own collection spec).
+    Column is named ``<var>_coll``.
+    """
+    var = find_var.lstrip("?")
+    sol = query(datoms, [f"?{var}"], where, rules)
+    return sol.agg(
+        F.sort_array(F.collect_list(F.col(var))).alias(f"{var}_coll")
+    )

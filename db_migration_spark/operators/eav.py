@@ -296,3 +296,145 @@ def as_of(datoms: DataFrame, t, tx_col: str = "tx") -> DataFrame:
         .filter((F.col("__rn") == 1) & F.col("op"))
         .drop("__rn")
     )
+
+
+def since(datoms: DataFrame, t, tx_col: str = "tx") -> DataFrame:
+    """Datomic ``since`` view: the store as if only facts transacted
+    AFTER ``t`` existed (``d/since`` — the complement of :func:`as_of`).
+
+    Note the subtlety this inherits from Datomic: a datom asserted
+    before the cut and untouched after it is NOT visible in a since
+    view, because none of its facts fall inside the window.  Resolution
+    is the same latest-fact-wins window as :func:`as_of`, just over the
+    ``tx > t`` slice — and the slice filter pushes down to the scan, so
+    a tx-range-partitioned store reads only the trailing partitions.
+    """
+    w = Window.partitionBy("e", "a", "v").orderBy(F.desc(tx_col))
+    return (
+        datoms.filter(F.col(tx_col) > t)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & F.col("op"))
+        .drop("__rn")
+    )
+
+
+def resolve_tempids(
+    db: DataFrame,
+    patches: DataFrame,
+    unique_attr: str,
+    tempid_col: str = "tempid",
+    partitions: int = 64,
+) -> DataFrame:
+    """Datomic ``:db.unique/identity`` upsert: resolve string tempids in a
+    patch transaction to entity ids, matching on a unique identity
+    attribute (``pseudoace.py:105-110`` transacts patches whose entities
+    are named by ACeDB object id — exactly a unique-identity lookup).
+
+    Each patch entity must carry a ``(tempid, unique_attr, value)`` datom.
+    A tempid whose identity value already exists in ``db`` (latest
+    visible assert wins) resolves to that existing ``e``; unmatched
+    tempids mint fresh ids ``max(e)+1 …`` densely, ordered by identity
+    value — via the two-level :func:`..corpus.dense_ids` prefix-sum, so
+    minting is deterministic AND distributed (no 1-task global
+    row_number).  Returns ``patches`` with ``e`` resolved to BIGINT.
+
+    Plan shape: one aggregate over the patch identity datoms, one
+    left join against the db identity index (hash or broadcast by
+    stats), the dense-id construction for the misses, and a final join
+    back onto the patch stream keyed by tempid.
+    """
+    from .corpus import dense_ids
+
+    ident = (
+        patches.filter(F.col("a") == unique_attr)
+        .groupBy(F.col(tempid_col).alias("__tid"))
+        .agg(F.max("v").alias("__ident"))
+    )
+    existing = (
+        as_of(db.filter(F.col("a") == unique_attr), F.lit(2**62))
+        .select(F.col("v").alias("__ident"), F.col("e").alias("__e"))
+        .groupBy("__ident")
+        .agg(F.min("__e").alias("__e"))
+    )
+    resolved = ident.join(existing, "__ident", "left")
+    hits = resolved.filter(F.col("__e").isNotNull()).select("__tid", "__e")
+    misses = resolved.filter(F.col("__e").isNull()).select("__tid", "__ident")
+    base_id = db.agg(
+        F.coalesce(F.max("e"), F.lit(0)).alias("__maxe")
+    )
+    minted = (
+        dense_ids(misses, "__ident", id_name="__mint", partitions=partitions)
+        .join(F.broadcast(base_id))
+        .select(
+            "__tid", (F.col("__maxe") + F.col("__mint")).alias("__e")
+        )
+    )
+    mapping = hits.unionByName(minted)
+    return (
+        patches.join(
+            mapping, patches[tempid_col] == mapping["__tid"], "left"
+        )
+        .withColumn("e", F.col("__e"))
+        .drop("__tid", "__e", tempid_col)
+    )
+
+
+def retract_entity(
+    datoms: DataFrame,
+    roots: DataFrame,
+    component_attrs: list[str],
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Datomic ``:db/retractEntity`` with ``:db/isComponent`` cascade:
+    starting from ``roots`` (single column ``e``), follow component
+    attribute references (``v`` holds the child entity id) and return
+    the closed set of entity ids to retract — children, grandchildren, …
+
+    ACeDB's model marks subtree-owned objects the same way (hash types
+    owned by their parent object), which is why the reference's delete
+    path drops whole object subtrees (``pseudoace.py`` object scope).
+
+    The frontier expansion is a bounded driver loop (component trees are
+    shallow — ACeDB hash nesting is ≤ a handful of levels), each round
+    ONE hash join frontier⋈edges + anti-join against the seen set; the
+    edge list (component datoms only) is computed once and persisted.
+    Reference cycles converge harmlessly (the anti-join empties the
+    frontier once every member is seen); what raises past ``max_rounds``
+    is ownership DEPTH beyond the bound — raise the bound for unusually
+    deep trees.  Lineage is cut per round with ``localCheckpoint`` so
+    the plan stays flat.
+    """
+    edges = (
+        as_of(
+            datoms.filter(F.col("a").isin(component_attrs)), F.lit(2**62)
+        )
+        .select(
+            F.col("e").alias("__parent"),
+            F.col("v").cast("long").alias("__child"),
+        )
+        .filter(F.col("__child").isNotNull())
+        .persist()
+    )
+    seen = roots.select(F.col("e").cast("long").alias("e")).distinct()
+    seen = seen.localCheckpoint()
+    frontier = seen
+    for _ in range(max_rounds):
+        children = (
+            frontier.join(
+                edges, frontier["e"] == edges["__parent"]
+            )
+            .select(F.col("__child").alias("e"))
+            .distinct()
+            .join(seen, "e", "left_anti")
+            .localCheckpoint()
+        )
+        if children.rdd.isEmpty():
+            edges.unpersist()
+            return seen
+        seen = seen.unionByName(children).localCheckpoint()
+        frontier = children
+    edges.unpersist()
+    raise ValueError(
+        f"component closure did not converge in {max_rounds} rounds — "
+        "reference cycle in component attributes?"
+    )

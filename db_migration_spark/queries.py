@@ -3587,7 +3587,7 @@ def q_eav_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     retracts derived from events (monotonic tx = event_id, value =
     event_id % 5 so (e,a,v) keys collide across time and the
     latest-fact-wins resolution is actually exercised), cut at tx ≤
-    50000, profiled per attribute.  A datom is visible iff its latest
+    5000, profiled per attribute.  A datom is visible iff its latest
     fact at the cut is an assert — retract hides, re-assert restores.
     The history view needs no operator (the raw log IS Datomic's history
     database)."""
@@ -3601,7 +3601,7 @@ def q_eav_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("tx"),
         (F.col("event_id") % 3 != 0).alias("op"),
     )
-    visible = as_of(datoms, F.lit(50000), tx_col="tx")
+    visible = as_of(datoms, F.lit(5000), tx_col="tx")
     return visible.groupBy("a").agg(
         F.count(F.lit(1)).alias("n_visible"),
         F.countDistinct("e").alias("n_entities"),
@@ -3614,7 +3614,7 @@ WITH cut AS (
   SELECT user_id AS e, event_type AS a,
          CAST(event_id % 5 AS VARCHAR) AS v,
          event_id AS tx, (event_id % 3 <> 0) AS op
-  FROM events WHERE event_id <= 50000
+  FROM events WHERE event_id <= 5000
 ), latest AS (
   SELECT *, row_number() OVER (PARTITION BY e, a, v ORDER BY tx DESC) AS rn
   FROM cut
@@ -3627,6 +3627,268 @@ GROUP BY a
 
 QUERIES["eav_as_of"] = q_eav_as_of
 ORACLES["eav_as_of"] = ORACLE_EAV_AS_OF
+
+
+def q_eav_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic ``since`` view (eav.since) — the complement of as-of:
+    resolution over only the facts transacted AFTER the cut, so a datom
+    untouched since the cut is invisible (Datomic's since-db subtlety).
+    Same derived datom log as eav_as_of; same per-attribute profile, so
+    the two rows directly exhibit the as-of/since split of one store."""
+    from .operators.eav import since
+
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        (F.col("event_id") % 5).cast("string").alias("v"),
+        F.col("event_id").alias("tx"),
+        (F.col("event_id") % 3 != 0).alias("op"),
+    )
+    visible = since(datoms, F.lit(500), tx_col="tx")
+    return visible.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_visible"),
+        F.countDistinct("e").alias("n_entities"),
+        F.min("tx").alias("earliest_tx"),
+    )
+
+
+ORACLE_EAV_SINCE = """
+WITH tail AS (
+  SELECT user_id AS e, event_type AS a,
+         CAST(event_id % 5 AS VARCHAR) AS v,
+         event_id AS tx, (event_id % 3 <> 0) AS op
+  FROM events WHERE event_id > 500
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY e, a, v ORDER BY tx DESC) AS rn
+  FROM tail
+)
+SELECT a, count(*) AS n_visible, count(DISTINCT e) AS n_entities,
+       min(tx) AS earliest_tx
+FROM latest WHERE rn = 1 AND op
+GROUP BY a
+"""
+
+QUERIES["eav_since"] = q_eav_since
+ORACLES["eav_since"] = ORACLE_EAV_SINCE
+
+
+def q_eav_upsert_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic ``:db.unique/identity`` upsert (eav.resolve_tempids): a
+    patch transaction whose entities are named by string tempids, each
+    carrying a ``cust/id`` identity datom.  Tempids whose identity value
+    exists in the db resolve to the existing entity id; the rest mint
+    ``max(e)+1…`` densely in identity order through the distributed
+    two-level prefix sum (corpus.dense_ids) — no 1-task row_number.
+    Output: one row per patch identity with the resolved id and whether
+    it upserted onto an existing entity."""
+    from .operators.eav import resolve_tempids
+
+    cust = load_table(spark, sf_dir, "customer")
+    db = cust.select(
+        F.col("c_custkey").alias("e"),
+        F.lit("cust/id").alias("a"),
+        F.col("c_name").alias("v"),
+        F.lit(1).alias("tx"),
+        F.lit(True).alias("op"),
+    )
+    hits = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("p-"), F.col("c_name")).alias("tempid"),
+        F.lit("cust/id").alias("a"),
+        F.col("c_name").alias("v"),
+    )
+    news = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("p-"), F.col("s_name")).alias("tempid"),
+        F.lit("cust/id").alias("a"),
+        F.col("s_name").alias("v"),
+    )
+    patches = hits.unionByName(news).select(
+        "tempid", "a", "v", F.lit(2).alias("tx"), F.lit(True).alias("op")
+    )
+    resolved = resolve_tempids(db, patches, "cust/id")
+    max_e = db.agg(F.max("e").alias("__m"))
+    return (
+        resolved.filter(F.col("a") == "cust/id")
+        .join(F.broadcast(max_e))
+        .select(
+            F.col("v").alias("ident"),
+            F.col("e").alias("resolved_e"),
+            (F.col("e") <= F.col("__m")).alias("upserted"),
+        )
+        .orderBy("ident")
+    )
+
+
+ORACLE_EAV_UPSERT = """
+WITH db AS (
+  SELECT c_custkey AS e, c_name AS v FROM customer
+),
+patch_idents AS (
+  SELECT c_name AS ident FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT s_name AS ident FROM supplier
+),
+existing AS (
+  SELECT v, min(e) AS e FROM db GROUP BY v
+),
+hits AS (
+  SELECT p.ident, x.e FROM patch_idents p JOIN existing x ON p.ident = x.v
+),
+misses AS (
+  SELECT p.ident,
+         (SELECT max(e) FROM db)
+         + row_number() OVER (ORDER BY p.ident) AS e
+  FROM patch_idents p LEFT JOIN existing x ON p.ident = x.v
+  WHERE x.e IS NULL
+)
+SELECT ident, e AS resolved_e, TRUE AS upserted FROM hits
+UNION ALL
+SELECT ident, e AS resolved_e, FALSE AS upserted FROM misses
+ORDER BY ident
+"""
+
+QUERIES["eav_upsert_identity"] = q_eav_upsert_identity
+ORACLES["eav_upsert_identity"] = ORACLE_EAV_UPSERT
+
+
+def q_eav_retract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic ``:db/retractEntity`` with ``:db/isComponent`` cascade
+    (eav.retract_entity): customers own their orders, orders own their
+    lines (ACeDB hash-type subtree ownership — the reference's delete
+    path drops whole object subtrees).  Entity id spaces are offset so
+    the three levels never collide; roots are the first 50 customers.
+    The closure is a bounded frontier loop, one hash join per level.
+    The oracle is a recursive CTE over the same component edges."""
+    from .operators.eav import retract_entity
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    own_orders = orders.select(
+        F.col("o_custkey").alias("e"),
+        F.lit("cust/orders").alias("a"),
+        (F.col("o_orderkey") + 10000000).cast("string").alias("v"),
+        F.lit(1).alias("tx"),
+        F.lit(True).alias("op"),
+    )
+    own_lines = li.select(
+        (F.col("l_orderkey") + 10000000).alias("e"),
+        F.lit("order/lines").alias("a"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber") + 100000000)
+        .cast("string")
+        .alias("v"),
+        F.lit(1).alias("tx"),
+        F.lit(True).alias("op"),
+    )
+    datoms = own_orders.unionByName(own_lines)
+    roots = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.col("c_custkey").alias("e"))
+    )
+    closed = retract_entity(
+        datoms, roots, ["cust/orders", "order/lines"]
+    )
+    return closed.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.min("e").alias("min_e"),
+        F.max("e").alias("max_e"),
+        F.sum(F.col("e").cast("decimal(28,0)")).cast("double").alias("sum_e"),
+    )
+
+
+ORACLE_EAV_RETRACT = """
+WITH RECURSIVE edges AS (
+  SELECT o_custkey AS parent, o_orderkey + 10000000 AS child FROM orders
+  UNION ALL
+  SELECT l_orderkey + 10000000 AS parent,
+         l_orderkey * 10 + l_linenumber + 100000000 AS child
+  FROM lineitem
+),
+closure AS (
+  SELECT c_custkey AS e FROM customer WHERE c_custkey < 50
+  UNION
+  SELECT child AS e FROM closure JOIN edges ON closure.e = edges.parent
+)
+SELECT count(*) AS n_entities, min(e) AS min_e, max(e) AS max_e,
+       CAST(sum(CAST(e AS DECIMAL(28,0))) AS DOUBLE) AS sum_e
+FROM closure
+"""
+
+QUERIES["eav_retract_cascade"] = q_eav_retract_cascade
+ORACLES["eav_retract_cascade"] = ORACLE_EAV_RETRACT
+
+
+def q_datalog_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic ``:with`` clause — bag semantics for aggregates: ``[:find
+    ?t (sum ?amt) :with ?e]``.  Without :with, the solution SET collapses
+    two events of the same type and amount into one tuple and the sum
+    undercounts; ``:with ?e`` widens the distinct key by the entity var
+    so every event contributes.  Amounts are integer-valued, so the
+    double-typed sum is order-independent and exact cross-engine."""
+    from . import datalog
+
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("event_id").alias("e"), F.lit("ev/type").alias("a"),
+        F.col("event_type").alias("v"),
+    ).unionByName(
+        ev.select(
+            F.col("event_id").alias("e"), F.lit("ev/amt").alias("a"),
+            F.round(F.col("value")).cast("long").cast("string").alias("v"),
+        )
+    )
+    return datalog.query(
+        datoms,
+        find=["?t", "(sum ?amt)"],
+        where=[["?e", "ev/type", "?t"], ["?e", "ev/amt", "?amt"]],
+        with_vars=["?e"],
+    ).orderBy("t")
+
+
+ORACLE_DATALOG_WITH = """
+SELECT event_type AS t,
+       CAST(sum(CAST(round(value) AS BIGINT)) AS DOUBLE) AS sum_amt
+FROM events
+GROUP BY event_type
+ORDER BY t
+"""
+
+QUERIES["datalog_with"] = q_datalog_with
+ORACLES["datalog_with"] = ORACLE_DATALOG_WITH
+
+
+def q_datalog_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic collection find-spec ``:find [?n ...]`` — the distinct
+    solution values of one variable gathered into a single sorted-array
+    row (sorted because an unordered Datomic collection must pick an
+    order to be comparable across engines)."""
+    from . import datalog
+
+    nation = load_table(spark, sf_dir, "nation")
+    datoms = nation.select(
+        F.col("n_nationkey").alias("e"), F.lit("nation/name").alias("a"),
+        F.col("n_name").alias("v"),
+    ).unionByName(
+        nation.select(
+            F.col("n_nationkey").alias("e"),
+            F.lit("nation/region").alias("a"),
+            F.col("n_regionkey").cast("string").alias("v"),
+        )
+    )
+    return datalog.collection(
+        datoms,
+        "?n",
+        where=[["?e", "nation/region", "3"], ["?e", "nation/name", "?n"]],
+    )
+
+
+ORACLE_DATALOG_COLLECTION = """
+SELECT list_sort(list(DISTINCT n_name)) AS n_coll
+FROM nation WHERE n_regionkey = 3
+"""
+
+QUERIES["datalog_collection"] = q_datalog_collection
+ORACLES["datalog_collection"] = ORACLE_DATALOG_COLLECTION
 
 
 # ---------------------------------------------------------------------------
