@@ -174,12 +174,13 @@ PIXEL_STATS_SCHEMA = StructType(
 
 
 def decode_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL pixel-level decode for PNG (inflate + unfilter) and baseline
-    JPEG (Huffman + IDCT) payloads, then per-channel means — the
-    verification statistic (a wrong filter/inflate/IDCT shifts the
-    means).  Arrow-batched mapInPandas like decode_metadata; other
-    payloads raise (route them to the metadata-only path)."""
-    from . import jpeg_codec, png_codec
+    """REAL pixel-level decode for PNG (inflate + unfilter), baseline
+    JPEG (Huffman + IDCT), and GIF (LZW + palette + de-interlace)
+    payloads, then per-channel means — the verification statistic (a
+    wrong filter/inflate/IDCT/LZW path shifts the means).  Arrow-batched
+    mapInPandas like decode_metadata; other payloads raise (route them
+    to the metadata-only path)."""
+    from . import gif_codec, jpeg_codec, png_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -188,6 +189,8 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
                 b = bytes(p)
                 if jpeg_codec.is_jpeg(b):
                     w, h, ch, means = jpeg_codec.channel_means(b)
+                elif gif_codec.is_gif(b):
+                    w, h, ch, means = gif_codec.channel_means(b)
                 else:
                     w, h, ch, means = png_codec.channel_means(b)
                 rows.append((int(mid), w, h, ch, means))

@@ -1775,6 +1775,96 @@ QUERIES["multimodal_jpeg_decode"] = q_multimodal_jpeg_decode
 ORACLES["multimodal_jpeg_decode"] = ORACLE_MULTIMODAL_JPEG
 
 
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, oracled: per nation a palettized GIF (pure-stdlib
+    codec — real variable-width LZW with dictionary growth, 4-pass
+    interlace on odd keys, palette sizes 2/4/8) is encoded distributed,
+    then decoded back — LZW, palette mapping, de-interlace — in the
+    Arrow codec seam.  Pixel index (x + 2y + k) mod ncolors and the
+    palette formulas give closed-form channel means, so a wrong LZW
+    width transition or palette offset fails the gate.  (Means are
+    pixel-order-invariant; the interlace reorder itself is pinned by the
+    exact-pixel roundtrip tests in test_gif_codec.py.)"""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import decode_pixel_stats
+    from .multimodal.gif_codec import encode_gif
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                w, h = 6 + k % 10, 4 + (3 * k) % 10
+                n = 2 << (k % 3)
+                palette = b"".join(
+                    bytes(
+                        (
+                            (i * 41 + k * 7) % 256,
+                            (i * 29 + k * 11) % 256,
+                            (i * 17 + k * 13) % 256,
+                        )
+                    )
+                    for i in range(n)
+                )
+                idx = bytes(
+                    (x + 2 * y + k) % n for y in range(h) for x in range(w)
+                )
+                rows.append(
+                    (k, encode_gif(w, h, palette, idx, interlaced=k % 2 == 1))
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+    stats = decode_pixel_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("means", 1).alias("mean_r"),
+        F.element_at("means", 2).alias("mean_g"),
+        F.element_at("means", 3).alias("mean_b"),
+    )
+
+
+ORACLE_MULTIMODAL_GIF = """
+WITH px AS (
+  SELECT n.n_nationkey AS k,
+         6 + n.n_nationkey % 10 AS w,
+         4 + (3 * n.n_nationkey) % 10 AS h,
+         2 * power(2, n.n_nationkey % 3) AS nc,
+         x.range AS x, y.range AS y
+  FROM nation n CROSS JOIN range(16) x CROSS JOIN range(14) y
+  WHERE x.range < 6 + n.n_nationkey % 10
+    AND y.range < 4 + (3 * n.n_nationkey) % 10
+),
+idx AS (
+  SELECT k, w, h,
+         CAST((x + 2 * y + k) % CAST(nc AS BIGINT) AS BIGINT) AS i
+  FROM px
+)
+SELECT CAST(k AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       avg(CAST((i * 41 + k * 7) % 256 AS DOUBLE)) AS mean_r,
+       avg(CAST((i * 29 + k * 11) % 256 AS DOUBLE)) AS mean_g,
+       avg(CAST((i * 17 + k * 13) % 256 AS DOUBLE)) AS mean_b
+FROM idx
+GROUP BY k, w, h
+"""
+
+QUERIES["multimodal_gif_decode"] = q_multimodal_gif_decode
+ORACLES["multimodal_gif_decode"] = ORACLE_MULTIMODAL_GIF
+
+
 def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio metadata decode, oracled: one 16-bit PCM WAV per region
     (stdlib ``wave`` encode — rate and length derived from the region
