@@ -47,16 +47,21 @@ MEDIA_SCHEMA = StructType(
 # PNG decodes for real via the pure-stdlib codec (png_codec.py: struct +
 # zlib, full filter support); baseline JPEG decodes for real via
 # jpeg_codec.py (Huffman + IDCT, grayscale/4:4:4/4:2:0, restart markers);
-# WAV decodes for real down to SAMPLE level (stdlib wave + struct:
-# RMS/peak/zero-crossings); MP4 container metadata parses for real
-# (mp4_meta.py ISO BMFF box walk).  Progressive JPEG, audio resample/
-# spectrogram DSP, and video FRAME decode still need native libs absent
-# from this container and keep the deterministic fake seam.
+# GIF decodes for real via gif_codec.py (variable-width LZW, palettes,
+# interlace); WAV decodes for real down to SAMPLE level (stdlib wave +
+# struct: RMS/peak/zero-crossings); MP4 container metadata parses for
+# real (mp4_meta.py ISO BMFF box walk); MJPEG-AVI decodes for real down
+# to FRAME PIXELS (avi_codec.py RIFF walk + the JPEG kernel per frame).
+# Progressive JPEG, audio resample/spectrogram DSP, and inter-coded
+# video (H.26x) still need native libs absent from this container and
+# keep the deterministic fake seam.
 REAL_CODECS_AVAILABLE = {
     "image/png": True,
     "image/jpeg": True,
+    "image/gif": True,
     "audio/wav": True,
     "video/mp4": "container-metadata",
+    "video/x-msvideo": "mjpeg-frames",
 }
 
 
@@ -438,4 +443,42 @@ def decode_mp4_meta(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, MP4_META_SCHEMA
+    )
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_gray", DoubleType()),
+    ]
+)
+
+
+def decode_video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling: MJPEG-AVI container walk (avi_codec)
+    + per-frame baseline-JPEG decode (jpeg_codec) → one row per sampled
+    frame with its decoded first-channel mean.  No native libs — the
+    whole path is stdlib struct; Arrow-batched like the other codec
+    seams, one task per payload batch (a 100 TB video corpus
+    parallelizes by file, the natural unit)."""
+    from .avi_codec import sample_frame_stats
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for idx, w, h, mean in sample_frame_stats(bytes(p), every_n):
+                    rows.append((int(mid), idx, w, h, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height", "mean_gray",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, VIDEO_FRAME_STATS_SCHEMA
     )

@@ -1865,6 +1865,66 @@ QUERIES["multimodal_gif_decode"] = q_multimodal_gif_decode
 ORACLES["multimodal_gif_decode"] = ORACLE_MULTIMODAL_GIF
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, oracled: per region an MJPEG AVI
+    (pure-stdlib RIFF writer, avi_codec.py) holding 4+k DC-block JPEG
+    frames; every 2nd frame is container-walked out and decoded through
+    the REAL baseline-JPEG kernel.  The oracle recomputes each sampled
+    frame's mean from the block-value formula — a wrong RIFF walk,
+    chunk alignment, or frame-sample stride changes which frames (and
+    which means) appear."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.avi_codec import encode_avi_mjpeg
+    from .multimodal.binary_ops import decode_video_frame_stats
+    from .multimodal.jpeg_codec import encode_jpeg_gray_blocks
+
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                frames = [
+                    encode_jpeg_gray_blocks(
+                        2,
+                        2,
+                        [(k * 23 + j * 37 + 11 * b) % 256 for b in range(4)],
+                    )
+                    for j in range(4 + k)
+                ]
+                rows.append((k, encode_avi_mjpeg(16, 16, 10, frames)))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = reg.mapInPandas(gen, "media_id LONG, payload BINARY")
+    return decode_video_frame_stats(media, every_n=2)
+
+
+ORACLE_MULTIMODAL_VIDEO = """
+WITH f AS (
+  SELECT r.r_regionkey AS k, j.range AS j
+  FROM region r CROSS JOIN range(9) j
+  WHERE j.range < 4 + r.r_regionkey AND j.range % 2 = 0
+)
+SELECT CAST(k AS BIGINT) AS media_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       avg(CAST((k * 23 + j * 37 + 11 * b.range) % 256 AS DOUBLE))
+           AS mean_gray
+FROM f CROSS JOIN range(4) b
+GROUP BY k, j
+"""
+
+QUERIES["multimodal_video_frames"] = q_multimodal_video_frames
+ORACLES["multimodal_video_frames"] = ORACLE_MULTIMODAL_VIDEO
+
+
 def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio metadata decode, oracled: one 16-bit PCM WAV per region
     (stdlib ``wave`` encode — rate and length derived from the region
