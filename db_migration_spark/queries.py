@@ -1925,6 +1925,92 @@ QUERIES["multimodal_video_frames"] = q_multimodal_video_frames
 ORACLES["multimodal_video_frames"] = ORACLE_MULTIMODAL_VIDEO
 
 
+def q_multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 companded-audio decode, oracled: per region a
+    telephony WAV (format code 7 µ-law on even keys, 6 A-law on odd —
+    formats stdlib ``wave`` cannot read) with companded bytes
+    ``(i·7 + k·13) mod 256``, expanded through the exact ITU integer
+    math and profiled (RMS/peak/zero-crossings).  The oracle replays
+    the SAME G.711 expansion in SQL bit arithmetic — a wrong segment
+    shift, sign convention (A-law's is inverted!), or bias constant
+    shifts every statistic."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import decode_g711_stats
+    from .multimodal.g711_codec import encode_wav_g711
+
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                n = 400 + 100 * k
+                comp = bytes((i * 7 + k * 13) % 256 for i in range(n))
+                law = "ulaw" if k % 2 == 0 else "alaw"
+                rows.append((k, encode_wav_g711(8000, comp, law)))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = reg.mapInPandas(gen, "media_id LONG, payload BINARY")
+    return decode_g711_stats(media)
+
+
+ORACLE_MULTIMODAL_G711 = """
+WITH bytes_ AS (
+  SELECT r.r_regionkey AS k, i.range AS i,
+         (i.range * 7 + r.r_regionkey * 13) % 256 AS b
+  FROM region r CROSS JOIN range(900) i
+  WHERE i.range < 400 + 100 * r.r_regionkey
+),
+expanded AS (
+  SELECT k, i,
+    CASE WHEN k % 2 = 0 THEN
+      -- mu-law: complement, 3-bit exponent, 4-bit mantissa, bias 0x84
+      CASE WHEN (255 - b) >= 128
+           THEN -((((((255 - b) % 16) * 8 + 132) << (((255 - b) // 16) % 8)) - 132))
+           ELSE (((((255 - b) % 16) * 8 + 132) << (((255 - b) // 16) % 8)) - 132)
+      END
+    ELSE
+      -- A-law: 0x55 toggle; sign bit SET means POSITIVE
+      CASE WHEN xor(b, 85) >= 128
+           THEN CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                     THEN (xor(b, 85) % 16) * 16 + 8
+                     ELSE ((xor(b, 85) % 16) * 16 + 264)
+                          << (((xor(b, 85) // 16) % 8) - 1) END
+           ELSE -(CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                       THEN (xor(b, 85) % 16) * 16 + 8
+                       ELSE ((xor(b, 85) % 16) * 16 + 264)
+                            << (((xor(b, 85) // 16) % 8) - 1) END)
+      END
+    END AS x
+  FROM bytes_
+),
+with_prev AS (
+  SELECT k, x, lag(x) OVER (PARTITION BY k ORDER BY i) AS px
+  FROM expanded
+)
+SELECT CAST(k AS BIGINT) AS media_id,
+       CASE WHEN k % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       sqrt(CAST(sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS DOUBLE)
+            / count(*)) AS rms,
+       CAST(max(abs(x)) AS INTEGER) AS peak,
+       CAST(sum(CASE WHEN px IS NOT NULL
+                      AND (x >= 0) <> (px >= 0) THEN 1 ELSE 0 END)
+            AS INTEGER) AS zero_crossings
+FROM with_prev
+GROUP BY k
+"""
+
+QUERIES["multimodal_g711_stats"] = q_multimodal_g711_stats
+ORACLES["multimodal_g711_stats"] = ORACLE_MULTIMODAL_G711
+
+
 def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio metadata decode, oracled: one 16-bit PCM WAV per region
     (stdlib ``wave`` encode — rate and length derived from the region
