@@ -516,3 +516,50 @@ def best_survivor(
         (-F.col("__best.__negid")).cast("long").alias("keeper_doc_id"),
         "family_size",
     )
+
+
+def passage_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-prep passage chunking: overlapping token windows of size
+    ``window`` every ``stride`` tokens (overlap = window − stride), the
+    standard retrieval-corpus preparation step.
+
+    Chunk count is ``1 + ceil((n − window)/stride)`` (one chunk when the
+    doc fits a window), so the final window always reaches the last
+    token and no chunk is a strict suffix of its predecessor.
+
+    Entirely JVM-side: split → sequence/explode for the chunk index →
+    ``slice`` + ``array_join`` — a map-only plan, no shuffle, no Python.
+    Emits (id, chunk_idx, n_tokens, passage).  Documents with zero
+    tokens emit nothing.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size("__toks")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        (F.ceil((n - window) / F.lit(float(stride))) + 1).cast("int")
+    )
+    passage = F.slice("__toks", F.col("chunk_idx") * stride + 1, window)
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(passage).alias("n_tokens"),
+            F.array_join(passage, " ").alias("passage"),
+        )
+    )

@@ -660,3 +660,55 @@ def embedding_cosine_pairs_blocked(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each cluster, drop every item that has a
+    LOWER-id neighbor at cosine ≥ threshold — the keep-one-per-semantic-
+    neighborhood pass run after k-means partitions the embedding space
+    (here ``cluster_col`` carries the assignment; compose with
+    similarity.ivf_* / kmeans for the clustering step).
+
+    The keep rule is pairwise ("no lower-id neighbor"), not greedy-
+    sequential, so it is order/layout-independent AND expressible in
+    plain SQL — which is what puts this under the exact oracle gate.
+
+    Scale shape — the whole point of SemDeDup: the self-join is an
+    EQUI-join on the cluster id, so the pair space is Σ|cluster|², not
+    n² — cluster granularity bounds the blow-up, and the only shuffle
+    keys are (cluster, id).  Vectors ride the join once; thresholds
+    compare on round(score, 6) so the cut is reproducible across
+    engines.  Returns the surviving rows of ``df``.
+    """
+    from ..functions.vectors import cosine
+
+    a = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("__cb"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("__c") == F.col("__cb"))
+            & (F.col("__ida") < F.col("__idb")),
+        )
+        .filter(F.round(cosine("__va", "__vb"), 6) >= threshold)
+        .select(F.col("__idb").alias("__drop"))
+        .distinct()
+    )
+    return df.join(
+        dropped, df[id_col] == dropped["__drop"], "left_anti"
+    )

@@ -1224,15 +1224,70 @@ FROM documents
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.semantic_dedup): within-cluster cosine dedup —
+    drop every vector with a lower-id neighbor at cosine ≥ 0.3 inside
+    its cluster (the ``label`` column stands in for the k-means
+    assignment; the pair space is Σ|cluster|², the SemDeDup scale
+    contract).  Output: per cluster the total, survivor count, and a
+    survivor-id checksum; the oracle replays the pairwise keep rule as
+    a NOT EXISTS self-join with the identical rounded-cosine cut."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = dedup.semantic_dedup(
+        emb, cluster_col="label", threshold=0.3
+    )
+    return (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .join(
+            kept.groupBy("label").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("vec_id").alias("kept_id_sum"),
+            ),
+            "label",
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_DEDUP_SEMANTIC = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+dropped AS (
+  SELECT DISTINCT v.vec_id
+  FROM e u JOIN e v ON u.label = v.label AND u.vec_id < v.vec_id
+  WHERE round(
+      list_sum(list_transform(range(1, len(u.embedding) + 1),
+        i -> CAST(u.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(u.embedding) + 1),
+          i -> CAST(u.embedding[i] AS DOUBLE) * CAST(u.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, len(v.embedding) + 1),
+          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))))
+    , 6) >= 0.3
+),
+kept AS (
+  SELECT label, vec_id FROM e
+  WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+)
+SELECT t.label, t.n_total, k.n_kept, k.kept_id_sum
+FROM (SELECT label, count(*) AS n_total FROM e GROUP BY label) t
+JOIN (SELECT label, count(*) AS n_kept, sum(vec_id) AS kept_id_sum
+      FROM kept GROUP BY label) k
+  ON t.label = k.label
+ORDER BY t.label
+"""
+
+
 QUERIES.update(
     {
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_semantic": q_dedup_semantic,
         "text_bpe_tokens": q_text_bpe_tokens,
     }
 )
 ORACLES.update(
     {
         "dedup_embedding_cosine": ORACLE_DEDUP_COSINE,
+        "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
         "text_bpe_tokens": ORACLE_BPE,
     }
 )

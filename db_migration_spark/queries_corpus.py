@@ -247,9 +247,53 @@ FROM documents
 """
 
 
+def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage chunking (corpus.passage_chunks): 64-token windows
+    every 48 tokens — overlap 16.  The declared result carries an md5 of
+    each passage instead of its text (compact artifact, still
+    content-exact); the oracle rebuilds the identical windows with
+    list_slice/array_to_string.  Map-only plan: no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = C.passage_chunks(docs, window=64, stride=48)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5(F.col("passage")).alias("passage_md5"),
+    )
+
+
+ORACLE_PASSAGES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 64 THEN 1
+              ELSE 1 + CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) END AS nc
+  FROM toks WHERE len(t) > 0
+),
+ch AS (
+  SELECT doc_id, unnest(range(nc)) AS chunk_idx, t FROM c
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(t, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+            AS INTEGER) AS n_tokens,
+       md5(array_to_string(
+           list_slice(t, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
+           AS passage_md5
+FROM ch
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
+            "passage_chunks": q_passage_chunks,
             "text_lm_perplexity": q_text_lm_perplexity,
             "text_boilerplate_scrub": q_text_boilerplate_scrub,
             "pack_sequences": q_pack_sequences,
@@ -264,6 +308,7 @@ def register(queries: dict, oracles: dict) -> None:
     )
     oracles.update(
         {
+            "passage_chunks": ORACLE_PASSAGES,
             "text_lm_perplexity": ORACLE_LM_PPL,
             "text_boilerplate_scrub": ORACLE_SCRUB,
             "pack_sequences": ORACLE_PACK,

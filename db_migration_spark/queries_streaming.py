@@ -182,6 +182,43 @@ FROM region
 """
 
 
+def q_stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING session-window aggregate itself (import_stream.py
+    session_windowed_rollup — merging session state, not a tumbling
+    bucketing): 30-min-gap sessions per user, 2 h watermark, drained
+    availableNow.  The oracle is the exact gaps-and-islands rewrite
+    (same SQL as the batch twin events_sessionize, plus the session-end
+    = last+gap column), so the gate hashes what the streaming session
+    merge actually produced — boundary semantics included (an event
+    exactly ``gap`` after the previous one opens a NEW session)."""
+    name = _sink_name("stream_sessions", sf_dir)
+    rolled = ST.session_windowed_rollup(_events_stream(spark, sf_dir))
+    _drain(rolled, name, "complete")
+    return spark.table(name)
+
+
+ORACLE_STREAM_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -189,6 +226,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_dedup_keys": q_stream_dedup_keys,
             "stream_stream_join": q_stream_stream_join,
             "stream_ace_import": q_stream_ace_import,
+            "stream_session_rollup": q_stream_session_rollup,
         }
     )
     oracles.update(
@@ -197,6 +235,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_dedup_keys": ORACLE_STREAM_DEDUP,
             "stream_stream_join": ORACLE_STREAM_SSJOIN,
             "stream_ace_import": ORACLE_STREAM_ACE,
+            "stream_session_rollup": ORACLE_STREAM_SESSIONS,
         }
     )
 
