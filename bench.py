@@ -76,6 +76,23 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "eav_as_of",
     "datalog_rules",
+    # round-3 continuation: TPC-H close-out, Datomic views/upsert/cascade,
+    # real GIF/video/G.711 kernels, streaming sessions, SemDeDup, RAG
+    # chunking (all prior entries unchanged for 1:1 cross-round deltas)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_count",
+    "q20_concentrated_suppliers",
+    "eav_upsert_identity",
+    "eav_retract_cascade",
+    "datalog_with",
+    "multimodal_gif_decode",
+    "multimodal_video_frames",
+    "multimodal_g711_stats",
+    "stream_session_rollup",
+    "dedup_semantic",
+    "passage_chunks",
 ]
 
 

@@ -4361,3 +4361,80 @@ GROUP BY o_orderstatus
 
 QUERIES["datalog_rules"] = q_datalog_rules
 ORACLES["datalog_rules"] = ORACLE_DATALOG_RULES
+
+
+# ---------------------------------------------------------------------------
+# Graph ranking — deterministic fixed-point PageRank under the exact gate
+# ---------------------------------------------------------------------------
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.pagerank) on the directed
+    supplier-succession graph (consecutive lines of one order link their
+    suppliers), 5 power iterations, damping 85%.  Every operation is
+    BIGINT (ranks fixed-point at 1e12, floor division per edge), so the
+    iterative result is bit-identical across engines and partitionings —
+    the oracle unrolls the same five iterations as chained CTEs.  Top 50
+    by rank with unique node tiebreak."""
+    from .operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    nodes = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node")
+    )
+    ranked = pagerank(edges, nodes, iterations=5, damping_pct=85)
+    return (
+        ranked.select(F.col("node").alias("suppkey"), F.col("rank").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), "suppkey")
+        .limit(50)
+    )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    head = """
+WITH edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_suppkey <> b.l_suppkey
+),
+nodes AS (SELECT s_suppkey AS node FROM supplier),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT n.node,
+         CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r{i-1}.r // d.d) AS s
+    FROM r{i-1} JOIN deg d ON r{i-1}.node = d.src
+                JOIN edges e ON e.src = r{i-1}.node
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+    tail = f"""
+SELECT node AS suppkey, r AS rank_fp
+FROM r{iters} ORDER BY rank_fp DESC, suppkey LIMIT 50
+"""
+    return head + "".join(steps) + tail
+
+
+QUERIES["graph_pagerank"] = q_graph_pagerank
+ORACLES["graph_pagerank"] = _pagerank_oracle()

@@ -29,15 +29,23 @@ from .streaming import import_stream as ST
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture with the batch loader's
     normalized schema (ts already local-tz TIMESTAMP)."""
+    import os
+
     batch = load_table(spark, sf_dir, "events")
     path = f"{sf_dir}/events.parquet"
-    # file-source streams take a DIRECTORY; select the one table file out
-    # of the fixture dir with a glob filter instead of copying it
-    stream = (
-        spark.readStream.schema(spark.read.parquet(path).schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # multi-file table directory (e.g. the scale harness layout):
+        # the directory IS the stream source
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file fixture: file-source streams take a DIRECTORY;
+        # select the one table file with a glob filter instead of copying
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # apply the same ts normalization load_table performs
     if dict(stream.dtypes).get("ts") == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -91,15 +91,16 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
     )
-    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("mc_cost")
-    )
+    # single-pass decorrelation: the per-part MIN as a window over the
+    # offers relation — one scan, one exchange, no recomputed subtree
+    # (the aggregate-join-back form evaluates `offers` twice unless
+    # ReuseExchange happens to dedupe it)
+    from pyspark.sql import Window
+
+    mc = F.min("ps_supplycost").over(Window.partitionBy("p_partkey"))
     return (
-        offers.join(
-            min_cost,
-            (F.col("p_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("mc_cost")),
-        )
+        offers.withColumn("__mc", mc)
+        .filter(F.col("ps_supplycost") == F.col("__mc"))
         .select(
             "s_acctbal",
             "s_name",
