@@ -30,27 +30,28 @@ FLAGSHIP_ORDER = [
     "edn_roundtrip",
     "x2_models_schema",
     "x1_eav_melt",
-    "x3_typed_cast",
     "x4_apply_patches",
-    "x4_card_many",
+    "eav_upsert_identity",
     "x7_pivot_roundtrip",
-    "x7_attr_map",
+    "eav_retract_cascade",
     "store_diff",
     # Structured Streaming engine gates (SURVEY §2.10)
     "stream_hourly_rollup",
     "stream_dedup_keys",
     "stream_stream_join",
     "stream_ace_import",
+    "stream_session_rollup",
     # Datalog query compiler (SURVEY §2.9 X7-ext)
     "datalog_query",
     "datalog_join",
     "datalog_agg",
-    "datalog_not",
-    "datalog_or",
+    "datalog_with",
     "datalog_ancestors",
     "datalog_pull",
-    # Hardest TPC-H shapes (per-order agg, HAVING join-back, anti-join chains)
+    # Hardest TPC-H shapes (per-order agg, HAVING join-back, anti-join
+    # chains, window-decorrelated MIN)
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q21_sole_late_supplier",
@@ -64,8 +65,8 @@ FLAGSHIP_ORDER = [
     "pack_sequences",
     "text_lm_perplexity",
     "url_canonical_dedup",
-    "text_boilerplate_scrub",
-    "mixture_interleave",
+    "dedup_semantic",
+    "passage_chunks",
     "dense_ids",
     # Dedup / similarity ladder
     "dedup_exact",
@@ -75,11 +76,11 @@ FLAGSHIP_ORDER = [
     "ann_cosine_topk",
     # Multimodal codecs (real pixel/header kernels)
     "multimodal_png_decode",
-    "multimodal_image_sniff",
+    "multimodal_video_frames",
     "multimodal_jpeg_decode",
-    # Windows / grouping-sets / graph
-    "w6_revenue_share",
+    # Grouping-sets / graph
     "a8_grouping_sets",
+    "graph_pagerank",
     "copurchase_triangles",
 ]
 

@@ -606,7 +606,8 @@ def pull(datoms: DataFrame, pattern: list) -> DataFrame:
     recursively.
 
     Pattern grammar (Python literals instead of EDN): a list whose items
-    are attribute-name strings, or single-key dicts ``{ref_attr:
+    are attribute-name strings, the wildcard ``"*"`` (pull every
+    attribute — Datomic's ``[*]``), or single-key dicts ``{ref_attr:
     sub_pattern}`` — the ref attribute's values are entity ids whose
     sub-document is pulled with ``sub_pattern`` and nested.  Datomic's
     reverse-ref syntax is supported: ``{"ns/_attr": sub}`` navigates the
@@ -635,6 +636,22 @@ def pull(datoms: DataFrame, pattern: list) -> DataFrame:
     asserted = (
         datoms.filter(F.col("op")) if "op" in datoms.columns else datoms
     )
+    if "*" in pattern:
+        # Datomic wildcard spec: pull every attribute.  The attribute
+        # UNIVERSE is schema-tier (Datomic resolves it from the ident
+        # registry); here it is the distinct ``a`` set — a tiny
+        # aggregate collected once, sorted for a deterministic key
+        # order, spliced ahead of any explicit ref specs (which keep
+        # their sub-patterns, as Datomic's ``[* {ref [...]}]`` does).
+        universe = sorted(
+            r["a"] for r in asserted.select("a").distinct().collect()
+        )
+        ref_names = {
+            next(iter(p)) for p in pattern if isinstance(p, dict)
+        }
+        pattern = [a for a in universe if a not in ref_names] + [
+            p for p in pattern if isinstance(p, dict)
+        ]
     scalar_attrs = [p for p in pattern if isinstance(p, str)]
     ref_specs: list[tuple[str, list]] = []
     for p in pattern:

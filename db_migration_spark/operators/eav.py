@@ -438,3 +438,49 @@ def retract_entity(
         f"component closure did not converge in {max_rounds} rounds — "
         "reference cycle in component attributes?"
     )
+
+
+def apply_cas(
+    base: DataFrame,
+    cas: DataFrame,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Datomic ``:db.fn/cas`` (compare-and-swap) transaction semantics
+    for cardinality-one attributes: each CAS row ``(e, a, expected, v,
+    tx)`` asserts ``v`` ONLY IF the store's current visible value of
+    ``(e, a)`` equals ``expected`` — the optimistic-concurrency guard a
+    migration uses when late patches may race with curation edits
+    (reference patch path: ``pseudoace.py:105-110``).
+
+    A CAS against a missing datom matches ``expected IS NULL`` (Datomic:
+    nil expected asserts only when the attribute is absent).  Rejected
+    rows are dropped silently here — the declared query surfaces the
+    applied/rejected split; Datomic instead aborts the tx, a policy the
+    caller can layer on by counting rejections first.
+
+    Plan shape: one LWW window over base (tx desc per (e, a)) for the
+    current view, one equi-join cas⋈current on (e, a) with a null-safe
+    value compare, then the standard :func:`apply_patches` union-window.
+    All shuffles are keyed (e, a).
+    """
+    w = Window.partitionBy("e", "a").orderBy(F.desc("tx"))
+    current = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("e").alias("__ce"),
+            F.col("a").alias("__ca"),
+            # a latest-fact retraction means "absent" for CAS purposes
+            F.when(F.col("op"), F.col("v")).alias("__cv"),
+        )
+    )
+    matched = (
+        cas.join(
+            current,
+            (cas["e"] == F.col("__ce")) & (cas["a"] == F.col("__ca")),
+            "left",
+        )
+        .filter(F.col("expected").eqNullSafe(F.col("__cv")))
+        .select("e", "a", "v", "tx", F.lit(True).alias("op"))
+    )
+    return apply_patches(base, matched, tiebreak_col=tiebreak_col)

@@ -1654,6 +1654,103 @@ QUERIES["datalog_pull"] = q_datalog_pull
 ORACLES["datalog_pull"] = ORACLE_DATALOG_PULL
 
 
+def q_datalog_pull_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic wildcard pull ``[*]`` (datalog.pull with "*"): every
+    attribute of every entity in the universe, keys in sorted attribute
+    order, absent attributes as empty arrays.  Same planted fixture as
+    datalog_pull, so region entities (ref targets) also surface — with
+    their one region/name attribute filled and the nation attributes
+    empty.  The attribute universe is resolved schema-tier (one tiny
+    distinct collect), exactly how Datomic reads its ident registry."""
+    from . import datalog
+
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    e = F.col("n_nationkey").cast("long")
+    datoms = (
+        nat.select(e.alias("e"), F.lit("nation/name").alias("a"),
+                   F.col("n_name").alias("v"))
+        .unionByName(nat.select(
+            e.alias("e"), F.lit("nation/tag").alias("a"),
+            F.format_string("alpha_%d", (F.col("n_nationkey") % 3)).alias("v")))
+        .unionByName(nat.select(
+            e.alias("e"), F.lit("nation/region").alias("a"),
+            (F.col("n_regionkey").cast("long") + 1000).cast("string").alias("v")))
+        .unionByName(reg.select(
+            (F.col("r_regionkey").cast("long") + 1000).alias("e"),
+            F.lit("region/name").alias("a"), F.col("r_name").alias("v")))
+    )
+    return datalog.pull(datoms, ["*"])
+
+
+ORACLE_DATALOG_PULL_WILDCARD = """
+SELECT CAST(n.n_nationkey AS BIGINT) AS e,
+       '{"nation/name":["' || n.n_name || '"],"nation/region":["' ||
+       CAST(n.n_regionkey + 1000 AS VARCHAR) ||
+       '"],"nation/tag":["alpha_' || CAST(n.n_nationkey % 3 AS VARCHAR) ||
+       '"],"region/name":[]}' AS pulled
+FROM nation n
+UNION ALL
+SELECT CAST(r.r_regionkey + 1000 AS BIGINT) AS e,
+       '{"nation/name":[],"nation/region":[],"nation/tag":[],' ||
+       '"region/name":["' || r.r_name || '"]}' AS pulled
+FROM region r
+"""
+
+QUERIES["datalog_pull_wildcard"] = q_datalog_pull_wildcard
+ORACLES["datalog_pull_wildcard"] = ORACLE_DATALOG_PULL_WILDCARD
+
+
+def q_eav_cas_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic ``:db.fn/cas`` semantics (eav.apply_cas): a CAS patch
+    asserts only when the store's CURRENT visible value equals the
+    expected one — expected NULL matches an absent/retracted datom.
+    Fixture: every customer has a segment; every 7th is then retracted
+    (CAS with NULL expected re-creates it), every remaining 3rd carries
+    a stale expectation (rejected — value stays), the rest swap cleanly.
+    The oracle computes the same case split in closed form."""
+    from .operators.eav import apply_cas
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seg = F.format_string("seg_%d", k % 5)
+    base = cust.select(
+        k.alias("e"), F.lit("cust/segment").alias("a"), seg.alias("v"),
+        F.lit(1).alias("tx"), F.lit(True).alias("op"),
+    ).unionByName(
+        cust.filter(k % 7 == 0).select(
+            k.alias("e"), F.lit("cust/segment").alias("a"), seg.alias("v"),
+            F.lit(2).alias("tx"), F.lit(False).alias("op"),
+        )
+    )
+    cas = cust.select(
+        k.alias("e"),
+        F.lit("cust/segment").alias("a"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .when(k % 3 == 0, F.lit("WRONG"))
+        .otherwise(seg)
+        .alias("expected"),
+        F.format_string("updated_%d", k % 10).alias("v"),
+        F.lit(3).alias("tx"),
+    )
+    resolved = apply_cas(base, cas)
+    return resolved.select("e", "v").orderBy("e")
+
+
+ORACLE_EAV_CAS = """
+SELECT c_custkey AS e,
+       CASE WHEN c_custkey % 7 = 0
+              THEN 'updated_' || CAST(c_custkey % 10 AS VARCHAR)
+            WHEN c_custkey % 3 = 0
+              THEN 'seg_' || CAST(c_custkey % 5 AS VARCHAR)
+            ELSE 'updated_' || CAST(c_custkey % 10 AS VARCHAR) END AS v
+FROM customer ORDER BY e
+"""
+
+QUERIES["eav_cas_patch"] = q_eav_cas_patch
+ORACLES["eav_cas_patch"] = ORACLE_EAV_CAS
+
+
 def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: events matched to overlapping campaign
     windows (6-day windows every 5 days, derived from region — adjacent
