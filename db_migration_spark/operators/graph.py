@@ -90,3 +90,50 @@ def pagerank(
         )
     weighted.unpersist()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Minimum hop distance from a source set, bounded breadth-first.
+
+    ``edges``: (src, dst) directed, deduped internally; ``sources``:
+    (node) at distance 0.  Returns (node, hops) for every node reachable
+    within ``max_hops`` — min over paths, ties impossible by
+    construction (a node enters at its first-discovered level and is
+    never revisited).
+
+    One hash join + one anti-join per level, frontier-only expansion
+    (the classic distributed BFS: work per level ∝ frontier out-edges,
+    never ∝ paths — the reason this terminates where naive path
+    enumeration explodes on cyclic graphs).  Lineage cut per level.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).distinct().persist()
+    e.count()
+    seen = (
+        sources.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = seen
+    for level in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(level))
+            .localCheckpoint()
+        )
+        if nxt.rdd.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return seen

@@ -4535,3 +4535,58 @@ FROM r{iters} ORDER BY rank_fp DESC, suppkey LIMIT 50
 
 QUERIES["graph_pagerank"] = q_graph_pagerank
 ORACLES["graph_pagerank"] = _pagerank_oracle()
+
+
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS hop distances (graph.bfs_hops): minimum hops from the
+    suppliers of the first five nations over the supplier-succession graph, ≤ 4 levels.
+    Frontier-only expansion — per-level work ∝ frontier out-edges, never
+    ∝ path count (the graph is cyclic; naive path enumeration explodes).
+    The oracle is a recursive CTE whose UNION (distinct) collapses the
+    path explosion the same way, with min(hops) per node on top."""
+    from .operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    sources = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_hops(edges, sources, max_hops=4).orderBy("hops", "node")
+
+
+ORACLE_GRAPH_BFS = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_suppkey <> b.l_suppkey
+),
+walk AS (
+  SELECT s_suppkey AS node, 0 AS hops FROM supplier WHERE s_nationkey < 5
+  UNION
+  SELECT e.dst AS node, w.hops + 1 AS hops
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < 4
+)
+SELECT node, CAST(min(hops) AS INTEGER) AS hops
+FROM walk GROUP BY node ORDER BY hops, node
+"""
+
+QUERIES["graph_bfs_hops"] = q_graph_bfs_hops
+ORACLES["graph_bfs_hops"] = ORACLE_GRAPH_BFS

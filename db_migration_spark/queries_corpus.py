@@ -290,9 +290,28 @@ FROM ch
 """
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL iterative BPE training (corpus.train_bpe): 12 merge rounds
+    over the document corpus, each an adjacent-pair count on the
+    vocabulary-sized word-type table + a 1-row argmax + a JVM fold
+    applying the greedy merge.  The merge SEQUENCE is deterministic
+    (count desc, lexicographic tiebreak) but inherently iterative-
+    global, so this is a declared rows-only entry; pytest pins the exact
+    sequence against an independent pure-Python BPE on the same corpus
+    (test_corpus_ops.py)."""
+    merges = C.train_bpe(
+        load_table(spark, sf_dir, "documents"), n_merges=12
+    )
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
+            "bpe_train_merges": q_bpe_train_merges,
             "passage_chunks": q_passage_chunks,
             "text_lm_perplexity": q_text_lm_perplexity,
             "text_boilerplate_scrub": q_text_boilerplate_scrub,

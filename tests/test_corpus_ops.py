@@ -273,3 +273,70 @@ def test_global_sorted_export_without_single_task(spark, tmp_path):
             if prev_max is not None:
                 assert prev_max <= vals[0]  # sorted across files
             prev_max = vals[-1]
+
+
+class TestTrainBpe:
+    @staticmethod
+    def _ref_bpe(texts, n_merges, min_count=2):
+        """Independent pure-Python BPE (Sennrich alg.) for exactness."""
+        from collections import Counter
+
+        wc = Counter()
+        for t in texts:
+            for w in t.split():
+                wc[w] += 1
+        words = {tuple(list(w) + ["</w>"]): n for w, n in wc.items()}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for syms, n in words.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += n
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), c = best
+            if c < min_count:
+                break
+            merges.append((a, b, c))
+            out = {}
+            for syms, n in words.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out[tuple(res)] = out.get(tuple(res), 0) + n
+            words = out
+        return merges
+
+    def test_exact_merge_sequence_vs_reference(self, spark):
+        texts = [
+            "the cat sat on the mat",
+            "the hat and the cat chat",
+            "that fat cat sat flat",
+            "aaa aaab aaaa",  # repeated-symbol (KwKwK-style) overlap case
+        ]
+        docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                     "doc_id long, text string")
+        from db_migration_spark.operators.corpus import train_bpe
+
+        got = train_bpe(docs, n_merges=8)
+        assert got == self._ref_bpe(texts, 8)
+
+    def test_on_fixture_corpus_prefix_stable(self, spark, sf_dir):
+        # the first merges on the real fixture must match the reference
+        from db_migration_spark.catalog import load_table
+        from db_migration_spark.operators.corpus import train_bpe
+
+        docs = load_table(spark, sf_dir, "documents")
+        texts = [r["text"] for r in docs.select("text").collect()]
+        got = train_bpe(docs, n_merges=5)
+        assert got == self._ref_bpe(texts, 5)

@@ -197,3 +197,36 @@ def test_q13_left_outer_then_two_aggs(spark):
     plan = _plan(spark, "q13_order_distribution")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_semantic_dedup_is_equi_join_shaped(spark):
+    # the SemDeDup pair space must be the within-cluster equi-join —
+    # never an all-pairs nested loop
+    plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_passage_chunks_is_map_only(spark):
+    # split -> sequence/explode -> slice: no shuffle beyond the fixture
+    # loader's round-robin spread, no Python nodes
+    plan = _plan(spark, "passage_chunks")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # only the loader's REPARTITION_BY_NUM exchange may appear
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all("RoundRobin" in e for e in exchanges), exchanges
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    plan = _plan(spark, "q16_supplier_count")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q2_single_scan_window_decorrelation(spark):
+    # the window rewrite must keep ONE lineitem scan (the aggregate
+    # join-back form would re-evaluate the supply relation)
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert plan.count("file:/root/testdata/sf0.001/lineitem.parquet") == 1
