@@ -93,6 +93,11 @@ HEADLINE = [
     "stream_session_rollup",
     "dedup_semantic",
     "passage_chunks",
+    "graph_pagerank",
+    "graph_bfs_hops",
+    "bpe_train_merges",
+    "eav_cas_patch",
+    "datalog_pull_wildcard",
 ]
 
 

@@ -96,6 +96,24 @@ INSPECT = {
     "length_batching": ["Window"],
     "dedup_best_survivor": ["SortAggregate"],  # struct-max is sort-agg, still map-side partial
     "bucketed_join": ["SelectedBucketsCount"],
+    # round 3 continuation: TPC-H close-out, Datomic ops, graph, corpus
+    "q2_min_cost_supplier": ["Window", "BroadcastHashJoin"],
+    "q9_product_profit": ["BroadcastHashJoin", "HashAggregate"],
+    "q11_important_stock": ["HashAggregate"],
+    "q16_supplier_count": ["LeftAnti", "HashAggregate"],
+    "q20_concentrated_suppliers": ["LeftSemi", "HashAggregate"],
+    "eav_since": ["Window"],
+    "eav_upsert_identity": ["Window"],  # dense minting local ranks
+    "eav_cas_patch": ["Window"],  # LWW current view + patch resolution
+    "datalog_with": ["HashAggregate"],
+    "datalog_collection": ["HashAggregate"],
+    "datalog_pull_wildcard": ["HashAggregate"],
+    "dedup_semantic": ["HashJoin"],  # within-cluster equi self-join
+    "passage_chunks": ["Generate"],  # map-only chunk explode
+    "multimodal_gif_decode": [],
+    "multimodal_video_frames": [],
+    "multimodal_g711_stats": [],
+    "stream_session_rollup": [],
 }
 
 # plans that must NOT contain a product node (blocking worked)
@@ -104,6 +122,10 @@ FORBID = {
     "q12_priority_lines": ["CartesianProduct"],
     "dedup_embedding_cosine": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "text_contamination": ["CartesianProduct"],
+    "dedup_semantic": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "q2_min_cost_supplier": ["CartesianProduct"],
+    "q16_supplier_count": ["CartesianProduct"],
+    "passage_chunks": ["SortMergeJoin", "CartesianProduct"],
 }
 
 
