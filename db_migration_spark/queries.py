@@ -4590,3 +4590,69 @@ FROM walk GROUP BY node ORDER BY hops, node
 
 QUERIES["graph_bfs_hops"] = q_graph_bfs_hops
 ORACLES["graph_bfs_hops"] = ORACLE_GRAPH_BFS
+
+
+def q_text_encoding_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL charset detection + decode (sources/encoding.py): per nation
+    a byte payload carrying a deterministic mixed-script text, encoded
+    per key in one of five ways (plain UTF-8, UTF-8 BOM, UTF-16 LE/BE
+    with BOMs, Latin-1 bytes that are invalid UTF-8).  The detection
+    ladder (UTF-32 → UTF-16 → UTF-8-sig BOMs → strict UTF-8 scan →
+    Latin-1 fallback) must label and decode every payload; the oracle
+    recomputes encoding label and char count from the construction."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .sources.encoding import decode_text_payloads
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                text = f"nation {k} café — résumé {'x' * (k % 7)}"
+                mode = k % 5
+                if mode == 0:
+                    payload = text.encode("utf-8")
+                elif mode == 1:
+                    payload = text.encode("utf-8-sig")
+                elif mode == 2:
+                    payload = text.encode("utf-16-le")
+                    payload = b"\xff\xfe" + payload
+                elif mode == 3:
+                    payload = b"\xfe\xff" + text.encode("utf-16-be")
+                else:
+                    # Latin-1 bytes for the accented chars are invalid
+                    # UTF-8 sequences -> the fallback branch
+                    payload = text.replace("—", "-").encode("latin-1")
+                rows.append((k, payload))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+    return decode_text_payloads(media).select(
+        "media_id", "encoding", "n_chars"
+    )
+
+
+ORACLE_TEXT_ENCODING = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CASE n_nationkey % 5
+            WHEN 0 THEN 'utf-8'
+            WHEN 1 THEN 'utf-8-sig'
+            WHEN 2 THEN 'utf-16-le'
+            WHEN 3 THEN 'utf-16-be'
+            ELSE 'latin-1' END AS encoding,
+       -- text = 'nation {k} café — résumé ' + k%7 x's  (the latin-1
+       -- branch swaps the em-dash for '-': same length)
+       CAST(7 + len(CAST(n_nationkey AS VARCHAR)) + 15 + (n_nationkey % 7)
+            AS INTEGER) AS n_chars
+FROM nation
+"""
+
+QUERIES["text_encoding_detect"] = q_text_encoding_detect
+ORACLES["text_encoding_detect"] = ORACLE_TEXT_ENCODING

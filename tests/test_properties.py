@@ -394,3 +394,59 @@ def test_pack_manifest_invariants(spark, n_toks):
         spans = sorted((p["seq_offset"], p["seq_offset"] + p["seg_len"]) for p in pieces)
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert e1 <= s2
+
+
+# ---------------------------------------------------------------------------
+# passage_chunks invariants (RAG chunking)
+# ---------------------------------------------------------------------------
+
+_pc_words = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=5),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(deadline=None, max_examples=12,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(words=_pc_words, window=st.integers(2, 8), overlap=st.integers(0, 6))
+def test_passage_chunks_invariants(spark, words, window, overlap):
+    from db_migration_spark.operators.corpus import passage_chunks
+
+    stride = max(1, window - overlap)
+    if stride > window:
+        stride = window
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        passage_chunks(
+            docs, window=window, stride=stride
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    n = len(words)
+    if n == 0:
+        assert rows == []
+        return
+    # chunk count formula
+    import math
+
+    expect_c = 1 if n <= window else 1 + math.ceil((n - window) / stride)
+    assert len(rows) == expect_c
+    # every token covered, order preserved, final window reaches the end
+    rebuilt = []
+    for i, r in enumerate(rows):
+        toks = r["passage"].split(" ") if r["passage"] else []
+        assert toks == words[i * stride : i * stride + window]
+        assert r["n_tokens"] == len(toks)
+        rebuilt.extend(toks[stride:] if i else toks)  # strip re-overlap
+    if expect_c == 1:
+        assert rebuilt == words
+    else:
+        # coverage: last chunk must include the final token
+        assert rows[-1]["passage"].split(" ")[-1] == words[-1]
+        covered = set()
+        for i in range(expect_c):
+            covered.update(range(i * stride, min(n, i * stride + window)))
+        assert covered == set(range(n))
