@@ -4656,3 +4656,171 @@ FROM nation
 
 QUERIES["text_encoding_detect"] = q_text_encoding_detect
 ORACLES["text_encoding_detect"] = ORACLE_TEXT_ENCODING
+
+
+def q_er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution, Fellegi-Sunter style: a deterministic "dirty"
+    registry (every 4th customer's name loses its last digit to 'X') is
+    matched back against the clean table — blocking on (nation,
+    segment) so the pair space is Σ|block|², never n², then integer
+    agreement weights (edit-distance ≤ 1: +30; exact balance: +20;
+    exact name: +10) with a 40 threshold.  Everything integer/exact, so
+    the oracle replays the same blocked scoring in SQL (DuckDB's
+    levenshtein matches Spark's).  Output: matched pairs + score."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = cust.select(
+        (k + 1000000).alias("d_id"),
+        F.when(
+            k % 4 == 0,
+            F.concat(F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nat"),
+        F.col("c_acctbal").alias("d_bal"),
+        F.col("c_mktsegment").alias("d_seg"),
+    )
+    clean = cust.select(
+        k.alias("c_id"), "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    pairs = clean.join(
+        dirty,
+        (F.col("c_nationkey") == F.col("d_nat"))
+        & (F.col("c_mktsegment") == F.col("d_seg")),
+    )
+    score = (
+        F.when(F.levenshtein("c_name", "d_name") <= 1, F.lit(30)).otherwise(
+            F.lit(-10)
+        )
+        + F.when(F.col("c_acctbal") == F.col("d_bal"), F.lit(20)).otherwise(
+            F.lit(0)
+        )
+        + F.when(F.col("c_name") == F.col("d_name"), F.lit(10)).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        pairs.select("c_id", "d_id", score.alias("score"))
+        .filter(F.col("score") >= 40)
+        .orderBy("c_id", "d_id")
+    )
+
+
+ORACLE_ER_MATCH = """
+WITH dirty AS (
+  SELECT c_custkey + 1000000 AS d_id,
+         CASE WHEN c_custkey % 4 = 0
+              THEN substring(c_name, 1, length(c_name) - 1) || 'X'
+              ELSE c_name END AS d_name,
+         c_nationkey AS d_nat, c_acctbal AS d_bal, c_mktsegment AS d_seg
+  FROM customer
+),
+pairs AS (
+  SELECT c.c_custkey AS c_id, d.d_id,
+         (CASE WHEN levenshtein(c.c_name, d.d_name) <= 1
+               THEN 30 ELSE -10 END)
+         + (CASE WHEN c.c_acctbal = d.d_bal THEN 20 ELSE 0 END)
+         + (CASE WHEN c.c_name = d.d_name THEN 10 ELSE 0 END) AS score
+  FROM customer c JOIN dirty d
+    ON c.c_nationkey = d.d_nat AND c.c_mktsegment = d.d_seg
+)
+SELECT c_id, d_id, score FROM pairs WHERE score >= 40
+ORDER BY c_id, d_id
+"""
+
+QUERIES["er_match_pairs"] = q_er_match_pairs
+ORACLES["er_match_pairs"] = ORACLE_ER_MATCH
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (the pre-flight a 100 TB join needs before
+    choosing salting/AQE strategies): top-20 hottest join keys of
+    lineitem's l_suppkey with exact parts-per-million share — integer
+    division so the share is bit-exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "cnt",
+            F.expr("(cnt * 1000000) div total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("cnt"), "l_suppkey")
+        .limit(20)
+    )
+
+
+ORACLE_SKEW = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, cnt,
+       (cnt * 1000000) // (SELECT sum(cnt) FROM counts) AS share_ppm
+FROM counts ORDER BY cnt DESC, l_suppkey LIMIT 20
+"""
+
+QUERIES["skew_report"] = q_skew_report
+ORACLES["skew_report"] = ORACLE_SKEW
+
+
+def q_archive_zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL data-plane archive scan (sources/encoding.scan_zip_members):
+    per region a ZIP (stdlib zipfile, deflate) of 3+k text members is
+    built distributed, then exploded back into member rows — names,
+    sizes, decompressed content hashes — through the Arrow seam.  CRC
+    checks ride ZipFile.read, so a corrupt deflate stream fails the
+    query rather than the gate.  Oracle recomputes every member row
+    from the construction formulas."""
+    from collections.abc import Iterator as _It
+    import io as _io
+    import zipfile as _zipfile
+
+    import pandas as _pd
+
+    from .sources.encoding import scan_zip_members
+
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                buf = _io.BytesIO()
+                with _zipfile.ZipFile(
+                    buf, "w", _zipfile.ZIP_DEFLATED
+                ) as zf:
+                    for i in range(3 + k):
+                        zf.writestr(
+                            f"doc_{i}.txt",
+                            f"region {k} member {i} " + "ab" * (i + k),
+                        )
+                rows.append((k, buf.getvalue()))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = reg.mapInPandas(gen, "media_id LONG, payload BINARY")
+    return scan_zip_members(media).select(
+        "media_id", "member", "n_bytes", F.md5("payload").alias("payload_md5")
+    )
+
+
+ORACLE_ARCHIVE_ZIP = """
+SELECT CAST(r.r_regionkey AS BIGINT) AS media_id,
+       'doc_' || CAST(i.range AS VARCHAR) || '.txt' AS member,
+       CAST(length('region ' || CAST(r.r_regionkey AS VARCHAR)
+                   || ' member ' || CAST(i.range AS VARCHAR) || ' ')
+            + 2 * (i.range + r.r_regionkey) AS INTEGER) AS n_bytes,
+       md5('region ' || CAST(r.r_regionkey AS VARCHAR)
+           || ' member ' || CAST(i.range AS VARCHAR) || ' '
+           || repeat('ab', i.range + r.r_regionkey)) AS payload_md5
+FROM region r CROSS JOIN range(8) i
+WHERE i.range < 3 + r.r_regionkey
+"""
+
+QUERIES["archive_zip_scan"] = q_archive_zip_scan
+ORACLES["archive_zip_scan"] = ORACLE_ARCHIVE_ZIP

@@ -87,3 +87,47 @@ def decode_text_payloads(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, TEXT_DECODE_SCHEMA
     )
+
+
+ZIP_MEMBER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("member", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+
+def scan_zip_members(media: DataFrame) -> DataFrame:
+    """Data-plane archive scan (SURVEY §2.1 S14, promoted from the
+    driver-plane extract utility): each (media_id, payload) row holding
+    a ZIP archive explodes into one row per member with the member's
+    decompressed text — stdlib ``zipfile`` over an in-memory buffer,
+    Arrow-batched.  CRC verification is implicit: ``ZipFile.read``
+    raises BadZipFile on checksum mismatch, so corrupt members fail
+    loudly rather than yielding garbage rows.
+
+    The 100 TB shape: archives parallelize by file (binaryFile source →
+    this seam), members never shuffle compressed — decompression happens
+    where the bytes already sit."""
+    import io
+    import zipfile
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(p))) as zf:
+                    for name in zf.namelist():
+                        data = zf.read(name)
+                        rows.append(
+                            (int(mid), name, len(data), data.decode("utf-8"))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "member", "n_bytes", "payload"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, ZIP_MEMBER_SCHEMA
+    )

@@ -202,3 +202,53 @@ class TestFindSpecs:
             d, "?t", where=[["?e", "type", "?t"]]
         ).collect()[0]
         assert row["t_coll"] == ["buy", "view"]
+
+
+class TestEncodingAndArchive:
+    def test_detect_ladder(self):
+        from db_migration_spark.sources.encoding import (
+            decode_payload,
+            detect_encoding,
+        )
+
+        t = "héllo — wörld"
+        assert detect_encoding(t.encode("utf-8")) == "utf-8"
+        assert detect_encoding(t.encode("utf-8-sig")) == "utf-8-sig"
+        assert detect_encoding(b"\xff\xfe" + t.encode("utf-16-le")) == "utf-16-le"
+        assert detect_encoding(b"\xfe\xff" + t.encode("utf-16-be")) == "utf-16-be"
+        assert detect_encoding("héllo".encode("latin-1")) == "latin-1"
+        # utf-32-le BOM must not be mistaken for utf-16-le
+        assert (
+            detect_encoding(b"\xff\xfe\x00\x00" + t.encode("utf-32-le"))
+            == "utf-32-le"
+        )
+        for enc in ("utf-8", "utf-8-sig"):
+            assert decode_payload(t.encode(enc)) == (enc, t)
+        assert decode_payload(b"\xff\xfe" + t.encode("utf-16-le")) == (
+            "utf-16-le",
+            t,
+        )
+        assert decode_payload(b"\xff\xfe\x00\x00" + t.encode("utf-32-le")) == (
+            "utf-32-le",
+            t,
+        )
+
+    def test_zip_crc_corruption_raises(self, spark):
+        import io
+        import zipfile
+
+        from db_migration_spark.sources.encoding import scan_zip_members
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("a.txt", "hello world " * 20)
+        blob = bytearray(buf.getvalue())
+        # flip a byte inside the deflate stream (after the local header)
+        blob[60] ^= 0xFF
+        media = spark.createDataFrame(
+            [(1, bytes(blob))], "media_id long, payload binary"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            scan_zip_members(media).collect()
