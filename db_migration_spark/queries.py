@@ -4824,3 +4824,110 @@ WHERE i.range < 3 + r.r_regionkey
 
 QUERIES["archive_zip_scan"] = q_archive_zip_scan
 ORACLES["archive_zip_scan"] = ORACLE_ARCHIVE_ZIP
+
+
+def q_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta ``MERGE INTO`` analog over plain Parquet
+    (plans/upsert.merge_upsert — copy-on-write against the versioned
+    snapshot store): a customer-datom store partitioned by market
+    segment takes a patch transaction touching ONLY the BUILDING
+    partition (updates for most, retractions for every 10th customer);
+    untouched partitions carry over without paying the LWW window.  The
+    merged snapshot is read back and profiled per segment; the oracle
+    recomputes the post-merge state in closed form.  (Delta itself is
+    not installable in this sandbox — probed, STATUS.md — so the COW
+    seam IS the production path here.)"""
+    import shutil
+
+    from .plans import snapshots as SNAP
+    from .plans.upsert import merge_upsert
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "merge_store")
+    shutil.rmtree(root, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    base = cust.select(
+        k.alias("e"),
+        F.lit("cust/bal").alias("a"),
+        F.floor(F.col("c_acctbal")).cast("long").cast("string").alias("v"),
+        F.lit(1).alias("tx"),
+        F.lit(True).alias("op"),
+        F.col("c_mktsegment").alias("class"),
+    )
+    SNAP.write_snapshot(base, root, label="base")
+    patches = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            k.alias("e"),
+            F.lit("cust/bal").alias("a"),
+            (k % 1000).cast("string").alias("v"),
+            F.lit(2).alias("tx"),
+            (k % 10 != 0).alias("op"),
+            F.col("c_mktsegment").alias("class"),
+        )
+    )
+    merge_upsert(spark, root, patches, partition_col="class", label="merged")
+    merged = SNAP.read_snapshot(spark, root, label="merged")
+    return (
+        merged.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("n_datoms"),
+            F.sum(F.col("v").cast("long")).alias("sum_v"),
+        )
+        .orderBy("class")
+    )
+
+
+ORACLE_MERGE_INTO = """
+WITH post AS (
+  SELECT c_mktsegment AS class,
+         CASE WHEN c_mktsegment = 'BUILDING'
+              THEN c_custkey % 1000
+              ELSE CAST(floor(c_acctbal) AS BIGINT) END AS v
+  FROM customer
+  WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0)
+)
+SELECT class, count(*) AS n_datoms, sum(v) AS sum_v
+FROM post GROUP BY class ORDER BY class
+"""
+
+QUERIES["merge_into_upsert"] = q_merge_into_upsert
+ORACLES["merge_into_upsert"] = ORACLE_MERGE_INTO
+
+
+def q_w7_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window with a time interval (the frame mode the ROWS
+    suite w3 doesn't cover): per customer, the trailing-30-day order
+    total — frame = RANGE [now-30d, now] over o_orderdate, so date PEERS
+    aggregate together regardless of row order (deterministic where a
+    ROWS frame would not be).  Decimal-exact sums; Spark expresses the
+    interval as epoch-second rangeBetween, DuckDB as INTERVAL bounds —
+    same frame, value-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d"),
+    )
+
+
+ORACLE_W7_TRAILING = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d
+FROM orders
+"""
+
+QUERIES["w7_trailing_range"] = q_w7_trailing_range
+ORACLES["w7_trailing_range"] = ORACLE_W7_TRAILING
