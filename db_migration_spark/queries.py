@@ -4931,3 +4931,84 @@ FROM orders
 
 QUERIES["w7_trailing_range"] = q_w7_trailing_range
 ORACLES["w7_trailing_range"] = ORACLE_W7_TRAILING
+
+
+def q_f_generator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-expression coverage: posexplode (ordinal-preserving
+    explode), inline (struct-array → rows), and stack (the melt
+    primitive) in one pass over nation — DuckDB mirrors with UNNEST
+    WITH ORDINALITY and union arms."""
+    nat = load_table(spark, sf_dir, "nation")
+    arr = F.array(
+        F.col("n_name"),
+        F.upper("n_name"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")),
+    )
+    return nat.select(
+        "n_nationkey", F.posexplode(arr).alias("pos", "val")
+    ).orderBy("n_nationkey", "pos")
+
+
+ORACLE_F_GENERATOR = """
+SELECT n_nationkey, CAST(i.range AS INTEGER) AS pos,
+       ([n_name, upper(n_name),
+         'r' || CAST(n_regionkey AS VARCHAR)])[i.range + 1] AS val
+FROM nation CROSS JOIN range(3) i
+ORDER BY n_nationkey, pos
+"""
+
+QUERIES["f_generator_suite"] = q_f_generator_suite
+ORACLES["f_generator_suite"] = ORACLE_F_GENERATOR
+
+
+def q_f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NULL-semantics battery on one relation: count(*) vs
+    count(col) vs count(DISTINCT col), sum/avg null-skipping, NULLS
+    FIRST/LAST ordering keys, coalesce/nullif/nvl2, and null-safe
+    equality — the parity corners engines most often disagree on.
+    NULLs are planted deterministically (every 3rd balance, every 5th
+    name)."""
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 3 != 0, F.col("s_acctbal")).alias("bal"),
+        F.when(F.col("s_suppkey") % 5 != 0, F.col("s_name")).alias("nm"),
+    )
+    return supp.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal").alias("n_bal"),
+        F.countDistinct("nm").alias("n_names"),
+        F.sum(F.col("bal").cast("decimal(18,4)")).cast("double").alias("sum_bal"),
+        F.sum(
+            F.when(F.col("bal").eqNullSafe(F.lit(None).cast("double")), 1)
+            .otherwise(0)
+        ).alias("n_null_safe_eq_null"),
+        F.min(F.coalesce("nm", F.lit("~"))).alias("min_nm_coalesced"),
+        F.max(F.nullif(F.col("nm"), F.lit("Supplier#000000001"))).alias(
+            "max_nm_nullif"
+        ),
+        F.first(F.col("nm"), ignorenulls=True).alias("first_nm"),
+    )
+
+
+ORACLE_F_NULLS = """
+WITH s AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 3 <> 0 THEN s_acctbal END AS bal,
+         CASE WHEN s_suppkey % 5 <> 0 THEN s_name END AS nm
+  FROM supplier
+)
+SELECT count(*) AS n_rows,
+       count(bal) AS n_bal,
+       count(DISTINCT nm) AS n_names,
+       CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+       sum(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+           AS n_null_safe_eq_null,
+       min(coalesce(nm, '~')) AS min_nm_coalesced,
+       max(nullif(nm, 'Supplier#000000001')) AS max_nm_nullif,
+       (SELECT nm FROM s WHERE nm IS NOT NULL ORDER BY s_suppkey LIMIT 1)
+           AS first_nm
+FROM s
+"""
+
+QUERIES["f_null_semantics"] = q_f_null_semantics
+ORACLES["f_null_semantics"] = ORACLE_F_NULLS

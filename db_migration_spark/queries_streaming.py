@@ -235,6 +235,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_stream_join": q_stream_stream_join,
             "stream_ace_import": q_stream_ace_import,
             "stream_session_rollup": q_stream_session_rollup,
+            "stream_merge_upsert": q_stream_merge_upsert,
         }
     )
     oracles.update(
@@ -244,6 +245,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_stream_join": ORACLE_STREAM_SSJOIN,
             "stream_ace_import": ORACLE_STREAM_ACE,
             "stream_session_rollup": ORACLE_STREAM_SESSIONS,
+            "stream_merge_upsert": ORACLE_STREAM_MERGE,
         }
     )
 
@@ -296,4 +298,80 @@ JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
   ON v.user_id = p.user_id
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
 GROUP BY v.user_id
+"""
+
+
+def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the versioned store: the event stream is
+    drained availableNow through ``foreachBatch``, each micro-batch
+    MERGEd (plans/upsert.merge_upsert — the Delta MERGE INTO analog)
+    into a snapshot store seeded with the first quarter of the events.
+    Every batch commits a new snapshot version atomically, so a crash
+    between batches leaves a consistent store (the checkpointed source
+    offset + versioned sink is the exactly-once recipe without a
+    transaction log).  The final store is the LWW state per (user,
+    event_type); the oracle recomputes it from the full table."""
+    import re as _re
+    import shutil
+
+    from .plans import snapshots as SNAP
+    from .plans.upsert import merge_upsert
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "stream_merge_store")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+
+    def to_datoms(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("user_id").alias("e"),
+            F.col("event_type").alias("a"),
+            F.round(F.col("value")).cast("long").cast("string").alias("v"),
+            F.col("event_id").alias("tx"),
+            F.lit(True).alias("op"),
+        )
+
+    cut = 2000
+    SNAP.write_snapshot(to_datoms(ev.filter(F.col("event_id") < cut)), root)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            spark, root, to_datoms(batch_df), partition_col=None,
+            label=f"b{batch_id}",
+        )
+
+    ckpt = f"/tmp/dbm_spark_ckpt/stream_merge_{_re.sub(r'[^A-Za-z0-9]', '_', sf_dir)}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_id") >= cut)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = SNAP.read_snapshot(spark, root)
+    return (
+        final.groupBy("a")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("v").cast("long")).alias("sum_v"),
+            F.max("tx").alias("max_tx"),
+        )
+        .orderBy("a")
+    )
+
+
+ORACLE_STREAM_MERGE = """
+WITH latest AS (
+  SELECT user_id AS e, event_type AS a,
+         CAST(round(value) AS BIGINT) AS v, event_id AS tx,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT a, count(*) AS n_keys, sum(v) AS sum_v, max(tx) AS max_tx
+FROM latest WHERE rn = 1
+GROUP BY a ORDER BY a
 """
