@@ -484,3 +484,84 @@ def apply_cas(
         .select("e", "a", "v", "tx", F.lit(True).alias("op"))
     )
     return apply_patches(base, matched, tiebreak_col=tiebreak_col)
+
+
+INDEXES = ("eavt", "aevt", "avet", "vaet")
+
+
+def write_indexes(
+    datoms: DataFrame,
+    root: str,
+    ref_attrs: list[str] | None = None,
+    partitions: int = 8,
+) -> None:
+    """Datomic's four covering indexes as Parquet layouts — the storage
+    architecture that makes every access path a pruned scan:
+
+    * ``eavt/`` — range-partitioned by ``e``, rows sorted (e, a, tx):
+      entity lookup touches one partition, attributes arrive clustered.
+    * ``aevt/`` — hive-partitioned by ``a``: per-attribute column scans
+      (the analytics path) prune to one directory.
+    * ``avet/`` — hive-partitioned by ``a``, sorted by ``v`` within
+      files: value/range lookup on an attribute = one directory + a
+      pushed ``v`` predicate over sorted row groups (Datomic's AVET
+      exists only for indexed attrs; here every attr gets one — storage
+      is cheap relative to a 100 TB re-sort later).
+    * ``vaet/`` — ref datoms only (``ref_attrs``), partitioned by ``a``
+      with ``v`` cast to the entity id: reverse navigation ("who points
+      at e?") without scanning non-ref attributes.
+
+    All four are plain ``partitionBy``/``repartitionByRange`` writes —
+    no global single-task sort; each index parallelizes by its own key.
+    """
+    datoms.repartitionByRange(partitions, "e").sortWithinPartitions(
+        "e", "a", "tx"
+    ).write.mode("overwrite").parquet(f"{root}/eavt")
+    datoms.repartition(partitions, "a").write.partitionBy("a").mode(
+        "overwrite"
+    ).parquet(f"{root}/aevt")
+    datoms.repartition(partitions, "a").sortWithinPartitions(
+        "v"
+    ).write.partitionBy("a").mode("overwrite").parquet(f"{root}/avet")
+    if ref_attrs:
+        datoms.filter(F.col("a").isin(ref_attrs)).select(
+            F.col("v").cast("long").alias("v_e"), "a", "e", "tx", "op"
+        ).repartition(max(1, partitions // 2), "a").write.partitionBy(
+            "a"
+        ).mode("overwrite").parquet(f"{root}/vaet")
+
+
+def avet_lookup(
+    spark,
+    root: str,
+    attr: str,
+    v_lo: str,
+    v_hi: str,
+) -> DataFrame:
+    """Range lookup through the AVET layout: the ``a`` equality prunes
+    to one hive partition directory (PartitionFilters — plan-guarded in
+    tests) and the ``v`` range pushes into the sorted parquet row
+    groups.  Returns the matching (e, v, tx, op) datoms."""
+    return (
+        spark.read.parquet(f"{root}/avet")
+        .filter(
+            (F.col("a") == attr)
+            & (F.col("v") >= v_lo)
+            & (F.col("v") <= v_hi)
+        )
+        .select("e", "v", "tx", "op")
+    )
+
+
+def vaet_reverse_lookup(spark, root: str, entities: DataFrame) -> DataFrame:
+    """Reverse-ref navigation through VAET: all (parent e, ref attr)
+    pairs pointing AT the given entities — the "who references me" scan
+    that would otherwise read every datom of every ref attribute."""
+    vaet = spark.read.parquet(f"{root}/vaet")
+    return vaet.join(
+        entities.select(F.col("e").alias("__target")),
+        vaet["v_e"] == F.col("__target"),
+    ).select(
+        F.col("v_e").alias("target"), F.col("a").alias("ref_attr"),
+        F.col("e").alias("referrer"),
+    )

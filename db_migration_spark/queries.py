@@ -5012,3 +5012,99 @@ FROM s
 
 QUERIES["f_null_semantics"] = q_f_null_semantics
 ORACLES["f_null_semantics"] = ORACLE_F_NULLS
+
+
+def _ensure_index_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build the four-index store (eav.write_indexes) once per sf —
+    content-deterministic from the parquet tables, so existence-gating
+    is safe (same idempotency pattern as queries_e2e fixtures)."""
+    import os
+
+    from .operators.eav import write_indexes
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "index_store")
+    if os.path.exists(f"{root}/avet"):
+        return root
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    datoms = (
+        cust.select(
+            F.col("c_custkey").alias("e"), F.lit("cust/name").alias("a"),
+            F.col("c_name").alias("v"), F.lit(1).alias("tx"),
+            F.lit(True).alias("op"),
+        )
+        .unionByName(cust.select(
+            F.col("c_custkey").alias("e"), F.lit("cust/segment").alias("a"),
+            F.col("c_mktsegment").alias("v"), F.lit(1).alias("tx"),
+            F.lit(True).alias("op"),
+        ))
+        .unionByName(orders.select(
+            (F.col("o_orderkey") + 10000000).alias("e"),
+            F.lit("order/customer").alias("a"),
+            F.col("o_custkey").cast("string").alias("v"),
+            F.lit(1).alias("tx"), F.lit(True).alias("op"),
+        ))
+    )
+    write_indexes(datoms, root, ref_attrs=["order/customer"])
+    return root
+
+
+def q_eav_avet_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic's AVET index as a storage layout (eav.write_indexes):
+    value-range lookup on cust/name touches ONE hive partition
+    directory (the ``a`` key — PartitionFilters plan-guarded) with the
+    ``v`` range pushed into v-sorted row groups.  The oracle is the
+    direct relational filter — identical rows, radically different scan
+    cost at 100 TB."""
+    from .operators.eav import avet_lookup
+
+    root = _ensure_index_store(spark, sf_dir)
+    return avet_lookup(
+        spark, root, "cust/name",
+        "Customer#000000100", "Customer#000000199",
+    ).select("e", "v").orderBy("e")
+
+
+ORACLE_EAV_AVET = """
+SELECT c_custkey AS e, c_name AS v
+FROM customer
+WHERE c_name >= 'Customer#000000100' AND c_name <= 'Customer#000000199'
+ORDER BY e
+"""
+
+QUERIES["eav_avet_lookup"] = q_eav_avet_lookup
+ORACLES["eav_avet_lookup"] = ORACLE_EAV_AVET
+
+
+def q_eav_vaet_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic's VAET index: reverse-ref navigation ("which orders point
+    at these customers?") reads ONLY the ref-attribute partition — no
+    scan of name/segment datoms.  Profile per target customer; oracle is
+    the direct orders filter."""
+    from .operators.eav import vaet_reverse_lookup
+
+    root = _ensure_index_store(spark, sf_dir)
+    targets = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 50
+    ).select(F.col("c_custkey").alias("e"))
+    rev = vaet_reverse_lookup(spark, root, targets)
+    return (
+        rev.groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("n_referrers"),
+            F.min("referrer").alias("min_referrer"),
+        )
+        .orderBy("target")
+    )
+
+
+ORACLE_EAV_VAET = """
+SELECT o_custkey AS target, count(*) AS n_referrers,
+       min(o_orderkey + 10000000) AS min_referrer
+FROM orders WHERE o_custkey < 50
+GROUP BY o_custkey ORDER BY target
+"""
+
+QUERIES["eav_vaet_reverse"] = q_eav_vaet_reverse
+ORACLES["eav_vaet_reverse"] = ORACLE_EAV_VAET

@@ -230,3 +230,18 @@ def test_q2_single_scan_window_decorrelation(spark):
     # join-back form would re-evaluate the supply relation)
     plan = _plan(spark, "q2_min_cost_supplier")
     assert plan.count("file:/root/testdata/sf0.001/lineitem.parquet") == 1
+
+
+def test_avet_lookup_prunes_partitions(spark):
+    # the attribute equality must reach the hive layout as a
+    # PartitionFilter (one directory read), with the v-range pushed
+    plan = _plan(spark, "eav_avet_lookup")
+    assert "PartitionFilters" in plan and "cust/name" in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(v" in plan
+
+
+def test_vaet_reads_only_ref_partition(spark):
+    plan = _plan(spark, "eav_vaet_reverse")
+    # the vaet layout holds ONLY ref datoms; the scan must not touch
+    # the eavt/aevt/avet trees
+    assert "/vaet" in plan and "/aevt" not in plan and "/avet" not in plan
