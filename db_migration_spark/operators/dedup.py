@@ -385,6 +385,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One-sided shingle containment — the sub/superset detector Jaccard
+    misses.  A short doc fully embedded in a long one has tiny Jaccard
+    (|∩|/|∪| is diluted by the long doc's extra shingles) but containment
+    |∩|/|A| = 1.0; quote-heavy and boilerplate-wrapped corpora need this
+    asymmetric test (the reference's QA diff reports "subset" classes the
+    same way for id catalogs, SURVEY §2.3 J1).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: shingle-keyed
+    equi-self-join (only overlapping pairs materialize; shuffle carries
+    8-byte hashes), per-doc sizes broadcast back.  Emits both directions
+    (``contain_a`` = |∩|/|A|, ``contain_b`` = |∩|/|B|) and keeps a pair
+    when either side clears ``threshold``.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / F.col("n_a")).alias("contain_a"),
+            (F.col("n_inter") / F.col("n_b")).alias("contain_b"),
+        )
+        .filter(
+            (F.col("contain_a") >= threshold)
+            | (F.col("contain_b") >= threshold)
+        )
+    )
+
+
 # --- near-dup clustering (connected components + survivorship) --------------
 
 def connected_components(

@@ -3410,6 +3410,13 @@ from .queries_tpch_close import register as _register_tpch_close  # noqa: E402
 
 _register_tpch_close(QUERIES, ORACLES)
 
+# scale showcases (DPP, runtime bloom), exact distributed stats, CMS
+# heavy hitters, deterministic sampling, cohort/gap-fill time series,
+# Gopher gates, containment dedup, BPE encode, UNPIVOT
+from .queries_analytics import register as _register_analytics  # noqa: E402
+
+_register_analytics(QUERIES, ORACLES)
+
 
 # ---------------------------------------------------------------------------
 # §2.12 — int8 embedding quantization (storage/serving path)

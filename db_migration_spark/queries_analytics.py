@@ -1,0 +1,906 @@
+"""Scale-showcase and analytics extensions (round 3, session 2).
+
+Five families, all under the exact-oracle discipline of queries.py:
+
+* **Runtime pruning at cluster scale** — dynamic partition pruning
+  (``dpp_pruned_join``: the partition filter is only knowable at runtime,
+  so directory pruning happens via a broadcast-fed subquery — THE
+  mechanism that makes star-schema scans affordable at 100 TB) and
+  runtime Bloom-filter injection (``bloom_filter_join``: a shuffle join
+  whose application side is pre-filtered by a bloom built from the
+  creation side, cutting shuffle volume before the exchange).  Both are
+  plan-guarded in tests/test_plans_guard.py.
+* **Exact distributed statistics** — sufficient-statistics moments
+  (``stats_moments``: decimal-exact Σx/Σx²/Σxy accumulated in ONE
+  map-side-combinable pass; variance/covariance emitted as exact integer
+  numerators so no float reduction-order noise exists at any cluster
+  layout) and count-min-sketch heavy hitters (``heavy_hitters_cms``:
+  fixed 4×256 integer-arithmetic hash grid — constant state per
+  executor, mergeable, the classic bounded-memory frequency sketch).
+* **Deterministic sampling** — hash-based stratified sampling
+  (``sample_stratified``: per-language keep rates via an integer
+  threshold on a multiplicative hash — layout-independent, no RNG) and
+  weighted Poisson sampling (``sample_weighted``: inclusion probability
+  ∝ doc length, again integer-exact).
+* **Time-series analytics** — weekly cohort retention
+  (``cohort_retention``) and hourly gap-fill with carry-forward + exact
+  linear interpolation (``ts_gapfill``: missing grid hours synthesized
+  with ``sequence``/``explode``, interpolation done in integer micro
+  units so both engines agree bit-for-bit).
+* **Corpus/tokenizer ops** — Gopher-style quality rule gates
+  (``text_gopher_rules``: the published repetition/length/stopword rule
+  battery as pure integer comparisons), one-sided shingle containment
+  (``dedup_containment``: the sub/superset near-dup test Jaccard
+  dilutes away), BPE merge-table application (``bpe_encode``: the
+  trained merge list applied as chained literal replaces — a pure
+  codegen map stage, no UDF), and an UNPIVOT/melt surface
+  (``u5_unpivot``).
+
+Reference anchors: QA reporting + catalog diffs (SURVEY §2.3 J1 /
+§2.9 X6) motivate the exact-stats and containment forms; the corpus ops
+extend §2.12.  All numeric outputs are decimal/integer-exact — the
+determinism rules from queries.py apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import dedup
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+def q_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema scan with a runtime-only partition filter.
+
+    ``documents`` is laid out Hive-partitioned by ``lang``; the dim side
+    (per-language char totals, tiered) is *derived from data*, so no
+    static pruning can apply — the partition filter exists only after the
+    dim is evaluated.  Catalyst injects a DPP subquery: the broadcast of
+    the dim feeds ``PartitionFilters: [... dynamicpruningexpression]`` on
+    the fact scan, so non-qualifying lang directories are never even
+    listed.  At 100 TB this is the difference between scanning one
+    partition and scanning the table.  Plan guard:
+    test_plans_guard.py (dynamicpruning on the fact scan).
+    """
+    from .queries_e2e import _fx
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _fx(sf_dir, "docs_by_lang_dpp")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        docs.groupBy("lang")
+        .agg(F.sum("n_chars").alias("tot"))
+        .withColumn(
+            "tier",
+            F.when(F.col("tot") > 30000, F.lit("big")).otherwise(
+                F.lit("small")
+            ),
+        )
+    )
+    big = dim.filter(F.col("tier") == "big").select("lang")
+    return (
+        fact.join(big, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+ORACLE_DPP = """
+WITH dim AS (
+  SELECT lang, sum(n_chars) AS tot FROM documents GROUP BY lang
+)
+SELECT d.lang, count(*) AS n_docs, sum(d.n_chars) AS sum_chars
+FROM documents d
+JOIN dim ON d.lang = dim.lang AND dim.tot > 30000
+GROUP BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# runtime bloom-filter join
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective shuffle join with a runtime-injected Bloom filter.
+
+    Urgent orders ⋈ lineitem with broadcast disabled (modelling the case
+    where the filtered side is still too big to broadcast): Spark's
+    runtime-filter optimizer builds a Bloom over ``o_orderkey`` on the
+    creation side and pushes ``might_contain`` onto the lineitem scan —
+    application-side rows that cannot match are dropped BEFORE the
+    shuffle, which at 100 TB removes ~80% of exchange volume here.  The
+    injection heuristics are sized for real clusters, not sf0.01, so
+    the thresholds are lowered — on a FORKED session (``newSession``:
+    same SparkContext, private SQLConf).  The returned DataFrame stays
+    bound to the fork, so its plan keeps the runtime filter at action
+    time while the caller's session confs are never touched.  Plan
+    guard: test_plans_guard.py (might_contain in the plan, caller conf
+    unchanged).
+    """
+    ns = spark.newSession()
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # raw scans, not load_table: the loader's single-file repartition
+    # spread puts a user Exchange between scan and join, which the
+    # InjectRuntimeFilter rule refuses to push through (verified).  On a
+    # real deployment the input has many splits and no spread exists.
+    import os as _os
+
+    orders = ns.read.parquet(
+        _os.path.join(sf_dir, "orders.parquet")
+    ).filter(F.col("o_orderpriority") == "1-URGENT")
+    li = ns.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias(
+                "sum_qty"
+            ),
+        )
+    )
+
+
+ORACLE_BLOOM = """
+SELECT l_returnflag, count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact distributed moments (sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance and covariance via exact sufficient statistics.
+
+    The scale problem with naive ``stddev``/``corr`` is float reduction
+    order: a 1000-executor tree aggregation sums doubles in a
+    layout-dependent order, so results wobble in the last ulps run to
+    run.  The fix (and the classic distributed-stats pattern) is to
+    accumulate the sufficient statistics n, Σx, Σx², Σxy exactly — here
+    as bounded decimals, one map-side-combinable HashAggregate pass, no
+    extra exchange — and derive the moments at the end.  Variance and
+    covariance are emitted as exact integer-valued numerators
+    (n·Σx² − (Σx)², n·Σxy − Σx·Σy) so the gate pins bit equality; the
+    mean is one double division of exactly-represented operands, which
+    is IEEE-identical everywhere.  Decimal widths are chosen so every
+    product stays within precision 38 in BOTH engines (no silent
+    rescale): see the inline casts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    agg = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .withColumn("x2", (F.col("x") * F.col("x")).cast("decimal(18,4)"))
+        .withColumn("xy", (F.col("x") * F.col("y")).cast("decimal(22,4)"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(8,0)").alias("n"),
+            F.sum("x").cast("decimal(15,2)").alias("sum_x"),
+            F.sum("y").cast("decimal(17,2)").alias("sum_y"),
+            F.sum("x2").cast("decimal(24,4)").alias("sum_x2"),
+            F.sum("xy").cast("decimal(28,4)").alias("sum_xy"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        "sum_x",
+        (F.col("n") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x"))
+        .cast("decimal(34,4)")
+        .alias("var_num"),
+        (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        .cast("decimal(37,4)")
+        .alias("cov_num"),
+        (F.col("sum_x").cast("double") / F.col("n").cast("double")).alias(
+            "mean_x"
+        ),
+    )
+
+
+ORACLE_MOMENTS = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DECIMAL(8,0)) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(15,2)) AS sum_x,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(17,2)) AS sum_y,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS sum_x2,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(22,4))) AS DECIMAL(28,4)) AS sum_xy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       sum_x,
+       -- the DECIMAL(19,…) casts force int128 physical math in DuckDB
+       -- (its multiply keeps the operands' int64 width and would
+       -- overflow); values are identical to Spark's (15,2)×(15,2)
+       CAST(n * sum_x2 -
+            CAST(sum_x AS DECIMAL(19,2)) * CAST(sum_x AS DECIMAL(19,2))
+            AS DECIMAL(34,4)) AS var_num,
+       CAST(n * sum_xy -
+            CAST(sum_x AS DECIMAL(19,2)) * CAST(sum_y AS DECIMAL(19,2))
+            AS DECIMAL(37,4)) AS cov_num,
+       CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# count-min-sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+# (a, b) pairs for the 4 CMS rows — classic LCG multipliers, literal so
+# the DuckDB oracle replays the identical arithmetic
+_CMS_HASHES = [
+    (1103515245, 12345),
+    (69069, 362437),
+    (1664525, 1013904223),
+    (22695477, 1),
+]
+_CMS_P = 2147483647  # 2^31 − 1
+_CMS_W = 256
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter estimation with a count-min sketch, integer hashes.
+
+    The bounded-memory frequency sketch: 4 rows × 256 counters, each
+    counter a sum — so the whole sketch is ONE groupBy over (row, slot)
+    with constant key cardinality (1024 cells regardless of stream
+    size), map-side combined, mergeable across executors exactly like
+    the streaming case.  Estimates (min over rows of the hashed cell)
+    are then read off for the exact top-20 users and emitted next to the
+    true counts — the estimate is provably ≥ exact, with overshoot
+    bounded by collisions.  Hashes are explicit integer arithmetic
+    (a·u + b mod p mod w) so the oracle reproduces every cell.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            (F.col("user_id") * F.lit(a) + F.lit(b))
+                            % F.lit(_CMS_P)
+                            % F.lit(_CMS_W)
+                        ).alias("slot"),
+                    )
+                    for i, (a, b) in enumerate(_CMS_HASHES)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.slot")
+    cms = cells.groupBy("row", "slot").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            (F.col("user_id") * F.lit(a) + F.lit(b))
+                            % F.lit(_CMS_P)
+                            % F.lit(_CMS_W)
+                        ).alias("slot"),
+                    )
+                    for i, (a, b) in enumerate(_CMS_HASHES)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_n", "p.row", "p.slot")
+    return (
+        probes.join(F.broadcast(cms), ["row", "slot"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+
+
+def _cms_hash_sql(col: str, i: int) -> str:
+    a, b = _CMS_HASHES[i]
+    return f"(({col} * {a} + {b}) % {_CMS_P}) % {_CMS_W}"
+
+
+ORACLE_CMS = f"""
+WITH cells AS (
+  {' UNION ALL '.join(
+      f"SELECT {i} AS row, {_cms_hash_sql('user_id', i)} AS slot FROM events"
+      for i in range(4)
+  )}
+), cms AS (
+  SELECT row, slot, count(*) AS cell FROM cells GROUP BY row, slot
+), top AS (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id ASC LIMIT 20
+), probes AS (
+  {' UNION ALL '.join(
+      f"SELECT user_id, exact_n, {i} AS row,"
+      f" {_cms_hash_sql('user_id', i)} AS slot FROM top"
+      for i in range(4)
+  )}
+)
+SELECT user_id, exact_n, min(cell) AS cms_est
+FROM probes JOIN cms USING (row, slot)
+GROUP BY user_id, exact_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language budgets, zero RNG.
+
+    The mixture-building primitive: keep 50% of en, 25% of de/fr, 10%
+    of the rest, decided by an integer threshold on a multiplicative
+    hash of the key — deterministic across runs, partitionings and
+    engines (no ``rand()``, whose draw order is layout-dependent).  Pure
+    map + one aggregate; the keep decision costs one multiply and one
+    compare per row at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1048576)
+    thr = (
+        F.when(F.col("lang") == "en", F.lit(524288))
+        .when(F.col("lang").isin("de", "fr"), F.lit(262144))
+        .otherwise(F.lit(104858))
+    )
+    return (
+        docs.withColumn("kept", (h < thr).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0)
+            ).alias("kept_chars"),
+        )
+    )
+
+
+ORACLE_STRATIFIED = """
+WITH flagged AS (
+  SELECT lang, n_chars,
+         CASE WHEN (doc_id * 2654435761) % 1048576 <
+              CASE WHEN lang = 'en' THEN 524288
+                   WHEN lang IN ('de','fr') THEN 262144
+                   ELSE 104858 END
+         THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang, count(*) AS n_total, sum(kept) AS n_kept,
+       sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS kept_chars
+FROM flagged GROUP BY lang
+"""
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson sampling — inclusion probability ∝ doc length.
+
+    Each doc is kept independently with p = min(1, n_chars/5000),
+    realized as an integer threshold ``n_chars·2²⁰ div 5000`` against a
+    second multiplicative hash.  Longer docs (more training tokens) are
+    proportionally favored — the standard importance-weighted corpus
+    draw — and the integer arithmetic makes the sample reproducible
+    bit-for-bit on any cluster layout.  Output is the sample itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(1048576)
+    thr = F.least(F.lit(1048576), F.expr("n_chars * 1048576 div 5000"))
+    return (
+        docs.filter(h < thr)
+        .select("doc_id", "lang", "n_chars", thr.alias("incl_thr"))
+    )
+
+
+ORACLE_WEIGHTED = """
+SELECT doc_id, lang, n_chars,
+       least(1048576, n_chars * 1048576 // 5000) AS incl_thr
+FROM documents
+WHERE (doc_id * 1103515245 + 12345) % 1048576 <
+      least(1048576, n_chars * 1048576 // 5000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events stream.
+
+    Users are cohorted by the ISO week of their first event; each later
+    active week increments (cohort, offset).  Two hash aggregations
+    (first-event per user, then distinct users per cell) — both partial
+    and key-bounded, the canonical product-analytics rollup.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.col("cohort_wk").cast("date").alias("cohort_week"),
+            F.expr("datediff(wk, cohort_wk) div 7").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_COHORT = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), first AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, wk FROM ev
+)
+SELECT CAST(cohort_wk AS DATE) AS cohort_week,
+       date_diff('day', cohort_wk, wk) // 7 AS week_offset,
+       count(DISTINCT active.user_id) AS n_users
+FROM active JOIN first ON active.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill + exact linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with carry-forward and exact linear interpolation.
+
+    Per event type: hourly counts, a dense hour grid synthesized with
+    ``sequence``/``explode`` between that type's own min and max hour
+    (generation is a map stage — no join against a driver-side
+    calendar), left-joined back so missing hours surface as NULLs, then
+    two window passes derive last-known/next-known values and their
+    hours.  Interpolation runs in integer micro-units with ``div`` so
+    the result is exact: interp_micro = prev·10⁶ + (next−prev)·10⁶·pos
+    div gap.  One shuffle total (the per-type window); grid explosion
+    and arithmetic are all codegen.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    filled = grid.join(hourly, ["event_type", "h"], "left")
+    w = Window.partitionBy("event_type").orderBy("h")
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    known_h = F.when(F.col("cnt").isNotNull(), F.col("h"))
+    out = (
+        filled.withColumn("prev", F.last("cnt", ignorenulls=True).over(wp))
+        .withColumn("next", F.first("cnt", ignorenulls=True).over(wn))
+        .withColumn("prev_h", F.last(known_h, ignorenulls=True).over(wp))
+        .withColumn("next_h", F.first(known_h, ignorenulls=True).over(wn))
+    )
+    pos = F.expr(
+        "(unix_timestamp(h) - unix_timestamp(prev_h)) div 3600"
+    )
+    gap = F.expr(
+        "(unix_timestamp(next_h) - unix_timestamp(prev_h)) div 3600"
+    )
+    interp = F.when(
+        F.col("cnt").isNotNull(), F.col("cnt") * F.lit(1000000)
+    ).otherwise(
+        F.col("prev") * F.lit(1000000)
+        + F.expr(
+            "((next - prev) * 1000000 *"
+            " ((unix_timestamp(h) - unix_timestamp(prev_h)) div 3600))"
+            " div ((unix_timestamp(next_h) - unix_timestamp(prev_h)) div 3600)"
+        )
+    )
+    return out.select(
+        "event_type",
+        "h",
+        F.coalesce("cnt", "prev").alias("locf_cnt"),
+        interp.cast("bigint").alias("interp_micro"),
+        F.col("cnt").isNull().cast("int").alias("is_gap"),
+    )
+
+
+ORACLE_GAPFILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM span
+), filled AS (
+  SELECT g.event_type, g.h, hourly.cnt
+  FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type
+                              AND g.h = hourly.h
+), win AS (
+  SELECT event_type, h, cnt,
+         last_value(cnt IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         first_value(cnt IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next,
+         last_value(CASE WHEN cnt IS NOT NULL THEN h END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(CASE WHEN cnt IS NOT NULL THEN h END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM filled
+)
+SELECT event_type, h,
+       coalesce(cnt, prev) AS locf_cnt,
+       CAST(CASE WHEN cnt IS NOT NULL THEN cnt * 1000000
+            ELSE prev * 1000000 +
+                 ((next - prev) * 1000000 *
+                  (date_diff('hour', prev_h, h))) //
+                 (date_diff('hour', prev_h, next_h))
+       END AS BIGINT) AS interp_micro,
+       CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM win
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule gates
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery as pure integer comparisons.
+
+    The published pre-training gates (word-count bounds, mean-word-length
+    band, max single-token frequency, stopword evidence, type/token
+    ratio) — each expressed WITHOUT float division: mean∈[3,10] becomes
+    3n ≤ Σlen ≤ 10n, repetition max_tf/n ≤ 0.1 becomes 10·max_tf ≤ n.
+    One explode + two bounded hash aggregations; the per-token relation
+    carries (doc_id, token) only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    per_tok = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.max("tf").alias("max_tf"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.length("tok") * F.col("tf")).alias("sum_len"),
+        F.sum(
+            F.when(F.col("tok").isin(*_STOPWORDS), 1).otherwise(0)
+        ).alias("n_stop_types"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.col("n_words").between(20, 400).cast("int").alias("r_wordcount"),
+        (
+            (F.lit(3) * F.col("n_words") <= F.col("sum_len"))
+            & (F.col("sum_len") <= F.lit(10) * F.col("n_words"))
+        )
+        .cast("int")
+        .alias("r_meanlen"),
+        (F.lit(10) * F.col("max_tf") <= F.col("n_words"))
+        .cast("int")
+        .alias("r_repetition"),
+        (F.col("n_stop_types") >= 2).cast("int").alias("r_stopwords"),
+        (F.lit(5) * F.col("n_distinct") >= F.col("n_words"))
+        .cast("int")
+        .alias("r_diversity"),
+    ).withColumn(
+        "passes",
+        (
+            F.col("r_wordcount")
+            * F.col("r_meanlen")
+            * F.col("r_repetition")
+            * F.col("r_stopwords")
+            * F.col("r_diversity")
+        ).alias("passes"),
+    )
+
+
+ORACLE_GOPHER = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+), per_doc AS (
+  SELECT doc_id,
+         sum(tf) AS n_words,
+         max(tf) AS max_tf,
+         count(*) AS n_distinct,
+         sum(length(tok) * tf) AS sum_len,
+         sum(CASE WHEN tok IN ('the','a','of','to','and') THEN 1 ELSE 0 END)
+           AS n_stop_types
+  FROM per_tok GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       CASE WHEN n_words BETWEEN 20 AND 400 THEN 1 ELSE 0 END AS r_wordcount,
+       CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+            THEN 1 ELSE 0 END AS r_meanlen,
+       CASE WHEN 10 * max_tf <= n_words THEN 1 ELSE 0 END AS r_repetition,
+       CASE WHEN n_stop_types >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+       CASE WHEN 5 * n_distinct >= n_words THEN 1 ELSE 0 END AS r_diversity,
+       (CASE WHEN n_words BETWEEN 20 AND 400 THEN 1 ELSE 0 END) *
+       (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+             THEN 1 ELSE 0 END) *
+       (CASE WHEN 10 * max_tf <= n_words THEN 1 ELSE 0 END) *
+       (CASE WHEN n_stop_types >= 2 THEN 1 ELSE 0 END) *
+       (CASE WHEN 5 * n_distinct >= n_words THEN 1 ELSE 0 END) AS passes
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# one-sided shingle containment
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub/superset near-dup pairs by one-sided containment ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, k=3, threshold=0.5).select(
+        "id_a",
+        "id_b",
+        F.round("contain_a", 6).alias("contain_a"),
+        F.round("contain_b", 6).alias("contain_b"),
+    )
+
+
+ORACLE_CONTAINMENT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS contain_a,
+       round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS contain_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= 0.5
+   OR CAST(n_inter AS DOUBLE) / sb.n_sh >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table application (encode)
+# ---------------------------------------------------------------------------
+
+# a fixed rank-ordered merge table over the synthetic vocabulary (the
+# trained counterpart lives in bpe_train_merges; encode applies merges in
+# rank order, each exhaustively left-to-right — exactly what chained
+# literal replace() does in both engines)
+_BPE_MERGES = [
+    ("t a", "ta"),
+    ("ta b", "tab"),
+    ("tab l", "tabl"),
+    ("tabl e", "table"),
+    ("v a", "va"),
+    ("va l", "val"),
+    ("val u", "valu"),
+    ("valu e", "value"),
+    ("s c", "sc"),
+    ("sc a", "sca"),
+    ("sca n", "scan"),
+    ("r o", "ro"),
+    ("ro w", "row"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a BPE merge table — tokenizer inference as a codegen map.
+
+    Each word becomes a space-separated symbol string (one regex), then
+    the merge table is applied as a chain of literal ``replace`` calls
+    in rank order — replace-all left-to-right is exactly the greedy BPE
+    merge application, and it stays entirely inside whole-stage codegen
+    (no UDF, no Python).  Per-doc token count = Σ symbols per word.
+    13 merges → 13 chained replaces in ONE projection; at 100 TB this is
+    a pure map stage limited by scan bandwidth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    word = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    sym = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for pat, rep in _BPE_MERGES:
+        sym = F.replace(sym, F.lit(pat), F.lit(rep))
+    return (
+        word.select("doc_id", F.size(F.split(sym, " ")).alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+
+
+def _bpe_chain_sql(expr: str) -> str:
+    for pat, rep in _BPE_MERGES:
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+_BPE_SYM_SQL = _bpe_chain_sql(
+    "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+)
+
+ORACLE_BPE_ENCODE = rf"""
+WITH word AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), enc AS (
+  SELECT doc_id,
+         len(regexp_split_to_array({_BPE_SYM_SQL}, ' ')) AS n_sym
+  FROM word
+)
+SELECT doc_id, sum(n_sym) AS n_tokens, count(*) AS n_words
+FROM enc GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt
+# ---------------------------------------------------------------------------
+
+
+def q_u5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT via the native ``DataFrame.unpivot`` (melt):
+    three decimal-exact measures per return flag rotated into
+    (measure, value) rows — the inverse of the pivot surface (X7) and a
+    pure map over the aggregated relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("decimal(28,4)")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("decimal(28,4)")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)"))
+        .cast("decimal(28,4)")
+        .alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["dpp_pruned_join"] = q_dpp_pruned_join
+    oracles["dpp_pruned_join"] = ORACLE_DPP
+    queries["bloom_filter_join"] = q_bloom_filter_join
+    oracles["bloom_filter_join"] = ORACLE_BLOOM
+    queries["stats_moments"] = q_stats_moments
+    oracles["stats_moments"] = ORACLE_MOMENTS
+    queries["heavy_hitters_cms"] = q_heavy_hitters_cms
+    oracles["heavy_hitters_cms"] = ORACLE_CMS
+    queries["sample_stratified"] = q_sample_stratified
+    oracles["sample_stratified"] = ORACLE_STRATIFIED
+    queries["sample_weighted"] = q_sample_weighted
+    oracles["sample_weighted"] = ORACLE_WEIGHTED
+    queries["cohort_retention"] = q_cohort_retention
+    oracles["cohort_retention"] = ORACLE_COHORT
+    queries["ts_gapfill"] = q_ts_gapfill
+    oracles["ts_gapfill"] = ORACLE_GAPFILL
+    queries["text_gopher_rules"] = q_text_gopher_rules
+    oracles["text_gopher_rules"] = ORACLE_GOPHER
+    queries["dedup_containment"] = q_dedup_containment
+    oracles["dedup_containment"] = ORACLE_CONTAINMENT
+    queries["bpe_encode"] = q_bpe_encode
+    oracles["bpe_encode"] = ORACLE_BPE_ENCODE
+    queries["u5_unpivot"] = q_u5_unpivot
+    oracles["u5_unpivot"] = ORACLE_UNPIVOT

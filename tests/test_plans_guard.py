@@ -245,3 +245,46 @@ def test_vaet_reads_only_ref_partition(spark):
     # the vaet layout holds ONLY ref datoms; the scan must not touch
     # the eavt/aevt/avet trees
     assert "/vaet" in plan and "/aevt" not in plan and "/avet" not in plan
+
+
+def test_dpp_fact_scan_has_dynamic_pruning(spark):
+    # the partition filter is only knowable at runtime (dim is derived
+    # from data), so the fact scan must carry a dynamicpruning subquery
+    # in its PartitionFilters — directory-level pruning at 100 TB
+    plan = _plan(spark, "dpp_pruned_join")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_bloom_filter_join_injects_runtime_filter(spark):
+    # with broadcast off, the runtime-filter optimizer must build a
+    # bloom over the filtered creation side and push might_contain onto
+    # the lineitem (application) side — shuffle volume drops pre-exchange
+    plan = _plan(spark, "bloom_filter_join")
+    assert "might_contain" in plan.lower(), plan
+    # and the thresholds must be restored after the query builds
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        != "0"
+    )
+
+
+def test_containment_no_cartesian(spark):
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_stats_moments_single_aggregation_pass(spark):
+    # sufficient statistics accumulate in ONE partial+final HashAggregate
+    # pair: exactly one exchange (the groupBy), nothing downstream
+    plan = _plan(spark, "stats_moments")
+    # one hash exchange (the groupBy); the only other allowed exchange is
+    # the fixture loader's round-robin spread
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bpe_encode_no_python_nodes(spark):
+    plan = _plan(spark, "bpe_encode")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
