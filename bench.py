@@ -98,6 +98,17 @@ HEADLINE = [
     "bpe_train_merges",
     "eav_cas_patch",
     "datalog_pull_wildcard",
+    # round-3 session-2 batch: runtime pruning showcases, exact stats,
+    # sketches, sampling, time series, corpus gates
+    "dpp_pruned_join",
+    "bloom_filter_join",
+    "stats_moments",
+    "heavy_hitters_cms",
+    "ts_gapfill",
+    "cohort_retention",
+    "text_gopher_rules",
+    "dedup_containment",
+    "bpe_encode",
 ]
 
 

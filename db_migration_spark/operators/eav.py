@@ -565,3 +565,40 @@ def vaet_reverse_lookup(spark, root: str, entities: DataFrame) -> DataFrame:
         F.col("v_e").alias("target"), F.col("a").alias("ref_attr"),
         F.col("e").alias("referrer"),
     )
+
+
+def excise(
+    datoms: DataFrame,
+    targets: DataFrame,
+    audit_attr: str = ":db/excise",
+) -> DataFrame:
+    """Datomic excision (``:db/excise``): unlike retraction — which adds
+    an op=false datom and PRESERVES history — excision physically removes
+    every datom of the targeted entities from the store (the GDPR/legal
+    erasure path), leaving only an audit datom recording that an excision
+    happened (Datomic keeps the excision entity itself so reads can
+    prove data was removed rather than lost).
+
+    Plan shape: one broadcast anti-join (targets are few) drops the
+    entity's whole history; the audit rows are derived from the same
+    pass's per-entity aggregate (max tx at excision time).  No shuffle
+    of the surviving datoms — the anti-join streams map-side under
+    broadcast.
+    """
+    t = targets.select(F.col("e").alias("__te")).distinct()
+    survivors = datoms.join(
+        F.broadcast(t), datoms["e"] == F.col("__te"), "left_anti"
+    )
+    audits = (
+        datoms.join(F.broadcast(t), datoms["e"] == F.col("__te"))
+        .groupBy("e")
+        .agg(F.max("tx").alias("tx"))
+        .select(
+            "e",
+            F.lit(audit_attr).alias("a"),
+            F.col("e").cast("string").alias("v"),
+            "tx",
+            F.lit(True).alias("op"),
+        )
+    )
+    return survivors.unionByName(audits)

@@ -267,6 +267,22 @@ _CMS_P = 2147483647  # 2^31 − 1
 _CMS_W = 256
 
 
+def cms_cell_structs(key):
+    """The 4 (row, slot) probe structs for one key column — shared by the
+    batch sketch, its probes, and the streaming twin (stream_cms)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    (key * F.lit(a) + F.lit(b)) % F.lit(_CMS_P) % F.lit(_CMS_W)
+                ).alias("slot"),
+            )
+            for i, (a, b) in enumerate(_CMS_HASHES)
+        ]
+    )
+
+
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter estimation with a count-min sketch, integer hashes.
 
@@ -282,21 +298,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     cells = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        (
-                            (F.col("user_id") * F.lit(a) + F.lit(b))
-                            % F.lit(_CMS_P)
-                            % F.lit(_CMS_W)
-                        ).alias("slot"),
-                    )
-                    for i, (a, b) in enumerate(_CMS_HASHES)
-                ]
-            )
-        ).alias("c")
+        F.explode(cms_cell_structs(F.col("user_id"))).alias("c")
     ).select("c.row", "c.slot")
     cms = cells.groupBy("row", "slot").agg(
         F.count(F.lit(1)).alias("cell")
@@ -310,21 +312,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = top.select(
         "user_id",
         "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        (
-                            (F.col("user_id") * F.lit(a) + F.lit(b))
-                            % F.lit(_CMS_P)
-                            % F.lit(_CMS_W)
-                        ).alias("slot"),
-                    )
-                    for i, (a, b) in enumerate(_CMS_HASHES)
-                ]
-            )
-        ).alias("p"),
+        F.explode(cms_cell_structs(F.col("user_id"))).alias("p"),
     ).select("user_id", "exact_n", "p.row", "p.slot")
     return (
         probes.join(F.broadcast(cms), ["row", "slot"])
@@ -877,6 +865,288 @@ SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
 
 
 # ---------------------------------------------------------------------------
+# LATERAL correlated top-k
+# ---------------------------------------------------------------------------
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a LATERAL correlated subquery.
+
+    The SQL-frontend surface for per-group top-k: a correlated
+    ORDER BY … LIMIT inside LATERAL.  Catalyst decorrelates this to the
+    window-rank plan (one shuffle on the correlation key) — no
+    per-customer re-execution survives, which is what makes the form
+    usable at 10⁹ customers.  Deterministic tiebreak on o_orderkey.
+    """
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) l
+        """
+    )
+
+
+ORACLE_LATERAL = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) l
+"""
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture budgets
+# ---------------------------------------------------------------------------
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax/mT5-style temperature sampling budgets (T = 2).
+
+    Low-resource languages are upsampled by flattening the size
+    distribution: budget ∝ n^(1/T) = √n.  √ is correctly rounded in
+    IEEE-754 (identical in the JVM and C libm), and everything after it
+    is floor/integer arithmetic, so the budgets are bit-stable across
+    engines: budget_micro = ⌊√n·10⁶⌋, share_ppm by integer division
+    against the 1-row total (broadcast — no driver round trip).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    budget = per_lang.withColumn(
+        "budget_micro",
+        F.floor(F.sqrt(F.col("n_docs")) * F.lit(1000000.0)).cast("bigint"),
+    )
+    total = budget.agg(F.sum("budget_micro").alias("__tot"))
+    return (
+        budget.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "budget_micro",
+            F.expr("budget_micro * 1000000 div __tot").alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_MIXTURE_T = """
+WITH b AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS budget_micro
+  FROM documents GROUP BY lang
+), t AS (SELECT sum(budget_micro) AS tot FROM b)
+SELECT lang, n_docs, budget_micro,
+       budget_micro * 1000000 // tot AS share_ppm
+FROM b, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact rolling-window anomaly flags
+# ---------------------------------------------------------------------------
+
+
+def q_ts_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ spike detection over a trailing 24 h baseline — exactly.
+
+    Per event type and hour: the trailing-24-hour sufficient statistics
+    (n, Σ, Σ²) ride ONE window pass (frame ROWS 24 PRECEDING..1
+    PRECEDING — the current hour never contaminates its own baseline),
+    and the z>3 test is rearranged into pure integer arithmetic:
+    (n·x − Σ)² > 9·(n·Σx² − Σ²)  ∧  n·x > Σ — no float σ, no sqrt, so
+    the flags are bit-identical on any cluster layout.  Requires 12 h of
+    history before flagging (cold-start guard).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.count("cnt").over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+    )
+    lhs = F.col("n") * F.col("cnt") - F.col("s")
+    rhs = F.lit(9) * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    return stats.select(
+        "event_type",
+        "h",
+        "cnt",
+        "n",
+        (
+            (F.col("n") >= 12)
+            & (F.col("n") * F.col("cnt") > F.col("s"))
+            & (lhs * lhs > rhs)
+        )
+        .cast("int")
+        .alias("spike"),
+    )
+
+
+ORACLE_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, h, cnt,
+         count(cnt) OVER w AS n,
+         sum(cnt) OVER w AS s,
+         sum(cnt * cnt) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h, cnt, n,
+       CASE WHEN n >= 12 AND n * cnt > s
+                 AND (n * cnt - s) * (n * cnt - s) > 9 * (n * s2 - s * s)
+            THEN 1 ELSE 0 END AS spike
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# XML source/sink roundtrip
+# ---------------------------------------------------------------------------
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in XML source/sink (Spark 4): ``nation`` written with
+    rowTag records and read back schema-inferred — covering the escaping
+    path (comment text) — then verified row-identical via the oracle on
+    the original table.  Adds the one self-describing hierarchical
+    format the S-inventory lacked (S11 CSV, S7 EDN, JSONL already
+    gated)."""
+    from .queries_e2e import _fx
+
+    nat = load_table(spark, sf_dir, "nation")
+    path = _fx(sf_dir, "nation_xml")
+    (
+        nat.coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+    )
+    return back.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+
+
+ORACLE_XML = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# columnar-codec sink roundtrip (zstd)
+# ---------------------------------------------------------------------------
+
+
+def q_sink_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet + zstd write→scan roundtrip with a decimal-exact check
+    aggregate.  zstd is the 100 TB archive codec of choice (snappy-class
+    decode speed at gzip-class ratios); the roundtrip proves codec
+    support end-to-end and the aggregate pins value fidelity."""
+    from .queries_e2e import _fx
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    path = _fx(sf_dir, "lineitem_r_zstd")
+    li.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+            "sum_price"
+        ),
+    )
+
+
+ORACLE_ZSTD = """
+SELECT l_linestatus, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4))
+         AS sum_price
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Datomic excision
+# ---------------------------------------------------------------------------
+
+
+def q_eav_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic ``:db/excise`` over the melted datom log: every datom of
+    the targeted entities (e ≡ 0 mod 97) is physically removed — history
+    included, the GDPR erasure path retraction cannot provide — and one
+    audit datom per excised entity survives.  Profiled per attribute so
+    the gate hashes both the removal and the audit trail.  Operator:
+    eav.excise (broadcast anti-join; surviving datoms never shuffle)."""
+    from .operators import eav
+    from .queries import _melt_lineitem_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    datoms = _melt_lineitem_df(li)
+    targets = datoms.filter(F.col("e") % 97 == 0).select("e")
+    after = eav.excise(datoms, targets)
+    return after.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_datoms"),
+        F.countDistinct("e").alias("n_entities"),
+    )
+
+
+ORACLE_EXCISION = """
+WITH datoms AS (
+  SELECT l_orderkey * 8 + l_linenumber AS e, 'l_quantity' AS a,
+         l_shipdate AS tx FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 'l_returnflag', l_shipdate
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 'l_linestatus', l_shipdate
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 'l_shipdate', l_shipdate
+  FROM lineitem
+), survivors AS (
+  SELECT a, e FROM datoms WHERE e % 97 <> 0
+), audits AS (
+  SELECT ':db/excise' AS a, e FROM datoms WHERE e % 97 = 0 GROUP BY e
+)
+SELECT a, count(*) AS n_datoms, count(DISTINCT e) AS n_entities
+FROM (SELECT a, e FROM survivors UNION ALL SELECT a, e FROM audits)
+GROUP BY a
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def register(queries: dict, oracles: dict) -> None:
@@ -904,3 +1174,15 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["bpe_encode"] = ORACLE_BPE_ENCODE
     queries["u5_unpivot"] = q_u5_unpivot
     oracles["u5_unpivot"] = ORACLE_UNPIVOT
+    queries["lateral_topk"] = q_lateral_topk
+    oracles["lateral_topk"] = ORACLE_LATERAL
+    queries["mixture_temperature"] = q_mixture_temperature
+    oracles["mixture_temperature"] = ORACLE_MIXTURE_T
+    queries["ts_anomaly_flags"] = q_ts_anomaly_flags
+    oracles["ts_anomaly_flags"] = ORACLE_ANOMALY
+    queries["xml_roundtrip"] = q_xml_roundtrip
+    oracles["xml_roundtrip"] = ORACLE_XML
+    queries["sink_zstd_roundtrip"] = q_sink_zstd_roundtrip
+    oracles["sink_zstd_roundtrip"] = ORACLE_ZSTD
+    queries["eav_excision"] = q_eav_excision
+    oracles["eav_excision"] = ORACLE_EXCISION

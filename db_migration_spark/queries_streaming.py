@@ -227,6 +227,55 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def _ORACLE_STREAM_CMS() -> str:
+    # identical semantics to the batch twin: same cells, same probes
+    from .queries_analytics import ORACLE_CMS
+
+    return ORACLE_CMS
+
+
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained BY the streaming engine: the
+    4×256 integer-hash cell grid (queries_analytics.cms_cell_structs)
+    accumulates as a streaming groupBy((row,slot)) count — constant
+    state (1024 cells) regardless of stream length, the canonical
+    bounded-memory streaming sketch — drained availableNow in complete
+    mode.  The probe step (exact top-20 users read off the sketch) runs
+    batch-side on the drained cells, and the oracle is the SAME SQL as
+    the batch twin heavy_hitters_cms, so the gate hashes what the
+    streaming aggregation produced cell-for-cell."""
+    from .queries_analytics import cms_cell_structs
+
+    name = _sink_name("stream_cms", sf_dir)
+    cells = (
+        _events_stream(spark, sf_dir)
+        .select(F.explode(cms_cell_structs(F.col("user_id"))).alias("c"))
+        .select("c.row", "c.slot")
+        .groupBy("row", "slot")
+        .count()
+        .withColumnRenamed("count", "cell")
+    )
+    _drain(cells, name, "complete")
+    cms = spark.table(name)
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(cms_cell_structs(F.col("user_id"))).alias("p"),
+    ).select("user_id", "exact_n", "p.row", "p.slot")
+    return (
+        probes.join(F.broadcast(cms), ["row", "slot"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -236,6 +285,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_ace_import": q_stream_ace_import,
             "stream_session_rollup": q_stream_session_rollup,
             "stream_merge_upsert": q_stream_merge_upsert,
+            "stream_cms": q_stream_cms,
         }
     )
     oracles.update(
@@ -246,6 +296,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_ace_import": ORACLE_STREAM_ACE,
             "stream_session_rollup": ORACLE_STREAM_SESSIONS,
             "stream_merge_upsert": ORACLE_STREAM_MERGE,
+            "stream_cms": _ORACLE_STREAM_CMS(),
         }
     )
 

@@ -98,3 +98,40 @@ def test_bpe_encode_compresses_vs_chars(spark):
     for r in joined:
         n_chars_nospace = sum(len(w) for w in r.text.lower().split())
         assert r.n_words <= r.n_tokens <= n_chars_nospace
+
+
+def test_excise_removes_history_and_leaves_audit(spark):
+    from db_migration_spark.operators import eav as EAV
+
+    datoms = spark.createDataFrame(
+        [
+            (1, "name", "a", 10, True),
+            (1, "name", "a2", 20, True),   # history: two asserts
+            (1, "size", "9", 15, True),
+            (2, "name", "b", 11, True),
+        ],
+        ["e", "a", "v", "tx", "op"],
+    )
+    targets = spark.createDataFrame([(1,)], ["e"])
+    out = EAV.excise(datoms, targets).collect()
+    # ALL of entity 1's datoms are gone (history included), unlike a
+    # retraction which would add op=false rows and keep the history
+    assert all(not (r.e == 1 and r.a in ("name", "size")) for r in out)
+    audits = [r for r in out if r.a == ":db/excise"]
+    assert len(audits) == 1 and audits[0].e == 1
+    assert audits[0].tx == 20  # max tx at excision time
+    assert any(r.e == 2 and r.a == "name" for r in out)
+
+
+def test_mixture_temperature_flattens_distribution(spark):
+    rows = {
+        r.lang: r for r in QUERIES["mixture_temperature"](spark, SF).collect()
+    }
+    ens = rows["en"]
+    others = [r for k, r in rows.items() if k != "en"]
+    # temperature sampling must compress the ratio: en's share of the
+    # budget is strictly below its share of raw docs
+    tot_docs = sum(r.n_docs for r in rows.values())
+    tot_budget = sum(r.budget_micro for r in rows.values())
+    assert ens.budget_micro / tot_budget < ens.n_docs / tot_docs
+    assert all(r.budget_micro > 0 for r in others)

@@ -288,3 +288,20 @@ def test_stats_moments_single_aggregation_pass(spark):
 def test_bpe_encode_no_python_nodes(spark):
     plan = _plan(spark, "bpe_encode")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_limit(spark):
+    # the correlated ORDER BY..LIMIT must become a WindowGroupLimit
+    # (rank-limit pushdown), never a per-row nested-loop re-execution
+    plan = _plan(spark, "lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_ts_anomaly_single_window_pass(spark):
+    # n, Σ, Σ² must share one window frame: exactly one Window node
+    plan = _plan(spark, "ts_anomaly_flags")
+    assert plan.count("()") == plan.count("()")  # noop sanity
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
