@@ -109,6 +109,13 @@ HEADLINE = [
     "text_gopher_rules",
     "dedup_containment",
     "bpe_encode",
+    "lateral_topk",
+    "ts_anomaly_flags",
+    "eav_excision",
+    "stream_cms",
+    "attribution_last_touch",
+    "dq_expectations",
+    "vocab_coverage",
 ]
 
 

@@ -1147,6 +1147,365 @@ GROUP BY a
 
 
 # ---------------------------------------------------------------------------
+# SCD type-2 dimension build
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream.
+
+    Each signup event versions its user's profile: validity intervals
+    are built with one ``lead`` pass per user (valid_from = ts,
+    valid_to = next change's ts, open interval = current row) — the
+    standard warehouse dimension-build, one shuffle on the user key.
+    Ties broken by event_id so the interval chain is total-ordered.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = """
+SELECT user_id, event_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase is credited
+    to the user's most recent preceding click/view within 24 h.
+
+    One window pass over the per-user event timeline (carry-forward of
+    the last touch id/ts with ``last(... ignorenulls)``), then a filter
+    to purchases — no self-join, no per-purchase subquery, which is what
+    keeps this linear at clickstream scale.  Total order: (ts, event_id).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    touch_id = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_id")
+    )
+    touch_ts = F.when(
+        F.col("event_type").isin("click", "view"), F.col("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(touch_id, ignorenulls=True).over(w).alias("touch_event"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event"),
+            F.when(
+                F.col("touch_ts")
+                >= F.col("ts") - F.expr("interval 24 hours"),
+                F.col("touch_event"),
+            ).alias("attributed_to"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH carried AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN event_id END IGNORE NULLS) OVER w AS touch_event,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN ts END IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_event,
+       CASE WHEN touch_ts >= ts - INTERVAL 24 HOURS
+            THEN touch_event END AS attributed_to
+FROM carried WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectation suite
+# ---------------------------------------------------------------------------
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-Expectations-style DQ rule battery as ONE declarative pass
+    per table: referential integrity (anti-join orphan counts),
+    uniqueness (count − distinct), domain ranges, temporal bounds,
+    non-emptiness — each rule a bounded aggregate, unioned into the
+    quality report the reference's QA stage prints per class (SURVEY
+    §2.9 X6).  Anti-joins broadcast the key side; nothing here scales
+    worse than a scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rule(name, checked, failed):
+        return checked.select(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(failed.cast("long")).alias("n_failed"),
+        )
+
+    r1 = rule(
+        "orders_custkey_in_customer",
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("__k"))),
+            orders["o_custkey"] == F.col("__k"),
+            "left",
+        ),
+        F.col("__k").isNull(),
+    )
+    r2 = rule(
+        "lineitem_orderkey_in_orders",
+        li.join(
+            orders.select(F.col("o_orderkey").alias("__k")).distinct(),
+            li["l_orderkey"] == F.col("__k"),
+            "left",
+        ),
+        F.col("__k").isNull(),
+    )
+    r3 = cust.agg(
+        F.lit("customer_custkey_unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias(
+            "n_failed"
+        ),
+    )
+    r4 = rule(
+        "lineitem_quantity_in_range",
+        li,
+        ~F.col("l_quantity").between(1, 50),
+    )
+    r5 = rule(
+        "events_ts_in_window",
+        ev,
+        (F.col("ts") < F.lit("2024-01-01"))
+        | (F.col("ts") >= F.lit("2024-02-01")),
+    )
+    r6 = rule("documents_text_nonempty", docs, F.length(F.trim("text")) == 0)
+    out = r1
+    for r in (r2, r3, r4, r5, r6):
+        out = out.unionByName(r)
+    return out
+
+
+ORACLE_DQ = """
+SELECT 'orders_custkey_in_customer' AS rule, count(*) AS n_checked,
+       sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_failed
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem_orderkey_in_orders', count(*),
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'customer_custkey_unique', count(*),
+       count(*) - count(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'lineitem_quantity_in_range', count(*),
+       sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+FROM lineitem
+UNION ALL
+SELECT 'events_ts_in_window', count(*),
+       sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                  OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END)
+FROM events
+UNION ALL
+SELECT 'documents_text_nonempty', count(*),
+       sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# CSV malformed-row quarantine
+# ---------------------------------------------------------------------------
+
+
+def q_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest with a corrupt-record side channel: a
+    fixture CSV of nation rows plus two planted malformed lines is read
+    with ``columnNameOfCorruptRecord``; good rows parse, bad rows land
+    whole in the quarantine column — the ingest-hardening contract the
+    JSONL path already gates, now for the CSV dialect."""
+    import os
+
+    from .queries_e2e import _fx
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = _fx(sf_dir, "nation_bad_csv")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "data.csv")
+    if not os.path.exists(path):
+        rows = sorted(
+            (r.n_nationkey, r.n_name, r.n_regionkey)
+            for r in nat.collect()   # 25 rows — driver-plane fixture prep
+        )
+        with open(path, "w") as fh:
+            for k, nm, rk in rows:
+                fh.write(f"{k},{nm},{rk}\n")
+            fh.write("not_an_int,BROKEN\n")
+            fh.write("99,TOOMANY,4,extra,fields\n")
+    schema = (
+        "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(root)
+        # Spark refuses filters that touch ONLY the corrupt column on a
+        # raw scan (the parser would need to re-run per filter); cache
+        # materializes the parse once, which is also the right plan —
+        # the quarantine split reads the parsed batch twice
+        .cache()
+    )
+    good = back.filter(F.col("_corrupt").isNull()).agg(
+        F.lit("good").alias("kind"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+    bad = back.filter(F.col("_corrupt").isNotNull()).agg(
+        F.lit("quarantined").alias("kind"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(None).cast("bigint").alias("key_sum"),
+    )
+    return good.unionByName(bad)
+
+
+ORACLE_CSV_BAD = """
+SELECT 'good' AS kind, count(*) AS n, sum(n_nationkey) AS key_sum
+FROM nation
+UNION ALL
+SELECT 'quarantined', 2, NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# tokenizer vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: the top-16 corpus tokens form the
+    vocab; per language, the fraction of token OCCURRENCES the vocab
+    covers (as exact counts — the OOV-rate denominator every tokenizer
+    report needs).  Vocab selection is a 16-row broadcast; the corpus
+    pass is one explode + one hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(16)
+        .select("tok")
+        .withColumn("__v", F.lit(1))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__v"), F.lit(0))).alias("n_covered"),
+        )
+    )
+
+
+ORACLE_VOCAB = r"""
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+    ORDER BY cnt DESC, tok ASC LIMIT 16
+  )
+)
+SELECT lang, count(*) AS n_tokens,
+       sum(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_covered
+FROM tok LEFT JOIN vocab ON tok.tok = vocab.tok
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequential-pattern window flags (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+def q_w8_sequential_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-strictly-rising-values pattern per user — the
+    MATCH_RECOGNIZE shape expressed as a lag chain: one window pass,
+    two lags, pure comparisons (no float arithmetic, so the parquet
+    doubles compare identically in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rising = (F.col("value") > F.lag("value", 1).over(w)) & (
+        F.lag("value", 1).over(w) > F.lag("value", 2).over(w)
+    )
+    # when/otherwise, not a bare cast: the first two rows per user have
+    # NULL lags → NULL condition, and the oracle's CASE yields 0 there
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when(rising, 1).otherwise(0).alias("rising3"),
+    )
+
+
+ORACLE_W8 = """
+SELECT user_id, event_id,
+       CASE WHEN value > lag(value, 1) OVER w
+             AND lag(value, 1) OVER w > lag(value, 2) OVER w
+            THEN 1 ELSE 0 END AS rising3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def register(queries: dict, oracles: dict) -> None:
@@ -1186,3 +1545,15 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["sink_zstd_roundtrip"] = ORACLE_ZSTD
     queries["eav_excision"] = q_eav_excision
     oracles["eav_excision"] = ORACLE_EXCISION
+    queries["scd2_intervals"] = q_scd2_intervals
+    oracles["scd2_intervals"] = ORACLE_SCD2
+    queries["attribution_last_touch"] = q_attribution_last_touch
+    oracles["attribution_last_touch"] = ORACLE_ATTRIBUTION
+    queries["dq_expectations"] = q_dq_expectations
+    oracles["dq_expectations"] = ORACLE_DQ
+    queries["csv_badrecords"] = q_csv_badrecords
+    oracles["csv_badrecords"] = ORACLE_CSV_BAD
+    queries["vocab_coverage"] = q_vocab_coverage
+    oracles["vocab_coverage"] = ORACLE_VOCAB
+    queries["w8_sequential_pattern"] = q_w8_sequential_pattern
+    oracles["w8_sequential_pattern"] = ORACLE_W8

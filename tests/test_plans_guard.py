@@ -305,3 +305,20 @@ def test_ts_anomaly_single_window_pass(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_attribution_single_pass_no_self_join(spark):
+    # last-touch credit must ride ONE window carry-forward — a
+    # purchase⋈touches self-join would be quadratic in hot users
+    plan = _plan(spark, "attribution_last_touch")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_scd2_single_window(spark):
+    plan = _plan(spark, "scd2_intervals")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
