@@ -1506,6 +1506,66 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against a historical fingerprint store
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup — the production shape exact dedup actually
+    runs in: a NEW batch is deduped against the accumulated fingerprint
+    STORE (hashes only, never text), not against itself alone.
+
+    The store is (fp, first_doc_id) — the minimal state, O(corpus
+    distinct) rows of 16 bytes-ish; the new batch left-joins it (at
+    100 TB: the store is bucketed by fp so this is a co-located join)
+    and each new doc is classified: dup_of_store, dup_in_batch (first
+    occurrence wins within the batch via a window rank), or fresh.
+    Split here is deterministic (doc_id parity) so the oracle recomputes
+    it from the live table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
+    store = (
+        fp.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc_id"))
+    )
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        batch.join(F.broadcast(store), "fp", "left")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("first_doc_id").isNotNull(), "dup_of_store")
+            .when(F.col("rk") > 1, "dup_in_batch")
+            .otherwise("fresh")
+            .alias("verdict"),
+        )
+    )
+
+
+ORACLE_DEDUP_INCR = r"""
+WITH fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), store AS (
+  SELECT fp, min(doc_id) AS first_doc_id FROM fp
+  WHERE doc_id % 2 = 0 GROUP BY fp
+), batch AS (
+  SELECT doc_id, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+  FROM fp WHERE doc_id % 2 = 1
+)
+SELECT b.doc_id,
+       CASE WHEN s.first_doc_id IS NOT NULL THEN 'dup_of_store'
+            WHEN b.rk > 1 THEN 'dup_in_batch'
+            ELSE 'fresh' END AS verdict
+FROM batch b LEFT JOIN store s ON b.fp = s.fp
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def register(queries: dict, oracles: dict) -> None:
@@ -1557,3 +1617,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["vocab_coverage"] = ORACLE_VOCAB
     queries["w8_sequential_pattern"] = q_w8_sequential_pattern
     oracles["w8_sequential_pattern"] = ORACLE_W8
+    queries["dedup_incremental"] = q_dedup_incremental
+    oracles["dedup_incremental"] = ORACLE_DEDUP_INCR
