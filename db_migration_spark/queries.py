@@ -3417,6 +3417,12 @@ from .queries_analytics import register as _register_analytics  # noqa: E402
 
 _register_analytics(QUERIES, ORACLES)
 
+# recursive CTE front door, market-basket rules, RFM, A/B exact stats,
+# OHLC bars, k-core peeling, ordered-aggregate suite
+from .queries_advanced import register as _register_advanced  # noqa: E402
+
+_register_advanced(QUERIES, ORACLES)
+
 
 # ---------------------------------------------------------------------------
 # §2.12 — int8 embedding quantization (storage/serving path)

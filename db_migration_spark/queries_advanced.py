@@ -1,0 +1,581 @@
+"""Advanced relational + mining surface (round 3, session 7).
+
+Six families, all exact under the DuckDB oracle gate:
+
+* **Recursive SQL** — ``sql_recursive_cte``: Spark 4.1's ``WITH
+  RECURSIVE`` run through the SQL front door on a data-derived
+  hierarchy (custkey → custkey/10 parent chain), the IDENTICAL string
+  executed on DuckDB.  Hierarchy walks (org charts, bill-of-materials,
+  the reference's object-model containment per SURVEY §1.2) stop
+  needing the driver-side loop the Datalog engine uses — Catalyst's
+  recursion operator does log-bounded rounds of the same equi-join the
+  manual unrolling would.
+* **Market-basket mining** — ``assoc_rules``: frequent item-pair rules
+  over order baskets with support/confidence/lift.  The classic
+  shape: frequent-item pruning FIRST (support filter on single items
+  cuts the pair space before any join), then a within-basket self-join
+  on the pruned items, all counts exact integers and ratios emitted as
+  integer numer/denom pairs so no float division wobbles the oracle.
+* **RFM segmentation** — ``rfm_segments``: recency/frequency/monetary
+  quartiles via ``ntile`` with a unique total order (metric, custkey)
+  so tile boundaries are deterministic in both engines.
+* **A/B statistics** — ``stats_ab_test``: deterministic hash-bucket
+  assignment, per-arm exact counts and the two-proportion z-statistic's
+  exact integer numerator (x1·n2 − x2·n1) — the float z-score is one
+  driver-side division away, but the *data plane* stays bit-exact.
+* **Time-series bars** — ``ts_ohlc_bars``: hourly OHLC per event type;
+  open/close resolved by one window pass with a unique (ts, event_id)
+  order — no min_by tie gambling.
+* **Graph k-core** — ``graph_kcore``: iterative degree-peeling to the
+  3-core of the co-purchase graph; the fixpoint is verified converged
+  in-engine, and the oracle replays the SAME bounded number of peel
+  rounds as nested CTEs (the PageRank unrolled-recurrence precedent,
+  queries.py graph_pagerank).
+
+Scale notes per query in the docstrings; determinism rules from
+queries.py apply (decimal sums, integer ratios, unique window orders).
+Reference anchors: SURVEY §2.9 X7 (hierarchy walks over the imported
+object model), §2.12 (mining/analytics extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+# ---------------------------------------------------------------------------
+# recursive CTE through the SQL front door
+# ---------------------------------------------------------------------------
+
+# One string, two engines.  floor(k/10) spelling (not DIV/`//`) parses
+# identically in Spark and DuckDB; the chain custkey → custkey/10 → … is a
+# forest whose roots are the keys whose parent key is not itself a custkey,
+# so every node has exactly one (root, depth) — fully deterministic.
+SQL_RECURSIVE_CTE = """
+WITH RECURSIVE
+nodes AS (SELECT DISTINCT c_custkey AS k FROM customer),
+walk AS (
+  SELECT n.k AS k, n.k AS root, 0 AS depth
+  FROM nodes n
+  WHERE CAST(floor(n.k / 10) AS BIGINT) = n.k
+     OR CAST(floor(n.k / 10) AS BIGINT) NOT IN (SELECT k FROM nodes)
+  UNION ALL
+  SELECT c.k, w.root, w.depth + 1
+  FROM walk w
+  JOIN nodes c ON CAST(floor(c.k / 10) AS BIGINT) = w.k
+                AND c.k <> w.k
+)
+SELECT depth, count(*) AS n_nodes,
+       count(DISTINCT root) AS n_roots,
+       sum(k) AS sum_keys, min(k) AS min_key, max(k) AS max_key
+FROM walk
+GROUP BY depth
+"""
+
+
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy walk with Spark 4.1 ``WITH RECURSIVE`` (SQL front door).
+
+    Each recursion round is one equi-join of the frontier against the
+    node set — exactly the doubling-free variant of datalog.py's
+    ancestor walk, but compiled by Catalyst's recursion operator
+    instead of a driver loop.  Rounds = tree depth (≤ log₁₀ max key):
+    at 100 TB the per-round shuffle is the only cost and the frontier
+    shrinks geometrically.  The oracle is the IDENTICAL SQL string on
+    DuckDB (same semantics, same UNION ALL recursion)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SQL_RECURSIVE_CTE)
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules
+# ---------------------------------------------------------------------------
+
+MIN_ITEM_SUPPORT = 10  # orders containing the item (single-item support)
+MIN_PAIR_SUPPORT = 3  # orders containing both items
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (support / confidence / lift) over order baskets.
+
+    A-priori's first pruning level, distributed: single-item support is
+    computed with one (orderkey,partkey)-distinct aggregation, items
+    below MIN_ITEM_SUPPORT are dropped *before* the within-basket
+    self-join (the pair space falls quadratically in the pruned
+    fraction), and the item-count dim rides as a broadcast.  Counts are
+    exact integers; confidence/lift are emitted as integer
+    numerator/denominator pairs (conf = pair/cnt1, lift =
+    pair·N / (cnt1·cnt2)) so the gate needs no float division.  The
+    within-basket join shuffles (orderkey, partkey) ids only — at
+    100 TB the basket side is hash-partitioned by orderkey and the
+    skew valve is MIN_ITEM_SUPPORT itself (a universally-bought item
+    is exactly the hot key the support floor exists to keep useful)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("item_cnt"))
+        .filter(F.col("item_cnt") >= MIN_ITEM_SUPPORT)
+    )
+    pruned = items.join(F.broadcast(freq), "l_partkey").select(
+        "l_orderkey", "l_partkey", "item_cnt"
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+            F.col("a.item_cnt").alias("cnt1"),
+            F.col("b.item_cnt").alias("cnt2"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
+    )
+    return pairs.join(F.broadcast(n_orders)).select(
+        "p1",
+        "p2",
+        "pair_cnt",
+        "cnt1",
+        "cnt2",
+        (F.col("pair_cnt") * F.col("n_orders")).alias("lift_num"),
+        (F.col("cnt1") * F.col("cnt2")).alias("lift_den"),
+    )
+
+
+ORACLE_ASSOC = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), freq AS (
+  SELECT l_partkey, count(*) AS item_cnt FROM items
+  GROUP BY l_partkey HAVING count(*) >= 10
+), pruned AS (
+  SELECT i.l_orderkey, i.l_partkey, f.item_cnt
+  FROM items i JOIN freq f ON i.l_partkey = f.l_partkey
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       count(*) AS pair_cnt,
+       a.item_cnt AS cnt1, b.item_cnt AS cnt2,
+       count(*) * (SELECT n_orders FROM n) AS lift_num,
+       a.item_cnt * b.item_cnt AS lift_den
+FROM pruned a
+JOIN pruned b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey, a.item_cnt, b.item_cnt
+HAVING count(*) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of customers.
+
+    Recency = whole days since the customer's last order (anchored at
+    the dataset's own max order date so the query is reproducible),
+    frequency = order count, monetary = decimal-exact spend.  Each
+    metric is cut into quartiles by ``ntile(4)`` over a UNIQUE total
+    order (metric, custkey) — ties broken identically in both engines,
+    so tile membership is bit-deterministic.  Output: one row per
+    (r,f,m) segment with size and spend.
+
+    Scale: ``ntile`` over an un-partitioned window is a global sort —
+    right for a customer-dim-sized input (dims are small next to
+    facts); for a fact-sized input the same cut points come from
+    percentile pre-aggregation instead (see a6_percentiles)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_date").alias("anchor"))
+    per_cust = per_cust.join(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("anchor"), F.col("last_date"))
+    )
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    tiled = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r_tile"),
+        F.ntile(4).over(w_f).alias("f_tile"),
+        F.ntile(4).over(w_m).alias("m_tile"),
+    )
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").alias("segment_spend"),
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_date,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+), anch AS (SELECT max(last_date) AS anchor FROM per_cust),
+tiled AS (
+  SELECT o_custkey, monetary,
+         ntile(4) OVER (ORDER BY datediff('day', last_date,
+                          (SELECT anchor FROM anch)), o_custkey) AS r_tile,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_tile,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_tile
+  FROM per_cust
+)
+SELECT r_tile, f_tile, m_tile,
+       count(*) AS n_customers,
+       sum(monetary) AS segment_spend
+FROM tiled GROUP BY r_tile, f_tile, m_tile
+"""
+
+
+# ---------------------------------------------------------------------------
+# A/B test exact statistics
+# ---------------------------------------------------------------------------
+
+
+def q_stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout with exact integer statistics.
+
+    Arm assignment is the production-deterministic kind: user_id parity
+    (any fixed hash works; parity keeps the oracle trivial).  Per arm:
+    users, converters (a ``purchase`` event), exposure events.  The
+    cross-arm row carries the two-proportion z-statistic's exact
+    numerator ``x1·n2 − x2·n1`` and the pooled denominator pieces —
+    integer-exact, so the gate never compares floats.  One distinct +
+    two tiny aggregations; conversion state per user is a groupBy
+    (user) max — map-side combinable, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.sum("n_events").alias("n_events"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).alias("a0")
+    a1 = arms.filter(F.col("arm") == 1).alias("a1")
+    return (
+        a0.join(F.broadcast(a1))
+        .select(
+            F.col("a0.n_users").alias("n0"),
+            F.col("a0.n_converted").alias("x0"),
+            F.col("a1.n_users").alias("n1"),
+            F.col("a1.n_converted").alias("x1"),
+            (
+                F.col("a0.n_converted") * F.col("a1.n_users")
+                - F.col("a1.n_converted") * F.col("a0.n_users")
+            ).alias("delta_num"),
+            (F.col("a0.n_converted") + F.col("a1.n_converted")).alias(
+                "pooled_x"
+            ),
+            (F.col("a0.n_users") + F.col("a1.n_users")).alias("pooled_n"),
+        )
+    )
+
+
+ORACLE_AB_TEST = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         count(*) AS n_events,
+         CAST(user_id % 2 AS INT) AS arm
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, count(*) AS n_users, sum(converted) AS n_converted,
+         sum(n_events) AS n_events
+  FROM per_user GROUP BY arm
+)
+SELECT a0.n_users AS n0, a0.n_converted AS x0,
+       a1.n_users AS n1, a1.n_converted AS x1,
+       a0.n_converted * a1.n_users - a1.n_converted * a0.n_users
+         AS delta_num,
+       a0.n_converted + a1.n_converted AS pooled_x,
+       a0.n_users + a1.n_users AS pooled_n
+FROM (SELECT * FROM arms WHERE arm = 0) a0,
+     (SELECT * FROM arms WHERE arm = 1) a1
+"""
+
+
+# ---------------------------------------------------------------------------
+# hourly OHLC bars
+# ---------------------------------------------------------------------------
+
+
+def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type.
+
+    Open/close are selected by ONE window pass with the unique order
+    (ts, event_id) — row_number ascending and descending in the same
+    window spec, so Spark evaluates a single sort per (bar, type)
+    partition (plan: one Window node, two functions).  High/low/count
+    are plain aggregates; raw values are never arithmetically combined
+    (min/max/first of doubles is exact), and the volume sum is decimal.
+    At 100 TB bars partition by (hour, type) — the window never sees
+    unbounded state."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("bar_ts", "event_type").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("bar_ts", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = bars.select(
+        "bar_ts",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return marked.groupBy("bar_ts", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("volume"),
+    )
+
+
+ORACLE_OHLC = """
+WITH bars AS (
+  SELECT date_trunc('hour', ts) AS bar_ts, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT bar_ts, event_type,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_trades,
+       sum(CAST(value AS DECIMAL(18,6))) AS volume
+FROM bars GROUP BY bar_ts, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph k-core decomposition
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 12
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated co-purchase edges (p1 < p2, together in ≥2 orders).
+
+    Shuffles ids only; the per-order self-join is the triangle
+    pipeline's edge builder (queries_tpch_ext copurchase_triangles) —
+    baskets hash-partition by orderkey, so edge generation is one
+    shuffle regardless of scale.  The ≥2-orders floor keeps the graph
+    at the sparsity where a 3-core is discriminating (single
+    co-occurrence edges make every node trivially high-degree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph by iterative degree peeling.
+
+    Each round: undirected degree per node (one hash aggregate over the
+    symmetrized edge list), drop nodes with degree < k, restrict edges
+    to survivors (two broadcast-or-shuffle semi-joins).  The loop runs
+    until no node is dropped and *asserts* convergence within
+    KCORE_MAX_ROUNDS — the oracle replays exactly that many peel rounds
+    as nested CTEs (the unrolled-recurrence pattern proven on
+    graph_pagerank), so both engines compute the identical fixpoint.
+    Peeling is the textbook distributed k-core: per-round cost is two
+    shuffles on a strictly shrinking edge set; rounds needed in
+    practice ≈ graph degeneracy steps, and each survivor set is
+    localCheckpointed so lineage stays O(1) (the connected-components
+    lesson, dedup.py)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    for rnd in range(KCORE_MAX_ROUNDS):
+        sym = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("u")
+        pruned = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        if pruned.count() == edges.count():
+            edges = pruned
+            break
+        edges = pruned
+    else:
+        raise AssertionError(
+            f"k-core did not converge in {KCORE_MAX_ROUNDS} rounds"
+        )
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_deg"))
+
+
+def _kcore_oracle() -> str:
+    """Nested-CTE unrolled peeling, same round count as the engine."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references its predecessor ~5 times — un-materialized, the
+    # expansion is 5^rounds scans of lineitem.
+    base = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+)"""
+    rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        rounds.append(
+            f""",
+k{i} AS MATERIALIZED (
+  SELECT u FROM (
+    SELECT u, count(*) AS deg FROM (
+      SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}
+    ) s GROUP BY u
+  ) d WHERE deg >= {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT u FROM k{i}) AND v IN (SELECT u FROM k{i})
+)"""
+        )
+        prev = f"e{i}"
+    return (
+        base
+        + "".join(rounds)
+        + f"""
+SELECT u, count(*) AS core_deg FROM (
+  SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}
+) s GROUP BY u
+"""
+    )
+
+
+ORACLE_KCORE = _kcore_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ordered / positional aggregate suite
+# ---------------------------------------------------------------------------
+
+
+def q_f_aggorder_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set and positional aggregates, one pass per language.
+
+    ``listagg … WITHIN GROUP (ORDER BY …)`` (Spark 4's ANSI ordered-set
+    aggregate) with a unique (source, doc_id) order vs DuckDB's
+    ``string_agg(… ORDER BY …)``; ``max_by`` keyed on the unique doc_id
+    (no tie gambling); ``count_if``; ``bool_and``/``bool_or``;
+    ``bit_xor`` (order-free by algebra); exact ``median`` of integers
+    (both engines interpolate the even-count midpoint — (a+b)/2 of
+    integers is exact in binary doubles).  All map-side-combinable
+    except listagg, whose per-group payload is bounded by the group's
+    own row count — the usual reporting-tier contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = docs.filter(F.col("doc_id") % 97 == 0)
+    return capped.groupBy("lang").agg(
+        F.expr(
+            "listagg(source, '|') WITHIN GROUP (ORDER BY source, doc_id)"
+        ).alias("sources_ordered"),
+        F.expr("max_by(source, doc_id)").alias("latest_source"),
+        F.expr("count_if(n_chars > 500)").alias("n_long"),
+        F.expr("bool_and(n_chars > 0)").alias("all_nonempty"),
+        F.expr("bool_or(n_chars > 2000)").alias("any_huge"),
+        F.expr("bit_xor(doc_id)").alias("id_xor"),
+        F.expr("median(n_chars)").alias("median_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+ORACLE_AGGORDER = """
+SELECT lang,
+       string_agg(source, '|' ORDER BY source, doc_id) AS sources_ordered,
+       arg_max(source, doc_id) AS latest_source,
+       count(*) FILTER (WHERE n_chars > 500) AS n_long,
+       bool_and(n_chars > 0) AS all_nonempty,
+       bool_or(n_chars > 2000) AS any_huge,
+       bit_xor(doc_id) AS id_xor,
+       median(n_chars) AS median_chars,
+       count(*) AS n_docs
+FROM documents
+WHERE doc_id % 97 = 0
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["sql_recursive_cte"] = q_sql_recursive_cte
+    oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
+    queries["assoc_rules"] = q_assoc_rules
+    oracles["assoc_rules"] = ORACLE_ASSOC
+    queries["rfm_segments"] = q_rfm_segments
+    oracles["rfm_segments"] = ORACLE_RFM
+    queries["stats_ab_test"] = q_stats_ab_test
+    oracles["stats_ab_test"] = ORACLE_AB_TEST
+    queries["ts_ohlc_bars"] = q_ts_ohlc_bars
+    oracles["ts_ohlc_bars"] = ORACLE_OHLC
+    queries["graph_kcore"] = q_graph_kcore
+    oracles["graph_kcore"] = ORACLE_KCORE
+    queries["f_aggorder_suite"] = q_f_aggorder_suite
+    oracles["f_aggorder_suite"] = ORACLE_AGGORDER

@@ -1,0 +1,103 @@
+"""Unit tests for the advanced relational + mining batch (session 7):
+recursive CTE semantics, association-rule invariants, RFM tile
+determinism, OHLC boundary selection, k-core fixpoint properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_migration_spark.queries import QUERIES
+from db_migration_spark.queries_advanced import KCORE_K
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_recursive_cte_depth_is_digit_count(spark):
+    # parent(k) = k // 10 over a dense key range means depth(k) is the
+    # number of decimal digits minus one (root is key 0 or a sub-10 key)
+    out = {r.depth: r for r in QUERIES["sql_recursive_cte"](spark, SF).collect()}
+    assert 0 in out
+    total = sum(r.n_nodes for r in out.values())
+    n_keys = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .select("c_custkey")
+        .distinct()
+        .count()
+    )
+    # every key appears exactly once in the walk (unique root/depth path)
+    assert total == n_keys
+    # root is key 0 (its own parent); keys 1-9 hang off it at depth 1,
+    # so depth d > 0 holds exactly the d-digit keys
+    for d, r in out.items():
+        if d > 0:
+            assert r.min_key >= 10 ** (d - 1)
+            assert r.max_key < 10**d
+
+
+def test_assoc_rules_counts_are_consistent(spark):
+    rows = QUERIES["assoc_rules"](spark, SF).collect()
+    for r in rows:
+        # pair support can never exceed either single-item support
+        assert r.pair_cnt <= min(r.cnt1, r.cnt2)
+        assert r.p1 < r.p2
+        assert r.lift_den == r.cnt1 * r.cnt2
+
+
+def test_rfm_tiles_partition_customers(spark):
+    rows = QUERIES["rfm_segments"](spark, SF).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_tile <= 4
+        assert 1 <= r.f_tile <= 4
+        assert 1 <= r.m_tile <= 4
+
+
+def test_ohlc_open_close_are_boundary_values(spark):
+    out = QUERIES["ts_ohlc_bars"](spark, SF)
+    rows = out.collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # spot-check one bar against a direct sort
+    r = sorted(rows, key=lambda x: (str(x.bar_ts), x.event_type))[0]
+    got = (
+        ev.filter(
+            (F.date_trunc("hour", F.col("ts").cast("timestamp")) == r.bar_ts)
+            & (F.col("event_type") == r.event_type)
+        )
+        .orderBy("ts", "event_id")
+        .select("value")
+        .collect()
+    )
+    assert got[0].value == r.open
+    assert got[-1].value == r.close
+    assert max(g.value for g in got) == r.high
+    assert min(g.value for g in got) == r.low
+    assert len(got) == r.n_trades
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+
+
+def test_kcore_every_member_meets_degree_floor(spark):
+    rows = QUERIES["graph_kcore"](spark, SF).collect()
+    # defining property of the k-core: induced degree >= k for every node
+    for r in rows:
+        assert r.core_deg >= KCORE_K
+
+
+def test_ab_arms_cover_all_users(spark):
+    r = QUERIES["stats_ab_test"](spark, SF).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n0 + r.n1 == n_users
+    assert r.pooled_x == r.x0 + r.x1
+    assert r.delta_num == r.x0 * r.n1 - r.x1 * r.n0
