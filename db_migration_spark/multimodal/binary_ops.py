@@ -533,3 +533,79 @@ def decode_g711_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, G711_STATS_SCHEMA
     )
+
+
+PIXEL_SUMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sums", ArrayType(LongType())),
+    ]
+)
+
+
+def _decode_any_pixels(b: bytes):
+    """Route a payload to the right REAL pixel decoder by magic bytes."""
+    from . import bmp_codec, gif_codec, jpeg_codec, png_codec
+
+    if bmp_codec.is_bmp(b):
+        return bmp_codec.decode_bmp_pixels(b)
+    if jpeg_codec.is_jpeg(b):
+        return jpeg_codec.decode_jpeg_pixels(b)
+    if gif_codec.is_gif(b):
+        w, h, rgb = gif_codec.decode_gif(b)
+        return w, h, 3, rgb
+    return png_codec.decode_png_pixels(b)
+
+
+def decode_pixel_sums(media: DataFrame) -> DataFrame:
+    """REAL pixel decode (BMP/JPEG/GIF/PNG by magic) → per-channel
+    INTEGER pixel sums.  The integer statistic makes the oracle
+    comparison exact — no float tolerance — so a row-order (bottom-up),
+    channel-order (BGR), or padding bug in the decoder cannot hide."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .image_ops import channel_sums_of
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, pix = _decode_any_pixels(bytes(p))
+                rows.append((int(mid), w, h, ch, channel_sums_of(pix, ch)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels", "sums"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, PIXEL_SUMS_SCHEMA
+    )
+
+
+def resize_pixel_sums(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL decode → nearest-neighbor resize → integer channel sums of
+    the RESIZED image.  The index map is pure floor arithmetic
+    (image_ops.nn_resize), so an oracle can replay it coordinate-by-
+    coordinate in SQL; the reported width/height are the target dims."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .image_ops import channel_sums_of, nn_resize
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, pix = _decode_any_pixels(bytes(p))
+                small = nn_resize(pix, w, h, ch, out_w, out_h)
+                rows.append(
+                    (int(mid), out_w, out_h, ch, channel_sums_of(small, ch))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels", "sums"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, PIXEL_SUMS_SCHEMA
+    )

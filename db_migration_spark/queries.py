@@ -5121,3 +5121,132 @@ GROUP BY o_custkey ORDER BY target
 
 QUERIES["eav_vaet_reverse"] = q_eav_vaet_reverse
 ORACLES["eav_vaet_reverse"] = ORACLE_EAV_VAET
+
+
+# ---------------------------------------------------------------------------
+# §2.12 multimodal — REAL BMP pixel decode + nearest-neighbor resize
+# ---------------------------------------------------------------------------
+
+
+def _gradient_media(
+    spark: SparkSession, sf_dir: str, fmt: str
+) -> DataFrame:
+    """One 16×12 gradient image per nation, encoded distributed by the
+    pure-stdlib codecs.  The per-pixel formulas depend on (x, y), so any
+    row-order / channel-order / padding bug in a codec shifts the sums."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.bmp_codec import encode_bmp_rgb
+    from .multimodal.png_codec import encode_png_rgb
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+    enc = encode_bmp_rgb if fmt == "bmp" else encode_png_rgb
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                pix = bytearray()
+                for y in range(12):
+                    for x in range(16):
+                        pix += bytes(
+                            (
+                                (9 * k + 7 * x + 13 * y) % 256,
+                                (5 * k + 11 * x + 3 * y) % 256,
+                                (3 * k + x + 17 * y) % 256,
+                            )
+                        )
+                rows.append((k, enc(16, 12, bytes(pix))))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+
+
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode, integer-oracled: per-nation gradient BMPs are
+    encoded distributed (bmp_codec: bottom-up rows, BGR order, 4-byte
+    row padding) and decoded back in the Arrow seam; the oracle
+    recomputes the per-channel INTEGER pixel sums from the generation
+    formulas over a generated (x, y) grid — exact equality, no float
+    tolerance.  A decoder that forgets the bottom-up flip or the BGR
+    swap produces different sums and fails the gate."""
+    from .multimodal.binary_ops import decode_pixel_sums
+
+    media = _gradient_media(spark, sf_dir, "bmp")
+    stats = decode_pixel_sums(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.element_at("sums", 1).alias("sum_r"),
+        F.element_at("sums", 2).alias("sum_g"),
+        F.element_at("sums", 3).alias("sum_b"),
+    )
+
+
+ORACLE_MULTIMODAL_BMP = """
+WITH grid AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 15) gx(x), generate_series(0, 11) gy(y)
+)
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(12 AS INTEGER) AS height,
+       sum((9 * n_nationkey + 7 * x + 13 * y) % 256) AS sum_r,
+       sum((5 * n_nationkey + 11 * x + 3 * y) % 256) AS sum_g,
+       sum((3 * n_nationkey + x + 17 * y) % 256) AS sum_b
+FROM nation, grid
+GROUP BY n_nationkey
+"""
+
+QUERIES["multimodal_bmp_decode"] = q_multimodal_bmp_decode
+ORACLES["multimodal_bmp_decode"] = ORACLE_MULTIMODAL_BMP
+
+
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize under the exact gate: gradient PNGs are decoded
+    (inflate + unfilter) and nearest-neighbor-resized 16×12 → 6×5 in the
+    Arrow seam (image_ops.nn_resize — pure floor-index arithmetic), then
+    the RESIZED image's integer channel sums are compared against the
+    oracle's coordinate-by-coordinate replay: target (x2, y2) samples
+    source (x2·16//6, y2·12//5), and the SQL evaluates the generation
+    formula at exactly those source coordinates.  Non-divisible target
+    dims are chosen on purpose — a round-instead-of-floor index map
+    fails the gate."""
+    from .multimodal.binary_ops import resize_pixel_sums
+
+    media = _gradient_media(spark, sf_dir, "png")
+    stats = resize_pixel_sums(media, 6, 5)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.element_at("sums", 1).alias("sum_r"),
+        F.element_at("sums", 2).alias("sum_g"),
+        F.element_at("sums", 3).alias("sum_b"),
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+WITH grid AS (
+  SELECT CAST(floor(gx.x2 * 16 / 6) AS BIGINT) AS x,
+         CAST(floor(gy.y2 * 12 / 5) AS BIGINT) AS y
+  FROM generate_series(0, 5) gx(x2), generate_series(0, 4) gy(y2)
+)
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CAST(6 AS INTEGER) AS width,
+       CAST(5 AS INTEGER) AS height,
+       sum((9 * n_nationkey + 7 * x + 13 * y) % 256) AS sum_r,
+       sum((5 * n_nationkey + 11 * x + 3 * y) % 256) AS sum_g,
+       sum((3 * n_nationkey + x + 17 * y) % 256) AS sum_b
+FROM nation, grid
+GROUP BY n_nationkey
+"""
+
+QUERIES["multimodal_image_resize"] = q_multimodal_image_resize
+ORACLES["multimodal_image_resize"] = ORACLE_MULTIMODAL_RESIZE

@@ -562,9 +562,62 @@ GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# Datomic tx-range log view
+# ---------------------------------------------------------------------------
+
+
+def q_eav_tx_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic's ``(d/tx-range log t0 t1)`` analog: the datom log sliced
+    to a tx interval and summarized per tx bucket — the shape an
+    auditor/replayer reads (SURVEY §2.9; the raw log IS the history
+    database, eav_as_of's point).  The log derivation matches
+    eav_as_of's (tx = event_id, assert/retract from event_id % 3); the
+    range filter is a pushed-down scan predicate — on a tx-partitioned
+    log at 100 TB it prunes to the touched partitions only, which is
+    the entire reason Datomic stores the log tx-ordered."""
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        (F.col("event_id") % 5).cast("string").alias("v"),
+        F.col("event_id").alias("tx"),
+        (F.col("event_id") % 3 != 0).alias("op"),
+    )
+    sliced = datoms.filter((F.col("tx") >= 1000) & (F.col("tx") < 6000))
+    return (
+        sliced.withColumn("tx_bucket", (F.col("tx") / 500).cast("bigint"))
+        .groupBy("tx_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_datoms"),
+            F.sum(F.col("op").cast("long")).alias("n_asserts"),
+            F.sum((~F.col("op")).cast("long")).alias("n_retracts"),
+            F.countDistinct("e").alias("n_entities"),
+            F.min("tx").alias("first_tx"),
+            F.max("tx").alias("last_tx"),
+        )
+    )
+
+
+ORACLE_EAV_TX_LOG = """
+SELECT CAST(floor(event_id / 500) AS BIGINT) AS tx_bucket,
+       count(*) AS n_datoms,
+       sum(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS n_asserts,
+       sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS n_retracts,
+       count(DISTINCT user_id) AS n_entities,
+       min(event_id) AS first_tx,
+       max(event_id) AS last_tx
+FROM events
+WHERE event_id >= 1000 AND event_id < 6000
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def register(queries: dict, oracles: dict) -> None:
+    queries["eav_tx_log"] = q_eav_tx_log
+    oracles["eav_tx_log"] = ORACLE_EAV_TX_LOG
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules

@@ -286,6 +286,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_session_rollup": q_stream_session_rollup,
             "stream_merge_upsert": q_stream_merge_upsert,
             "stream_cms": q_stream_cms,
+            "stream_outer_join": q_stream_outer_join,
         }
     )
     oracles.update(
@@ -297,6 +298,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_session_rollup": ORACLE_STREAM_SESSIONS,
             "stream_merge_upsert": ORACLE_STREAM_MERGE,
             "stream_cms": _ORACLE_STREAM_CMS(),
+            "stream_outer_join": ORACLE_STREAM_LOUTER,
         }
     )
 
@@ -425,4 +427,103 @@ WITH latest AS (
 SELECT a, count(*) AS n_keys, sum(v) AS sum_v, max(tx) AS max_tx
 FROM latest WHERE rn = 1
 GROUP BY a ORDER BY a
+"""
+
+
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the shape where the
+    engine must PROVE a view had no purchase before emitting the null
+    row: an unmatched left row is held in state until the watermark
+    passes its entire join window, then released with nulls.
+
+    The subtlety is final-watermark advancement: each input's watermark
+    derives from its OWN max event time, so the newest views can never
+    evict themselves (their eviction bound is their own timestamp).  The
+    production-correct device is a watermark sentinel: one far-future
+    row per side (negative user ids), unioned in as a second file
+    stream, pushes both watermarks past every real row's join window in
+    the availableNow drain; sentinel rows are dropped after the drain
+    (the view sentinel emits exactly one unmatched row, filtered by
+    user id; the purchase sentinel matches nothing and — being on the
+    non-preserved side — emits nothing).  With eviction total, the
+    streaming answer equals the batch LEFT JOIN, which is the oracle."""
+    import os
+
+    from .queries_e2e import _fx
+
+    name = _sink_name("stream_louter", sf_dir)
+    batch = load_table(spark, sf_dir, "events")
+    batch_max = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent_path = _fx(sf_dir, "stream_louter_sentinel")
+    if not os.path.exists(os.path.join(sent_path, "_SUCCESS")):
+        sent = spark.createDataFrame(
+            [(-1, "view"), (-2, "purchase")], ["user_id", "event_type"]
+        ).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(batch_max) + F.expr("INTERVAL 240 HOURS")).alias("ts"),
+            F.col("user_id").cast("long"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        sent.coalesce(1).write.mode("overwrite").parquet(sent_path)
+    ev = _events_stream(spark, sf_dir)
+    sent_stream = spark.readStream.schema(
+        spark.read.parquet(sent_path).schema
+    ).parquet(sent_path)
+    ev = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(sent_stream)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("v_user", "v_id", "p_id")
+    _drain(joined, name, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("v_user") >= 0)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("p_id").alias("n_matched"),
+            F.sum(F.col("p_id").isNull().cast("long")).alias("n_unmatched"),
+        )
+    )
+
+
+ORACLE_STREAM_LOUTER = """
+WITH v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, count(*) AS n_rows,
+       count(p.event_id) AS n_matched,
+       sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+FROM v LEFT JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY v.user_id
 """
