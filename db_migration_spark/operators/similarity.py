@@ -413,3 +413,238 @@ def random_projection(
         ]
     )
     return emb.withColumn("proj", proj)
+
+
+# --- product quantization (PQ) ANN ------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: for each of ``n_sub`` subspaces, the
+    ``n_codes`` subvectors whose xxhash64(id:m) ranks lowest become the
+    codewords — the same reproducible no-RNG seeding as
+    :func:`deterministic_centroids`, applied per subspace (a Lloyd
+    refinement via :func:`kmeans_refine` slots in unchanged on top).
+
+    Returns (m, code, codeword).  Shape note: the exploded (id, m)
+    ranking shuffles n·n_sub *subvector* rows once; the codebook itself
+    is O(n_sub × n_codes × dim/n_sub) = one broadcast payload.
+    """
+    dim_over_m = F.size(F.col("__v")) / n_sub
+    sub = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "__id",
+        "m",
+        F.slice(
+            "__v",
+            (F.col("m") * dim_over_m + 1).cast("int"),
+            dim_over_m.cast("int"),
+        ).alias("sub"),
+        F.xxhash64(
+            F.concat_ws(":", F.col("__id").cast("string"), F.col("m"))
+        ).alias("__h"),
+    )
+    w = Window.partitionBy("m").orderBy("__h", "__id")
+    seeds = sub.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= n_codes
+    )
+    return seeds.select(
+        "m", (F.col("__rk") - 1).alias("code"), F.col("sub").alias("codeword")
+    )
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``n_sub`` codebook indices (nearest codeword
+    per subspace, L2, ties to the lower code).
+
+    The codebook join is a broadcast with n_codes fanout per (vector,
+    subspace); what shuffles back for the argmin is (id, m, code, dist)
+    ids only — vectors never leave their map partition.  Returns
+    (id, codes array<int>), the 100 TB storage form: dim floats → n_sub
+    bytes (here ints) per vector.
+    """
+    dim_over_m = F.size(F.col("__v")) / n_sub
+    sub = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "__id",
+        "m",
+        F.slice(
+            "__v",
+            (F.col("m") * dim_over_m + 1).cast("int"),
+            dim_over_m.cast("int"),
+        ).alias("sub"),
+    )
+    best = (
+        sub.join(F.broadcast(codebooks), "m")
+        .select(
+            "__id",
+            "m",
+            "code",
+            _l2sq(F.col("sub"), F.col("codeword")).alias("__d"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__id", "m").orderBy("__d", "code")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        best.groupBy("__id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("m", "code"))).alias("mc")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.transform(F.col("mc"), lambda s: s["code"]).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the corpus is scanned in
+    COMPRESSED form — each candidate costs ``n_sub`` lookup-table reads
+    instead of ``dim`` multiplies — and only (query, id, approx score)
+    rows ever shuffle.
+
+    Per query, the lookup table lut[m·n_codes + code] = dot(q_m,
+    codeword_{m,code}) is built relationally (broadcast codebook ⋈
+    queries, one flat array per query) and broadcast with the queries;
+    the scan scores codes via ``element_at`` inside one codegen
+    ``aggregate``.  Approximate cosine for unit-normalized inputs is the
+    sum of subspace dots; ranking ties break by neighbor id.  The
+    compression is what makes a 100 TB corpus scannable from memory:
+    dim×4 bytes → n_sub codes; IVF list pruning (ivf_topk) composes in
+    front unchanged.
+    """
+    books = pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
+    encoded = pq_encode(corpus, books, n_sub, id_col, vec_col)
+    dim_over_m = F.size(F.col("__v")) / n_sub
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "query_id",
+        "m",
+        F.slice(
+            "__v",
+            (F.col("m") * dim_over_m + 1).cast("int"),
+            dim_over_m.cast("int"),
+        ).alias("qsub"),
+    )
+    lut = (
+        qsub.join(F.broadcast(books), "m")
+        .select(
+            "query_id",
+            (F.col("m") * n_codes + F.col("code")).alias("slot"),
+            F.aggregate(
+                F.zip_with(
+                    "qsub", "codeword", lambda x, y: (x * y).cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("contrib"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("slot", "contrib"))).alias(
+                "sc"
+            )
+        )
+        .select(
+            "query_id",
+            F.transform(F.col("sc"), lambda s: s["contrib"]).alias("lut"),
+        )
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(lut))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                F.lit(0.0),
+                lambda acc, m: acc
+                + F.element_at(
+                    F.col("lut"),
+                    (m * n_codes + F.element_at(F.col("codes"), m + 1) + 1).cast(
+                        "int"
+                    ),
+                ),
+            ).alias("approx_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.col("neighbor_id")
+    )
+    if not rerank:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    # PQ + re-rank (the production pairing): the compressed scan picks a
+    # shortlist of ``rerank`` candidates per query, then ONLY those ids
+    # fetch their full vectors for an exact cosine — quantization noise
+    # decides membership of a generous shortlist, never the final order.
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    exact = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("query_vec", "corpus_vec").alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

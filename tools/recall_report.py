@@ -102,6 +102,16 @@ def sweep(spark, emb, title: str) -> None:
             f"| IVF (16 lists) | probe={n_probe} | "
             f"{recall(approx, exact):.3f} |"
         )
+    for rerank in (0, 25, 50, 100):
+        approx = _topk_sets(
+            similarity.pq_topk(
+                emb, queries, k=K, n_sub=8, n_codes=16, rerank=rerank
+            )
+        )
+        print(
+            f"| PQ (8×16 codes) | rerank={rerank} | "
+            f"{recall(approx, exact):.3f} |"
+        )
 
 
 def main() -> None:
