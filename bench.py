@@ -116,6 +116,22 @@ HEADLINE = [
     "attribution_last_touch",
     "dq_expectations",
     "vocab_coverage",
+    # round-3 session-7 batch: recursive CTE engine path, mining/segments,
+    # k-core peeling, PQ ANN, BMP/resize kernels, streaming outer join
+    "sql_recursive_cte",
+    "assoc_rules",
+    "rfm_segments",
+    "ts_ohlc_bars",
+    "graph_kcore",
+    "ann_pq_topk",
+    "multimodal_bmp_decode",
+    "multimodal_image_resize",
+    "stream_outer_join",
+    "eav_tx_log",
+    "multimodal_audio_resample",
+    "ts_seasonal_forecast",
+    "eav_tx_metadata",
+    "fixedwidth_source",
 ]
 
 

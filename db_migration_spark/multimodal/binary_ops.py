@@ -52,9 +52,11 @@ MEDIA_SCHEMA = StructType(
 # struct: RMS/peak/zero-crossings); MP4 container metadata parses for
 # real (mp4_meta.py ISO BMFF box walk); MJPEG-AVI decodes for real down
 # to FRAME PIXELS (avi_codec.py RIFF walk + the JPEG kernel per frame).
-# Progressive JPEG, audio resample/spectrogram DSP, and inter-coded
-# video (H.26x) still need native libs absent from this container and
-# keep the deterministic fake seam.
+# BMP decodes for real (bmp_codec.py: bottom-up/BGR/padding); audio
+# RESAMPLE is real (audio_ops.py integer-exact linear interpolation).
+# Progressive JPEG, spectrogram DSP, and inter-coded video (H.26x)
+# still need native libs absent from this container and keep the
+# deterministic fake seam.
 REAL_CODECS_AVAILABLE = {
     "image/png": True,
     "image/jpeg": True,
@@ -608,4 +610,64 @@ def resize_pixel_sums(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, PIXEL_SUMS_SCHEMA
+    )
+
+
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_src", IntegerType()),
+        StructField("n_out", IntegerType()),
+        StructField("sum_scaled", LongType()),
+        StructField("sumsq_src", LongType()),
+    ]
+)
+
+
+def resample_wav_stats(
+    media: DataFrame, dst_rate: int
+) -> DataFrame:
+    """REAL audio resample under an exact gate: 16-bit mono PCM WAVs are
+    decoded (stdlib wave/struct), linear-resampled to ``dst_rate`` with
+    the integer phase accumulator (audio_ops.resample_linear_scaled —
+    outputs scaled by dst so everything stays in ℤ), and summarized as
+    integer sums an oracle can replay sample-by-sample in SQL."""
+    import io
+    import struct
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audio_ops import resample_linear_scaled
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise NotImplementedError(
+                            "resample supports 16-bit mono PCM"
+                        )
+                    src_rate = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                out = resample_linear_scaled(samples, src_rate, dst_rate)
+                rows.append(
+                    (
+                        int(mid),
+                        n,
+                        len(out),
+                        sum(out),
+                        sum(s * s for s in samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_src", "n_out", "sum_scaled", "sumsq_src",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, RESAMPLE_SCHEMA
     )

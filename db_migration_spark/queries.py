@@ -5269,3 +5269,71 @@ GROUP BY n_nationkey
 
 QUERIES["multimodal_image_resize"] = q_multimodal_image_resize
 ORACLES["multimodal_image_resize"] = ORACLE_MULTIMODAL_RESIZE
+
+
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resampling under the exact gate: per-nation 16-bit mono
+    PCM WAVs (deterministic sample formula, 400 samples @ 8 kHz) are
+    decoded with stdlib wave/struct and linear-resampled to 11 025 Hz by
+    the integer phase accumulator (audio_ops.resample_linear_scaled:
+    position j ↦ divmod(j·8000, 11025), outputs scaled by 11 025 so the
+    whole kernel stays in ℤ).  The oracle replays the interpolation
+    sample-by-sample in SQL from the generation formula — exact integer
+    equality, so an off-by-one in the phase map, a truncation-vs-floor
+    slip, or a wrong endpoint clamp all fail the gate."""
+    from collections.abc import Iterator as _It
+    import struct as _struct
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import encode_wav_pcm16, resample_wav_stats
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                samples = [
+                    ((n * (37 + k)) % 2001) - 1000 for n in range(400)
+                ]
+                frames = _struct.pack(f"<{len(samples)}h", *samples)
+                rows.append((k, encode_wav_pcm16(8000, frames)))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+    return resample_wav_stats(media, 11025)
+
+
+ORACLE_MULTIMODAL_RESAMPLE_AUDIO = """
+WITH pos AS (
+  SELECT n_nationkey AS k, j,
+         CAST(floor(j * 8000 / 11025) AS BIGINT) AS idx,
+         (j * 8000) % 11025 AS r
+  FROM nation, generate_series(0, 549) g(j)
+), vals AS (
+  SELECT k, j, r,
+         ((idx * (37 + k)) % 2001) - 1000 AS s0,
+         ((LEAST(idx + 1, 399) * (37 + k)) % 2001) - 1000 AS s1
+  FROM pos
+), src AS (
+  SELECT n_nationkey AS k,
+         sum((((n * (37 + n_nationkey)) % 2001) - 1000)
+             * (((n * (37 + n_nationkey)) % 2001) - 1000)) AS sumsq
+  FROM nation, generate_series(0, 399) g(n)
+  GROUP BY n_nationkey
+)
+SELECT CAST(v.k AS BIGINT) AS media_id,
+       CAST(400 AS INTEGER) AS n_src,
+       CAST(550 AS INTEGER) AS n_out,
+       CAST(sum(11025 * s0 + (s1 - s0) * r) AS BIGINT) AS sum_scaled,
+       CAST(any_value(src.sumsq) AS BIGINT) AS sumsq_src
+FROM vals v JOIN src ON v.k = src.k
+GROUP BY v.k
+"""
+
+QUERIES["multimodal_audio_resample"] = q_multimodal_audio_resample
+ORACLES["multimodal_audio_resample"] = ORACLE_MULTIMODAL_RESAMPLE_AUDIO

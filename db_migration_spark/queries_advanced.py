@@ -613,11 +613,187 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# seasonal-naive forecast with exact error
+# ---------------------------------------------------------------------------
+
+
+def q_ts_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast (ŷ_t = y_{t−168h}) with exact decimal
+    error — the baseline every forecasting system is benchmarked
+    against.  Hourly decimal totals self-join on ``hour = hour − 7
+    days`` (an equi-join on the computed timestamp, not a row-offset
+    lag, so irregular gaps cannot misalign the pairing); the join key
+    is the hour itself, so at 100 TB both sides hash-partition by time
+    and AQE handles the tail.  Absolute error stays in DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    prev = hourly.select(
+        (F.col("hour") + F.expr("INTERVAL 168 HOURS")).alias("hour"),
+        F.col("total").alias("forecast"),
+    )
+    return hourly.join(prev, "hour").select(
+        "hour",
+        F.col("total").alias("actual"),
+        "forecast",
+        F.abs(F.col("total") - F.col("forecast")).alias("abs_err"),
+        "n_events",
+    )
+
+
+ORACLE_SEASONAL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         sum(CAST(value AS DECIMAL(18,6))) AS total,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT h.hour, h.total AS actual, p.total AS forecast,
+       abs(h.total - p.total) AS abs_err, h.n_events
+FROM hourly h
+JOIN hourly p ON h.hour = p.hour + INTERVAL 168 HOUR
+"""
+
+
+# ---------------------------------------------------------------------------
+# reified transactions (tx metadata entities)
+# ---------------------------------------------------------------------------
+
+
+def q_eav_tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic's reified transactions: every tx is itself an entity
+    carrying ``:db/txInstant`` (and here an author attr), so provenance
+    queries are ordinary joins against the tx partition — no separate
+    audit infrastructure (SURVEY §2.9; the tace ``-C`` comments ride
+    into exactly this tx-metadata stream).  Fact datoms join their tx
+    entity and profile per author; the tx dim is orders of magnitude
+    smaller than the datom log, so Spark broadcasts it."""
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        F.col("event_id").alias("tx"),
+    )
+    tx_meta = ev.select(
+        F.col("event_id").alias("tx"),
+        F.col("ts").alias("tx_instant"),
+        F.concat(F.lit("user:"), (F.col("user_id") % 7).cast("string")).alias(
+            "tx_author"
+        ),
+    )
+    return (
+        datoms.join(tx_meta, "tx")
+        .groupBy("tx_author")
+        .agg(
+            F.count(F.lit(1)).alias("n_datoms"),
+            F.countDistinct("tx").alias("n_txs"),
+            F.min("tx_instant").alias("first_instant"),
+            F.max("tx_instant").alias("last_instant"),
+        )
+    )
+
+
+ORACLE_EAV_TX_META = """
+SELECT 'user:' || CAST(user_id % 7 AS VARCHAR) AS tx_author,
+       count(*) AS n_datoms,
+       count(DISTINCT event_id) AS n_txs,
+       min(ts) AS first_instant,
+       max(ts) AS last_instant
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-width file source
+# ---------------------------------------------------------------------------
+
+# offsets: orderkey[0:12) zero-padded, status[12:13), cents[13:25)
+# zero-padded, date[25:33) yyyyMMdd, priority[33:48) right-padded
+FW_LINE = 48
+
+
+def q_fixedwidth_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL/mainframe) file roundtrip as a data source:
+    orders are serialized to 48-char fixed-offset records with pure JVM
+    expressions (lpad/rpad/date_format — one map stage, text sink) and
+    read back by substring slicing + casts — schema-on-read over a
+    format Spark has no built-in reader for, the classic enterprise
+    ingest.  Money crosses as zero-padded integer cents.  The oracle
+    recomputes the aggregate straight from ``orders``, so a one-column
+    offset slip, a truncated pad, or a bad sign convention breaks the
+    gate.  Scale: text-source splits parallelize by line; the parse is
+    codegen substring math, no UDF."""
+    import os
+
+    from .queries_e2e import _fx
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _fx(sf_dir, "orders_fixedwidth")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lines = o.select(
+            F.concat(
+                F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+                F.col("o_orderstatus"),
+                F.lpad(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")
+                    .cast("string"),
+                    12,
+                    "0",
+                ),
+                F.date_format(F.col("o_orderdate"), "yyyyMMdd"),
+                F.rpad(F.col("o_orderpriority"), 15, " "),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("long").alias("orderkey"),
+        F.substring("value", 13, 1).alias("status"),
+        F.substring("value", 14, 12).cast("long").alias("cents"),
+        F.to_date(F.substring("value", 26, 8), "yyyyMMdd").alias("odate"),
+        F.trim(F.substring("value", 34, 15)).alias("priority"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("odate").alias("first_date"),
+        F.max("odate").alias("last_date"),
+        F.countDistinct("priority").alias("n_priorities"),
+        F.sum("orderkey").alias("key_checksum"),
+    )
+
+
+ORACLE_FIXEDWIDTH = """
+SELECT o_orderstatus AS status,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents,
+       min(CAST(o_orderdate AS DATE)) AS first_date,
+       max(CAST(o_orderdate AS DATE)) AS last_date,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       sum(o_orderkey) AS key_checksum
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def register(queries: dict, oracles: dict) -> None:
     queries["eav_tx_log"] = q_eav_tx_log
     oracles["eav_tx_log"] = ORACLE_EAV_TX_LOG
+    queries["ts_seasonal_forecast"] = q_ts_seasonal_forecast
+    oracles["ts_seasonal_forecast"] = ORACLE_SEASONAL
+    queries["eav_tx_metadata"] = q_eav_tx_metadata
+    oracles["eav_tx_metadata"] = ORACLE_EAV_TX_META
+    queries["fixedwidth_source"] = q_fixedwidth_source
+    oracles["fixedwidth_source"] = ORACLE_FIXEDWIDTH
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules

@@ -101,3 +101,45 @@ def test_ab_arms_cover_all_users(spark):
     assert r.n0 + r.n1 == n_users
     assert r.pooled_x == r.x0 + r.x1
     assert r.delta_num == r.x0 * r.n1 - r.x1 * r.n0
+
+
+def test_resample_kernel_exact_cases():
+    from db_migration_spark.multimodal.audio_ops import resample_linear_scaled
+
+    # 2x upsample: even positions hit sources exactly, odd are midpoints
+    out = resample_linear_scaled([0, 10, -20], 8000, 16000)
+    # scaled by dst=16000; length = 2*2+1
+    assert len(out) == 5
+    assert out[0] == 0
+    assert out[1] == 16000 * 0 + (10 - 0) * 8000  # midpoint of 0,10
+    assert out[2] == 16000 * 10
+    assert out[3] == 16000 * 10 + (-20 - 10) * 8000
+    assert out[4] == 16000 * -20  # endpoint clamps
+    # identity rate is a no-op (scaled)
+    same = resample_linear_scaled([3, -7, 11], 8000, 8000)
+    assert same == [8000 * 3, 8000 * -7, 8000 * 11]
+
+
+def test_bmp_roundtrip_pixels_exact():
+    from db_migration_spark.multimodal.bmp_codec import (
+        decode_bmp_pixels,
+        encode_bmp_rgb,
+    )
+
+    # non-multiple-of-4 row width exercises padding; gradient exercises
+    # bottom-up + BGR ordering
+    w, h = 5, 3
+    pix = bytes((7 * x + 13 * y + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    dw, dh, ch, out = decode_bmp_pixels(encode_bmp_rgb(w, h, pix))
+    assert (dw, dh, ch) == (w, h, 3)
+    assert bytes(out) == pix
+
+
+def test_nn_resize_identity_and_downsample():
+    from db_migration_spark.multimodal.image_ops import nn_resize
+
+    pix = bytes(range(4 * 2 * 3))  # 4x2 RGB
+    assert bytes(nn_resize(pix, 4, 2, 3, 4, 2)) == pix
+    half = nn_resize(pix, 4, 2, 3, 2, 1)
+    # (0,0)->src(0,0), (1,0)->src(2,0)
+    assert bytes(half) == pix[0:3] + pix[6:9]
