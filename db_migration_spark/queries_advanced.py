@@ -57,10 +57,20 @@ SQL_RECURSIVE_CTE = """
 WITH RECURSIVE
 nodes AS (SELECT DISTINCT c_custkey AS k FROM customer),
 walk AS (
+  -- roots: self-parent keys, plus keys whose parent is absent.  Spelled
+  -- as two branches with NOT EXISTS (not NOT IN) so the anti-join stays
+  -- a HASH anti join in both engines; a null-aware NOT IN would compile
+  -- to a nested-loop comparison of every key against every key.
   SELECT n.k AS k, n.k AS root, 0 AS depth
   FROM nodes n
   WHERE CAST(floor(n.k / 10) AS BIGINT) = n.k
-     OR CAST(floor(n.k / 10) AS BIGINT) NOT IN (SELECT k FROM nodes)
+  UNION ALL
+  SELECT n.k AS k, n.k AS root, 0 AS depth
+  FROM nodes n
+  WHERE CAST(floor(n.k / 10) AS BIGINT) <> n.k
+    AND NOT EXISTS (
+      SELECT 1 FROM nodes p WHERE p.k = CAST(floor(n.k / 10) AS BIGINT)
+    )
   UNION ALL
   SELECT c.k, w.root, w.depth + 1
   FROM walk w
