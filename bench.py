@@ -132,6 +132,7 @@ HEADLINE = [
     "ts_seasonal_forecast",
     "eav_tx_metadata",
     "fixedwidth_source",
+    "dedup_image_phash",
 ]
 
 

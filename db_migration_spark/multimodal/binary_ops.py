@@ -671,3 +671,47 @@ def resample_wav_stats(
     return media.select("media_id", "payload").mapInPandas(
         run, RESAMPLE_SCHEMA
     )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over the REAL decode path: pixels →
+    nearest-neighbor resize to 9×8 (image_ops.nn_resize) → channel-sum
+    gray → 64 horizontal-gradient bits.  Gradient comparisons make the
+    hash invariant to global brightness shifts — the property that makes
+    dHash the standard first-pass image near-dup key.  The u64 is folded
+    into a SIGNED i64 (two's complement) so Arrow/Spark longs carry it;
+    band extraction and XOR/bit_count downstream are mask-safe on the
+    signed value."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .image_ops import nn_resize
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, pix = _decode_any_pixels(bytes(p))
+                small = nn_resize(pix, w, h, ch, 9, 8)
+                gray = [
+                    sum(small[(y * 9 + x) * ch + c] for c in range(ch))
+                    for y in range(8)
+                    for x in range(9)
+                ]
+                hsh = 0
+                for y in range(8):
+                    for x in range(8):
+                        if gray[y * 9 + x] > gray[y * 9 + x + 1]:
+                            hsh |= 1 << (y * 8 + x)
+                if hsh >= 1 << 63:
+                    hsh -= 1 << 64
+                rows.append((int(mid), hsh))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return media.select("media_id", "payload").mapInPandas(run, DHASH_SCHEMA)

@@ -5337,3 +5337,151 @@ GROUP BY v.k
 
 QUERIES["multimodal_audio_resample"] = q_multimodal_audio_resample
 ORACLES["multimodal_audio_resample"] = ORACLE_MULTIMODAL_RESAMPLE_AUDIO
+
+
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup detection, fully oracled: per-nation gradient
+    PNGs plus a planted perturbed variant of each (+60 on three source
+    pixels) flow through the REAL pipeline — decode → 9×8 NN resize →
+    gray → 64-bit dHash (binary_ops.image_dhash) — then the standard
+    banded LSH join finds pairs with hamming ≤ 3: four 16-bit bands,
+    pigeonhole guarantees ≤ 3 differing bits leave at least one band
+    identical, so the banding is EXACT (not approximate) at this
+    threshold and the all-pairs SQL oracle matches it.  The oracle
+    recomputes every hash bit from the generation formulas (resize index
+    map and gradient comparisons replayed coordinate-by-coordinate) and
+    takes the brute-force pair set.  dHash's brightness invariance shows
+    up honestly: distinct nations whose gradients differ by a constant
+    offset collapse to the same hash — exactly what a perceptual hash is
+    for.  Scale: hashes are 8 bytes/image, candidates come from 4
+    equi-join buckets — payloads never join anything."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import image_dhash
+    from .multimodal.png_codec import encode_png_rgb
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for kk in pdf["k"]:
+                k = int(kk)
+                for variant in (0, 1):
+                    pix = bytearray()
+                    for y in range(12):
+                        for x in range(16):
+                            bump = (
+                                60
+                                if variant and x == 7 and y in (4, 5, 6)
+                                else 0
+                            )
+                            pix += bytes(
+                                (
+                                    (9 * k + 7 * x + 13 * y + bump) % 256,
+                                    (5 * k + 11 * x + 3 * y + bump) % 256,
+                                    (3 * k + x + 17 * y + bump) % 256,
+                                )
+                            )
+                    rows.append(
+                        (k + 1000 * variant, encode_png_rgb(16, 12, bytes(pix)))
+                    )
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+    hashes = image_dhash(media)
+    banded = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        (
+                            F.shiftright(F.col("dhash"), 16 * j)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "dhash", F.col("bk.band"), F.col("bk.key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+    return pairs
+
+
+ORACLE_DEDUP_IMAGE_PHASH = """
+WITH imgs AS (
+  SELECT n_nationkey AS k, v.variant,
+         n_nationkey + 1000 * v.variant AS media_id
+  FROM nation, (VALUES (0), (1)) v(variant)
+), bits AS (
+  SELECT i.media_id,
+         g.y2 * 8 + g.x2 AS idx,
+         -- source coords after the 9x8 NN resize index map
+         CAST(floor(g.x2 * 16 / 9) AS BIGINT) AS xa,
+         CAST(floor((g.x2 + 1) * 16 / 9) AS BIGINT) AS xb,
+         CAST(floor(g.y2 * 12 / 8) AS BIGINT) AS ys,
+         i.k, i.variant
+  FROM imgs i,
+       (SELECT gy.y2, gx.x2
+        FROM generate_series(0, 7) gy(y2), generate_series(0, 7) gx(x2)) g
+), gray AS (
+  SELECT media_id, idx,
+         ((9*k + 7*xa + 13*ys + CASE WHEN variant=1 AND xa=7
+              AND ys IN (4,5,6) THEN 60 ELSE 0 END) % 256)
+       + ((5*k + 11*xa + 3*ys + CASE WHEN variant=1 AND xa=7
+              AND ys IN (4,5,6) THEN 60 ELSE 0 END) % 256)
+       + ((3*k + xa + 17*ys + CASE WHEN variant=1 AND xa=7
+              AND ys IN (4,5,6) THEN 60 ELSE 0 END) % 256) AS ga,
+         ((9*k + 7*xb + 13*ys + CASE WHEN variant=1 AND xb=7
+              AND ys IN (4,5,6) THEN 60 ELSE 0 END) % 256)
+       + ((5*k + 11*xb + 3*ys + CASE WHEN variant=1 AND xb=7
+              AND ys IN (4,5,6) THEN 60 ELSE 0 END) % 256)
+       + ((3*k + xb + 17*ys + CASE WHEN variant=1 AND xb=7
+              AND ys IN (4,5,6) THEN 60 ELSE 0 END) % 256) AS gb
+  FROM bits
+), hashes AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN ga > gb
+                       THEN (CAST(1 AS HUGEINT) << idx) ELSE 0 END)
+              AS HUGEINT) AS uh
+  FROM gray GROUP BY media_id
+), signed AS (
+  SELECT media_id,
+         CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+              THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END
+              AS BIGINT) AS dhash
+  FROM hashes
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       bit_count(xor(a.dhash, b.dhash)) AS hamming
+FROM signed a JOIN signed b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+QUERIES["dedup_image_phash"] = q_dedup_image_phash
+ORACLES["dedup_image_phash"] = ORACLE_DEDUP_IMAGE_PHASH

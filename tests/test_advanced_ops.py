@@ -143,3 +143,15 @@ def test_nn_resize_identity_and_downsample():
     half = nn_resize(pix, 4, 2, 3, 2, 1)
     # (0,0)->src(0,0), (1,0)->src(2,0)
     assert bytes(half) == pix[0:3] + pix[6:9]
+
+
+def test_image_phash_finds_planted_variants(spark):
+    rows = QUERIES["dedup_image_phash"](spark, SF).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    nations = (
+        spark.read.parquet(f"{SF}/nation.parquet").count()
+    )
+    # every planted (k, k+1000) perturbed pair must be found, hamming<=3
+    for k in range(nations):
+        assert (k, k + 1000) in pairs
+        assert 0 < pairs[(k, k + 1000)] <= 3
