@@ -322,3 +322,39 @@ def test_scd2_single_window(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_recursive_cte_anchor_is_hash_anti_join(spark):
+    # the NOT EXISTS root detection must stay a hash anti join; the
+    # NOT IN spelling regressed to a null-aware BroadcastNestedLoopJoin
+    # (every key × every key) — 16s → 6s at sf0.1 when fixed
+    plan = _plan(spark, "sql_recursive_cte")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assoc_rules_no_cartesian_and_broadcast_counts(spark):
+    plan = _plan(spark, "assoc_rules")
+    assert "CartesianProduct" not in plan
+    # item-support dim and the 1-row n_orders both ride as broadcasts
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row literal join only
+
+
+def test_image_phash_candidates_are_equi_join(spark):
+    plan = _plan(spark, "dedup_image_phash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_single_exchange_for_both_window_orders(spark):
+    # rn ascending + descending share the (bar_ts, event_type) partition:
+    # one Exchange, two sorts — not two shuffles
+    plan = _plan(spark, "ts_ohlc_bars")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("Exchange hashpartitioning") <= 2  # window + final agg
+
+
+def test_kcore_joins_stay_hash_shaped(spark):
+    plan = _plan(spark, "graph_kcore")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
