@@ -133,6 +133,11 @@ HEADLINE = [
     "eav_tx_metadata",
     "fixedwidth_source",
     "dedup_image_phash",
+    "eav_lookup_ref",
+    "f_regex_suite",
+    "f_interval_suite",
+    "text_quality_logit",
+    "csv_multiline_roundtrip",
 ]
 
 

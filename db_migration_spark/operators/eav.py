@@ -602,3 +602,28 @@ def excise(
         )
     )
     return survivors.unionByName(audits)
+
+
+def resolve_lookup_refs(
+    patches: DataFrame,
+    identity_index: DataFrame,
+    ref_col: str = "ref_val",
+) -> DataFrame:
+    """Datomic lookup refs: a patch may address its entity as
+    ``[:unique-attr value]`` instead of a raw eid; transaction resolves
+    the pair against the unique-identity (AVET) index before applying.
+    Here the identity index is (v → e) for one unique attribute; the
+    resolution is a broadcast join (identity dims are small next to the
+    patch stream), unresolvable refs are dropped (Datomic would abort
+    the tx — callers wanting abort semantics count the anti-join).
+    Returns the patches with ``e`` bound.  Reference anchor: the
+    unique-identity upsert path of SURVEY §2.9 X4 (pseudoace
+    :db.unique/identity imports)."""
+    idx = identity_index.select(
+        F.col("v").alias(ref_col), F.col("e").alias("__resolved_e")
+    )
+    return (
+        patches.join(F.broadcast(idx), ref_col)
+        .withColumn("e", F.col("__resolved_e"))
+        .drop("__resolved_e", ref_col)
+    )

@@ -792,6 +792,289 @@ GROUP BY o_orderstatus
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Datomic lookup refs
+# ---------------------------------------------------------------------------
+
+
+def q_eav_lookup_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic lookup-ref patches: orders arrive addressed by CUSTOMER
+    NAME (``[:c_name "Customer#…"]``), not eid; eav.resolve_lookup_refs
+    binds them against the unique-identity index (broadcast — identity
+    dims are tiny next to the patch stream), then last-write-wins per
+    entity picks each customer's latest order.  The oracle resolves the
+    same refs relationally.  The window order (tx DESC, v DESC) is a
+    unique total order, so the winner is deterministic."""
+    from .operators.eav import resolve_lookup_refs
+
+    cust = load_table(spark, sf_dir, "customer")
+    identity = cust.select(
+        F.col("c_custkey").alias("e"), F.col("c_name").alias("v")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    patches = orders.join(
+        cust.select("c_custkey", "c_name"),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        F.col("c_name").alias("ref_val"),
+        F.lit("last_order").alias("a"),
+        F.col("o_orderkey").cast("string").alias("v"),
+        F.col("o_orderdate").alias("tx"),
+    )
+    resolved = resolve_lookup_refs(patches, identity)
+    w = Window.partitionBy("e", "a").orderBy(
+        F.col("tx").desc(), F.col("v").desc()
+    )
+    return (
+        resolved.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("e", "a", "v", "tx")
+    )
+
+
+ORACLE_EAV_LOOKUP_REF = """
+WITH resolved AS (
+  SELECT c.c_custkey AS e, 'last_order' AS a,
+         CAST(o.o_orderkey AS VARCHAR) AS v, o.o_orderdate AS tx
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT e, a, v, tx,
+         row_number() OVER (PARTITION BY e, a ORDER BY tx DESC, v DESC)
+           AS rn
+  FROM resolved
+)
+SELECT e, a, v, tx FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# regex function suite
+# ---------------------------------------------------------------------------
+
+
+def q_f_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface parity, one pass per language: extract-all with a
+    capture group, global replace (Spark's default == DuckDB's 'g'
+    flag), regex split counts, anchored extract.  All JVM codegen —
+    regex ops are the workhorse of corpus cleaning, and at 100 TB they
+    run scan-side with zero shuffles beyond the bounded group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(
+            F.size(F.expr("regexp_extract_all(text, '[aeiou]{2}', 0)"))
+        ).alias("n_vowel_pairs"),
+        F.sum(
+            F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+        ).alias("devoweled_chars"),
+        F.sum(F.size(F.split(F.col("text"), "\\s+"))).alias("n_tokens"),
+        F.min(F.regexp_extract(F.col("text"), "^(\\w+)", 1)).alias(
+            "first_word"
+        ),
+        F.sum(
+            F.size(
+                # DataFrame-API form: the pattern bypasses SQL-string
+                # backslash escaping (F.expr would need quadruple-\)
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(r"(\w)o"), F.lit(1)
+                )
+            )
+        ).alias("n_before_o"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+ORACLE_F_REGEX = """
+SELECT lang,
+       sum(len(regexp_extract_all(text, '[aeiou]{2}', 0)))
+         AS n_vowel_pairs,
+       sum(length(regexp_replace(text, '[aeiou]', '', 'g')))
+         AS devoweled_chars,
+       sum(len(string_split_regex(text, '\s+'))) AS n_tokens,
+       min(regexp_extract(text, '^(\w+)', 1)) AS first_word,
+       sum(len(regexp_extract_all(text, '(\w)o', 1))) AS n_before_o,
+       count(*) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# date/interval function suite
+# ---------------------------------------------------------------------------
+
+
+def q_f_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic surface parity per order priority: add_months
+    (end-of-month clamping included), last_day, ISO week truncation,
+    day-of-week (normalized to DuckDB's 0=Sunday base), day spans.
+    Aggregate first, then apply the calendar functions to the bounded
+    group row — the scan only carries (priority, date)."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("dmin"),
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n",
+        F.add_months(F.col("dmin"), 3).alias("plus3m"),
+        F.last_day(F.col("dmax")).alias("month_end"),
+        F.date_trunc("week", F.col("dmin")).cast("date").alias("week_start"),
+        (F.dayofweek(F.col("dmax")) - 1).alias("dow_max"),
+        F.datediff(F.col("dmax"), F.col("dmin")).alias("span_days"),
+    )
+
+
+ORACLE_F_INTERVAL = """
+WITH g AS (
+  SELECT o_orderpriority AS priority,
+         min(CAST(o_orderdate AS DATE)) AS dmin,
+         max(CAST(o_orderdate AS DATE)) AS dmax,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT priority, n,
+       CAST(dmin + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       last_day(dmax) AS month_end,
+       CAST(date_trunc('week', dmin) AS DATE) AS week_start,
+       dayofweek(dmax) AS dow_max,
+       datediff('day', dmin, dmax) AS span_days
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (model scoring as expressions)
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference as pure codegen: a linear quality classifier
+    (fixed integer weights over corpus-cleaning features — token count,
+    mean word length, stopword hits, digit/upper ratios) scored in ONE
+    map stage, thresholded in integer micro-units so both engines agree
+    bit-for-bit.  This is the fasttext-style quality-filter shape:
+    at 100 TB, scoring is scan-speed and the only shuffle is the
+    per-language verdict rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), "\\s+"))
+    stop_hits = F.size(
+        F.expr(
+            "regexp_extract_all(text, '\\b(the|and|of|to|in|is)\\b', 0)"
+        )
+    )
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+    # integer micro-unit score: w·f scaled by 1e6 / len where needed
+    score = (
+        F.lit(250000) * toks
+        + F.lit(900000) * stop_hits
+        - F.lit(400000) * digits
+        - F.lit(150000) * uppers
+    )
+    scored = docs.select(
+        "lang",
+        score.alias("score_micro"),
+        (score > F.lit(2000000)).alias("keep"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("score_micro").alias("sum_score"),
+        F.min("score_micro").alias("min_score"),
+        F.max("score_micro").alias("max_score"),
+    )
+
+
+ORACLE_QUALITY_LOGIT = """
+WITH scored AS (
+  SELECT lang,
+         250000 * len(string_split_regex(text, '\s+'))
+         + 900000 * len(regexp_extract_all(text,
+               '\b(the|and|of|to|in|is)\b', 0))
+         - 400000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+         - 150000 * length(regexp_replace(text, '[^A-Z]', '', 'g'))
+           AS score_micro
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN score_micro > 2000000 THEN 1 ELSE 0 END) AS n_keep,
+       sum(score_micro) AS sum_score,
+       min(score_micro) AS min_score,
+       max(score_micro) AS max_score
+FROM scored GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# CSV with embedded newlines/quotes (multiLine roundtrip)
+# ---------------------------------------------------------------------------
+
+
+def q_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV case that breaks naive splitters: fields containing
+    embedded NEWLINES and QUOTES.  A derived field with both is written
+    through Spark's quoting CSV sink and read back with
+    ``multiLine=true`` (records span physical lines, quotes escaped by
+    doubling per RFC 4180); the aggregate checksum must survive the
+    roundtrip exactly, which the oracle recomputes from ``orders``
+    directly.  Scale note: multiLine CSV is the documented trade — a
+    quoted-newline file cannot be split mid-record, so such inputs
+    parallelize per-FILE, which is why the engine's own sinks are
+    parquet and this path exists for interchange fidelity."""
+    import os
+
+    from .queries_e2e import _fx
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _fx(sf_dir, "orders_multiline_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        rows = o.select(
+            "o_orderkey",
+            F.concat(
+                F.lit('note "'),
+                F.col("o_orderpriority"),
+                F.lit('"\nline2 for '),
+                F.col("o_orderstatus"),
+            ).alias("note"),
+            F.col("o_totalprice"),
+        )
+        rows.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("inferSchema", False)
+        .csv(path)
+    )
+    return back.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("note"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+        F.sum(F.length("note")).alias("note_chars"),
+        F.sum(
+            F.size(F.split(F.col("note"), "\n", -1)) - 1
+        ).alias("embedded_newlines"),
+        F.sum("price").alias("price_sum"),
+    )
+
+
+ORACLE_CSV_MULTILINE = """
+SELECT count(*) AS n_rows,
+       sum(o_orderkey) AS key_sum,
+       sum(length('note "' || o_orderpriority || '"' || chr(10)
+           || 'line2 for ' || o_orderstatus)) AS note_chars,
+       count(*) AS embedded_newlines,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price_sum
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -804,6 +1087,16 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["eav_tx_metadata"] = ORACLE_EAV_TX_META
     queries["fixedwidth_source"] = q_fixedwidth_source
     oracles["fixedwidth_source"] = ORACLE_FIXEDWIDTH
+    queries["eav_lookup_ref"] = q_eav_lookup_ref
+    oracles["eav_lookup_ref"] = ORACLE_EAV_LOOKUP_REF
+    queries["f_regex_suite"] = q_f_regex_suite
+    oracles["f_regex_suite"] = ORACLE_F_REGEX
+    queries["f_interval_suite"] = q_f_interval_suite
+    oracles["f_interval_suite"] = ORACLE_F_INTERVAL
+    queries["text_quality_logit"] = q_text_quality_logit
+    oracles["text_quality_logit"] = ORACLE_QUALITY_LOGIT
+    queries["csv_multiline_roundtrip"] = q_csv_multiline_roundtrip
+    oracles["csv_multiline_roundtrip"] = ORACLE_CSV_MULTILINE
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
