@@ -138,6 +138,7 @@ HEADLINE = [
     "f_interval_suite",
     "text_quality_logit",
     "csv_multiline_roundtrip",
+    "ace_datasource_scan",
 ]
 
 

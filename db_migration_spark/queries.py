@@ -5485,3 +5485,75 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 
 QUERIES["dedup_image_phash"] = q_dedup_image_phash
 ORACLES["dedup_image_phash"] = ORACLE_DEDUP_IMAGE_PHASH
+
+
+def q_ace_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 through Spark's source-plugin seam: the gzipped ``.ace`` dump
+    dir is read as ``spark.read.format("ace")`` — a Python DataSource
+    (sources/ace_datasource.py) with file-granular partition planning —
+    and profiled per (class, first tag).  Same grammar, same parser as
+    the block-source path; the oracle recomputes the profile from the
+    generating tables, so a partition-planning bug (file skipped, file
+    read twice) or a parse divergence between the two entry points
+    fails the gate."""
+    from .queries_e2e import _ensure_ace_dump
+    from .sources import ace_datasource
+
+    ace_datasource.register(spark)
+    dump = _ensure_ace_dump(spark, sf_dir)
+    recs = spark.read.format("ace").load(dump)
+    return (
+        recs.select(
+            "class",
+            F.element_at("tag_path", 1).alias("tag"),
+            "obj_id",
+            "value",
+            "ts",
+            "comment",
+        )
+        .groupBy("class", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("obj_id").alias("n_objs"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.sum(F.col("ts").isNotNull().cast("long")).alias("n_ts"),
+            F.sum(F.col("comment").isNotNull().cast("long")).alias(
+                "n_comments"
+            ),
+        )
+    )
+
+
+ORACLE_ACE_DATASOURCE = """
+SELECT 'Customer' AS class, 'Name' AS tag, count(*) AS n_records,
+       count(DISTINCT 'C' || c_custkey) AS n_objs,
+       min(c_name) AS min_v, max(c_name) AS max_v,
+       count(*) AS n_ts, CAST(0 AS BIGINT) AS n_comments
+FROM customer
+UNION ALL
+SELECT 'Customer', 'Address', count(*), count(DISTINCT 'C' || c_custkey),
+       min('CITY_' || c_nationkey), max('CITY_' || c_nationkey), 0, 0
+FROM customer
+UNION ALL
+SELECT 'Customer', 'Acctbal', count(*), count(DISTINCT 'C' || c_custkey),
+       min(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)),
+       max(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)), 0, 0
+FROM customer
+UNION ALL
+SELECT 'Customer', 'Segment', count(*), count(DISTINCT 'C' || c_custkey),
+       min(c_mktsegment), max(c_mktsegment), 0, 0
+FROM customer
+UNION ALL
+SELECT 'Nation', 'RegionKey', count(*), count(DISTINCT n_name),
+       min(CAST(n_regionkey AS VARCHAR)), max(CAST(n_regionkey AS VARCHAR)),
+       count(*), count(*)
+FROM nation
+UNION ALL
+SELECT 'Region', 'Comment', count(*), count(DISTINCT r_name),
+       min('area ' || r_regionkey), max('area ' || r_regionkey), 0, 0
+FROM region
+"""
+
+QUERIES["ace_datasource_scan"] = q_ace_datasource_scan
+ORACLES["ace_datasource_scan"] = ORACLE_ACE_DATASOURCE

@@ -94,3 +94,26 @@ def test_parse_ace_rejects_side_channel(spark, tmp_path):
     assert good.count() == 2
     rejects = bad.collect()
     assert len(rejects) == 1 and rejects[0]["reason"] == "unparsable header"
+
+
+def test_ace_datasource_matches_block_source(spark):
+    """The format('ace') plugin and the lineSep block source must parse
+    identical record streams from the same gzipped dump dir."""
+    from db_migration_spark.queries_e2e import _ensure_ace_dump
+    from db_migration_spark.sources import ace_datasource
+    from db_migration_spark.sources.ace import parse_ace_dump
+
+    ace_datasource.register(spark)
+    dump = _ensure_ace_dump(spark, "/root/testdata/sf0.001")
+    via_plugin = spark.read.format("ace").load(dump)
+    via_blocks = parse_ace_dump(spark, dump)
+    def key(rows):
+        return sorted(
+            (r["class"], r["obj_id"], tuple(r["tag_path"] or ()),
+             r["value"], r["ts"], r["comment"])
+            for r in rows
+        )
+
+    a = key(via_plugin.collect())
+    b = key(via_blocks.collect())
+    assert a == b
