@@ -139,6 +139,8 @@ HEADLINE = [
     "text_quality_logit",
     "csv_multiline_roundtrip",
     "ace_datasource_scan",
+    "stats_chi_square",
+    "mv_reuse_rollup",
 ]
 
 

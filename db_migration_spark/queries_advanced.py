@@ -1075,6 +1075,114 @@ FROM orders
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence (exact integer deviations)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scan (lang × source) with EXACT integer
+    statistics: per cell, observed count, margins, and the deviation
+    numerator n·O − R·C (whose square over R·C sums to n·χ²) — all
+    integers, so the gate compares exactly; the float χ² is one driver
+    division away.  Shape: one hash agg for cells, two broadcast margin
+    dims back onto the cells — contingency tables are bounded by
+    category cardinality, never by data size."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("row_tot"))
+    cols = docs.groupBy("source").agg(F.count(F.lit(1)).alias("col_tot"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cells.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .join(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "obs",
+            "row_tot",
+            "col_tot",
+            "n",
+            (F.col("n") * F.col("obs") - F.col("row_tot") * F.col("col_tot"))
+            .alias("dev_num"),
+        )
+    )
+
+
+ORACLE_CHI_SQUARE = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2
+), r AS (SELECT lang, count(*) AS row_tot FROM documents GROUP BY 1),
+c AS (SELECT source, count(*) AS col_tot FROM documents GROUP BY 1),
+t AS (SELECT count(*) AS n FROM documents)
+SELECT cells.lang, cells.source, obs, row_tot, col_tot, n,
+       n * obs - row_tot * col_tot AS dev_num
+FROM cells
+JOIN r ON cells.lang = r.lang
+JOIN c ON cells.source = c.source
+CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup hierarchy sharing one exchange (ReusedExchange)
+# ---------------------------------------------------------------------------
+
+
+def q_mv_reuse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-hierarchy reuse: daily and weekly revenue grains both
+    derive from the same per-(day) partial aggregate, and Catalyst
+    proves it — the physical plan carries ONE exchange for the shared
+    subtree plus a ReusedExchange node for the second consumer
+    (plan-guarded).  This is the materialized-view-lite pattern that
+    matters at 100 TB: the fact scan and its shuffle happen once, every
+    coarser grain is a re-aggregation of the finer one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_trunc("day", F.col("l_shipdate")).alias("day")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    by_day = daily.select(
+        F.lit("day").alias("grain"),
+        F.col("day").cast("date").alias("period"),
+        "rev",
+        "n",
+    )
+    by_week = (
+        daily.groupBy(F.date_trunc("week", F.col("day")).alias("wk"))
+        .agg(F.sum("rev").alias("rev"), F.sum("n").alias("n"))
+        .select(
+            F.lit("week").alias("grain"),
+            F.col("wk").cast("date").alias("period"),
+            "rev",
+            "n",
+        )
+    )
+    return by_day.unionByName(by_week)
+
+
+ORACLE_MV_REUSE = """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+         count(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT 'day' AS grain, CAST(day AS DATE) AS period, rev, n FROM daily
+UNION ALL
+SELECT 'week', CAST(date_trunc('week', day) AS DATE),
+       sum(rev), sum(n)
+FROM daily GROUP BY 2
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1097,6 +1205,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["text_quality_logit"] = ORACLE_QUALITY_LOGIT
     queries["csv_multiline_roundtrip"] = q_csv_multiline_roundtrip
     oracles["csv_multiline_roundtrip"] = ORACLE_CSV_MULTILINE
+    queries["stats_chi_square"] = q_stats_chi_square
+    oracles["stats_chi_square"] = ORACLE_CHI_SQUARE
+    queries["mv_reuse_rollup"] = q_mv_reuse_rollup
+    oracles["mv_reuse_rollup"] = ORACLE_MV_REUSE
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules

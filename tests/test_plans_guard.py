@@ -358,3 +358,14 @@ def test_kcore_joins_stay_hash_shaped(spark):
     plan = _plan(spark, "graph_kcore")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mv_rollup_reuses_one_exchange_at_runtime(spark):
+    # AQE resolves the shared daily subtree to ONE exchange + a
+    # ReusedExchange for the weekly re-aggregation branch — the fact
+    # scan and its shuffle must not run twice
+    df = QUERIES["mv_reuse_rollup"](spark, SF)
+    df.collect()
+    jplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in jplan
+    assert "ReusedExchange" in jplan
