@@ -141,6 +141,8 @@ HEADLINE = [
     "ace_datasource_scan",
     "stats_chi_square",
     "mv_reuse_rollup",
+    "dedup_audio_fingerprint",
+    "orders_skyline",
 ]
 
 

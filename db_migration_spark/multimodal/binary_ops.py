@@ -715,3 +715,59 @@ def image_dhash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "dhash"])
 
     return media.select("media_id", "payload").mapInPandas(run, DHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, window: int = 25) -> DataFrame:
+    """Acoustic fingerprint over the REAL decode path (chromaprint's
+    core idea in one dimension): 16-bit mono PCM → fixed windows →
+    integer energy per window → one bit per adjacent-window energy
+    comparison.  Comparing energies instead of storing them makes the
+    print invariant to uniform amplitude scaling (E scales by g²
+    everywhere), which is exactly the re-encoded/volume-normalized
+    duplicate case audio dedup needs.  All integer arithmetic —
+    SQL-replayable bit by bit (dedup_audio_fingerprint's oracle)."""
+    import io
+    import struct
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise NotImplementedError(
+                            "fingerprint supports 16-bit mono PCM"
+                        )
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                n_win = n // window
+                energies = [
+                    sum(
+                        s * s
+                        for s in samples[wi * window : (wi + 1) * window]
+                    )
+                    for wi in range(n_win)
+                ]
+                fp = 0
+                for wi in range(n_win - 1):
+                    if energies[wi + 1] > energies[wi]:
+                        fp |= 1 << wi
+                rows.append((int(mid), n, fp))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "fingerprint"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_FP_SCHEMA
+    )

@@ -5557,3 +5557,79 @@ FROM region
 
 QUERIES["ace_datasource_scan"] = q_ace_datasource_scan
 ORACLES["ace_datasource_scan"] = ORACLE_ACE_DATASOURCE
+
+
+def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup under the exact gate: per nation, a base clip (400
+    deterministic samples @ 8 kHz) and a 2×-amplified re-encode of the
+    same clip flow through decode → windowed-energy fingerprint
+    (binary_ops.audio_fingerprint — 15 adjacent-energy-comparison bits,
+    amplitude-invariant by construction), then exact-match grouping on
+    the print: each amplified copy collapses onto its original.  The
+    oracle recomputes every energy comparison from the sample formula in
+    SQL (the ×2 variant scales all energies by 4, so its bits are the
+    SAME rows — planted-duplicate semantics proven, not assumed).
+    Scale: prints are 8 bytes; grouping shuffles (fingerprint, id) only."""
+    from collections.abc import Iterator as _It
+    import struct as _struct
+
+    import pandas as _pd
+
+    from .multimodal.binary_ops import audio_fingerprint, encode_wav_pcm16
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for kk in pdf["k"]:
+                k = int(kk)
+                base = [((n * (37 + k)) % 2001) - 1000 for n in range(400)]
+                for variant, gain in ((0, 1), (1, 2)):
+                    frames = _struct.pack(
+                        "<400h", *[gain * s for s in base]
+                    )
+                    rows.append(
+                        (k + 1000 * variant, encode_wav_pcm16(8000, frames))
+                    )
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+    prints = audio_fingerprint(media, window=25)
+    return prints.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("media_id").alias("min_id"),
+        F.max("media_id").alias("max_id"),
+        F.sum("media_id").alias("id_sum"),
+    )
+
+
+ORACLE_DEDUP_AUDIO_FP = """
+WITH samples AS (
+  SELECT n_nationkey AS k, n,
+         ((n * (37 + n_nationkey)) % 2001) - 1000 AS s
+  FROM nation, generate_series(0, 399) g(n)
+), energies AS (
+  SELECT k, CAST(floor(n / 25) AS BIGINT) AS w, sum(s * s) AS e
+  FROM samples GROUP BY 1, 2
+), bits AS (
+  SELECT a.k, a.w,
+         CASE WHEN b.e > a.e THEN CAST(1 AS BIGINT) << CAST(a.w AS INT)
+              ELSE 0 END AS bit
+  FROM energies a JOIN energies b ON a.k = b.k AND b.w = a.w + 1
+), fp AS (
+  SELECT k, sum(bit) AS fingerprint FROM bits GROUP BY k
+), clips AS (
+  SELECT k + 1000 * v.variant AS media_id, fingerprint
+  FROM fp, (VALUES (0), (1)) v(variant)
+)
+SELECT fingerprint, count(*) AS n_clips,
+       min(media_id) AS min_id, max(media_id) AS max_id,
+       sum(media_id) AS id_sum
+FROM clips GROUP BY fingerprint
+"""
+
+QUERIES["dedup_audio_fingerprint"] = q_dedup_audio_fingerprint
+ORACLES["dedup_audio_fingerprint"] = ORACLE_DEDUP_AUDIO_FP

@@ -1183,6 +1183,85 @@ FROM daily GROUP BY 2
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (maximize date AND price, per order status): an
+    order is on the frontier iff nothing else in its group is at least
+    as late AND at least as expensive with one strict.  The naive form
+    is an O(n²) NOT-EXISTS self-join; the engine computes it in one
+    sort: per-date column maxima, then a running later-date maximum —
+    a row survives iff it tops its own date and strictly beats every
+    later date.  The ORACLE is the independent brute-force NOT EXISTS
+    (on a sampled subset so DuckDB's quadratic stays cheap), so the
+    window reformulation is proven equivalent, not assumed.  Prices
+    cross as integer cents.  Scale: two window passes partitioned by
+    (status[, date]), no self-join, no pair blowup."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    pts = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w_date = Window.partitionBy("o_orderstatus", "odate")
+    w_later = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("odate").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # per-date max first, then the running max over strictly-later dates
+    date_max = pts.withColumn("dmax", F.max("cents").over(w_date))
+    dates = (
+        date_max.select("o_orderstatus", "odate", "dmax")
+        .distinct()
+        .withColumn("later_max", F.max("dmax").over(w_later))
+    )
+    return (
+        date_max.join(dates, ["o_orderstatus", "odate", "dmax"])
+        .filter(
+            (F.col("cents") == F.col("dmax"))
+            & (
+                F.col("later_max").isNull()
+                | (F.col("cents") > F.col("later_max"))
+            )
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "o_orderkey",
+            "odate",
+            "cents",
+        )
+    )
+
+
+ORACLE_SKYLINE = """
+WITH pts AS (
+  SELECT o_orderstatus AS status, o_orderkey,
+         CAST(o_orderdate AS DATE) AS odate,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT p.status, p.o_orderkey, p.odate, p.cents
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.status = p.status
+    AND q.odate >= p.odate AND q.cents >= p.cents
+    AND (q.odate > p.odate OR q.cents > p.cents)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1209,6 +1288,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_chi_square"] = ORACLE_CHI_SQUARE
     queries["mv_reuse_rollup"] = q_mv_reuse_rollup
     oracles["mv_reuse_rollup"] = ORACLE_MV_REUSE
+    queries["orders_skyline"] = q_orders_skyline
+    oracles["orders_skyline"] = ORACLE_SKYLINE
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
