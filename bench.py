@@ -143,6 +143,7 @@ HEADLINE = [
     "mv_reuse_rollup",
     "dedup_audio_fingerprint",
     "orders_skyline",
+    "stream_topk_per_window",
 ]
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -287,6 +287,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_merge_upsert": q_stream_merge_upsert,
             "stream_cms": q_stream_cms,
             "stream_outer_join": q_stream_outer_join,
+            "stream_topk_per_window": q_stream_topk_per_window,
         }
     )
     oracles.update(
@@ -299,6 +300,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_merge_upsert": ORACLE_STREAM_MERGE,
             "stream_cms": _ORACLE_STREAM_CMS(),
             "stream_outer_join": ORACLE_STREAM_LOUTER,
+            "stream_topk_per_window": ORACLE_STREAM_TOPK,
         }
     )
 
@@ -526,4 +528,58 @@ FROM v LEFT JOIN p
   ON v.user_id = p.user_id
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
 GROUP BY v.user_id
+"""
+
+
+def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the windowed per-user aggregate runs IN the
+    streaming engine (tumbling 6 h windows, complete-mode drain); the
+    rank-and-cut is a batch pass over the drained state — the standard
+    split, because per-window ranking is not an incremental operator
+    (a late row can reorder the whole window; Structured Streaming
+    rightly refuses windowed row_number).  Top-3 spenders per window,
+    ties broken by user id; the oracle computes the identical window +
+    rank relationally.  Value totals cross as integer micro-units."""
+    name = _sink_name("stream_topk", sf_dir)
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours").alias("w"), F.col("user_id"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000).cast("long")
+            ).alias("value_micro"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    _drain(agg, name, "complete")
+    drained = spark.table(name).select(
+        F.col("w.start").alias("win_start"),
+        "user_id",
+        "value_micro",
+        "n_events",
+    )
+    rk = Window.partitionBy("win_start").orderBy(
+        F.col("value_micro").desc(), F.col("user_id")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+ORACLE_STREAM_TOPK = """
+WITH agg AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, user_id,
+         sum(CAST(floor(value * 1000000) AS BIGINT)) AS value_micro,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT win_start, user_id, value_micro, n_events,
+         row_number() OVER (PARTITION BY win_start
+                            ORDER BY value_micro DESC, user_id) AS rank
+  FROM agg
+)
+SELECT win_start, user_id, value_micro, n_events, rank
+FROM ranked WHERE rank <= 3
 """
