@@ -144,6 +144,7 @@ HEADLINE = [
     "dedup_audio_fingerprint",
     "orders_skyline",
     "stream_topk_per_window",
+    "ace_datasource_roundtrip",
 ]
 
 

@@ -5633,3 +5633,53 @@ FROM clips GROUP BY fingerprint
 
 QUERIES["dedup_audio_fingerprint"] = q_dedup_audio_fingerprint
 ORACLES["dedup_audio_fingerprint"] = ORACLE_DEDUP_AUDIO_FP
+
+
+def q_ace_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format symmetry for S4: records parsed from the dump are written
+    BACK through ``spark.write.format("ace")`` (the Python DataSource
+    writer — per-partition gzip dump files, ``-O``/``-C`` annotations
+    re-emitted, quote escaping) and re-read through the same format; the
+    profile of the re-read records must match the oracle computed from
+    the generating tables.  Write → parse is the inverse pair the
+    migration engine owes its users: Datomic-side edits can be exported
+    back to ``.ace`` interchange files."""
+    import os
+
+    from .queries_e2e import _ensure_ace_dump, _fx
+    from .sources import ace_datasource
+
+    ace_datasource.register(spark)
+    dump = _ensure_ace_dump(spark, sf_dir)
+    out = _fx(sf_dir, "ace_roundtrip_sink")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        recs = spark.read.format("ace").load(dump)
+        recs.repartition(8, "obj_id").write.format("ace").mode(
+            "overwrite"
+        ).save(out)
+    back = spark.read.format("ace").load(out)
+    return (
+        back.select(
+            "class",
+            F.element_at("tag_path", 1).alias("tag"),
+            "obj_id",
+            "value",
+            "ts",
+            "comment",
+        )
+        .groupBy("class", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("obj_id").alias("n_objs"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.sum(F.col("ts").isNotNull().cast("long")).alias("n_ts"),
+            F.sum(F.col("comment").isNotNull().cast("long")).alias(
+                "n_comments"
+            ),
+        )
+    )
+
+
+QUERIES["ace_datasource_roundtrip"] = q_ace_datasource_roundtrip
+ORACLES["ace_datasource_roundtrip"] = ORACLE_ACE_DATASOURCE

@@ -52,7 +52,17 @@ ACE_RECORD_SCHEMA = StructType(
     ]
 )
 
-_HEADER_RE = re.compile(r'^\s*(\S+)\s*:\s*"?([^"]*)"?\s*$')
+# header object id: quoted (escapes allowed) or bare
+_HEADER_RE = re.compile(
+    r'^\s*(\S+)\s*:\s*(?:"((?:[^"\\]|\\.)*)"|(\S*))\s*$'
+)
+_ESCAPE_RE = re.compile(r"\\(.)")
+
+
+def _unescape(s: str | None) -> str | None:
+    """Undo dump-file escaping inside quoted tokens (\" and \\) —
+    the inverse of the ace sink's ``_quote`` (ace_datasource.py)."""
+    return None if s is None else _ESCAPE_RE.sub(r"\1", s)
 # a line token: quoted string, -O/-C annotation (standalone token only —
 # a tag named "-C0" must not be split), or bare word
 _TOKEN_RE = re.compile(r'"((?:[^"\\]|\\.)*)"|(-[OC])(?=\s|$)|(\S+)')
@@ -75,7 +85,8 @@ def parse_block(block: str, src_file: str = "") -> list[tuple]:
     m = _HEADER_RE.match(lines[0])
     if not m:
         return []
-    cls, obj_id = m.group(1), m.group(2)
+    cls = m.group(1)
+    obj_id = _unescape(m.group(2)) if m.group(2) is not None else m.group(3)
     out = []
     for ln in lines[1:]:
         tokens: list[str] = []
@@ -87,16 +98,18 @@ def parse_block(block: str, src_file: str = "") -> list[tuple]:
             if annot:
                 pending_annot = annot
             elif pending_annot == "-O":
-                ts = quoted if quoted is not None else bare
+                ts = _unescape(quoted) if quoted is not None else bare
                 pending_annot = None
             elif pending_annot == "-C":
                 # tace dumps with -C precisely so curator comments become
                 # transaction metadata downstream (runcommand.py:134-150);
                 # the last -C on the line stamps the value, like -O
-                comment = quoted if quoted is not None else bare
+                comment = _unescape(quoted) if quoted is not None else bare
                 pending_annot = None
             else:
-                tokens.append(quoted if quoted is not None else bare)
+                tokens.append(
+                    _unescape(quoted) if quoted is not None else bare
+                )
         if not tokens:
             continue
         *path, value = tokens

@@ -22,7 +22,13 @@ executor, no shuffle until the caller aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from .ace import ACE_RECORD_SCHEMA
 
@@ -83,7 +89,83 @@ class AceDataSource(DataSource):
     def reader(self, schema) -> AceDataSourceReader:
         return AceDataSourceReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "AceDataSourceWriter":
+        return AceDataSourceWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent format registration."""
     spark.dataSource.register(AceDataSource)
+
+
+def _quote(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+class AceCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AceDataSourceWriter(DataSourceWriter):
+    """Executor-side ``.ace`` serializer: each partition's records are
+    grouped by (class, obj_id) and emitted as dump paragraphs — header
+    line, one tag line per record with ``-O``/``-C`` annotations — into
+    one gzip file per partition (the dump's own per-file granularity,
+    matching the reader's partition planning).  Callers co-partition by
+    object id when object atomicity per file matters, exactly like any
+    file sink.  commit() drops ``_SUCCESS`` for the idempotent-fixture
+    contract used across the repo."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import glob
+        import os
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ace sink requires a path")
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in glob.glob(os.path.join(self.path, "*")):
+                os.remove(f)
+
+    def write(self, rows):
+        import gzip
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(self.path, f"part-{pid:05d}.ace.gz")
+        groups: dict = {}
+        order: list = []
+        for r in rows:
+            key = (r["class"], r["obj_id"])
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(r)
+        with gzip.open(out, "wt", encoding="utf-8") as fh:
+            for key in order:
+                cls, obj = key
+                fh.write(f"{cls} : {_quote(obj)}\n")
+                for r in groups[key]:
+                    line = " ".join(list(r["tag_path"] or []))
+                    line += f" {_quote(r['value'])}" if r["value"] is not None else ""
+                    if r["ts"] is not None:
+                        line += f" -O {_quote(r['ts'])}"
+                    if r["comment"] is not None:
+                        line += f" -C {_quote(r['comment'])}"
+                    fh.write(line + "\n")
+                fh.write("\n")
+        return AceCommitMessage(out)
+
+    def commit(self, messages):
+        import os
+
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("\n".join(m.path for m in messages if m))
+
+    def abort(self, messages):
+        pass
+

@@ -117,3 +117,31 @@ def test_ace_datasource_matches_block_source(spark):
     a = key(via_plugin.collect())
     b = key(via_blocks.collect())
     assert a == b
+
+
+def test_ace_writer_escapes_quotes_and_backslashes(spark):
+    from db_migration_spark.queries_e2e import _fx
+    from db_migration_spark.sources import ace_datasource
+
+    ace_datasource.register(spark)
+    rows = [
+        ("Cls", 'obj "q"', ["Tag"], 'va\\l "x"', None, 'note "deep"', "t"),
+        ("Cls", "plain", ["A", "B"], "v", "2024-01-01_00:00:00", None, "t"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "class STRING, obj_id STRING, tag_path ARRAY<STRING>, "
+        "value STRING, ts STRING, comment STRING, src_file STRING",
+    )
+    out = _fx("/root/testdata/sf0.001", "ace_writer_escape_test")
+    df.coalesce(1).write.format("ace").mode("overwrite").save(out)
+    back = spark.read.format("ace").load(out)
+    got = sorted(
+        (r["class"], r["obj_id"], tuple(r["tag_path"]), r["value"],
+         r["ts"], r["comment"])
+        for r in back.collect()
+    )
+    want = sorted(
+        (c, o, tuple(t), v, ts, cm) for c, o, t, v, ts, cm, _ in rows
+    )
+    assert got == want
