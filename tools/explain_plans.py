@@ -114,6 +114,21 @@ INSPECT = {
     "multimodal_video_frames": [],
     "multimodal_g711_stats": [],
     "stream_session_rollup": [],
+    # session 7
+    "sql_recursive_cte": ["UnionLoop"],  # Catalyst recursion operator
+    "assoc_rules": ["BroadcastHashJoin", "HashAggregate"],
+    "rfm_segments": ["Window"],
+    "ts_ohlc_bars": ["Window", "HashAggregate"],
+    "graph_kcore": ["HashAggregate"],
+    "ts_seasonal_forecast": ["HashAggregate"],
+    "eav_lookup_ref": ["BroadcastHashJoin", "Window"],
+    "orders_skyline": ["Window"],
+    "stats_chi_square": ["BroadcastHashJoin"],
+    "fixedwidth_source": ["HashAggregate"],
+    "dedup_image_phash": [],
+    "multimodal_bmp_decode": [],
+    "multimodal_audio_resample": [],
+    "ace_datasource_scan": ["BatchScan ace"],  # the source plugin node
 }
 
 # plans that must NOT contain a product node (blocking worked)
@@ -126,6 +141,11 @@ FORBID = {
     "q2_min_cost_supplier": ["CartesianProduct"],
     "q16_supplier_count": ["CartesianProduct"],
     "passage_chunks": ["SortMergeJoin", "CartesianProduct"],
+    "sql_recursive_cte": ["BroadcastNestedLoopJoin"],
+    "assoc_rules": ["CartesianProduct"],
+    "dedup_image_phash": ["CartesianProduct"],
+    "graph_kcore": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "orders_skyline": ["CartesianProduct", "BroadcastNestedLoopJoin"],
 }
 
 
