@@ -45,9 +45,7 @@ FLAGSHIP_ORDER = [
     "datalog_query",
     "datalog_join",
     "datalog_agg",
-    "datalog_with",
     "datalog_ancestors",
-    "datalog_pull",
     # Hardest TPC-H shapes (per-order agg, HAVING join-back, anti-join
     # chains, window-decorrelated MIN)
     "q1_pricing_summary",
@@ -59,7 +57,6 @@ FLAGSHIP_ORDER = [
     "asof_join",
     "range_join_campaigns",
     "j_salted_hot_key",
-    "bucketed_join",
     # LLM-corpus pipeline pillar
     "chunk_dedup",
     "pack_sequences",
@@ -67,21 +64,26 @@ FLAGSHIP_ORDER = [
     "url_canonical_dedup",
     "dedup_semantic",
     "passage_chunks",
-    "dense_ids",
     # Dedup / similarity ladder
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_components",
     "ann_cosine_topk",
-    # Multimodal codecs (real pixel/header kernels)
+    # Multimodal codecs (real pixel/sample kernels)
     "multimodal_png_decode",
     "multimodal_video_frames",
-    "multimodal_jpeg_decode",
-    # Grouping-sets / graph
-    "a8_grouping_sets",
+    "multimodal_audio_resample",
+    "dedup_image_phash",
+    # Graph
     "graph_pagerank",
     "copurchase_triangles",
+    # Session-7 engine surface: Catalyst recursion, the ace format
+    # plugin, outer-join streaming semantics, basket mining
+    "sql_recursive_cte",
+    "ace_datasource_scan",
+    "stream_outer_join",
+    "assoc_rules",
 ]
 
 
