@@ -145,6 +145,8 @@ HEADLINE = [
     "orders_skyline",
     "stream_topk_per_window",
     "ace_datasource_roundtrip",
+    "u6_setops_all",
+    "f_window_suite2",
 ]
 
 

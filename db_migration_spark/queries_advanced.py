@@ -1262,6 +1262,114 @@ WHERE NOT EXISTS (
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# multiset (ALL) set operations
+# ---------------------------------------------------------------------------
+
+
+def q_u6_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the multiset semantics U2's
+    set-variants don't exercise: duplicates carry multiplicity
+    min(m, n) and m − n respectively.  Priorities of open vs finished
+    orders as the two multisets; both engines compute the native ALL
+    operators (Spark intersectAll/exceptAll ↔ DuckDB INTERSECT ALL /
+    EXCEPT ALL), profiled by value so the result is order-free."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("v")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("v")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return inter.unionByName(exc).select("op", "v", "n")
+
+
+ORACLE_U6_SETOPS = """
+WITH a AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus='O'),
+b AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderstatus='F'),
+i AS (SELECT v FROM a INTERSECT ALL SELECT v FROM b),
+e AS (SELECT v FROM a EXCEPT ALL SELECT v FROM b)
+SELECT 'intersect_all' AS op, v, count(*) AS n FROM i GROUP BY v
+UNION ALL
+SELECT 'except_all', v, count(*) FROM e GROUP BY v
+"""
+
+
+# ---------------------------------------------------------------------------
+# window function suite 2 (positional / null-aware / distribution)
+# ---------------------------------------------------------------------------
+
+
+def q_f_window_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window forms w1–w8 leave out: ``nth_value`` over the full
+    frame, ``first``/``last`` with IGNORE NULLS (nulls planted
+    deterministically at n_chars %% 3 == 0), and ``cume_dist``
+    aggregated in exact thousandths.  Full-frame values are constant
+    per partition, so the bounded per-language rollup is deterministic;
+    the (doc_id) order is unique."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.when(F.col("n_chars") % 3 == 0, None).otherwise(F.col("n_chars"))
+    w_full = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_ord = Window.partitionBy("lang").orderBy("doc_id")
+    marked = docs.select(
+        "lang",
+        F.nth_value("source", 2).over(w_full).alias("second_source"),
+        F.first(x, ignorenulls=True).over(w_full).alias("first_nn"),
+        F.last(x, ignorenulls=True).over(w_full).alias("last_nn"),
+        F.floor(F.cume_dist().over(w_ord) * 1000).alias("cume_k"),
+    )
+    return marked.groupBy("lang").agg(
+        F.max("second_source").alias("second_source"),
+        F.max("first_nn").alias("first_nn"),
+        F.max("last_nn").alias("last_nn"),
+        F.sum("cume_k").alias("cume_sum"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+ORACLE_F_WINDOW2 = """
+WITH marked AS (
+  SELECT lang,
+         nth_value(source, 2) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_source,
+         first_value(CASE WHEN n_chars % 3 = 0 THEN NULL ELSE n_chars END
+             IGNORE NULLS) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS first_nn,
+         last_value(CASE WHEN n_chars % 3 = 0 THEN NULL ELSE n_chars END
+             IGNORE NULLS) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_nn,
+         CAST(floor(cume_dist() OVER (PARTITION BY lang ORDER BY doc_id)
+              * 1000) AS BIGINT) AS cume_k
+  FROM documents
+)
+SELECT lang, max(second_source) AS second_source,
+       max(first_nn) AS first_nn, max(last_nn) AS last_nn,
+       sum(cume_k) AS cume_sum, count(*) AS n_docs
+FROM marked GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1290,6 +1398,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["mv_reuse_rollup"] = ORACLE_MV_REUSE
     queries["orders_skyline"] = q_orders_skyline
     oracles["orders_skyline"] = ORACLE_SKYLINE
+    queries["u6_setops_all"] = q_u6_setops_all
+    oracles["u6_setops_all"] = ORACLE_U6_SETOPS
+    queries["f_window_suite2"] = q_f_window_suite2
+    oracles["f_window_suite2"] = ORACLE_F_WINDOW2
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
