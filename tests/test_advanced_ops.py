@@ -155,3 +155,61 @@ def test_image_phash_finds_planted_variants(spark):
     for k in range(nations):
         assert (k, k + 1000) in pairs
         assert 0 < pairs[(k, k + 1000)] <= 3
+
+
+def test_skyline_is_exactly_the_undominated_set(spark):
+    out = {
+        (r.status, r.o_orderkey): (str(r.odate), r.cents)
+        for r in QUERIES["orders_skyline"](spark, SF).collect()
+    }
+    pts = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    )
+    by_status: dict = {}
+    for r in pts:
+        by_status.setdefault(r.o_orderstatus, []).append(r)
+    expected = set()
+    for st, rows in by_status.items():
+        for r in rows:
+            dominated = any(
+                (q.d >= r.d and q.c >= r.c and (q.d > r.d or q.c > r.c))
+                for q in rows
+            )
+            if not dominated:
+                expected.add((st, r.o_orderkey))
+    assert set(out) == expected
+
+
+def test_setops_all_multiset_arithmetic(spark):
+    rows = QUERIES["u6_setops_all"](spark, SF).collect()
+    got = {(r.op, r.v): r.n for r in rows}
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    a = {
+        r.o_orderpriority: r["count"]
+        for r in o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    b = {
+        r.o_orderpriority: r["count"]
+        for r in o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    for v in set(a) | set(b):
+        inter = min(a.get(v, 0), b.get(v, 0))
+        exc = max(0, a.get(v, 0) - b.get(v, 0))
+        assert got.get(("intersect_all", v), 0) == inter
+        assert got.get(("except_all", v), 0) == exc
