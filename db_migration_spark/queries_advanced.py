@@ -96,6 +96,10 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks geometrically.  The oracle is the IDENTICAL SQL string on
     DuckDB (same semantics, same UNION ALL recursion)."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    # the engine's recursion safety valve defaults to 1M rows; the walk
+    # emits one row per key, so size it to the input (found at the x100
+    # scale run: 1.5M keys tripped RECURSION_ROW_LIMIT_EXCEEDED)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     return spark.sql(SQL_RECURSIVE_CTE)
 
 
