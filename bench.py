@@ -147,6 +147,8 @@ HEADLINE = [
     "ace_datasource_roundtrip",
     "u6_setops_all",
     "f_window_suite2",
+    "eav_schema_alter",
+    "shard_manifest",
 ]
 
 

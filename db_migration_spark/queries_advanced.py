@@ -1374,6 +1374,124 @@ FROM marked GROUP BY lang
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Datomic schema alteration (cardinality one → many at a tx boundary)
+# ---------------------------------------------------------------------------
+
+ALTER_TX = 5000
+
+
+def q_eav_schema_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic schema alteration: an attribute installed card-ONE is
+    altered to card-MANY at tx ALTER_TX (``:db/cardinality`` is itself
+    just a datom on the attribute entity, so the alteration is part of
+    the log).  Replay semantics: facts transacted before the boundary
+    keep upserting (last-write-wins per (e,a) among tx < T), facts at or
+    after it accumulate per (e,a,v) — the union is the entity's current
+    value set.  One window pass for the card-one era, one distinct for
+    the card-many era; both partition by entity, so the replay
+    distributes by the same key the log is stored under."""
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.lit("tag").alias("a"),
+        (F.col("event_id") % 7).cast("string").alias("v"),
+        F.col("event_id").alias("tx"),
+    )
+    pre = datoms.filter(F.col("tx") < ALTER_TX)
+    w = Window.partitionBy("e", "a").orderBy(
+        F.col("tx").desc(), F.col("v").desc()
+    )
+    pre_winner = (
+        pre.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("e", "a", "v")
+    )
+    post_values = (
+        datoms.filter(F.col("tx") >= ALTER_TX).select("e", "a", "v").distinct()
+    )
+    current = pre_winner.unionByName(post_values).distinct()
+    return current.groupBy("e").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+ORACLE_SCHEMA_ALTER = """
+WITH datoms AS (
+  SELECT user_id AS e, 'tag' AS a, CAST(event_id % 7 AS VARCHAR) AS v,
+         event_id AS tx
+  FROM events
+), pre AS (
+  SELECT e, a, v FROM (
+    SELECT e, a, v,
+           row_number() OVER (PARTITION BY e, a
+                              ORDER BY tx DESC, v DESC) AS rn
+    FROM datoms WHERE tx < 5000
+  ) WHERE rn = 1
+), post AS (
+  SELECT DISTINCT e, a, v FROM datoms WHERE tx >= 5000
+), current AS (
+  SELECT DISTINCT e, a, v FROM (
+    SELECT * FROM pre UNION ALL SELECT * FROM post
+  )
+)
+SELECT e, count(*) AS n_values, min(v) AS min_v, max(v) AS max_v
+FROM current GROUP BY e
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-shard manifest
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 64
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: documents are assigned to 64 shards by a
+    deterministic multiplicative hash (layout-independent — the same
+    contract as sample_stratified), and the manifest row per shard
+    carries count, byte budget, id checksum (xor — order-free by
+    algebra) and id span.  This is the file a downstream dataloader
+    reads INSTEAD of listing 100 TB of objects; producing it is one
+    hash-bounded aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 31)
+    ) % F.lit(N_SHARDS)
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("byte_budget"),
+            F.expr("bit_xor(doc_id)").alias("id_checksum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+ORACLE_SHARD_MANIFEST = """
+SELECT (doc_id * 2654435761) % 2147483648 % 64 AS shard,
+       count(*) AS n_docs,
+       sum(n_chars) AS byte_budget,
+       bit_xor(doc_id) AS id_checksum,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1406,6 +1524,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["u6_setops_all"] = ORACLE_U6_SETOPS
     queries["f_window_suite2"] = q_f_window_suite2
     oracles["f_window_suite2"] = ORACLE_F_WINDOW2
+    queries["eav_schema_alter"] = q_eav_schema_alter
+    oracles["eav_schema_alter"] = ORACLE_SCHEMA_ALTER
+    queries["shard_manifest"] = q_shard_manifest
+    oracles["shard_manifest"] = ORACLE_SHARD_MANIFEST
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
