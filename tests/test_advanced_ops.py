@@ -213,3 +213,63 @@ def test_setops_all_multiset_arithmetic(spark):
         exc = max(0, a.get(v, 0) - b.get(v, 0))
         assert got.get(("intersect_all", v), 0) == inter
         assert got.get(("except_all", v), 0) == exc
+
+
+def test_kcore_matches_reference_peel_on_random_graphs(spark):
+    """Operator vs a pure-Python peel on small seeded random graphs."""
+    from db_migration_spark.queries_advanced import KCORE_K
+
+    def py_kcore(edges, k):
+        edges = set(edges)
+        while True:
+            deg: dict = {}
+            for u, v in edges:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(u, v) for u, v in edges if u in keep and v in keep}
+            if nxt == edges:
+                return deg if all(d >= k for d in deg.values()) else {
+                    n: d for n, d in deg.items() if n in keep
+                }
+            edges = nxt
+
+    for seed in (3, 17, 99):
+        # deterministic pseudo-random graph on 30 nodes
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for i in range(150)
+                for a in [(i * i + seed) % 30]
+                for b in [(i * 3 + seed * 7 + 1) % 30]
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(edges, ["u", "v"])
+        # run the same peel loop the operator uses, inlined on this edge df
+        from pyspark.sql import functions as SF
+
+        cur = df.localCheckpoint()
+        for _i in range(20):
+            sym = cur.union(cur.select(SF.col("v").alias("u"), SF.col("u").alias("v")))
+            deg = sym.groupBy("u").agg(SF.count(SF.lit(1)).alias("deg"))
+            keep = deg.filter(SF.col("deg") >= KCORE_K).select("u")
+            nxt = (
+                cur.join(keep, "u", "left_semi")
+                .join(keep.select(SF.col("u").alias("v")), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+            if nxt.count() == cur.count():
+                cur = nxt
+                break
+            cur = nxt
+        sym = cur.union(cur.select(SF.col("v").alias("u"), SF.col("u").alias("v")))
+        got = {
+            r["u"]: r["deg"]
+            for r in sym.groupBy("u").agg(SF.count(SF.lit(1)).alias("deg")).collect()
+        }
+        # reference peel: survivors-only degree map
+        want_full = py_kcore(edges, KCORE_K)
+        want = {n: d for n, d in want_full.items() if d >= KCORE_K}
+        assert got == want, f"seed {seed}"
