@@ -149,6 +149,8 @@ HEADLINE = [
     "f_window_suite2",
     "eav_schema_alter",
     "shard_manifest",
+    "ivm_delta_merge",
+    "eav_bitemporal",
 ]
 
 

@@ -1492,6 +1492,135 @@ GROUP BY 1
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (delta merge == full recompute)
+# ---------------------------------------------------------------------------
+
+IVM_SPLIT_TX = 6000
+
+
+def q_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, proven equal to recompute: the
+    hourly rollup is built as base (events with id < T) MERGED with the
+    late delta batch (id ≥ T) by summing partial aggregates on the
+    group key — the batch analog of the streaming foreachBatch MERGE
+    (stream_merge_upsert), and the contract every IVM system must hold.
+    The ORACLE is the single-pass aggregate over ALL events, so the
+    gate literally checks incremental == batch.  Merging partials is a
+    full-outer sum on the bounded group-key dim — at 100 TB the delta
+    never re-touches base FACTS, only the view."""
+    ev = load_table(spark, sf_dir, "events")
+    def rollup(df):
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias(
+                "value_micro"
+            ),
+        )
+
+    base = rollup(ev.filter(F.col("event_id") < IVM_SPLIT_TX))
+    delta = rollup(ev.filter(F.col("event_id") >= IVM_SPLIT_TX))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(
+            d,
+            (F.col("b.hour").eqNullSafe(F.col("d.hour")))
+            & (F.col("b.event_type").eqNullSafe(F.col("d.event_type"))),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("b.hour"), F.col("d.hour")).alias("hour"),
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
+            (
+                F.coalesce(F.col("b.n_events"), F.lit(0))
+                + F.coalesce(F.col("d.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("b.value_micro"), F.lit(0))
+                + F.coalesce(F.col("d.value_micro"), F.lit(0))
+            ).alias("value_micro"),
+        )
+    )
+
+
+ORACLE_IVM = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 1000000) AS BIGINT)) AS value_micro
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# bitemporal state (valid time x transaction time)
+# ---------------------------------------------------------------------------
+
+
+def q_eav_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal query: facts carry BOTH a validity interval (business
+    time, derived here as [ts, ts+3 days]) and a transaction id; the
+    question is "what did we BELIEVE (tx ≤ T) was true AT valid time
+    V?" — the two-axis cut every audited store must answer (Datomic
+    gives the tx axis natively, SCD2 gives the valid axis; this
+    composes them).  Resolution: filter both axes, then
+    latest-transacted fact wins per entity.  Axis filters are scan
+    predicates (pushdown), the winner is one window — on a tx-sorted
+    log both prune before any shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("v"),
+        F.col("event_id").alias("tx"),
+        F.col("ts").alias("valid_from"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("valid_to"),
+    )
+    as_of_tx = 8000
+    valid_at = "2024-01-15 00:00:00"
+    cut = facts.filter(
+        (F.col("tx") <= as_of_tx)
+        & (F.col("valid_from") <= F.lit(valid_at).cast("timestamp"))
+        & (F.col("valid_to") > F.lit(valid_at).cast("timestamp"))
+    )
+    w = Window.partitionBy("e").orderBy(F.col("tx").desc())
+    current = (
+        cut.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("e", "v", "tx")
+    )
+    return current.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.min("e").alias("min_e"),
+        F.max("tx").alias("latest_tx"),
+    )
+
+
+ORACLE_BITEMPORAL = """
+WITH cut AS (
+  SELECT user_id AS e, event_type AS v, event_id AS tx
+  FROM events
+  WHERE event_id <= 8000
+    AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+    AND ts + INTERVAL 3 DAY > TIMESTAMP '2024-01-15 00:00:00'
+), cur AS (
+  SELECT e, v, tx FROM (
+    SELECT e, v, tx,
+           row_number() OVER (PARTITION BY e ORDER BY tx DESC) AS rn
+    FROM cut
+  ) WHERE rn = 1
+)
+SELECT v, count(*) AS n_entities, min(e) AS min_e, max(tx) AS latest_tx
+FROM cur GROUP BY v
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1528,6 +1657,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["eav_schema_alter"] = ORACLE_SCHEMA_ALTER
     queries["shard_manifest"] = q_shard_manifest
     oracles["shard_manifest"] = ORACLE_SHARD_MANIFEST
+    queries["ivm_delta_merge"] = q_ivm_delta_merge
+    oracles["ivm_delta_merge"] = ORACLE_IVM
+    queries["eav_bitemporal"] = q_eav_bitemporal
+    oracles["eav_bitemporal"] = ORACLE_BITEMPORAL
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
