@@ -151,6 +151,8 @@ HEADLINE = [
     "shard_manifest",
     "ivm_delta_merge",
     "eav_bitemporal",
+    "events_markov_transitions",
+    "orders_abc_pareto",
 ]
 
 

@@ -1621,6 +1621,122 @@ FROM cur GROUP BY v
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# first-order Markov transitions over user event sequences
+# ---------------------------------------------------------------------------
+
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: one lag window in (ts, event_id) unique order produces
+    (prev_type → type) pairs, one hash agg counts them, and the
+    row-total rides back as an integer denominator (probabilities are
+    numer/denom pairs, bit-exact).  The sequence-model statistic behind
+    next-event prediction and funnel diagnostics; the window partitions
+    by user, so state never exceeds one user's history."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type", "to_type", "n", "row_total"
+    )
+
+
+ORACLE_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       sum(n) OVER (PARTITION BY from_type) AS row_total
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification by cumulative revenue share
+# ---------------------------------------------------------------------------
+
+
+def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: customers sorted by spend, running
+    cumulative share computed in integer cents (cum·10000 vs total —
+    no float division), class A = first 80%% of revenue, B = to 95%%,
+    C = the tail.  One global sort over the customer DIM (bounded next
+    to facts — same contract as rfm_segments) and a 1-row broadcast
+    total.  Output: per class, customers and spend."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    total = per_cust.agg(F.sum("cents").alias("total_cents"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    ranked = (
+        per_cust.join(F.broadcast(total))
+        .withColumn("cum_cents", F.sum("cents").over(w))
+        .withColumn(
+            "abc",
+            F.when(
+                F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A"
+            )
+            .when(
+                F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B"
+            )
+            .otherwise("C"),
+        )
+    )
+    return ranked.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("class_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+ORACLE_ABC = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), t AS (SELECT sum(cents) AS total_cents FROM per_cust),
+ranked AS (
+  SELECT o_custkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey) AS cum_cents,
+         (SELECT total_cents FROM t) AS total_cents
+  FROM per_cust
+), classed AS (
+  SELECT *,
+         CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+              WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc, count(*) AS n_customers, sum(cents) AS class_cents,
+       min(cents) AS min_cents, max(cents) AS max_cents
+FROM classed GROUP BY abc
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1661,6 +1777,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["ivm_delta_merge"] = ORACLE_IVM
     queries["eav_bitemporal"] = q_eav_bitemporal
     oracles["eav_bitemporal"] = ORACLE_BITEMPORAL
+    queries["events_markov_transitions"] = q_events_markov_transitions
+    oracles["events_markov_transitions"] = ORACLE_MARKOV
+    queries["orders_abc_pareto"] = q_orders_abc_pareto
+    oracles["orders_abc_pareto"] = ORACLE_ABC
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
