@@ -153,6 +153,9 @@ HEADLINE = [
     "eav_bitemporal",
     "events_markov_transitions",
     "orders_abc_pareto",
+    "sink_compaction_roundtrip",
+    "eav_nohistory",
+    "f_array_suite2",
 ]
 
 

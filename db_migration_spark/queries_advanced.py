@@ -1737,6 +1737,156 @@ FROM classed GROUP BY abc
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction roundtrip
+# ---------------------------------------------------------------------------
+
+
+def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem, end to end: orders deliberately written
+    as 64 shards (the pathological ingest layout a streaming or
+    per-task writer produces), compacted to 4 with one repartition
+    pass (cli.py compact's kernel), re-read and profiled — the oracle
+    recomputes from the source table, so compaction provably loses and
+    duplicates nothing.  pytest pins the file-count drop.  At 100 TB
+    file-count hygiene IS a performance feature: listing, footer reads,
+    and task scheduling all scale with file count, not bytes."""
+    import glob
+    import os
+
+    from .queries_e2e import _fx
+
+    o = load_table(spark, sf_dir, "orders")
+    frag = _fx(sf_dir, "orders_fragmented")
+    compacted = _fx(sf_dir, "orders_compacted")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        o.repartition(64).write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        spark.read.parquet(frag).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+ORACLE_COMPACTION = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       sum(o_orderkey) AS key_sum,
+       count(DISTINCT o_custkey) AS n_custs
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Datomic :db/noHistory
+# ---------------------------------------------------------------------------
+
+
+def q_eav_nohistory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic ``:db/noHistory``: attributes flagged noHistory retain
+    only their CURRENT fact — superseded values are physically dropped
+    at (the analog of) indexing, while normal attributes keep full
+    history.  The retained-log profile per attribute proves the split:
+    noHistory attrs count == their entity count (one fact each),
+    history attrs keep every version.  One window pass keyed (e, a) —
+    the same LWW machinery as x4, applied as a retention policy."""
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        (F.col("event_id") % 9).cast("string").alias("v"),
+        F.col("event_id").alias("tx"),
+    )
+    nohistory = ("view", "click")
+    w = Window.partitionBy("e", "a").orderBy(F.col("tx").desc())
+    marked = datoms.withColumn("rn", F.row_number().over(w))
+    retained = marked.filter(
+        (~F.col("a").isin(*nohistory)) | (F.col("rn") == 1)
+    )
+    return retained.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_retained"),
+        F.countDistinct("e").alias("n_entities"),
+        F.max("tx").alias("latest_tx"),
+    )
+
+
+ORACLE_NOHISTORY = """
+WITH datoms AS (
+  SELECT user_id AS e, event_type AS a, CAST(event_id % 9 AS VARCHAR) AS v,
+         event_id AS tx,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT a, count(*) AS n_retained, count(DISTINCT e) AS n_entities,
+       max(tx) AS latest_tx
+FROM datoms
+WHERE a NOT IN ('view', 'click') OR rn = 1
+GROUP BY a
+"""
+
+
+# ---------------------------------------------------------------------------
+# array set-operation suite
+# ---------------------------------------------------------------------------
+
+
+def q_f_array_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET operations (intersect/union/except), position lookup
+    and nesting flatten — canonicalized by sort before comparison so
+    both engines' internal orderings cancel out.  Token arrays per doc
+    vs a fixed stop-set; one map stage + bounded rollup."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 53 == 0
+    )
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(x) for x in ("the", "and", "of")])
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_intersect(F.array_distinct(toks), stop)),
+            ",",
+        ).alias("stop_hits"),
+        F.size(
+            F.array_distinct(F.array_union(F.slice(toks, 1, 5), stop))
+        ).alias("n_union"),
+        F.size(F.array_except(F.array_distinct(toks), stop)).alias(
+            "n_content"
+        ),
+        F.array_position(toks, "the").alias("first_the"),
+        F.size(F.flatten(F.array(F.slice(toks, 1, 2), stop))).alias(
+            "n_flat"
+        ),
+    )
+
+
+ORACLE_F_ARRAY2 = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 53 = 0
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_sort(list_intersect(list_distinct(toks),
+                                  ['the', 'and', 'of'])), ','), '')
+         AS stop_hits,
+       len(list_distinct(list_distinct(
+           list_concat(toks[1:5], ['the', 'and', 'of'])))) AS n_union,
+       len(list_filter(list_distinct(toks),
+           x -> NOT list_contains(['the', 'and', 'of'], x))) AS n_content,
+       CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT)
+         AS first_the,
+       len(flatten([toks[1:2], ['the', 'and', 'of']])) AS n_flat
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1781,6 +1931,12 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["events_markov_transitions"] = ORACLE_MARKOV
     queries["orders_abc_pareto"] = q_orders_abc_pareto
     oracles["orders_abc_pareto"] = ORACLE_ABC
+    queries["sink_compaction_roundtrip"] = q_sink_compaction_roundtrip
+    oracles["sink_compaction_roundtrip"] = ORACLE_COMPACTION
+    queries["eav_nohistory"] = q_eav_nohistory
+    oracles["eav_nohistory"] = ORACLE_NOHISTORY
+    queries["f_array_suite2"] = q_f_array_suite2
+    oracles["f_array_suite2"] = ORACLE_F_ARRAY2
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules

@@ -273,3 +273,15 @@ def test_kcore_matches_reference_peel_on_random_graphs(spark):
         want_full = py_kcore(edges, KCORE_K)
         want = {n: d for n, d in want_full.items() if d >= KCORE_K}
         assert got == want, f"seed {seed}"
+
+
+def test_compaction_reduces_file_count(spark):
+    QUERIES["sink_compaction_roundtrip"](spark, SF).collect()
+    import glob
+
+    from db_migration_spark.queries_e2e import _fx
+
+    frag = glob.glob(_fx(SF, "orders_fragmented") + "/part-*")
+    comp = glob.glob(_fx(SF, "orders_compacted") + "/part-*")
+    assert len(frag) > len(comp)
+    assert len(comp) <= 4
