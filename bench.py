@@ -156,6 +156,7 @@ HEADLINE = [
     "sink_compaction_roundtrip",
     "eav_nohistory",
     "f_array_suite2",
+    "a9_percentile_disc",
 ]
 
 

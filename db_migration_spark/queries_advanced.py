@@ -1887,6 +1887,65 @@ FROM d
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# exact discrete percentiles (value AT rank, no interpolation)
+# ---------------------------------------------------------------------------
+
+
+def q_a9_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles — the EXACT member value at rank
+    ceil(p·n) — per language, computed with one window rank pass and a
+    conditional min (no interpolation anywhere, so unlike a6's
+    continuous form the result is integer-exact by construction and
+    immune to float-division drift).  The form audits and SLA
+    reporting want: "the actual p95 document"."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .alias("n"),
+    )
+    def at(p_num, p_den):
+        # value at rank ceil(p*n): smallest n_chars whose rk*den >= n*num
+        return F.min(
+            F.when(
+                F.col("rk") * p_den >= F.col("n") * p_num, F.col("n_chars")
+            )
+        )
+
+    return ranked.groupBy("lang").agg(
+        at(50, 100).alias("p50"),
+        at(90, 100).alias("p90"),
+        at(95, 100).alias("p95"),
+        at(99, 100).alias("p99"),
+        F.max("n").alias("n_docs"),
+    )
+
+
+ORACLE_PCT_DISC = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       min(CASE WHEN rk * 100 >= n * 50 THEN n_chars END) AS p50,
+       min(CASE WHEN rk * 100 >= n * 90 THEN n_chars END) AS p90,
+       min(CASE WHEN rk * 100 >= n * 95 THEN n_chars END) AS p95,
+       min(CASE WHEN rk * 100 >= n * 99 THEN n_chars END) AS p99,
+       max(n) AS n_docs
+FROM ranked GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1937,6 +1996,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["eav_nohistory"] = ORACLE_NOHISTORY
     queries["f_array_suite2"] = q_f_array_suite2
     oracles["f_array_suite2"] = ORACLE_F_ARRAY2
+    queries["a9_percentile_disc"] = q_a9_percentile_disc
+    oracles["a9_percentile_disc"] = ORACLE_PCT_DISC
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
