@@ -157,6 +157,8 @@ HEADLINE = [
     "eav_nohistory",
     "f_array_suite2",
     "a9_percentile_disc",
+    "multimodal_tiff_meta",
+    "multimodal_mp3_meta",
 ]
 
 

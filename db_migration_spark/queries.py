@@ -5683,3 +5683,147 @@ def q_ace_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ace_datasource_roundtrip"] = q_ace_datasource_roundtrip
 ORACLES["ace_datasource_roundtrip"] = ORACLE_ACE_DATASOURCE
+
+
+def q_multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF container parsing under the exact gate: per-nation
+    TIFF headers alternate LITTLE and BIG endian (``II``/``MM``) with
+    formula-driven dimensions; the parser (multimodal/tiff_meta.py)
+    resolves the byte-order mark, walks the IFD, and reads
+    SHORT-in-4-byte-slot values — both classic traps.  The oracle
+    recomputes every field from the generation formulas."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.tiff_meta import decode_tiff_meta, encode_tiff_header
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                payload = encode_tiff_header(
+                    width=100 + 3 * k,
+                    height=50 + 2 * k,
+                    bits_per_sample=8,
+                    samples_per_pixel=3,
+                    compression=1 + 4 * (k % 2),
+                    big_endian=(k % 2 == 1),
+                )
+                m = decode_tiff_meta(payload)
+                rows.append(
+                    (
+                        k,
+                        m["width"],
+                        m["height"],
+                        m["bits_per_sample"],
+                        m["samples_per_pixel"],
+                        m["compression"],
+                        m["big_endian"],
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "bits", "spp",
+                    "compression", "big_endian",
+                ],
+            )
+
+    return nat.mapInPandas(
+        run,
+        "media_id LONG, width INT, height INT, bits INT, spp INT, "
+        "compression INT, big_endian BOOLEAN",
+    )
+
+
+ORACLE_MULTIMODAL_TIFF = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CAST(100 + 3 * n_nationkey AS INTEGER) AS width,
+       CAST(50 + 2 * n_nationkey AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bits,
+       CAST(3 AS INTEGER) AS spp,
+       CAST(1 + 4 * (n_nationkey % 2) AS INTEGER) AS compression,
+       n_nationkey % 2 = 1 AS big_endian
+FROM nation
+"""
+
+QUERIES["multimodal_tiff_meta"] = q_multimodal_tiff_meta
+ORACLES["multimodal_tiff_meta"] = ORACLE_MULTIMODAL_TIFF
+
+
+def q_multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3/ID3v2 triage under the exact gate: per-nation fixtures
+    carry an ID3v2 tag whose SYNCSAFE 4×7-bit size must be decoded to
+    find the first MPEG-1 Layer III frame header, whose bitrate and
+    sample-rate indexes resolve through the public tables
+    (multimodal/mp3_meta.py).  The oracle replays the syncsafe
+    arithmetic and the table lookups in SQL."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.mp3_meta import decode_mp3_meta, encode_mp3_fixture
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                payload = encode_mp3_fixture(
+                    id3_size=200 + (k * 37) % 20000,
+                    bitrate_idx=1 + k % 14,
+                    samplerate_idx=k % 3,
+                    mono=(k % 2 == 0),
+                )
+                m = decode_mp3_meta(payload)
+                rows.append(
+                    (
+                        k,
+                        m["id3_size"],
+                        m["bitrate_kbps"],
+                        m["sample_rate"],
+                        m["mono"],
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "id3_size", "bitrate_kbps", "sample_rate",
+                    "mono",
+                ],
+            )
+
+    return nat.mapInPandas(
+        run,
+        "media_id LONG, id3_size INT, bitrate_kbps INT, "
+        "sample_rate INT, mono BOOLEAN",
+    )
+
+
+ORACLE_MULTIMODAL_MP3 = """
+WITH br(idx, kbps) AS (VALUES
+  (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),(7,96),(8,112),(9,128),
+  (10,160),(11,192),(12,224),(13,256),(14,320)
+), sr(idx, hz) AS (VALUES (0,44100),(1,48000),(2,32000))
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CAST(200 + (n_nationkey * 37) % 20000 AS INTEGER) AS id3_size,
+       CAST(br.kbps AS INTEGER) AS bitrate_kbps,
+       CAST(sr.hz AS INTEGER) AS sample_rate,
+       n_nationkey % 2 = 0 AS mono
+FROM nation
+JOIN br ON br.idx = 1 + n_nationkey % 14
+JOIN sr ON sr.idx = n_nationkey % 3
+"""
+
+QUERIES["multimodal_mp3_meta"] = q_multimodal_mp3_meta
+ORACLES["multimodal_mp3_meta"] = ORACLE_MULTIMODAL_MP3

@@ -490,3 +490,35 @@ def test_jpeg_to_png_transcode_and_resize_pixel_exact():
     for y in range(hh):
         for x in range(hw):
             assert hpix[(y * hw + x) * 3] == vals[(y // 4) * 3 + (x // 4)]
+
+
+def test_tiff_both_endiannesses_roundtrip():
+    from db_migration_spark.multimodal.tiff_meta import (
+        decode_tiff_meta,
+        encode_tiff_header,
+    )
+
+    for be in (False, True):
+        m = decode_tiff_meta(
+            encode_tiff_header(640, 480, 8, 3, 5, big_endian=be)
+        )
+        assert (m["width"], m["height"]) == (640, 480)
+        assert m["compression"] == 5 and m["big_endian"] is be
+
+
+def test_mp3_syncsafe_size_boundaries():
+    from db_migration_spark.multimodal.mp3_meta import (
+        decode_mp3_meta,
+        encode_mp3_fixture,
+    )
+
+    # sizes crossing each 7-bit byte boundary — the off-by-8th-bit trap
+    for size in (0, 127, 128, 16383, 16384, 2097151):
+        m = decode_mp3_meta(encode_mp3_fixture(size, 9, 0, True))
+        assert m["id3_size"] == size, size
+    assert decode_mp3_meta(encode_mp3_fixture(10, 14, 2, False)) == {
+        "id3_size": 10,
+        "bitrate_kbps": 320,
+        "sample_rate": 32000,
+        "mono": False,
+    }
