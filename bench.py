@@ -159,6 +159,7 @@ HEADLINE = [
     "a9_percentile_disc",
     "multimodal_tiff_meta",
     "multimodal_mp3_meta",
+    "eav_tuple_attr",
 ]
 
 

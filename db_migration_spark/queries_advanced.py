@@ -1946,6 +1946,66 @@ FROM ranked GROUP BY lang
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Datomic composite-tuple attribute (auto-derived, unique-identity upsert)
+# ---------------------------------------------------------------------------
+
+
+def q_eav_tuple_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic composite tuples: a ``:db/tupleAttrs`` attribute is
+    auto-derived from its component attributes and, marked
+    ``:db.unique/identity``, makes the COMPOSITE the upsert key — "one
+    current order per (customer, year)".  The engine derives the tuple
+    column in the same scan and resolves identity with one window over
+    the tuple (latest tx wins, unique total order).  Output: per
+    customer, how many (customer, year) identities exist and the
+    surviving orders' checksum — so a wrong tuple derivation or a
+    non-composite upsert key shifts the counts.  The tuple is the
+    partition key at scale: identity resolution shuffles once on
+    exactly the column the store would index."""
+    o = load_table(spark, sf_dir, "orders")
+    datoms = o.select(
+        F.col("o_orderkey").alias("e"),
+        F.col("o_custkey").alias("cust"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderdate").alias("tx"),
+    ).withColumn(
+        "tup", F.concat_ws("|", F.col("cust"), F.col("yr"))
+    )
+    w = Window.partitionBy("tup").orderBy(
+        F.col("tx").desc(), F.col("e").desc()
+    )
+    current = (
+        datoms.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return current.groupBy("cust").agg(
+        F.count(F.lit(1)).alias("n_identities"),
+        F.sum("e").alias("surviving_key_sum"),
+        F.min("yr").alias("first_year"),
+        F.max("yr").alias("last_year"),
+    )
+
+
+ORACLE_TUPLE_ATTR = """
+WITH datoms AS (
+  SELECT o_orderkey AS e, o_custkey AS cust,
+         CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderdate AS tx,
+         row_number() OVER (
+           PARTITION BY o_custkey, year(o_orderdate)
+           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT cust, count(*) AS n_identities,
+       sum(e) AS surviving_key_sum,
+       min(yr) AS first_year, max(yr) AS last_year
+FROM datoms WHERE rn = 1
+GROUP BY cust
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1998,6 +2058,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["f_array_suite2"] = ORACLE_F_ARRAY2
     queries["a9_percentile_disc"] = q_a9_percentile_disc
     oracles["a9_percentile_disc"] = ORACLE_PCT_DISC
+    queries["eav_tuple_attr"] = q_eav_tuple_attr
+    oracles["eav_tuple_attr"] = ORACLE_TUPLE_ATTR
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
