@@ -160,6 +160,8 @@ HEADLINE = [
     "multimodal_tiff_meta",
     "multimodal_mp3_meta",
     "eav_tuple_attr",
+    "profile_gini",
+    "f_bitwise_suite",
 ]
 
 

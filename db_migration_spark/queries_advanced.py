@@ -2006,6 +2006,92 @@ GROUP BY cust
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# categorical profiling via exact Gini impurity
+# ---------------------------------------------------------------------------
+
+
+def q_profile_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling with EXACT concentration statistics: for each
+    categorical column, distinct count plus Gini impurity as an integer
+    numerator/denominator pair (gini = 1 − Σnᵢ²/n² ⇒ num = n² − Σnᵢ²,
+    den = n²) — the entropy-class statistic without the float log.
+    Long-shape output (one row per column) so adding a column never
+    changes the schema.  Two bounded aggs per column over one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    outs = []
+    for colname in ("lang", "source"):
+        counts = docs.groupBy(F.col(colname).alias("v")).agg(
+            F.count(F.lit(1)).alias("n_i")
+        )
+        prof = counts.agg(
+            F.lit(colname).alias("column"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("n_i").alias("n_rows"),
+            (
+                F.sum("n_i") * F.sum("n_i") - F.sum(F.col("n_i") * F.col("n_i"))
+            ).alias("gini_num"),
+            (F.sum("n_i") * F.sum("n_i")).alias("gini_den"),
+            F.max("n_i").alias("mode_count"),
+        )
+        outs.append(prof)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+ORACLE_PROFILE_GINI = """
+WITH l AS (SELECT lang AS v, count(*) AS n_i FROM documents GROUP BY 1),
+s AS (SELECT source AS v, count(*) AS n_i FROM documents GROUP BY 1)
+SELECT 'lang' AS "column", count(*) AS n_distinct, sum(n_i) AS n_rows,
+       sum(n_i) * sum(n_i) - sum(n_i * n_i) AS gini_num,
+       sum(n_i) * sum(n_i) AS gini_den,
+       max(n_i) AS mode_count
+FROM l
+UNION ALL
+SELECT 'source', count(*), sum(n_i),
+       sum(n_i) * sum(n_i) - sum(n_i * n_i),
+       sum(n_i) * sum(n_i), max(n_i)
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# bitwise function suite
+# ---------------------------------------------------------------------------
+
+
+def q_f_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface parity (masks, shifts, xor-fold, popcount) —
+    the arithmetic under every hash/bloom/sketch operator in the repo,
+    pinned directly.  One scan, bounded rollup per status."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(k.bitwiseAND(F.lit(0xFF))).alias("sum_low_byte"),
+        F.sum(k.bitwiseOR(F.lit(0x10))).alias("sum_or"),
+        F.expr("bit_xor(shiftleft(o_orderkey, 3))").alias("xor_shl3"),
+        F.sum(F.shiftright(k, 4)).alias("sum_shr4"),
+        F.sum(F.bit_count(k)).alias("popcount_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_F_BITWISE = """
+SELECT o_orderstatus,
+       sum(o_orderkey & 255) AS sum_low_byte,
+       sum(o_orderkey | 16) AS sum_or,
+       bit_xor(o_orderkey << 3) AS xor_shl3,
+       sum(o_orderkey >> 4) AS sum_shr4,
+       sum(bit_count(o_orderkey)) AS popcount_sum,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2060,6 +2146,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["a9_percentile_disc"] = ORACLE_PCT_DISC
     queries["eav_tuple_attr"] = q_eav_tuple_attr
     oracles["eav_tuple_attr"] = ORACLE_TUPLE_ATTR
+    queries["profile_gini"] = q_profile_gini
+    oracles["profile_gini"] = ORACLE_PROFILE_GINI
+    queries["f_bitwise_suite"] = q_f_bitwise_suite
+    oracles["f_bitwise_suite"] = ORACLE_F_BITWISE
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
