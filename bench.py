@@ -162,6 +162,8 @@ HEADLINE = [
     "eav_tuple_attr",
     "profile_gini",
     "f_bitwise_suite",
+    "ts_twap",
+    "ts_vwap",
 ]
 
 

@@ -2092,6 +2092,89 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# time-weighted / volume-weighted averages (exact numer/denom)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation is
+    weighted by how long it was current (lead(ts) − ts inside the
+    user's sequence — one lag/lead window in a unique order), with
+    value in integer micro-units and duration in whole seconds, so the
+    TWAP crosses the gate as an exact numerator/denominator pair.  The
+    metric that turns an event log into an exposure average (billing,
+    risk, utilization).  Window partitions by user; nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 1000000).cast("long").alias("v_micro"),
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .filter(F.col("next_ts").isNotNull())
+        .withColumn(
+            "dur_s",
+            (
+                F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+            ).cast("long"),
+        )
+    )
+    return spans.groupBy("user_id").agg(
+        F.sum(F.col("v_micro") * F.col("dur_s")).alias("twap_num"),
+        F.sum("dur_s").alias("twap_den"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+
+
+ORACLE_TWAP = """
+WITH spans AS (
+  SELECT user_id, ts,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_ts
+  FROM events
+)
+SELECT user_id,
+       sum(v_micro * CAST(date_diff('second', ts, next_ts) AS BIGINT))
+         AS twap_num,
+       sum(CAST(date_diff('second', ts, next_ts) AS BIGINT)) AS twap_den,
+       count(*) AS n_spans
+FROM spans WHERE next_ts IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per ship-day (lineitem):
+    Σ(extendedprice)/Σ(quantity) carried as one exact DECIMAL pair —
+    map-side-combinable, one scan, calendar-bounded output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.date_trunc("day", F.col("l_shipdate")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "vwap_num"
+        ),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("vwap_den"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_VWAP = """
+SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS vwap_num,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS vwap_den,
+       count(*) AS n_lines
+FROM lineitem GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2150,6 +2233,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["profile_gini"] = ORACLE_PROFILE_GINI
     queries["f_bitwise_suite"] = q_f_bitwise_suite
     oracles["f_bitwise_suite"] = ORACLE_F_BITWISE
+    queries["ts_twap"] = q_ts_twap
+    oracles["ts_twap"] = ORACLE_TWAP
+    queries["ts_vwap"] = q_ts_vwap
+    oracles["ts_vwap"] = ORACLE_VWAP
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
