@@ -164,6 +164,7 @@ HEADLINE = [
     "f_bitwise_suite",
     "ts_twap",
     "ts_vwap",
+    "datalog_indexed",
 ]
 
 

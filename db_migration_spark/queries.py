@@ -5827,3 +5827,37 @@ JOIN sr ON sr.idx = n_nationkey % 3
 
 QUERIES["multimodal_mp3_meta"] = q_multimodal_mp3_meta
 ORACLES["multimodal_mp3_meta"] = ORACLE_MULTIMODAL_MP3
+
+
+def q_datalog_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Datalog compiler reading the four-index STORE instead of an
+    in-memory datom frame: each pattern clause binds a constant
+    attribute, the compiler emits the equality filter, and because the
+    AEVT layout hive-partitions by ``a``, Catalyst turns every clause
+    into a one-directory pruned scan (PartitionFilters plan-guarded) —
+    the join of Datomic's "index per access path" storage with the
+    declarative query surface.  Orders-per-segment through the ref
+    attribute, entity/value unification across the string boundary
+    handled by the compiler."""
+    from . import datalog
+
+    root = _ensure_index_store(spark, sf_dir)
+    datoms = spark.read.parquet(f"{root}/aevt").select("e", "a", "v")
+    return datalog.query(
+        datoms,
+        find=["?seg", "(count ?o)"],
+        where=[
+            ["?o", "order/customer", "?c"],
+            ["?c", "cust/segment", "?seg"],
+        ],
+    )
+
+
+ORACLE_DATALOG_INDEXED = """
+SELECT c_mktsegment AS seg, count(DISTINCT o_orderkey + 10000000) AS count_o
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES["datalog_indexed"] = q_datalog_indexed
+ORACLES["datalog_indexed"] = ORACLE_DATALOG_INDEXED

@@ -369,3 +369,14 @@ def test_mv_rollup_reuses_one_exchange_at_runtime(spark):
     jplan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in jplan
     assert "ReusedExchange" in jplan
+
+
+def test_datalog_indexed_prunes_aevt_partitions(spark):
+    # each constant-attribute clause must become a pruned directory scan
+    # on the AEVT layout, not a full-store scan
+    plan = _plan(spark, "datalog_indexed")
+    assert "PartitionFilters" in plan
+    import re
+
+    # both clauses show attribute partition filters on their scans
+    assert len(re.findall(r"PartitionFilters: \[[^\]]*a#", plan)) >= 2
