@@ -165,6 +165,8 @@ HEADLINE = [
     "ts_twap",
     "ts_vwap",
     "datalog_indexed",
+    "graph_assortativity",
+    "orders_benford",
 ]
 
 

@@ -2175,6 +2175,123 @@ FROM lineitem GROUP BY 1
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (exact sufficient statistics over edges)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph as EXACT integer
+    sufficient statistics: for each edge endpoint pair (dᵤ, dᵥ) —
+    counted once per direction, the standard symmetrization — emit
+    n, Σx, Σx², Σxy; the Pearson r is one driver-side division away,
+    but the data plane never leaves ℤ (the stats_moments discipline
+    applied to graph structure).  Shape: degree dim joined twice onto
+    the edge list — both joins broadcast at dim scale, hash at fact
+    scale; no wedge blowup anywhere."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+    pairs = sym.join(du, "u").join(dv, "v")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_endpoints"),
+        F.sum("du").alias("sum_x"),
+        F.sum(F.col("du") * F.col("du")).alias("sum_x2"),
+        F.sum(F.col("du") * F.col("dv")).alias("sum_xy"),
+    )
+
+
+ORACLE_ASSORTATIVITY = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT u, count(*) AS deg FROM sym GROUP BY u
+)
+SELECT count(*) AS n_endpoints,
+       sum(x.deg) AS sum_x,
+       sum(x.deg * x.deg) AS sum_x2,
+       sum(x.deg * y.deg) AS sum_xy
+FROM sym JOIN deg x ON sym.u = x.u JOIN deg y ON sym.v = y.u
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic fabricated-numbers screen: per leading digit, observed
+    count plus the exact χ²-style deviation numerator against Benford
+    expectation.  Benford probabilities log₁₀(1+1/d) are irrational, so
+    exactness comes from scaling: expected share is carried as a
+    PRE-COMPUTED integer per-million constant (same table in both
+    engines), making dev = n_total·share_ppm − obs·1 000 000 an exact
+    integer.  First digit extracted from integer cents with pure string
+    ops — no float log in the data plane."""
+    ppm = {
+        1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+        6: 66947, 7: 57992, 8: 51153, 9: 45757,
+    }
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    total = counts.agg(F.sum("obs").alias("n_total"))
+    ppm_df = None
+    for d, p in ppm.items():
+        row = total.select(
+            F.lit(d).alias("digit"), F.lit(p).alias("share_ppm")
+        )
+        ppm_df = row if ppm_df is None else ppm_df.unionByName(row)
+    return (
+        counts.join(F.broadcast(ppm_df), "digit")
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            "obs",
+            "share_ppm",
+            (
+                F.col("n_total") * F.col("share_ppm")
+                - F.col("obs") * F.lit(1000000)
+            ).alias("dev_ppm_num"),
+        )
+    )
+
+
+ORACLE_BENFORD = """
+WITH ppm(digit, share_ppm) AS (VALUES
+  (1,301030),(2,176091),(3,124939),(4,96910),(5,79181),
+  (6,66947),(7,57992),(8,51153),(9,45757)
+), counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS obs
+  FROM orders GROUP BY 1
+), t AS (SELECT sum(obs) AS n_total FROM counts)
+SELECT c.digit, c.obs, p.share_ppm,
+       (SELECT n_total FROM t) * p.share_ppm - c.obs * 1000000
+         AS dev_ppm_num
+FROM counts c JOIN ppm p ON c.digit = p.digit
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2237,6 +2354,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["ts_twap"] = ORACLE_TWAP
     queries["ts_vwap"] = q_ts_vwap
     oracles["ts_vwap"] = ORACLE_VWAP
+    queries["graph_assortativity"] = q_graph_assortativity
+    oracles["graph_assortativity"] = ORACLE_ASSORTATIVITY
+    queries["orders_benford"] = q_orders_benford
+    oracles["orders_benford"] = ORACLE_BENFORD
     queries["sql_recursive_cte"] = q_sql_recursive_cte
     oracles["sql_recursive_cte"] = SQL_RECURSIVE_CTE
     queries["assoc_rules"] = q_assoc_rules
