@@ -3442,6 +3442,13 @@ from .queries_advanced import register as _register_advanced  # noqa: E402
 
 _register_advanced(QUERIES, ORACLES)
 
+# classical statistics in exact arithmetic (Spearman, OLS, Mann-Whitney),
+# per-node clustering coefficient, Jaccard link prediction, dyadic EWMA,
+# rolling hourly correlation
+from .queries_stats import register as _register_stats  # noqa: E402
+
+_register_stats(QUERIES, ORACLES)
+
 
 # ---------------------------------------------------------------------------
 # §2.12 — int8 embedding quantization (storage/serving path)

@@ -1,0 +1,703 @@
+"""Statistical-test, regression, and graph-metric declared queries.
+
+Eighth-wave surface: the classical analyst statistics the reference's
+downstream QA consumers compute off-engine today (SURVEY §1.3's
+"report" tier, runcommand.py:221-255 exports feed spreadsheets), done
+in-engine as exact integer/decimal arithmetic so every query crosses
+the DuckDB gate bit-for-bit:
+
+* **Spearman rank correlation** — ``stats_spearman``: per-nation rank
+  correlation between a customer's order count and total spend.  Ranks
+  are a permutation (ties broken by custkey: a unique total order), so
+  rho = 1 − 6·Σd²/(n(n²−1)) has exact BIGINT numerator/denominator.
+* **OLS regression** — ``stats_linreg``: per-returnflag slope of
+  extendedprice on quantity via exact sufficient statistics in cents
+  (n, Σx, Σy, Σxy, Σx²) — one map-side-combinable aggregate, slope as
+  a DECIMAL(38,0) numerator/denominator pair.
+* **Mann-Whitney U** — ``stats_mann_whitney``: URGENT vs non-URGENT
+  order values per market segment.  Computed on the *distinct-value*
+  aggregate (counts per value, cumulative-below window over distinct
+  values only) — the 100 TB-safe shape: no per-row global rank; the
+  window runs over the collapsed value domain.  Tie handling is the
+  average-rank convention kept exact by carrying 2·R₁ (always an
+  integer: 2·avgrank = 2·cum_below + c_all + 1 per tie group).
+* **Local clustering coefficient** — ``graph_clustering_coeff``:
+  per-node triangle counts from the degree-ordered oriented wedge join
+  (same O(m^1.5) bound as copurchase_triangles), coefficient as the
+  exact pair (2·tri, deg·(deg−1)) plus a ppm integer-division ratio.
+* **Jaccard link prediction** — ``graph_jaccard_linkpred``: common
+  neighbours of non-adjacent part pairs, Jaccard = cn/(d_u+d_w−cn) as
+  an exact ppm via integer division.  Wedge enumeration is inherent to
+  exact CN (Σ C(d_c,2) work) — a ``max_center_degree`` valve caps hub
+  centers at scale, disabled here so the oracle matches exactly.
+* **Trailing EWMA** — ``ts_ewma``: dyadic-weight (α=1/2) trailing
+  8-point exponential average per user as an exact scaled-integer
+  numerator/denominator pair (weights 2^k: the halving-decay EWMA is
+  representable exactly; no float recurrence).
+* **Rolling correlation** — ``ts_rolling_corr``: 24-hour rolling
+  Pearson correlation between hourly view and purchase counts via
+  integer sufficient statistics (counts are integers, so nΣxy − ΣxΣy
+  and the variance numerators are exact BIGINTs).  The window runs
+  over the *aggregated* hourly series — tiny regardless of raw scale.
+
+No counterpart files exist in the reference (it ships these numbers to
+spreadsheets); parity anchor is SURVEY §2.4/§2.7's aggregate+window
+surface these reduce to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (per nation)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rho between order count and spend (cents).
+
+    Both rank assignments use (metric, custkey) — a unique total order —
+    so ranks are permutations and the classic d²-formula applies with no
+    tie correction; numerator n(n²−1) − 6Σd² and denominator n(n²−1)
+    are exact BIGINTs.  Windows partition by nation; at 100 TB the rank
+    assignment inside a giant partition would move to the two-pass
+    repartitionByRange + offset pattern (operators/corpus.py dense_ids),
+    which computes identical ranks distributively."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            ),
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+    )
+    wx = Window.partitionBy("c_nationkey").orderBy("n_orders", "o_custkey")
+    wy = Window.partitionBy("c_nationkey").orderBy(
+        "spend_cents", "o_custkey"
+    )
+    ranked = per_cust.select(
+        "c_nationkey",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d2).cast("long").alias("sum_d2")
+    )
+    nn = F.col("n").cast("long") * (
+        F.col("n").cast("long") * F.col("n") - 1
+    )
+    return agg.select(
+        "c_nationkey",
+        "n",
+        "sum_d2",
+        (nn - 6 * F.col("sum_d2")).alias("rho_num"),
+        nn.alias("rho_den"),
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH per_cust AS (
+  SELECT c_nationkey, o_custkey,
+         count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+), ranked AS (
+  SELECT c_nationkey,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY n_orders, o_custkey) AS rx,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend_cents, o_custkey) AS ry
+  FROM per_cust
+)
+SELECT c_nationkey,
+       count(*) AS n,
+       CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+       CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) * count(*) - 1)
+         - 6 * CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS rho_num,
+       CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) * count(*) - 1)
+         AS rho_den
+FROM ranked GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# OLS slope via exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS slope of extendedprice (cents) on quantity
+    (centi-units): ONE hash aggregate of five sufficient statistics —
+    the map-side-combinable regression shape (each partial carries 5
+    numbers; no second pass, no float accumulation-order wobble).
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) emitted as a DECIMAL(38,0)
+    numerator/denominator pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    y = F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("sx"),
+        F.sum(y).cast("decimal(38,0)").alias("sy"),
+        F.sum(x * y).cast("decimal(38,0)").alias("sxy"),
+        F.sum(x * x).cast("decimal(38,0)").alias("sx2"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("slope_num"),
+        (n * F.col("sx2") - F.col("sx") * F.col("sx"))
+        .cast("decimal(38,0)")
+        .alias("slope_den"),
+    )
+
+
+ORACLE_LINREG = """
+WITH pts AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100) AS DECIMAL(38,0)) AS x,
+         CAST(floor(l_extendedprice * 100) AS DECIMAL(38,0)) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sx2
+  FROM pts GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy,
+       CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DECIMAL(38,0))
+         AS slope_num,
+       CAST(CAST(n AS DECIMAL(38,0)) * sx2 - sx * sx AS DECIMAL(38,0))
+         AS slope_den
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U on the distinct-value aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum of URGENT vs non-URGENT order values per
+    market segment, computed WITHOUT per-row ranks: aggregate to counts
+    per distinct value first, then one cumulative window over the
+    collapsed value domain.  2·R₁ = Σ_values c_a·(2·cum_below + c_all
+    + 1) (average-rank tie convention, doubled to stay integral);
+    2·U₁ = 2·R₁ − n₁(n₁+1).  The heavy input collapses in a hash
+    aggregate before any window — the rank statistic at 100 TB without
+    a global sort of raw rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    vals = (
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .select(
+            "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("long").alias(
+                "is_a"
+            ),
+        )
+        .groupBy("c_mktsegment", "v")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum("is_a").alias("c_a"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.withColumn(
+        "cum_below", F.coalesce(F.sum("c_all").over(w), F.lit(0))
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.sum("c_a").alias("n1"),
+        (F.sum("c_all") - F.sum("c_a")).alias("n2"),
+        F.sum(
+            F.col("c_a")
+            * (2 * F.col("cum_below") + F.col("c_all") + 1)
+        ).alias("r1_x2"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n1",
+        "n2",
+        "r1_x2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+    )
+
+
+ORACLE_MANN_WHITNEY = """
+WITH vals AS (
+  SELECT c_mktsegment,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+         count(*) AS c_all,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_a
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, CAST(floor(o_totalprice * 100) AS BIGINT)
+), ranked AS (
+  SELECT *, COALESCE(sum(c_all) OVER (PARTITION BY c_mktsegment ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_below
+  FROM vals
+), agg AS (
+  SELECT c_mktsegment,
+         CAST(sum(c_a) AS BIGINT) AS n1,
+         CAST(sum(c_all) - sum(c_a) AS BIGINT) AS n2,
+         CAST(sum(c_a * (2 * cum_below + c_all + 1)) AS BIGINT) AS r1_x2
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n1, n2, r1_x2,
+       r1_x2 - n1 * (n1 + 1) AS u1_x2
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient (degree-ordered triangle enumeration)
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (lo < hi) co-purchase edge list — the same edge builder
+    as copurchase_triangles (queries_tpch_ext.py)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("x"), li.alias("y")
+    return (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("lo"),
+            F.col("y.l_partkey").alias("hi"),
+        )
+        .distinct()
+    )
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by local clustering coefficient 2·tri/(d(d−1)).
+
+    Per-node triangle counts come from the degree-ordered oriented wedge
+    join (O(m^1.5) like copurchase_triangles) — each triangle is found
+    once as (src, wa, wb) and credited to all three corners via one
+    explode.  The coefficient crosses the gate as the exact pair
+    (2·tri, d(d−1)) plus cc_ppm = (2·tri·10⁶) div (d(d−1)) — integer
+    division, identical in both engines — which also gives the
+    deterministic ordering."""
+    und = _copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("lo"), F.col("d").alias("d_lo")),
+        "lo",
+    ).join(
+        deg.select(F.col("node").alias("hi"), F.col("d").alias("d_hi")),
+        "hi",
+    )
+    lo_first = F.struct(F.col("d_lo"), F.col("lo")) < F.struct(
+        F.col("d_hi"), F.col("hi")
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        F.when(lo_first, F.col("d_hi")).otherwise(F.col("d_lo")).alias(
+            "dst_d"
+        ),
+    ).localCheckpoint()  # three references below — materialize once
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri_triples = (
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src"))
+            & (
+                F.struct(F.col("o1.dst_d"), F.col("o1.dst"))
+                < F.struct(F.col("o2.dst_d"), F.col("o2.dst"))
+            ),
+        )
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("wa"),
+            F.col("o2.dst").alias("wb"),
+        )
+        .join(
+            o3,
+            (F.col("wa") == F.col("o3.src"))
+            & (F.col("wb") == F.col("o3.dst")),
+            "left_semi",
+        )
+    )
+    tri_per_node = (
+        tri_triples.select(
+            F.explode(F.array("a", "wa", "wb")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    dd = F.col("d").cast("long") * (F.col("d") - 1)
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+            "d",
+            F.expr(
+                "(2 * coalesce(tri, 0) * 1000000)"
+                " div (CAST(d AS BIGINT) * (d - 1))"
+            ).alias("cc_ppm"),
+        )
+        .orderBy(F.desc("cc_ppm"), F.desc("tri"), F.asc("node"))
+        .limit(20)
+    )
+
+
+ORACLE_CLUSTERING = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT lo AS node FROM edges UNION ALL SELECT hi FROM edges
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.hi = e2.lo
+  JOIN edges e3 ON e1.lo = e3.lo AND e2.hi = e3.hi
+), tpn AS (
+  SELECT node, count(*) AS tri FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL
+    SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node,
+       CAST(COALESCE(tpn.tri, 0) AS BIGINT) AS tri,
+       deg.d,
+       (2 * COALESCE(tpn.tri, 0) * 1000000)
+         // (CAST(deg.d AS BIGINT) * (deg.d - 1)) AS cc_ppm
+FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+WHERE deg.d >= 2
+ORDER BY cc_ppm DESC, tri DESC, deg.node ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction (common neighbours of non-adjacent pairs)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_jaccard_linkpred(
+    spark: SparkSession,
+    sf_dir: str,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Top-20 predicted links: non-adjacent part pairs ranked by exact
+    Jaccard neighbourhood overlap cn/(d_u + d_w − cn), carried as a ppm
+    integer division so ordering needs no float.
+
+    Exact common-neighbour counting inherently enumerates wedges
+    (Σ_c C(d_c, 2)); at 100 TB the ``max_center_degree`` valve drops
+    hub centers (the max_df idiom from dedup_ngram_jaccard) — unset
+    here so the DuckDB oracle is reproduced exactly.  The candidate
+    shuffle carries only (u, w) id pairs; adjacency is removed with a
+    broadcast-able anti-join on the canonical edge list."""
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    adj = und.select(
+        F.col("lo").alias("c"), F.col("hi").alias("nbr")
+    ).unionAll(und.select(F.col("hi").alias("c"), F.col("lo").alias("nbr")))
+    deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    if max_center_degree is not None:
+        centers = deg.filter(F.col("d") <= max_center_degree).select("c")
+        adj_c = adj.join(centers, "c", "left_semi")
+    else:
+        adj_c = adj
+    p, q = adj_c.alias("p"), adj_c.alias("q")
+    cn = (
+        p.join(
+            q,
+            (F.col("p.c") == F.col("q.c"))
+            & (F.col("p.nbr") < F.col("q.nbr")),
+        )
+        .groupBy(
+            F.col("p.nbr").alias("u"), F.col("q.nbr").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(
+            und,
+            (F.col("u") == F.col("lo")) & (F.col("w") == F.col("hi")),
+            "left_anti",
+        )
+    )
+    scored = (
+        cn.join(deg.select(F.col("c").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("c").alias("w"), F.col("d").alias("dw")), "w")
+        .select(
+            "u",
+            "w",
+            "cn",
+            (F.col("du") + F.col("dw") - F.col("cn")).alias("union_d"),
+            F.expr("(cn * 1000000) div (du + dw - cn)").alias("jac_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jac_ppm"), F.desc("cn"), F.asc("u"), F.asc("w")
+    ).limit(20)
+
+
+ORACLE_JACCARD_LP = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), adj AS (
+  SELECT lo AS c, hi AS nbr FROM edges
+  UNION ALL SELECT hi, lo FROM edges
+), deg AS (
+  SELECT c, count(*) AS d FROM adj GROUP BY c
+), cn AS (
+  SELECT p.nbr AS u, q.nbr AS w, count(*) AS cn
+  FROM adj p JOIN adj q ON p.c = q.c AND p.nbr < q.nbr
+  GROUP BY p.nbr, q.nbr
+), nonadj AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.lo = cn.u AND e.hi = cn.w
+  )
+)
+SELECT n.u, n.w, CAST(n.cn AS BIGINT) AS cn,
+       CAST(du.d + dw.d - n.cn AS BIGINT) AS union_d,
+       (n.cn * 1000000) // (du.d + dw.d - n.cn) AS jac_ppm
+FROM nonadj n
+JOIN deg du ON du.c = n.u
+JOIN deg dw ON dw.c = n.w
+ORDER BY jac_ppm DESC, cn DESC, u ASC, w ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# trailing dyadic EWMA
+# ---------------------------------------------------------------------------
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing EWMA (α = 1/2, depth 8) of ``value`` in
+    micro-units: weight of the j-th lag is 2^(7−j), so numerator and
+    denominator are exact BIGINTs (the halving-decay EWMA is the one
+    exponential average that is exactly representable — no float
+    recurrence, no accumulation order).  Early rows (< 8 of history)
+    renormalize by summing only the weights present.  One window pass
+    per user; nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micro"),
+    )
+    lags = base
+    for j in range(8):
+        lags = lags.withColumn(
+            f"l{j}", F.lag("v_micro", j).over(w)
+        )
+    num = sum(
+        (
+            F.when(F.col(f"l{j}").isNotNull(), F.col(f"l{j}") * (1 << (7 - j)))
+            .otherwise(F.lit(0))
+            for j in range(8)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.col(f"l{j}").isNotNull(), F.lit(1 << (7 - j)))
+            .otherwise(F.lit(0))
+            for j in range(8)
+        ),
+        start=F.lit(0),
+    )
+    return lags.select(
+        "user_id",
+        "event_id",
+        "v_micro",
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+    )
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    nums = []
+    dens = []
+    for j in range(8):
+        wgt = 1 << (7 - j)
+        lag = f"lag(v_micro, {j}) OVER w"
+        nums.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {lag} * {wgt} ELSE 0 END"
+        )
+        dens.append(f"CASE WHEN {lag} IS NOT NULL THEN {wgt} ELSE 0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+ORACLE_EWMA = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT user_id, event_id, v_micro,
+       CAST({_EWMA_NUM} AS BIGINT) AS ewma_num,
+       CAST({_EWMA_DEN} AS BIGINT) AS ewma_den
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling 24h correlation of hourly view/purchase counts
+# ---------------------------------------------------------------------------
+
+
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-bucket Pearson correlation between hourly view and
+    purchase counts, as exact integer sufficient statistics: counts are
+    integers, so corr_num = nΣxy − ΣxΣy and the two variance numerators
+    are exact BIGINTs (the float rho is one driver-side division+sqrt
+    away; the data plane stays bit-exact).  The window runs over the
+    hourly AGGREGATE — thousands of rows regardless of raw event scale;
+    the raw table collapses in one map-side-combinable hash aggregate
+    first."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "y"
+            ),
+        )
+    )
+    w = Window.orderBy("hour").rowsBetween(-23, 0)
+    stats = hourly.select(
+        "hour",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("sy2"),
+    )
+    return stats.select(
+        "hour",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "corr_num"
+        ),
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).alias(
+            "varx_num"
+        ),
+        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).alias(
+            "vary_num"
+        ),
+    )
+
+
+ORACLE_ROLLING_CORR = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY date_trunc('hour', ts)
+), stats AS (
+  SELECT hour,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx,
+         sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sx2,
+         sum(y * y) OVER w AS sy2
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT hour, n,
+       n * sxy - sx * sy AS corr_num,
+       n * sx2 - sx * sx AS varx_num,
+       n * sy2 - sy * sy AS vary_num
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["stats_spearman"] = q_stats_spearman
+    oracles["stats_spearman"] = ORACLE_SPEARMAN
+    queries["stats_linreg"] = q_stats_linreg
+    oracles["stats_linreg"] = ORACLE_LINREG
+    queries["stats_mann_whitney"] = q_stats_mann_whitney
+    oracles["stats_mann_whitney"] = ORACLE_MANN_WHITNEY
+    queries["graph_clustering_coeff"] = q_graph_clustering_coeff
+    oracles["graph_clustering_coeff"] = ORACLE_CLUSTERING
+    queries["graph_jaccard_linkpred"] = q_graph_jaccard_linkpred
+    oracles["graph_jaccard_linkpred"] = ORACLE_JACCARD_LP
+    queries["ts_ewma"] = q_ts_ewma
+    oracles["ts_ewma"] = ORACLE_EWMA
+    queries["ts_rolling_corr"] = q_ts_rolling_corr
+    oracles["ts_rolling_corr"] = ORACLE_ROLLING_CORR
