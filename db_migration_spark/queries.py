@@ -3449,6 +3449,12 @@ from .queries_stats import register as _register_stats  # noqa: E402
 
 _register_stats(QUERIES, ORACLES)
 
+# GROUP BY ALL front door, binaryFile multimodal ingestion source,
+# WIMBD-style bigram census, gazetteer entity tagging
+from .queries_engine import register as _register_engine  # noqa: E402
+
+_register_engine(QUERIES, ORACLES)
+
 
 # ---------------------------------------------------------------------------
 # §2.12 — int8 embedding quantization (storage/serving path)

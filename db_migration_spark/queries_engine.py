@@ -1,0 +1,293 @@
+"""Engine-surface and corpus-analysis additions (session 8).
+
+* **GROUP BY ALL / ORDER BY ALL** — ``sql_group_by_all``: the modern
+  SQL-front-door ergonomics (Spark 4 and DuckDB both dimension-infer
+  the grouping); the IDENTICAL query string runs on both engines, same
+  discipline as ``sql_frontend``/``sql_recursive_cte``.
+* **binaryFile source** — ``binaryfile_scan``: Spark's built-in
+  ``binaryFile`` format is the front door for multimodal ingestion
+  (SURVEY §2.12 — opaque bytes + typed metadata); a deterministic
+  fixture of raw files whose bytes are a pure string function of the
+  ``region`` table lets the DuckDB oracle recompute size and md5 digest
+  without reading any file.  At 100 TB this scan partitions per-file
+  with no decode on the executors until asked.
+* **Corpus bigram counts** — ``corpus_ngram_counts``: the WIMBD-style
+  "what's in my data" n-gram census (top bigrams corpus-wide) as one
+  explode + hash aggregate; tokenizer is the same regexp in both
+  engines.
+* **Gazetteer entity tagging** — ``text_gazetteer_tag``: dictionary
+  NER — tokens equi-joined against a broadcast-able term→entity
+  gazetteer (the one-sided small-dimension join pattern; at scale the
+  gazetteer is a broadcast, never a shuffle side), mention and
+  document counts per (source, entity, term).
+
+Reference anchor: the reference's report tier greps dump files for
+fixed vocabularies (QA counts in runcommand.py:221-255); these are the
+in-engine equivalents over the ``documents`` corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+# bump the version suffix whenever fixture CONTENT changes
+_BINFILE_ROOT = "/tmp/dbm_spark_binfiles_v1"
+
+
+# ---------------------------------------------------------------------------
+# shared SQL string: GROUP BY ALL / ORDER BY ALL
+# ---------------------------------------------------------------------------
+
+SQL_GROUP_BY_ALL = """
+SELECT l_returnflag,
+       l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+            AS DECIMAL(38,0)) AS qty_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+            AS DECIMAL(38,0)) AS price_cents
+FROM lineitem
+WHERE l_quantity < 45
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` + `ORDER BY ALL` through the SQL front door — the
+    identical string runs on DuckDB (the oracle IS this constant).
+    Dimension inference happens in the analyzer; the physical plan is
+    the same partial-agg/final-agg pair as the explicit grouping."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_GROUP_BY_ALL)
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source over a deterministic raw-file fixture
+# ---------------------------------------------------------------------------
+
+
+def _binfile_dir(sf_dir: str) -> str:
+    return os.path.join(
+        _BINFILE_ROOT, os.path.basename(sf_dir.rstrip("/"))
+    )
+
+
+def _ensure_binfiles(spark: SparkSession, sf_dir: str) -> str:
+    """Write one raw .txt file per region row; bytes are the UTF-8 of
+    'region|<name>|<repeat(comment;, regionkey+2)>' so the oracle can
+    rebuild every byte from the live table.  _SUCCESS-gated idempotent
+    (same discipline as queries_e2e fixtures)."""
+    out = _binfile_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "region")
+        .select(
+            "r_regionkey",
+            F.concat(
+                F.lit("region|"),
+                F.col("r_name"),
+                F.lit("|"),
+                F.repeat(
+                    F.concat(F.col("r_name"), F.lit(";")),
+                    F.col("r_regionkey") + 2,
+                ),
+            ).alias("content"),
+        )
+        .collect()
+    )  # driver-tier: |region| = 5 rows (a true dimension table)
+    for r in rows:
+        path = os.path.join(out, f"region_{r.r_regionkey}.txt")
+        with open(path, "wb") as fh:
+            fh.write(r.content.encode("utf-8"))
+    with open(marker, "w"):
+        pass
+    return out
+
+
+def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("binaryFile")`` over the raw-file fixture:
+    per-file (name, byte length, md5-of-bytes).  The format yields one
+    row per file with the content as a binary column — the multimodal
+    ingestion front door; pathGlobFilter prunes at listing time (no
+    executor touches a non-matching file)."""
+    d = _ensure_binfiles(spark, sf_dir)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("digest"),
+        )
+    )
+
+
+ORACLE_BINARYFILE = """
+WITH files AS (
+  SELECT 'region_' || r_regionkey || '.txt' AS file,
+         'region|' || r_name || '|' ||
+           repeat(r_name || ';', CAST(r_regionkey + 2 AS INTEGER))
+           AS content
+  FROM region
+)
+SELECT file,
+       CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes,
+       md5(content) AS digest
+FROM files
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram census
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams corpus-wide with mention and document counts —
+    the WIMBD "count n-grams over everything" primitive.  One explode
+    into (bigram, doc_id) followed by one hash aggregate; the heavy
+    shuffle carries the bigram string + doc id only.  Tokenizer =
+    lowercase split on non-alphanumerics, identical regexp both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        # NB sequence(1, 0) in Spark counts DOWN — guard short docs
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) > 1 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                "           i -> concat(toks[i-1], ' ', toks[i]))"
+                " ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_mentions"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+ORACLE_NGRAM_COUNTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram,
+       count(*) AS n_mentions,
+       count(DISTINCT doc_id) AS n_docs
+FROM grams
+GROUP BY bigram
+ORDER BY n_mentions DESC, bigram ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# gazetteer entity tagging
+# ---------------------------------------------------------------------------
+
+_GAZETTEER = [
+    ("spark", "ENGINE"),
+    ("query", "ENGINE"),
+    ("scan", "ENGINE"),
+    ("table", "SCHEMA"),
+    ("row", "SCHEMA"),
+    ("column", "SCHEMA"),
+    ("customer", "BUSINESS"),
+    ("order", "BUSINESS"),
+    ("join", "OPERATOR"),
+    ("filter", "OPERATOR"),
+    ("merge", "OPERATOR"),
+    ("sort", "OPERATOR"),
+]
+
+_GAZETTEER_VALUES = ", ".join(
+    f"('{t}', '{e}')" for t, e in _GAZETTEER
+)
+
+
+def q_text_gazetteer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary NER: exploded tokens equi-joined against the term →
+    entity gazetteer.  The gazetteer is explicitly broadcast — at scale
+    the token stream never shuffles for the join; only the (source,
+    entity, term) aggregate does.  Mention count + distinct-document
+    count per (source, entity, term)."""
+    docs = load_table(spark, sf_dir, "documents")
+    gaz = F.broadcast(
+        spark.createDataFrame(_GAZETTEER, "term string, entity string")
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+        ).alias("term"),
+    )
+    return (
+        toks.join(gaz, "term")
+        .groupBy("source", "entity", "term")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_GAZETTEER = f"""
+WITH gaz(term, entity) AS (
+  VALUES {_GAZETTEER_VALUES}
+), toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT source, entity, toks.term AS term,
+       count(*) AS n_mentions,
+       count(DISTINCT doc_id) AS n_docs
+FROM toks JOIN gaz ON toks.term = gaz.term
+GROUP BY source, entity, toks.term
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["sql_group_by_all"] = q_sql_group_by_all
+    oracles["sql_group_by_all"] = SQL_GROUP_BY_ALL
+    queries["binaryfile_scan"] = q_binaryfile_scan
+    oracles["binaryfile_scan"] = ORACLE_BINARYFILE
+    queries["corpus_ngram_counts"] = q_corpus_ngram_counts
+    oracles["corpus_ngram_counts"] = ORACLE_NGRAM_COUNTS
+    queries["text_gazetteer_tag"] = q_text_gazetteer_tag
+    oracles["text_gazetteer_tag"] = ORACLE_GAZETTEER
