@@ -167,6 +167,21 @@ HEADLINE = [
     "datalog_indexed",
     "graph_assortativity",
     "orders_benford",
+    # round-3 session-8 batch: exact classical statistics, per-node
+    # clustering / link prediction, dyadic EWMA, rolling correlation,
+    # GROUP BY ALL front door, binaryFile source, bigram census,
+    # gazetteer tagging (prior entries unchanged for 1:1 deltas)
+    "stats_spearman",
+    "stats_linreg",
+    "stats_mann_whitney",
+    "graph_clustering_coeff",
+    "graph_jaccard_linkpred",
+    "ts_ewma",
+    "ts_rolling_corr",
+    "sql_group_by_all",
+    "binaryfile_scan",
+    "corpus_ngram_counts",
+    "text_gazetteer_tag",
 ]
 
 

@@ -380,3 +380,58 @@ def test_datalog_indexed_prunes_aevt_partitions(spark):
 
     # both clauses show attribute partition filters on their scans
     assert len(re.findall(r"PartitionFilters: \[[^\]]*a#", plan)) >= 2
+
+
+def test_spearman_windows_stay_partitioned(spark):
+    # both rank windows partition by nation — no global single-partition
+    # window (the WindowExec "No Partition Defined" trap)
+    plan = _plan(spark, "stats_spearman")
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_linreg_single_aggregation_pass(spark):
+    # five sufficient statistics in ONE partial+final aggregate pair:
+    # exactly one hash exchange, no join anywhere
+    plan = _plan(spark, "stats_linreg")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "Join" not in plan
+
+
+def test_mann_whitney_window_runs_on_collapsed_values(spark):
+    # the cumulative window must consume the (segment, value) AGGREGATE,
+    # never raw orders: exactly one Window node, downstream of a
+    # HashAggregate, and no global sort of the raw join output
+    import re
+
+    plan = _plan(spark, "stats_mann_whitney")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_graph_session8_no_cartesian(spark):
+    for name in ("graph_clustering_coeff", "graph_jaccard_linkpred"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_ewma_single_window_pass(spark):
+    # eight lags share one (user, ts) window — one Window node, one sort
+    import re
+
+    plan = _plan(spark, "ts_ewma")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_gazetteer_join_is_broadcast(spark):
+    # the token stream must never shuffle for the gazetteer join
+    plan = _plan(spark, "text_gazetteer_tag")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_census_no_python_nodes(spark):
+    plan = _plan(spark, "corpus_ngram_counts")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
