@@ -182,6 +182,7 @@ HEADLINE = [
     "binaryfile_scan",
     "corpus_ngram_counts",
     "text_gazetteer_tag",
+    "multimodal_qoi_decode",
 ]
 
 

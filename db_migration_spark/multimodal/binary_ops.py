@@ -187,7 +187,7 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
     wrong filter/inflate/IDCT/LZW path shifts the means).  Arrow-batched
     mapInPandas like decode_metadata; other payloads raise (route them
     to the metadata-only path)."""
-    from . import gif_codec, jpeg_codec, png_codec
+    from . import gif_codec, jpeg_codec, png_codec, qoi_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -198,6 +198,8 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
                     w, h, ch, means = jpeg_codec.channel_means(b)
                 elif gif_codec.is_gif(b):
                     w, h, ch, means = gif_codec.channel_means(b)
+                elif qoi_codec.is_qoi(b):
+                    w, h, ch, means = qoi_codec.channel_means(b)
                 else:
                     w, h, ch, means = png_codec.channel_means(b)
                 rows.append((int(mid), w, h, ch, means))

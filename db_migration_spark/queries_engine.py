@@ -280,6 +280,87 @@ GROUP BY source, entity, toks.term
 
 
 # ---------------------------------------------------------------------------
+# QOI codec under the oracle gate (real encode + decode, exact pixel sums)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode, oracled: one gradient image per nation is
+    encoded distributed (multimodal/qoi_codec.py — the public QOI spec's
+    DIFF/LUMA/INDEX/RGB/RUN ops all fire on this pixel pattern), then
+    decoded back in the Arrow codec seam; per-channel pixel SUMS are
+    exact integers the oracle recomputes from the generation formulas
+    (closed forms of Σ x mod 7 / Σ y mod 5), so a wrong bias, hash, or
+    index write in either direction fails the gate."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.qoi_codec import channel_sums, encode_qoi
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                w, h = 16, 8 + k % 16
+                rb, gb, bb = (9 * k) % 200, (5 * k) % 200, (3 * k) % 256
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        px += bytes([rb + x % 7, gb + y % 5, bb])
+                rows.append((k, encode_qoi(w, h, bytes(px))))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = nat.mapInPandas(gen, "media_id LONG, payload BINARY")
+
+    def dec(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, sums = channel_sums(bytes(p))
+                rows.append((int(mid), w, h, sums[0], sums[1], sums[2]))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+                ],
+            )
+
+    return media.mapInPandas(
+        dec,
+        "media_id LONG, width INT, height INT,"
+        " sum_r LONG, sum_g LONG, sum_b LONG",
+    )
+
+
+# Σ_{x<16} x%7 = 43;  Σ_{y<h} y%5 = 10*(h//5) + m(m-1)/2, m = h%5
+ORACLE_QOI = """
+WITH dims AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+         16 AS w,
+         8 + n_nationkey % 16 AS h,
+         (9 * n_nationkey) % 200 AS rb,
+         (5 * n_nationkey) % 200 AS gb,
+         (3 * n_nationkey) % 256 AS bb
+  FROM nation
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(h * (w * rb + 43) AS BIGINT) AS sum_r,
+       CAST(w * (h * gb + 10 * (h // 5) + (h % 5) * ((h % 5) - 1) // 2)
+            AS BIGINT) AS sum_g,
+       CAST(w * h * bb AS BIGINT) AS sum_b
+FROM dims
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def register(queries: dict, oracles: dict) -> None:
@@ -291,3 +372,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["corpus_ngram_counts"] = ORACLE_NGRAM_COUNTS
     queries["text_gazetteer_tag"] = q_text_gazetteer_tag
     oracles["text_gazetteer_tag"] = ORACLE_GAZETTEER
+    queries["multimodal_qoi_decode"] = q_multimodal_qoi_decode
+    oracles["multimodal_qoi_decode"] = ORACLE_QOI

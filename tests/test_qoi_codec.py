@@ -1,0 +1,88 @@
+"""QOI codec unit tests: spec-level byte checks plus roundtrip
+properties engineered to force every chunk op (RUN, INDEX, DIFF, LUMA,
+RGB, RGBA) through both directions."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from db_migration_spark.multimodal.qoi_codec import (
+    channel_sums,
+    decode_qoi,
+    encode_qoi,
+    is_qoi,
+)
+
+
+def test_header_and_end_marker():
+    data = encode_qoi(3, 2, bytes(range(18)))
+    assert is_qoi(data)
+    assert data[:4] == b"qoif"
+    assert struct.unpack(">II", data[4:12]) == (3, 2)
+    assert data[12] == 3 and data[13] == 0
+    assert data[-8:] == b"\x00" * 7 + b"\x01"
+
+
+def test_run_op_compresses_constant_image():
+    # 100 identical pixels -> first pixel chunk + RUN chunks; far
+    # smaller than raw
+    px = bytes([7, 8, 9]) * 100
+    data = encode_qoi(10, 10, px)
+    assert len(data) < 14 + 8 + 10  # header+end+a few chunks
+    w, h, ch, out = decode_qoi(data)
+    assert (w, h, ch) == (10, 10, 3)
+    assert out == px
+
+
+def test_roundtrip_random_rgb_and_rgba():
+    rng = random.Random(42)
+    for channels in (3, 4):
+        for w, h in ((1, 1), (5, 3), (16, 16)):
+            px = bytes(
+                rng.randrange(256) for _ in range(w * h * channels)
+            )
+            w2, h2, ch2, out = decode_qoi(
+                encode_qoi(w, h, px, channels)
+            )
+            assert (w2, h2, ch2) == (w, h, channels)
+            assert out == px
+
+
+def test_roundtrip_gradient_exercises_diff_luma_index():
+    # small deltas -> DIFF; medium row deltas -> LUMA; repeated colors
+    # across rows -> INDEX
+    w, h = 16, 12
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([(10 + x % 7) % 256, (20 + y % 5) % 256, 33])
+    data = encode_qoi(w, h, bytes(px))
+    assert decode_qoi(data)[3] == bytes(px)
+    # gradient must compress vs raw RGB chunks
+    assert len(data) < 14 + 8 + 4 * w * h
+
+
+def test_alpha_change_forces_rgba_chunk():
+    px = bytes([1, 2, 3, 255, 1, 2, 3, 128])
+    data = encode_qoi(2, 1, px, channels=4)
+    assert 0xFF in data[14:-8]  # QOI_OP_RGBA tag present
+    assert decode_qoi(data)[3] == px
+
+
+def test_channel_sums_match_python_sum():
+    rng = random.Random(7)
+    px = bytes(rng.randrange(256) for _ in range(6 * 4 * 3))
+    w, h, sums = channel_sums(encode_qoi(6, 4, px))
+    assert (w, h) == (6, 4)
+    for c in range(3):
+        assert sums[c] == sum(px[i * 3 + c] for i in range(24))
+
+
+def test_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_qoi(b"not a qoi payload")
+    with pytest.raises(ValueError):
+        encode_qoi(2, 2, b"short")
