@@ -183,6 +183,7 @@ HEADLINE = [
     "corpus_ngram_counts",
     "text_gazetteer_tag",
     "multimodal_qoi_decode",
+    "stream_stateful_profile",
 ]
 
 

@@ -276,9 +276,120 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator itself under the exact gate:
+    ``applyInPandasWithState`` maintains per-user integer state (event
+    count, Σ floor(value·10⁶), max event id) across micro-batches in
+    update mode; the drained sink's FINAL row per user (max n_events —
+    the fold is monotone) must equal the batch aggregate bit-for-bit.
+    Integer state makes the fold associative, so the result is
+    independent of micro-batch boundaries — which is exactly the
+    property that lets the oracle be plain GROUP BY SQL.  State
+    partitions by user across executors (RocksDB-backed on a cluster);
+    each batch shuffles only its own rows.
+
+    NoTimeout is deliberate: processing-time timers schedule an empty
+    micro-batch per tick to fire eviction checks, so an availableNow
+    drain never terminates (observed: 130+ state versions on a
+    one-file source).  The idle-eviction variant lives in
+    streaming/stateful.py for long-running deployments; the bounded
+    drain under the gate uses timerless total state."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_micro", LongType()),
+            StructField("max_event_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", LongType()),
+            StructField("m", LongType()),
+        ]
+    )
+
+    def fold(
+        key: tuple, pdfs: _It[_pd.DataFrame], state: GroupState
+    ) -> _It[_pd.DataFrame]:
+        (user_id,) = key
+        n, s, m = state.get if state.exists else (0, 0, 0)
+        import math as _math
+
+        for pdf in pdfs:
+            n += len(pdf)
+            # floor() per event in int space — matches SQL floor(v*1e6)
+            s += int(
+                sum(
+                    _math.floor(float(v) * 1000000)
+                    for v in pdf["value"]
+                )
+            )
+            if len(pdf):
+                m = max(m, int(pdf["event_id"].max()))
+        state.update((n, s, m))
+        yield _pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_micro": [s],
+                "max_event_id": [m],
+            }
+        )
+
+    name = _sink_name("stream_stateful", sf_dir)
+    folded = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _drain(folded, name, "update")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("max_event_id")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "sum_micro", "max_event_id")
+    )
+
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_micro,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY user_id
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
+            "stream_stateful_profile": q_stream_stateful_profile,
             "stream_hourly_rollup": q_stream_hourly_rollup,
             "stream_dedup_keys": q_stream_dedup_keys,
             "stream_stream_join": q_stream_stream_join,
@@ -292,6 +403,7 @@ def register(queries: dict, oracles: dict) -> None:
     )
     oracles.update(
         {
+            "stream_stateful_profile": ORACLE_STREAM_STATEFUL,
             "stream_hourly_rollup": ORACLE_STREAM_ROLLUP,
             "stream_dedup_keys": ORACLE_STREAM_DEDUP,
             "stream_stream_join": ORACLE_STREAM_SSJOIN,
