@@ -29,7 +29,19 @@ def test_stateful_user_profiles(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # the ProcessingTimeTimeout timer loops empty micro-batches, so an
+    # availableNow drain never self-terminates (processAllAvailable
+    # blocks on the same loop) — poll the sink until the data batch has
+    # landed, then stop the query explicitly
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if done and spark.sql("SELECT count(*) FROM profiles").head()[0]:
+            break
+        _time.sleep(1)
+    q.stop()
     got = {
         r["user_id"]: r
         for r in spark.sql(
