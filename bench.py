@@ -184,6 +184,8 @@ HEADLINE = [
     "text_gazetteer_tag",
     "multimodal_qoi_decode",
     "stream_stateful_profile",
+    "eav_attr_stats",
+    "a10_percentile_cont",
 ]
 
 

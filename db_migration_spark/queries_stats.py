@@ -707,3 +707,138 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["ts_ewma"] = ORACLE_EWMA
     queries["ts_rolling_corr"] = q_ts_rolling_corr
     oracles["ts_rolling_corr"] = ORACLE_ROLLING_CORR
+    queries["eav_attr_stats"] = q_eav_attr_stats
+    oracles["eav_attr_stats"] = ORACLE_ATTR_STATS
+    queries["a10_percentile_cont"] = q_a10_percentile_cont
+    oracles["a10_percentile_cont"] = ORACLE_P_CONT
+
+
+# ---------------------------------------------------------------------------
+# Datomic-style attribute statistics over the datom store
+# ---------------------------------------------------------------------------
+
+
+def q_eav_attr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-attribute index statistics over the melted datom store — the
+    Datomic ``db.stats``/attribute-cardinality surface (datom count,
+    distinct entities, distinct values, value range) a query planner
+    reads before choosing an index walk.  One hash aggregate over
+    (a)-grouped datoms; distincts are per-attribute, so the shuffle
+    carries (a, e) / (a, v) pairs only."""
+    from .queries import _melted_lineitem
+
+    datoms = _melted_lineitem(spark, sf_dir)
+    return datoms.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_datoms"),
+        F.countDistinct("e").alias("n_entities"),
+        F.countDistinct("v").alias("n_values"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+ORACLE_ATTR_STATS = """
+WITH datoms AS (
+  SELECT l_orderkey * 8 + l_linenumber AS e, 'l_quantity' AS a,
+         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 'l_returnflag', l_returnflag
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 'l_linestatus', l_linestatus
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 'l_shipdate',
+         CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+  FROM lineitem
+)
+SELECT a,
+       count(*) AS n_datoms,
+       count(DISTINCT e) AS n_entities,
+       count(DISTINCT v) AS n_values,
+       min(v) AS min_v,
+       max(v) AS max_v
+FROM datoms GROUP BY a
+"""
+
+
+# ---------------------------------------------------------------------------
+# interpolated percentiles as exact rationals
+# ---------------------------------------------------------------------------
+
+
+def q_a10_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT quartiles per returnflag, EXACT: with p = k/4 the
+    interpolated percentile is v_lo + (pos − lo)·(v_hi − v_lo) at
+    pos = k(n−1)/4, so 4·percentile = 4·v_lo + rem·(v_hi − v_lo) is an
+    exact integer in cents (rem = k(n−1) mod 4).  Rank assignment uses a
+    per-group window (same reporting-tier trade as rfm_segments — at
+    fact scale ranks come from the two-pass range-partition offset
+    pattern); ties need no break because tied ranks carry tied values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    ranked = vals.withColumn("rn", F.row_number().over(w))
+    counts = vals.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    pos = counts.crossJoin(ks).select(
+        "l_returnflag",
+        "k",
+        "n",
+        (F.expr("k * (n - 1) div 4") + 1).alias("lo_rn"),
+        F.expr("k * (n - 1) % 4").alias("rem"),
+    )
+    lo = ranked.select(
+        F.col("l_returnflag"), F.col("rn").alias("lo_rn"),
+        F.col("v").alias("v_lo"),
+    )
+    hi = ranked.select(
+        F.col("l_returnflag"), (F.col("rn") - 1).alias("lo_rn"),
+        F.col("v").alias("v_hi"),
+    )
+    return (
+        pos.join(lo, ["l_returnflag", "lo_rn"])
+        .join(hi, ["l_returnflag", "lo_rn"], "left")
+        .select(
+            "l_returnflag",
+            "k",
+            "n",
+            (
+                4 * F.col("v_lo")
+                + F.col("rem")
+                * (F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo"))
+            ).alias("p4_cents"),
+        )
+    )
+
+
+ORACLE_P_CONT = """
+WITH vals AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn
+  FROM vals
+), counts AS (
+  SELECT l_returnflag, count(*) AS n FROM vals GROUP BY l_returnflag
+), pos AS (
+  SELECT c.l_returnflag, k.k, c.n,
+         (k.k * (c.n - 1)) // 4 + 1 AS lo_rn,
+         (k.k * (c.n - 1)) % 4 AS rem
+  FROM counts c CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k
+)
+SELECT p.l_returnflag,
+       CAST(p.k AS INTEGER) AS k,
+       p.n,
+       4 * lo.v + p.rem * (COALESCE(hi.v, lo.v) - lo.v) AS p4_cents
+FROM pos p
+JOIN ranked lo ON lo.l_returnflag = p.l_returnflag AND lo.rn = p.lo_rn
+LEFT JOIN ranked hi ON hi.l_returnflag = p.l_returnflag
+                   AND hi.rn = p.lo_rn + 1
+"""

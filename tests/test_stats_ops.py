@@ -86,3 +86,28 @@ def test_rolling_corr_cauchy_schwarz(spark):
         assert r.corr_num * r.corr_num <= r.varx_num * r.vary_num
         assert r.varx_num >= 0 and r.vary_num >= 0
         assert 1 <= r.n <= 24
+
+
+def test_attr_stats_consistency(spark):
+    rows = {r.a: r for r in QUERIES["eav_attr_stats"](spark, SF).collect()}
+    assert set(rows) == {
+        "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate"
+    }
+    for r in rows.values():
+        assert r.n_values <= r.n_datoms
+        assert r.n_entities <= r.n_datoms
+        assert r.min_v <= r.max_v
+    # card-one flags have tiny value domains
+    assert rows["l_returnflag"].n_values <= 3
+    assert rows["l_linestatus"].n_values <= 2
+
+
+def test_percentile_cont_monotone_and_bounded(spark):
+    rows = QUERIES["a10_percentile_cont"](spark, SF).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.l_returnflag, {})[r.k] = r.p4_cents
+    for g, qs in by_group.items():
+        assert set(qs) == {1, 2, 3}
+        # quartiles are monotone non-decreasing
+        assert qs[1] <= qs[2] <= qs[3]
