@@ -186,6 +186,9 @@ HEADLINE = [
     "stream_stateful_profile",
     "eav_attr_stats",
     "a10_percentile_cont",
+    "stats_kruskal_wallis",
+    "ts_max_drawdown",
+    "multimodal_webp_meta",
 ]
 
 

@@ -374,3 +374,77 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["text_gazetteer_tag"] = ORACLE_GAZETTEER
     queries["multimodal_qoi_decode"] = q_multimodal_qoi_decode
     oracles["multimodal_qoi_decode"] = ORACLE_QOI
+    queries["multimodal_webp_meta"] = q_multimodal_webp_meta
+    oracles["multimodal_webp_meta"] = ORACLE_WEBP
+
+
+# ---------------------------------------------------------------------------
+# WebP metadata kernel (RIFF walk, all three bitstream variants)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP container parsing under the exact gate: per-nation
+    headers cycle through the three bitstream variants (lossy ``VP8 ``
+    with its 0x9D012A start code, lossless ``VP8L`` with the LSB-packed
+    14-bit dims, extended ``VP8X`` with 24-bit canvas fields) using
+    formula dimensions; multimodal/webp_meta.py resolves the variant
+    from the chunk FourCC and reads them back.  The oracle recomputes
+    every field from the generation formulas."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.webp_meta import decode_webp_meta, encode_webp_header
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+    variants = ["vp8", "vp8l", "vp8x"]
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                m = decode_webp_meta(
+                    encode_webp_header(
+                        width=16 + k, height=9 + 2 * k,
+                        variant=variants[k % 3],
+                    )
+                )
+                rows.append(
+                    (
+                        k,
+                        m["variant"],
+                        m["width"],
+                        m["height"],
+                        m["lossless"],
+                        m["extended"],
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "variant", "width", "height",
+                    "lossless", "extended",
+                ],
+            )
+
+    return nat.mapInPandas(
+        run,
+        "media_id LONG, variant STRING, width INT, height INT,"
+        " lossless BOOLEAN, extended BOOLEAN",
+    )
+
+
+ORACLE_WEBP = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CASE n_nationkey % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+            ELSE 'vp8x' END AS variant,
+       CAST(16 + n_nationkey AS INTEGER) AS width,
+       CAST(9 + 2 * n_nationkey AS INTEGER) AS height,
+       n_nationkey % 3 = 1 AS lossless,
+       n_nationkey % 3 = 2 AS extended
+FROM nation
+"""

@@ -711,6 +711,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["eav_attr_stats"] = ORACLE_ATTR_STATS
     queries["a10_percentile_cont"] = q_a10_percentile_cont
     oracles["a10_percentile_cont"] = ORACLE_P_CONT
+    queries["stats_kruskal_wallis"] = q_stats_kruskal_wallis
+    oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
+    queries["ts_max_drawdown"] = q_ts_max_drawdown
+    oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
 
 
 # ---------------------------------------------------------------------------
@@ -841,4 +845,136 @@ FROM pos p
 JOIN ranked lo ON lo.l_returnflag = p.l_returnflag AND lo.rn = p.lo_rn
 LEFT JOIN ranked hi ON hi.l_returnflag = p.l_returnflag
                    AND hi.rn = p.lo_rn + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis sufficient statistics (k-group rank test)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank sums for the k = 5 order-priority groups per
+    market segment — the k-group generalization of stats_mann_whitney,
+    same 100 TB-safe shape: all ranks come from ONE cumulative window
+    over the collapsed (segment, value) domain; per-(group, value)
+    counts then weight the average ranks.  2·R_j = Σ_v c_jv·(2·cum_below
+    + c_all + 1) stays integral under ties.  The float H statistic is
+    one driver-side formula away (the stats_ab_test discipline: the
+    data plane carries exact integer sufficient statistics)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    ).select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    per_val = base.groupBy("c_mktsegment", "v").agg(
+        F.count(F.lit(1)).alias("c_all")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_val.withColumn(
+        "cum_below", F.coalesce(F.sum("c_all").over(w), F.lit(0))
+    )
+    per_grp_val = base.groupBy("c_mktsegment", "o_orderpriority", "v").agg(
+        F.count(F.lit(1)).alias("c_g")
+    )
+    joined = per_grp_val.join(cum, ["c_mktsegment", "v"])
+    totals = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return (
+        joined.groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum("c_g").alias("n_g"),
+            F.sum(
+                F.col("c_g") * (2 * F.col("cum_below") + F.col("c_all") + 1)
+            ).alias("r_x2"),
+        )
+        .join(totals, "c_mktsegment")
+    )
+
+
+ORACLE_KRUSKAL = """
+WITH base AS (
+  SELECT c_mktsegment, o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), per_val AS (
+  SELECT c_mktsegment, v, count(*) AS c_all
+  FROM base GROUP BY c_mktsegment, v
+), cum AS (
+  SELECT *, COALESCE(sum(c_all) OVER (PARTITION BY c_mktsegment ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_below
+  FROM per_val
+), per_grp_val AS (
+  SELECT c_mktsegment, o_orderpriority, v, count(*) AS c_g
+  FROM base GROUP BY c_mktsegment, o_orderpriority, v
+), totals AS (
+  SELECT c_mktsegment, count(*) AS n_total FROM base GROUP BY c_mktsegment
+)
+SELECT g.c_mktsegment, g.o_orderpriority,
+       CAST(sum(g.c_g) AS BIGINT) AS n_g,
+       CAST(sum(g.c_g * (2 * c.cum_below + c.c_all + 1)) AS BIGINT) AS r_x2,
+       t.n_total
+FROM per_grp_val g
+JOIN cum c ON g.c_mktsegment = c.c_mktsegment AND g.v = c.v
+JOIN totals t ON g.c_mktsegment = t.c_mktsegment
+GROUP BY g.c_mktsegment, g.o_orderpriority, t.n_total
+"""
+
+
+# ---------------------------------------------------------------------------
+# maximum drawdown (running-peak shortfall)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the event value series: running peak
+    via one cumulative-max window in the unique (ts, event_id) order,
+    drawdown = peak − value in exact micro-units, then one hash
+    aggregate for the max and its depth relative to the peak.  The
+    financial risk metric that needs sequence order but still compiles
+    to one window + one aggregate — no self-join, nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micro"),
+    ).withColumn("peak", F.max("v_micro").over(w))
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("peak").alias("peak_micro"),
+        F.max(F.col("peak") - F.col("v_micro")).alias("max_drawdown_micro"),
+    )
+
+
+ORACLE_DRAWDOWN = """
+WITH spans AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+         max(CAST(floor(value * 1000000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       max(peak) AS peak_micro,
+       max(peak - v_micro) AS max_drawdown_micro
+FROM spans GROUP BY user_id
 """

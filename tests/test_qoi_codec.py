@@ -86,3 +86,32 @@ def test_rejects_garbage():
         decode_qoi(b"not a qoi payload")
     with pytest.raises(ValueError):
         encode_qoi(2, 2, b"short")
+
+
+def test_webp_all_variants_roundtrip():
+    from db_migration_spark.multimodal.webp_meta import (
+        decode_webp_meta,
+        encode_webp_header,
+        is_webp,
+    )
+
+    for variant, w, h in (
+        ("vp8", 320, 240),
+        ("vp8l", 16383, 1),
+        ("vp8x", 70000, 40000),  # beyond the 14-bit variants' range
+    ):
+        b = encode_webp_header(w, h, variant)
+        assert is_webp(b)
+        m = decode_webp_meta(b)
+        assert (m["variant"], m["width"], m["height"]) == (variant, w, h)
+        assert m["lossless"] == (variant == "vp8l")
+        assert m["extended"] == (variant == "vp8x")
+
+
+def test_webp_rejects_garbage():
+    import pytest as _pytest
+
+    from db_migration_spark.multimodal.webp_meta import decode_webp_meta
+
+    with _pytest.raises(ValueError):
+        decode_webp_meta(b"RIFF\x00\x00\x00\x00WAVE")
