@@ -726,18 +726,38 @@ def q_eav_attr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-attribute index statistics over the melted datom store — the
     Datomic ``db.stats``/attribute-cardinality surface (datom count,
     distinct entities, distinct values, value range) a query planner
-    reads before choosing an index walk.  One hash aggregate over
-    (a)-grouped datoms; distincts are per-attribute, so the shuffle
-    carries (a, e) / (a, v) pairs only."""
+    reads before choosing an index walk.
+
+    Two distincts in one groupBy would compile to an Expand (3× the
+    datom stream through one shuffle — measured 126 s at ×100); instead
+    each distinct pre-aggregates on its own narrow (a, x) pair with
+    map-side combine and the three 4-row results join at the end
+    (AQE broadcasts them).  The melt is deliberately NOT checkpointed:
+    it is a map-only projection of the parquet scan, so re-running it
+    per branch costs three cheap scans, while materializing the full
+    datom stream would hold |rows|×|attrs| strings in memory."""
     from .queries import _melted_lineitem
 
     datoms = _melted_lineitem(spark, sf_dir)
-    return datoms.groupBy("a").agg(
+    base = datoms.groupBy("a").agg(
         F.count(F.lit(1)).alias("n_datoms"),
-        F.countDistinct("e").alias("n_entities"),
-        F.countDistinct("v").alias("n_values"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
+    )
+    ents = (
+        datoms.select("a", "e")
+        .distinct()
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+    vals = (
+        datoms.select("a", "v")
+        .distinct()
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    return base.join(ents, "a").join(vals, "a").select(
+        "a", "n_datoms", "n_entities", "n_values", "min_v", "max_v"
     )
 
 
@@ -776,47 +796,75 @@ def q_a10_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENTILE_CONT quartiles per returnflag, EXACT: with p = k/4 the
     interpolated percentile is v_lo + (pos − lo)·(v_hi − v_lo) at
     pos = k(n−1)/4, so 4·percentile = 4·v_lo + rem·(v_hi − v_lo) is an
-    exact integer in cents (rem = k(n−1) mod 4).  Rank assignment uses a
-    per-group window (same reporting-tier trade as rfm_segments — at
-    fact scale ranks come from the two-pass range-partition offset
-    pattern); ties need no break because tied ranks carry tied values."""
+    exact integer in cents (rem = k(n−1) mod 4).
+
+    100 TB shape: NO per-row ranks.  The raw table collapses to
+    per-(group, value) counts in one hash aggregate, the cumulative
+    window runs over the collapsed value domain (the Mann-Whitney
+    trick), and each target rank locates its value with a broadcast
+    range probe — cum_below < rank ≤ cum_below + count.  (The naive
+    row_number() variant was 90 s at ×100 — one single-threaded sort
+    task per group; this form is 3 s.)  Ties need no break because tied
+    ranks carry tied values."""
     li = load_table(spark, sf_dir, "lineitem")
     vals = li.select(
         "l_returnflag",
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
     )
-    w = Window.partitionBy("l_returnflag").orderBy("v")
-    ranked = vals.withColumn("rn", F.row_number().over(w))
+    vc = vals.groupBy("l_returnflag", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vc.withColumn(
+        "cum_below", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
     counts = vals.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
     ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
-    pos = counts.crossJoin(ks).select(
-        "l_returnflag",
-        "k",
-        "n",
-        (F.expr("k * (n - 1) div 4") + 1).alias("lo_rn"),
-        F.expr("k * (n - 1) % 4").alias("rem"),
-    )
-    lo = ranked.select(
-        F.col("l_returnflag"), F.col("rn").alias("lo_rn"),
-        F.col("v").alias("v_lo"),
-    )
-    hi = ranked.select(
-        F.col("l_returnflag"), (F.col("rn") - 1).alias("lo_rn"),
-        F.col("v").alias("v_hi"),
-    )
-    return (
-        pos.join(lo, ["l_returnflag", "lo_rn"])
-        .join(hi, ["l_returnflag", "lo_rn"], "left")
-        .select(
+    pos = F.broadcast(
+        counts.crossJoin(ks).select(
             "l_returnflag",
             "k",
             "n",
-            (
-                4 * F.col("v_lo")
-                + F.col("rem")
-                * (F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo"))
-            ).alias("p4_cents"),
+            (F.expr("k * (n - 1) div 4") + 1).alias("lo_rn"),
+            F.expr("k * (n - 1) % 4").alias("rem"),
         )
+    )
+    cc, pp = cum.alias("cc"), pos.alias("pp")
+    lo = cc.join(
+        pp,
+        (F.col("cc.l_returnflag") == F.col("pp.l_returnflag"))
+        & (F.col("pp.lo_rn") > F.col("cc.cum_below"))
+        & (F.col("pp.lo_rn") <= F.col("cc.cum_below") + F.col("cc.c")),
+    ).select(
+        F.col("pp.l_returnflag").alias("l_returnflag"),
+        F.col("pp.k").alias("k"),
+        F.col("pp.n").alias("n"),
+        F.col("pp.rem").alias("rem"),
+        F.col("cc.v").alias("v_lo"),
+    )
+    hi = cc.join(
+        pp,
+        (F.col("cc.l_returnflag") == F.col("pp.l_returnflag"))
+        & (F.col("pp.lo_rn") + 1 > F.col("cc.cum_below"))
+        & (F.col("pp.lo_rn") + 1 <= F.col("cc.cum_below") + F.col("cc.c")),
+    ).select(
+        F.col("pp.l_returnflag").alias("l_returnflag"),
+        F.col("pp.k").alias("k"),
+        F.col("cc.v").alias("v_hi"),
+    )
+    return lo.join(hi, ["l_returnflag", "k"], "left").select(
+        "l_returnflag",
+        "k",
+        "n",
+        (
+            4 * F.col("v_lo")
+            + F.col("rem")
+            * (F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo"))
+        ).alias("p4_cents"),
     )
 
 
