@@ -189,6 +189,8 @@ HEADLINE = [
     "stats_kruskal_wallis",
     "ts_max_drawdown",
     "multimodal_webp_meta",
+    "eav_entity_history",
+    "f_aggmisc_suite",
 ]
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -376,6 +376,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["multimodal_qoi_decode"] = ORACLE_QOI
     queries["multimodal_webp_meta"] = q_multimodal_webp_meta
     oracles["multimodal_webp_meta"] = ORACLE_WEBP
+    queries["eav_entity_history"] = q_eav_entity_history
+    oracles["eav_entity_history"] = ORACLE_ENTITY_HISTORY
+    queries["f_aggmisc_suite"] = q_f_aggmisc_suite
+    oracles["f_aggmisc_suite"] = ORACLE_AGGMISC
 
 
 # ---------------------------------------------------------------------------
@@ -447,4 +451,94 @@ SELECT CAST(n_nationkey AS BIGINT) AS media_id,
        n_nationkey % 3 = 1 AS lossless,
        n_nationkey % 3 = 2 AS extended
 FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Datomic entity-history timeline
+# ---------------------------------------------------------------------------
+
+
+def q_eav_entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Datomic entity-history API shape: the full ordered datom
+    timeline per (e, a) — sequence number (1 = newest), current-value
+    marker, and the previous value each assertion superseded — from one
+    window pass in the unique (tx, v) order.  The raw log IS the
+    history store (operators/eav.py docstring); this is the read-side
+    view a `d/history` consumer gets."""
+    ev = load_table(spark, sf_dir, "events")
+    datoms = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        F.col("event_id").cast("string").alias("v"),
+        F.col("ts").alias("tx"),
+    )
+    w = Window.partitionBy("e", "a").orderBy(
+        F.desc("tx"), F.desc("v")
+    )
+    return datoms.select(
+        "e",
+        "a",
+        "v",
+        "tx",
+        F.row_number().over(w).alias("seq"),
+        (F.row_number().over(w) == 1).alias("is_current"),
+        F.lag("v", -1).over(w).alias("superseded_v"),
+    )
+
+
+ORACLE_ENTITY_HISTORY = """
+WITH datoms AS (
+  SELECT user_id AS e, event_type AS a,
+         CAST(event_id AS VARCHAR) AS v, ts AS tx
+  FROM events
+)
+SELECT e, a, v, tx,
+       row_number() OVER w AS seq,
+       row_number() OVER w = 1 AS is_current,
+       lead(v) OVER w AS superseded_v
+FROM datoms
+WINDOW w AS (PARTITION BY e, a ORDER BY tx DESC, v DESC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# miscellaneous-aggregate parity suite
+# ---------------------------------------------------------------------------
+
+
+def q_f_aggmisc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function parity: bool_and / bool_or / count_if /
+    max_by / min_by / any_value over a deterministic unique selector
+    (cents·10⁷ + orderkey is injective, so the argmax is well-defined
+    in both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    sel = (
+        F.floor(F.col("o_totalprice") * 100).cast("long") * 10000000
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.max_by(F.col("o_orderkey"), sel).alias("priciest_order"),
+        F.min_by(F.col("o_orderkey"), sel).alias("cheapest_order"),
+        F.min("o_orderkey").alias("first_orderkey"),
+    )
+
+
+ORACLE_AGGMISC = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       count_if(o_orderstatus = 'F') AS n_finished,
+       max_by(o_orderkey,
+              CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
+                + o_orderkey) AS priciest_order,
+       min_by(o_orderkey,
+              CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
+                + o_orderkey) AS cheapest_order,
+       min(o_orderkey) AS first_orderkey
+FROM orders
+GROUP BY o_orderpriority
 """

@@ -129,6 +129,26 @@ INSPECT = {
     "multimodal_bmp_decode": [],
     "multimodal_audio_resample": [],
     "ace_datasource_scan": ["BatchScan ace"],  # the source plugin node
+    # session-8 surface
+    "stats_spearman": ["Window", "HashAggregate"],
+    "stats_linreg": ["HashAggregate"],
+    "stats_mann_whitney": ["Window", "HashAggregate"],
+    "stats_kruskal_wallis": ["Window", "HashAggregate"],
+    "graph_clustering_coeff": ["HashAggregate"],
+    "graph_jaccard_linkpred": ["Generate", "HashAggregate"],
+    "ts_ewma": ["Window"],
+    "ts_rolling_corr": ["Window", "HashAggregate"],
+    "ts_max_drawdown": ["Window", "HashAggregate"],
+    "a10_percentile_cont": ["BroadcastHashJoin", "Window"],
+    "eav_attr_stats": ["HashAggregate"],
+    "sql_group_by_all": ["HashAggregate", "Sort"],
+    "binaryfile_scan": [],
+    "corpus_ngram_counts": ["Generate", "TakeOrderedAndProject"],
+    "text_gazetteer_tag": ["BroadcastHashJoin", "Generate"],
+    "eav_entity_history": ["Window"],
+    "f_aggmisc_suite": ["HashAggregate"],
+    "multimodal_qoi_decode": [],
+    "multimodal_webp_meta": [],
 }
 
 # plans that must NOT contain a product node (blocking worked)
@@ -146,6 +166,12 @@ FORBID = {
     "dedup_image_phash": ["CartesianProduct"],
     "graph_kcore": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "orders_skyline": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    # session-8: exact CN/triangle pair generation must stay equi/hash
+    "graph_clustering_coeff": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "graph_jaccard_linkpred": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "stats_spearman": ["CartesianProduct"],
+    "corpus_ngram_counts": ["BatchEvalPython", "ArrowEvalPython"],
+    "bpe_encode": ["BatchEvalPython", "ArrowEvalPython"],
 }
 
 
