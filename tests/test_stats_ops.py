@@ -111,3 +111,117 @@ def test_percentile_cont_monotone_and_bounded(spark):
         assert set(qs) == {1, 2, 3}
         # quartiles are monotone non-decreasing
         assert qs[1] <= qs[2] <= qs[3]
+
+
+# -- pure-Python cross-checks on seeded random data ------------------------
+# (the DuckDB oracle proves cross-engine equality; these prove the MATH —
+# an independent textbook implementation of each statistic, the k-core /
+# BPE test precedent)
+
+
+def _spearman_reference(pairs):
+    """Textbook Spearman with unique-total-order ranks: pairs is a list
+    of (key, x, y); ranks by (x, key) and (y, key)."""
+    n = len(pairs)
+    rx = {
+        k: i + 1
+        for i, (k, _, _) in enumerate(
+            sorted(pairs, key=lambda p: (p[1], p[0]))
+        )
+    }
+    ry = {
+        k: i + 1
+        for i, (k, _, _) in enumerate(
+            sorted(pairs, key=lambda p: (p[2], p[0]))
+        )
+    }
+    sum_d2 = sum((rx[k] - ry[k]) ** 2 for k, _, _ in pairs)
+    return n, sum_d2, n * (n * n - 1) - 6 * sum_d2, n * (n * n - 1)
+
+
+def test_spearman_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(77)
+    rows = [
+        (i, i % 4, rng.randrange(100), rng.randrange(10_000))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, grp int, x long, y long"
+    )
+    from pyspark.sql import Window, functions as F
+
+    wx = Window.partitionBy("grp").orderBy("x", "key")
+    wy = Window.partitionBy("grp").orderBy("y", "key")
+    ranked = df.select(
+        "grp",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    got = {
+        r.grp: (r.n, r.sum_d2)
+        for r in ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+            ).alias("sum_d2"),
+        )
+        .collect()
+    }
+    for g in range(4):
+        pairs = [(k, x, y) for k, gg, x, y in rows if gg == g]
+        n, sum_d2, _, _ = _spearman_reference(pairs)
+        assert got[g] == (n, sum_d2)
+
+
+def _mann_whitney_reference(values):
+    """Textbook average-rank U: values is a list of (v, is_a)."""
+    sv = sorted(v for v, _ in values)
+    # average rank per value (1-based)
+    from collections import Counter
+
+    cnt = Counter(sv)
+    first = {}
+    run = 1
+    for v in sorted(cnt):
+        first[v] = run
+        run += cnt[v]
+    r1_x2 = sum(
+        2 * first[v] + cnt[v] - 1 for v, is_a in values if is_a
+    )
+    n1 = sum(1 for _, is_a in values if is_a)
+    n2 = len(values) - n1
+    return n1, n2, r1_x2, r1_x2 - n1 * (n1 + 1)
+
+
+def test_mann_whitney_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(13)
+    # heavy ties: values drawn from a small domain
+    vals = [(rng.randrange(12), rng.random() < 0.4) for _ in range(300)]
+    df = spark.createDataFrame(
+        [(v, a) for v, a in vals], "v long, is_a boolean"
+    )
+    from pyspark.sql import Window, functions as F
+
+    per_v = df.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.col("is_a").cast("long")).alias("c_a"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "cum_below", F.coalesce(F.sum("c_all").over(w), F.lit(0))
+    )
+    row = ranked.agg(
+        F.sum("c_a").alias("n1"),
+        (F.sum("c_all") - F.sum("c_a")).alias("n2"),
+        F.sum(
+            F.col("c_a") * (2 * F.col("cum_below") + F.col("c_all") + 1)
+        ).alias("r1_x2"),
+    ).head()
+    n1, n2, r1_x2, u1_x2 = _mann_whitney_reference(vals)
+    assert (row.n1, row.n2, row.r1_x2) == (n1, n2, r1_x2)
+    assert row.r1_x2 - row.n1 * (row.n1 + 1) == u1_x2
