@@ -34,13 +34,13 @@ FLAGSHIP_ORDER = [
     "eav_upsert_identity",
     "x7_pivot_roundtrip",
     "eav_retract_cascade",
-    "store_diff",
     # Structured Streaming engine gates (SURVEY §2.10)
     "stream_hourly_rollup",
     "stream_dedup_keys",
     "stream_stream_join",
     "stream_ace_import",
     "stream_session_rollup",
+    "stream_stateful_profile",
     # Datalog query compiler (SURVEY §2.9 X7-ext)
     "datalog_query",
     "datalog_join",
@@ -62,8 +62,6 @@ FLAGSHIP_ORDER = [
     "pack_sequences",
     "text_lm_perplexity",
     "url_canonical_dedup",
-    "dedup_semantic",
-    "passage_chunks",
     # Dedup / similarity ladder
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -72,6 +70,7 @@ FLAGSHIP_ORDER = [
     "ann_cosine_topk",
     # Multimodal codecs (real pixel/sample kernels)
     "multimodal_png_decode",
+    "multimodal_qoi_decode",
     "multimodal_video_frames",
     "multimodal_audio_resample",
     "dedup_image_phash",
@@ -84,6 +83,8 @@ FLAGSHIP_ORDER = [
     "ace_datasource_scan",
     "stream_outer_join",
     "assoc_rules",
+    # Session-8: exact classical statistics (driver-green family rep)
+    "stats_spearman",
 ]
 
 
