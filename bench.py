@@ -191,6 +191,7 @@ HEADLINE = [
     "multimodal_webp_meta",
     "eav_entity_history",
     "f_aggmisc_suite",
+    "a11_approx_quantiles",
 ]
 
 

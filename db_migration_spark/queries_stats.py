@@ -715,6 +715,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["a11_approx_quantiles"] = q_a11_approx_quantiles
+    # rows-only by design: GK sketch internals are engine-specific
 
 
 # ---------------------------------------------------------------------------
@@ -1026,3 +1028,26 @@ SELECT user_id,
        max(peak - v_micro) AS max_drawdown_micro
 FROM spans GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles (mergeable sketch; rows-only by design, like a5)
+# ---------------------------------------------------------------------------
+
+
+def q_a11_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles per returnflag via Spark's
+    ``approx_percentile`` (a Greenwald-Khanna-style summary that
+    combines map-side — the sketch a 100 TB pipeline actually runs when
+    the exact collapsed-value pass of a10 is too hot).  accuracy=10000
+    bounds rank error at n/10000.  Declared rows-only (the sketch is
+    engine-specific, not SQL-reproducible); pytest pins the rank-error
+    bound against the exact a10 answers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(CAST(floor(l_extendedprice * 100) AS BIGINT),"
+            " array(0.25, 0.5, 0.75), 10000)"
+        ).alias("approx_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -225,3 +225,23 @@ def test_mann_whitney_matches_pure_python(spark):
     n1, n2, r1_x2, u1_x2 = _mann_whitney_reference(vals)
     assert (row.n1, row.n2, row.r1_x2) == (n1, n2, r1_x2)
     assert row.r1_x2 - row.n1 * (row.n1 + 1) == u1_x2
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    # sketch answers must sit within the GK rank-error bound of the
+    # exact interpolated quartiles from a10 (4x-scaled cents)
+    approx = {
+        r.l_returnflag: (r.approx_cents, r.n)
+        for r in QUERIES["a11_approx_quantiles"](spark, SF).collect()
+    }
+    exact = {}
+    for r in QUERIES["a10_percentile_cont"](spark, SF).collect():
+        exact.setdefault(r.l_returnflag, {})[r.k] = r.p4_cents / 4
+    for flag, (qs, n) in approx.items():
+        for k in (1, 2, 3):
+            got, want = qs[k - 1], exact[flag][k]
+            # rank error <= n/accuracy=n/10000 -> tiny at sf0.001; allow
+            # the value at +-2 rank positions via a generous cents bound
+            assert abs(got - want) <= max(0.01 * want, 500), (
+                flag, k, got, want
+            )
