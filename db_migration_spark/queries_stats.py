@@ -436,11 +436,18 @@ LIMIT 20
 def q_graph_jaccard_linkpred(
     spark: SparkSession,
     sf_dir: str,
-    max_center_degree: int | None = None,
+    max_center_degree: int | None = 64,
 ) -> DataFrame:
     """Top-20 predicted links: non-adjacent part pairs ranked by exact
     Jaccard neighbourhood overlap cn/(d_u + d_w − cn), carried as a ppm
     integer division so ordering needs no float.
+
+    The ``max_center_degree`` hub valve (default 64) is ON in the
+    declared query AND replicated verbatim in the oracle, so the gate
+    stays exact: common neighbours are counted via non-hub centers only
+    (the standard link-prediction practice — super-connector centers
+    carry no signal and quadratic cost), while the Jaccard denominator
+    keeps FULL degrees.  Unset it for the uncapped statistic.
 
     Exact common-neighbour counting inherently enumerates wedges
     (Σ_c C(d_c, 2)); at 100 TB the ``max_center_degree`` valve drops
@@ -509,9 +516,12 @@ WITH li AS (
   UNION ALL SELECT hi, lo FROM edges
 ), deg AS (
   SELECT c, count(*) AS d FROM adj GROUP BY c
+), small_adj AS (
+  -- the max_center_degree = 64 hub valve, replicated from the query
+  SELECT a.* FROM adj a JOIN deg ON a.c = deg.c WHERE deg.d <= 64
 ), cn AS (
   SELECT p.nbr AS u, q.nbr AS w, count(*) AS cn
-  FROM adj p JOIN adj q ON p.c = q.c AND p.nbr < q.nbr
+  FROM small_adj p JOIN small_adj q ON p.c = q.c AND p.nbr < q.nbr
   GROUP BY p.nbr, q.nbr
 ), nonadj AS (
   SELECT cn.* FROM cn
