@@ -192,6 +192,7 @@ HEADLINE = [
     "eav_entity_history",
     "f_aggmisc_suite",
     "a11_approx_quantiles",
+    "ace_datasource_stream",
 ]
 
 

@@ -5571,6 +5571,15 @@ FROM region
 QUERIES["ace_datasource_scan"] = q_ace_datasource_scan
 ORACLES["ace_datasource_scan"] = ORACLE_ACE_DATASOURCE
 
+# the format plugin's STREAMING entry point shares the same oracle (the
+# profile must be identical whether the dump dir is read batch or stream);
+# registered here because the oracle constant lives below the streaming
+# module's import point
+from .queries_streaming import q_ace_datasource_stream  # noqa: E402
+
+QUERIES["ace_datasource_stream"] = q_ace_datasource_stream
+ORACLES["ace_datasource_stream"] = ORACLE_ACE_DATASOURCE
+
 
 def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio dedup under the exact gate: per nation, a base clip (400

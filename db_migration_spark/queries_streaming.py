@@ -695,3 +695,43 @@ WITH agg AS (
 SELECT win_start, user_id, value_micro, n_events, rank
 FROM ranked WHERE rank <= 3
 """
+
+
+def q_ace_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``.ace`` format plugin as a STREAMING source: the Python
+    DataSource's SimpleDataSourceStreamReader tracks a files-consumed
+    offset over the dump directory (the ACeDB drop-folder pattern) and
+    each micro-batch parses exactly the newly-arrived files.  Drained
+    availableNow and profiled identically to ace_datasource_scan, so a
+    stream-offset bug — file skipped, file replayed — shifts the counts
+    and fails the same oracle the batch entry point uses."""
+    from .queries_e2e import _ensure_ace_dump
+    from .sources import ace_datasource
+
+    ace_datasource.register(spark)
+    dump = _ensure_ace_dump(spark, sf_dir)
+    name = _sink_name("stream_ace_ds", sf_dir)
+    recs = spark.readStream.format("ace").load(dump)
+    _drain(recs, name, "append")
+    return (
+        spark.table(name)
+        .select(
+            "class",
+            F.element_at("tag_path", 1).alias("tag"),
+            "obj_id",
+            "value",
+            "ts",
+            "comment",
+        )
+        .groupBy("class", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("obj_id").alias("n_objs"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.sum(F.col("ts").isNotNull().cast("long")).alias("n_ts"),
+            F.sum(F.col("comment").isNotNull().cast("long")).alias(
+                "n_comments"
+            ),
+        )
+    )

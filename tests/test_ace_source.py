@@ -145,3 +145,29 @@ def test_ace_writer_escapes_quotes_and_backslashes(spark):
         (c, o, tuple(t), v, ts, cm) for c, o, t, v, ts, cm, _ in rows
     )
     assert got == want
+
+
+def test_ace_stream_reader_offsets(spark, tmp_path):
+    """The SimpleDataSourceStreamReader must pick up exactly the files
+    that arrived since the last offset — no skips, no replays."""
+    from db_migration_spark.sources.ace_datasource import (
+        AceSimpleStreamReader,
+    )
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "a.ace").write_text('Gene : "G1"\nName "n1"\n')
+    rdr = AceSimpleStreamReader({"path": str(d)})
+    start = rdr.initialOffset()
+    assert start == {"n_files": 0}
+    rows1, off1 = rdr.read(start)
+    assert off1 == {"n_files": 1} and len(list(rows1)) == 1
+    # a second file arrives; only IT is read from the new offset
+    (d / "b.ace").write_text('Gene : "G2"\nName "n2"\nAlias "x"\n')
+    rows2, off2 = rdr.read(off1)
+    got = list(rows2)
+    assert off2 == {"n_files": 2}
+    assert {r[1] for r in got} == {"G2"}  # obj ids from file b only
+    # replay between recorded offsets is verbatim
+    replay = list(rdr.readBetweenOffsets(off1, off2))
+    assert replay == got
