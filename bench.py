@@ -193,6 +193,7 @@ HEADLINE = [
     "f_aggmisc_suite",
     "a11_approx_quantiles",
     "ace_datasource_stream",
+    "ace_stream_sink",
 ]
 
 

@@ -390,6 +390,7 @@ def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
             "stream_stateful_profile": q_stream_stateful_profile,
+            "ace_stream_sink": q_ace_stream_sink,
             "stream_hourly_rollup": q_stream_hourly_rollup,
             "stream_dedup_keys": q_stream_dedup_keys,
             "stream_stream_join": q_stream_stream_join,
@@ -404,6 +405,7 @@ def register(queries: dict, oracles: dict) -> None:
     oracles.update(
         {
             "stream_stateful_profile": ORACLE_STREAM_STATEFUL,
+            "ace_stream_sink": ORACLE_ACE_STREAM_SINK,
             "stream_hourly_rollup": ORACLE_STREAM_ROLLUP,
             "stream_dedup_keys": ORACLE_STREAM_DEDUP,
             "stream_stream_join": ORACLE_STREAM_SSJOIN,
@@ -735,3 +737,70 @@ def q_ace_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_ace_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format plugin as a streaming SINK under the gate: the events
+    stream is serialized to ``.ace`` dump files by the plugin's
+    DataSourceStreamWriter (micro-batch-id filenames + per-batch
+    _SUCCESS markers), read BACK through the same plugin's batch
+    reader, and profiled per event type.  The oracle recomputes the
+    profile from the live events table, so a serializer escape bug, a
+    dropped partition, or a batch collision all shift the counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import ace_datasource
+
+    ace_datasource.register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "dbm_spark_ace_sink_v1",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        recs = _events_stream(spark, sf_dir).select(
+            F.lit("Event").alias("class"),
+            F.concat(F.lit("E"), F.col("event_id")).alias("obj_id"),
+            F.array(F.lit("Type")).alias("tag_path"),
+            F.col("event_type").alias("value"),
+            F.lit(None).cast("string").alias("ts"),
+            F.lit(None).cast("string").alias("comment"),
+            F.lit("stream").alias("src"),
+        )
+        q = (
+            recs.writeStream.format("ace")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        with open(marker, "w"):
+            pass
+    back = spark.read.format("ace").load(out)
+    return (
+        back.groupBy(F.col("value").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("obj_id").alias("n_objs"),
+            F.min("obj_id").alias("min_obj"),
+            F.max("obj_id").alias("max_obj"),
+        )
+    )
+
+
+ORACLE_ACE_STREAM_SINK = """
+SELECT event_type,
+       count(*) AS n_records,
+       count(DISTINCT 'E' || event_id) AS n_objs,
+       min('E' || event_id) AS min_obj,
+       max('E' || event_id) AS max_obj
+FROM events
+GROUP BY event_type
+"""

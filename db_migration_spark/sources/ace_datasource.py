@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -164,6 +165,9 @@ class AceDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "AceDataSourceWriter":
         return AceDataSourceWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "AceDataSourceStreamWriter":
+        return AceDataSourceStreamWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent format registration."""
@@ -239,5 +243,82 @@ class AceDataSourceWriter(DataSourceWriter):
             fh.write("\n".join(m.path for m in messages if m))
 
     def abort(self, messages):
+        pass
+
+
+class AceDataSourceStreamWriter(DataSourceStreamWriter):
+    """Streaming ``.ace`` sink: each micro-batch lands as its own set of
+    per-partition dump files (``batch-<id>-part-<pid>.ace.gz``) plus a
+    per-batch ``_SUCCESS-<id>`` marker from commit() — the transaction-
+    log-shaped layout the reader's files-consumed offset consumes, so a
+    stream can be round-tripped through the same format plugin.  abort()
+    leaves no marker, so replayed batches overwrite their own files
+    idempotently (same filenames) rather than duplicating."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import os
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ace stream sink requires a path")
+        os.makedirs(self.path, exist_ok=True)
+        self._delegate = AceDataSourceWriter({"path": self.path}, False)
+
+    def write(self, rows):
+        import gzip
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # the micro-batch id rides a task-local property in streaming
+        # tasks; filenames carry it so batches never collide and a
+        # REPLAYED batch overwrites its own files (idempotent), never
+        # duplicates them
+        batch_marker = (
+            ctx.getLocalProperty("streaming.sql.batchId")
+            or ctx.getLocalProperty("spark.sql.streaming.batchId")
+            or "x"
+        )
+        groups: dict = {}
+        order: list = []
+        for r in rows:
+            key = (r["class"], r["obj_id"])
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(r)
+        out = os.path.join(
+            self.path, f"batch-{batch_marker}-part-{pid:05d}.ace.gz"
+        )
+        with gzip.open(out, "wt", encoding="utf-8") as fh:
+            for key in order:
+                cls, obj = key
+                fh.write(f"{cls} : {_quote(obj)}\n")
+                for r in groups[key]:
+                    line = " ".join(list(r["tag_path"] or []))
+                    line += (
+                        f" {_quote(r['value'])}"
+                        if r["value"] is not None
+                        else ""
+                    )
+                    if r["ts"] is not None:
+                        line += f" -O {_quote(r['ts'])}"
+                    if r["comment"] is not None:
+                        line += f" -C {_quote(r['comment'])}"
+                    fh.write(line + "\n")
+                fh.write("\n")
+        return AceCommitMessage(out)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        with open(
+            os.path.join(self.path, f"_SUCCESS-{batchId}"), "w"
+        ) as fh:
+            fh.write("\n".join(m.path for m in messages if m))
+
+    def abort(self, messages, batchId: int) -> None:
         pass
 

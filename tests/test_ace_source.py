@@ -171,3 +171,52 @@ def test_ace_stream_reader_offsets(spark, tmp_path):
     # replay between recorded offsets is verbatim
     replay = list(rdr.readBetweenOffsets(off1, off2))
     assert replay == got
+
+
+def test_ace_stream_writer_roundtrip(spark, tmp_path):
+    """events -> record stream -> ace streaming SINK -> batch read back
+    through the same plugin: the written dump must parse to the exact
+    record multiset that went in."""
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.sources import ace_datasource
+
+    ace_datasource.register(spark)
+    src = tmp_path / "src"
+    out = tmp_path / "ace_out"
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(200)
+        .select(
+            F.lit("Event").alias("class"),
+            F.concat(F.lit("E"), F.col("event_id")).alias("obj_id"),
+            F.array(F.lit("Type")).alias("tag_path"),
+            F.col("event_type").alias("value"),
+            F.lit(None).cast("string").alias("ts"),
+            F.lit(None).cast("string").alias("comment"),
+            F.lit("stream").alias("src"),
+        )
+    )
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = (
+        stream.writeStream.format("ace")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    import os
+
+    names = os.listdir(out)
+    assert any(n.startswith("_SUCCESS-") for n in names)
+    assert any(n.startswith("batch-0-") for n in names), names
+    back = (
+        spark.read.format("ace")
+        .load(str(out))
+        .select("class", "obj_id", "value")
+    )
+    want = {(r["class"], r["obj_id"], r["value"]) for r in ev.collect()}
+    got = {(r["class"], r["obj_id"], r["value"]) for r in back.collect()}
+    assert got == want
