@@ -194,6 +194,8 @@ HEADLINE = [
     "a11_approx_quantiles",
     "ace_datasource_stream",
     "ace_stream_sink",
+    "sql_join_hint",
+    "cdc_apply",
 ]
 
 

@@ -380,6 +380,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["eav_entity_history"] = ORACLE_ENTITY_HISTORY
     queries["f_aggmisc_suite"] = q_f_aggmisc_suite
     oracles["f_aggmisc_suite"] = ORACLE_AGGMISC
+    queries["sql_join_hint"] = q_sql_join_hint
+    oracles["sql_join_hint"] = SQL_JOIN_HINT
+    queries["cdc_apply"] = q_cdc_apply
+    oracles["cdc_apply"] = ORACLE_CDC
 
 
 # ---------------------------------------------------------------------------
@@ -541,4 +545,74 @@ SELECT o_orderpriority,
        min(o_orderkey) AS first_orderkey
 FROM orders
 GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# join-hint surface (identical string both engines; hint is a comment there)
+# ---------------------------------------------------------------------------
+
+SQL_JOIN_HINT = """
+SELECT /*+ BROADCAST(nation) */ n_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_sql_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimizer-hint surface through the SQL front door: the
+    ``/*+ BROADCAST(nation) */`` hint pins the dim side (plan-guarded);
+    on DuckDB the hint is a plain block comment, so the IDENTICAL
+    string is the oracle — hints must change plans, never results."""
+    for t in ("customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_JOIN_HINT)
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (I/U/D ordered by LSN)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-shaped change-data-capture apply: an ordered changelog
+    of Insert/Update/Delete ops per key collapses to the final table
+    state with ONE window pass in the unique (lsn) order — last op per
+    key wins, and a terminal D drops the key.  The changelog is derived
+    deterministically from events (op cycles I/U/D by event_id), so the
+    oracle replays the same collapse in SQL.  The lakehouse ingest
+    primitive that MERGE INTO runs per batch, expressed once over the
+    whole log."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("lsn"),
+        F.element_at(
+            F.array(F.lit("I"), F.lit("U"), F.lit("D")),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).alias("op"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("payload"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("lsn"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "op", "lsn", "payload")
+    )
+
+
+ORACLE_CDC = """
+WITH log AS (
+  SELECT user_id AS k, event_id AS lsn,
+         ['I', 'U', 'D'][CAST(event_id % 3 + 1 AS INTEGER)] AS op,
+         CAST(floor(value * 1000000) AS BIGINT) AS payload
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT k, op, lsn, payload FROM ranked WHERE rn = 1 AND op <> 'D'
 """

@@ -435,3 +435,18 @@ def test_gazetteer_join_is_broadcast(spark):
 def test_bigram_census_no_python_nodes(spark):
     plan = _plan(spark, "corpus_ngram_counts")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sql_join_hint_forces_broadcast(spark):
+    # the BROADCAST hint must pin the dim side even if stats wouldn't
+    plan = _plan(spark, "sql_join_hint")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_apply_single_window_no_join(spark):
+    import re
+
+    plan = _plan(spark, "cdc_apply")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "Join" not in plan
