@@ -196,6 +196,7 @@ HEADLINE = [
     "ace_stream_sink",
     "sql_join_hint",
     "cdc_apply",
+    "multimodal_exif_meta",
 ]
 
 

@@ -384,6 +384,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["sql_join_hint"] = SQL_JOIN_HINT
     queries["cdc_apply"] = q_cdc_apply
     oracles["cdc_apply"] = ORACLE_CDC
+    queries["multimodal_exif_meta"] = q_multimodal_exif_meta
+    oracles["multimodal_exif_meta"] = ORACLE_EXIF
 
 
 # ---------------------------------------------------------------------------
@@ -615,4 +617,73 @@ WITH log AS (
   FROM log
 )
 SELECT k, op, lsn, payload FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (TIFF IFD embedded in JPEG APP1)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF extraction under the exact gate: per-nation JPEGs wrap
+    a formula-driven TIFF IFD in an ``Exif`` APP1 segment (alternating
+    endianness, like the standalone TIFF fixture); the parser walks the
+    JPEG marker stream and reuses the SAME dual-endian IFD walker
+    (multimodal/exif_meta.py → tiff_meta.decode_tiff_meta).  The oracle
+    recomputes every field from the generation formulas."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.exif_meta import decode_exif_meta, encode_jpeg_with_exif
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                m = decode_exif_meta(
+                    encode_jpeg_with_exif(
+                        width=200 + 5 * k,
+                        height=100 + 4 * k,
+                        compression=1 + 5 * (k % 2),
+                        big_endian=(k % 2 == 0),
+                    )
+                )
+                rows.append(
+                    (
+                        k,
+                        m["width"],
+                        m["height"],
+                        m["compression"],
+                        m["big_endian"],
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "compression",
+                    "big_endian",
+                ],
+            )
+
+    return nat.mapInPandas(
+        run,
+        "media_id LONG, width INT, height INT, compression INT,"
+        " big_endian BOOLEAN",
+    )
+
+
+ORACLE_EXIF = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CAST(200 + 5 * n_nationkey AS INTEGER) AS width,
+       CAST(100 + 4 * n_nationkey AS INTEGER) AS height,
+       CAST(1 + 5 * (n_nationkey % 2) AS INTEGER) AS compression,
+       n_nationkey % 2 = 0 AS big_endian
+FROM nation
 """

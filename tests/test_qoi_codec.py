@@ -115,3 +115,23 @@ def test_webp_rejects_garbage():
 
     with _pytest.raises(ValueError):
         decode_webp_meta(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_exif_roundtrip_and_rejects():
+    import pytest as _pytest
+
+    from db_migration_spark.multimodal.exif_meta import (
+        decode_exif_meta,
+        encode_jpeg_with_exif,
+    )
+
+    for be in (False, True):
+        m = decode_exif_meta(
+            encode_jpeg_with_exif(640, 480, compression=6, big_endian=be)
+        )
+        assert (m["width"], m["height"], m["compression"]) == (640, 480, 6)
+        assert m["big_endian"] == be
+    with _pytest.raises(ValueError):
+        decode_exif_meta(b"\xff\xd8\xff\xd9")  # JPEG but no APP1
+    with _pytest.raises(ValueError):
+        decode_exif_meta(b"not jpeg")
