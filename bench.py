@@ -197,6 +197,9 @@ HEADLINE = [
     "sql_join_hint",
     "cdc_apply",
     "multimodal_exif_meta",
+    "stats_welch_suffstats",
+    "graph_degree_histogram",
+    "eav_db_filter",
 ]
 
 

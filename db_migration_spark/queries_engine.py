@@ -386,6 +386,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["cdc_apply"] = ORACLE_CDC
     queries["multimodal_exif_meta"] = q_multimodal_exif_meta
     oracles["multimodal_exif_meta"] = ORACLE_EXIF
+    queries["eav_db_filter"] = q_eav_db_filter
+    oracles["eav_db_filter"] = ORACLE_DB_FILTER
 
 
 # ---------------------------------------------------------------------------
@@ -686,4 +688,60 @@ SELECT CAST(n_nationkey AS BIGINT) AS media_id,
        CAST(1 + 5 * (n_nationkey % 2) AS INTEGER) AS compression,
        n_nationkey % 2 = 0 AS big_endian
 FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Datomic filtered-database view (d/filter: row-level security shape)
+# ---------------------------------------------------------------------------
+
+
+def q_eav_db_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic's ``d/filter`` — a predicate-filtered database VIEW that
+    downstream queries run against unchanged: here an attribute
+    allowlist (quantities and flags; shipdate datoms are withheld) plus
+    a value predicate (quantity datoms only below 40) compose BEFORE
+    the standard per-attribute profile.  Catalyst pushes both
+    predicates into the scan, so the filtered view costs nothing extra
+    — the row-level-security shape at 100 TB.  The oracle applies the
+    same policy in SQL."""
+    from .queries import _melted_lineitem
+
+    datoms = _melted_lineitem(spark, sf_dir)
+    visible = datoms.filter(
+        F.col("a").isin("l_quantity", "l_returnflag", "l_linestatus")
+        & ~(
+            (F.col("a") == "l_quantity")
+            & (F.col("v").cast("long") >= 40)
+        )
+    )
+    return visible.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_datoms"),
+        F.countDistinct("e").alias("n_entities"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+ORACLE_DB_FILTER = """
+WITH datoms AS (
+  SELECT l_orderkey * 8 + l_linenumber AS e, 'l_quantity' AS a,
+         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 'l_returnflag', l_returnflag
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey * 8 + l_linenumber, 'l_linestatus', l_linestatus
+  FROM lineitem
+), visible AS (
+  SELECT * FROM datoms
+  WHERE NOT (a = 'l_quantity' AND CAST(v AS BIGINT) >= 40)
+)
+SELECT a,
+       count(*) AS n_datoms,
+       count(DISTINCT e) AS n_entities,
+       min(v) AS min_v,
+       max(v) AS max_v
+FROM visible GROUP BY a
 """

@@ -725,6 +725,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["stats_welch_suffstats"] = q_stats_welch_suffstats
+    oracles["stats_welch_suffstats"] = ORACLE_WELCH
+    queries["graph_degree_histogram"] = q_graph_degree_histogram
+    oracles["graph_degree_histogram"] = ORACLE_DEGREE_HIST
     queries["a11_approx_quantiles"] = q_a11_approx_quantiles
     # rows-only by design: GK sketch internals are engine-specific
 
@@ -1061,3 +1065,116 @@ def q_a11_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_cents"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def q_stats_welch_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t sufficient statistics per market segment —
+    URGENT vs non-URGENT order values in cents: per arm n, Σx, Σx² as
+    exact BIGINTs from ONE map-side-combinable aggregate (conditional
+    sums, no second pass).  The float t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂) is
+    one driver-side formula away; the data plane ships the exact
+    integers (the stats_ab_test discipline)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    ).select(
+        "c_mktsegment",
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_a"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    a = F.col("is_a").cast("long")
+    b = 1 - a
+    return base.groupBy("c_mktsegment").agg(
+        F.sum(a).alias("n1"),
+        F.sum(b).alias("n2"),
+        F.sum(a * F.col("v")).alias("sx1"),
+        F.sum(b * F.col("v")).alias("sx2"),
+        F.sum(a * F.col("v") * F.col("v")).alias("sxx1"),
+        F.sum(b * F.col("v") * F.col("v")).alias("sxx2"),
+    )
+
+
+ORACLE_WELCH = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END)
+            AS BIGINT) AS n2,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sx1,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+                ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+                END) AS BIGINT) AS sx2,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                     * CAST(floor(o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sxx1,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+                ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+                     * CAST(floor(o_totalprice * 100) AS BIGINT)
+                END) AS BIGINT) AS sxx2
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# degree distribution census (log2 bins)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree distribution of the co-purchase graph — the
+    graph-census primitive behind hub detection and valve sizing (the
+    max_center_degree default comes from exactly this view).  Two hash
+    aggregates: degrees, then bins; the bin is floor(log2(d)) computed
+    in integer space both engines (width_bucket-free: bit_length−1)."""
+    und = _copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # floor(log2(d)) as the bit position of the highest set bit
+    bin_ = (
+        F.floor(F.log2(F.col("d").cast("double"))).cast("int")
+    )
+    return (
+        deg.groupBy(bin_.alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.sum("d").alias("sum_d"),
+        )
+    )
+
+
+ORACLE_DEGREE_HIST = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT lo AS node FROM edges UNION ALL SELECT hi FROM edges
+  ) GROUP BY node
+)
+SELECT CAST(floor(log2(CAST(d AS DOUBLE))) AS INTEGER) AS log2_bin,
+       count(*) AS n_nodes,
+       min(d) AS min_d,
+       max(d) AS max_d,
+       CAST(sum(d) AS BIGINT) AS sum_d
+FROM deg
+GROUP BY 1
+"""
