@@ -200,6 +200,7 @@ HEADLINE = [
     "stats_welch_suffstats",
     "graph_degree_histogram",
     "eav_db_filter",
+    "corpus_e2e_pipeline",
 ]
 
 

@@ -388,6 +388,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["multimodal_exif_meta"] = ORACLE_EXIF
     queries["eav_db_filter"] = q_eav_db_filter
     oracles["eav_db_filter"] = ORACLE_DB_FILTER
+    queries["corpus_e2e_pipeline"] = q_corpus_e2e_pipeline
+    oracles["corpus_e2e_pipeline"] = ORACLE_CORPUS_E2E
 
 
 # ---------------------------------------------------------------------------
@@ -744,4 +746,84 @@ SELECT a,
        min(v) AS min_v,
        max(v) AS max_v
 FROM visible GROUP BY a
+"""
+
+
+# ---------------------------------------------------------------------------
+# composed corpus pipeline (gate -> dedup -> split -> stats), one query
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production corpus chain COMPOSED end-to-end in one plan:
+    quality gate (length band + max word-repetition ratio) → exact
+    near-dup removal (keep-first by normalized hash) → deterministic
+    train/val split (hash parity) → per-split datacard stats.  Every
+    stage is individually oracled elsewhere (text_gopher_rules,
+    dedup_exact, sample_split, corpus_datacard); this entry pins that
+    they COMPOSE — one Catalyst plan, no materialization between
+    stages, and the oracle replays the identical four-stage SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+    gated = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.md5(norm).alias("fp"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    ).filter(
+        (F.col("n_chars") >= 120)
+        & (F.col("n_chars") <= 1600)
+        & (F.col("n_uniq") * 4 >= F.col("n_toks"))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    # hex-prefix string comparison — the sample_split idiom (portable,
+    # no hex->int conversion needed in either engine); '1a'/'ff' ~ 10%
+    split = deduped.withColumn(
+        "split",
+        F.when(F.substring("fp", 1, 2) < "1a", "val").otherwise("train"),
+    )
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_toks").alias("total_toks"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_CORPUS_E2E = r"""
+WITH gated AS (
+  SELECT doc_id, lang, n_chars,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS n_toks,
+         len(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> ''))) AS n_uniq
+  FROM documents
+  WHERE n_chars >= 120 AND n_chars <= 1600
+), gated2 AS (
+  SELECT * FROM gated WHERE n_uniq * 4 >= n_toks
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+    FROM gated2
+  ) WHERE rk = 1
+), split AS (
+  SELECT *, CASE WHEN substring(fp, 1, 2) < '1a' THEN 'val'
+                 ELSE 'train' END AS split
+  FROM deduped
+)
+SELECT lang, split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_toks) AS BIGINT) AS total_toks,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM split GROUP BY lang, split
 """

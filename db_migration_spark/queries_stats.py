@@ -1091,13 +1091,20 @@ def q_stats_welch_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = F.col("is_a").cast("long")
     b = 1 - a
+    vd = F.col("v").cast("decimal(38,0)")
+    # squared-cents sums overflow BIGINT beyond ~sf0.1 (v^2 ~ 2.5e15 per
+    # row) — they ride DECIMAL(38,0) like the linreg sufficient stats
     return base.groupBy("c_mktsegment").agg(
         F.sum(a).alias("n1"),
         F.sum(b).alias("n2"),
         F.sum(a * F.col("v")).alias("sx1"),
         F.sum(b * F.col("v")).alias("sx2"),
-        F.sum(a * F.col("v") * F.col("v")).alias("sxx1"),
-        F.sum(b * F.col("v") * F.col("v")).alias("sxx2"),
+        F.sum(a.cast("decimal(38,0)") * vd * vd)
+        .cast("decimal(38,0)")
+        .alias("sxx1"),
+        F.sum(b.cast("decimal(38,0)") * vd * vd)
+        .cast("decimal(38,0)")
+        .alias("sxx2"),
     )
 
 
@@ -1114,13 +1121,13 @@ SELECT c_mktsegment,
                 ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
                 END) AS BIGINT) AS sx2,
        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                THEN CAST(floor(o_totalprice * 100) AS BIGINT)
-                     * CAST(floor(o_totalprice * 100) AS BIGINT)
-                ELSE 0 END) AS BIGINT) AS sxx1,
+                THEN CAST(floor(o_totalprice * 100) AS DECIMAL(38,0))
+                     * CAST(floor(o_totalprice * 100) AS DECIMAL(38,0))
+                ELSE 0 END) AS DECIMAL(38,0)) AS sxx1,
        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
-                ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
-                     * CAST(floor(o_totalprice * 100) AS BIGINT)
-                END) AS BIGINT) AS sxx2
+                ELSE CAST(floor(o_totalprice * 100) AS DECIMAL(38,0))
+                     * CAST(floor(o_totalprice * 100) AS DECIMAL(38,0))
+                END) AS DECIMAL(38,0)) AS sxx2
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
