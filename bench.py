@@ -201,6 +201,8 @@ HEADLINE = [
     "graph_degree_histogram",
     "eav_db_filter",
     "corpus_e2e_pipeline",
+    "graph_modularity",
+    "ts_cusum_changepoint",
 ]
 
 

@@ -725,6 +725,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["graph_modularity"] = q_graph_modularity
+    oracles["graph_modularity"] = ORACLE_MODULARITY
+    queries["ts_cusum_changepoint"] = q_ts_cusum_changepoint
+    oracles["ts_cusum_changepoint"] = ORACLE_CUSUM
     queries["stats_welch_suffstats"] = q_stats_welch_suffstats
     oracles["stats_welch_suffstats"] = ORACLE_WELCH
     queries["graph_degree_histogram"] = q_graph_degree_histogram
@@ -1184,4 +1188,165 @@ SELECT CAST(floor(log2(CAST(d AS DOUBLE))) AS INTEGER) AS log2_bin,
        CAST(sum(d) AS BIGINT) AS sum_d
 FROM deg
 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# modularity of a labelled partition (exact rational)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the co-purchase
+    graph, exact: Q = Σ_c [L_c/m − (d_c/2m)²] is emitted as the integer
+    pair (Σ_c (4m·L_c − d_c²), 4m²) — no float anywhere.  Communities
+    come from part.p_brand (a broadcast dim join); per-community
+    intra-edge counts and degree sums are two hash aggregates over the
+    edge list.  The community-quality score behind Louvain/Leiden
+    acceptance tests, as one exact query."""
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    lab = part.withColumnRenamed("p_partkey", "node")
+    m_row = und.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        und.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d_c = (
+        deg.join(F.broadcast(lab), "node")
+        .groupBy("p_brand")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    intra = (
+        und.join(
+            F.broadcast(lab.withColumnRenamed("node", "lo")).withColumnRenamed(
+                "p_brand", "b_lo"
+            ),
+            "lo",
+        )
+        .join(
+            F.broadcast(lab.withColumnRenamed("node", "hi")).withColumnRenamed(
+                "p_brand", "b_hi"
+            ),
+            "hi",
+        )
+        .filter(F.col("b_lo") == F.col("b_hi"))
+        .groupBy(F.col("b_lo").alias("p_brand"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    per_c = d_c.join(intra, "p_brand", "left").select(
+        "p_brand",
+        F.coalesce(F.col("l_c"), F.lit(0)).alias("l_c"),
+        "d_c",
+    )
+    return per_c.crossJoin(F.broadcast(m_row)).select(
+        "p_brand",
+        "l_c",
+        "d_c",
+        (4 * F.col("m") * F.col("l_c") - F.col("d_c") * F.col("d_c")).alias(
+            "q_num_c"
+        ),
+        (4 * F.col("m") * F.col("m")).alias("q_den"),
+    )
+
+
+ORACLE_MODULARITY = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), m AS (
+  SELECT count(*) AS m FROM edges
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT lo AS node FROM edges UNION ALL SELECT hi FROM edges
+  ) GROUP BY node
+), d_c AS (
+  SELECT p_brand, CAST(sum(d) AS BIGINT) AS d_c
+  FROM deg JOIN part ON node = p_partkey
+  GROUP BY p_brand
+), intra AS (
+  SELECT pl.p_brand, count(*) AS l_c
+  FROM edges e
+  JOIN part pl ON e.lo = pl.p_partkey
+  JOIN part ph ON e.hi = ph.p_partkey
+  WHERE pl.p_brand = ph.p_brand
+  GROUP BY pl.p_brand
+)
+SELECT d_c.p_brand,
+       CAST(COALESCE(intra.l_c, 0) AS BIGINT) AS l_c,
+       d_c.d_c,
+       4 * m.m * COALESCE(intra.l_c, 0) - d_c.d_c * d_c.d_c AS q_num_c,
+       4 * m.m * m.m AS q_den
+FROM d_c LEFT JOIN intra ON d_c.p_brand = intra.p_brand
+CROSS JOIN m
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint score (exact integers)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint score, exact: the classical statistic
+    max_t |Σ_{i≤t}(v_i − mean)| needs the global mean, so multiply
+    through by n — n·CUSUM_t = n·prefix_t − t·total is an exact BIGINT
+    (v in micro-units), and the argmax over t is the changepoint
+    candidate.  One prefix-sum window in the unique (ts, event_id)
+    order + one aggregate; the n/total ride along via a per-user
+    window, so there is no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    wseq = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+    ).select(
+        "user_id",
+        F.sum("v").over(wseq).alias("prefix"),
+        F.count(F.lit(1)).over(wseq).alias("t"),
+        F.sum("v").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dev = F.abs(
+        F.col("n") * F.col("prefix") - F.col("t") * F.col("total")
+    )
+    return base.groupBy("user_id").agg(
+        F.max(dev).alias("max_dev_xn"),
+        F.max("n").alias("n"),
+        F.max("total").alias("total_micro"),
+    )
+
+
+ORACLE_CUSUM = """
+WITH base AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 1000000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prefix,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+         sum(CAST(floor(value * 1000000) AS BIGINT))
+           OVER (PARTITION BY user_id) AS total,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       max(abs(n * prefix - t * total)) AS max_dev_xn,
+       max(n) AS n,
+       max(total) AS total_micro
+FROM base GROUP BY user_id
 """

@@ -245,3 +245,30 @@ def test_approx_quantiles_rank_error_bound(spark):
             assert abs(got - want) <= max(0.01 * want, 500), (
                 flag, k, got, want
             )
+
+
+def test_modularity_bounds(spark):
+    rows = QUERIES["graph_modularity"](spark, SF).collect()
+    assert rows
+    q_den = rows[0].q_den
+    total_q_num = sum(r.q_num_c for r in rows)
+    # Q in [-1/2, 1)
+    assert -q_den // 2 <= total_q_num < q_den
+    m2 = 0
+    for r in rows:
+        assert 0 <= 2 * r.l_c <= r.d_c  # intra-edges bounded by degrees
+        m2 += r.d_c
+    # sum of community degree sums = 2m
+    import math
+
+    assert m2 * m2 <= 4 * rows[0].q_den  # (2m)^2 == q_den * ... sanity
+
+
+def test_cusum_zero_at_endpoints(spark):
+    rows = QUERIES["ts_cusum_changepoint"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # deviation at t=n is exactly 0, so max >= 0 and the statistic
+        # is bounded by n * sum|v| (loose sanity)
+        assert r.max_dev_xn >= 0
+        assert r.max_dev_xn <= r.n * abs(r.total_micro) + r.n * 10**12
