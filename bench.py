@@ -203,6 +203,8 @@ HEADLINE = [
     "corpus_e2e_pipeline",
     "graph_modularity",
     "ts_cusum_changepoint",
+    "sql_pipe_syntax",
+    "sql_collation_group",
 ]
 
 

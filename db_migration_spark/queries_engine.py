@@ -390,6 +390,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["eav_db_filter"] = ORACLE_DB_FILTER
     queries["corpus_e2e_pipeline"] = q_corpus_e2e_pipeline
     oracles["corpus_e2e_pipeline"] = ORACLE_CORPUS_E2E
+    queries["sql_pipe_syntax"] = q_sql_pipe_syntax
+    oracles["sql_pipe_syntax"] = ORACLE_PIPE
+    queries["sql_collation_group"] = q_sql_collation_group
+    oracles["sql_collation_group"] = ORACLE_COLLATION
 
 
 # ---------------------------------------------------------------------------
@@ -826,4 +830,89 @@ SELECT lang, split,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM split GROUP BY lang, split
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax front door (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+
+SQL_PIPE = """
+FROM lineitem
+|> WHERE l_quantity < 45
+|> AGGREGATE count(*) AS n_rows,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS DECIMAL(38,0)) AS price_cents
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (``|>`` operator chaining) through the
+    front door — the same logical plan the nested-SELECT form compiles
+    to; the oracle is the equivalent standard SQL on DuckDB, so the
+    gate proves the pipe chain means what the classic form means."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_PIPE)
+
+
+ORACLE_PIPE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+            AS DECIMAL(38,0)) AS price_cents
+FROM lineitem
+WHERE l_quantity < 45
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# collation-aware grouping (Spark 4 collations)
+# ---------------------------------------------------------------------------
+
+
+def q_sql_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: segments planted with per-row case
+    (upper for even custkeys, lower for odd) group case-INSENSITIVELY
+    under ``collate(seg, 'UTF8_LCASE')`` — no lower() rewrite in the
+    grouping key.  The emitted representative applies lower() before
+    the aggregate so it is deterministic; the oracle reproduces the
+    same groups with an explicit lower()."""
+    cust = load_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    return (
+        cust.select(
+            mixed.alias("seg"),
+            F.lower(mixed).alias("seg_lower"),
+            "c_custkey",
+        )
+        .groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("segc"))
+        .agg(
+            F.min("seg_lower").alias("segment"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .drop("segc")
+    )
+
+
+ORACLE_COLLATION = """
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg,
+         c_custkey
+  FROM customer
+)
+SELECT lower(seg) AS segment,
+       count(*) AS n_customers,
+       min(c_custkey) AS min_key,
+       max(c_custkey) AS max_key
+FROM mixed
+GROUP BY lower(seg)
 """
