@@ -205,6 +205,7 @@ HEADLINE = [
     "ts_cusum_changepoint",
     "sql_pipe_syntax",
     "sql_collation_group",
+    "f_like_suite",
 ]
 
 

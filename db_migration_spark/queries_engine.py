@@ -394,6 +394,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["sql_pipe_syntax"] = ORACLE_PIPE
     queries["sql_collation_group"] = q_sql_collation_group
     oracles["sql_collation_group"] = ORACLE_COLLATION
+    queries["f_like_suite"] = q_f_like_suite
+    oracles["f_like_suite"] = ORACLE_LIKE
 
 
 # ---------------------------------------------------------------------------
@@ -915,4 +917,55 @@ SELECT lower(seg) AS segment,
        max(c_custkey) AS max_key
 FROM mixed
 GROUP BY lower(seg)
+"""
+
+
+# ---------------------------------------------------------------------------
+# LIKE-family predicate parity suite
+# ---------------------------------------------------------------------------
+
+
+def q_f_like_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-predicate parity: LIKE with a custom ESCAPE character,
+    case-insensitive ILIKE, anchored regexp (rlike ⟷ regexp_matches),
+    and NOT LIKE — counted per returnflag so one row pins all four
+    semantics.  The underscore is escaped via ``e_`` to prove the
+    ESCAPE path is honoured, not treated as a wildcard (the planted
+    tag carries a literal underscore)."""
+    part = load_table(spark, sf_dir, "part")
+    tag = F.concat(F.col("p_name"), F.lit("_"), F.col("p_type"))
+    return part.select("p_brand", tag.alias("tag")).groupBy(
+        "p_brand"
+    ).agg(
+        F.sum(F.col("tag").like("%red%").cast("long")).alias("n_like"),
+        F.sum(
+            F.expr("tag LIKE '%e_%' ESCAPE 'e'").cast("long")
+        ).alias("n_like_escaped"),
+        F.sum(F.col("tag").ilike("%RED%").cast("long")).alias("n_ilike"),
+        F.sum(F.col("tag").rlike("^(red|blue) ").cast("long")).alias(
+            "n_rlike"
+        ),
+        F.sum((~F.col("tag").like("none")).cast("long")).alias(
+            "n_not_like"
+        ),
+    )
+
+
+ORACLE_LIKE = """
+WITH tags AS (
+  SELECT p_brand, p_name || '_' || p_type AS tag FROM part
+)
+SELECT p_brand,
+       CAST(sum(CASE WHEN tag LIKE '%red%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_like,
+       CAST(sum(CASE WHEN tag LIKE '%e_%' ESCAPE 'e' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_like_escaped,
+       CAST(sum(CASE WHEN tag ILIKE '%RED%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ilike,
+       CAST(sum(CASE WHEN regexp_matches(tag, '^(red|blue) ')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rlike,
+       CAST(sum(CASE WHEN tag NOT LIKE 'none' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_not_like
+FROM tags
+GROUP BY p_brand
 """
