@@ -206,6 +206,7 @@ HEADLINE = [
     "sql_pipe_syntax",
     "sql_collation_group",
     "f_like_suite",
+    "stream_chained_stateful",
 ]
 
 

@@ -391,6 +391,7 @@ def register(queries: dict, oracles: dict) -> None:
         {
             "stream_stateful_profile": q_stream_stateful_profile,
             "ace_stream_sink": q_ace_stream_sink,
+            "stream_chained_stateful": q_stream_chained_stateful,
             "stream_hourly_rollup": q_stream_hourly_rollup,
             "stream_dedup_keys": q_stream_dedup_keys,
             "stream_stream_join": q_stream_stream_join,
@@ -406,6 +407,7 @@ def register(queries: dict, oracles: dict) -> None:
         {
             "stream_stateful_profile": ORACLE_STREAM_STATEFUL,
             "ace_stream_sink": ORACLE_ACE_STREAM_SINK,
+            "stream_chained_stateful": ORACLE_STREAM_CHAINED,
             "stream_hourly_rollup": ORACLE_STREAM_ROLLUP,
             "stream_dedup_keys": ORACLE_STREAM_DEDUP,
             "stream_stream_join": ORACLE_STREAM_SSJOIN,
@@ -803,4 +805,70 @@ SELECT event_type,
        max('E' || event_id) AS max_obj
 FROM events
 GROUP BY event_type
+"""
+
+
+def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query — the
+    shape Structured Streaming only unlocked recently and most engines
+    still refuse: watermarked dropDuplicatesWithinWatermark on
+    (user_id, event_type, ts) feeds a tumbling-window aggregate, both
+    maintaining state in the same micro-batch pipeline.  Drained
+    availableNow; the oracle replays DISTINCT-then-GROUP BY, so
+    duplicate leakage through the first state or window misassignment
+    in the second both shift the counts.  Append mode only emits
+    watermark-CLOSED windows, so a far-future sentinel row (the
+    stream_outer_join device) forces total eviction and is filtered
+    after the drain."""
+    import os
+
+    from .queries_e2e import _fx
+
+    batch = load_table(spark, sf_dir, "events")
+    batch_max = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent_path = _fx(sf_dir, "stream_chain_sentinel")
+    if not os.path.exists(os.path.join(sent_path, "_SUCCESS")):
+        sent = spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(batch_max) + F.expr("INTERVAL 240 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        sent.coalesce(1).write.mode("overwrite").parquet(sent_path)
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    sent_stream = spark.readStream.schema(
+        spark.read.parquet(sent_path).schema
+    ).parquet(sent_path)
+    ev = ev.unionByName(sent_stream)
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+    rolled = (
+        deduped.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n_events"
+        )
+    )
+    name = _sink_name("stream_chain", sf_dir)
+    _drain(rolled, name, "append")
+    return spark.table(name).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+
+
+ORACLE_STREAM_CHAINED = """
+WITH deduped AS (
+  SELECT DISTINCT user_id, event_type, ts FROM events
+)
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
+       count(*) AS n_events
+FROM deduped
+GROUP BY 1, 2
 """
