@@ -207,6 +207,7 @@ HEADLINE = [
     "sql_collation_group",
     "f_like_suite",
     "stream_chained_stateful",
+    "f_datetime_suite2",
 ]
 
 

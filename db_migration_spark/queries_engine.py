@@ -396,6 +396,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["sql_collation_group"] = ORACLE_COLLATION
     queries["f_like_suite"] = q_f_like_suite
     oracles["f_like_suite"] = ORACLE_LIKE
+    queries["f_datetime_suite2"] = q_f_datetime_suite2
+    oracles["f_datetime_suite2"] = ORACLE_DATETIME2
 
 
 # ---------------------------------------------------------------------------
@@ -968,4 +970,74 @@ SELECT p_brand,
             AS BIGINT) AS n_not_like
 FROM tags
 GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# datetime-construction / day-numbering parity suite
+# ---------------------------------------------------------------------------
+
+
+def q_f_datetime_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime parity, second wave: make_date/make_timestamp
+    construction, last_day, ISO day-of-week (Spark ``weekday`` is
+    0=Monday, DuckDB ``isodow`` is 1=Monday — the +1 bridge is the
+    classic cross-engine trap this suite pins), ISO week number,
+    quarter, and day arithmetic via datediff — all derived from
+    o_orderdate so every row exercises real calendar values."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            d.alias("d"),
+            F.make_date(F.year(d), F.month(d), F.dayofmonth(d)).alias(
+                "rebuilt"
+            ),
+            F.last_day(d).alias("month_end"),
+            (F.weekday(d) + 1).alias("isodow"),
+            F.weekofyear(d).alias("iso_week"),
+            F.quarter(d).alias("qtr"),
+            F.datediff(d, F.to_date(F.lit("2020-01-01"))).alias(
+                "days_since_2020"
+            ),
+        )
+        .groupBy("isodow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("rebuilt") == F.col("d")).cast("long")).alias(
+                "n_rebuilt_ok"
+            ),
+            F.min("month_end").alias("min_month_end"),
+            F.max("iso_week").alias("max_week"),
+            F.sum("qtr").alias("sum_qtr"),
+            F.sum("days_since_2020").alias("sum_days"),
+        )
+    )
+
+
+ORACLE_DATETIME2 = """
+WITH base AS (
+  SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+), derived AS (
+  SELECT d,
+         make_date(CAST(year(d) AS BIGINT), CAST(month(d) AS BIGINT),
+                   CAST(day(d) AS BIGINT)) AS rebuilt,
+         last_day(d) AS month_end,
+         CAST(isodow(d) AS INTEGER) AS isodow,
+         CAST(week(d) AS INTEGER) AS iso_week,
+         CAST(quarter(d) AS INTEGER) AS qtr,
+         CAST(date_diff('day', DATE '2020-01-01', d) AS INTEGER)
+           AS days_since_2020
+  FROM base
+)
+SELECT isodow,
+       count(*) AS n,
+       CAST(sum(CASE WHEN rebuilt = d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rebuilt_ok,
+       min(month_end) AS min_month_end,
+       max(iso_week) AS max_week,
+       CAST(sum(qtr) AS BIGINT) AS sum_qtr,
+       CAST(sum(days_since_2020) AS BIGINT) AS sum_days
+FROM derived
+GROUP BY isodow
 """
