@@ -208,6 +208,8 @@ HEADLINE = [
     "f_like_suite",
     "stream_chained_stateful",
     "f_datetime_suite2",
+    "stats_bootstrap_means",
+    "stats_mad",
 ]
 
 

@@ -725,6 +725,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["stats_bootstrap_means"] = q_stats_bootstrap_means
+    oracles["stats_bootstrap_means"] = ORACLE_BOOTSTRAP
+    queries["stats_mad"] = q_stats_mad
+    oracles["stats_mad"] = ORACLE_MAD
     queries["graph_modularity"] = q_graph_modularity
     oracles["graph_modularity"] = ORACLE_MODULARITY
     queries["ts_cusum_changepoint"] = q_ts_cusum_changepoint
@@ -1349,4 +1353,165 @@ SELECT user_id,
        max(n) AS n,
        max(total) AS total_micro
 FROM base GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (deterministic hash resampling, one pass)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+# Poisson(1) CDF thresholds scaled to 2^20: P(0)=.3679, P(<=1)=.7358,
+# P(<=2)=.9197, P(<=3)=.9810 — tail collapsed into w=4
+_BOOT_T0, _BOOT_T1, _BOOT_T2, _BOOT_T3 = 385774, 771548, 964458, 1028765
+
+
+def q_stats_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap over order values — THE scalable CI technique:
+    instead of resampling rows (impossible distributed), each row draws
+    an independent Poisson(1) weight per replicate from a deterministic
+    multiplicative hash, and all B = 16 replicate sums accumulate in
+    ONE pass (explode over the replicate index; the shuffle carries
+    (b, partial sums) only).  Replicate means are exact rational pairs
+    (sum_cents, n_eff); the CI is a driver-side quantile over 16
+    numbers.  Hash and CDF thresholds are replicated verbatim in the
+    oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.col("b")
+    h = (
+        (F.col("o_orderkey") * F.lit(2654435761) + b * F.lit(40503))
+        % F.lit(1048576)
+    )
+    w = (
+        F.when(h < _BOOT_T0, 0)
+        .when(h < _BOOT_T1, 1)
+        .when(h < _BOOT_T2, 2)
+        .when(h < _BOOT_T3, 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    v = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(
+            "o_orderkey",
+            v.alias("v"),
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .select(b.alias("b"), (w * F.col("v")).alias("wv"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum("wv").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_BOOTSTRAP = f"""
+WITH reps AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+         unnest(range(0, {_BOOT_B})) AS b
+  FROM orders
+), weighted AS (
+  SELECT b,
+         CASE WHEN (o_orderkey * 2654435761 + b * 40503) % 1048576
+                   < {_BOOT_T0} THEN 0
+              WHEN (o_orderkey * 2654435761 + b * 40503) % 1048576
+                   < {_BOOT_T1} THEN 1
+              WHEN (o_orderkey * 2654435761 + b * 40503) % 1048576
+                   < {_BOOT_T2} THEN 2
+              WHEN (o_orderkey * 2654435761 + b * 40503) % 1048576
+                   < {_BOOT_T3} THEN 3
+              ELSE 4 END AS w,
+         v
+  FROM reps
+)
+SELECT b,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST(sum(w * v) AS BIGINT) AS sum_cents
+FROM weighted
+GROUP BY b
+"""
+
+
+# ---------------------------------------------------------------------------
+# median absolute deviation (exact, collapsed-value probes twice)
+# ---------------------------------------------------------------------------
+
+
+def _disc_median(df, group_col: str, val_col: str):
+    """Lower discrete median per group via the collapsed-value
+    cumulative + range probe (no per-row ranks)."""
+    vc = df.groupBy(group_col, val_col).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vc.withColumn(
+        "cum_below", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    pos = F.broadcast(
+        counts.select(
+            group_col, ((F.col("n") + 1) / 2).cast("long").alias("target")
+        )
+    )
+    cc, pp = cum.alias("cc"), pos.alias("pp")
+    return cc.join(
+        pp,
+        (F.col(f"cc.{group_col}") == F.col(f"pp.{group_col}"))
+        & (F.col("pp.target") > F.col("cc.cum_below"))
+        & (F.col("pp.target") <= F.col("cc.cum_below") + F.col("cc.c")),
+    ).select(
+        F.col(f"pp.{group_col}").alias(group_col),
+        F.col(f"cc.{val_col}").alias("med"),
+    )
+
+
+def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per returnflag, exact: the lower
+    discrete median (rank ⌈n/2⌉) via the collapsed-value range probe,
+    then the same probe again over |v − med| — two aggregate+window
+    passes over collapsed domains, never a per-row rank.  The robust
+    dispersion statistic outlier pipelines want where stddev is
+    poisoned by the outliers themselves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    med = _disc_median(vals, "l_returnflag", "v")
+    absdev = vals.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.abs(F.col("v") - F.col("med")).alias("v"),
+    )
+    mad = _disc_median(absdev, "l_returnflag", "v").withColumnRenamed(
+        "med", "mad_cents"
+    )
+    return med.join(mad, "l_returnflag").select(
+        "l_returnflag", F.col("med").alias("median_cents"), "mad_cents"
+    )
+
+
+ORACLE_MAD = """
+WITH vals AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)
+           AS med
+  FROM vals GROUP BY l_returnflag
+), absdev AS (
+  SELECT vals.l_returnflag, abs(v - med) AS av
+  FROM vals JOIN med ON vals.l_returnflag = med.l_returnflag
+), mad AS (
+  SELECT l_returnflag,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY av) AS BIGINT)
+           AS mad_cents
+  FROM absdev GROUP BY l_returnflag
+)
+SELECT med.l_returnflag, med.med AS median_cents, mad.mad_cents
+FROM med JOIN mad ON med.l_returnflag = mad.l_returnflag
 """
