@@ -210,6 +210,7 @@ HEADLINE = [
     "f_datetime_suite2",
     "stats_bootstrap_means",
     "stats_mad",
+    "eav_with_speculative",
 ]
 
 

@@ -398,6 +398,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["f_like_suite"] = ORACLE_LIKE
     queries["f_datetime_suite2"] = q_f_datetime_suite2
     oracles["f_datetime_suite2"] = ORACLE_DATETIME2
+    queries["eav_with_speculative"] = q_eav_with_speculative
+    oracles["eav_with_speculative"] = ORACLE_WITH
 
 
 # ---------------------------------------------------------------------------
@@ -1040,4 +1042,75 @@ SELECT isodow,
        CAST(sum(days_since_2020) AS BIGINT) AS sum_days
 FROM derived
 GROUP BY isodow
+"""
+
+
+# ---------------------------------------------------------------------------
+# Datomic d/with — speculative transaction, base vs what-if in one result
+# ---------------------------------------------------------------------------
+
+
+def q_eav_with_speculative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic's ``d/with`` — apply a transaction SPECULATIVELY and
+    query the would-be database without committing: the speculative tx
+    re-asserts every 'click' datom as 'click_audited' one microsecond
+    later, the patch merge (operators/eav.py apply_patches — the same
+    cardinality-aware LWW the committed path uses) produces the
+    speculated view, and the result profiles BOTH worlds side by side
+    (base vs with) so the caller sees exactly what the tx would change.
+    Nothing is written anywhere — both views are plans over the same
+    scan."""
+    from .operators import eav
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").alias("e"),
+        F.col("event_type").alias("a"),
+        F.col("event_id").cast("string").alias("v"),
+        F.col("ts").alias("tx"),
+        F.lit(True).alias("op"),
+    )
+    spec_tx = base.filter(F.col("a") == "click").select(
+        "e",
+        F.lit("click_audited").alias("a"),
+        "v",
+        (F.col("tx") + F.expr("INTERVAL 1 MICROSECOND")).alias("tx"),
+        F.lit(True).alias("op"),
+    )
+    speculated = eav.apply_patches(base, spec_tx, tiebreak_col="v")
+    b = base.groupBy("a").agg(F.count(F.lit(1)).alias("n_base"))
+    s = speculated.groupBy("a").agg(F.count(F.lit(1)).alias("n_with"))
+    return b.join(s, "a", "full_outer").select(
+        "a",
+        F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+        F.coalesce(F.col("n_with"), F.lit(0)).alias("n_with"),
+    )
+
+
+ORACLE_WITH = """
+WITH base AS (
+  SELECT user_id AS e, event_type AS a, CAST(event_id AS VARCHAR) AS v,
+         ts AS tx
+  FROM events
+), spec AS (
+  SELECT e, 'click_audited' AS a, v, tx + INTERVAL 1 MICROSECOND AS tx
+  FROM base WHERE a = 'click'
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM spec
+), lww AS (
+  SELECT e, a, v, tx,
+         row_number() OVER (PARTITION BY e, a ORDER BY tx DESC, v DESC)
+           AS rn
+  FROM unioned
+), speculated AS (
+  SELECT e, a, v FROM lww WHERE rn = 1
+), b AS (
+  SELECT a, count(*) AS n_base FROM base GROUP BY a
+), s AS (
+  SELECT a, count(*) AS n_with FROM speculated GROUP BY a
+)
+SELECT COALESCE(b.a, s.a) AS a,
+       COALESCE(b.n_base, 0) AS n_base,
+       COALESCE(s.n_with, 0) AS n_with
+FROM b FULL OUTER JOIN s ON b.a = s.a
 """
