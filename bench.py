@@ -211,6 +211,8 @@ HEADLINE = [
     "stats_bootstrap_means",
     "stats_mad",
     "eav_with_speculative",
+    "stats_hhi_concentration",
+    "stats_runs_test",
 ]
 
 

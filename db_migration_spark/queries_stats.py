@@ -725,6 +725,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["stats_hhi_concentration"] = q_stats_hhi_concentration
+    oracles["stats_hhi_concentration"] = ORACLE_HHI
+    queries["stats_runs_test"] = q_stats_runs_test
+    oracles["stats_runs_test"] = ORACLE_RUNS
     queries["stats_bootstrap_means"] = q_stats_bootstrap_means
     oracles["stats_bootstrap_means"] = ORACLE_BOOTSTRAP
     queries["stats_mad"] = q_stats_mad
@@ -1514,4 +1518,125 @@ WITH vals AS (
 )
 SELECT med.l_returnflag, med.med AS median_cents, mad.mad_cents
 FROM med JOIN mad ON med.l_returnflag = mad.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index (exact rational)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration HHI per nation over supplier revenue
+    (lineitem extendedprice attributed via l_suppkey), exact: with
+    shares s_i = r_i/T, HHI·T² = Σ r_i² — the numerator/denominator
+    pair is exact DECIMAL(38,0) (squares overflow BIGINT at fact
+    scale, the Welch lesson).  Two hash aggregates: per-supplier
+    revenue, then per-nation sums — the anti-trust / vendor-risk
+    metric as one exact query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("r")
+        )
+        .join(
+            F.broadcast(
+                sup.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+    )
+    rd = F.col("r").cast("decimal(38,0)")
+    return rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("total_cents"),
+        F.sum(rd * rd).cast("decimal(38,0)").alias("hhi_num"),
+    )
+
+
+ORACLE_HHI = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem GROUP BY l_suppkey
+), tagged AS (
+  SELECT rev.*, s_nationkey FROM rev
+  JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT s_nationkey,
+       count(*) AS n_suppliers,
+       CAST(sum(r) AS BIGINT) AS total_cents,
+       CAST(sum(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS hhi_num
+FROM tagged
+GROUP BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (exact integer sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs-test sufficient statistics per customer segment: the
+    order sequence (by date, keyed uniquely) becomes a binary series
+    (URGENT vs not); n_runs = 1 + Σ[x_t ≠ x_{t−1}] from one lag
+    window, plus the n₁/n₂ counts the null distribution needs — the
+    z-score is a driver-side formula (the stats_ab_test discipline).
+    Randomness-of-sequence auditing for event feeds, exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    ).select(
+        "c_mktsegment",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("x"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    flagged = base.withColumn("prev", F.lag("x").over(w))
+    return flagged.groupBy("c_mktsegment").agg(
+        F.sum("x").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("x")).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                (F.col("prev").isNotNull() & (F.col("x") != F.col("prev")))
+                .cast("long")
+            )
+        ).alias("n_runs"),
+    )
+
+
+ORACLE_RUNS = """
+WITH base AS (
+  SELECT c_mktsegment,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x,
+         o_orderdate, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), flagged AS (
+  SELECT c_mktsegment, x,
+         lag(x) OVER (PARTITION BY c_mktsegment
+                      ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM base
+)
+SELECT c_mktsegment,
+       CAST(sum(x) AS BIGINT) AS n1,
+       CAST(count(*) - sum(x) AS BIGINT) AS n2,
+       CAST(1 + sum(CASE WHEN prev IS NOT NULL AND x <> prev
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+FROM flagged
+GROUP BY c_mktsegment
 """
