@@ -213,6 +213,8 @@ HEADLINE = [
     "eav_with_speculative",
     "stats_hhi_concentration",
     "stats_runs_test",
+    "f_math_suite",
+    "multimodal_ico_meta",
 ]
 
 

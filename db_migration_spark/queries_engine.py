@@ -400,6 +400,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["f_datetime_suite2"] = ORACLE_DATETIME2
     queries["eav_with_speculative"] = q_eav_with_speculative
     oracles["eav_with_speculative"] = ORACLE_WITH
+    queries["f_math_suite"] = q_f_math_suite
+    oracles["f_math_suite"] = ORACLE_MATH
+    queries["multimodal_ico_meta"] = q_multimodal_ico_meta
+    oracles["multimodal_ico_meta"] = ORACLE_ICO
 
 
 # ---------------------------------------------------------------------------
@@ -1113,4 +1117,123 @@ SELECT COALESCE(b.a, s.a) AS a,
        COALESCE(b.n_base, 0) AS n_base,
        COALESCE(s.n_with, 0) AS n_with
 FROM b FULL OUTER JOIN s ON b.a = s.a
+"""
+
+
+# ---------------------------------------------------------------------------
+# integer-math parity suite
+# ---------------------------------------------------------------------------
+
+
+def q_f_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-math parity: factorial, positive-mod (Spark ``pmod`` ⟷
+    the ((a%b)+b)%b identity), sign, greatest/least, integer div, and
+    half-up rounding spelled floor(x+1/2) so both engines agree (their
+    native round() functions disagree on .5 ties — half-even vs
+    half-up, the one float trap this repo never leaves implicit)."""
+    nat = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    return nat.select(
+        "n_nationkey",
+        F.factorial(F.col("n_nationkey") % 15).alias("fact"),
+        F.pmod(k - 13, F.lit(7)).alias("pmod7"),
+        F.signum((k - 12).cast("double")).cast("int").alias("sgn"),
+        F.greatest(k % 7, k % 5, k % 3).alias("gmax"),
+        F.least(k % 7, k % 5, k % 3).alias("lmin"),
+        F.expr("CAST(n_nationkey AS BIGINT) * 17 div 5").alias("idiv"),
+        F.floor((k * 3).cast("double") / 2 + 0.5).cast("long").alias(
+            "half_up"
+        ),
+    )
+
+
+ORACLE_MATH = """
+SELECT n_nationkey,
+       CAST(factorial(CAST(n_nationkey % 15 AS INTEGER)) AS BIGINT)
+         AS fact,
+       ((CAST(n_nationkey AS BIGINT) - 13) % 7 + 7) % 7 AS pmod7,
+       CAST(sign(CAST(n_nationkey AS BIGINT) - 12) AS INTEGER) AS sgn,
+       greatest(n_nationkey % 7, n_nationkey % 5, n_nationkey % 3)
+         AS gmax,
+       least(n_nationkey % 7, n_nationkey % 5, n_nationkey % 3) AS lmin,
+       CAST(n_nationkey AS BIGINT) * 17 // 5 AS idiv,
+       CAST(floor(CAST(n_nationkey AS BIGINT) * 3 / 2.0 + 0.5) AS BIGINT)
+         AS half_up
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# ICO icon-directory metadata
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO directory parsing under the gate: each nation's icon file
+    declares TWO images (a formula-sized small one and a 256×256 whose
+    width/height bytes are stored as 0 — the decode-means-256 trap this
+    fixture forces on every row); the parser reads both entries and the
+    contiguous-offset layout back.  The oracle recomputes all fields
+    from the formulas."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.ico_meta import decode_ico_meta, encode_ico_header
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                imgs = decode_ico_meta(
+                    encode_ico_header(
+                        [(16 + k, 9 + k, 8), (256, 256, 32)]
+                    )
+                )
+                for idx, m in enumerate(imgs):
+                    rows.append(
+                        (
+                            k,
+                            idx,
+                            m["width"],
+                            m["height"],
+                            m["bpp"],
+                            m["size"],
+                            m["offset"],
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "img", "width", "height", "bpp",
+                    "size", "offset",
+                ],
+            )
+
+    return nat.mapInPandas(
+        run,
+        "media_id LONG, img INT, width INT, height INT, bpp INT,"
+        " size INT, offset INT",
+    )
+
+
+ORACLE_ICO = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CAST(0 AS INTEGER) AS img,
+       CAST(16 + n_nationkey AS INTEGER) AS width,
+       CAST(9 + n_nationkey AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bpp,
+       CAST((16 + n_nationkey) * (9 + n_nationkey) AS INTEGER) AS size,
+       CAST(38 AS INTEGER) AS offset
+FROM nation
+UNION ALL
+SELECT CAST(n_nationkey AS BIGINT), 1, 256, 256, 32,
+       256 * 256 * 4,
+       CAST(38 + (16 + n_nationkey) * (9 + n_nationkey) AS INTEGER)
+FROM nation
 """

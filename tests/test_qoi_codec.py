@@ -135,3 +135,27 @@ def test_exif_roundtrip_and_rejects():
         decode_exif_meta(b"\xff\xd8\xff\xd9")  # JPEG but no APP1
     with _pytest.raises(ValueError):
         decode_exif_meta(b"not jpeg")
+
+
+def test_ico_roundtrip_and_256_sentinel():
+    import pytest as _pytest
+
+    from db_migration_spark.multimodal.ico_meta import (
+        decode_ico_meta,
+        encode_ico_header,
+        is_ico,
+    )
+
+    b = encode_ico_header([(16, 9, 8), (256, 256, 32), (1, 1, 24)])
+    assert is_ico(b)
+    ms = decode_ico_meta(b)
+    assert [(m["width"], m["height"], m["bpp"]) for m in ms] == [
+        (16, 9, 8), (256, 256, 32), (1, 1, 24)
+    ]
+    # contiguous offsets
+    assert ms[0]["offset"] == 6 + 16 * 3
+    assert ms[1]["offset"] == ms[0]["offset"] + ms[0]["size"]
+    with _pytest.raises(ValueError):
+        encode_ico_header([(300, 10, 8)])
+    with _pytest.raises(ValueError):
+        decode_ico_meta(b"\x01\x00\x01\x00")
