@@ -215,6 +215,9 @@ HEADLINE = [
     "stats_runs_test",
     "f_math_suite",
     "multimodal_ico_meta",
+    "eav_ident_resolution",
+    "w9_value_range_frame",
+    "corpus_unigram_ranks",
 ]
 
 

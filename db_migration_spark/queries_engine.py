@@ -404,6 +404,12 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["f_math_suite"] = ORACLE_MATH
     queries["multimodal_ico_meta"] = q_multimodal_ico_meta
     oracles["multimodal_ico_meta"] = ORACLE_ICO
+    queries["eav_ident_resolution"] = q_eav_ident_resolution
+    oracles["eav_ident_resolution"] = ORACLE_IDENT
+    queries["w9_value_range_frame"] = q_w9_value_range_frame
+    oracles["w9_value_range_frame"] = ORACLE_W9_RANGE
+    queries["corpus_unigram_ranks"] = q_corpus_unigram_ranks
+    oracles["corpus_unigram_ranks"] = ORACLE_UNIGRAM_RANKS
 
 
 # ---------------------------------------------------------------------------
@@ -1236,4 +1242,178 @@ SELECT CAST(n_nationkey AS BIGINT), 1, 256, 256, 32,
        256 * 256 * 4,
        CAST(38 + (16 + n_nationkey) * (9 + n_nationkey) AS INTEGER)
 FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Datomic ident indirection (:db/ident enum entities)
+# ---------------------------------------------------------------------------
+
+
+def q_eav_ident_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic's ident indirection: enum VALUES are entities with a
+    ``:db/ident`` keyword, and ref-typed datoms store the entity id —
+    so reading back requires resolving eid → ident.  The ident registry
+    is derived deterministically (one entity per distinct priority,
+    eid = 10000 + dense rank), ref datoms store the eid, and resolution
+    is a broadcast join back through the registry — the enum round-trip
+    every Datomic reader performs, under the gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    idents = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            (
+                10000
+                + F.dense_rank().over(
+                    Window.orderBy("o_orderpriority")
+                )
+            ).alias("ident_eid"),
+        )
+    )
+    refs = orders.join(F.broadcast(idents), "o_orderpriority").select(
+        F.col("o_orderkey").alias("e"),
+        F.lit("order/priority").alias("a"),
+        F.col("ident_eid").alias("v_ref"),
+    )
+    resolved = refs.join(
+        F.broadcast(
+            idents.select(
+                F.col("ident_eid").alias("v_ref"),
+                F.col("o_orderpriority").alias("ident"),
+            )
+        ),
+        "v_ref",
+    )
+    return resolved.groupBy("v_ref", "ident").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.min("e").alias("min_e"),
+        F.max("e").alias("max_e"),
+    )
+
+
+ORACLE_IDENT = """
+WITH idents AS (
+  SELECT o_orderpriority,
+         10000 + dense_rank() OVER (ORDER BY o_orderpriority)
+           AS ident_eid
+  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+)
+SELECT i.ident_eid AS v_ref,
+       i.o_orderpriority AS ident,
+       count(*) AS n_refs,
+       min(o.o_orderkey) AS min_e,
+       max(o.o_orderkey) AS max_e
+FROM orders o JOIN idents i ON o.o_orderpriority = i.o_orderpriority
+GROUP BY i.ident_eid, i.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# numeric RANGE window frames
+# ---------------------------------------------------------------------------
+
+
+def q_w9_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames over a NUMERIC order (not time, not rows): for each
+    order, how many peers in the same segment fall within ±50000 cents
+    of its value, and their total — the value-neighbourhood window that
+    RANGE BETWEEN n PRECEDING AND n FOLLOWING expresses natively; rows
+    with equal values share frames, which ROWS frames would get wrong.
+    Aggregated per segment so the result is compact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    ).select(
+        "c_mktsegment",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("v")
+        .rangeBetween(-50000, 50000)
+    )
+    framed = base.select(
+        "c_mktsegment",
+        F.count(F.lit(1)).over(w).alias("n_nbrs"),
+        F.sum("v").over(w).alias("v_nbrs"),
+    )
+    return framed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_nbrs").alias("total_nbrs"),
+        F.max("n_nbrs").alias("max_nbrs"),
+        F.sum("v_nbrs").alias("total_v_nbrs"),
+    )
+
+
+ORACLE_W9_RANGE = """
+WITH base AS (
+  SELECT c_mktsegment,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), framed AS (
+  SELECT c_mktsegment,
+         count(*) OVER w AS n_nbrs,
+         sum(v) OVER w AS v_nbrs
+  FROM base
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY v
+               RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING)
+)
+SELECT c_mktsegment,
+       count(*) AS n,
+       CAST(sum(n_nbrs) AS BIGINT) AS total_nbrs,
+       CAST(max(n_nbrs) AS BIGINT) AS max_nbrs,
+       CAST(sum(v_nbrs) AS BIGINT) AS total_v_nbrs
+FROM framed
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram rank-frequency census (the Zipf table)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_unigram_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency table of the corpus vocabulary (the Zipf curve's
+    raw data): one explode + one hash aggregate + a rank over the
+    aggregated vocabulary (tiny vs the corpus), top 30 with doc
+    frequencies — rank ties broken by term so both engines agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+        ).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        vocab.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+        .select("rank", "term", "tf", "df")
+    )
+
+
+ORACLE_UNIGRAM_RANKS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+)
+SELECT row_number() OVER (ORDER BY tf DESC, term ASC) AS rank,
+       term, tf, df
+FROM vocab
+ORDER BY tf DESC, term ASC
+LIMIT 30
 """
