@@ -218,6 +218,8 @@ HEADLINE = [
     "eav_ident_resolution",
     "w9_value_range_frame",
     "corpus_unigram_ranks",
+    "multimodal_flac_meta",
+    "stats_gini_inequality",
 ]
 
 

@@ -410,6 +410,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["w9_value_range_frame"] = ORACLE_W9_RANGE
     queries["corpus_unigram_ranks"] = q_corpus_unigram_ranks
     oracles["corpus_unigram_ranks"] = ORACLE_UNIGRAM_RANKS
+    queries["multimodal_flac_meta"] = q_multimodal_flac_meta
+    oracles["multimodal_flac_meta"] = ORACLE_FLAC
 
 
 # ---------------------------------------------------------------------------
@@ -1416,4 +1418,73 @@ SELECT row_number() OVER (ORDER BY tf DESC, term ASC) AS rank,
 FROM vocab
 ORDER BY tf DESC, term ASC
 LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO metadata (bit-packed group parse)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO parsing under the gate: per-nation headers carry
+    formula-driven sample rates (20-bit field straddling byte
+    boundaries — the bit-packed trap), channel counts, bit depths, and
+    36-bit total-sample counts; the parser unpacks the 64-bit group and
+    the oracle recomputes every field from the formulas.  Completes the
+    audio metadata family (WAV / MP3 / G.711 / FLAC)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.flac_meta import decode_flac_meta, encode_flac_streaminfo
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                m = decode_flac_meta(
+                    encode_flac_streaminfo(
+                        sample_rate=8000 + 441 * k,
+                        channels=1 + k % 8,
+                        bits_per_sample=8 + (k % 4) * 8,
+                        total_samples=100000 + 77777 * k,
+                    )
+                )
+                rows.append(
+                    (
+                        k,
+                        m["sample_rate"],
+                        m["channels"],
+                        m["bits_per_sample"],
+                        m["total_samples"],
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "bits",
+                    "total_samples",
+                ],
+            )
+
+    return nat.mapInPandas(
+        run,
+        "media_id LONG, sample_rate INT, channels INT, bits INT,"
+        " total_samples LONG",
+    )
+
+
+ORACLE_FLAC = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CAST(8000 + 441 * n_nationkey AS INTEGER) AS sample_rate,
+       CAST(1 + n_nationkey % 8 AS INTEGER) AS channels,
+       CAST(8 + (n_nationkey % 4) * 8 AS INTEGER) AS bits,
+       CAST(100000 + 77777 * n_nationkey AS BIGINT) AS total_samples
+FROM nation
 """

@@ -725,6 +725,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["stats_gini_inequality"] = q_stats_gini_inequality
+    oracles["stats_gini_inequality"] = ORACLE_GINI_INEQ
     queries["stats_hhi_concentration"] = q_stats_hhi_concentration
     oracles["stats_hhi_concentration"] = ORACLE_HHI
     queries["stats_runs_test"] = q_stats_runs_test
@@ -1638,5 +1640,83 @@ SELECT c_mktsegment,
        CAST(1 + sum(CASE WHEN prev IS NOT NULL AND x <> prev
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
 FROM flagged
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini inequality coefficient (collapsed-value exact)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value inequality per segment, exact:
+    Σᵢⱼ|xᵢ−xⱼ| = 2·Σ_v c_v·(v·below_n − below_sum) computed on the
+    COLLAPSED value domain (counts + two cumulative sums — never a
+    per-row rank), carried in DECIMAL(38,0) because the double sum
+    passes BIGINT at fact scale.  Gini = absdiff / (2n·total) is the
+    driver-side division; the data plane ships the exact triple
+    (absdiff_num, n, total_cents) — the inequality metric economics
+    and data-balance audits want."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    ).select(
+        "c_mktsegment",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    vc = vals.groupBy("c_mktsegment", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vc.select(
+        "c_mktsegment",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("below_n"),
+        F.coalesce(F.sum(F.col("c") * F.col("v")).over(w), F.lit(0)).alias(
+            "below_sum"
+        ),
+    )
+    cd = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    contrib = cd(F.col("c")) * (
+        cd(F.col("v")) * cd(F.col("below_n")) - cd(F.col("below_sum"))
+    )
+    return cum.groupBy("c_mktsegment").agg(
+        (2 * F.sum(contrib)).cast("decimal(38,0)").alias("absdiff_num"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("total_cents"),
+    )
+
+
+ORACLE_GINI_INEQ = """
+WITH vals AS (
+  SELECT c_mktsegment,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), vc AS (
+  SELECT c_mktsegment, v, count(*) AS c
+  FROM vals GROUP BY c_mktsegment, v
+), cum AS (
+  SELECT *,
+         COALESCE(sum(c) OVER w, 0) AS below_n,
+         COALESCE(sum(c * v) OVER w, 0) AS below_sum
+  FROM vc
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT c_mktsegment,
+       CAST(2 * sum(CAST(c AS DECIMAL(38,0)) *
+                    (CAST(v AS DECIMAL(38,0)) * below_n - below_sum))
+            AS DECIMAL(38,0)) AS absdiff_num,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(sum(c * v) AS BIGINT) AS total_cents
+FROM cum
 GROUP BY c_mktsegment
 """

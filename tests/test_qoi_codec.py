@@ -159,3 +159,30 @@ def test_ico_roundtrip_and_256_sentinel():
         encode_ico_header([(300, 10, 8)])
     with _pytest.raises(ValueError):
         decode_ico_meta(b"\x01\x00\x01\x00")
+
+
+def test_flac_bitpack_roundtrip():
+    import pytest as _pytest
+
+    from db_migration_spark.multimodal.flac_meta import (
+        decode_flac_meta,
+        encode_flac_streaminfo,
+        is_flac,
+    )
+
+    # boundary-straddling values: max 20-bit rate, 36-bit samples
+    b = encode_flac_streaminfo(
+        sample_rate=(1 << 20) - 1,
+        channels=8,
+        bits_per_sample=32,
+        total_samples=(1 << 36) - 1,
+    )
+    assert is_flac(b)
+    m = decode_flac_meta(b)
+    assert m["sample_rate"] == (1 << 20) - 1
+    assert m["channels"] == 8 and m["bits_per_sample"] == 32
+    assert m["total_samples"] == (1 << 36) - 1
+    with _pytest.raises(ValueError):
+        encode_flac_streaminfo(1 << 20, 2, 16, 0)
+    with _pytest.raises(ValueError):
+        decode_flac_meta(b"RIFF....")
