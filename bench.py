@@ -220,6 +220,7 @@ HEADLINE = [
     "corpus_unigram_ranks",
     "multimodal_flac_meta",
     "stats_gini_inequality",
+    "ts_concurrent_intervals",
 ]
 
 

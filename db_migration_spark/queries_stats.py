@@ -725,6 +725,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["ts_concurrent_intervals"] = q_ts_concurrent_intervals
+    oracles["ts_concurrent_intervals"] = ORACLE_CONCURRENT
     queries["stats_gini_inequality"] = q_stats_gini_inequality
     oracles["stats_gini_inequality"] = ORACLE_GINI_INEQ
     queries["stats_hhi_concentration"] = q_stats_hhi_concentration
@@ -1719,4 +1721,82 @@ SELECT c_mktsegment,
        CAST(sum(c * v) AS BIGINT) AS total_cents
 FROM cum
 GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# concurrent-interval backlog (delta events + running sum)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — the interval-stabbing operator:
+    each order contributes an interval [orderdate, last shipdate of its
+    lines]; instead of joining every day against every interval
+    (quadratic), the intervals become ±1 delta events and one
+    cumulative window over the collapsed DATE domain yields the exact
+    concurrent count per day.  Output is the月-end backlog profile:
+    per month, max and end-of-month open orders.  The classic
+    "concurrent sessions" rewrite that turns O(days·intervals) into
+    O(n log n)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("close_d"))
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_orderdate").cast("date").alias("open_d"),
+            ),
+            "l_orderkey",
+        )
+    )
+    deltas = spans.select(
+        F.col("open_d").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        # half-open [open, close+1): decrement the day AFTER last ship
+        spans.select(
+            F.date_add(F.col("close_d"), 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    running = daily.withColumn("open_orders", F.sum("net").over(w))
+    return (
+        running.groupBy(
+            F.date_trunc("month", F.col("d")).cast("date").alias("month")
+        )
+        .agg(
+            F.max("open_orders").alias("max_open"),
+            F.max_by("open_orders", F.col("d")).alias("eom_open"),
+        )
+    )
+
+
+ORACLE_CONCURRENT = """
+WITH spans AS (
+  SELECT l.l_orderkey,
+         CAST(o.o_orderdate AS DATE) AS open_d,
+         max(CAST(l.l_shipdate AS DATE)) AS close_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+), deltas AS (
+  SELECT open_d AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_d + INTERVAL 1 DAY, -1 FROM spans
+), daily AS (
+  SELECT d, sum(delta) AS net FROM deltas GROUP BY d
+), running AS (
+  SELECT d, sum(net) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS open_orders
+  FROM daily
+)
+SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+       CAST(max(open_orders) AS BIGINT) AS max_open,
+       CAST(max_by(open_orders, d) AS BIGINT) AS eom_open
+FROM running
+GROUP BY CAST(date_trunc('month', d) AS DATE)
 """
