@@ -1735,7 +1735,7 @@ def q_ts_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines]; instead of joining every day against every interval
     (quadratic), the intervals become ±1 delta events and one
     cumulative window over the collapsed DATE domain yields the exact
-    concurrent count per day.  Output is the月-end backlog profile:
+    concurrent count per day.  Output is the month-end backlog profile:
     per month, max and end-of-month open orders.  The classic
     "concurrent sessions" rewrite that turns O(days·intervals) into
     O(n log n)."""
