@@ -149,6 +149,33 @@ INSPECT = {
     "f_aggmisc_suite": ["HashAggregate"],
     "multimodal_qoi_decode": [],
     "multimodal_webp_meta": [],
+    # session-8 third wave
+    "sql_join_hint": ["BroadcastHashJoin"],
+    "cdc_apply": ["Window"],
+    "multimodal_exif_meta": [],
+    "stats_welch_suffstats": ["HashAggregate"],
+    "graph_degree_histogram": ["HashAggregate"],
+    "eav_db_filter": ["Aggregate"],  # collation/distinct picks SortAggregate
+    "corpus_e2e_pipeline": ["Window", "HashAggregate"],
+    "graph_modularity": ["BroadcastHashJoin", "HashAggregate"],
+    "ts_cusum_changepoint": ["Window"],
+    "sql_pipe_syntax": ["HashAggregate", "Sort"],
+    "sql_collation_group": ["SortAggregate"],  # collated keys sort-aggregate
+    "f_like_suite": ["HashAggregate"],
+    "f_datetime_suite2": ["HashAggregate"],
+    "stats_bootstrap_means": ["Generate", "HashAggregate"],
+    "stats_mad": ["BroadcastHashJoin", "Window"],
+    "eav_with_speculative": ["Window", "HashAggregate"],
+    "stats_hhi_concentration": ["BroadcastHashJoin", "HashAggregate"],
+    "stats_runs_test": ["Window", "HashAggregate"],
+    "f_math_suite": [],
+    "multimodal_ico_meta": [],
+    "multimodal_flac_meta": [],
+    "eav_ident_resolution": ["BroadcastHashJoin"],
+    "w9_value_range_frame": ["Window"],
+    "corpus_unigram_ranks": ["Generate", "HashAggregate"],
+    "stats_gini_inequality": ["Window", "HashAggregate"],
+    "ts_concurrent_intervals": ["Window", "HashAggregate"],
 }
 
 # plans that must NOT contain a product node (blocking worked)
@@ -172,6 +199,9 @@ FORBID = {
     "stats_spearman": ["CartesianProduct"],
     "corpus_ngram_counts": ["BatchEvalPython", "ArrowEvalPython"],
     "bpe_encode": ["BatchEvalPython", "ArrowEvalPython"],
+    "graph_modularity": ["CartesianProduct"],
+    "stats_mad": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "ts_concurrent_intervals": ["CartesianProduct"],
 }
 
 
