@@ -221,6 +221,8 @@ HEADLINE = [
     "multimodal_flac_meta",
     "stats_gini_inequality",
     "ts_concurrent_intervals",
+    "ts_autocorrelation",
+    "cohort_ltv",
 ]
 
 

@@ -725,6 +725,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["ts_autocorrelation"] = q_ts_autocorrelation
+    oracles["ts_autocorrelation"] = ORACLE_AUTOCORR
+    queries["cohort_ltv"] = q_cohort_ltv
+    oracles["cohort_ltv"] = ORACLE_COHORT_LTV
     queries["ts_concurrent_intervals"] = q_ts_concurrent_intervals
     oracles["ts_concurrent_intervals"] = ORACLE_CONCURRENT
     queries["stats_gini_inequality"] = q_stats_gini_inequality
@@ -1799,4 +1803,143 @@ SELECT CAST(date_trunc('month', d) AS DATE) AS month,
        CAST(max_by(open_orders, d) AS BIGINT) AS eom_open
 FROM running
 GROUP BY CAST(date_trunc('month', d) AS DATE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation at lag k (integer-exact on the hourly series)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation sufficient statistics of the hourly event-count
+    series at lags 1 and 24 (hour-over-hour and day-over-day): counts
+    are integers, so n, Σx_t, Σx_{t−k}, Σx_t·x_{t−k}, Σx², all exact
+    BIGINTs per lag — the float r_k is one driver-side formula away.
+    One lag window over the AGGREGATED hourly series; seasonality
+    detection for the ingest-rate dashboards, exact."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "h",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 24).over(w).alias("x24"),
+    )
+    out = []
+    for k, col in ((1, "x1"), (24, "x24")):
+        pairs = lagged.filter(F.col(col).isNotNull())
+        out.append(
+            pairs.agg(
+                F.lit(k).alias("lag"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum(col).alias("sxk"),
+                F.sum(F.col("x") * F.col(col)).alias("sxxk"),
+                F.sum(F.col("x") * F.col("x")).alias("sx2"),
+                F.sum(F.col(col) * F.col(col)).alias("sxk2"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+ORACLE_AUTOCORR = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+  FROM events GROUP BY date_trunc('hour', ts)
+), lagged AS (
+  SELECT h, x,
+         lag(x, 1) OVER (ORDER BY h) AS x1,
+         lag(x, 24) OVER (ORDER BY h) AS x24
+  FROM hourly
+)
+SELECT 1 AS lag, count(*) AS n,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x1) AS BIGINT) AS sxk,
+       CAST(sum(x * x1) AS BIGINT) AS sxxk,
+       CAST(sum(x * x) AS BIGINT) AS sx2,
+       CAST(sum(x1 * x1) AS BIGINT) AS sxk2
+FROM lagged WHERE x1 IS NOT NULL
+UNION ALL
+SELECT 24, count(*),
+       CAST(sum(x) AS BIGINT), CAST(sum(x24) AS BIGINT),
+       CAST(sum(x * x24) AS BIGINT),
+       CAST(sum(x * x) AS BIGINT),
+       CAST(sum(x24 * x24) AS BIGINT)
+FROM lagged WHERE x24 IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort lifetime value (cumulative revenue by cohort age)
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: customers cohorted by first-order month,
+    revenue accumulated by cohort age in months — the companion to
+    cohort_retention that carries MONEY (exact cents) instead of
+    presence.  Two hash aggregates + one cumulative window over the
+    (cohort, age) grid (tiny); month arithmetic via months_between on
+    truncated dates, identical in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias(
+            "cohort"
+        )
+    )
+    aged = orders.join(first, "o_custkey").select(
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+            F.col("cohort"),
+        )
+        .cast("int")
+        .alias("age_m"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    grid = aged.groupBy("cohort", "age_m").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        "cohort",
+        "age_m",
+        "rev_cents",
+        "n_orders",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH first AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort
+  FROM orders GROUP BY o_custkey
+), aged AS (
+  SELECT cohort,
+         CAST(datediff('month', cohort,
+              CAST(date_trunc('month', o_orderdate) AS DATE)) AS INTEGER)
+           AS age_m,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN first USING (o_custkey)
+), grid AS (
+  SELECT cohort, age_m, sum(cents) AS rev_cents,
+         count(*) AS n_orders
+  FROM aged GROUP BY cohort, age_m
+)
+SELECT cohort, age_m,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       n_orders,
+       CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age_m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_cents
+FROM grid
 """
