@@ -223,6 +223,8 @@ HEADLINE = [
     "ts_concurrent_intervals",
     "ts_autocorrelation",
     "cohort_ltv",
+    "stats_km_lifetable",
+    "graph_ktruss",
 ]
 
 
