@@ -225,6 +225,7 @@ HEADLINE = [
     "cohort_ltv",
     "stats_km_lifetable",
     "graph_ktruss",
+    "events_sliding_distinct",
 ]
 
 

@@ -725,6 +725,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["events_sliding_distinct"] = q_events_sliding_distinct
+    oracles["events_sliding_distinct"] = ORACLE_SLIDING_DISTINCT
     queries["graph_ktruss"] = q_graph_ktruss
     oracles["graph_ktruss"] = ORACLE_KTRUSS
     queries["stats_km_lifetable"] = q_stats_km_lifetable
@@ -2162,3 +2164,48 @@ SELECT (SELECT count(*) FROM {prev}) AS n_edges,
 
 
 ORACLE_KTRUSS = _ktruss_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sliding-window distinct users (Expand + distinct agg)
+# ---------------------------------------------------------------------------
+
+
+def q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per sliding window (1 h window / 30 min
+    slide): Spark's window() Expand assigns each event to its two
+    windows JVM-side, then one distinct aggregate per (window, type) —
+    the active-users dashboard metric where double-counted users (not
+    events) are the trap a naive union of tumbling buckets gets wrong.
+    Oracle replays the two aligned window starts per event and counts
+    distinct user ids identically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_users",
+        )
+    )
+
+
+ORACLE_SLIDING_DISTINCT = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start,
+         event_type, user_id
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+         event_type, user_id
+  FROM events
+)
+SELECT win_start, event_type,
+       count(DISTINCT user_id) AS n_users
+FROM assigned
+GROUP BY win_start, event_type
+"""
