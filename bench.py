@@ -226,6 +226,7 @@ HEADLINE = [
     "stats_km_lifetable",
     "graph_ktruss",
     "events_sliding_distinct",
+    "multimodal_pdf_meta",
 ]
 
 

@@ -412,6 +412,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["corpus_unigram_ranks"] = ORACLE_UNIGRAM_RANKS
     queries["multimodal_flac_meta"] = q_multimodal_flac_meta
     oracles["multimodal_flac_meta"] = ORACLE_FLAC
+    queries["multimodal_pdf_meta"] = q_multimodal_pdf_meta
+    oracles["multimodal_pdf_meta"] = ORACLE_PDF
 
 
 # ---------------------------------------------------------------------------
@@ -1486,5 +1488,65 @@ SELECT CAST(n_nationkey AS BIGINT) AS media_id,
        CAST(1 + n_nationkey % 8 AS INTEGER) AS channels,
        CAST(8 + (n_nationkey % 4) * 8 AS INTEGER) AS bits,
        CAST(100000 + 77777 * n_nationkey AS BIGINT) AS total_samples
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# PDF structure metadata (trailer -> xref -> objects walk)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF structure parsing under the gate: per-nation minimal PDFs
+    with formula-driven page counts and version minors; the decoder
+    follows the REAL access path (trailer startxref → xref table →
+    per-object offsets, each verified to start an object) rather than
+    grepping, so a wrong xref offset fails loudly.  The oracle
+    recomputes version/object/page counts from the formulas."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from .multimodal.pdf_meta import decode_pdf_meta, encode_pdf_minimal
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("media_id")
+    )
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                m = decode_pdf_meta(
+                    encode_pdf_minimal(
+                        n_pages=1 + k % 7, minor=4 + k % 4
+                    )
+                )
+                rows.append(
+                    (
+                        k,
+                        m["version_minor"],
+                        m["n_objects"],
+                        m["n_pages"],
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["media_id", "version_minor", "n_objects", "n_pages"],
+            )
+
+    return nat.mapInPandas(
+        run,
+        "media_id LONG, version_minor INT, n_objects INT, n_pages INT",
+    )
+
+
+ORACLE_PDF = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CAST(4 + n_nationkey % 4 AS INTEGER) AS version_minor,
+       CAST(2 + (1 + n_nationkey % 7) AS INTEGER) AS n_objects,
+       CAST(1 + n_nationkey % 7 AS INTEGER) AS n_pages
 FROM nation
 """

@@ -186,3 +186,30 @@ def test_flac_bitpack_roundtrip():
         encode_flac_streaminfo(1 << 20, 2, 16, 0)
     with _pytest.raises(ValueError):
         decode_flac_meta(b"RIFF....")
+
+
+def test_pdf_xref_walk_roundtrip():
+    import pytest as _pytest
+
+    from db_migration_spark.multimodal.pdf_meta import (
+        decode_pdf_meta,
+        encode_pdf_minimal,
+        is_pdf,
+    )
+
+    for n in (1, 7, 100):
+        b = encode_pdf_minimal(n, minor=6)
+        assert is_pdf(b)
+        m = decode_pdf_meta(b)
+        assert m["version_minor"] == 6
+        assert m["n_pages"] == n
+        assert m["n_objects"] == n + 2
+    # corrupt the startxref pointer -> the walk must fail loudly
+    b = bytearray(encode_pdf_minimal(2))
+    at = b.rfind(b"startxref")
+    num_start = at + len(b"startxref\n")
+    b[num_start : num_start + 1] = b"1"
+    with _pytest.raises(ValueError):
+        decode_pdf_meta(bytes(b))
+    with _pytest.raises(ValueError):
+        decode_pdf_meta(b"%NOT-A-PDF")
