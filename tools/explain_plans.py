@@ -176,6 +176,12 @@ INSPECT = {
     "corpus_unigram_ranks": ["Generate", "HashAggregate"],
     "stats_gini_inequality": ["Window", "HashAggregate"],
     "ts_concurrent_intervals": ["Window", "HashAggregate"],
+    "stats_km_lifetable": ["Window", "HashAggregate"],
+    "ts_autocorrelation": ["Window"],
+    "cohort_ltv": ["Window", "HashAggregate"],
+    "events_sliding_distinct": ["Expand", "HashAggregate"],
+    "multimodal_pdf_meta": [],
+    "ts_ewma": ["Window"],
 }
 
 # plans that must NOT contain a product node (blocking worked)
