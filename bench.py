@@ -227,6 +227,7 @@ HEADLINE = [
     "graph_ktruss",
     "events_sliding_distinct",
     "multimodal_pdf_meta",
+    "events_out_of_order_audit",
 ]
 
 

@@ -725,6 +725,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["events_out_of_order_audit"] = q_events_out_of_order_audit
+    oracles["events_out_of_order_audit"] = ORACLE_OOO_AUDIT
     queries["events_sliding_distinct"] = q_events_sliding_distinct
     oracles["events_sliding_distinct"] = ORACLE_SLIDING_DISTINCT
     queries["graph_ktruss"] = q_graph_ktruss
@@ -2208,4 +2210,63 @@ SELECT win_start, event_type,
        count(DISTINCT user_id) AS n_users
 FROM assigned
 GROUP BY win_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-time disorder audit (watermark sizing diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def q_events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-sizing diagnostic: per event type, how many events
+    arrive with an event time EARLIER than the running maximum of their
+    arrival sequence (event_id is the arrival order here), and the
+    worst lateness in seconds — exactly the numbers that justify a
+    '2 hours' watermark instead of a guess.  One running-max window in
+    arrival order + one aggregate, all integer seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+        F.max(F.unix_timestamp("ts")).over(w).alias("max_before"),
+    )
+    late = F.when(
+        F.col("max_before").isNotNull() & (F.col("t") < F.col("max_before")),
+        F.col("max_before") - F.col("t"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(late).alias("n_out_of_order"),
+        F.coalesce(F.max(late), F.lit(0)).alias("max_lateness_s"),
+        F.coalesce(F.sum(late), F.lit(0)).alias("total_lateness_s"),
+    )
+
+
+ORACLE_OOO_AUDIT = """
+WITH flagged AS (
+  SELECT event_type,
+         epoch(ts) AS t,
+         max(epoch(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_before
+  FROM events
+), late AS (
+  SELECT event_type,
+         CASE WHEN max_before IS NOT NULL AND t < max_before
+              THEN max_before - t END AS lateness
+  FROM flagged
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(lateness) AS n_out_of_order,
+       CAST(COALESCE(max(lateness), 0) AS BIGINT) AS max_lateness_s,
+       CAST(COALESCE(sum(lateness), 0) AS BIGINT) AS total_lateness_s
+FROM late
+GROUP BY event_type
 """
