@@ -272,3 +272,116 @@ def test_cusum_zero_at_endpoints(spark):
         # is bounded by n * sum|v| (loose sanity)
         assert r.max_dev_xn >= 0
         assert r.max_dev_xn <= r.n * abs(r.total_micro) + r.n * 10**12
+
+
+def test_ktruss_matches_pure_python(spark):
+    """4-truss peel vs an independent pure-Python implementation on the
+    same sf0.001 co-purchase graph (the k-core precedent)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(list)
+    for r in li:
+        by_order[r.l_orderkey].append(r.l_partkey)
+    weights = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                weights[(ps[i], ps[j])] += 1
+    edges = {e for e, w in weights.items() if w >= 2}
+
+    def peel(edges):
+        while True:
+            adj = defaultdict(set)
+            for u, v in edges:
+                adj[u].add(v)
+                adj[v].add(u)
+            support = {}
+            for u, v in edges:
+                support[(u, v)] = len(adj[u] & adj[v])
+            keep = {e for e in edges if support[e] >= 2}
+            if keep == edges:
+                return edges, support
+            edges = keep
+
+    want_edges, want_support = peel(edges)
+    row = QUERIES["graph_ktruss"](spark, SF).collect()[0]
+    assert row.n_edges == len(want_edges)
+    want_nodes = {n for e in want_edges for n in e}
+    assert row.n_nodes == len(want_nodes)
+    if want_edges:
+        assert row.total_support == sum(
+            want_support[e] for e in want_edges
+        )
+    else:
+        assert not row.total_support
+
+
+def test_gini_matches_pure_python(spark):
+    rows = QUERIES["stats_gini_inequality"](spark, SF).collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    import math
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        vals[cust[r.o_custkey]].append(
+            math.floor(r.o_totalprice * 100)
+        )
+    for r in rows:
+        xs = sorted(vals[r.c_mktsegment])
+        n = len(xs)
+        # O(n) pairwise |xi-xj| via the sorted prefix identity
+        pref = 0
+        total = 0
+        for i, x in enumerate(xs):
+            total += 2 * (x * i - pref)
+            pref += x
+        assert int(r.absdiff_num) == total
+        assert r.n == n and r.total_cents == sum(xs)
+
+
+def test_cusum_matches_pure_python(spark):
+    rows = {
+        r.user_id: r
+        for r in QUERIES["ts_cusum_changepoint"](spark, SF).collect()
+    }
+    import math
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(ts AS TIMESTAMP) AS ts",
+            "event_id",
+            "value",
+        )
+        .collect()
+    ):
+        series[r.user_id].append((r.ts, r.event_id, r.value))
+    for uid, evs in series.items():
+        vs = [
+            math.floor(v * 1000000)
+            for _, _, v in sorted(evs, key=lambda e: (e[0], e[1]))
+        ]
+        n, total = len(vs), sum(vs)
+        prefix = 0
+        best = 0
+        for t, v in enumerate(vs, start=1):
+            prefix += v
+            best = max(best, abs(n * prefix - t * total))
+        r = rows[uid]
+        assert (r.n, r.total_micro, r.max_dev_xn) == (n, total, best)
