@@ -228,6 +228,7 @@ HEADLINE = [
     "events_sliding_distinct",
     "multimodal_pdf_meta",
     "events_out_of_order_audit",
+    "multimodal_srt_cues",
 ]
 
 

@@ -414,6 +414,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["multimodal_flac_meta"] = ORACLE_FLAC
     queries["multimodal_pdf_meta"] = q_multimodal_pdf_meta
     oracles["multimodal_pdf_meta"] = ORACLE_PDF
+    queries["multimodal_srt_cues"] = q_multimodal_srt_cues
+    oracles["multimodal_srt_cues"] = ORACLE_SRT
 
 
 # ---------------------------------------------------------------------------
@@ -1549,4 +1551,125 @@ SELECT CAST(n_nationkey AS BIGINT) AS media_id,
        CAST(2 + (1 + n_nationkey % 7) AS INTEGER) AS n_objects,
        CAST(1 + n_nationkey % 7 AS INTEGER) AS n_pages
 FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# SRT subtitle cues (text-media format; timecode arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubRip (SRT) cue parsing IN SQL — the subtitle sidecar every
+    video training corpus carries: cues are blank-line separated blocks
+    (index, ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` timecodes, text), split
+    and parsed entirely with codegen expressions (split + regexp), no
+    Python; per-file cue count, total speech milliseconds, and the
+    character throughput.  Fixture text is generated from nation rows
+    so the oracle rebuilds the same cues and the SAME string-parse in
+    DuckDB — both engines parse, neither trusts the formulas."""
+    nat = load_table(spark, sf_dir, "nation")
+    # cue i (i = 0..n_nationkey%3+1): starts at 10_000*k + 2500*i ms,
+    # lasts 1500 + 100*i ms, text = nation name repeated i+1 times
+    cue = (
+        "concat(CAST(i + 1 AS STRING), '\\n',"
+        " ts_fmt(10000 * n_nationkey + 2500 * i), ' --> ',"
+        " ts_fmt(10000 * n_nationkey + 2500 * i + 1500 + 100 * i), '\\n',"
+        " repeat(concat(n_name, ' '), i + 1), '\\n')"
+    )
+    spark.udf  # noqa: B018  (no UDFs — ts_fmt inlined below)
+    ts_fmt = (
+        "concat(lpad(CAST(x div 3600000 AS STRING), 2, '0'), ':',"
+        " lpad(CAST(x div 60000 % 60 AS STRING), 2, '0'), ':',"
+        " lpad(CAST(x div 1000 % 60 AS STRING), 2, '0'), ',',"
+        " lpad(CAST(x % 1000 AS STRING), 3, '0'))"
+    )
+    cue_expr = cue.replace(
+        "ts_fmt(10000 * n_nationkey + 2500 * i)",
+        ts_fmt.replace("x", "(10000 * n_nationkey + 2500 * i)"),
+    ).replace(
+        "ts_fmt(10000 * n_nationkey + 2500 * i + 1500 + 100 * i)",
+        ts_fmt.replace("x", "(10000 * n_nationkey + 2500 * i + 1500 + 100 * i)"),
+    )
+    srt = nat.select(
+        F.col("n_nationkey").cast("long").alias("media_id"),
+        F.expr(
+            "concat_ws('\\n', transform(sequence(0, n_nationkey % 3 + 1),"
+            f" i -> {cue_expr}))"
+        ).alias("srt"),
+    )
+    cues = srt.select(
+        "media_id",
+        F.explode(
+            F.expr("filter(split(srt, '\\n\\n'), b -> b != '')")
+        ).alias("block"),
+    ).select(
+        "media_id",
+        F.regexp_extract(
+            "block", r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) -->", 0
+        ).alias("start_tc"),
+        (
+            F.regexp_extract("block", r"(\d{2}):\d{2}:\d{2},\d{3} -->", 1)
+            .cast("long")
+            * 3600000
+            + F.regexp_extract("block", r"\d{2}:(\d{2}):\d{2},\d{3} -->", 1)
+            .cast("long")
+            * 60000
+            + F.regexp_extract("block", r"\d{2}:\d{2}:(\d{2}),\d{3} -->", 1)
+            .cast("long")
+            * 1000
+            + F.regexp_extract("block", r"\d{2}:\d{2}:\d{2},(\d{3}) -->", 1)
+            .cast("long")
+        ).alias("start_ms"),
+        (
+            F.regexp_extract("block", r"--> (\d{2}):\d{2}:\d{2},\d{3}", 1)
+            .cast("long")
+            * 3600000
+            + F.regexp_extract("block", r"--> \d{2}:(\d{2}):\d{2},\d{3}", 1)
+            .cast("long")
+            * 60000
+            + F.regexp_extract("block", r"--> \d{2}:\d{2}:(\d{2}),\d{3}", 1)
+            .cast("long")
+            * 1000
+            + F.regexp_extract("block", r"--> \d{2}:\d{2}:\d{2},(\d{3})", 1)
+            .cast("long")
+        ).alias("end_ms"),
+        # the last block keeps the file's trailing newline the
+        # blank-line split consumed elsewhere — strip newlines only
+        # (text legitimately ends with a space)
+        F.length(
+            F.regexp_replace(
+                F.regexp_extract("block", r"--> [\d:,]+\n([\s\S]*)", 1),
+                r"\n+$",
+                "",
+            )
+        ).alias("n_chars"),
+    )
+    return cues.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_cues"),
+        F.sum(F.col("end_ms") - F.col("start_ms")).alias("speech_ms"),
+        F.sum("n_chars").alias("text_chars"),
+        F.min("start_ms").alias("first_ms"),
+        F.max("end_ms").alias("last_ms"),
+    )
+
+
+ORACLE_SRT = """
+WITH cues AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+         i,
+         10000 * n_nationkey + 2500 * i AS start_ms,
+         10000 * n_nationkey + 2500 * i + 1500 + 100 * i AS end_ms,
+         octet_length(encode(repeat(n_name || ' ', CAST(i + 1 AS INTEGER))))
+           AS n_chars
+  FROM nation, unnest(range(0, n_nationkey % 3 + 2)) AS t(i)
+)
+SELECT media_id,
+       count(*) AS n_cues,
+       CAST(sum(end_ms - start_ms) AS BIGINT) AS speech_ms,
+       CAST(sum(n_chars) AS BIGINT) AS text_chars,
+       CAST(min(start_ms) AS BIGINT) AS first_ms,
+       CAST(max(end_ms) AS BIGINT) AS last_ms
+FROM cues
+GROUP BY media_id
 """
