@@ -1577,7 +1577,6 @@ def q_multimodal_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ts_fmt(10000 * n_nationkey + 2500 * i + 1500 + 100 * i), '\\n',"
         " repeat(concat(n_name, ' '), i + 1), '\\n')"
     )
-    spark.udf  # noqa: B018  (no UDFs — ts_fmt inlined below)
     ts_fmt = (
         "concat(lpad(CAST(x div 3600000 AS STRING), 2, '0'), ':',"
         " lpad(CAST(x div 60000 % 60 AS STRING), 2, '0'), ':',"
