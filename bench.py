@@ -229,6 +229,7 @@ HEADLINE = [
     "multimodal_pdf_meta",
     "events_out_of_order_audit",
     "multimodal_srt_cues",
+    "graph_temporal_reach",
 ]
 
 

@@ -725,6 +725,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["graph_temporal_reach"] = q_graph_temporal_reach
+    oracles["graph_temporal_reach"] = ORACLE_TEMPORAL_REACH
     queries["events_out_of_order_audit"] = q_events_out_of_order_audit
     oracles["events_out_of_order_audit"] = ORACLE_OOO_AUDIT
     queries["events_sliding_distinct"] = q_events_sliding_distinct
@@ -2269,4 +2271,105 @@ SELECT event_type,
        CAST(COALESCE(sum(lateness), 0) AS BIGINT) AS total_lateness_s
 FROM late
 GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# time-respecting 2-hop reachability (temporal graph composition)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RESPECTING reachability — the temporal-network primitive
+    static graphs get wrong: u influences v only if v's signup follows
+    u's within 10 minutes, and a 2-hop path u→v→w needs the second hop
+    to start AFTER the first lands.  Both temporal joins are banded
+    (10-minute bucket equi-keys + exact refine — the range_join
+    discipline; never a nested loop), and the output counts direct and
+    2-hop reach per user over the signup stream.  Epidemiology /
+    influence-cascade analytics as three hash joins."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("u"),
+            F.unix_timestamp("ts").alias("t"),
+            F.col("event_id").alias("eid"),
+        )
+    )
+    W = 600  # 10-minute influence window
+
+    def banded_pairs(a, b, ua, ub, ta, tb):
+        """a.t < b.t <= a.t + W via same/next band equi-join."""
+        ax = a.select(
+            F.col("u").alias(ua),
+            F.col("t").alias(ta),
+            F.explode(
+                F.array(
+                    (F.col("t") / W).cast("long"),
+                    (F.col("t") / W).cast("long") + 1,
+                )
+            ).alias("band"),
+        )
+        bx = b.select(
+            F.col("u").alias(ub),
+            F.col("t").alias(tb),
+            (F.col("t") / W).cast("long").alias("band"),
+        )
+        return ax.join(bx, "band").filter(
+            (F.col(tb) > F.col(ta))
+            & (F.col(tb) <= F.col(ta) + W)
+            & (F.col(ua) != F.col(ub))
+        )
+
+    hop1 = banded_pairs(s, s, "u", "v", "tu", "tv").select(
+        "u", "v", "tu", "tv"
+    ).distinct()
+    # second hop: reuse hop1 as the edge set; time-respecting chain
+    h1, h2 = hop1.alias("h1"), hop1.alias("h2")
+    hop2 = (
+        h1.join(
+            h2,
+            (F.col("h1.v") == F.col("h2.u"))
+            & (F.col("h2.tu") == F.col("h1.tv")),
+        )
+        .filter(F.col("h2.v") != F.col("h1.u"))
+        .select(
+            F.col("h1.u").alias("u"),
+            F.col("h2.v").alias("w"),
+        )
+        .distinct()
+    )
+    d1 = hop1.groupBy("u").agg(F.countDistinct("v").alias("direct_reach"))
+    d2 = hop2.groupBy("u").agg(F.countDistinct("w").alias("two_hop_reach"))
+    return (
+        d1.join(d2, "u", "left")
+        .select(
+            "u",
+            "direct_reach",
+            F.coalesce("two_hop_reach", F.lit(0)).alias("two_hop_reach"),
+        )
+    )
+
+
+ORACLE_TEMPORAL_REACH = """
+WITH s AS (
+  SELECT user_id AS u, epoch(ts) AS t
+  FROM events WHERE event_type = 'signup'
+), hop1 AS (
+  SELECT DISTINCT a.u AS u, b.u AS v, a.t AS tu, b.t AS tv
+  FROM s a JOIN s b
+    ON b.t > a.t AND b.t <= a.t + 600 AND a.u <> b.u
+), hop2 AS (
+  SELECT DISTINCT h1.u AS u, h2.v AS w
+  FROM hop1 h1 JOIN hop1 h2
+    ON h1.v = h2.u AND h2.tu = h1.tv AND h2.v <> h1.u
+), d1 AS (
+  SELECT u, count(DISTINCT v) AS direct_reach FROM hop1 GROUP BY u
+), d2 AS (
+  SELECT u, count(DISTINCT w) AS two_hop_reach FROM hop2 GROUP BY u
+)
+SELECT d1.u, d1.direct_reach,
+       COALESCE(d2.two_hop_reach, 0) AS two_hop_reach
+FROM d1 LEFT JOIN d2 ON d1.u = d2.u
 """

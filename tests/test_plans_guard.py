@@ -450,3 +450,11 @@ def test_cdc_apply_single_window_no_join(spark):
     plan = _plan(spark, "cdc_apply")
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
     assert "Join" not in plan
+
+
+def test_temporal_reach_banded_no_nested_loop(spark):
+    # both temporal joins must stay banded equi-joins; a raw range
+    # predicate would compile to a nested loop
+    plan = _plan(spark, "graph_temporal_reach")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
