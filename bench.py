@@ -230,6 +230,7 @@ HEADLINE = [
     "events_out_of_order_audit",
     "multimodal_srt_cues",
     "graph_temporal_reach",
+    "archive_tar_scan",
 ]
 
 

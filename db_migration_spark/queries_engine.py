@@ -416,6 +416,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["multimodal_pdf_meta"] = ORACLE_PDF
     queries["multimodal_srt_cues"] = q_multimodal_srt_cues
     oracles["multimodal_srt_cues"] = ORACLE_SRT
+    queries["archive_tar_scan"] = q_archive_tar_scan
+    oracles["archive_tar_scan"] = ORACLE_TAR
 
 
 # ---------------------------------------------------------------------------
@@ -1671,4 +1673,72 @@ SELECT media_id,
        CAST(max(end_ms) AS BIGINT) AS last_ms
 FROM cues
 GROUP BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TAR archive member scan (hand-rolled ustar header walk)
+# ---------------------------------------------------------------------------
+
+
+def q_archive_tar_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAR member scanning with a hand-rolled ustar parser
+    (multimodal/tar_meta.py): per region a tar of 2+k text members is
+    written by the INDEPENDENT stdlib tarfile writer, then re-parsed by
+    our 512-byte header walk — octal fields, blanked-field checksum
+    recomputation, padding arithmetic.  Member names/sizes are formula
+    functions of (region, i), so the oracle rebuilds every row; a
+    checksum or padding bug fails the query itself."""
+    from collections.abc import Iterator as _It
+
+    import io as _io
+    import tarfile as _tarfile
+    import time as _time  # noqa: F401  (mtime pinned, not clocked)
+
+    import pandas as _pd
+
+    from .multimodal.tar_meta import scan_tar_members
+
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("media_id")
+    )
+
+    def gen(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                buf = _io.BytesIO()
+                with _tarfile.open(fileobj=buf, mode="w") as tf:
+                    for i in range(2 + k):
+                        payload = (b"x" * (10 + 7 * i + k))
+                        info = _tarfile.TarInfo(
+                            name=f"region{k}/member{i}.txt"
+                        )
+                        info.size = len(payload)
+                        info.mtime = 1700000000 + 60 * i
+                        tf.addfile(info, _io.BytesIO(payload))
+                for m in scan_tar_members(buf.getvalue()):
+                    rows.append(
+                        (k, m["name"], m["size"], m["mtime"], m["typeflag"])
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["media_id", "name", "size", "mtime", "typeflag"],
+            )
+
+    return reg.mapInPandas(
+        gen,
+        "media_id LONG, name STRING, size LONG, mtime LONG,"
+        " typeflag STRING",
+    )
+
+
+ORACLE_TAR = """
+SELECT CAST(r_regionkey AS BIGINT) AS media_id,
+       'region' || r_regionkey || '/member' || i || '.txt' AS name,
+       CAST(10 + 7 * i + r_regionkey AS BIGINT) AS size,
+       CAST(1700000000 + 60 * i AS BIGINT) AS mtime,
+       '0' AS typeflag
+FROM region, unnest(range(0, r_regionkey + 2)) AS t(i)
 """

@@ -213,3 +213,27 @@ def test_pdf_xref_walk_roundtrip():
         decode_pdf_meta(bytes(b))
     with _pytest.raises(ValueError):
         decode_pdf_meta(b"%NOT-A-PDF")
+
+
+def test_tar_checksum_detects_corruption():
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from db_migration_spark.multimodal.tar_meta import (
+        is_tar,
+        scan_tar_members,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo(name="a.txt")
+        info.size = 5
+        tf.addfile(info, io.BytesIO(b"hello"))
+    raw = bytearray(buf.getvalue())
+    assert is_tar(bytes(raw))
+    assert [m["name"] for m in scan_tar_members(bytes(raw))] == ["a.txt"]
+    raw[0] ^= 0xFF  # flip a name byte -> stored checksum now wrong
+    with _pytest.raises(ValueError):
+        scan_tar_members(bytes(raw))
