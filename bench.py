@@ -231,6 +231,7 @@ HEADLINE = [
     "multimodal_srt_cues",
     "graph_temporal_reach",
     "archive_tar_scan",
+    "stats_cohens_kappa",
 ]
 
 

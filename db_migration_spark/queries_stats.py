@@ -725,6 +725,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
     queries["ts_max_drawdown"] = q_ts_max_drawdown
     oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
+    queries["stats_cohens_kappa"] = q_stats_cohens_kappa
+    oracles["stats_cohens_kappa"] = ORACLE_KAPPA
     queries["graph_temporal_reach"] = q_graph_temporal_reach
     oracles["graph_temporal_reach"] = ORACLE_TEMPORAL_REACH
     queries["events_out_of_order_audit"] = q_events_out_of_order_audit
@@ -2372,4 +2374,72 @@ WITH s AS (
 SELECT d1.u, d1.direct_reach,
        COALESCE(d2.two_hop_reach, 0) AS two_hop_reach
 FROM d1 LEFT JOIN d2 ON d1.u = d2.u
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa sufficient statistics (inter-classifier agreement)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-classifier agreement per source: two deterministic binary
+    raters over documents (A: english-language; B: long-form at
+    n_chars > 800 — the quality-gate pair a labeling pipeline audits),
+    with Cohen's kappa carried as exact integers: observed agreement
+    po·n = n11 + n00, chance agreement pe·n² = r1·c1 + r0·c0, so
+    κ = (n·po_num − pe_num) / (n² − pe_num) is one driver-side
+    division over the emitted exact triple.  One conditional-count
+    aggregate — the confusion matrix never materializes row-wise."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = (F.col("lang") == "en").cast("long")
+    b = (F.col("n_chars") > 800).cast("long")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * b).alias("n11"),
+        F.sum(a * (1 - b)).alias("n10"),
+        F.sum((1 - a) * b).alias("n01"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+    )
+    po_num = F.col("n11") + F.col("n00")
+    pe_num = (F.col("n11") + F.col("n10")) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    return agg.select(
+        "source",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po_num.alias("po_num"),
+        pe_num.alias("pe_num"),
+        (F.col("n") * po_num - pe_num).alias("kappa_num"),
+        (F.col("n") * F.col("n") - pe_num).alias("kappa_den"),
+    )
+
+
+ORACLE_KAPPA = """
+WITH agg AS (
+  SELECT source,
+         count(*) AS n,
+         CAST(sum(CASE WHEN lang = 'en' AND n_chars > 800
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN lang = 'en' AND n_chars <= 800
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN lang <> 'en' AND n_chars > 800
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN lang <> 'en' AND n_chars <= 800
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM documents GROUP BY source
+)
+SELECT source, n, n11, n10, n01, n00,
+       n11 + n00 AS po_num,
+       (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num,
+       n * (n11 + n00)
+         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+         AS kappa_num,
+       n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+         AS kappa_den
+FROM agg
 """
