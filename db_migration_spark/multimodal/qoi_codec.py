@@ -149,6 +149,8 @@ def decode_qoi(data: bytes) -> tuple[int, int, int, bytes]:
                 b = (b + dg + (b2 & 0xF) - 8) % 256
             else:  # _OP_RUN
                 run = (op & 0x3F) + 1
+                if i + run > n:
+                    raise ValueError("QOI run overruns the pixel count")
                 for _ in range(run):
                     o = i * channels
                     out[o], out[o + 1], out[o + 2] = r, g, b

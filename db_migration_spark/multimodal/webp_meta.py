@@ -36,6 +36,11 @@ def _chunk(fourcc: bytes, payload: bytes) -> bytes:
 def encode_webp_header(width: int, height: int, variant: str) -> bytes:
     """Minimal spec-valid WebP of the given variant with the requested
     canvas dimensions (1..16383 for VP8/VP8L, 1..2^24 for VP8X)."""
+    limit = (1 << 24) if variant == "vp8x" else 16383
+    if not (1 <= width <= limit and 1 <= height <= limit):
+        raise ValueError(
+            f"{variant} dimensions out of range (1..{limit})"
+        )
     if variant == "vp8":
         # frame tag: key frame (bit0 = 0), version 0, show_frame 1,
         # first-partition size 0 -> 3 bytes little-endian
@@ -43,8 +48,8 @@ def encode_webp_header(width: int, height: int, variant: str) -> bytes:
         body = (
             struct.pack("<I", tag)[:3]
             + b"\x9d\x01\x2a"
-            + struct.pack("<H", width & 0x3FFF)
-            + struct.pack("<H", height & 0x3FFF)
+            + struct.pack("<H", width)
+            + struct.pack("<H", height)
         )
         payload = _chunk(b"VP8 ", body)
     elif variant == "vp8l":

@@ -89,10 +89,13 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     wy = Window.partitionBy("c_nationkey").orderBy(
         "spend_cents", "o_custkey"
     )
+    # ranks cast to LONG before differencing: row_number() is int32 and
+    # (rx-ry)^2 wraps (or ANSI-faults) past |d| = 46340 — reachable at
+    # fact-scale nation partitions; the oracle's BIGINT ranks never wrap
     ranked = per_cust.select(
         "c_nationkey",
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
     )
     d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
     agg = ranked.groupBy("c_nationkey").agg(
@@ -1780,14 +1783,23 @@ def q_ts_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     running = daily.withColumn("open_orders", F.sum("net").over(w))
-    return (
-        running.groupBy(
-            F.date_trunc("month", F.col("d")).cast("date").alias("month")
-        )
-        .agg(
-            F.max("open_orders").alias("max_open"),
-            F.max_by("open_orders", F.col("d")).alias("eom_open"),
-        )
+    by_month = running.groupBy(
+        F.date_trunc("month", F.col("d")).cast("date").alias("month")
+    ).agg(
+        F.max("open_orders").alias("max_delta_day"),
+        F.max_by("open_orders", F.col("d")).alias("eom_open"),
+    )
+    # a month whose backlog only falls still STARTS at the carried-in
+    # plateau (previous month's end value) — without this lag the max
+    # understates every strictly-decreasing month
+    wm = Window.orderBy("month")
+    return by_month.select(
+        "month",
+        F.greatest(
+            F.col("max_delta_day"),
+            F.coalesce(F.lag("eom_open").over(wm), F.lit(0)),
+        ).alias("max_open"),
+        "eom_open",
     )
 
 
@@ -1809,12 +1821,19 @@ WITH spans AS (
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS open_orders
   FROM daily
+), by_month AS (
+  SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+         max(open_orders) AS max_delta_day,
+         max_by(open_orders, d) AS eom_open
+  FROM running
+  GROUP BY CAST(date_trunc('month', d) AS DATE)
 )
-SELECT CAST(date_trunc('month', d) AS DATE) AS month,
-       CAST(max(open_orders) AS BIGINT) AS max_open,
-       CAST(max_by(open_orders, d) AS BIGINT) AS eom_open
-FROM running
-GROUP BY CAST(date_trunc('month', d) AS DATE)
+SELECT month,
+       CAST(greatest(max_delta_day,
+            COALESCE(lag(eom_open) OVER (ORDER BY month), 0)) AS BIGINT)
+         AS max_open,
+       CAST(eom_open AS BIGINT) AS eom_open
+FROM by_month
 """
 
 

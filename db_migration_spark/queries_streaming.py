@@ -782,7 +782,12 @@ def q_ace_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "ace stream sink drain timed out — refusing to cache a "
+                "truncated fixture"
+            )
         with open(marker, "w"):
             pass
     back = spark.read.format("ace").load(out)

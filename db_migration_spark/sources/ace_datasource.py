@@ -47,37 +47,13 @@ class AceDataSourceReader(DataSourceReader):
             raise ValueError("ace source requires a path")
 
     def partitions(self):
-        import glob
-        import os
-
-        p = self.path
-        if os.path.isdir(p):
-            files = sorted(
-                f
-                for f in glob.glob(os.path.join(p, "*"))
-                if os.path.basename(f)[0] not in "._"
-                and os.path.isfile(f)
-            )
-        else:
-            files = sorted(glob.glob(p))
+        files = _list_dump_files(self.path)
         if not files:
-            raise FileNotFoundError(f"no ace dump files under {p}")
+            raise FileNotFoundError(f"no ace dump files under {self.path}")
         return [AceFilePartition(f) for f in files]
 
     def read(self, partition: AceFilePartition):
-        import gzip
-        import os
-
-        from .ace import parse_block
-
-        path = partition.path
-        opener = gzip.open if path.endswith(".gz") else open
-        with opener(path, "rt", encoding="utf-8", errors="replace") as fh:
-            text = fh.read()
-        src = os.path.basename(path)
-        for block in text.split("\n\n"):
-            if block.strip():
-                yield from parse_block(block, src)
+        yield from _read_dump_file(partition.path)
 
 
 def _list_dump_files(path: str) -> list:
@@ -114,9 +90,13 @@ class AceSimpleStreamReader(SimpleDataSourceStreamReader):
     """Streaming read of a growing dump directory: the offset is the
     count of (sorted) files already consumed, so each micro-batch picks
     up exactly the files that arrived since the last one — the ACeDB
-    per-class dump drop-folder as a structured stream.  Replayability:
-    readBetweenOffsets re-parses the recorded file range verbatim (file
-    lists only ever append in this layout)."""
+    per-class dump drop-folder as a structured stream.
+
+    CONTRACT: filenames must sort lexicographically in arrival order
+    (dump emitters and the sibling stream sink's zero-padded batch ids
+    both satisfy it); a file sorting BEFORE the consumed prefix would
+    be skipped and the prefix re-read.  Replayability:
+    readBetweenOffsets re-parses the recorded file range verbatim."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -262,7 +242,6 @@ class AceDataSourceStreamWriter(DataSourceStreamWriter):
         if not self.path:
             raise ValueError("ace stream sink requires a path")
         os.makedirs(self.path, exist_ok=True)
-        self._delegate = AceDataSourceWriter({"path": self.path}, False)
 
     def write(self, rows):
         import gzip
@@ -273,14 +252,19 @@ class AceDataSourceStreamWriter(DataSourceStreamWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         # the micro-batch id rides a task-local property in streaming
-        # tasks; filenames carry it so batches never collide and a
-        # REPLAYED batch overwrites its own files (idempotent), never
-        # duplicates them
-        batch_marker = (
-            ctx.getLocalProperty("streaming.sql.batchId")
-            or ctx.getLocalProperty("spark.sql.streaming.batchId")
-            or "x"
-        )
+        # tasks; filenames carry it ZERO-PADDED so batches never collide
+        # AND the directory stays lexicographically append-only (the
+        # stream READER's offset contract), and a REPLAYED batch
+        # overwrites its own files (idempotent), never duplicates them.
+        # A missing property must raise — defaulting would make every
+        # batch clobber the same filename.
+        prop = ctx.getLocalProperty("streaming.sql.batchId")
+        if prop is None:
+            raise RuntimeError(
+                "streaming.sql.batchId task property missing — the ace "
+                "stream sink requires a micro-batch context"
+            )
+        batch_marker = f"{int(prop):09d}"
         groups: dict = {}
         order: list = []
         for r in rows:

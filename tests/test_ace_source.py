@@ -211,7 +211,7 @@ def test_ace_stream_writer_roundtrip(spark, tmp_path):
 
     names = os.listdir(out)
     assert any(n.startswith("_SUCCESS-") for n in names)
-    assert any(n.startswith("batch-0-") for n in names), names
+    assert any(n.startswith("batch-000000000-") for n in names), names
     back = (
         spark.read.format("ace")
         .load(str(out))

@@ -237,3 +237,28 @@ def test_tar_checksum_detects_corruption():
     raw[0] ^= 0xFF  # flip a name byte -> stored checksum now wrong
     with _pytest.raises(ValueError):
         scan_tar_members(bytes(raw))
+
+
+def test_qoi_run_overrun_raises():
+    import pytest as _pytest
+
+    from db_migration_spark.multimodal.qoi_codec import decode_qoi, encode_qoi
+
+    # valid 2x1 image, then graft a RUN-62 chunk before the end marker
+    good = bytearray(encode_qoi(2, 1, bytes([1, 2, 3, 1, 2, 3])))
+    corrupt = good[:-8] + bytes([0xC0 | 61]) + good[-8:]
+    with _pytest.raises(ValueError):
+        decode_qoi(bytes(corrupt))
+
+
+def test_webp_rejects_out_of_range_dims():
+    import pytest as _pytest
+
+    from db_migration_spark.multimodal.webp_meta import encode_webp_header
+
+    with _pytest.raises(ValueError):
+        encode_webp_header(20000, 5, "vp8l")  # > 14-bit
+    with _pytest.raises(ValueError):
+        encode_webp_header(0, 5, "vp8")
+    with _pytest.raises(ValueError):
+        encode_webp_header((1 << 24) + 1, 5, "vp8x")

@@ -385,3 +385,15 @@ def test_cusum_matches_pure_python(spark):
             best = max(best, abs(n * prefix - t * total))
         r = rows[uid]
         assert (r.n, r.total_micro, r.max_dev_xn) == (n, total, best)
+
+
+def test_concurrent_intervals_carries_month_start_plateau(spark):
+    # a month with only negative deltas must report the carried-in
+    # value (previous month's end) as its max, not the post-drop value
+    rows = sorted(
+        QUERIES["ts_concurrent_intervals"](spark, SF).collect(),
+        key=lambda r: r.month,
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.max_open >= prev.eom_open  # plateau carried
+        assert cur.max_open >= cur.eom_open

@@ -181,7 +181,6 @@ INSPECT = {
     "cohort_ltv": ["Window", "HashAggregate"],
     "events_sliding_distinct": ["Expand", "HashAggregate"],
     "multimodal_pdf_meta": [],
-    "ts_ewma": ["Window"],
 }
 
 # plans that must NOT contain a product node (blocking worked)
