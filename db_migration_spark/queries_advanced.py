@@ -1903,10 +1903,12 @@ def q_a9_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting want: "the actual p95 document"."""
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    # rk cast to LONG: row_number() is int32 and rk*100 wraps past
+    # ~21M rows per language (the Spearman-rank lesson)
     ranked = docs.select(
         "lang",
         "n_chars",
-        F.row_number().over(w).alias("rk"),
+        F.row_number().over(w).cast("long").alias("rk"),
         F.count(F.lit(1))
         .over(Window.partitionBy("lang"))
         .alias("n"),
