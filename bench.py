@@ -232,6 +232,7 @@ HEADLINE = [
     "graph_temporal_reach",
     "archive_tar_scan",
     "stats_cohens_kappa",
+    "orders_whatif_discount",
 ]
 
 

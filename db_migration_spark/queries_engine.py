@@ -418,6 +418,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["multimodal_srt_cues"] = ORACLE_SRT
     queries["archive_tar_scan"] = q_archive_tar_scan
     oracles["archive_tar_scan"] = ORACLE_TAR
+    queries["orders_whatif_discount"] = q_orders_whatif_discount
+    oracles["orders_whatif_discount"] = ORACLE_WHATIF
 
 
 # ---------------------------------------------------------------------------
@@ -1741,4 +1743,51 @@ SELECT CAST(r_regionkey AS BIGINT) AS media_id,
        CAST(1700000000 + 60 * i AS BIGINT) AS mtime,
        '0' AS typeflag
 FROM region, unnest(range(0, r_regionkey + 2)) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational what-if scenario (policy change recompute, one pass)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_whatif_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scenario modelling without copying data — the relational sibling
+    of eav_with_speculative: baseline revenue versus a WHAT-IF policy
+    (discounts capped at 5%) computed side by side from ONE scan in
+    exact cents; the delta column is the decision number.  At 100 TB a
+    what-if is a projection change, never a second dataset."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.floor(F.col("l_discount") * 100).cast("long")  # percent
+    capped = F.least(disc, F.lit(5))
+    base_rev = price * (100 - disc)
+    whatif_rev = price * (100 - capped)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(base_rev).alias("base_rev_x100"),
+        F.sum(whatif_rev).alias("whatif_rev_x100"),
+        F.sum(whatif_rev - base_rev).alias("delta_x100"),
+        F.sum((disc > 5).cast("long")).alias("n_capped"),
+    )
+
+
+ORACLE_WHATIF = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price,
+         CAST(floor(l_discount * 100) AS BIGINT) AS disc
+  FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       CAST(sum(price * (100 - disc)) AS BIGINT) AS base_rev_x100,
+       CAST(sum(price * (100 - least(disc, 5))) AS BIGINT)
+         AS whatif_rev_x100,
+       CAST(sum(price * (100 - least(disc, 5)) - price * (100 - disc))
+            AS BIGINT) AS delta_x100,
+       CAST(sum(CASE WHEN disc > 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped
+FROM t
+GROUP BY l_returnflag
 """
