@@ -95,11 +95,18 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the per-round shuffle is the only cost and the frontier
     shrinks geometrically.  The oracle is the IDENTICAL SQL string on
     DuckDB (same semantics, same UNION ALL recursion)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
     # the engine's recursion safety valve defaults to 1M rows; the walk
-    # emits one row per key, so size it to the input (found at the x100
-    # scale run: 1.5M keys tripped RECURSION_ROW_LIMIT_EXCEEDED)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
+    # emits one row per key, so size it to the INPUT with headroom
+    # (found at the x100 run: 1.5M keys tripped the 1M default).  The
+    # conf is session-scoped and execution is lazy, so it cannot be
+    # restored here — but a bounded 4x-input limit keeps the valve
+    # MEANINGFUL for later queries instead of the old 2^31 disable.
+    n_keys = cust.count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 4 * n_keys))
+    )
     return spark.sql(SQL_RECURSIVE_CTE)
 
 
@@ -965,9 +972,16 @@ def q_text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language verdict rollup."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(F.split(F.col("text"), "\\s+"))
+    # \b must reach the regex engine intact: an SQL string literal
+    # unescapes it to backspace (found by review — BOTH engines agreed
+    # on the dead feature, so the gate could not see it); the lit()
+    # column form bypasses SQL-literal unescaping (the f_regex_suite
+    # workaround)
     stop_hits = F.size(
-        F.expr(
-            "regexp_extract_all(text, '\\b(the|and|of|to|in|is)\\b', 0)"
+        F.regexp_extract_all(
+            F.col("text"),
+            F.lit(r"\b(the|and|of|to|in|is)\b"),
+            F.lit(0),
         )
     )
     digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
@@ -998,7 +1012,7 @@ WITH scored AS (
   SELECT lang,
          250000 * len(string_split_regex(text, '\s+'))
          + 900000 * len(regexp_extract_all(text,
-               '\b(the|and|of|to|in|is)\b', 0))
+               '\\b(the|and|of|to|in|is)\\b', 0))
          - 400000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
          - 150000 * length(regexp_replace(text, '[^A-Z]', '', 'g'))
            AS score_micro
@@ -2193,7 +2207,9 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to graph structure).  Shape: degree dim joined twice onto
     the edge list — both joins broadcast at dim scale, hash at fact
     scale; no wedge blowup anywhere."""
-    edges = _copurchase_edges(spark, sf_dir)
+    # three consumers (degree agg + two dim joins) — materialize the
+    # expensive basket self-join once (the copurchase_triangles lesson)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -2256,12 +2272,11 @@ def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("obs")
     )
     total = counts.agg(F.sum("obs").alias("n_total"))
-    ppm_df = None
-    for d, p in ppm.items():
-        row = total.select(
-            F.lit(d).alias("digit"), F.lit(p).alias("share_ppm")
-        )
-        ppm_df = row if ppm_df is None else ppm_df.unionByName(row)
+    # a literal dim (no scans): the nine-way union over `total` embedded
+    # the whole counts subtree per branch just to hang constants on it
+    ppm_df = spark.createDataFrame(
+        sorted(ppm.items()), "digit int, share_ppm int"
+    )
     return (
         counts.join(F.broadcast(ppm_df), "digit")
         .join(F.broadcast(total))
