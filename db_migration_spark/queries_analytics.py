@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .functions import text as T
 from .operators import dedup
 
 # ---------------------------------------------------------------------------
@@ -201,7 +202,11 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("xy", (F.col("x") * F.col("y")).cast("decimal(22,4)"))
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).cast("decimal(8,0)").alias("n"),
+            # 12 digits supports 1e12 rows/group (the old 8-digit cap
+            # ANSI-faulted at ~sf35); beyond ~1e10 rows the n*sum_xy
+            # product hits DECIMAL(38) saturation in BOTH engines — at
+            # that scale split the aggregation by sub-key and combine
+            F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
             F.sum("x").cast("decimal(15,2)").alias("sum_x"),
             F.sum("y").cast("decimal(17,2)").alias("sum_y"),
             F.sum("x2").cast("decimal(24,4)").alias("sum_x2"),
@@ -227,7 +232,7 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MOMENTS = """
 WITH s AS (
   SELECT l_returnflag,
-         CAST(count(*) AS DECIMAL(8,0)) AS n,
+         CAST(count(*) AS DECIMAL(12,0)) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(15,2)) AS sum_x,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(17,2)) AS sum_y,
          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS sum_x2,
@@ -519,12 +524,6 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prev_h", F.last(known_h, ignorenulls=True).over(wp))
         .withColumn("next_h", F.first(known_h, ignorenulls=True).over(wn))
     )
-    pos = F.expr(
-        "(unix_timestamp(h) - unix_timestamp(prev_h)) div 3600"
-    )
-    gap = F.expr(
-        "(unix_timestamp(next_h) - unix_timestamp(prev_h)) div 3600"
-    )
     interp = F.when(
         F.col("cnt").isNotNull(), F.col("cnt") * F.lit(1000000)
     ).otherwise(
@@ -607,10 +606,7 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id",
         F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                lambda x: x != "",
-            )
+            T.tokens(F.lower(F.col("text")))
         ).alias("tok"),
     )
     per_tok = tok.groupBy("doc_id", "tok").agg(
@@ -711,9 +707,14 @@ WITH toks AS (
          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
   FROM documents
 ), sh AS (
+  -- mirrors functions/text.shingles(): docs with < k tokens fall back
+  -- to ONE whole-text shingle instead of vanishing from the pair space
   SELECT doc_id,
-         unnest(list_distinct(list_transform(range(1, len(toks) - 3 + 2),
-                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+         unnest(CASE WHEN len(toks) < 3
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                END) AS shingle
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -773,10 +774,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     word = docs.select(
         "doc_id",
         F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                lambda x: x != "",
-            )
+            T.tokens(F.lower(F.col("text")))
         ).alias("w"),
     )
     sym = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
@@ -1390,7 +1388,8 @@ def q_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw scan (the parser would need to re-run per filter); cache
         # materializes the parse once, which is also the right plan —
         # the quarantine split reads the parsed batch twice
-        .cache()
+        .localCheckpoint()  # materialize once; unlike cache() the
+        # blocks die with the plan instead of pinning the session
     )
     good = back.filter(F.col("_corrupt").isNull()).agg(
         F.lit("good").alias("kind"),
@@ -1425,15 +1424,14 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     report needs).  Vocab selection is a 16-row broadcast; the corpus
     pass is one explode + one hash aggregate."""
     docs = load_table(spark, sf_dir, "documents")
+    # two consumers (vocab top-16 agg + the coverage join) — materialize
+    # the explode once instead of re-tokenizing the corpus per branch
     tok = docs.select(
         "lang",
         F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                lambda x: x != "",
-            )
+            T.tokens(F.lower(F.col("text")))
         ).alias("tok"),
-    )
+    ).localCheckpoint()
     vocab = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1525,7 +1523,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
+    # store and batch branches both read fp — hash the corpus once
+    fp = docs.select("doc_id", F.md5(norm).alias("fp")).localCheckpoint()
     store = (
         fp.filter(F.col("doc_id") % 2 == 0)
         .groupBy("fp")
