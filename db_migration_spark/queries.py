@@ -333,7 +333,12 @@ def q_u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.date_trunc("hour", "ts").alias("hour"))
         .distinct()
     )
-    return relational.anti_diff(cell("click"), cell("purchase"), ["user_id", "hour"])
+    # null_safe matches SQL EXCEPT's NULLs-are-equal convention (the
+    # plain equality anti-join would keep NULL-keyed rows forever)
+    return relational.anti_diff(
+        cell("click"), cell("purchase"), ["user_id", "hour"],
+        null_safe=True,
+    )
 
 
 ORACLE_U2 = """
@@ -492,7 +497,7 @@ def _melted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_MELT_BODY = """
 SELECT l_orderkey * 8 + l_linenumber AS e, 'l_quantity' AS a,
-       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v, l_shipdate AS tx, true AS op
+       CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS v, l_shipdate AS tx, true AS op
 FROM lineitem
 UNION ALL
 SELECT l_orderkey * 8 + l_linenumber, 'l_returnflag', l_returnflag, l_shipdate, true
@@ -537,7 +542,7 @@ WITH unique_li AS (
   ) WHERE __n = 1
 )
 SELECT l_orderkey * 8 + l_linenumber AS e,
-       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS l_quantity,
+       CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS l_quantity,
        l_returnflag, l_linestatus,
        CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS l_shipdate
 FROM unique_li
@@ -822,9 +827,14 @@ WITH toks AS (
          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
   FROM documents
 ), sh AS (
+  -- mirrors functions/text.shingles(): docs with < k tokens contribute
+  -- ONE whole-text shingle instead of vanishing from the pair space
   SELECT doc_id,
-         unnest(list_distinct(list_transform(range(1, len(toks) - 3 + 2),
-                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+         unnest(CASE WHEN len(toks) < 3
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                END) AS shingle
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -3112,9 +3122,14 @@ toks AS (
          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
   FROM documents
 ), sh AS (
+  -- mirrors functions/text.shingles(): docs with < k tokens contribute
+  -- ONE whole-text shingle instead of vanishing from the pair space
   SELECT doc_id,
-         unnest(list_distinct(list_transform(range(1, len(toks) - 3 + 2),
-                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+         unnest(CASE WHEN len(toks) < 3
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                END) AS shingle
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -3339,9 +3354,13 @@ WITH toks AS (
          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
   FROM documents
 ), sh AS (
+  -- mirrors shingles(k=5): short docs contribute one whole-text gram
   SELECT doc_id,
-         unnest(list_distinct(list_transform(range(1, len(toks) - 5 + 2),
-                i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS g
+         unnest(CASE WHEN len(toks) < 5
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 5 + 2),
+                     i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+                END) AS g
   FROM toks
 ), bench AS (
   SELECT DISTINCT g FROM sh WHERE doc_id < 20
@@ -5031,7 +5050,13 @@ def q_f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.nullif(F.col("nm"), F.lit("Supplier#000000001"))).alias(
             "max_nm_nullif"
         ),
-        F.first(F.col("nm"), ignorenulls=True).alias("first_nm"),
+        # first(ignorenulls) is scan-order-dependent in Spark — pin the
+        # "first" to the minimum key among non-null names (matches the
+        # oracle's ORDER BY s_suppkey LIMIT 1) so the result survives
+        # any partitioning
+        F.expr(
+            "min_by(nm, CASE WHEN nm IS NOT NULL THEN s_suppkey END)"
+        ).alias("first_nm"),
     )
 
 

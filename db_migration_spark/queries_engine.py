@@ -758,7 +758,7 @@ def q_eav_db_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DB_FILTER = """
 WITH datoms AS (
   SELECT l_orderkey * 8 + l_linenumber AS e, 'l_quantity' AS a,
-         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v
+         CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS v
   FROM lineitem
   UNION ALL
   SELECT l_orderkey * 8 + l_linenumber, 'l_returnflag', l_returnflag
