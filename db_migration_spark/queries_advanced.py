@@ -2209,7 +2209,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; no wedge blowup anywhere."""
     # three consumers (degree agg + two dim joins) — materialize the
     # expensive basket self-join once (the copurchase_triangles lesson)
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -1431,7 +1431,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             T.tokens(F.lower(F.col("text")))
         ).alias("tok"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     vocab = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1524,7 +1524,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     # store and batch branches both read fp — hash the corpus once
-    fp = docs.select("doc_id", F.md5(norm).alias("fp")).localCheckpoint()
+    fp = docs.select("doc_id", F.md5(norm).alias("fp")).localCheckpoint(eager=False)
     store = (
         fp.filter(F.col("doc_id") % 2 == 0)
         .groupBy("fp")

@@ -348,7 +348,8 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lo_first, F.col("d_hi")).otherwise(F.col("d_lo")).alias(
             "dst_d"
         ),
-    ).localCheckpoint()  # three references below — materialize once
+    ).localCheckpoint(eager=False)  # three references below —
+    # materialized once at first action (lazily: no job at construction)
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     tri_triples = (
         o1.join(
@@ -458,7 +459,7 @@ def q_graph_jaccard_linkpred(
     here so the DuckDB oracle is reproduced exactly.  The candidate
     shuffle carries only (u, w) id pairs; adjacency is removed with a
     broadcast-able anti-join on the canonical edge list."""
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = und.select(
         F.col("lo").alias("c"), F.col("hi").alias("nbr")
     ).unionAll(und.select(F.col("hi").alias("c"), F.col("lo").alias("nbr")))

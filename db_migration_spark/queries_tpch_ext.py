@@ -441,7 +441,11 @@ def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "is_late",
             (
-                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+                # INTERVAL keeps any time-of-day component; date_add
+                # would truncate to midnight and disagree with the
+                # oracle's o_orderdate + INTERVAL 60 DAY
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
             ).cast("int"),
         )
     )
@@ -943,15 +947,17 @@ WITH datoms AS (
   SELECT user_id AS e, event_type AS a,
          CAST(event_id % 500 AS VARCHAR) AS v, event_id % 3 AS par
   FROM events
-), before_s AS (SELECT DISTINCT e, a, v FROM datoms WHERE par != 2),
-   after_s  AS (SELECT DISTINCT e, a, v FROM datoms WHERE par != 0)
+), before_s AS (SELECT DISTINCT e, a, v, 1 AS __b FROM datoms WHERE par != 2),
+   after_s  AS (SELECT DISTINCT e, a, v, 1 AS __f FROM datoms WHERE par != 0)
 SELECT coalesce(b.a, f.a) AS a,
-       CASE WHEN b.e IS NOT NULL AND f.e IS NOT NULL THEN 'retained'
-            WHEN f.e IS NOT NULL THEN 'added'
+       CASE WHEN b.__b IS NOT NULL AND f.__f IS NOT NULL THEN 'retained'
+            WHEN f.__f IS NOT NULL THEN 'added'
             ELSE 'removed' END AS status,
        count(*) AS n_datoms
 FROM before_s b FULL OUTER JOIN after_s f
-  ON b.e = f.e AND b.a = f.a AND b.v = f.v
+  ON b.e IS NOT DISTINCT FROM f.e
+ AND b.a IS NOT DISTINCT FROM f.a
+ AND b.v IS NOT DISTINCT FROM f.v
 GROUP BY 1, 2
 """
 
@@ -1033,7 +1039,11 @@ def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
             .cast("long")
             .alias("n_views"),
-            F.sum("hit").cast("long").alias("n_converted"),
+            # an all-NULL hit group (user with one trailing event) must
+            # report 0 like the oracle's CASE...ELSE 0, not NULL
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias(
+                "n_converted"
+            ),
         )
     )
 
@@ -1106,9 +1116,9 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
         F.when(lo_first, F.col("d_hi")).otherwise(F.col("d_lo")).alias("dst_d"),
-    ).localCheckpoint()  # referenced three times (both wedge sides + the
-    # closing probe) — materialize once instead of rebuilding the
-    # edge+degree pipeline per reference
+    ).localCheckpoint(eager=False)  # referenced three times (both wedge
+    # sides + the closing probe) — materialized ONCE at first action,
+    # and lazily so query CONSTRUCTION stays job-free
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     wedges = o1.join(
         o2,
@@ -1123,7 +1133,9 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("wa") == F.col("o3.src")) & (F.col("wb") == F.col("o3.dst")),
         "left_semi",
     )
-    return und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+    # oriented is 1:1 with und's edges and already materialized —
+    # counting und would re-run the basket self-join a second time
+    return oriented.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 
@@ -1194,7 +1206,10 @@ ORACLE_TIME_TRAVEL = """
 SELECT lang, count(*) AS n_docs,
        sum(n_chars) AS chars_v0,
        sum(CASE WHEN lang = 'en' THEN n_chars + 1 ELSE n_chars END) AS chars_v1,
-       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS chars_delta
+       -- mirrors the query's NULL semantics: a NULL-n_chars doc drops
+       -- out of BOTH version sums, so it contributes no delta
+       sum(CASE WHEN lang = 'en' AND n_chars IS NOT NULL
+            THEN 1 ELSE 0 END) AS chars_delta
 FROM documents
 GROUP BY lang
 """
@@ -1226,9 +1241,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select(
         "r_regionkey", "r_name"
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    vol = _rev()
     tagged = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
