@@ -233,6 +233,7 @@ HEADLINE = [
     "archive_tar_scan",
     "stats_cohens_kappa",
     "orders_whatif_discount",
+    "t5_pagination",
 ]
 
 

@@ -420,6 +420,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["archive_tar_scan"] = ORACLE_TAR
     queries["orders_whatif_discount"] = q_orders_whatif_discount
     oracles["orders_whatif_discount"] = ORACLE_WHATIF
+    queries["t5_pagination"] = q_t5_pagination
+    oracles["t5_pagination"] = ORACLE_PAGINATION
 
 
 # ---------------------------------------------------------------------------
@@ -1790,4 +1792,65 @@ SELECT l_returnflag,
          AS n_capped
 FROM t
 GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic pagination (LIMIT/OFFSET vs keyset, same page)
+# ---------------------------------------------------------------------------
+
+
+def q_t5_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of the order book two ways in one result: OFFSET
+    pagination (sort + skip — the reporting-tier form) and KEYSET
+    pagination (WHERE key > last-seen — the only form that scales,
+    since OFFSET n still sorts and discards n rows) — both under a
+    UNIQUE total order so the page is deterministic, and the gate
+    proves they return the IDENTICAL page.  The pagination parity every
+    API layer on top of the engine needs."""
+    orders = load_table(spark, sf_dir, "orders")
+    page_size, page = 25, 3
+    ordered = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).orderBy("o_orderkey")
+    offset_page = (
+        ordered.limit(page_size * (page + 1))
+        .orderBy("o_orderkey")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("o_orderkey")),
+        )
+        .filter(F.col("rn") > page_size * page)
+        .drop("rn")
+        .withColumn("method", F.lit("offset"))
+    )
+    # keyset: the "last seen key" is page*page_size-th key — computed
+    # relationally (broadcast 1-row) rather than collected
+    last_seen = (
+        ordered.limit(page_size * page)
+        .agg(F.max("o_orderkey").alias("k"))
+    )
+    keyset_page = (
+        ordered.crossJoin(F.broadcast(last_seen))
+        .filter(F.col("o_orderkey") > F.col("k"))
+        .orderBy("o_orderkey")
+        .limit(page_size)
+        .select("o_orderkey", "cents")
+        .withColumn("method", F.lit("keyset"))
+    )
+    return offset_page.unionByName(keyset_page)
+
+
+ORACLE_PAGINATION = """
+WITH ordered AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders ORDER BY o_orderkey
+), page AS (
+  SELECT * FROM ordered LIMIT 25 OFFSET 75
+)
+SELECT o_orderkey, cents, 'offset' AS method FROM page
+UNION ALL
+SELECT o_orderkey, cents, 'keyset' FROM page
 """
