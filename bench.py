@@ -1,6 +1,12 @@
-"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"""Benchmark harness — runs the full declared suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Round-3 regression fix: the driver tail-captures only the last ~2000 chars
+of stdout, and the 205-query JSON line outgrew it (BENCH_r03 ``parsed:
+null``).  The per-query timings for the FULL suite now go to
+``BENCH_FULL.json`` next to this file; stdout's single final JSON line
+carries only the r2-stable 40-query headline subset (1:1 comparable with
+BENCH_r02's 52.73s): {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query executes to completion via the noop sink (full pipeline runs,
@@ -21,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from db_migration_spark.queries import QUERIES
 from db_migration_spark.session import get_spark
 
-HEADLINE = [
+FULL_SUITE = [
     "x6_qa_report",
     "q1_pricing_summary",
     "q3_top_revenue",
@@ -236,6 +242,53 @@ HEADLINE = [
     "t5_pagination",
 ]
 
+# r2-stable headline subset — the single stdout JSON line (the driver
+# tail-captures ~2000 chars; this 40-query dict fits, the 205-query one
+# does not).  MUST stay 1:1 with BENCH_r02's parsed["queries"] keys so
+# cross-round totals compare directly.
+HEADLINE = [
+    "x6_qa_report",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "x1_eav_melt",
+    "x7_pivot_roundtrip",
+    "x4_apply_patches",
+    "w1_last_write_wins",
+    "events_hourly_rollup",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_stats",
+    "asof_join",
+    "x3_typed_cast",
+    "datalog_query",
+    "q5_region_revenue",
+    "q6_selective_sum",
+    "events_sessionize",
+    "q12_priority_lines",
+    "j4_semi_anti",
+    "a7_cube",
+    "text_tfidf_topterms",
+    "dedup_levenshtein",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "ace_e2e_qa",
+    "datalog_join",
+    "range_join_campaigns",
+    "dedup_components",
+    "datalog_ancestors",
+    "corpus_datacard",
+    "q17_small_qty_revenue",
+    "q21_sole_late_supplier",
+    "chunk_dedup",
+    "dense_ids",
+    "winsorize_values",
+    "copurchase_triangles",
+    "stream_hourly_rollup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -255,7 +308,7 @@ def main() -> None:
     # whole-stage-codegen JIT for that query shape, run 2 is the
     # steady-state pipeline cost (what repeats on real workloads)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in FULL_SUITE:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -264,16 +317,36 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    full_total = round(sum(timings.values()), 3)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "full-suite wall time",
+                "value": full_total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            },
+            fh,
+            indent=1,
+        )
+
+    head = {k: timings[k] for k in HEADLINE if k in timings}
+    total = round(sum(head.values()), 3)
+    # single compact final line — must fit the driver's ~2000-char tail
     print(
         json.dumps(
             {
                 "metric": "headline-suite wall time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": head,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

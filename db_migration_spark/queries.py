@@ -1280,7 +1280,7 @@ kept AS (
 )
 SELECT t.label, t.n_total, k.n_kept, k.kept_id_sum
 FROM (SELECT label, count(*) AS n_total FROM e GROUP BY label) t
-JOIN (SELECT label, count(*) AS n_kept, sum(vec_id) AS kept_id_sum
+JOIN (SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
       FROM kept GROUP BY label) k
   ON t.label = k.label
 ORDER BY t.label
@@ -2925,10 +2925,8 @@ def q_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate
 GROUP BY l_linestatus
@@ -3613,7 +3611,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSONL = """
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_fingerprints
 FROM documents
 GROUP BY lang, source
@@ -3832,7 +3830,7 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PARTITIONED = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE lang IN ('en', 'de')
 GROUP BY lang, source
@@ -3876,7 +3874,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SCHEMA_EVOLUTION = """
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_scored,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
        CAST(sum(CASE WHEN doc_id % 2 = 1
                 THEN CAST(n_chars % 100 / 100.0 AS DECIMAL(10,6)) END) AS DOUBLE)
          AS quality_sum
@@ -3906,11 +3904,11 @@ def q_crosstab_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CROSSTAB = """
 SELECT lang,
-       sum(CASE WHEN source = 'src0' THEN 1 END) AS src0,
-       sum(CASE WHEN source = 'src1' THEN 1 END) AS src1,
-       sum(CASE WHEN source = 'src2' THEN 1 END) AS src2,
-       sum(CASE WHEN source = 'src3' THEN 1 END) AS src3,
-       sum(CASE WHEN source = 'src_absent' THEN 1 END) AS src_absent
+       CAST(sum(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT) AS src0,
+       CAST(sum(CASE WHEN source = 'src1' THEN 1 END) AS BIGINT) AS src1,
+       CAST(sum(CASE WHEN source = 'src2' THEN 1 END) AS BIGINT) AS src2,
+       CAST(sum(CASE WHEN source = 'src3' THEN 1 END) AS BIGINT) AS src3,
+       CAST(sum(CASE WHEN source = 'src_absent' THEN 1 END) AS BIGINT) AS src_absent
 FROM documents
 GROUP BY lang
 """
@@ -4822,7 +4820,7 @@ WITH counts AS (
   SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
 )
 SELECT l_suppkey, cnt,
-       (cnt * 1000000) // (SELECT sum(cnt) FROM counts) AS share_ppm
+       CAST((cnt * 1000000) // (SELECT sum(cnt) FROM counts) AS BIGINT) AS share_ppm
 FROM counts ORDER BY cnt DESC, l_suppkey LIMIT 20
 """
 
@@ -4952,7 +4950,7 @@ WITH post AS (
   FROM customer
   WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0)
 )
-SELECT class, count(*) AS n_datoms, sum(v) AS sum_v
+SELECT class, count(*) AS n_datoms, CAST(sum(v) AS BIGINT) AS sum_v
 FROM post GROUP BY class ORDER BY class
 """
 
@@ -5071,8 +5069,7 @@ SELECT count(*) AS n_rows,
        count(bal) AS n_bal,
        count(DISTINCT nm) AS n_names,
        CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
-       sum(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
-           AS n_null_safe_eq_null,
+       CAST(sum(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq_null,
        min(coalesce(nm, '~')) AS min_nm_coalesced,
        max(nullif(nm, 'Supplier#000000001')) AS max_nm_nullif,
        (SELECT nm FROM s WHERE nm IS NOT NULL ORDER BY s_suppkey LIMIT 1)
@@ -5254,9 +5251,9 @@ WITH grid AS (
 SELECT CAST(n_nationkey AS BIGINT) AS media_id,
        CAST(16 AS INTEGER) AS width,
        CAST(12 AS INTEGER) AS height,
-       sum((9 * n_nationkey + 7 * x + 13 * y) % 256) AS sum_r,
-       sum((5 * n_nationkey + 11 * x + 3 * y) % 256) AS sum_g,
-       sum((3 * n_nationkey + x + 17 * y) % 256) AS sum_b
+       CAST(sum((9 * n_nationkey + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((5 * n_nationkey + 11 * x + 3 * y) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((3 * n_nationkey + x + 17 * y) % 256) AS BIGINT) AS sum_b
 FROM nation, grid
 GROUP BY n_nationkey
 """
@@ -5298,9 +5295,9 @@ WITH grid AS (
 SELECT CAST(n_nationkey AS BIGINT) AS media_id,
        CAST(6 AS INTEGER) AS width,
        CAST(5 AS INTEGER) AS height,
-       sum((9 * n_nationkey + 7 * x + 13 * y) % 256) AS sum_r,
-       sum((5 * n_nationkey + 11 * x + 3 * y) % 256) AS sum_g,
-       sum((3 * n_nationkey + x + 17 * y) % 256) AS sum_b
+       CAST(sum((9 * n_nationkey + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((5 * n_nationkey + 11 * x + 3 * y) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((3 * n_nationkey + x + 17 * y) % 256) AS BIGINT) AS sum_b
 FROM nation, grid
 GROUP BY n_nationkey
 """
@@ -5667,14 +5664,14 @@ WITH samples AS (
               ELSE 0 END AS bit
   FROM energies a JOIN energies b ON a.k = b.k AND b.w = a.w + 1
 ), fp AS (
-  SELECT k, sum(bit) AS fingerprint FROM bits GROUP BY k
+  SELECT k, CAST(sum(bit) AS BIGINT) AS fingerprint FROM bits GROUP BY k
 ), clips AS (
   SELECT k + 1000 * v.variant AS media_id, fingerprint
   FROM fp, (VALUES (0), (1)) v(variant)
 )
 SELECT fingerprint, count(*) AS n_clips,
        min(media_id) AS min_id, max(media_id) AS max_id,
-       sum(media_id) AS id_sum
+       CAST(sum(media_id) AS BIGINT) AS id_sum
 FROM clips GROUP BY fingerprint
 """
 

@@ -79,7 +79,7 @@ walk AS (
 )
 SELECT depth, count(*) AS n_nodes,
        count(DISTINCT root) AS n_roots,
-       sum(k) AS sum_keys, min(k) AS min_key, max(k) AS max_key
+       CAST(sum(k) AS BIGINT) AS sum_keys, min(k) AS min_key, max(k) AS max_key
 FROM walk
 GROUP BY depth
 """
@@ -95,19 +95,27 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the per-round shuffle is the only cost and the frontier
     shrinks geometrically.  The oracle is the IDENTICAL SQL string on
     DuckDB (same semantics, same UNION ALL recursion)."""
-    cust = load_table(spark, sf_dir, "customer")
-    cust.createOrReplaceTempView("customer")
     # the engine's recursion safety valve defaults to 1M rows; the walk
     # emits one row per key, so size it to the INPUT with headroom
     # (found at the x100 run: 1.5M keys tripped the 1M default).  The
-    # conf is session-scoped and execution is lazy, so it cannot be
-    # restored here — but a bounded 4x-input limit keeps the valve
-    # MEANINGFUL for later queries instead of the old 2^31 disable.
-    n_keys = cust.count()
-    spark.conf.set(
+    # row count comes from the parquet FOOTER (driver-side metadata, no
+    # Spark job — query construction stays job-free), and the conf is
+    # set on a CLONED session (same SparkContext, isolated SQLConf)
+    # whose DataFrame carries it through lazy execution — the parent
+    # session's valve is never mutated.
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/customer.parquet"
+    pieces = [path] if path.endswith(".parquet") and not _glob.os.path.isdir(path) else _glob.glob(f"{path}/*.parquet")
+    n_keys = sum(_pq.ParquetFile(p).metadata.num_rows for p in pieces)
+    scoped = spark.newSession()
+    scoped.conf.set(
         "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 4 * n_keys))
     )
-    return spark.sql(SQL_RECURSIVE_CTE)
+    load_table(scoped, sf_dir, "customer").createOrReplaceTempView("customer")
+    return scoped.sql(SQL_RECURSIVE_CTE)
 
 
 # ---------------------------------------------------------------------------
@@ -333,11 +341,10 @@ WITH per_user AS (
          sum(n_events) AS n_events
   FROM per_user GROUP BY arm
 )
-SELECT a0.n_users AS n0, a0.n_converted AS x0,
-       a1.n_users AS n1, a1.n_converted AS x1,
-       a0.n_converted * a1.n_users - a1.n_converted * a0.n_users
-         AS delta_num,
-       a0.n_converted + a1.n_converted AS pooled_x,
+SELECT a0.n_users AS n0, CAST(a0.n_converted AS BIGINT) AS x0,
+       a1.n_users AS n1, CAST(a1.n_converted AS BIGINT) AS x1,
+       CAST(a0.n_converted * a1.n_users - a1.n_converted * a0.n_users AS BIGINT) AS delta_num,
+       CAST(a0.n_converted + a1.n_converted AS BIGINT) AS pooled_x,
        a0.n_users + a1.n_users AS pooled_n
 FROM (SELECT * FROM arms WHERE arm = 0) a0,
      (SELECT * FROM arms WHERE arm = 1) a1
@@ -622,8 +629,8 @@ def q_eav_tx_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EAV_TX_LOG = """
 SELECT CAST(floor(event_id / 500) AS BIGINT) AS tx_bucket,
        count(*) AS n_datoms,
-       sum(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS n_asserts,
-       sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS n_retracts,
+       CAST(sum(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_asserts,
+       CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_retracts,
        count(DISTINCT user_id) AS n_entities,
        min(event_id) AS first_tx,
        max(event_id) AS last_tx
@@ -793,11 +800,11 @@ def q_fixedwidth_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FIXEDWIDTH = """
 SELECT o_orderstatus AS status,
        count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
        min(CAST(o_orderdate AS DATE)) AS first_date,
        max(CAST(o_orderdate AS DATE)) AS last_date,
        count(DISTINCT o_orderpriority) AS n_priorities,
-       sum(o_orderkey) AS key_checksum
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -898,13 +905,11 @@ def q_f_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_F_REGEX = """
 SELECT lang,
-       sum(len(regexp_extract_all(text, '[aeiou]{2}', 0)))
-         AS n_vowel_pairs,
-       sum(length(regexp_replace(text, '[aeiou]', '', 'g')))
-         AS devoweled_chars,
-       sum(len(string_split_regex(text, '\s+'))) AS n_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[aeiou]{2}', 0))) AS BIGINT) AS n_vowel_pairs,
+       CAST(sum(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS devoweled_chars,
+       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
        min(regexp_extract(text, '^(\w+)', 1)) AS first_word,
-       sum(len(regexp_extract_all(text, '(\w)o', 1))) AS n_before_o,
+       CAST(sum(len(regexp_extract_all(text, '(\w)o', 1))) AS BIGINT) AS n_before_o,
        count(*) AS n_docs
 FROM documents
 GROUP BY lang
@@ -1019,8 +1024,8 @@ WITH scored AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN score_micro > 2000000 THEN 1 ELSE 0 END) AS n_keep,
-       sum(score_micro) AS sum_score,
+       CAST(sum(CASE WHEN score_micro > 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(sum(score_micro) AS BIGINT) AS sum_score,
        min(score_micro) AS min_score,
        max(score_micro) AS max_score
 FROM scored GROUP BY lang
@@ -1084,9 +1089,9 @@ def q_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CSV_MULTILINE = """
 SELECT count(*) AS n_rows,
-       sum(o_orderkey) AS key_sum,
-       sum(length('note "' || o_orderpriority || '"' || chr(10)
-           || 'line2 for ' || o_orderstatus)) AS note_chars,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(length('note "' || o_orderpriority || '"' || chr(10)
+           || 'line2 for ' || o_orderstatus)) AS BIGINT) AS note_chars,
        count(*) AS embedded_newlines,
        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price_sum
 FROM orders
@@ -1196,7 +1201,7 @@ WITH daily AS (
 SELECT 'day' AS grain, CAST(day AS DATE) AS period, rev, n FROM daily
 UNION ALL
 SELECT 'week', CAST(date_trunc('week', day) AS DATE),
-       sum(rev), sum(n)
+       sum(rev), CAST(sum(n) AS BIGINT)
 FROM daily GROUP BY 2
 """
 
@@ -1383,7 +1388,7 @@ WITH marked AS (
 )
 SELECT lang, max(second_source) AS second_source,
        max(first_nn) AS first_nn, max(last_nn) AS last_nn,
-       sum(cume_k) AS cume_sum, count(*) AS n_docs
+       CAST(sum(cume_k) AS BIGINT) AS cume_sum, count(*) AS n_docs
 FROM marked GROUP BY lang
 """
 
@@ -1497,7 +1502,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SHARD_MANIFEST = """
 SELECT (doc_id * 2654435761) % 2147483648 % 64 AS shard,
        count(*) AS n_docs,
-       sum(n_chars) AS byte_budget,
+       CAST(sum(n_chars) AS BIGINT) AS byte_budget,
        bit_xor(doc_id) AS id_checksum,
        min(doc_id) AS min_id,
        max(doc_id) AS max_id
@@ -1567,7 +1572,7 @@ def q_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_IVM = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 1000000) AS BIGINT)) AS value_micro
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
 FROM events
 GROUP BY 1, 2
 """
@@ -1680,7 +1685,7 @@ WITH seq AS (
   GROUP BY 1, 2
 )
 SELECT from_type, to_type, n,
-       sum(n) OVER (PARTITION BY from_type) AS row_total
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
 FROM pairs
 """
 
@@ -1745,8 +1750,8 @@ ranked AS (
               ELSE 'C' END AS abc
   FROM ranked
 )
-SELECT abc, count(*) AS n_customers, sum(cents) AS class_cents,
-       min(cents) AS min_cents, max(cents) AS max_cents
+SELECT abc, count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS class_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents, CAST(max(cents) AS BIGINT) AS max_cents
 FROM classed GROUP BY abc
 """
 
@@ -1791,7 +1796,7 @@ def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_COMPACTION = """
 SELECT o_orderstatus, count(*) AS n_orders,
-       sum(o_orderkey) AS key_sum,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
        count(DISTINCT o_custkey) AS n_custs
 FROM orders GROUP BY 1
 """
@@ -2015,7 +2020,7 @@ WITH datoms AS (
   FROM orders
 )
 SELECT cust, count(*) AS n_identities,
-       sum(e) AS surviving_key_sum,
+       CAST(sum(e) AS BIGINT) AS surviving_key_sum,
        min(yr) AS first_year, max(yr) AS last_year
 FROM datoms WHERE rn = 1
 GROUP BY cust
@@ -2062,15 +2067,16 @@ def q_profile_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PROFILE_GINI = """
 WITH l AS (SELECT lang AS v, count(*) AS n_i FROM documents GROUP BY 1),
 s AS (SELECT source AS v, count(*) AS n_i FROM documents GROUP BY 1)
-SELECT 'lang' AS "column", count(*) AS n_distinct, sum(n_i) AS n_rows,
-       sum(n_i) * sum(n_i) - sum(n_i * n_i) AS gini_num,
-       sum(n_i) * sum(n_i) AS gini_den,
+SELECT 'lang' AS "column", count(*) AS n_distinct,
+       CAST(sum(n_i) AS BIGINT) AS n_rows,
+       CAST(sum(n_i) * sum(n_i) - sum(n_i * n_i) AS BIGINT) AS gini_num,
+       CAST(sum(n_i) * sum(n_i) AS BIGINT) AS gini_den,
        max(n_i) AS mode_count
 FROM l
 UNION ALL
-SELECT 'source', count(*), sum(n_i),
-       sum(n_i) * sum(n_i) - sum(n_i * n_i),
-       sum(n_i) * sum(n_i), max(n_i)
+SELECT 'source', count(*), CAST(sum(n_i) AS BIGINT),
+       CAST(sum(n_i) * sum(n_i) - sum(n_i * n_i) AS BIGINT),
+       CAST(sum(n_i) * sum(n_i) AS BIGINT), max(n_i)
 FROM s
 """
 
@@ -2098,11 +2104,11 @@ def q_f_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_F_BITWISE = """
 SELECT o_orderstatus,
-       sum(o_orderkey & 255) AS sum_low_byte,
-       sum(o_orderkey | 16) AS sum_or,
+       CAST(sum(o_orderkey & 255) AS BIGINT) AS sum_low_byte,
+       CAST(sum(o_orderkey | 16) AS BIGINT) AS sum_or,
        bit_xor(o_orderkey << 3) AS xor_shl3,
-       sum(o_orderkey >> 4) AS sum_shr4,
-       sum(bit_count(o_orderkey)) AS popcount_sum,
+       CAST(sum(o_orderkey >> 4) AS BIGINT) AS sum_shr4,
+       CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS popcount_sum,
        count(*) AS n
 FROM orders GROUP BY o_orderstatus
 """
@@ -2157,9 +2163,8 @@ WITH spans AS (
   FROM events
 )
 SELECT user_id,
-       sum(v_micro * CAST(date_diff('second', ts, next_ts) AS BIGINT))
-         AS twap_num,
-       sum(CAST(date_diff('second', ts, next_ts) AS BIGINT)) AS twap_den,
+       CAST(sum(v_micro * CAST(date_diff('second', ts, next_ts) AS BIGINT)) AS BIGINT) AS twap_num,
+       CAST(sum(CAST(date_diff('second', ts, next_ts) AS BIGINT)) AS BIGINT) AS twap_den,
        count(*) AS n_spans
 FROM spans WHERE next_ts IS NOT NULL
 GROUP BY user_id
@@ -2239,9 +2244,9 @@ WITH items AS (
   SELECT u, count(*) AS deg FROM sym GROUP BY u
 )
 SELECT count(*) AS n_endpoints,
-       sum(x.deg) AS sum_x,
-       sum(x.deg * x.deg) AS sum_x2,
-       sum(x.deg * y.deg) AS sum_xy
+       CAST(sum(x.deg) AS BIGINT) AS sum_x,
+       CAST(sum(x.deg * x.deg) AS BIGINT) AS sum_x2,
+       CAST(sum(x.deg * y.deg) AS BIGINT) AS sum_xy
 FROM sym JOIN deg x ON sym.u = x.u JOIN deg y ON sym.v = y.u
 """
 
@@ -2303,8 +2308,7 @@ WITH ppm(digit, share_ppm) AS (VALUES
   FROM orders GROUP BY 1
 ), t AS (SELECT sum(obs) AS n_total FROM counts)
 SELECT c.digit, c.obs, p.share_ppm,
-       (SELECT n_total FROM t) * p.share_ppm - c.obs * 1000000
-         AS dev_ppm_num
+       CAST((SELECT n_total FROM t) * p.share_ppm - c.obs * 1000000 AS BIGINT) AS dev_ppm_num
 FROM counts c JOIN ppm p ON c.digit = p.digit
 """
 

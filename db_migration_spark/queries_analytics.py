@@ -100,7 +100,7 @@ ORACLE_DPP = """
 WITH dim AS (
   SELECT lang, sum(n_chars) AS tot FROM documents GROUP BY lang
 )
-SELECT d.lang, count(*) AS n_docs, sum(d.n_chars) AS sum_chars
+SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
 FROM documents d
 JOIN dim ON d.lang = dim.lang AND dim.tot > 30000
 GROUP BY d.lang
@@ -400,8 +400,8 @@ WITH flagged AS (
          THEN 1 ELSE 0 END AS kept
   FROM documents
 )
-SELECT lang, count(*) AS n_total, sum(kept) AS n_kept,
-       sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS kept_chars
+SELECT lang, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
 FROM flagged GROUP BY lang
 """
 
@@ -660,7 +660,7 @@ WITH tok AS (
   SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
 ), per_doc AS (
   SELECT doc_id,
-         sum(tf) AS n_words,
+         CAST(sum(tf) AS BIGINT) AS n_words,
          max(tf) AS max_tf,
          count(*) AS n_distinct,
          sum(length(tok) * tf) AS sum_len,
@@ -811,7 +811,7 @@ WITH word AS (
          len(regexp_split_to_array({_BPE_SYM_SQL}, ' ')) AS n_sym
   FROM word
 )
-SELECT doc_id, sum(n_sym) AS n_tokens, count(*) AS n_words
+SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens, count(*) AS n_words
 FROM enc GROUP BY doc_id
 """
 
@@ -941,7 +941,7 @@ WITH b AS (
   FROM documents GROUP BY lang
 ), t AS (SELECT sum(budget_micro) AS tot FROM b)
 SELECT lang, n_docs, budget_micro,
-       budget_micro * 1000000 // tot AS share_ppm
+       CAST(budget_micro * 1000000 // tot AS BIGINT) AS share_ppm
 FROM b, t
 """
 
@@ -1319,11 +1319,11 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DQ = """
 SELECT 'orders_custkey_in_customer' AS rule, count(*) AS n_checked,
-       sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_failed
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 UNION ALL
 SELECT 'lineitem_orderkey_in_orders', count(*),
-       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
   ON l.l_orderkey = o.o_orderkey
 UNION ALL
@@ -1331,16 +1331,16 @@ SELECT 'customer_custkey_unique', count(*),
        count(*) - count(DISTINCT c_custkey) FROM customer
 UNION ALL
 SELECT 'lineitem_quantity_in_range', count(*),
-       sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT 'events_ts_in_window', count(*),
-       sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
-                  OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                  OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS BIGINT)
 FROM events
 UNION ALL
 SELECT 'documents_text_nonempty', count(*),
-       sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
 """
 
@@ -1405,7 +1405,7 @@ def q_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CSV_BAD = """
-SELECT 'good' AS kind, count(*) AS n, sum(n_nationkey) AS key_sum
+SELECT 'good' AS kind, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
 FROM nation
 UNION ALL
 SELECT 'quarantined', 2, NULL
@@ -1463,7 +1463,7 @@ WITH tok AS (
   )
 )
 SELECT lang, count(*) AS n_tokens,
-       sum(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_covered
+       CAST(sum(CASE WHEN vocab.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
 FROM tok LEFT JOIN vocab ON tok.tok = vocab.tok
 GROUP BY lang
 """

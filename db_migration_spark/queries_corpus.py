@@ -222,7 +222,7 @@ WITH toks AS (
 )
 SELECT doc_id,
        count(*) AS n_chunks,
-       sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' ' ORDER BY idx), '') AS text_dedup
 FROM ranked
 GROUP BY doc_id

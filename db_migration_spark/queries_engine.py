@@ -35,8 +35,12 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 
-# bump the version suffix whenever fixture CONTENT changes
-_BINFILE_ROOT = "/tmp/dbm_spark_binfiles_v1"
+# hermetic cache root: keyed by the package-source content hash, so a
+# generator edit can never serve a stale pre-change fixture (see
+# queries_e2e._code_version)
+from .queries_e2e import _code_version as _fx_code_version
+
+_BINFILE_ROOT = f"/tmp/dbm_spark_binfiles_{_fx_code_version()}"
 
 
 # ---------------------------------------------------------------------------
@@ -573,7 +577,7 @@ ORACLE_AGGMISC = """
 SELECT o_orderpriority,
        bool_and(o_totalprice > 1000) AS all_over_1k,
        bool_or(o_totalprice > 400000) AS any_over_400k,
-       count_if(o_orderstatus = 'F') AS n_finished,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
        max_by(o_orderkey,
               CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
                 + o_orderkey) AS priciest_order,

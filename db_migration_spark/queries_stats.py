@@ -696,9 +696,9 @@ WITH hourly AS (
   WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 )
 SELECT hour, n,
-       n * sxy - sx * sy AS corr_num,
-       n * sx2 - sx * sx AS varx_num,
-       n * sy2 - sy * sy AS vary_num
+       CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+       CAST(n * sx2 - sx * sx AS BIGINT) AS varx_num,
+       CAST(n * sy2 - sy * sy AS BIGINT) AS vary_num
 FROM stats
 """
 
@@ -1377,9 +1377,9 @@ WITH base AS (
   FROM events
 )
 SELECT user_id,
-       max(abs(n * prefix - t * total)) AS max_dev_xn,
+       CAST(max(abs(n * prefix - t * total)) AS BIGINT) AS max_dev_xn,
        max(n) AS n,
-       max(total) AS total_micro
+       CAST(max(total) AS BIGINT) AS total_micro
 FROM base GROUP BY user_id
 """
 

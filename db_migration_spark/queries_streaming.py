@@ -97,7 +97,13 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dedup — dropDuplicatesWithinWatermark): distinct (user_id,
     event_type) keys surviving the watermarked dedup.  WHICH duplicate
     survives is arrival-order-dependent, so the declared result carries
-    the keys only — deterministic — and the oracle is a plain DISTINCT."""
+    the keys only — deterministic — and the oracle is a plain DISTINCT.
+
+    The drained sink must ALREADY be duplicate-free: one row per key is
+    exactly what dropDuplicatesWithinWatermark owes us under a single
+    availableNow drain.  Asserting rows == distinct keys (instead of the
+    old normalize-with-.distinct()) makes state leakage — a key emitted
+    twice — fail the gate instead of being silently collapsed."""
     name = _sink_name("stream_dedup", sf_dir)
     deduped = ST.stream_dedup(
         _events_stream(spark, sf_dir),
@@ -106,7 +112,15 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay="2 hours",
     ).select("user_id", "event_type")
     _drain(deduped, name, "append")
-    return spark.table(name).distinct()
+    sink = spark.table(name)
+    n_rows = sink.count()
+    n_keys = sink.distinct().count()
+    if n_rows != n_keys:
+        raise AssertionError(
+            f"stream_dedup leaked duplicate keys: {n_rows} rows for "
+            f"{n_keys} distinct keys"
+        )
+    return sink
 
 
 ORACLE_STREAM_DEDUP = """
@@ -542,7 +556,7 @@ WITH latest AS (
                             ORDER BY event_id DESC) AS rn
   FROM events
 )
-SELECT a, count(*) AS n_keys, sum(v) AS sum_v, max(tx) AS max_tx
+SELECT a, count(*) AS n_keys, CAST(sum(v) AS BIGINT) AS sum_v, max(tx) AS max_tx
 FROM latest WHERE rn = 1
 GROUP BY a ORDER BY a
 """
@@ -639,7 +653,7 @@ p AS (
 )
 SELECT v.user_id, count(*) AS n_rows,
        count(p.event_id) AS n_matched,
-       sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+       CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
 FROM v LEFT JOIN p
   ON v.user_id = p.user_id
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
@@ -687,7 +701,7 @@ def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_TOPK = """
 WITH agg AS (
   SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, user_id,
-         sum(CAST(floor(value * 1000000) AS BIGINT)) AS value_micro,
+         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro,
          count(*) AS n_events
   FROM events GROUP BY 1, 2
 ), ranked AS (

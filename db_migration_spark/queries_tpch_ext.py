@@ -1204,12 +1204,12 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TIME_TRAVEL = """
 SELECT lang, count(*) AS n_docs,
-       sum(n_chars) AS chars_v0,
-       sum(CASE WHEN lang = 'en' THEN n_chars + 1 ELSE n_chars END) AS chars_v1,
+       CAST(sum(n_chars) AS BIGINT) AS chars_v0,
+       CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1 ELSE n_chars END) AS BIGINT) AS chars_v1,
        -- mirrors the query's NULL semantics: a NULL-n_chars doc drops
        -- out of BOTH version sums, so it contributes no delta
-       sum(CASE WHEN lang = 'en' AND n_chars IS NOT NULL
-            THEN 1 ELSE 0 END) AS chars_delta
+       CAST(sum(CASE WHEN lang = 'en' AND n_chars IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS chars_delta
 FROM documents
 GROUP BY lang
 """

@@ -102,6 +102,15 @@ class AceSimpleStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ace stream source requires a path")
+        # Bound each micro-batch: the Simple API prefetches the batch on
+        # the DRIVER, so an unbounded read() over a pre-populated dump
+        # directory would materialize the whole backlog in driver memory
+        # at once.  Capping the files consumed per read() drains the
+        # backlog incrementally (the engine immediately schedules the
+        # next batch until the offset catches up).
+        self.max_files = int(options.get("maxFilesPerBatch", 64))
+        if self.max_files < 1:
+            raise ValueError("maxFilesPerBatch must be >= 1")
 
     def initialOffset(self) -> dict:
         return {"n_files": 0}
@@ -109,15 +118,14 @@ class AceSimpleStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         files = _list_dump_files(self.path)
         done = int(start.get("n_files", 0))
+        take = files[done : done + self.max_files]
         # the Simple API prefetches this batch on the driver (and
         # pickles the carrier), so the rows must be a materialized
         # list, not a live generator — the documented trade of
         # SimpleDataSourceStreamReader for low-throughput sources;
         # per-class dump drops are KB-MB each
-        rows = [
-            r for path in files[done:] for r in _read_dump_file(path)
-        ]
-        return iter(rows), {"n_files": len(files)}
+        rows = [r for path in take for r in _read_dump_file(path)]
+        return iter(rows), {"n_files": done + len(take)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_dump_files(self.path)
@@ -159,19 +167,62 @@ def _quote(s: str) -> str:
 
 
 class AceCommitMessage(WriterCommitMessage):
-    def __init__(self, path: str):
+    def __init__(self, path: str, tmp_path: str | None = None):
         self.path = path
+        self.tmp_path = tmp_path
+
+
+def _serialize_partition(tmp_path: str, rows) -> None:
+    """Group a partition's records by (class, obj_id) and emit dump
+    paragraphs — header line, one tag line per record with ``-O``/``-C``
+    annotations — as one gzip file."""
+    import gzip
+
+    groups: dict = {}
+    order: list = []
+    for r in rows:
+        key = (r["class"], r["obj_id"])
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(r)
+    with gzip.open(tmp_path, "wt", encoding="utf-8") as fh:
+        for key in order:
+            cls, obj = key
+            fh.write(f"{cls} : {_quote(obj)}\n")
+            for r in groups[key]:
+                line = " ".join(list(r["tag_path"] or []))
+                line += f" {_quote(r['value'])}" if r["value"] is not None else ""
+                if r["ts"] is not None:
+                    line += f" -O {_quote(r['ts'])}"
+                if r["comment"] is not None:
+                    line += f" -C {_quote(r['comment'])}"
+                fh.write(line + "\n")
+            fh.write("\n")
+
+
+def _tmp_name(final_path: str) -> str:
+    """Dot-prefixed attempt-unique temp name in the same directory (the
+    reader's listing skips dot/underscore files, and same-dir keeps the
+    final ``os.replace`` an atomic rename)."""
+    import os
+    import uuid
+
+    d, base = os.path.split(final_path)
+    return os.path.join(d, f".tmp-{uuid.uuid4().hex}-{base}")
 
 
 class AceDataSourceWriter(DataSourceWriter):
-    """Executor-side ``.ace`` serializer: each partition's records are
-    grouped by (class, obj_id) and emitted as dump paragraphs — header
-    line, one tag line per record with ``-O``/``-C`` annotations — into
-    one gzip file per partition (the dump's own per-file granularity,
-    matching the reader's partition planning).  Callers co-partition by
-    object id when object atomicity per file matters, exactly like any
-    file sink.  commit() drops ``_SUCCESS`` for the idempotent-fixture
-    contract used across the repo."""
+    """Executor-side ``.ace`` serializer with a task-commit protocol:
+    each write task serializes its partition to an attempt-unique
+    DOT-PREFIXED temp file (invisible to the reader's listing) and
+    commit() atomically renames exactly the committed attempts to their
+    final ``part-<pid>.ace.gz`` names — so concurrent attempts of the
+    same task (speculation/retry) can never interleave-write a readable
+    path, and a failed job leaves no readable files.  Callers
+    co-partition by object id when object atomicity per file matters,
+    exactly like any file sink.  commit() also drops ``_SUCCESS`` for
+    the idempotent-fixture contract used across the repo."""
 
     def __init__(self, options: dict, overwrite: bool):
         import glob
@@ -186,54 +237,46 @@ class AceDataSourceWriter(DataSourceWriter):
                 os.remove(f)
 
     def write(self, rows):
-        import gzip
         import os
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         out = os.path.join(self.path, f"part-{pid:05d}.ace.gz")
-        groups: dict = {}
-        order: list = []
-        for r in rows:
-            key = (r["class"], r["obj_id"])
-            if key not in groups:
-                groups[key] = []
-                order.append(key)
-            groups[key].append(r)
-        with gzip.open(out, "wt", encoding="utf-8") as fh:
-            for key in order:
-                cls, obj = key
-                fh.write(f"{cls} : {_quote(obj)}\n")
-                for r in groups[key]:
-                    line = " ".join(list(r["tag_path"] or []))
-                    line += f" {_quote(r['value'])}" if r["value"] is not None else ""
-                    if r["ts"] is not None:
-                        line += f" -O {_quote(r['ts'])}"
-                    if r["comment"] is not None:
-                        line += f" -C {_quote(r['comment'])}"
-                    fh.write(line + "\n")
-                fh.write("\n")
-        return AceCommitMessage(out)
+        tmp = _tmp_name(out)
+        _serialize_partition(tmp, rows)
+        return AceCommitMessage(out, tmp)
 
     def commit(self, messages):
         import os
 
+        committed = [m for m in messages if m]
+        for m in committed:
+            os.replace(m.tmp_path, m.path)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            fh.write("\n".join(m.path for m in messages if m))
+            fh.write("\n".join(m.path for m in committed))
 
     def abort(self, messages):
-        pass
+        import os
+
+        for m in messages or []:
+            if m and m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 class AceDataSourceStreamWriter(DataSourceStreamWriter):
-    """Streaming ``.ace`` sink: each micro-batch lands as its own set of
-    per-partition dump files (``batch-<id>-part-<pid>.ace.gz``) plus a
-    per-batch ``_SUCCESS-<id>`` marker from commit() — the transaction-
-    log-shaped layout the reader's files-consumed offset consumes, so a
-    stream can be round-tripped through the same format plugin.  abort()
-    leaves no marker, so replayed batches overwrite their own files
-    idempotently (same filenames) rather than duplicating."""
+    """Streaming ``.ace`` sink with a task-commit protocol: each write
+    task serializes its partition to an attempt-unique DOT-PREFIXED temp
+    file, and commit() — which runs exactly once per successful batch —
+    atomically renames the committed attempts to their final
+    ``batch-<id>-part-<pid>.ace.gz`` names and drops the per-batch
+    ``_SUCCESS-<id>`` marker.  Uncommitted attempts are never visible
+    under a readable name (the reader's listing skips dot-files), a
+    REPLAYED batch first clears every final file of its own batch id —
+    so a replay with a different partition count leaves no orphan part
+    files to double-read — and abort() removes the temp files.  The
+    zero-padded batch id keeps the directory lexicographically
+    append-only (the stream READER's offset contract)."""
 
     def __init__(self, options: dict, overwrite: bool):
         import os
@@ -244,7 +287,6 @@ class AceDataSourceStreamWriter(DataSourceStreamWriter):
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, rows):
-        import gzip
         import os
 
         from pyspark import TaskContext
@@ -252,12 +294,8 @@ class AceDataSourceStreamWriter(DataSourceStreamWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         # the micro-batch id rides a task-local property in streaming
-        # tasks; filenames carry it ZERO-PADDED so batches never collide
-        # AND the directory stays lexicographically append-only (the
-        # stream READER's offset contract), and a REPLAYED batch
-        # overwrites its own files (idempotent), never duplicates them.
-        # A missing property must raise — defaulting would make every
-        # batch clobber the same filename.
+        # tasks; a missing property must raise — defaulting would make
+        # every batch clobber the same filename.
         prop = ctx.getLocalProperty("streaming.sql.batchId")
         if prop is None:
             raise RuntimeError(
@@ -265,44 +303,36 @@ class AceDataSourceStreamWriter(DataSourceStreamWriter):
                 "stream sink requires a micro-batch context"
             )
         batch_marker = f"{int(prop):09d}"
-        groups: dict = {}
-        order: list = []
-        for r in rows:
-            key = (r["class"], r["obj_id"])
-            if key not in groups:
-                groups[key] = []
-                order.append(key)
-            groups[key].append(r)
         out = os.path.join(
             self.path, f"batch-{batch_marker}-part-{pid:05d}.ace.gz"
         )
-        with gzip.open(out, "wt", encoding="utf-8") as fh:
-            for key in order:
-                cls, obj = key
-                fh.write(f"{cls} : {_quote(obj)}\n")
-                for r in groups[key]:
-                    line = " ".join(list(r["tag_path"] or []))
-                    line += (
-                        f" {_quote(r['value'])}"
-                        if r["value"] is not None
-                        else ""
-                    )
-                    if r["ts"] is not None:
-                        line += f" -O {_quote(r['ts'])}"
-                    if r["comment"] is not None:
-                        line += f" -C {_quote(r['comment'])}"
-                    fh.write(line + "\n")
-                fh.write("\n")
-        return AceCommitMessage(out)
+        tmp = _tmp_name(out)
+        _serialize_partition(tmp, rows)
+        return AceCommitMessage(out, tmp)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob
         import os
 
+        committed = [m for m in messages if m]
+        # replay safety: clear every final file this batch id wrote in a
+        # previous attempt BEFORE renaming, so a replay with a different
+        # partition count cannot leave orphan part files
+        for stale in glob.glob(
+            os.path.join(self.path, f"batch-{batchId:09d}-part-*.ace.gz")
+        ):
+            os.remove(stale)
+        for m in committed:
+            os.replace(m.tmp_path, m.path)
         with open(
             os.path.join(self.path, f"_SUCCESS-{batchId}"), "w"
         ) as fh:
-            fh.write("\n".join(m.path for m in messages if m))
+            fh.write("\n".join(m.path for m in committed))
 
     def abort(self, messages, batchId: int) -> None:
-        pass
+        import os
+
+        for m in messages or []:
+            if m and m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 

@@ -285,3 +285,13 @@ def test_compaction_reduces_file_count(spark):
     comp = glob.glob(_fx(SF, "orders_compacted") + "/part-*")
     assert len(frag) > len(comp)
     assert len(comp) <= 4
+
+
+def test_recursive_cte_leaves_session_conf_untouched(spark):
+    """The recursion row-limit valve must be scoped to the query's own
+    cloned session — constructing AND executing the query may not mutate
+    the caller's session conf (round-3 ADVICE / verdict #5)."""
+    key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(key, None)
+    QUERIES["sql_recursive_cte"](spark, SF).collect()
+    assert spark.conf.get(key, None) == before
