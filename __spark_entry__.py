@@ -15,76 +15,70 @@ from pyspark.sql import DataFrame, SparkSession
 from db_migration_spark.queries import ORACLES, QUERIES
 
 # The driver's correctness harness verifies the FIRST 50 registry entries in
-# insertion order.  Curate those 50 as the flagship set — one representative
-# per operator family (real-boundary .ace e2e, streaming engine gates, the
-# Datalog compiler, the hard TPC-H shapes, the corpus/dedup/ANN pillar,
-# multimodal codecs) — so the hard driver signal exercises every family.
+# insertion order.  Round-4 rotation (round-3 verdict, Next round #3): the
+# driver had certified the same 50 for two rounds while 266 registry entries
+# rested on builder sweeps only.  The window now keeps 15 PERMANENT sentinels
+# (one per operator family, plus the three round-3 hash-reds whose oracles
+# carried the now-fixed HUGEINT typing — their green rows ARE the regression
+# proof) and rotates in 35 never-driver-checked entries, prioritizing the
+# HUGEINT-fixed oracles so the fix lands driver-certified, then the
+# EAV/Datomic depth.  Overlap with the r3 window = the 15 sentinels only.
 # Everything else keeps its original relative order after the flagship block
 # and remains judge-verifiable.
 FLAGSHIP_ORDER = [
-    # EAV migration pipeline at the real boundary (SURVEY §2.9)
-    "x6_qa_report",
-    "ace_e2e_datoms",
-    "ace_e2e_patched",
-    "ace_e2e_qa",
-    "edn_roundtrip",
-    "x2_models_schema",
-    "x1_eav_melt",
-    "x4_apply_patches",
-    "eav_upsert_identity",
-    "x7_pivot_roundtrip",
-    "eav_retract_cascade",
-    # Structured Streaming engine gates (SURVEY §2.10)
-    "stream_hourly_rollup",
-    "stream_dedup_keys",
-    "stream_stream_join",
-    "stream_ace_import",
-    "stream_session_rollup",
-    "stream_stateful_profile",
-    # Datalog query compiler (SURVEY §2.9 X7-ext)
-    "datalog_query",
-    "datalog_join",
-    "datalog_agg",
-    "datalog_ancestors",
-    # Hardest TPC-H shapes (per-order agg, HAVING join-back, anti-join
-    # chains, window-decorrelated MIN)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q21_sole_late_supplier",
-    # Join extensions (as-of, interval, skew-salted, bucketed co-located)
-    "asof_join",
-    "range_join_campaigns",
-    "j_salted_hot_key",
-    # LLM-corpus pipeline pillar
-    "chunk_dedup",
-    "pack_sequences",
-    "text_lm_perplexity",
-    "url_canonical_dedup",
-    # Dedup / similarity ladder
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "ann_cosine_topk",
-    # Multimodal codecs (real pixel/sample kernels)
-    "multimodal_png_decode",
-    "multimodal_qoi_decode",
-    "multimodal_video_frames",
-    "multimodal_audio_resample",
-    "dedup_image_phash",
-    # Graph
-    "graph_pagerank",
-    "copurchase_triangles",
-    # Session-7 engine surface: Catalyst recursion, the ace format
-    # plugin, outer-join streaming semantics, basket mining
-    "sql_recursive_cte",
-    "ace_datasource_scan",
-    "stream_outer_join",
-    "assoc_rules",
-    # Session-8: exact classical statistics (driver-green family rep)
-    "stats_spearman",
+    # --- permanent sentinels (15) ---
+    "x6_qa_report",          # flagship QA report (reference's own gate)
+    "ace_e2e_datoms",        # real-boundary .ace → datoms
+    "x1_eav_melt",           # EAV melt
+    "x4_apply_patches",      # LWW patch merge
+    "x7_pivot_roundtrip",    # EAV → wide pivot
+    "stream_stateful_profile",  # applyInPandasWithState rep
+    "stream_ace_import",     # streaming .ace ingest
+    "datalog_query",         # Datalog compiler rep
+    "q1_pricing_summary",    # TPC-H agg rep
+    "dedup_components",      # iterative connected components
+    "ann_cosine_topk",       # ANN rep
+    "multimodal_video_frames",  # codec rep
+    "chunk_dedup",           # r3 hash-red #1 (HUGEINT oracle) — now green
+    "sql_recursive_cte",     # r3 hash-red #2 — now green
+    "stream_outer_join",     # r3 hash-red #3 — now green
+    # --- rotated in: HUGEINT-fixed oracles, never driver-checked (30) ---
+    "q12_priority_lines",
+    "dedup_semantic",
+    "snapshot_time_travel",
+    "dpp_pruned_join",
+    "sample_stratified",
+    "text_gopher_rules",
+    "bpe_encode",
+    "mixture_temperature",
+    "dq_expectations",
+    "csv_badrecords",
+    "vocab_coverage",
+    "eav_tx_log",
+    "fixedwidth_source",
+    "f_regex_suite",
+    "text_quality_logit",
+    "csv_multiline_roundtrip",
+    "mv_reuse_rollup",
+    "f_window_suite2",
+    "shard_manifest",
+    "ivm_delta_merge",
+    "events_markov_transitions",
+    "orders_abc_pareto",
+    "sink_compaction_roundtrip",
+    "eav_tuple_attr",
+    "profile_gini",
+    "f_bitwise_suite",
+    "ts_twap",
+    "graph_assortativity",
+    "merge_into_upsert",
+    "stream_merge_upsert",
+    # --- rotated in: EAV/Datomic + engine depth, never driver-checked (5) ---
+    "eav_bitemporal",
+    "eav_excision",
+    "eav_as_of",
+    "datalog_rules",
+    "datalog_pull",
 ]
 
 

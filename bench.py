@@ -240,6 +240,11 @@ FULL_SUITE = [
     "stats_cohens_kappa",
     "orders_whatif_discount",
     "t5_pagination",
+    # round-4: X7 wide-class map fallback at pipeline level, ACID
+    # commit-protocol table format
+    "x7_sparse_map",
+    "txlog_acid_upsert",
+    "txlog_time_travel",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -201,14 +201,23 @@ def materialize_wide(
     schema_path: str,
     out_root: str,
     classes: list[str] | None = None,
+    wide_attr_threshold: int = 200,
 ) -> dict[str, str]:
     """X7 at pipeline level: one wide table per class, attributes from the
     installed models schema (X2).  Cardinality-one attributes become
     columns via the single-shuffle exact pivot; card-many become sorted
     arrays.  Per-class outputs are written independently — each reads only
     its class partition (pruned) and can be scheduled concurrently (the
-    reference's two-stage split, changelog.rst:281-284, generalized)."""
-    from .operators.eav import pivot_multi
+    reference's two-stage split, changelog.rst:281-284, generalized).
+
+    Classes wider than ``wide_attr_threshold`` attributes (SURVEY §7 hard
+    part (c): ACeDB classes can carry thousands of tags) fall back to ONE
+    ``map<a, array<v>>`` column per entity (``to_attr_multimap``) instead
+    of thousands of mostly-null columns — a thousand-column pivot blows up
+    the parquet schema/footer and the planner's per-column bookkeeping,
+    while the map form stays one scannable column with the same
+    information."""
+    from .operators.eav import pivot_multi, to_attr_multimap
 
     schema_rows = spark.read.parquet(schema_path).collect()
     by_class: dict[str, dict[str, str]] = {}
@@ -222,6 +231,14 @@ def materialize_wide(
         if classes and cls not in classes:
             continue
         cls_datoms = datoms.filter(F.col("class") == cls)
+        if len(attrs) > wide_attr_threshold:
+            wide = to_attr_multimap(
+                cls_datoms.filter(F.col("a").isin(list(attrs)))
+            )
+            path = os.path.join(out_root, cls)
+            wide.write.mode("overwrite").parquet(path)
+            out[cls] = path
+            continue
         ones = [a for a, card in attrs.items() if card == "one"]
         manys = [a for a, card in attrs.items() if card == "many"]
         wide = None

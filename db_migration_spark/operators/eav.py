@@ -113,6 +113,30 @@ def to_attr_map(datoms: DataFrame) -> DataFrame:
     )
 
 
+def to_attr_multimap(datoms: DataFrame) -> DataFrame:
+    """X7 wide-class fallback used by ``materialize_wide`` above its
+    attribute-count threshold: one ``map<a, array<v>>`` column per entity.
+
+    Uniform for cardinality-one AND cardinality-many attributes — values
+    per attribute are collected as a sorted array (deterministic; collect
+    order is partition-dependent), so a card-many attribute can never
+    trip the duplicate-map-key error ``to_attr_map`` enforces by design.
+
+    Plan: first aggregate on (e, a) gets map-side partial combine of the
+    value lists; the second on e assembles the map from one row per
+    attribute.  Both shuffles carry (e[, a]) plus values once — at a
+    thousand attributes this is the layout that stays scannable, vs a
+    pivot whose column count explodes the schema."""
+    per_attr = datoms.groupBy("e", "a").agg(
+        F.sort_array(F.collect_list("v")).alias("vs")
+    )
+    return per_attr.groupBy("e").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("a", "vs")))
+        ).alias("attrs")
+    )
+
+
 def typed_cast(datoms: DataFrame, schema: dict[str, str]) -> DataFrame:
     """X3 (``prepare-import``, pseudoace.py:79-84): schema-driven typed
     normalization of the stringly datom stream.

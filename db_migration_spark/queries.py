@@ -2360,6 +2360,105 @@ QUERIES["x7_attr_map"] = q_x7_attr_map
 ORACLES["x7_attr_map"] = ORACLE_X7_ATTR_MAP
 
 
+def q_x7_sparse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 wide-class fallback at PIPELINE level (SURVEY §7 hard part (c)):
+    ``materialize_wide`` with the attribute-count threshold forced below
+    the class width, so the class materializes as one ``map<a, array<v>>``
+    column (to_attr_multimap) instead of pivoted columns — the layout a
+    thousand-tag ACeDB class needs.
+
+    The store fixture melts unique-keyed lineitem rows into class-qualified
+    datoms: four card-one attributes plus a card-many ``lineitem/flags``
+    (two datoms per entity) that would be a duplicate-map-key ERROR in the
+    card-one map — the multimap absorbs it as a sorted array.  The declared
+    result projects map size and per-attribute lookups; the oracle
+    recomputes them straight from lineitem."""
+    import os
+
+    from .migrate import materialize_wide
+    from .queries_e2e import _fx
+
+    store = _fx(sf_dir, "sparse_map_store")
+    schema_p = _fx(sf_dir, "sparse_map_schema")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        melted = _melted_lineitem(spark, sf_dir)
+        w = Window.partitionBy("e")
+        unique = (
+            melted.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") == len(_MELT_ATTRS))
+            .drop("__n")
+        )
+        qualified = unique.select(
+            "e",
+            F.concat(F.lit("lineitem/"), F.col("a")).alias("a"),
+            "v",
+            "tx",
+            "op",
+        )
+        flags = (
+            unique.filter(F.col("a").isin("l_returnflag", "l_linestatus"))
+            .select(
+                "e",
+                F.lit("lineitem/flags").alias("a"),
+                "v",
+                "tx",
+                "op",
+            )
+        )
+        qualified.unionByName(flags).withColumn(
+            "class", F.lit("lineitem")
+        ).write.mode("overwrite").parquet(store)
+        spark.createDataFrame(
+            [("lineitem", a, "one") for a in _MELT_ATTRS]
+            + [("lineitem", "flags", "many")],
+            ["class", "attribute", "cardinality"],
+        ).coalesce(1).write.mode("overwrite").parquet(schema_p)
+    out = materialize_wide(
+        spark,
+        store,
+        schema_p,
+        _fx(sf_dir, "sparse_map_out"),
+        wide_attr_threshold=3,  # class has 5 attrs -> forces the map form
+    )
+    wide = spark.read.parquet(out["lineitem"])
+    return wide.select(
+        "e",
+        F.size("attrs").alias("n_attrs"),
+        F.element_at(F.col("attrs"), "lineitem/l_returnflag")[0].alias(
+            "returnflag"
+        ),
+        F.element_at(F.col("attrs"), "lineitem/l_quantity")[0].alias(
+            "quantity"
+        ),
+        F.element_at(F.col("attrs"), "lineitem/l_shipdate")[0].alias(
+            "shipdate"
+        ),
+        F.array_join(
+            F.element_at(F.col("attrs"), "lineitem/flags"), ","
+        ).alias("flags"),
+    )
+
+
+ORACLE_X7_SPARSE_MAP = """
+WITH unique_li AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS __n
+    FROM lineitem
+  ) WHERE __n = 1
+)
+SELECT l_orderkey * 8 + l_linenumber AS e,
+       5 AS n_attrs,
+       l_returnflag AS returnflag,
+       CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS quantity,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS shipdate,
+       array_to_string(list_sort([l_returnflag, l_linestatus]), ',') AS flags
+FROM unique_li
+"""
+
+QUERIES["x7_sparse_map"] = q_x7_sparse_map
+ORACLES["x7_sparse_map"] = ORACLE_X7_SPARSE_MAP
+
+
 def q_j_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join under the oracle gate: events (user_id is the
     hot-key-prone fact side) ⋈ a small per-user dim built from customer.

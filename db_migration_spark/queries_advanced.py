@@ -438,7 +438,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = items.alias("a"), items.alias("b")
     return (
         a.join(
-            b,
+            # fact-scale on BOTH sides: pin a shuffled hash join so the
+            # basket stream is never broadcast (×100 scale find)
+            b.hint("shuffle_hash"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
@@ -903,7 +905,7 @@ def q_f_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_F_REGEX = """
+ORACLE_F_REGEX = r"""
 SELECT lang,
        CAST(sum(len(regexp_extract_all(text, '[aeiou]{2}', 0))) AS BIGINT) AS n_vowel_pairs,
        CAST(sum(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS devoweled_chars,
@@ -1012,12 +1014,12 @@ def q_text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_QUALITY_LOGIT = """
+ORACLE_QUALITY_LOGIT = r"""
 WITH scored AS (
   SELECT lang,
          250000 * len(string_split_regex(text, '\s+'))
          + 900000 * len(regexp_extract_all(text,
-               '\\b(the|and|of|to|in|is)\\b', 0))
+               '\b(the|and|of|to|in|is)\b', 0))
          - 400000 * length(regexp_replace(text, '[^0-9]', '', 'g'))
          - 150000 * length(regexp_replace(text, '[^A-Z]', '', 'g'))
            AS score_micro

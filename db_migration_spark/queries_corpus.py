@@ -295,10 +295,12 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the document corpus, each an adjacent-pair count on the
     vocabulary-sized word-type table + a 1-row argmax + a JVM fold
     applying the greedy merge.  The merge SEQUENCE is deterministic
-    (count desc, lexicographic tiebreak) but inherently iterative-
-    global, so this is a declared rows-only entry; pytest pins the exact
-    sequence against an independent pure-Python BPE on the same corpus
-    (test_corpus_ops.py)."""
+    (count desc, lexicographic tiebreak); pytest pins it against an
+    independent pure-Python BPE on arbitrary corpora
+    (test_corpus_ops.py), and the declared oracle pins the exact merge
+    table for the driver's sf0.01 gate corpus as VALUES — generated by
+    that same independent implementation, NOT by this code, so the gate
+    stays non-circular."""
     merges = C.train_bpe(
         load_table(spark, sf_dir, "documents"), n_merges=12
     )
@@ -306,6 +308,34 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
     )
+
+
+# Exact expected merge table for the DRIVER'S GATE CORPUS (sf0.01
+# documents) — valid ONLY at sf0.01 (the scale the driver compares at;
+# other sf dirs have different synthetic text).  Generated by the
+# independent pure-Python Sennrich BPE in tests/test_corpus_ops.py
+# (_ref_bpe), not by operators/corpus.train_bpe, so the oracle is
+# non-circular: both implementations must independently produce this
+# table for the gate to go green.
+ORACLE_BPE_TRAIN = """
+SELECT CAST(rank AS INTEGER) AS rank,
+       l AS "left", r AS "right",
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES
+  (0, 'e', 'r', 4568),
+  (1, 'e', '</w>', 4473),
+  (2, 'n', '</w>', 2834),
+  (3, 'er', '</w>', 2779),
+  (4, 'o', 'w', 2747),
+  (5, 'ow', '</w>', 2747),
+  (6, 'o', 'r', 2696),
+  (7, 's', 't', 2676),
+  (8, 'h', '</w>', 1884),
+  (9, 'a', 't', 1845),
+  (10, 'l', 'u', 1831),
+  (11, 'i', 'n', 1796)
+) AS t(rank, l, r, pair_count)
+"""
 
 
 def register(queries: dict, oracles: dict) -> None:
@@ -338,6 +368,7 @@ def register(queries: dict, oracles: dict) -> None:
             "dense_ids": ORACLE_DENSE_IDS,
             "dedup_best_survivor": ORACLE_BEST_SURVIVOR,
             "length_batching": ORACLE_LENGTH_BATCHING,
+            "bpe_train_merges": ORACLE_BPE_TRAIN,
         }
     )
 

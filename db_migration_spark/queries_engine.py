@@ -426,6 +426,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["orders_whatif_discount"] = ORACLE_WHATIF
     queries["t5_pagination"] = q_t5_pagination
     oracles["t5_pagination"] = ORACLE_PAGINATION
+    queries["txlog_acid_upsert"] = q_txlog_acid_upsert
+    oracles["txlog_acid_upsert"] = ORACLE_TXLOG_UPSERT
+    queries["txlog_time_travel"] = q_txlog_time_travel
+    oracles["txlog_time_travel"] = ORACLE_TXLOG_TT
 
 
 # ---------------------------------------------------------------------------
@@ -1857,4 +1861,122 @@ WITH ordered AS (
 SELECT o_orderkey, cents, 'offset' AS method FROM page
 UNION ALL
 SELECT o_orderkey, cents, 'keyset' FROM page
+"""
+
+
+# ---------------------------------------------------------------------------
+# transaction-log table format (plans/txlog.py): ACID commit protocol
+# ---------------------------------------------------------------------------
+
+
+def _ensure_txlog_store(spark: SparkSession, sf_dir: str):
+    """Deterministic 3-commit workload over ``orders`` in a TxTable:
+    v0 append (keys ≡0 mod 4), v1 append (≡1), v2 serializable MERGE that
+    bumps every ≡0 row's cents by 1 AND appends the ≡2 rows — so the final
+    state can only be produced by a read-modify-write that saw v0+v1.
+    Rebuilt from scratch if a previous build died mid-way (log shorter
+    than 3 commits)."""
+    import shutil
+
+    from .plans.txlog import TxTable
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "txlog_orders")
+    t = TxTable(root)
+    if t.latest_version() == 2:
+        return t
+    if t.latest_version() >= 0:  # partial build — start over
+        shutil.rmtree(root, ignore_errors=True)
+        t = TxTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    t.commit_append(orders.filter(F.col("k") % 4 == 0))
+    t.commit_append(orders.filter(F.col("k") % 4 == 1))
+
+    def bump_and_add(cur):
+        return cur.withColumn(
+            "cents",
+            F.when(F.col("k") % 4 == 0, F.col("cents") + 1).otherwise(
+                F.col("cents")
+            ),
+        ).unionByName(orders.filter(F.col("k") % 4 == 2))
+
+    t.merge(spark, bump_and_add)
+    return t
+
+
+def q_txlog_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID table format end-to-end (plans/txlog.py — the Datomic
+    transactional-append analog, reference pseudoace.py:98-102): two
+    appends plus a serializable merge published through the atomic
+    hard-link commit protocol, then one snapshot read via log replay.
+    The oracle recomputes the post-merge state straight from ``orders``
+    — only a merge that actually read v0+v1 before rewriting can match."""
+    t = _ensure_txlog_store(spark, sf_dir)
+    return (
+        t.read(spark)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_TXLOG_UPSERT = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  SELECT k, prio,
+         CASE WHEN k % 4 = 0 THEN cents + 1 ELSE cents END AS cents
+  FROM src WHERE k % 4 IN (0, 1)
+  UNION ALL
+  SELECT k, prio, cents FROM src WHERE k % 4 = 2
+)
+SELECT prio, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY prio
+"""
+
+
+def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the commit LOG (not snapshot copies): version 0
+    replays to the first append only — cents UN-bumped, ≡0-mod-4 keys
+    only — while the latest version reflects the merge.  Both reads come
+    from the same immutable data groups; only the replayed file list
+    differs."""
+    t = _ensure_txlog_store(spark, sf_dir)
+
+    def agg(df, snap):
+        return df.agg(
+            F.lit(snap).alias("snap"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    return agg(t.read(spark, version=0), "v0").unionByName(
+        agg(t.read(spark), "latest")
+    )
+
+
+ORACLE_TXLOG_TT = """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'v0' AS snap, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM src WHERE k % 4 = 0
+UNION ALL
+SELECT 'latest', count(*),
+       CAST(sum(CASE WHEN k % 4 = 0 THEN cents + 1 ELSE cents END) AS BIGINT)
+FROM src WHERE k % 4 IN (0, 1, 2)
 """

@@ -304,7 +304,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = li.alias("x"), li.alias("y")
     return (
         a.join(
-            b,
+            # fact-scale on BOTH sides: pin a shuffled hash join so the
+            # basket stream is never broadcast (×100 scale find)
+            b.hint("shuffle_hash"),
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
             & (F.col("x.l_partkey") < F.col("y.l_partkey")),
         )
@@ -332,11 +334,20 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # node- and edge-scale relations grow with the graph: pin shuffled hash
+    # joins so no side is ever broadcast (found at the ×100 scale run —
+    # AQE's size estimate let the edge list slip under the 64 MiB broadcast
+    # threshold and the deserialized build blew the driver; at 100 TB
+    # broadcasting any graph-scale relation is never the right plan)
     e = und.join(
-        deg.select(F.col("node").alias("lo"), F.col("d").alias("d_lo")),
+        deg.select(F.col("node").alias("lo"), F.col("d").alias("d_lo")).hint(
+            "shuffle_hash"
+        ),
         "lo",
     ).join(
-        deg.select(F.col("node").alias("hi"), F.col("d").alias("d_hi")),
+        deg.select(F.col("node").alias("hi"), F.col("d").alias("d_hi")).hint(
+            "shuffle_hash"
+        ),
         "hi",
     )
     lo_first = F.struct(F.col("d_lo"), F.col("lo")) < F.struct(
@@ -353,7 +364,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     tri_triples = (
         o1.join(
-            o2,
+            o2.hint("shuffle_hash"),  # edge-scale: never broadcast
             (F.col("o1.src") == F.col("o2.src"))
             & (
                 F.struct(F.col("o1.dst_d"), F.col("o1.dst"))
@@ -366,7 +377,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o2.dst").alias("wb"),
         )
         .join(
-            o3,
+            o3.hint("shuffle_hash"),  # edge-scale: never broadcast
             (F.col("wa") == F.col("o3.src"))
             & (F.col("wb") == F.col("o3.dst")),
             "left_semi",

@@ -1085,7 +1085,9 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = li.alias("x"), li.alias("y")
     und = (
         a.join(
-            b,
+            # fact-scale on BOTH sides: pin a shuffled hash join so the
+            # basket stream is never broadcast (×100 scale find)
+            b.hint("shuffle_hash"),
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
             & (F.col("x.l_partkey") < F.col("y.l_partkey")),
         )

@@ -134,14 +134,20 @@ def make_archive(src_dir: str, dest: str) -> str:
 
 # --- S10: S3 sink (runcommand.py:463-498) -----------------------------------
 
-def s3_upload(paths: list[str], bucket: str, prefix: str) -> list[str]:
+def s3_upload(
+    paths: list[str],
+    bucket: str,
+    prefix: str,
+    endpoint_url: str | None = None,
+) -> list[str]:
     """Upload artifacts to S3 (gated on boto3; on a cluster, tabular data
-    goes straight to ``s3a://`` via df.write instead)."""
+    goes straight to ``s3a://`` via df.write instead).  ``endpoint_url``
+    lets tests point the client at a loopback S3 stub."""
     try:
         import boto3  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise RuntimeError("boto3 not available in this environment") from exc
-    s3 = boto3.client("s3")
+    s3 = boto3.client("s3", endpoint_url=endpoint_url)
     keys = []
     for p in paths:
         key = f"{prefix.rstrip('/')}/{os.path.basename(p)}"

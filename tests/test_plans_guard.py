@@ -458,3 +458,23 @@ def test_temporal_reach_banded_no_nested_loop(spark):
     plan = _plan(spark, "graph_temporal_reach")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_wedge_joins_never_broadcast(spark):
+    """×100 scale find: AQE's size estimate let the oriented edge list
+    slip under the broadcast threshold and the deserialized build blew
+    the driver.  The wedge self-joins and degree joins carry graph-scale
+    relations on BOTH sides, so the plan must pin shuffled hash joins —
+    no BroadcastHashJoin anywhere in the triangle pipeline."""
+    plan = _plan(spark, "graph_clustering_coeff")
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_txlog_read_is_plain_parquet_scan(spark):
+    """The ACID table's read path must stay an explicit-file-list Parquet
+    scan: log replay on the driver, zero extra exchanges or Python nodes
+    added by the format layer."""
+    plan = _plan(spark, "txlog_time_travel")
+    assert "Scan parquet" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
