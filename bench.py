@@ -245,6 +245,9 @@ FULL_SUITE = [
     "x7_sparse_map",
     "txlog_acid_upsert",
     "txlog_time_travel",
+    "txlog_zonemap_scan",
+    "stream_txlog_sink",
+    "txlog_optimize_zorder",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -33,12 +33,40 @@ public knowledge of how those formats commit:
 At 100 TB the log is tiny (KBs per commit) and the data plane is
 untouched Parquet: planning cost is one log replay + an explicit file
 list handed to the scan, exactly the Delta/Iceberg read path.
+
+Round-4 extensions (same public-knowledge protocol surface):
+
+* **Zone maps** — each commit records per-file-group column min/max
+  harvested from the parquet FOOTERS of the files just written (no
+  second data pass; the stats already exist).  ``read_pruned`` replays
+  the log and drops whole groups whose [min,max] cannot intersect the
+  predicate — Delta data skipping / Iceberg manifest pruning.  At
+  100 TB this is the difference between planning 10⁶ files and
+  scanning the 10³ that matter, before Spark even sees a path.
+* **Idempotent (exactly-once) appends** — ``commit_append(df,
+  txn=(app, batch))`` records the transaction identity in the commit;
+  a replayed batch (foreachBatch retry, restarted stream) finds its
+  (app, batch) already in the log and returns without writing — the
+  Delta ``txn`` action that makes Structured Streaming sinks
+  exactly-once on top of at-least-once delivery.
+* **OPTIMIZE** — ``optimize(spark, sort_key=...)`` rewrites the active
+  groups into one compacted, optionally Z-ORDER-sorted group and
+  commits add+remove atomically; a logical no-op (readers see identical
+  rows) that tightens zone maps and kills small files.
+* **Checkpoints** — ``checkpoint()`` materializes the replayed state at
+  a version into one ``*.checkpoint.json``; readers resume replay from
+  the newest checkpoint ≤ their target instead of commit 0 (Delta's
+  parquet checkpoint, O(1) planning on long logs).
+* **VACUUM** — ``vacuum(retain_versions=N)`` physically deletes file
+  groups referenced only by versions older than the retention horizon;
+  time travel inside the horizon is untouched, older reads raise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -47,6 +75,67 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CommitConflict(RuntimeError):
     """Another writer owned the version this transaction raced for."""
+
+
+def _stat_scalar(v):
+    """JSON-able, ORDER-PRESERVING image of a parquet footer min/max.
+
+    Numbers stay numbers; dates/timestamps/strings become ISO-ish strings
+    whose lexicographic order matches the value order, so pruning can
+    compare in one domain per column.  Unorderable exotics return None
+    (→ the column is not prunable, never wrongly pruned)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] across every parquet file under ``path``,
+    read from the footers only (pure metadata — bytes already on disk).
+    Columns with any stats-less or unorderable chunk are omitted."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    lo: dict = {}
+    hi: dict = {}
+    dead: set = set()
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in dead:  # nested — not prunable
+                    continue
+                st = col.statistics
+                mn = _stat_scalar(st.min) if st and st.has_min_max else None
+                mx = _stat_scalar(st.max) if st and st.has_min_max else None
+                if mn is None or mx is None:
+                    dead.add(name)
+                    lo.pop(name, None)
+                    hi.pop(name, None)
+                    continue
+                lo[name] = mn if name not in lo else min(lo[name], mn)
+                hi[name] = mx if name not in hi else max(hi[name], mx)
+    return {c: [lo[c], hi[c]] for c in lo}
 
 
 class TxTable:
@@ -65,7 +154,16 @@ class TxTable:
         return sorted(
             int(f[:-5])
             for f in os.listdir(self.log_dir)
-            if f.endswith(".json") and not f.startswith(".")
+            if f.endswith(".json")
+            and not f.startswith(".")
+            and not f.endswith(".checkpoint.json")
+        )
+
+    def _checkpoint_versions(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".checkpoint.json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json") and not f.startswith(".")
         )
 
     def latest_version(self) -> int:
@@ -80,18 +178,41 @@ class TxTable:
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self._versions()]
 
-    def active_groups(self, version: int | None = None) -> list[str]:
-        """Replay the log to ``version`` → the live data file groups."""
-        upto = self.latest_version() if version is None else version
+    def _replay(self, upto: int) -> tuple[list[str], dict]:
+        """Replay commits 0..upto → (live groups, {group: zone-map stats}).
+
+        Starts from the newest checkpoint ≤ ``upto`` when one exists, so
+        planning on a long-lived table is O(commits since checkpoint) —
+        the Delta/Iceberg checkpoint read path — and falls back to a full
+        replay otherwise."""
         active: list[str] = []
+        stats: dict = {}
+        start = 0
+        cps = [v for v in self._checkpoint_versions() if v <= upto]
+        if cps:
+            with open(
+                os.path.join(self.log_dir, f"{cps[-1]:020d}.checkpoint.json")
+            ) as fh:
+                snap = json.load(fh)
+            active = list(snap["active"])
+            stats = dict(snap.get("stats", {}))
+            start = cps[-1] + 1
         for v in self._versions():
+            if v < start:
+                continue
             if v > upto:
                 break
             c = self._read_commit(v)
             removed = set(c.get("remove", []))
             active = [g for g in active if g not in removed]
             active.extend(c.get("add", []))
-        return active
+            stats.update(c.get("stats", {}))
+        return active, {g: stats.get(g, {}) for g in active}
+
+    def active_groups(self, version: int | None = None) -> list[str]:
+        """Replay the log to ``version`` → the live data file groups."""
+        upto = self.latest_version() if version is None else version
+        return self._replay(upto)[0]
 
     def _publish(self, version: int, commit: dict) -> None:
         """Atomically claim ``version`` or raise :class:`CommitConflict`.
@@ -113,54 +234,103 @@ class TxTable:
 
     # -- writes -------------------------------------------------------------
 
-    def _write_group(self, df: DataFrame) -> str:
+    def _write_group(self, df: DataFrame) -> tuple[str, dict]:
         """Write a new immutable uuid-named file group; return its relative
-        name.  Not yet visible — visibility comes from the log commit."""
+        name and the zone-map stats harvested from the parquet footers
+        just written (no second data pass — the row-group min/max already
+        exist; this is how Delta/Iceberg collect file stats at write).
+        Not yet visible — visibility comes from the log commit."""
         group = f"g-{uuid.uuid4().hex}"
-        df.write.mode("errorifexists").parquet(
-            os.path.join(self.data_dir, group)
-        )
-        return group
+        path = os.path.join(self.data_dir, group)
+        df.write.mode("errorifexists").parquet(path)
+        return group, _footer_stats(path)
 
     def _try_commit(
-        self, op: str, add: list[str], remove: list[str], version: int
+        self,
+        op: str,
+        add: list[str],
+        remove: list[str],
+        version: int,
+        stats: dict | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
-        self._publish(
-            version,
-            {
-                "version": version,
-                "op": op,
-                "add": add,
-                "remove": remove,
-                "committed_at": time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-                ),
-            },
-        )
+        commit = {
+            "version": version,
+            "op": op,
+            "add": add,
+            "remove": remove,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        if stats:
+            commit["stats"] = stats
+        if txn is not None:
+            commit["txn"] = {"app": txn[0], "batch": int(txn[1])}
+        self._publish(version, commit)
         return version
 
-    def commit_append(self, df: DataFrame, max_retries: int = 20) -> int:
+    def txn_version(self, app: str, batch: int) -> int | None:
+        """The version a transaction identity committed at, or None —
+        the idempotence probe for exactly-once streaming sinks."""
+        for v in self._versions():
+            t = self._read_commit(v).get("txn")
+            if t and t["app"] == app and t["batch"] == int(batch):
+                return v
+        return None
+
+    def commit_append(
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Blind append: always rebases cleanly — on conflict just retry
-        at the next version; the data group is written once."""
-        group = self._write_group(df)
+        at the next version; the data group is written once.
+
+        With ``txn=(app_id, batch_id)`` the append is IDEMPOTENT: if the
+        log already contains that identity (a replayed micro-batch after
+        a sink restart) nothing is written and the original version is
+        returned — at-least-once delivery becomes exactly-once, the
+        Delta ``txn`` action."""
+        if txn is not None:
+            seen = self.txn_version(*txn)
+            if seen is not None:
+                return seen
+        group, stats = self._write_group(df)
         for _ in range(max_retries):
             try:
                 return self._try_commit(
-                    "append", [group], [], self.latest_version() + 1
+                    "append",
+                    [group],
+                    [],
+                    self.latest_version() + 1,
+                    stats={group: stats},
+                    txn=txn,
                 )
             except CommitConflict:
+                if txn is not None:
+                    seen = self.txn_version(*txn)
+                    if seen is not None:  # the race WAS our replay twin
+                        shutil.rmtree(
+                            os.path.join(self.data_dir, group),
+                            ignore_errors=True,
+                        )
+                        return seen
                 continue
         raise CommitConflict(f"append lost {max_retries} races")
 
     def commit_overwrite(self, df: DataFrame, max_retries: int = 20) -> int:
         """Replace the table contents atomically (old groups removed
         logically; bytes stay for time travel)."""
-        group = self._write_group(df)
+        group, stats = self._write_group(df)
         for _ in range(max_retries):
             read_v = self.latest_version()
             try:
                 return self._try_commit(
-                    "overwrite", [group], self.active_groups(read_v), read_v + 1
+                    "overwrite",
+                    [group],
+                    self.active_groups(read_v),
+                    read_v + 1,
+                    stats={group: stats},
                 )
             except CommitConflict:
                 continue
@@ -179,14 +349,150 @@ class TxTable:
         for _ in range(max_retries):
             read_v = self.latest_version()
             current = self.read(spark, read_v) if read_v >= 0 else None
-            group = self._write_group(transform(current))
+            group, stats = self._write_group(transform(current))
             try:
                 return self._try_commit(
-                    "merge", [group], self.active_groups(read_v), read_v + 1
+                    "merge",
+                    [group],
+                    self.active_groups(read_v),
+                    read_v + 1,
+                    stats={group: stats},
                 )
             except CommitConflict:
                 continue  # re-read, re-transform, re-write
         raise CommitConflict(f"merge lost {max_retries} races")
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        sort_key=None,
+        target_groups: int = 1,
+        max_retries: int = 5,
+    ) -> int:
+        """Compact the active groups into ``target_groups`` rewritten
+        groups, optionally clustered by ``sort_key`` (a Column — e.g.
+        ``zorder_key(day, bucket)`` — or a column-name list): a logical
+        no-op that readers cannot observe in row content, committed
+        add+remove atomically like any other writer.  Tightens the
+        zone maps (sorted files have narrow min/max) and removes the
+        small-file tax; the pre-optimize layout stays time-travelable.
+
+        On a cluster ``target_groups`` is sized from live bytes the way
+        operators/compaction does; conflicts re-read the advanced active
+        set and retry on top of it."""
+        for _ in range(max_retries):
+            read_v = self.latest_version()
+            if read_v < 0:
+                raise ValueError("cannot optimize an empty table")
+            df = self.read(spark, read_v)
+            if sort_key is not None:
+                # global range layout on the cluster key: one rewritten
+                # GROUP per range partition (repartitionByRange samples
+                # the key), sorted within — each group owns a disjoint
+                # key range, so group-level zone maps become narrow and
+                # planning-time skipping actually fires.  This is
+                # OPTIMIZE ZORDER's physical shape; the one-file-per-
+                # range split below is the per-file-stats granularity
+                # Delta/Iceberg record.
+                keys = sort_key if isinstance(sort_key, list) else [sort_key]
+                staged = (
+                    df.repartitionByRange(target_groups, *keys)
+                    .sortWithinPartitions(*keys)
+                )
+                added, stats = self._write_split_groups(staged)
+            else:
+                group, gstats = self._write_group(
+                    df.repartition(target_groups)
+                )
+                added, stats = [group], {group: gstats}
+            try:
+                return self._try_commit(
+                    "optimize",
+                    added,
+                    self.active_groups(read_v),
+                    read_v + 1,
+                    stats=stats,
+                )
+            except CommitConflict:
+                for g in added:
+                    shutil.rmtree(
+                        os.path.join(self.data_dir, g), ignore_errors=True
+                    )
+                continue
+        raise CommitConflict(f"optimize lost {max_retries} races")
+
+    def _write_split_groups(self, df: DataFrame) -> tuple[list[str], dict]:
+        """Write ``df`` once, then promote each task's output file to its
+        own file group (a rename on the store — no second data pass), so
+        zone maps hold at the per-range granularity the clustering just
+        created."""
+        import glob as _glob
+
+        staging = os.path.join(self.data_dir, f".opt-{uuid.uuid4().hex}")
+        df.write.parquet(staging)
+        added: list[str] = []
+        stats: dict = {}
+        for f in sorted(_glob.glob(os.path.join(staging, "*.parquet"))):
+            group = f"g-{uuid.uuid4().hex}"
+            gdir = os.path.join(self.data_dir, group)
+            os.makedirs(gdir)
+            os.rename(f, os.path.join(gdir, os.path.basename(f)))
+            added.append(group)
+            stats[group] = _footer_stats(gdir)
+        shutil.rmtree(staging, ignore_errors=True)
+        return added, stats
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Materialize the replayed state at ``version`` (default latest)
+        into ``NNN.checkpoint.json`` so later readers replay from here
+        instead of commit 0.  Idempotent; published with the same
+        atomic-create primitive as commits (a racing checkpointer of the
+        same version writes identical content, so the loser just
+        defers)."""
+        v = self.latest_version() if version is None else version
+        active, stats = self._replay(v)
+        final = os.path.join(self.log_dir, f"{v:020d}.checkpoint.json")
+        if os.path.exists(final):
+            return v
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "active": active, "stats": stats}, fh)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # identical content by construction
+        finally:
+            os.remove(tmp)
+        return v
+
+    def vacuum(
+        self, retain_versions: int = 0, min_age_seconds: float = 3600.0
+    ) -> list[str]:
+        """Physically delete file groups not referenced by any version
+        inside the retention horizon ``[latest - retain_versions,
+        latest]``.  Reads anywhere in the horizon are untouched; time
+        travel beyond it raises at scan time (the bytes are gone — the
+        same contract as Delta VACUUM's retention window).  Groups
+        younger than ``min_age_seconds`` are never touched: they may be
+        an in-flight writer's not-yet-committed data (Delta's tombstone
+        retention serves the same purpose).  Returns the deleted group
+        names."""
+        latest = self.latest_version()
+        keep: set[str] = set()
+        for v in range(max(0, latest - retain_versions), latest + 1):
+            keep.update(self._replay(v)[0])
+        now = time.time()
+        deleted = []
+        for g in sorted(os.listdir(self.data_dir)):
+            path = os.path.join(self.data_dir, g)
+            if (
+                g.startswith("g-")
+                and g not in keep
+                and now - os.path.getmtime(path) >= min_age_seconds
+            ):
+                shutil.rmtree(path)
+                deleted.append(g)
+        return deleted
 
     # -- reads --------------------------------------------------------------
 
@@ -200,3 +506,62 @@ class TxTable:
         return spark.read.parquet(
             *[os.path.join(self.data_dir, g) for g in groups]
         )
+
+    def prune_groups(
+        self,
+        column: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Zone-map planning: the live groups that can possibly hold
+        ``lo <= column <= hi`` (either bound optional), plus the total
+        live-group count.  A group survives unless its recorded
+        [min, max] PROVES it disjoint; groups with no stats for the
+        column always survive — pruning is an optimization, never a
+        filter."""
+        upto = self.latest_version() if version is None else version
+        active, stats = self._replay(upto)
+        lo_n, hi_n = _stat_scalar(lo), _stat_scalar(hi)
+        picked = []
+        for g in active:
+            s = stats.get(g, {}).get(column)
+            if s is not None:
+                try:
+                    if hi_n is not None and s[0] > hi_n:
+                        continue
+                    if lo_n is not None and s[1] < lo_n:
+                        continue
+                except TypeError:  # bound/stat domain mismatch → keep
+                    pass
+            picked.append(g)
+        return picked, len(active)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        column: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read: plan only the groups whose zone maps
+        intersect ``[lo, hi]``, then apply the exact predicate inside
+        the scan as a normal pushed filter (zone maps prune FILES,
+        parquet row-group stats + the filter prune the rest).  On an
+        empty survivor set returns an empty frame with the table
+        schema — the predicate provably selects nothing."""
+        from pyspark.sql import functions as F
+
+        groups, _total = self.prune_groups(column, lo, hi, version)
+        if not groups:
+            full = self.read(spark, version)
+            return full.filter(F.lit(False))
+        df = spark.read.parquet(
+            *[os.path.join(self.data_dir, g) for g in groups]
+        )
+        if lo is not None:
+            df = df.filter(F.col(column) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(column) <= F.lit(hi))
+        return df

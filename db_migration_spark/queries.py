@@ -3725,6 +3725,12 @@ from .queries_streaming import register as _register_streaming  # noqa: E402
 
 _register_streaming(QUERIES, ORACLES)
 
+# lakehouse layer: zone-map skipping, exactly-once streaming sink,
+# OPTIMIZE ZORDER — the txlog table format's scale features
+from .queries_lakehouse import register as _register_lakehouse  # noqa: E402
+
+_register_lakehouse(QUERIES, ORACLES)
+
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (Spark-native columnar alternative to Parquet —

@@ -104,3 +104,115 @@ def test_publish_is_exactly_once(spark, tmp_path):
     t.commit_append(_df(spark, 0, 5))
     with pytest.raises(CommitConflict):
         t._publish(0, {"version": 0, "op": "append", "add": [], "remove": []})
+
+
+# ---------------------------------------------------------------------------
+# round-4 surface: zone maps, exactly-once txn appends, optimize,
+# checkpoints, vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_zonemap_stats_recorded_and_prune(spark, tmp_path):
+    """Each append records footer min/max; a point-range plan keeps only
+    the groups whose zone map intersects, and the pruned read returns
+    exactly the full-scan-plus-filter answer."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(8):
+        t.commit_append(_df(spark, i * 100, i * 100 + 100))
+    picked, total = t.prune_groups("k", lo=250, hi=349)
+    assert total == 8
+    assert len(picked) == 2  # [200,300) and [300,400) only
+    got = sorted(r.k for r in t.read_pruned(spark, "k", 250, 349).collect())
+    assert got == list(range(250, 350))
+
+
+def test_zonemap_prune_is_never_a_filter(spark, tmp_path):
+    """Groups without stats for the column always survive planning."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    # forge a commit whose stats are missing (old-format commit)
+    g, _stats = t._write_group(_df(spark, 1000, 1010))
+    t._try_commit("append", [g], [], t.latest_version() + 1)
+    picked, total = t.prune_groups("k", lo=5000, hi=6000)
+    assert total == 2 and len(picked) == 1  # stats-less group kept
+    assert t.read_pruned(spark, "k", 0, 2000).count() == 20
+
+
+def test_zonemap_empty_survivor_set(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    out = t.read_pruned(spark, "k", 100, 200)
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]  # schema preserved
+
+
+def test_txn_append_is_idempotent(spark, tmp_path):
+    """A replayed (app, batch) identity writes nothing the second time —
+    the exactly-once contract for streaming sinks."""
+    t = TxTable(str(tmp_path / "t"))
+    v0 = t.commit_append(_df(spark, 0, 10), txn=("sink-a", 0))
+    v_dup = t.commit_append(_df(spark, 0, 10), txn=("sink-a", 0))
+    assert v0 == v_dup
+    assert t.read(spark).count() == 10  # not doubled
+    v1 = t.commit_append(_df(spark, 10, 20), txn=("sink-a", 1))
+    assert v1 == v0 + 1
+    # a DIFFERENT app replaying batch 0 is its own transaction
+    t.commit_append(_df(spark, 100, 105), txn=("sink-b", 0))
+    assert t.read(spark).count() == 25
+    assert t.txn_version("sink-a", 0) == v0
+    assert t.txn_version("sink-a", 99) is None
+
+
+def test_optimize_preserves_content_and_compacts(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(6):
+        t.commit_append(_df(spark, i * 10, i * 10 + 10))
+    before = sorted((r.k, r.v) for r in t.read(spark).collect())
+    pre_v = t.latest_version()
+    t.optimize(spark, sort_key=[F.col("k")])
+    after = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert before == after  # logical no-op
+    assert len(t.active_groups()) == 1  # compacted
+    assert len(t.active_groups(pre_v)) == 6  # old layout time-travels
+    # the compacted group's zone map covers the whole domain
+    picked, total = t.prune_groups("k", lo=0, hi=59)
+    assert (len(picked), total) == (1, 1)
+
+
+def test_checkpoint_replay_equivalence(spark, tmp_path):
+    """Replay-from-checkpoint must equal full replay, for states both at
+    and after the checkpointed version."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.commit_append(_df(spark, i * 10, i * 10 + 10))
+    t.commit_overwrite(_df(spark, 500, 510))
+    full_active = t.active_groups()
+    full_stats = t._replay(t.latest_version())[1]
+    cp_v = t.checkpoint()
+    assert cp_v == t.latest_version()
+    # post-checkpoint commits replay on top of the checkpoint
+    t.commit_append(_df(spark, 900, 905))
+    active2, stats2 = t._replay(t.latest_version())
+    assert active2[: len(full_active)] == full_active
+    assert all(stats2[g] == full_stats[g] for g in full_active)
+    assert t.read(spark).count() == 15
+    # time travel BEFORE the checkpoint still replays from commit 0
+    assert t.read(spark, version=2).count() == 30
+
+
+def test_vacuum_retention(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))        # v0
+    t.commit_overwrite(_df(spark, 100, 110))  # v1: v0's group inactive
+    t.commit_append(_df(spark, 200, 205))     # v2
+    deleted = t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert len(deleted) == 1  # only the group dead since v1
+    # everything inside the horizon still reads
+    assert t.read(spark).count() == 15
+    assert t.read(spark, version=1).count() == 10
+    # beyond the horizon the bytes are gone → the scan fails loudly
+    with pytest.raises(Exception):
+        t.read(spark, version=0).collect()
+    # an in-flight (young, uncommitted) group is never vacuumed
+    t._write_group(_df(spark, 900, 910))
+    assert t.vacuum(retain_versions=0, min_age_seconds=3600) == []

@@ -1,0 +1,95 @@
+"""Lakehouse-layer behavior the oracle gate cannot see: that zone-map
+pruning actually SKIPS file groups (queries_lakehouse oracles pin result
+content + scanned counts; these tests pin the physical layout effects),
+and that OPTIMIZE tightens group-level zone maps enough for range
+predicates to skip groups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_migration_spark.plans.txlog import TxTable
+
+
+def _store(spark, tmp_path, n_groups=4, rows_per=1000):
+    """Scan-hostile layout: every group spans the full key domain."""
+    t = TxTable(str(tmp_path / "t"))
+    base = spark.range(n_groups * rows_per).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("int").alias("day"),
+        (F.col("id") % 13).cast("int").alias("bucket"),
+    )
+    for i in range(n_groups):
+        t.commit_append(base.filter(F.col("k") % n_groups == i))
+    return t, base
+
+
+def test_optimize_clustering_enables_group_skipping(spark, tmp_path):
+    """Before OPTIMIZE every group intersects any day range (appends are
+    domain-spanning); after OPTIMIZE BY day (range layout + sort) a
+    narrow day range plans a strict subset of groups."""
+    t, base = _store(spark, tmp_path)
+    pre_picked, pre_total = t.prune_groups("day", lo=10, hi=15)
+    assert (len(pre_picked), pre_total) == (4, 4)  # nothing skippable
+    t.optimize(spark, sort_key=["day"], target_groups=4)
+    post_picked, post_total = t.prune_groups("day", lo=10, hi=15)
+    assert post_total == 4
+    assert len(post_picked) < 4, "range layout must make skipping fire"
+    # and the pruned read is still exact
+    got = t.read_pruned(spark, "day", 10, 15).count()
+    want = base.filter(F.col("day").between(10, 15)).count()
+    assert got == want
+
+
+def test_optimize_zorder_tightens_both_dimensions(spark, tmp_path):
+    """Morton clustering narrows group zone maps on BOTH interleaved
+    columns: a range predicate on either column must skip groups after
+    OPTIMIZE ZORDER (before it, none are skippable).  The two columns
+    are scaled to EQUAL bit widths first — the standard z-order
+    prerequisite (with unequal widths the high interleaved bits all come
+    from the wider column and the narrow one never splits)."""
+    from db_migration_spark.operators.relational import zorder_key
+
+    t = TxTable(str(tmp_path / "t"))
+    base = spark.range(16384).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 16).cast("int").alias("day"),
+        ((F.col("id") / 16).cast("long") % 16).cast("int").alias("bucket"),
+    )
+    for i in range(4):  # contiguous k blocks: each spans BOTH domains
+        t.commit_append(
+            base.filter((F.col("k") / 4096).cast("long") == i)
+        )
+    for col in ("day", "bucket"):
+        picked, _tot = t.prune_groups(col, lo=0, hi=2)
+        assert len(picked) == 4
+    t.optimize(
+        spark, sort_key=[zorder_key("day", "bucket", bits=4)], target_groups=16
+    )
+    total = len(t.active_groups())
+    skipped_day = total - len(t.prune_groups("day", lo=0, hi=2)[0])
+    skipped_bucket = total - len(t.prune_groups("bucket", lo=0, hi=2)[0])
+    assert skipped_day >= total // 4 and skipped_bucket >= total // 4, (
+        f"z-order must narrow both dims (total={total}, skipped "
+        f"day={skipped_day}, bucket={skipped_bucket})"
+    )
+    # and pruned reads stay exact on both dimensions
+    for col in ("day", "bucket"):
+        got = t.read_pruned(spark, col, 0, 2).count()
+        assert got == base.filter(F.col(col).between(0, 2)).count()
+
+
+def test_foreachbatch_sink_replay_is_exactly_once(spark, tmp_path):
+    """A foreachBatch-style writer that redelivers every batch TWICE
+    (at-least-once delivery) still yields exactly-once table content."""
+    root = str(tmp_path / "t")
+    src = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    for batch_id in range(3):
+        bdf = src.filter(F.col("k") % 3 == batch_id)
+        TxTable(root).commit_append(bdf, txn=("app", batch_id))
+        TxTable(root).commit_append(bdf, txn=("app", batch_id))  # redelivery
+    t = TxTable(root)
+    assert t.read(spark).count() == 300
+    assert t.latest_version() == 2  # one commit per logical batch
