@@ -248,6 +248,11 @@ FULL_SUITE = [
     "txlog_zonemap_scan",
     "stream_txlog_sink",
     "txlog_optimize_zorder",
+    "geo_cell_density",
+    "geo_radius_pairs",
+    "geo_nn_radius",
+    "geo_polygon_contains",
+    "geo_path_manhattan",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

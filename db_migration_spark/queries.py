@@ -3731,6 +3731,11 @@ from .queries_lakehouse import register as _register_lakehouse  # noqa: E402
 
 _register_lakehouse(QUERIES, ORACLES)
 
+# geospatial grid analytics (exact-integer geometry)
+from .queries_geo import register as _register_geo  # noqa: E402
+
+_register_geo(QUERIES, ORACLES)
+
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (Spark-native columnar alternative to Parquet —
