@@ -253,6 +253,8 @@ FULL_SUITE = [
     "geo_nn_radius",
     "geo_polygon_contains",
     "geo_path_manhattan",
+    "text_html_extract",
+    "udtf_passage_split",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

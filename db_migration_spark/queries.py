@@ -3736,6 +3736,11 @@ from .queries_geo import register as _register_geo  # noqa: E402
 
 _register_geo(QUERIES, ORACLES)
 
+# web-text extraction + Python UDTF surface
+from .queries_textweb import register as _register_textweb  # noqa: E402
+
+_register_textweb(QUERIES, ORACLES)
+
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (Spark-native columnar alternative to Parquet —
