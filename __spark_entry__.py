@@ -42,7 +42,8 @@ FLAGSHIP_ORDER = [
     "chunk_dedup",           # r3 hash-red #1 (HUGEINT oracle) — now green
     "sql_recursive_cte",     # r3 hash-red #2 — now green
     "stream_outer_join",     # r3 hash-red #3 — now green
-    # --- rotated in: HUGEINT-fixed oracles, never driver-checked (30) ---
+    # --- rotated in: HUGEINT-fixed oracles (25) + round-4 new operator
+    # families (5), all never driver-checked ---
     "q12_priority_lines",
     "dedup_semantic",
     "snapshot_time_travel",
@@ -60,16 +61,16 @@ FLAGSHIP_ORDER = [
     "text_quality_logit",
     "csv_multiline_roundtrip",
     "mv_reuse_rollup",
-    "f_window_suite2",
+    "txlog_zonemap_scan",   # r4: zone-map file skipping (lakehouse)
     "shard_manifest",
     "ivm_delta_merge",
-    "events_markov_transitions",
-    "orders_abc_pareto",
+    "text_html_extract",    # r4: boilerplate removal
+    "geo_radius_pairs",     # r4: spatial grid self-join
     "sink_compaction_roundtrip",
     "eav_tuple_attr",
-    "profile_gini",
+    "asof_nearest_tolerance",  # r4: merge_asof nearest+tolerance
     "f_bitwise_suite",
-    "ts_twap",
+    "stream_txlog_sink",    # r4: exactly-once streaming sink
     "graph_assortativity",
     "merge_into_upsert",
     "stream_merge_upsert",

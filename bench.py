@@ -255,6 +255,11 @@ FULL_SUITE = [
     "geo_path_manhattan",
     "text_html_extract",
     "udtf_passage_split",
+    "asof_nearest_tolerance",
+    "f_hof_suite",
+    "sql_pivot_clause",
+    "sql_ddl_ctas",
+    "mapinarrow_stats",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -70,6 +70,32 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("install")
 
     sp = sub.add_parser(
+        "table-maintain",
+        help="transaction-log table maintenance: optimize (compact + "
+        "optional cluster), checkpoint the log, vacuum old file groups, "
+        "or print the commit history",
+    )
+    sp.add_argument("--table", required=True, help="TxTable root directory")
+    sp.add_argument(
+        "--action",
+        choices=("optimize", "checkpoint", "vacuum", "history"),
+        required=True,
+    )
+    sp.add_argument(
+        "--cluster-by",
+        default="",
+        help="comma-separated sort columns for optimize",
+    )
+    sp.add_argument("--target-groups", type=int, default=1)
+    sp.add_argument("--retain-versions", type=int, default=7)
+    sp.add_argument(
+        "--min-age-seconds",
+        type=float,
+        default=3600.0,
+        help="vacuum never touches groups younger than this",
+    )
+
+    sp = sub.add_parser(
         "corpus-prep",
         help="training-corpus pipeline: quality gate -> exact dedup "
         "survivors -> pack manifest over a documents table",
@@ -100,6 +126,39 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(checks))
         return 0 if all(bool(v) for v in checks.values()) else 1
+
+    if args.cmd == "table-maintain":
+        # the OPTIMIZE / VACUUM / CHECKPOINT maintenance entry point for
+        # the transaction-log table format (plans/txlog.py) — the
+        # operational surface Delta/Iceberg expose as SQL commands
+        from .plans.txlog import TxTable
+
+        t = TxTable(args.table)
+        out: dict = {"table": args.table, "action": args.action}
+        if args.action == "history":
+            out["commits"] = [
+                {k: c[k] for k in ("version", "op", "committed_at")}
+                for c in t.history()
+            ]
+        elif args.action == "checkpoint":
+            out["checkpointed_version"] = t.checkpoint()
+        elif args.action == "vacuum":
+            deleted = t.vacuum(
+                retain_versions=args.retain_versions,
+                min_age_seconds=args.min_age_seconds,
+            )
+            out["deleted_groups"] = len(deleted)
+        else:  # optimize
+            spark = get_spark("table-maintain")
+            keys = [c for c in args.cluster_by.split(",") if c] or None
+            before = len(t.active_groups())
+            out["version"] = t.optimize(
+                spark, sort_key=keys, target_groups=args.target_groups
+            )
+            out["groups_before"] = before
+            out["groups_after"] = len(t.active_groups())
+        print(json.dumps(out))
+        return 0
 
     if args.cmd == "corpus-prep":
         # the end-to-end corpus pass a training-data user runs: gate ->

@@ -172,6 +172,113 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "nearest",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join with the full pandas-merge_asof surface: ``direction``
+    backward / forward / nearest, optional ``tolerance_seconds`` window,
+    left-outer semantics (unmatched left rows keep NULL matches).
+
+    Same single-shuffle union-and-carry design as :func:`asof_join` —
+    both carries run over the SAME hash partitioning (one Exchange; the
+    forward pass is just a second in-partition sort), so the plan cost
+    is one shuffle regardless of direction:
+
+    * backward: sort (ts, side=right-first), running ``last(ignorenulls)``
+      → most recent right row with ``right_ts <= left_ts``;
+    * forward: sort (ts, side=left-first), frame CURRENT→FOLLOWING,
+      ``first(ignorenulls)`` → earliest right row with
+      ``right_ts >= left_ts`` (equal ts matches both directions);
+    * nearest: both carries, pick the smaller |Δt| (tie → backward, the
+      pandas rule).
+
+    The carried struct includes the matched ``right_ts`` so tolerance
+    filtering and Δt are exact integer µs arithmetic.  Callers pre-dedup
+    the right side to one row per (on, right_ts) for determinism, as
+    with :func:`asof_join`."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    left_only = [c for c in left.columns if c not in on]
+    left_types = dict(left.dtypes)
+    rv_struct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c) for c in right_cols],
+    )
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rv_struct.alias("__rv"),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_only],
+    )
+    l2 = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r2.schema["__rv"].dataType).alias("__rv"),
+        *left_only,
+    )
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = l2.unionByName(r2)
+    if direction in ("backward", "nearest"):
+        u = u.withColumn("__b", F.last("__rv", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        u = u.withColumn("__f", F.first("__rv", ignorenulls=True).over(wf))
+
+    lts = F.unix_micros(F.col("__ts"))
+    tol = (
+        F.lit(tolerance_seconds * 1_000_000)
+        if tolerance_seconds is not None
+        else None
+    )
+
+    def _valid(m):
+        ok = m.isNotNull()
+        if tol is not None:
+            ok = ok & (F.abs(lts - F.unix_micros(m["__rts"])) <= tol)
+        return ok
+
+    if direction == "backward":
+        matched = F.when(_valid(F.col("__b")), F.col("__b"))
+    elif direction == "forward":
+        matched = F.when(_valid(F.col("__f")), F.col("__f"))
+    else:
+        b_ok = _valid(F.col("__b"))
+        f_ok = _valid(F.col("__f"))
+        db = lts - F.unix_micros(F.col("__b")["__rts"])
+        df = F.unix_micros(F.col("__f")["__rts"]) - lts
+        matched = (
+            F.when(b_ok & (~f_ok | (db <= df)), F.col("__b"))
+            .when(f_ok, F.col("__f"))
+        )
+    return (
+        u.filter(F.col("__side") == 1)
+        .withColumn("__m", matched)
+        .select(
+            *on,
+            *left_only,  # includes the left ts column under its own name
+            F.col("__m")["__rts"].alias("matched_ts"),
+            *[F.col("__m")[c].alias(c) for c in right_cols],
+        )
+    )
+
+
 def range_join(
     facts: DataFrame,
     intervals: DataFrame,

@@ -3741,6 +3741,11 @@ from .queries_textweb import register as _register_textweb  # noqa: E402
 
 _register_textweb(QUERIES, ORACLES)
 
+# round-4 engine surface: merge_asof variants, HOF arrays, SQL PIVOT
+from .queries_round4 import register as _register_round4  # noqa: E402
+
+_register_round4(QUERIES, ORACLES)
+
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (Spark-native columnar alternative to Parquet —

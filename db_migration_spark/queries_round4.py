@@ -1,0 +1,339 @@
+"""Round-4 engine-surface additions.
+
+* ``asof_nearest_tolerance`` — the FULL pandas-merge_asof surface
+  (operators/relational.py ``asof_join_nearest``): direction=nearest
+  with a tolerance window, left-outer semantics, matched timestamp in
+  the output.  Single-shuffle union-and-carry plan (the forward pass is
+  a second in-partition sort over the SAME exchange — plan-guarded).
+  The oracle replays both carries with DuckDB's IGNORE NULLS windows
+  and the same tie rule (equidistant → backward, the pandas rule).
+* ``f_hof_suite`` — higher-order array functions parity: transform /
+  filter / exists / forall / aggregate / zip_with / slice / reverse /
+  array_position against DuckDB's list lambdas (list_transform,
+  list_filter, list_slice, …).  All integer-exact.
+* ``sql_pivot_clause`` — the SQL PIVOT front door (Spark's PIVOT
+  clause); the oracle is the equivalent conditional aggregation (DuckDB
+  PIVOT's column naming differs, so parity is at the semantics level
+  with explicit aliases, like the rest of the f_* suites).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators.relational import asof_join_nearest
+
+
+def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with a 2 h tolerance: every click
+    matched to the user's nearest-in-time purchase (ties → backward),
+    unmatched clicks kept with NULLs.  Right side pre-deduped to one
+    row per (user, ts) keeping the max event id — the determinism
+    contract, mirrored in the oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("p_id"), "cents")
+    )
+    return asof_join_nearest(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["p_id", "cents"],
+        direction="nearest",
+        tolerance_seconds=7200,
+    )
+
+
+ORACLE_ASOF_NEAREST = """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+r0 AS (
+  SELECT user_id, ts, event_id AS p_id, cents,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC)
+           AS rn
+  FROM base WHERE event_type = 'purchase'
+),
+r AS (SELECT user_id, ts, p_id, cents FROM r0 WHERE rn = 1),
+l AS (
+  SELECT user_id, ts, event_id AS click_id FROM base
+  WHERE event_type = 'click'
+),
+u AS (
+  SELECT user_id, ts, 0 AS side,
+         {'rts': ts, 'p_id': p_id, 'cents': cents} AS rv,
+         CAST(NULL AS BIGINT) AS click_id
+  FROM r
+  UNION ALL
+  SELECT user_id, ts, 1,
+         CAST(NULL AS STRUCT(rts TIMESTAMP, p_id BIGINT, cents BIGINT)),
+         click_id
+  FROM l
+),
+c AS (
+  SELECT *,
+    last_value(rv IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+    first_value(rv IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, side DESC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+  FROM u
+),
+m AS (
+  SELECT user_id, ts, click_id,
+         b, f,
+         b IS NOT NULL
+           AND abs(epoch_us(ts) - epoch_us(b.rts)) <= 7200000000 AS b_ok,
+         f IS NOT NULL
+           AND abs(epoch_us(f.rts) - epoch_us(ts)) <= 7200000000 AS f_ok
+  FROM c WHERE side = 1
+)
+SELECT user_id, ts, click_id,
+  CASE WHEN b_ok AND (NOT f_ok
+            OR epoch_us(ts) - epoch_us(b.rts)
+               <= epoch_us(f.rts) - epoch_us(ts))
+       THEN b.rts WHEN f_ok THEN f.rts END AS matched_ts,
+  CASE WHEN b_ok AND (NOT f_ok
+            OR epoch_us(ts) - epoch_us(b.rts)
+               <= epoch_us(f.rts) - epoch_us(ts))
+       THEN b.p_id WHEN f_ok THEN f.p_id END AS p_id,
+  CASE WHEN b_ok AND (NOT f_ok
+            OR epoch_us(ts) - epoch_us(b.rts)
+               <= epoch_us(f.rts) - epoch_us(ts))
+       THEN b.cents WHEN f_ok THEN f.cents END AS cents
+FROM m
+"""
+
+
+def q_f_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform, filter, exists,
+    forall, aggregate (fold), zip_with, slice, reverse, array_position
+    — in one codegen projection over per-row integer sequences; DuckDB
+    answers with list lambdas.  Everything integer-exact; size()/len()
+    and list_position types normalized to BIGINT on both engines."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 7 + 3).alias("n"),
+        )
+    )
+    arr = F.sequence(F.lit(1).cast("long"), F.col("n"))
+    sq = F.transform(arr, lambda x: x * x)
+    zipped = F.zip_with(arr, F.reverse(arr), lambda a, b: a + b)
+    fold = lambda a: F.aggregate(  # noqa: E731
+        a, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return o.select(
+        "k",
+        fold(arr).alias("sum_arr"),
+        fold(sq).alias("sum_sq"),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).cast("long").alias("n_even"),
+        F.exists(arr, lambda x: x > 5).alias("has_gt5"),
+        F.forall(arr, lambda x: x > 0).alias("all_pos"),
+        fold(zipped).alias("sum_zip"),
+        F.array_join(F.slice(sq, 2, 3), ",").alias("mid_sq"),
+        F.array_position(arr, 3).alias("pos3"),
+    )
+
+
+ORACLE_HOF = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderkey % 7 + 3 AS n
+  FROM orders WHERE o_orderkey % 37 = 0
+),
+arrs AS (
+  SELECT k, range(1, n + 1) AS arr,
+         list_transform(range(1, n + 1), x -> x * x) AS sq
+  FROM o
+)
+SELECT k,
+  CAST(list_sum(arr) AS BIGINT) AS sum_arr,
+  CAST(list_sum(sq) AS BIGINT) AS sum_sq,
+  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+  len(list_filter(arr, x -> x > 5)) > 0 AS has_gt5,
+  len(list_filter(arr, x -> x > 0)) = len(arr) AS all_pos,
+  CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                               i -> arr[i] + list_reverse(arr)[i]))
+       AS BIGINT) AS sum_zip,
+  array_to_string(list_slice(sq, 2, 4), ',') AS mid_sq,
+  CAST(list_position(arr, 3) AS BIGINT) AS pos3
+FROM arrs
+"""
+
+
+SQL_PIVOT_SPARK = """
+SELECT * FROM (
+  SELECT l_returnflag AS rf,
+         l_linestatus AS ls,
+         CAST(floor(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+)
+PIVOT (
+  sum(q) AS s, count(q) AS c
+  FOR ls IN ('O' AS o, 'F' AS f)
+)
+"""
+
+
+def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause through Spark's front door (multi-aggregate,
+    aliased pivot values → o_s/o_c/f_s/f_c columns).  DuckDB's PIVOT
+    names columns differently, so the oracle is the equivalent
+    conditional aggregation with explicit aliases — semantics-level
+    parity, the same discipline as the f_* suites."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_PIVOT_SPARK)
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag AS rf,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT)
+         AS o_s,
+       count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_c,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT)
+         AS f_s,
+       count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_c
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_sql_ddl_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog/DDL front door: CREATE TABLE … USING PARQUET LOCATION
+    (external table) AS SELECT, then INSERT INTO appending the rest —
+    the managed-ingest surface users drive instead of DataFrame writes.
+    Idempotent across sessions: once the location is built, later runs
+    re-attach with CREATE TABLE IF NOT EXISTS over the existing files
+    (catalog metadata is session-scoped; the data is not).  The oracle
+    recomputes the CTAS+INSERT union straight from ``orders``."""
+    import os
+    import shutil
+
+    from .queries_e2e import _fx
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    loc = _fx(sf_dir, "ddl_orders_rollup")
+    marker = os.path.join(loc, "_BUILD_DONE")
+    spark.sql("DROP TABLE IF EXISTS ddl_rollup")
+    if not os.path.exists(marker):
+        shutil.rmtree(loc, ignore_errors=True)
+        spark.sql(
+            f"""
+            CREATE TABLE ddl_rollup USING PARQUET LOCATION '{loc}' AS
+            SELECT o_orderkey AS k, o_orderpriority AS prio,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders_src WHERE o_orderkey % 3 = 0
+            """
+        )
+        spark.sql(
+            """
+            INSERT INTO ddl_rollup
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+            FROM orders_src WHERE o_orderkey % 3 <> 0
+            """
+        )
+        with open(marker, "w"):
+            pass
+    else:
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS ddl_rollup "
+            f"USING PARQUET LOCATION '{loc}'"
+        )
+    return spark.sql(
+        """
+        SELECT prio, count(*) AS n_orders,
+               sum(cents) AS sum_cents, max(k) AS max_key
+        FROM ddl_rollup GROUP BY prio
+        """
+    )
+
+
+ORACLE_DDL_CTAS = """
+SELECT o_orderpriority AS prio, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       max(o_orderkey) AS max_key
+FROM orders GROUP BY 1
+"""
+
+
+def q_mapinarrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mapInArrow`` extension seam (the third sanctioned Python
+    surface after mapInPandas and the UDTF): per-document stats computed
+    directly on pyarrow RecordBatches with pyarrow.compute kernels — no
+    pandas materialization, columnar end to end.  Like
+    ``udtf_passage_split`` this certifies the API contract (schema,
+    batch iteration, zero-copy columns); expression-twin semantics keep
+    it under the exact gate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.utf8_length(text),
+                    pc.list_value_length(pc.utf8_split_whitespace(text)),
+                    pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 12)),
+                ],
+                names=["doc_id", "n_chars", "n_words", "shout_prefix"],
+            )
+
+    return docs.mapInArrow(
+        stats,
+        "doc_id long, n_chars int, n_words int, shout_prefix string",
+    )
+
+
+ORACLE_MAPINARROW = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(string_split_regex(text, '[ \\t\\n\\r]+')) AS INTEGER)
+         AS n_words,
+       upper(substr(text, 1, 12)) AS shout_prefix
+FROM documents
+"""
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["asof_nearest_tolerance"] = q_asof_nearest_tolerance
+    oracles["asof_nearest_tolerance"] = ORACLE_ASOF_NEAREST
+    queries["f_hof_suite"] = q_f_hof_suite
+    oracles["f_hof_suite"] = ORACLE_HOF
+    queries["sql_pivot_clause"] = q_sql_pivot_clause
+    oracles["sql_pivot_clause"] = ORACLE_PIVOT
+    queries["sql_ddl_ctas"] = q_sql_ddl_ctas
+    oracles["sql_ddl_ctas"] = ORACLE_DDL_CTAS
+    queries["mapinarrow_stats"] = q_mapinarrow_stats
+    oracles["mapinarrow_stats"] = ORACLE_MAPINARROW

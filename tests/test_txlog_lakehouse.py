@@ -93,3 +93,51 @@ def test_foreachbatch_sink_replay_is_exactly_once(spark, tmp_path):
     t = TxTable(root)
     assert t.read(spark).count() == 300
     assert t.latest_version() == 2  # one commit per logical batch
+
+
+def test_table_maintain_cli(spark, tmp_path, capsys):
+    """The table-maintain CLI drives optimize/checkpoint/vacuum/history
+    end-to-end on a real store."""
+    import json
+
+    from db_migration_spark.cli import main
+
+    t, base = _store(spark, tmp_path)
+    root = str(tmp_path / "t")
+
+    assert main(["table-maintain", "--table", root, "--action", "history"]) == 0
+    hist = json.loads(capsys.readouterr().out)
+    assert [c["op"] for c in hist["commits"]] == ["append"] * 4
+
+    assert (
+        main(
+            [
+                "table-maintain", "--table", root, "--action", "optimize",
+                "--cluster-by", "day", "--target-groups", "2",
+            ]
+        )
+        == 0
+    )
+    opt = json.loads(capsys.readouterr().out)
+    assert opt["groups_before"] == 4 and opt["groups_after"] == 2
+    assert t.read(spark).count() == base.count()
+
+    assert (
+        main(["table-maintain", "--table", root, "--action", "checkpoint"])
+        == 0
+    )
+    cp = json.loads(capsys.readouterr().out)
+    assert cp["checkpointed_version"] == t.latest_version()
+
+    assert (
+        main(
+            [
+                "table-maintain", "--table", root, "--action", "vacuum",
+                "--retain-versions", "0", "--min-age-seconds", "0",
+            ]
+        )
+        == 0
+    )
+    vac = json.loads(capsys.readouterr().out)
+    assert vac["deleted_groups"] == 4  # the four pre-optimize groups
+    assert t.read(spark).count() == base.count()  # current state intact
