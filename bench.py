@@ -260,6 +260,9 @@ FULL_SUITE = [
     "sql_pivot_clause",
     "sql_ddl_ctas",
     "mapinarrow_stats",
+    "sql_bom_rollup",
+    "sql_agg_filter",
+    "sql_lateral_view",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -326,6 +326,96 @@ FROM documents
 """
 
 
+# identical string on BOTH engines (the sql_frontend discipline); the
+# only dialect trap — integer division — is avoided with floor(x / 10),
+# exact for keys far past 2^53^(1/1)
+SQL_BOM_ROLLUP = """
+WITH RECURSIVE bom AS (
+  SELECT p_partkey AS part, p_partkey AS root,
+         CAST(1 AS BIGINT) AS eff_qty
+  FROM part WHERE p_partkey >= 1 AND p_partkey < 10
+  UNION ALL
+  SELECT c.p_partkey, b.root,
+         b.eff_qty * (c.p_partkey % 3 + 1)
+  FROM part c JOIN bom b
+    ON CAST(floor(c.p_partkey / 10) AS BIGINT) = b.part
+   AND c.p_partkey >= 10
+)
+SELECT b.root,
+       count(*) AS n_parts,
+       CAST(max(b.eff_qty) AS BIGINT) AS max_eff_qty,
+       CAST(sum(b.eff_qty *
+                CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rolled_cost_cents
+FROM bom b JOIN part p ON p.p_partkey = b.part
+GROUP BY b.root
+"""
+
+
+def q_sql_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials cost rollup — the recursive-CTE pattern with a
+    MULTIPLICATIVE semiring along paths (effective quantity = product of
+    per-edge multipliers), not just reachability: a synthesized decimal
+    forest over ``part`` (parent = ⌊key/10⌋, so depth ≈ log₁₀|part| and
+    the frontier shrinks geometrically — the recursion shape that
+    survives 100 TB).  The IDENTICAL SQL string runs on DuckDB."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(SQL_BOM_ROLLUP)
+
+
+SQL_AGG_FILTER = """
+SELECT l_returnflag AS rf,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       CAST(sum(CAST(floor(l_extendedprice) AS BIGINT))
+              FILTER (WHERE l_discount > 0.05) AS BIGINT) AS price_disc,
+       count(*) FILTER (WHERE l_linestatus = 'O' AND l_tax < 0.04)
+         AS n_open_lowtax,
+       CAST(min(CAST(floor(l_extendedprice) AS BIGINT))
+              FILTER (WHERE l_quantity >= 49) AS BIGINT) AS min_bulk_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_sql_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 ``FILTER (WHERE …)`` aggregate modifier through the
+    front door — per-aggregate predicates in ONE pass (the engine plans
+    a single hash aggregate with conditional accumulators, not N
+    self-joins).  Identical string on DuckDB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_AGG_FILTER)
+
+
+def q_sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-compat ``LATERAL VIEW explode`` syntax (the legacy front
+    door Spark keeps for migrated warehouses) — token census by initial
+    letter; the oracle is the DuckDB unnest equivalent."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_lv"
+    )
+    return spark.sql(
+        """
+        SELECT substring(w.word, 1, 1) AS initial,
+               count(*) AS n_tokens,
+               count(DISTINCT w.word) AS n_distinct
+        FROM documents_lv
+        LATERAL VIEW explode(split(text, ' ')) w AS word
+        GROUP BY substring(w.word, 1, 1)
+        """
+    )
+
+
+ORACLE_LATERAL_VIEW = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT substr(word, 1, 1) AS initial,
+       count(*) AS n_tokens,
+       count(DISTINCT word) AS n_distinct
+FROM toks GROUP BY 1
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["asof_nearest_tolerance"] = q_asof_nearest_tolerance
     oracles["asof_nearest_tolerance"] = ORACLE_ASOF_NEAREST
@@ -337,3 +427,9 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["sql_ddl_ctas"] = ORACLE_DDL_CTAS
     queries["mapinarrow_stats"] = q_mapinarrow_stats
     oracles["mapinarrow_stats"] = ORACLE_MAPINARROW
+    queries["sql_bom_rollup"] = q_sql_bom_rollup
+    oracles["sql_bom_rollup"] = SQL_BOM_ROLLUP
+    queries["sql_agg_filter"] = q_sql_agg_filter
+    oracles["sql_agg_filter"] = SQL_AGG_FILTER
+    queries["sql_lateral_view"] = q_sql_lateral_view
+    oracles["sql_lateral_view"] = ORACLE_LATERAL_VIEW
