@@ -263,6 +263,9 @@ FULL_SUITE = [
     "sql_bom_rollup",
     "sql_agg_filter",
     "sql_lateral_view",
+    "corpus_chat_template",
+    "corpus_context_stuffing",
+    "sink_dynamic_overwrite",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -416,6 +416,219 @@ FROM toks GROUP BY 1
 """
 
 
+def q_corpus_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT data prep: render documents into a chat template
+    (system/user/assistant blocks with role markers) and emit the
+    LOSS-MASK boundaries in whitespace-token space — the
+    mask-everything-before-the-assistant-span convention.  All pure
+    string/integer expressions (map-only); the oracle rebuilds the
+    template and token arithmetic from the same word slices."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    user = F.array_join(F.slice(words, 1, 12), " ")
+    assistant = F.array_join(F.slice(words, 13, 1_000_000), " ")
+    sys_block = F.lit("<|system|>\nYou are a helpful assistant.")
+    user_block = F.concat(F.lit("\n<|user|>\n"), user)
+    asst_block = F.concat(F.lit("\n<|assistant|>\n"), assistant)
+    rendered = F.concat(sys_block, user_block, asst_block, F.lit("\n<|end|>"))
+
+    def ntok(c):
+        return F.size(F.split(F.trim(c), r"\s+")).cast("long")
+
+    prefix_toks = ntok(F.concat(sys_block, user_block, F.lit("\n<|assistant|>")))
+    return docs.select(
+        "doc_id",
+        F.length(rendered).alias("rendered_len"),
+        prefix_toks.alias("mask_end_token"),
+        # split('') yields [''] on both engines — pin the honest 0
+        F.when(assistant == "", F.lit(0).cast("long"))
+        .otherwise(ntok(assistant))
+        .alias("assistant_tokens"),
+        F.substring(rendered, 1, 60).alias("rendered_prefix"),
+    )
+
+
+ORACLE_CHAT_TEMPLATE = """
+WITH parts AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+           AS usr,
+         -- DuckDB array_to_string([]) is NULL where Spark array_join
+         -- gives '' — coalesce pins the short-document case
+         coalesce(array_to_string(
+           list_slice(string_split(text, ' '), 13, 1000000), ' '), '')
+           AS asst
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         '<|system|>' || chr(10) || 'You are a helpful assistant.'
+           AS sys_block,
+         chr(10) || '<|user|>' || chr(10) || usr AS user_block,
+         chr(10) || '<|assistant|>' || chr(10) || asst AS asst_block,
+         asst
+  FROM parts
+)
+SELECT doc_id,
+       CAST(length(sys_block || user_block || asst_block
+                   || chr(10) || '<|end|>') AS BIGINT) AS rendered_len,
+       CAST(len(string_split_regex(
+              trim(sys_block || user_block || chr(10) || '<|assistant|>'),
+              '\\s+')) AS BIGINT) AS mask_end_token,
+       CAST(CASE WHEN asst = '' THEN 0
+                 ELSE len(string_split_regex(trim(asst), '\\s+')) END
+            AS BIGINT) AS assistant_tokens,
+       substr(sys_block || user_block || asst_block || chr(10) || '<|end|>',
+              1, 60) AS rendered_prefix
+FROM blocks
+"""
+
+
+def q_corpus_context_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: for each query, stuff the highest-scoring
+    passages into the prompt GREEDILY under a 120-token budget (running
+    token sum over the relevance order; a passage that would overflow
+    is dropped and later smaller ones may still fit — the standard
+    greedy stuffing rule is prefix-only, so we keep prefix semantics:
+    stop at the first overflow).  Scoring is a deterministic integer
+    hash (retrieval itself is the ANN tier's job — this operator is the
+    budgeted assembly step).  The tiny query set rides as a broadcast
+    (driver-tier, ≤ |docs|/25 rows) against the passage table — the
+    broadcast-cross candidate scoring every context assembler uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    passages = docs.select(
+        F.col("doc_id").alias("pid"),
+        F.size(F.slice(F.split(F.col("text"), " "), 1, 40))
+        .cast("long")
+        .alias("cost"),
+    )
+    queries_df = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(queries_df)
+        .crossJoin(passages)
+        .withColumn(
+            "score", ((F.col("pid") + 1) * (F.col("qid") + 7)) % 1000
+        )
+        .filter(F.col("score") >= 900)  # retrieval-tier shortlist stand-in
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("pid")
+    )
+    stuffed = (
+        scored.withColumn("cum", F.sum("cost").over(w))
+        .filter(F.col("cum") <= 120)
+    )
+    return stuffed.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.max("cum").alias("tokens_used"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (1000 - F.col("score")).alias("inv"),
+                            F.col("pid").alias("pid"),
+                        )
+                    )
+                ),
+                lambda s: s["pid"].cast("string"),
+            ),
+            ",",
+        ).alias("context_ids"),
+    )
+
+
+ORACLE_CONTEXT_STUFFING = """
+WITH p AS (
+  SELECT doc_id AS pid,
+         CAST(len(list_slice(string_split(text, ' '), 1, 40)) AS BIGINT)
+           AS cost
+  FROM documents
+),
+q AS (SELECT doc_id AS qid FROM documents WHERE doc_id % 25 = 0),
+scored AS (
+  SELECT qid, pid, cost, ((pid + 1) * (qid + 7)) % 1000 AS score
+  FROM q, p
+  WHERE ((pid + 1) * (qid + 7)) % 1000 >= 900
+),
+stuffed AS (
+  SELECT qid, pid, score,
+         sum(cost) OVER (PARTITION BY qid ORDER BY score DESC, pid
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored
+)
+SELECT qid,
+       count(*) AS n_passages,
+       CAST(max(cum) AS BIGINT) AS tokens_used,
+       string_agg(CAST(pid AS VARCHAR), ',' ORDER BY score DESC, pid)
+         AS context_ids
+FROM stuffed
+WHERE cum <= 120
+GROUP BY qid
+"""
+
+
+def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (``partitionOverwriteMode=dynamic``):
+    rewrite ONLY the partitions present in the incoming frame, leaving
+    sibling partitions untouched — the idempotent partition-level upsert
+    every warehouse ingest uses.  Build: full partitioned write, then a
+    dynamic overwrite of the URGENT partition with bumped cents.  The
+    declared read aggregates the whole table; only an overwrite that
+    replaced exactly one partition matches the oracle."""
+    import os
+    import shutil
+
+    from .queries_e2e import _fx
+
+    loc = _fx(sf_dir, "dyn_overwrite_orders")
+    marker = os.path.join(loc, "_BUILD_DONE")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    data_dir = os.path.join(loc, "table")
+    if not os.path.exists(marker):
+        shutil.rmtree(loc, ignore_errors=True)
+        os.makedirs(loc, exist_ok=True)
+        orders.write.partitionBy("prio").parquet(data_dir)
+        urgent_bumped = orders.filter(
+            F.col("prio") == "1-URGENT"
+        ).withColumn("cents", F.col("cents") + 7)
+        (
+            urgent_bumped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("prio")
+            .parquet(data_dir)
+        )
+        with open(marker, "w"):
+            pass
+    return (
+        spark.read.parquet(data_dir)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_DYN_OVERWRITE = """
+SELECT o_orderpriority AS prio, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                + CASE WHEN o_orderpriority = '1-URGENT' THEN 7 ELSE 0 END)
+            AS BIGINT) AS sum_cents
+FROM orders GROUP BY 1
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["asof_nearest_tolerance"] = q_asof_nearest_tolerance
     oracles["asof_nearest_tolerance"] = ORACLE_ASOF_NEAREST
@@ -433,3 +646,9 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["sql_agg_filter"] = SQL_AGG_FILTER
     queries["sql_lateral_view"] = q_sql_lateral_view
     oracles["sql_lateral_view"] = ORACLE_LATERAL_VIEW
+    queries["corpus_chat_template"] = q_corpus_chat_template
+    oracles["corpus_chat_template"] = ORACLE_CHAT_TEMPLATE
+    queries["corpus_context_stuffing"] = q_corpus_context_stuffing
+    oracles["corpus_context_stuffing"] = ORACLE_CONTEXT_STUFFING
+    queries["sink_dynamic_overwrite"] = q_sink_dynamic_overwrite
+    oracles["sink_dynamic_overwrite"] = ORACLE_DYN_OVERWRITE
