@@ -266,6 +266,8 @@ FULL_SUITE = [
     "corpus_chat_template",
     "corpus_context_stuffing",
     "sink_dynamic_overwrite",
+    "txlog_cdf_read",
+    "txlog_stream_source",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -537,6 +537,44 @@ class TxTable:
             picked.append(g)
         return picked, len(active)
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed: the rows ADDED by commits in
+        ``(from_version, to_version]``, each tagged with
+        ``_commit_version`` and ``_change_op`` — the incremental-read
+        primitive consumers use instead of re-scanning the table
+        (Delta CDF / Iceberg incremental scan).  Append commits
+        contribute their rows as inserts; rewrite commits (overwrite /
+        merge / optimize) contribute their REWRITTEN state under their
+        op label — consumers that need row-level diffs of rewrites
+        compare snapshots (store_diff is that operator)."""
+        from pyspark.sql import functions as F
+
+        upto = self.latest_version() if to_version is None else to_version
+        parts = []
+        for v in self._versions():
+            if v <= from_version or v > upto:
+                continue
+            c = self._read_commit(v)
+            for g in c.get("add", []):
+                parts.append(
+                    spark.read.parquet(os.path.join(self.data_dir, g))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn("_change_op", F.lit(c.get("op", "append")))
+                )
+        if not parts:
+            raise ValueError(
+                f"no commits in ({from_version}, {upto}] at {self.root}"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read_pruned(
         self,
         spark: SparkSession,

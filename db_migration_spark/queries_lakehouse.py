@@ -319,6 +319,102 @@ SELECT 'post', n_rows, sum_cents, sum_daybucket FROM one
 """
 
 
+def q_txlog_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (plans/txlog.py ``read_changes``): the rows
+    added by commits (2, 5] of the year-per-group store — an
+    incremental consumer catching up three commits without re-scanning
+    the table.  The oracle reconstructs the version↔year mapping with a
+    dense rank over the distinct order years (version v = v-th year in
+    sorted order, by construction of the ingest)."""
+    t = _ensure_zonemap_store(spark, sf_dir)
+    return (
+        t.read_changes(spark, from_version=2, to_version=5)
+        .groupBy("prio", "_commit_version", "_change_op")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_CDF = """
+WITH src AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         year(o_orderdate) AS yr
+  FROM orders
+),
+vmap AS (
+  SELECT yr, row_number() OVER (ORDER BY yr) - 1 AS ver
+  FROM (SELECT DISTINCT yr FROM src)
+)
+SELECT s.prio, CAST(v.ver AS BIGINT) AS _commit_version,
+       'append' AS _change_op,
+       count(*) AS n_orders, CAST(sum(s.cents) AS BIGINT) AS sum_cents
+FROM src s JOIN vmap v ON s.yr = v.yr
+WHERE v.ver > 2 AND v.ver <= 5
+GROUP BY s.prio, v.ver
+"""
+
+
+def q_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACID table as a STREAMING SOURCE (sources/txlog_datasource.py
+    — Spark 4 Python DataSource API, partition-planned variant):
+    offsets are commit versions, planning reads only the LOG, each
+    parquet file of each new append commit becomes an executor-side
+    input partition.  Drained availableNow over the 7-commit store; the
+    per-(prio, version) aggregate proves every commit arrived exactly
+    once with its version tag — the Delta-streaming-source contract
+    under the exact gate."""
+    from .sources import txlog_datasource
+
+    t = _ensure_zonemap_store(spark, sf_dir)
+    txlog_datasource.register(spark)
+    import re as _re
+
+    name = "txlog_stream_" + _re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", t.root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("txlog stream drain did not finish in 300s")
+    return (
+        spark.table(name)
+        .groupBy("prio", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_TXLOG_STREAM = """
+WITH src AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         year(o_orderdate) AS yr
+  FROM orders
+),
+vmap AS (
+  SELECT yr, row_number() OVER (ORDER BY yr) - 1 AS ver
+  FROM (SELECT DISTINCT yr FROM src)
+)
+SELECT s.prio, CAST(v.ver AS BIGINT) AS _commit_version,
+       count(*) AS n_orders, CAST(sum(s.cents) AS BIGINT) AS sum_cents
+FROM src s JOIN vmap v ON s.yr = v.yr
+GROUP BY s.prio, v.ver
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -326,3 +422,7 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stream_txlog_sink"] = ORACLE_STREAM_TXLOG
     queries["txlog_optimize_zorder"] = q_txlog_optimize_zorder
     oracles["txlog_optimize_zorder"] = ORACLE_OPTIMIZE
+    queries["txlog_cdf_read"] = q_txlog_cdf_read
+    oracles["txlog_cdf_read"] = ORACLE_CDF
+    queries["txlog_stream_source"] = q_txlog_stream_source
+    oracles["txlog_stream_source"] = ORACLE_TXLOG_STREAM

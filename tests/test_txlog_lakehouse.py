@@ -141,3 +141,81 @@ def test_table_maintain_cli(spark, tmp_path, capsys):
     vac = json.loads(capsys.readouterr().out)
     assert vac["deleted_groups"] == 4  # the four pre-optimize groups
     assert t.read(spark).count() == base.count()  # current state intact
+
+
+def test_stream_source_incremental_and_nonappend_contract(spark, tmp_path):
+    """The txlog streaming source: (1) a second drain after a new append
+    picks up ONLY the new commit; (2) a rewrite commit errors the stream
+    by default and is skipped under ignoreChanges=true — the Delta
+    streaming-source contract."""
+    import pytest as _pytest
+
+    from db_migration_spark.sources import txlog_datasource
+
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.commit_append(_mk(spark, 0, 10))
+    t.commit_append(_mk(spark, 10, 30))
+    txlog_datasource.register(spark)
+    chk = str(tmp_path / "chk")  # ONE checkpoint reused across drains
+    out_dir = str(tmp_path / "out")
+
+    def drain(**opts):
+        reader = spark.readStream.format("txlog").option("path", root)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return spark.read.parquet(out_dir)
+
+    out1 = drain()
+    assert out1.count() == 30
+    assert {r._commit_version for r in out1.collect()} == {0, 1}
+
+    t.commit_append(_mk(spark, 30, 35))
+    out2 = drain()  # same checkpoint → only the NEW commit arrives
+    assert out2.count() == 35
+    assert {r._commit_version for r in out2.collect()} == {0, 1, 2}
+
+    # a rewrite commit poisons the default stream ...
+    t.optimize(spark)
+    with _pytest.raises(Exception, match="ignoreChanges|non-append"):
+        drain()
+    # ... and is skipped (with nothing after it) under ignoreChanges
+    out4 = drain(ignoreChanges="true")
+    assert out4.count() == 35
+    # appends AFTER the rewrite flow again
+    t.commit_append(_mk(spark, 100, 103))
+    out5 = drain(ignoreChanges="true")
+    assert out5.count() == 38
+    assert {r._commit_version for r in out5.collect()} == {0, 1, 2, 4}
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_cdf_read_versions_and_ops(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_mk(spark, 0, 10))    # v0
+    t.commit_append(_mk(spark, 10, 15))   # v1
+    t.commit_overwrite(_mk(spark, 50, 52))  # v2 rewrite
+    ch = t.read_changes(spark, from_version=0)
+    rows = ch.collect()
+    assert {r._commit_version for r in rows} == {1, 2}
+    assert {r._change_op for r in rows} == {"append", "overwrite"}
+    assert sorted(r.k for r in rows if r._commit_version == 1) == list(
+        range(10, 15)
+    )
+    assert sorted(r.k for r in rows if r._commit_version == 2) == [50, 51]
