@@ -268,6 +268,7 @@ FULL_SUITE = [
     "sink_dynamic_overwrite",
     "txlog_cdf_read",
     "txlog_stream_source",
+    "emb_gram_matrix",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

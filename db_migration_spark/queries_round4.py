@@ -629,6 +629,58 @@ FROM orders GROUP BY 1
 """
 
 
+def q_emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Gram matrix over the embedding corpus — the
+    tall-skinny X^T·X building block of PCA/covariance/whitening: at
+    100 TB the corpus never leaves the executors; only the dim×dim
+    (here 64×64 → 2080 upper-triangle cells) aggregate comes back, and
+    the eigensolve is a trivial driver-side step on that output.
+
+    Embeddings are quantized to integer millis FIRST (both engines cast
+    float→double→floor identically), so the accumulation is exact
+    integer arithmetic — no float reduction-order wobble, hash-exact
+    under the gate.  Plan: posexplode → self equi-join on vec_id (64×
+    fan-out per vector, upper triangle only) → one hash aggregate."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    )
+    q = e.select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    return (
+        a.join(b, on=[F.col("a.vec_id") == F.col("b.vec_id"),
+                      F.col("a.i") <= F.col("b.i")])
+        .groupBy(
+            F.col("a.i").alias("dim_i"), F.col("b.i").alias("dim_j")
+        )
+        .agg(
+            F.sum(F.col("a.q") * F.col("b.q")).alias("gram"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+ORACLE_GRAM = """
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings, idx
+)
+SELECT a.i AS dim_i, b.i AS dim_j,
+       CAST(sum(a.q * b.q) AS BIGINT) AS gram,
+       count(*) AS n_vectors
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["asof_nearest_tolerance"] = q_asof_nearest_tolerance
     oracles["asof_nearest_tolerance"] = ORACLE_ASOF_NEAREST
@@ -652,3 +704,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["corpus_context_stuffing"] = ORACLE_CONTEXT_STUFFING
     queries["sink_dynamic_overwrite"] = q_sink_dynamic_overwrite
     oracles["sink_dynamic_overwrite"] = ORACLE_DYN_OVERWRITE
+    queries["emb_gram_matrix"] = q_emb_gram_matrix
+    oracles["emb_gram_matrix"] = ORACLE_GRAM
