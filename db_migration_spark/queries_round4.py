@@ -490,30 +490,44 @@ def q_corpus_context_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     token sum over the relevance order; a passage that would overflow
     is dropped and later smaller ones may still fit — the standard
     greedy stuffing rule is prefix-only, so we keep prefix semantics:
-    stop at the first overflow).  Scoring is a deterministic integer
-    hash (retrieval itself is the ANN tier's job — this operator is the
-    budgeted assembly step).  The tiny query set rides as a broadcast
-    (driver-tier, ≤ |docs|/25 rows) against the passage table — the
-    broadcast-cross candidate scoring every context assembler uses."""
+    stop at the first overflow).  Candidate retrieval is the ANN
+    bucket-probe shape — each query probes 2 of 64 passage buckets via
+    a pure EQUI-join, then scores the probe set with a deterministic
+    integer hash.  (The first cut broadcast-crossed queries×passages;
+    the ×10 scale run showed it quadratic at 18.7s — the probe join is
+    the plan that survives 100 TB, and the same rewrite every real
+    retrieval tier embodies.)"""
     docs = load_table(spark, sf_dir, "documents")
     passages = docs.select(
         F.col("doc_id").alias("pid"),
+        (F.col("doc_id") % 64).alias("bucket"),
         F.size(F.slice(F.split(F.col("text"), " "), 1, 40))
         .cast("long")
         .alias("cost"),
     )
-    queries_df = docs.filter(F.col("doc_id") % 25 == 0).select(
-        F.col("doc_id").alias("qid")
+    queries_df = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").alias("qid"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(  # both probes may land in one bucket
+                    F.array(
+                        (F.col("qid") * 31 + 7) % 64,
+                        (F.col("qid") * 17 + 3) % 64,
+                    )
+                )
+            ),
+        )
     )
     from pyspark.sql import Window
 
     scored = (
-        F.broadcast(queries_df)
-        .crossJoin(passages)
+        queries_df.join(passages, on="bucket")
         .withColumn(
             "score", ((F.col("pid") + 1) * (F.col("qid") + 7)) % 1000
         )
-        .filter(F.col("score") >= 900)  # retrieval-tier shortlist stand-in
+        .filter(F.col("score") >= 500)  # relevance threshold on the probes
     )
     w = Window.partitionBy("qid").orderBy(
         F.desc("score"), F.asc("pid")
@@ -544,7 +558,7 @@ def q_corpus_context_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CONTEXT_STUFFING = """
 WITH p AS (
-  SELECT doc_id AS pid,
+  SELECT doc_id AS pid, doc_id % 64 AS bucket,
          CAST(len(list_slice(string_split(text, ' '), 1, 40)) AS BIGINT)
            AS cost
   FROM documents
@@ -552,8 +566,9 @@ WITH p AS (
 q AS (SELECT doc_id AS qid FROM documents WHERE doc_id % 25 = 0),
 scored AS (
   SELECT qid, pid, cost, ((pid + 1) * (qid + 7)) % 1000 AS score
-  FROM q, p
-  WHERE ((pid + 1) * (qid + 7)) % 1000 >= 900
+  FROM q JOIN p
+    ON p.bucket IN ((q.qid * 31 + 7) % 64, (q.qid * 17 + 3) % 64)
+  WHERE ((pid + 1) * (qid + 7)) % 1000 >= 500
 ),
 stuffed AS (
   SELECT qid, pid, score,

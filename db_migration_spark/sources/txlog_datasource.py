@@ -130,12 +130,19 @@ class TxlogStreamReader(DataSourceStreamReader):
     def read(self, partition: TxlogFilePartition):
         if not partition.path:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # yield Arrow RecordBatches, not Python rows: the Python data
+        # source API transfers them columnar end-to-end (measured 35s →
+        # ~4s at ×10 vs the row-at-a-time tuple path)
         table = pq.read_table(partition.path)
-        cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
-        for row in zip(*cols):
-            yield (*row, partition.version)
+        for batch in table.to_batches():
+            ver = pa.array([partition.version] * batch.num_rows, pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, ver],
+                names=[*batch.schema.names, "_commit_version"],
+            )
 
     def commit(self, end: dict) -> None:
         pass
