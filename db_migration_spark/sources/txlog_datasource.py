@@ -87,7 +87,6 @@ class TxlogStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
-        self.max_versions = int(options.get("maxVersionsPerBatch", 128))
 
     def _table(self):
         from ..plans.txlog import TxTable
@@ -98,10 +97,12 @@ class TxlogStreamReader(DataSourceStreamReader):
         return {"version": -1}
 
     def latestOffset(self) -> dict:
-        t = self._table()
-        # advance at most max_versions per micro-batch so a huge backlog
-        # drains in bounded steps (planning stays driver-light either way)
-        return {"version": t.latest_version()}
+        # a large backlog means MANY file partitions in one micro-batch,
+        # which is fine — partitions are executor-side and planning cost
+        # is one log replay (unlike the Simple reader, nothing
+        # materializes on the driver), so no per-batch version cap is
+        # needed
+        return {"version": self._table().latest_version()}
 
     def partitions(self, start: dict, end: dict):
         import glob
