@@ -269,6 +269,7 @@ FULL_SUITE = [
     "txlog_cdf_read",
     "txlog_stream_source",
     "emb_gram_matrix",
+    "graph_random_walks",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -696,6 +696,97 @@ GROUP BY a.i, b.i
 """
 
 
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk corpus generation (the node2vec/DeepWalk sampling
+    primitive that feeds graph-embedding training): 3-hop walks from
+    ~|parts|/97 seed nodes over the co-purchase graph, where the next
+    hop at step t is the neighbor minimizing a deterministic integer
+    hash h(seed, t, neighbor) — uniform-ish, seeded, and REPLAYABLE on
+    any engine (real RNG would be unverifiable; this is the same
+    derandomization the sampling operators use).  Each hop is one
+    equi-join on the current node + one row_number window per seed; the
+    adjacency list is checkpointed once and reused by all hops.
+
+    At 100 TB this runs walks for every node: the per-hop join shuffles
+    (walk-front × adjacency) on node id — linear in walks × degree,
+    never materializing paths beyond the frontier."""
+    from pyspark.sql import Window
+
+    from .queries_stats import _copurchase_edges
+
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = und.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v")
+    ).unionByName(und.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+    walk = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").alias("s"), F.col("p_partkey").alias("n0"))
+    )
+    for t in (1, 2, 3):
+        cand = walk.join(adj, walk[f"n{t-1}"] == adj["u"]).withColumn(
+            "h",
+            (
+                F.col("s") * 1000003 + F.lit(t) * 9176 + F.col("v") * 7919
+            ) % 104729,
+        )
+        w = Window.partitionBy("s").orderBy("h", "v")
+        walk = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("u", "h", "rk")
+            .withColumnRenamed("v", f"n{t}")
+        )
+    return walk.select(
+        "s",
+        F.concat_ws(
+            "->", F.col("n0"), F.col("n1"), F.col("n2"), F.col("n3")
+        ).alias("path"),
+    )
+
+
+ORACLE_RANDOM_WALKS = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT DISTINCT x.l_partkey AS lo, y.l_partkey AS hi
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+adj AS (
+  SELECT lo AS u, hi AS v FROM und
+  UNION ALL SELECT hi, lo FROM und
+),
+w0 AS (
+  SELECT p_partkey AS s, p_partkey AS n0 FROM part WHERE p_partkey % 97 = 0
+),
+c1 AS (
+  SELECT s, n0, v,
+         row_number() OVER (PARTITION BY s ORDER BY
+           (s * 1000003 + 1 * 9176 + v * 7919) % 104729, v) AS rk
+  FROM w0 JOIN adj ON n0 = u
+),
+w1 AS (SELECT s, n0, v AS n1 FROM c1 WHERE rk = 1),
+c2 AS (
+  SELECT s, n0, n1, v,
+         row_number() OVER (PARTITION BY s ORDER BY
+           (s * 1000003 + 2 * 9176 + v * 7919) % 104729, v) AS rk
+  FROM w1 JOIN adj ON n1 = u
+),
+w2 AS (SELECT s, n0, n1, v AS n2 FROM c2 WHERE rk = 1),
+c3 AS (
+  SELECT s, n0, n1, n2, v,
+         row_number() OVER (PARTITION BY s ORDER BY
+           (s * 1000003 + 3 * 9176 + v * 7919) % 104729, v) AS rk
+  FROM w2 JOIN adj ON n2 = u
+),
+w3 AS (SELECT s, n0, n1, n2, v AS n3 FROM c3 WHERE rk = 1)
+SELECT s,
+       CAST(n0 AS VARCHAR) || '->' || CAST(n1 AS VARCHAR) || '->'
+         || CAST(n2 AS VARCHAR) || '->' || CAST(n3 AS VARCHAR) AS path
+FROM w3
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["asof_nearest_tolerance"] = q_asof_nearest_tolerance
     oracles["asof_nearest_tolerance"] = ORACLE_ASOF_NEAREST
@@ -721,3 +812,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["sink_dynamic_overwrite"] = ORACLE_DYN_OVERWRITE
     queries["emb_gram_matrix"] = q_emb_gram_matrix
     oracles["emb_gram_matrix"] = ORACLE_GRAM
+    queries["graph_random_walks"] = q_graph_random_walks
+    oracles["graph_random_walks"] = ORACLE_RANDOM_WALKS
