@@ -270,6 +270,9 @@ FULL_SUITE = [
     "txlog_stream_source",
     "emb_gram_matrix",
     "graph_random_walks",
+    "stats_ks_test",
+    "stats_kendall_tau",
+    "graph_label_propagation",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

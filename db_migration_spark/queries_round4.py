@@ -787,6 +787,276 @@ FROM w3
 """
 
 
+# ---------------------------------------------------------------------------
+# exact classical statistics, continued: Kolmogorov–Smirnov and Kendall
+# ---------------------------------------------------------------------------
+
+
+def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic of URGENT vs
+    non-URGENT order values per market segment, without per-row ranks:
+    the raw stream collapses to counts per distinct value in one hash
+    aggregate, then ONE cumulative window over the collapsed value
+    domain gives both ECDFs.  D = max|F₁−F₂| crosses the gate as the
+    integer pair (d_num, n1·n2) via cross-multiplication —
+    d_num = max|n₂·cum₁(v) − n₁·cum₂(v)| — plus the smallest value
+    attaining the max (the KS location).  No float anywhere; the same
+    collapsed-domain shape as stats_mann_whitney, so the 100 TB cost is
+    a hash aggregate + a window over distinct values, never a global
+    sort of raw rows."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    vals = (
+        orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            "o_custkey",
+        )
+        .select(
+            "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("is_a"),
+        )
+        .groupBy("c_mktsegment", "v")
+        .agg(
+            F.sum("is_a").alias("c_a"),
+            (F.count(F.lit(1)) - F.sum("is_a")).alias("c_b"),
+        )
+    )
+    cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("c_mktsegment")
+    diffed = (
+        vals.withColumn("cum_a", F.sum("c_a").over(cum))
+        .withColumn("cum_b", F.sum("c_b").over(cum))
+        .withColumn("n1", F.sum("c_a").over(tot))
+        .withColumn("n2", F.sum("c_b").over(tot))
+        .withColumn(
+            "diff",
+            F.abs(F.col("n2") * F.col("cum_a") - F.col("n1") * F.col("cum_b")),
+        )
+        .withColumn("d_num", F.max("diff").over(tot))
+    )
+    return (
+        diffed.filter(F.col("diff") == F.col("d_num"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max("d_num").alias("d_num"),
+            F.min("v").alias("v_at_max"),
+        )
+    )
+
+
+ORACLE_KS_TEST = """
+WITH vals AS (
+  SELECT c_mktsegment,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_a,
+         CAST(count(*) - sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         CAST(sum(c_a) OVER (PARTITION BY c_mktsegment ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_a,
+         CAST(sum(c_b) OVER (PARTITION BY c_mktsegment ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_b,
+         CAST(sum(c_a) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n1,
+         CAST(sum(c_b) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n2
+  FROM vals
+), diffed AS (
+  SELECT *, abs(n2 * cum_a - n1 * cum_b) AS diff,
+         max(abs(n2 * cum_a - n1 * cum_b))
+           OVER (PARTITION BY c_mktsegment) AS d_num
+  FROM cum
+)
+SELECT c_mktsegment, max(n1) AS n1, max(n2) AS n2,
+       max(d_num) AS d_num, min(v) AS v_at_max
+FROM diffed WHERE diff = d_num
+GROUP BY c_mktsegment
+"""
+
+
+def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall rank correlation between two nation revenue
+    rankings (1995 vs 1996 order revenue): concordant / discordant /
+    tied pair counts and the tau numerator C−D, all exact integers.
+
+    The 100 TB shape: the fact stream collapses to one row per nation
+    (a 25-row dim) in a single hash aggregate with map-side combine;
+    the O(k²) pairwise comparison then runs on the collapsed dim —
+    625 pairs — so the statistic costs one aggregate regardless of
+    input scale.  (The classical O(n log n) inversion-count variant
+    only matters when the ranked domain itself is fact-scale; ranked
+    *entities* in revenue comparisons are dims.)"""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rev = (
+        orders.filter(F.col("yr").isin(1995, 1996))
+        .join(F.broadcast(cust), "o_custkey")
+        .groupBy("nationkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1995, F.col("cents"))), F.lit(0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1996, F.col("cents"))), F.lit(0)
+            ).alias("y"),
+        )
+    )
+    a, b = rev.alias("a"), rev.alias("b")
+    # multiply the SIGNS of the differences, never the differences
+    # themselves: revenue cents grow with data volume, and the raw
+    # product (x_a−x_b)·(y_a−y_b) overflows int64 at the ×10 replica
+    # scale already (caught by tools/scale_test.py).  sign·sign ∈
+    # {−1,0,1} carries exactly the concordance information Kendall
+    # needs and is overflow-free at any scale.
+    pairs = a.join(b, F.col("a.nationkey") < F.col("b.nationkey")).select(
+        (
+            F.signum((F.col("a.x") - F.col("b.x")).cast("double")).cast("long")
+            * F.signum((F.col("a.y") - F.col("b.y")).cast("double")).cast(
+                "long"
+            )
+        ).alias("prod")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("prod") > 0).cast("long")).alias("n_concordant"),
+        F.sum((F.col("prod") < 0).cast("long")).alias("n_discordant"),
+        F.sum((F.col("prod") == 0).cast("long")).alias("n_tied"),
+        F.sum("prod").alias("tau_num"),
+    )
+
+
+ORACLE_KENDALL = """
+WITH rev AS (
+  SELECT c_nationkey AS nationkey,
+         CAST(COALESCE(sum(CASE WHEN year(o_orderdate) = 1995
+              THEN CAST(floor(o_totalprice * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         CAST(COALESCE(sum(CASE WHEN year(o_orderdate) = 1996
+              THEN CAST(floor(o_totalprice * 100) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1
+), pairs AS (
+  -- sign*sign, never the raw difference product (int64 overflow at scale)
+  SELECT CAST(sign(a.x - b.x) AS BIGINT) * CAST(sign(a.y - b.y) AS BIGINT)
+           AS prod
+  FROM rev a JOIN rev b ON a.nationkey < b.nationkey
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concordant,
+       CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discordant,
+       CAST(sum(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+       CAST(sum(CASE WHEN prod > 0 THEN 1 WHEN prod < 0 THEN -1 ELSE 0 END)
+            AS BIGINT) AS tau_num
+FROM pairs
+"""
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds) over the co-purchase
+    graph — the community-detection primitive behind LPA/SLPA, made
+    fully deterministic: every node starts labeled with its own id, and
+    each round re-labels it with the most frequent neighbor label,
+    ties broken by the SMALLEST label (the derandomization that makes
+    the result replayable on any engine — async/random LPA would be
+    unverifiable).  Per round: one equi-join of the symmetrized
+    adjacency against the label map + one (node,label) hash aggregate
+    + one per-node argmax window — rounds are fixed (3), so at 100 TB
+    the cost is 3 edge-list shuffles; the adjacency is checkpointed
+    once and reused by every round.  The oracle unrolls the identical
+    three rounds as chained CTEs."""
+    from pyspark.sql import Window
+
+    from .queries_stats import _copurchase_edges
+
+    und = _copurchase_edges(spark, sf_dir).select(
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+    )
+    adj = (
+        und.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        .unionAll(und.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("nlab"))
+    for _ in range(3):
+        cnt = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("lab").alias("nlab")
+                ),
+                "v",
+            )
+            .groupBy("u", "nlab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("u").alias("node"), F.col("nlab").alias("lab"))
+        )
+    return labels.select("node", F.col("lab").alias("community"))
+
+
+ORACLE_LABEL_PROP = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS lo,
+                  CAST(y.l_partkey AS BIGINT) AS hi
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+adj AS (SELECT lo AS u, hi AS v FROM e0
+        UNION ALL SELECT hi AS u, lo AS v FROM e0),
+l0 AS (SELECT DISTINCT u AS node, u AS lab FROM adj),
+c1 AS (SELECT a.u, l.lab AS nlab, count(*) AS c
+       FROM adj a JOIN l0 l ON a.v = l.node GROUP BY a.u, l.lab),
+l1 AS (SELECT u AS node, nlab AS lab FROM (
+         SELECT u, nlab, row_number() OVER (
+           PARTITION BY u ORDER BY c DESC, nlab ASC) AS rk FROM c1)
+       WHERE rk = 1),
+c2 AS (SELECT a.u, l.lab AS nlab, count(*) AS c
+       FROM adj a JOIN l1 l ON a.v = l.node GROUP BY a.u, l.lab),
+l2 AS (SELECT u AS node, nlab AS lab FROM (
+         SELECT u, nlab, row_number() OVER (
+           PARTITION BY u ORDER BY c DESC, nlab ASC) AS rk FROM c2)
+       WHERE rk = 1),
+c3 AS (SELECT a.u, l.lab AS nlab, count(*) AS c
+       FROM adj a JOIN l2 l ON a.v = l.node GROUP BY a.u, l.lab),
+l3 AS (SELECT u AS node, nlab AS lab FROM (
+         SELECT u, nlab, row_number() OVER (
+           PARTITION BY u ORDER BY c DESC, nlab ASC) AS rk FROM c3)
+       WHERE rk = 1)
+SELECT node, lab AS community FROM l3
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["asof_nearest_tolerance"] = q_asof_nearest_tolerance
     oracles["asof_nearest_tolerance"] = ORACLE_ASOF_NEAREST
@@ -814,3 +1084,9 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["emb_gram_matrix"] = ORACLE_GRAM
     queries["graph_random_walks"] = q_graph_random_walks
     oracles["graph_random_walks"] = ORACLE_RANDOM_WALKS
+    queries["stats_ks_test"] = q_stats_ks_test
+    oracles["stats_ks_test"] = ORACLE_KS_TEST
+    queries["stats_kendall_tau"] = q_stats_kendall_tau
+    oracles["stats_kendall_tau"] = ORACLE_KENDALL
+    queries["graph_label_propagation"] = q_graph_label_propagation
+    oracles["graph_label_propagation"] = ORACLE_LABEL_PROP

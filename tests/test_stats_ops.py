@@ -397,3 +397,99 @@ def test_concurrent_intervals_carries_month_start_plateau(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.max_open >= prev.eom_open  # plateau carried
         assert cur.max_open >= cur.eom_open
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch: KS two-sample, Kendall tau, label propagation
+# ---------------------------------------------------------------------------
+
+
+def _ks_reference(pairs):
+    """pairs = [(cents, is_urgent)] → (n1, n2, d_num, v_at_max)."""
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for v, is_a in pairs:
+        (ca if is_a else cb)[v] += 1
+    n1, n2 = sum(ca.values()), sum(cb.values())
+    cum_a = cum_b = 0
+    best, best_v = -1, None
+    for v in sorted(set(ca) | set(cb)):
+        cum_a += ca[v]
+        cum_b += cb[v]
+        d = abs(n2 * cum_a - n1 * cum_b)
+        if d > best:
+            best, best_v = d, v
+    return n1, n2, best, best_v
+
+
+def test_ks_test_matches_pure_python(spark):
+    import math
+
+    from db_migration_spark.catalog import load_table
+
+    rows = {r.c_mktsegment: r for r in QUERIES["stats_ks_test"](spark, SF).collect()}
+    assert rows
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, SF, "orders")
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_totalprice", "o_orderpriority").collect()
+    by_seg = {}
+    for r in joined:
+        by_seg.setdefault(r.c_mktsegment, []).append(
+            (math.floor(r.o_totalprice * 100), r.o_orderpriority == "1-URGENT")
+        )
+    for seg, pairs in by_seg.items():
+        n1, n2, d_num, v_at = _ks_reference(pairs)
+        r = rows[seg]
+        assert (r.n1, r.n2, r.d_num, r.v_at_max) == (n1, n2, d_num, v_at)
+        # D = d_num/(n1*n2) must lie in [0, 1]
+        assert 0 <= r.d_num <= r.n1 * r.n2
+
+
+def test_kendall_tau_pair_identities(spark):
+    r = QUERIES["stats_kendall_tau"](spark, SF).collect()[0]
+    # every unordered pair is classified exactly once
+    assert r.n_concordant + r.n_discordant + r.n_tied == r.n_pairs
+    assert r.tau_num == r.n_concordant - r.n_discordant
+    assert abs(r.tau_num) <= r.n_pairs
+    # 25 nations with 1995/1996 orders at this SF -> C(k,2) pairs
+    k = (1 + int((1 + 8 * r.n_pairs) ** 0.5)) // 2
+    assert r.n_pairs == k * (k - 1) // 2
+
+
+def _lpa_reference(edges, rounds=3):
+    """Sync LPA, most-frequent neighbor label, ties -> smallest label."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for lo, hi in edges:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, nbrs in adj.items():
+            cnt = defaultdict(int)
+            for u in nbrs:
+                cnt[lab[u]] += 1
+            nxt[v] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_pure_python(spark):
+    from db_migration_spark.queries_stats import _copurchase_edges
+
+    got = {
+        r.node: r.community
+        for r in QUERIES["graph_label_propagation"](spark, SF).collect()
+    }
+    edges = [
+        (r.lo, r.hi) for r in _copurchase_edges(spark, SF).collect()
+    ]
+    want = _lpa_reference(edges)
+    assert got == want
+    # communities shrink (or hold) vs the singleton start
+    assert len(set(got.values())) <= len(got)
