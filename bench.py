@@ -273,6 +273,7 @@ FULL_SUITE = [
     "stats_ks_test",
     "stats_kendall_tau",
     "graph_label_propagation",
+    "emb_kmeans_step",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -1057,6 +1057,93 @@ SELECT node, lab AS community FROM l3
 """
 
 
+def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means over the embedding corpus —
+    the clustering step behind SemDeDup / data-curation pipelines, as a
+    fully integer, hash-exact query.  k=8 seed centroids are the 8
+    lowest vec_ids (deterministic seeding); every vector is assigned to
+    the centroid minimizing the integer squared L2 distance over
+    milli-quantized coordinates (ties → lowest centroid id), and the
+    output is the EXACT Lloyd update in sufficient-statistics form: per
+    (cluster, dim) the member count and coordinate sum — 8×64 = 512
+    rows regardless of corpus size.
+
+    100 TB shape: the centroid table is k·d cells and rides as a
+    broadcast; per-vector cost is k·d multiply-adds inside one hash
+    aggregate (map-side combined); the only shuffles are the (vec_id,
+    cid) distance aggregate and the final 512-cell rollup.  Distances
+    are bounded by the coordinate DOMAIN (millis²·d), not the data
+    volume — no overflow at any corpus size (contrast the Kendall
+    lesson above)."""
+    from pyspark.sql import Window
+
+    q = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    cent = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "i", F.col("q").alias("cq")
+    )
+    dist = (
+        q.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    assign = (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    return (
+        q.join(assign, "vec_id")
+        .groupBy("cid", "i")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("q").alias("sum_q"),
+        )
+    )
+
+
+ORACLE_KMEANS_STEP = """
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings, idx
+),
+cent AS (SELECT vec_id AS cid, i, q AS cq FROM q WHERE vec_id < 8),
+dist AS (
+  SELECT q.vec_id, cent.cid,
+         CAST(sum((q.q - cent.cq) * (q.q - cent.cq)) AS BIGINT) AS d2
+  FROM q JOIN cent ON q.i = cent.i
+  GROUP BY q.vec_id, cent.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cid ASC) AS rk
+    FROM dist)
+  WHERE rk = 1
+)
+SELECT a.cid, q.i, count(*) AS n_members,
+       CAST(sum(q.q) AS BIGINT) AS sum_q
+FROM q JOIN assign a ON q.vec_id = a.vec_id
+GROUP BY a.cid, q.i
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["asof_nearest_tolerance"] = q_asof_nearest_tolerance
     oracles["asof_nearest_tolerance"] = ORACLE_ASOF_NEAREST
@@ -1090,3 +1177,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_kendall_tau"] = ORACLE_KENDALL
     queries["graph_label_propagation"] = q_graph_label_propagation
     oracles["graph_label_propagation"] = ORACLE_LABEL_PROP
+    queries["emb_kmeans_step"] = q_emb_kmeans_step
+    oracles["emb_kmeans_step"] = ORACLE_KMEANS_STEP

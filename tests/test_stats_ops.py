@@ -493,3 +493,34 @@ def test_label_propagation_matches_pure_python(spark):
     assert got == want
     # communities shrink (or hold) vs the singleton start
     assert len(set(got.values())) <= len(got)
+
+
+def test_kmeans_step_matches_pure_python(spark):
+    import math
+
+    from db_migration_spark.catalog import load_table
+
+    rows = QUERIES["emb_kmeans_step"](spark, SF).collect()
+    got = {(r.cid, r.i): (r.n_members, r.sum_q) for r in rows}
+    vecs = {
+        r.vec_id: [math.floor(float(x) * 1000 + 0.5) for x in r.embedding]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    cents = {cid: vecs[cid] for cid in range(8)}
+    want = {}
+    n_assigned = 0
+    for vid, q in vecs.items():
+        best = min(
+            cents,
+            key=lambda c: (
+                sum((a - b) ** 2 for a, b in zip(q, cents[c])),
+                c,
+            ),
+        )
+        n_assigned += 1
+        for i, v in enumerate(q):
+            n, s = want.get((best, i), (0, 0))
+            want[(best, i)] = (n + 1, s + v)
+    assert got == want
+    # every vector assigned exactly once: member counts at dim 0 sum to |corpus|
+    assert sum(n for (c, i), (n, _) in got.items() if i == 0) == n_assigned
