@@ -60,6 +60,18 @@ Round-4 extensions (same public-knowledge protocol surface):
 * **VACUUM** — ``vacuum(retain_versions=N)`` physically deletes file
   groups referenced only by versions older than the retention horizon;
   time travel inside the horizon is untouched, older reads raise.
+* **Deletion vectors** — ``delete_where(spark, predicate)`` deletes rows
+  WITHOUT rewriting any data file: the matching (file, row-position)
+  pairs are written as a small Parquet "deletion vector" group and the
+  commit records it; readers apply the DV as a position anti-join
+  against the scan's ``_metadata.file_path``/``_metadata.row_index``
+  columns (Spark's native row-position metadata — no physical column is
+  added to the data).  Delete cost is O(rows deleted), not O(table) —
+  the Delta deletion-vector / Iceberg positional-delete design.  A DV
+  dies with the groups it covers: any rewrite (overwrite / merge /
+  optimize) reads THROUGH the DVs and removes every covered group, so
+  the rewritten files carry no deleted rows and the replayed state
+  drops the DV.
 """
 
 from __future__ import annotations
@@ -178,15 +190,20 @@ class TxTable:
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self._versions()]
 
-    def _replay(self, upto: int) -> tuple[list[str], dict]:
-        """Replay commits 0..upto → (live groups, {group: zone-map stats}).
+    def _replay(self, upto: int) -> tuple[list[str], dict, list[dict]]:
+        """Replay commits 0..upto → (live groups, {group: zone-map
+        stats}, live deletion vectors).
 
         Starts from the newest checkpoint ≤ ``upto`` when one exists, so
         planning on a long-lived table is O(commits since checkpoint) —
         the Delta/Iceberg checkpoint read path — and falls back to a full
-        replay otherwise."""
+        replay otherwise.  A deletion vector stays live while ANY group
+        it covers is live; a rewrite commit that removes every covered
+        group retires it (the rewrite read through the DV, so the new
+        files already exclude the deleted rows)."""
         active: list[str] = []
         stats: dict = {}
+        dvs: list[dict] = []
         start = 0
         cps = [v for v in self._checkpoint_versions() if v <= upto]
         if cps:
@@ -196,6 +213,7 @@ class TxTable:
                 snap = json.load(fh)
             active = list(snap["active"])
             stats = dict(snap.get("stats", {}))
+            dvs = list(snap.get("dvs", []))
             start = cps[-1] + 1
         for v in self._versions():
             if v < start:
@@ -207,7 +225,11 @@ class TxTable:
             active = [g for g in active if g not in removed]
             active.extend(c.get("add", []))
             stats.update(c.get("stats", {}))
-        return active, {g: stats.get(g, {}) for g in active}
+            if c.get("dv"):
+                dvs.append(dict(c["dv"]))
+        live = set(active)
+        dvs = [d for d in dvs if live.intersection(d.get("covers", []))]
+        return active, {g: stats.get(g, {}) for g in active}, dvs
 
     def active_groups(self, version: int | None = None) -> list[str]:
         """Replay the log to ``version`` → the live data file groups."""
@@ -253,6 +275,7 @@ class TxTable:
         version: int,
         stats: dict | None = None,
         txn: tuple[str, int] | None = None,
+        dv: dict | None = None,
     ) -> int:
         commit = {
             "version": version,
@@ -265,6 +288,8 @@ class TxTable:
             commit["stats"] = stats
         if txn is not None:
             commit["txn"] = {"app": txn[0], "batch": int(txn[1])}
+        if dv is not None:
+            commit["dv"] = dv
         self._publish(version, commit)
         return version
 
@@ -450,13 +475,16 @@ class TxTable:
         same version writes identical content, so the loser just
         defers)."""
         v = self.latest_version() if version is None else version
-        active, stats = self._replay(v)
+        active, stats, dvs = self._replay(v)
         final = os.path.join(self.log_dir, f"{v:020d}.checkpoint.json")
         if os.path.exists(final):
             return v
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
-            json.dump({"version": v, "active": active, "stats": stats}, fh)
+            json.dump(
+                {"version": v, "active": active, "stats": stats, "dvs": dvs},
+                fh,
+            )
         try:
             os.link(tmp, final)
         except FileExistsError:
@@ -480,13 +508,15 @@ class TxTable:
         latest = self.latest_version()
         keep: set[str] = set()
         for v in range(max(0, latest - retain_versions), latest + 1):
-            keep.update(self._replay(v)[0])
+            active, _stats, dvs = self._replay(v)
+            keep.update(active)
+            keep.update(d["group"] for d in dvs)
         now = time.time()
         deleted = []
         for g in sorted(os.listdir(self.data_dir)):
             path = os.path.join(self.data_dir, g)
             if (
-                g.startswith("g-")
+                (g.startswith("g-") or g.startswith("dv-"))
                 and g not in keep
                 and now - os.path.getmtime(path) >= min_age_seconds
             ):
@@ -499,13 +529,106 @@ class TxTable:
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot (optionally time-travel) read: log replay → explicit
         file-group list → one multi-path Parquet scan.  Never lists
-        ``data/``, so uncommitted writers are invisible."""
-        groups = self.active_groups(version)
+        ``data/``, so uncommitted writers are invisible.  Live deletion
+        vectors are applied as a position anti-join; a table with no DVs
+        pays nothing (the plain scan, no metadata columns)."""
+        upto = self.latest_version() if version is None else version
+        groups, _stats, dvs = self._replay(upto)
         if not groups:
             raise ValueError(f"table at {self.root} is empty at v{version}")
-        return spark.read.parquet(
+        df = spark.read.parquet(
             *[os.path.join(self.data_dir, g) for g in groups]
         )
+        return self._apply_dvs(spark, df, dvs)
+
+    def _apply_dvs(
+        self, spark: SparkSession, df: DataFrame, dvs: list[dict]
+    ) -> DataFrame:
+        """Subtract deletion-vector positions from a scan of this
+        table's files: anti-join on (``_metadata.file_path``,
+        ``_metadata.row_index``) — Spark's native row-position metadata,
+        generated inside the scan, so no physical column is read or
+        stored.  The DV side is the union of the live positional-delete
+        files (O(rows deleted)); AQE broadcasts it when small.  No-op
+        when ``dvs`` is empty."""
+        from pyspark.sql import functions as F
+
+        if not dvs:
+            return df
+        pos = spark.read.parquet(
+            *[os.path.join(self.data_dir, d["group"]) for d in dvs]
+        )
+        tagged = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        return (
+            tagged.join(
+                pos,
+                (tagged["__fp"] == pos["file_path"])
+                & (tagged["__ri"] == pos["row_index"]),
+                "left_anti",
+            )
+            .drop("__fp", "__ri")
+        )
+
+    def delete_where(
+        self, spark: SparkSession, predicate, max_retries: int = 5
+    ) -> int:
+        """Row-level DELETE without rewriting a single data file: the
+        matching rows' (file, row-position) pairs are written once as a
+        small Parquet deletion-vector group and committed; every reader
+        from then on applies the positions as an anti-join.  Cost is
+        O(rows deleted) — at 100 TB a targeted delete (GDPR erasure, a
+        bad-batch retraction) touches KBs of DV, not the table.
+
+        ``predicate`` is a Column (or SQL string) over the table schema.
+        Rows already deleted by live DVs are excluded from the new DV
+        (positions never duplicate).  Serializable via the same
+        optimistic loop as every other writer: a conflicting commit
+        advances the snapshot and the positions are recomputed against
+        it.  A predicate matching nothing commits nothing and returns
+        the read version."""
+        import pyarrow.parquet as _pq
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries):
+            read_v = self.latest_version()
+            if read_v < 0:
+                raise ValueError("cannot delete from an empty table")
+            active, _stats, dvs = self._replay(read_v)
+            scan = spark.read.parquet(
+                *[os.path.join(self.data_dir, g) for g in active]
+            )
+            matched = self._apply_dvs(spark, scan, dvs).filter(predicate)
+            pos = matched.select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").cast("long").alias("row_index"),
+            )
+            group = f"dv-{uuid.uuid4().hex}"
+            path = os.path.join(self.data_dir, group)
+            pos.write.mode("errorifexists").parquet(path)
+            n = sum(
+                _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if n == 0:  # nothing matched — no commit, no new version
+                shutil.rmtree(path, ignore_errors=True)
+                return read_v
+            try:
+                return self._try_commit(
+                    "delete",
+                    [],
+                    [],
+                    read_v + 1,
+                    dv={"group": group, "covers": active},
+                )
+            except CommitConflict:
+                shutil.rmtree(path, ignore_errors=True)
+                continue  # re-read the advanced snapshot, recompute
+        raise CommitConflict(f"delete lost {max_retries} races")
 
     def prune_groups(
         self,
@@ -521,7 +644,7 @@ class TxTable:
         column always survive — pruning is an optimization, never a
         filter."""
         upto = self.latest_version() if version is None else version
-        active, stats = self._replay(upto)
+        active, stats, _dvs = self._replay(upto)
         lo_n, hi_n = _stat_scalar(lo), _stat_scalar(hi)
         picked = []
         for g in active:
@@ -551,7 +674,11 @@ class TxTable:
         contribute their rows as inserts; rewrite commits (overwrite /
         merge / optimize) contribute their REWRITTEN state under their
         op label — consumers that need row-level diffs of rewrites
-        compare snapshots (store_diff is that operator)."""
+        compare snapshots (store_diff is that operator).  Deletion-
+        vector commits contribute the DELETED rows (the positions
+        semi-joined back against the covered files) tagged
+        ``_change_op='delete'`` — row-level CDF for deletes, exactly
+        what Delta's DV-aware change feed emits."""
         from pyspark.sql import functions as F
 
         upto = self.latest_version() if to_version is None else to_version
@@ -565,6 +692,33 @@ class TxTable:
                     spark.read.parquet(os.path.join(self.data_dir, g))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                     .withColumn("_change_op", F.lit(c.get("op", "append")))
+                )
+            if c.get("dv"):
+                d = c["dv"]
+                covered = spark.read.parquet(
+                    *[
+                        os.path.join(self.data_dir, g)
+                        for g in d.get("covers", [])
+                    ]
+                )
+                pos = spark.read.parquet(
+                    os.path.join(self.data_dir, d["group"])
+                )
+                tagged = covered.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
+                parts.append(
+                    tagged.join(
+                        pos,
+                        (tagged["__fp"] == pos["file_path"])
+                        & (tagged["__ri"] == pos["row_index"]),
+                        "left_semi",
+                    )
+                    .drop("__fp", "__ri")
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn("_change_op", F.lit("delete"))
                 )
         if not parts:
             raise ValueError(
@@ -598,6 +752,8 @@ class TxTable:
         df = spark.read.parquet(
             *[os.path.join(self.data_dir, g) for g in groups]
         )
+        upto = self.latest_version() if version is None else version
+        df = self._apply_dvs(spark, df, self._replay(upto)[2])
         if lo is not None:
             df = df.filter(F.col(column) >= F.lit(lo))
         if hi is not None:

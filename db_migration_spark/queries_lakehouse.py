@@ -415,6 +415,108 @@ GROUP BY s.prio, v.ver
 """
 
 
+# ---------------------------------------------------------------------------
+# deletion vectors (row-level DELETE without file rewrite)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_dv_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Two append commits over ``orders`` (split on ``okey % 2``), then a
+    row-level DELETE of the urgent ``okey % 10 < 3`` slice via a
+    positional deletion vector — no data file rewritten.  The builder
+    asserts the no-rewrite invariant (data-group set unchanged) so a
+    regression to copy-on-write delete fails the build, not just perf."""
+    root = _fx(sf_dir, "txlog_dv_orders_v1")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    for i in range(2):
+        t.commit_append(orders.filter(F.col("okey") % 2 == i))
+    pre_groups = set(t.active_groups())
+    t.delete_where(
+        spark,
+        (F.col("prio") == "1-URGENT") & (F.col("okey") % 10 < 3),
+    )
+    assert set(t.active_groups()) == pre_groups, (
+        "DV delete must not rewrite or add data groups"
+    )
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via positional deletion vectors (plans/txlog.py
+    ``delete_where``): the matching (file, row_index) pairs — harvested
+    from Spark's native ``_metadata`` row-position columns inside the
+    scan — are committed as a small DV group; readers subtract them with
+    an anti-join and NO data file is rewritten (the builder asserts the
+    active data-group set is unchanged).  The declared result aggregates
+    three views per priority: the time-traveled PRE-delete snapshot, the
+    POST-delete state, and the change feed's row-level ``delete``
+    entries (``read_changes`` semi-joins the DV positions back against
+    the covered files).  The oracle recomputes all three from ``orders``
+    with the delete predicate applied in SQL.
+
+    At 100 TB this is the GDPR-erasure / bad-batch-retraction path: the
+    delete touches KBs of DV parquet instead of rewriting terabytes, the
+    Delta deletion-vector / Iceberg positional-delete design; a later
+    OPTIMIZE reads through the DVs and retires them
+    (test_txlog.py::test_rewrite_reads_through_dv_and_retires_it)."""
+    t = _ensure_dv_store(spark, sf_dir)
+    pre_v = 1  # version before the delete commit (v2), by construction
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("prio").agg(
+            F.lit(snap).alias("snap"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    return (
+        agg(t.read(spark, version=pre_v), "pre")
+        .unionByName(agg(t.read(spark), "post"))
+        .unionByName(
+            agg(
+                t.read_changes(spark, from_version=pre_v).filter(
+                    F.col("_change_op") == "delete"
+                ),
+                "cdf_delete",
+            )
+        )
+    )
+
+
+ORACLE_DELETE_VECTORS = """
+WITH src AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT prio, 'pre' AS snap, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM src GROUP BY prio
+UNION ALL
+SELECT prio, 'post', count(*), CAST(sum(cents) AS BIGINT)
+FROM src WHERE NOT (prio = '1-URGENT' AND okey % 10 < 3)
+GROUP BY prio
+UNION ALL
+SELECT prio, 'cdf_delete', count(*), CAST(sum(cents) AS BIGINT)
+FROM src WHERE prio = '1-URGENT' AND okey % 10 < 3
+GROUP BY prio
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -426,3 +528,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_cdf_read"] = ORACLE_CDF
     queries["txlog_stream_source"] = q_txlog_stream_source
     oracles["txlog_stream_source"] = ORACLE_TXLOG_STREAM
+    queries["txlog_delete_vectors"] = q_txlog_delete_vectors
+    oracles["txlog_delete_vectors"] = ORACLE_DELETE_VECTORS

@@ -192,7 +192,7 @@ def test_checkpoint_replay_equivalence(spark, tmp_path):
     assert cp_v == t.latest_version()
     # post-checkpoint commits replay on top of the checkpoint
     t.commit_append(_df(spark, 900, 905))
-    active2, stats2 = t._replay(t.latest_version())
+    active2, stats2, _dvs2 = t._replay(t.latest_version())
     assert active2[: len(full_active)] == full_active
     assert all(stats2[g] == full_stats[g] for g in full_active)
     assert t.read(spark).count() == 15
@@ -216,3 +216,136 @@ def test_vacuum_retention(spark, tmp_path):
     # an in-flight (young, uncommitted) group is never vacuumed
     t._write_group(_df(spark, 900, 910))
     assert t.vacuum(retain_versions=0, min_age_seconds=3600) == []
+
+
+# -- deletion vectors ---------------------------------------------------------
+
+
+def test_delete_where_no_rewrite(spark, tmp_path):
+    """DELETE commits a positional deletion vector; no data file is
+    rewritten (the original groups stay byte-identical on disk) yet every
+    reader sees the rows gone, and time travel before the delete still
+    sees them."""
+    import os
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 100))   # v0
+    t.commit_append(_df(spark, 100, 150))  # v1
+    data_groups = sorted(
+        g for g in os.listdir(t.data_dir) if g.startswith("g-")
+    )
+    mtimes = {
+        g: os.path.getmtime(os.path.join(t.data_dir, g)) for g in data_groups
+    }
+    v = t.delete_where(spark, F.col("k") % 10 == 0)  # 15 rows
+    assert v == 2
+    assert t.read(spark).count() == 135
+    assert t.read(spark).filter(F.col("k") % 10 == 0).count() == 0
+    # no data group was touched — delete cost is O(rows deleted)
+    after = {
+        g: os.path.getmtime(os.path.join(t.data_dir, g)) for g in data_groups
+    }
+    assert after == mtimes
+    # time travel to the pre-delete snapshot still sees every row
+    assert t.read(spark, version=1).count() == 150
+    assert t.history()[-1]["op"] == "delete"
+
+
+def test_delete_where_nothing_matched_commits_nothing(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    v = t.delete_where(spark, F.col("k") > 999)
+    assert v == 0  # the read version — no new commit
+    assert t.latest_version() == 0
+    assert t.read(spark).count() == 10
+
+
+def test_delete_twice_positions_never_duplicate(spark, tmp_path):
+    """A second delete whose predicate overlaps already-deleted rows
+    writes only the NEW positions; re-deleting exactly the same rows is
+    a no-op (no commit)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 20))
+    t.delete_where(spark, F.col("k") < 5)
+    assert t.read(spark).count() == 15
+    # same predicate again: every match is already DV'd → no commit
+    v = t.delete_where(spark, F.col("k") < 5)
+    assert v == t.latest_version() == 1
+    # overlapping wider predicate: only k in [5,10) adds positions
+    t.delete_where(spark, F.col("k") < 10)
+    assert t.read(spark).count() == 10
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(10, 20))
+
+
+def test_rewrite_reads_through_dv_and_retires_it(spark, tmp_path):
+    """optimize/merge read THROUGH live DVs, so rewritten files carry no
+    deleted rows and the replayed state drops the DV (covered groups all
+    removed)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 50))
+    t.delete_where(spark, F.col("k") >= 40)
+    assert t._replay(t.latest_version())[2] != []
+    t.optimize(spark, target_groups=1)
+    # deleted rows stay gone, and no DV is live any more
+    assert t.read(spark).count() == 40
+    assert t._replay(t.latest_version())[2] == []
+    # the pre-optimize DV'd snapshot still time-travels correctly
+    assert t.read(spark, version=1).count() == 40
+    assert t.read(spark, version=0).count() == 50
+
+
+def test_delete_cdf_emits_row_level_deletes(spark, tmp_path):
+    """The change feed surfaces a DV commit as the DELETED rows tagged
+    _change_op='delete' — row-level CDF without any file rewrite."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))          # v0
+    t.delete_where(spark, F.col("k").isin(3, 7))  # v1
+    ch = t.read_changes(spark, from_version=0)
+    rows = sorted(
+        (r.k, r._change_op, r._commit_version) for r in ch.collect()
+    )
+    assert rows == [(3, "delete", 1), (7, "delete", 1)]
+
+
+def test_pruned_read_applies_dv(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 100))
+    t.commit_append(_df(spark, 100, 200))
+    t.delete_where(spark, F.col("k") == 150)
+    got = t.read_pruned(spark, "k", lo=140, hi=160)
+    assert sorted(r.k for r in got.collect()) == [
+        k for k in range(140, 161) if k != 150
+    ]
+
+
+def test_checkpoint_carries_dvs(spark, tmp_path):
+    """A checkpoint taken after a delete must persist the live DV list —
+    replay-from-checkpoint still subtracts the deleted rows."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 30))
+    t.delete_where(spark, F.col("k") < 10)
+    t.checkpoint()
+    t.commit_append(_df(spark, 100, 105))  # replay starts AT the checkpoint
+    assert t.read(spark).count() == 25
+    assert len(t._replay(t.latest_version())[2]) == 1
+
+
+def test_vacuum_keeps_live_dv_groups(spark, tmp_path):
+    """vacuum must treat a live DV group as referenced (deleting it would
+    resurrect rows); a RETIRED DV (all covered groups rewritten) outside
+    the horizon is collectable."""
+    import os
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 50))        # v0
+    t.delete_where(spark, F.col("k") < 5)     # v1 — DV live
+    deleted = t.vacuum(retain_versions=0, min_age_seconds=0.0)
+    assert deleted == []
+    assert t.read(spark).count() == 45
+    t.optimize(spark, target_groups=1)        # v2 — DV retires
+    deleted = t.vacuum(retain_versions=0, min_age_seconds=0.0)
+    assert any(g.startswith("dv-") for g in deleted)
+    assert t.read(spark).count() == 45
+    assert not any(
+        g.startswith("dv-") for g in os.listdir(t.data_dir)
+    )
