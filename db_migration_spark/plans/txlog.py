@@ -72,6 +72,14 @@ Round-4 extensions (same public-knowledge protocol surface):
   optimize) reads THROUGH the DVs and removes every covered group, so
   the rewritten files carry no deleted rows and the replayed state
   drops the DV.
+* **Merge-on-read UPDATE / MERGE INTO** — ``update_where(spark,
+  predicate, assignments)`` and ``merge_into(spark, source, key_cols)``
+  publish ONE atomic commit carrying both a deletion vector (masking
+  the old row versions in place) and an appended delta group (the new
+  row versions / inserts).  No existing data file is rewritten — cost
+  is O(rows changed + |source|), the Iceberg merge-on-read v2 / Delta
+  DV-update write path; a later OPTIMIZE majors the deltas back into
+  clustered files and retires the DVs.
 """
 
 from __future__ import annotations
@@ -573,6 +581,48 @@ class TxTable:
             .drop("__fp", "__ri")
         )
 
+    @staticmethod
+    def _positions(matched: DataFrame) -> DataFrame:
+        """(file, row-position) pairs of ``matched`` via Spark's native
+        ``_metadata`` scan columns.  Must be called on a frame whose
+        plan still resolves ``_metadata`` (projections/filters over the
+        scan — a USING-join output does not; tag before joining)."""
+        from pyspark.sql import functions as F
+
+        return matched.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").cast("long").alias("row_index"),
+        )
+
+    def _write_dv(self, pos: DataFrame) -> tuple[str, int, list[str]]:
+        """Write a (file_path, row_index) positions frame as a deletion-
+        vector group; return (group, n_positions, covered data groups).
+
+        Coverage is PRECISE — only the groups that actually contain a
+        masked position — so CDF pre-image reads touch just those files
+        and the DV retires as soon as ITS files are rewritten, not when
+        the whole table is."""
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        group = f"dv-{uuid.uuid4().hex}"
+        path = os.path.join(self.data_dir, group)
+        pos.write.mode("errorifexists").parquet(path)
+        n = 0
+        covered: set[str] = set()
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            tbl = _pq.read_table(
+                os.path.join(path, f), columns=["file_path"]
+            )
+            n += tbl.num_rows
+            for uri in _pc.unique(tbl.column("file_path")).to_pylist():
+                # files live directly inside their group directory:
+                # .../data/<group>/<part-file>
+                covered.add(uri.rstrip("/").rsplit("/", 2)[-2])
+        return group, n, sorted(covered)
+
     def delete_where(
         self, spark: SparkSession, predicate, max_retries: int = 5
     ) -> int:
@@ -590,9 +640,6 @@ class TxTable:
         advances the snapshot and the positions are recomputed against
         it.  A predicate matching nothing commits nothing and returns
         the read version."""
-        import pyarrow.parquet as _pq
-        from pyspark.sql import functions as F
-
         for _ in range(max_retries):
             read_v = self.latest_version()
             if read_v < 0:
@@ -602,18 +649,8 @@ class TxTable:
                 *[os.path.join(self.data_dir, g) for g in active]
             )
             matched = self._apply_dvs(spark, scan, dvs).filter(predicate)
-            pos = matched.select(
-                F.col("_metadata.file_path").alias("file_path"),
-                F.col("_metadata.row_index").cast("long").alias("row_index"),
-            )
-            group = f"dv-{uuid.uuid4().hex}"
+            group, n, covered = self._write_dv(self._positions(matched))
             path = os.path.join(self.data_dir, group)
-            pos.write.mode("errorifexists").parquet(path)
-            n = sum(
-                _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
             if n == 0:  # nothing matched — no commit, no new version
                 shutil.rmtree(path, ignore_errors=True)
                 return read_v
@@ -623,12 +660,177 @@ class TxTable:
                     [],
                     [],
                     read_v + 1,
-                    dv={"group": group, "covers": active},
+                    dv={"group": group, "covers": covered},
                 )
             except CommitConflict:
                 shutil.rmtree(path, ignore_errors=True)
                 continue  # re-read the advanced snapshot, recompute
         raise CommitConflict(f"delete lost {max_retries} races")
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        assignments: dict,
+        max_retries: int = 5,
+    ) -> int:
+        """Row-level UPDATE, merge-on-read: ONE atomic commit carries a
+        deletion vector masking the matched rows in place AND an
+        appended delta group holding their updated versions — no
+        existing data file is rewritten, cost is O(rows updated).
+        ``assignments`` maps column name → Column expression evaluated
+        over the pre-update row (unassigned columns carry through).
+        Readers see old XOR new atomically: both the DV and the delta
+        become visible in the same log entry.  Nothing matched → no
+        commit.  The Iceberg merge-on-read v2 UPDATE write path."""
+        from pyspark.sql import functions as F
+
+        unknown = set(assignments) - set(self.read_schema_columns(spark))
+        if unknown:
+            raise ValueError(f"unknown update columns: {sorted(unknown)}")
+        for _ in range(max_retries):
+            read_v = self.latest_version()
+            if read_v < 0:
+                raise ValueError("cannot update an empty table")
+            active, _stats, dvs = self._replay(read_v)
+            scan = spark.read.parquet(
+                *[os.path.join(self.data_dir, g) for g in active]
+            )
+            matched = self._apply_dvs(spark, scan, dvs).filter(predicate)
+            dv_group, n, covered = self._write_dv(self._positions(matched))
+            dv_path = os.path.join(self.data_dir, dv_group)
+            if n == 0:
+                shutil.rmtree(dv_path, ignore_errors=True)
+                return read_v
+            updated = matched.select(
+                *[
+                    (
+                        assignments[c].alias(c)
+                        if c in assignments
+                        else F.col(c)
+                    )
+                    for c in scan.columns
+                ]
+            )
+            group, gstats = self._write_group(updated)
+            try:
+                return self._try_commit(
+                    "update",
+                    [group],
+                    [],
+                    read_v + 1,
+                    stats={group: gstats},
+                    dv={"group": dv_group, "covers": covered},
+                )
+            except CommitConflict:
+                shutil.rmtree(dv_path, ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(self.data_dir, group), ignore_errors=True
+                )
+                continue
+        raise CommitConflict(f"update lost {max_retries} races")
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols,
+        insert: bool = True,
+        max_retries: int = 5,
+    ) -> int:
+        """MERGE INTO, merge-on-read (whenMatchedUpdateAll /
+        whenNotMatchedInsertAll): matched target rows are masked by a
+        deletion vector and the WHOLE source lands as one appended delta
+        group — new versions for the matched keys, inserts for the rest
+        (``insert=False`` restricts the delta to matched keys only).
+        One atomic commit, no data file rewritten: cost is
+        O(|source| + rows matched), never O(table) — the upsert path a
+        1000-executor CDC ingest needs against a 100 TB table.  The
+        source must be unique on ``key_cols`` (checked — a duplicate
+        would commit two live versions of one key, the same error Delta
+        MERGE raises on multiple source matches)."""
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        for _ in range(max_retries):
+            read_v = self.latest_version()
+            if read_v < 0:
+                raise ValueError("cannot merge into an empty table")
+            active, _stats, dvs = self._replay(read_v)
+            scan = spark.read.parquet(
+                *[os.path.join(self.data_dir, g) for g in active]
+            )
+            src = source.select(*scan.columns)  # target schema + order
+            if src.groupBy(*keys).count().where("count > 1").take(1):
+                raise ValueError(
+                    f"merge source is not unique on {keys}"
+                )
+            live = self._apply_dvs(spark, scan, dvs)
+            # tag positions BEFORE the semi-join: a USING-join output no
+            # longer resolves the _metadata pseudo-column
+            from pyspark.sql import functions as F
+
+            tagged = live.select(
+                *keys,
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").cast("long").alias("row_index"),
+            )
+            hit = tagged.join(
+                src.select(*keys).distinct(), on=keys, how="left_semi"
+            ).select("file_path", "row_index")
+            dv_group, n_masked, covered = self._write_dv(hit)
+            dv_path = os.path.join(self.data_dir, dv_group)
+            delta = (
+                src
+                if insert
+                else src.join(
+                    live.select(*keys).distinct(), on=keys, how="left_semi"
+                )
+            )
+            group, gstats = self._write_group(delta)
+            import pyarrow.parquet as _pq
+
+            gpath = os.path.join(self.data_dir, group)
+            n_delta = sum(
+                _pq.ParquetFile(os.path.join(gpath, f)).metadata.num_rows
+                for f in os.listdir(gpath)
+                if f.endswith(".parquet")
+            )
+            if n_masked == 0 and n_delta == 0:  # provable no-op
+                shutil.rmtree(dv_path, ignore_errors=True)
+                shutil.rmtree(gpath, ignore_errors=True)
+                return read_v
+            if n_delta == 0:  # delete-only merge — drop the empty group
+                shutil.rmtree(gpath, ignore_errors=True)
+            if n_masked == 0:
+                shutil.rmtree(dv_path, ignore_errors=True)
+            try:
+                return self._try_commit(
+                    "merge_into",
+                    [group] if n_delta else [],
+                    [],
+                    read_v + 1,
+                    stats={group: gstats} if n_delta else None,
+                    dv=(
+                        {"group": dv_group, "covers": covered}
+                        if n_masked
+                        else None
+                    ),
+                )
+            except CommitConflict:
+                shutil.rmtree(dv_path, ignore_errors=True)
+                shutil.rmtree(gpath, ignore_errors=True)
+                continue
+        raise CommitConflict(f"merge_into lost {max_retries} races")
+
+    def read_schema_columns(self, spark: SparkSession) -> list[str]:
+        """Column names of the current table schema (from the live
+        groups' parquet footers — no data read)."""
+        v = self.latest_version()
+        if v < 0:
+            return []
+        active = self._replay(v)[0]
+        return spark.read.parquet(
+            os.path.join(self.data_dir, active[0])
+        ).columns
 
     def prune_groups(
         self,

@@ -517,6 +517,113 @@ GROUP BY prio
 """
 
 
+# ---------------------------------------------------------------------------
+# merge-on-read UPDATE + MERGE INTO
+# ---------------------------------------------------------------------------
+
+
+def _ensure_mor_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """orders in two append groups, then an UPDATE (cents += 7 on the
+    ``okey % 13`` slice) and a MERGE (source = the ``okey % 5`` slice
+    re-priced +1,000,000 from the ORIGINAL values, plus new keys
+    ``okey + 100000000`` for the ``okey % 17`` slice).  Both are
+    merge-on-read commits: the builder asserts the two original data
+    groups are STILL ACTIVE afterwards — neither DML rewrote a file."""
+    root = _fx(sf_dir, "txlog_mor_orders_v1")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    for i in range(2):
+        t.commit_append(orders.filter(F.col("okey") % 2 == i))
+    base_groups = set(t.active_groups())
+    t.update_where(
+        spark, F.col("okey") % 13 == 0, {"cents": F.col("cents") + 7}
+    )
+    source = (
+        orders.filter(F.col("okey") % 5 == 0)
+        .withColumn("cents", F.col("cents") + 1_000_000)
+        .unionByName(
+            orders.filter(F.col("okey") % 17 == 0).select(
+                (F.col("okey") + 100_000_000).alias("okey"),
+                "prio",
+                (F.col("cents") + 13).alias("cents"),
+            )
+        )
+    )
+    t.merge_into(spark, source, "okey")
+    assert base_groups <= set(t.active_groups()), (
+        "merge-on-read DML must not rewrite or remove data groups"
+    )
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE + MERGE INTO (plans/txlog.py ``update_where``
+    / ``merge_into``): each DML publishes ONE atomic commit carrying a
+    positional deletion vector (masking the old row versions) plus an
+    appended delta group (the new versions / inserts) — the two original
+    data groups are never rewritten (builder-asserted).  Declared result
+    = per-priority aggregate of the final state next to the time-traveled
+    pre-DML snapshot; the oracle replays both DMLs in SQL: the merge
+    source is built from ORIGINAL values, so update-then-merge precedence
+    is exactly the CASE order (``%5`` wins over ``%13``), plus the
+    inserted ``+100000000`` key range.
+
+    At 100 TB this is the CDC-upsert path: cost O(|source| + matched),
+    readers pay one broadcast anti-join against the DV positions, and a
+    later OPTIMIZE majors the deltas back into clustered files
+    (test_txlog.py::test_merge_into_chains_with_delete_and_optimize)."""
+    t = _ensure_mor_store(spark, sf_dir)
+    pre_v = 1  # last append before the two DML commits, by construction
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.groupBy("prio").agg(
+            F.lit(snap).alias("snap"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    return agg(t.read(spark, version=pre_v), "pre").unionByName(
+        agg(t.read(spark), "post")
+    )
+
+
+ORACLE_MERGE_ON_READ = """
+WITH src AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  SELECT okey, prio,
+         CASE WHEN okey % 5 = 0 THEN cents + 1000000
+              WHEN okey % 13 = 0 THEN cents + 7
+              ELSE cents END AS cents
+  FROM src
+  UNION ALL
+  SELECT okey + 100000000, prio, cents + 13 FROM src WHERE okey % 17 = 0
+)
+SELECT prio, 'pre' AS snap, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM src GROUP BY prio
+UNION ALL
+SELECT prio, 'post', count(*), CAST(sum(cents) AS BIGINT)
+FROM final GROUP BY prio
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -530,3 +637,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_stream_source"] = ORACLE_TXLOG_STREAM
     queries["txlog_delete_vectors"] = q_txlog_delete_vectors
     oracles["txlog_delete_vectors"] = ORACLE_DELETE_VECTORS
+    queries["txlog_merge_on_read"] = q_txlog_merge_on_read
+    oracles["txlog_merge_on_read"] = ORACLE_MERGE_ON_READ

@@ -349,3 +349,128 @@ def test_vacuum_keeps_live_dv_groups(spark, tmp_path):
     assert not any(
         g.startswith("dv-") for g in os.listdir(t.data_dir)
     )
+
+
+# -- merge-on-read UPDATE / MERGE INTO ---------------------------------------
+
+
+def test_update_where_merge_on_read(spark, tmp_path):
+    """UPDATE = one atomic commit of DV + delta group: values change,
+    untouched rows carry through, no data file is rewritten, and the
+    pre-update snapshot time-travels."""
+    import os
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 50))
+    pre_groups = set(
+        g for g in os.listdir(t.data_dir) if g.startswith("g-")
+    )
+    v = t.update_where(
+        spark, F.col("k") % 10 == 0, {"v": F.col("v") + 1000}
+    )
+    assert v == 1
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(got) == 50  # no row lost or duplicated
+    for k in range(50):
+        assert got[k] == k * 2 + (1000 if k % 10 == 0 else 0)
+    # the original data group was not rewritten — only a DV + delta added
+    assert pre_groups <= set(os.listdir(t.data_dir))
+    assert t.history()[-1]["op"] == "update"
+    # old values still time-travel
+    pre = {r.k: r.v for r in t.read(spark, version=0).collect()}
+    assert pre[0] == 0 and pre[10] == 20
+
+
+def test_update_where_validates_columns_and_noop(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    with pytest.raises(ValueError):
+        t.update_where(spark, F.col("k") >= 0, {"nope": F.lit(1)})
+    v = t.update_where(spark, F.col("k") > 999, {"v": F.lit(0)})
+    assert v == 0 and t.latest_version() == 0  # nothing matched → no commit
+
+
+def test_update_is_atomic_in_cdf(spark, tmp_path):
+    """The change feed shows an update commit as delete(pre-image) +
+    update(post-image) rows under ONE commit version."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    t.update_where(spark, F.col("k") == 3, {"v": F.lit(-1)})
+    ch = t.read_changes(spark, from_version=0)
+    rows = sorted((r._change_op, r.k, r.v) for r in ch.collect())
+    assert rows == [("delete", 3, 6), ("update", 3, -1)]
+    assert {r._commit_version for r in ch.collect()} == {1}
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    """MERGE = upsert: matched keys take the source version, unmatched
+    source rows insert, untouched target rows carry through — and the
+    untouched data files are not rewritten."""
+    import os
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))   # k 0..9, v = 2k
+    pre_groups = set(
+        g for g in os.listdir(t.data_dir) if g.startswith("g-")
+    )
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"), F.lit(999).alias("v")
+    )
+    v = t.merge_into(spark, src, "k")
+    assert v == 1
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(got) == 15
+    for k in range(5):
+        assert got[k] == k * 2       # untouched
+    for k in range(5, 15):
+        assert got[k] == 999         # updated (5..9) + inserted (10..14)
+    assert pre_groups <= set(os.listdir(t.data_dir))
+    assert t.history()[-1]["op"] == "merge_into"
+    assert t.read(spark, version=0).count() == 10  # time travel
+
+
+def test_merge_into_no_insert_and_duplicate_source(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"), F.lit(999).alias("v")
+    )
+    t.merge_into(spark, src, "k", insert=False)
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(got) == 10  # no inserts
+    assert got[7] == 999 and got[2] == 4
+    # duplicate source keys must be rejected, not silently doubled
+    dup = src.unionAll(src.filter(F.col("k") == 6))
+    with pytest.raises(ValueError, match="not unique"):
+        t.merge_into(spark, dup, "k")
+
+
+def test_merge_into_chains_with_delete_and_optimize(spark, tmp_path):
+    """Interleaved DML: delete → merge → update → optimize keeps exact
+    content; optimize retires every DV."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 20))
+    t.delete_where(spark, F.col("k") < 3)                      # 17 left
+    src = spark.range(18, 25).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    t.merge_into(spark, src, "k")                              # 22 rows
+    t.update_where(spark, F.col("k") == 5, {"v": F.lit(50)})
+    expect = {k: (0 if 18 <= k else 50 if k == 5 else k * 2)
+              for k in range(3, 25)}
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == expect
+    t.optimize(spark, target_groups=1)
+    assert {r.k: r.v for r in t.read(spark).collect()} == expect
+    assert t._replay(t.latest_version())[2] == []  # all DVs retired
+
+
+def test_dv_precise_covers_limits_cdf_scan(spark, tmp_path):
+    """The DV records only the data groups that actually hold masked
+    positions — a delete touching one group must not list the other."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))     # group A: k 0..9
+    t.commit_append(_df(spark, 100, 110))  # group B: k 100..109
+    t.delete_where(spark, F.col("k") == 5)
+    dvs = t._replay(t.latest_version())[2]
+    assert len(dvs) == 1 and len(dvs[0]["covers"]) == 1
