@@ -3746,6 +3746,11 @@ from .queries_round4 import register as _register_round4  # noqa: E402
 
 _register_round4(QUERIES, ORACLES)
 
+# data governance: k-anonymity suppression audit, l-diversity histogram
+from .queries_governance import register as _register_governance  # noqa: E402
+
+_register_governance(QUERIES, ORACLES)
+
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (Spark-native columnar alternative to Parquet —

@@ -1,0 +1,134 @@
+"""Declared data-governance queries (operators/governance.py) under the
+exact DuckDB gate.
+
+``privacy_k_anonymity`` — customer quasi-identifiers generalized to
+(nation, account-balance bin of 500), k = 4: every
+row is tagged kept/suppressed by its QI-group size and the declared
+result aggregates rows, exact cents, and DISTINCT QI-group counts per
+(market segment, status).  The oracle replays the identical window-free
+semantics with a grouped subquery.
+
+``privacy_l_diversity`` — same QI groups, sensitive attribute = market
+segment: the audit histogram "how many QI groups have exactly d distinct
+sensitive values", split by whether the group also meets k ≥ 4.  A
+release standard (say k ≥ 4 AND l ≥ 2) is a filter over this result.
+
+Both are one-shuffle plans (groupBy partial agg + equi-join / single
+hash aggregate); the generalization itself is pure codegen projection —
+see the operator module docstring for the 100 TB rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import governance as G
+
+_K = 4
+
+
+def _generalized_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.col("c_acctbal").alias("bal"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return G.generalize(
+        cust,
+        {"bal": F.floor(F.col("bal") / 500).cast("long")},
+    )
+
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression audit (operators/governance.py
+    ``k_anonymize``): per (segment, kept/suppressed) — row count, exact
+    balance cents, and the number of distinct QI groups.  The QI key is
+    string-encoded with a reserved separator for the distinct count so
+    both engines count identical group identities."""
+    gen = _generalized_customer(spark, sf_dir)
+    tagged = G.k_anonymize(gen, ["nk", "bal"], _K)
+    qi_key = F.concat_ws(
+        "|", F.col("nk").cast("string"), F.col("bal").cast("string")
+    )
+    return tagged.groupBy("seg", "qi_status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.countDistinct(qi_key).alias("n_groups"),
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH g AS (
+  SELECT c_mktsegment AS seg,
+         CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(floor(c_acctbal / 500) AS BIGINT) AS bal,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+sizes AS (
+  SELECT nk, bal, count(*) AS qi_group_n
+  FROM g GROUP BY nk, bal
+),
+tagged AS (
+  SELECT g.*, CASE WHEN s.qi_group_n >= {_K} THEN 'kept'
+                   ELSE 'suppressed' END AS qi_status
+  FROM g JOIN sizes s USING (nk, bal)
+)
+SELECT seg, qi_status,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       count(DISTINCT CAST(nk AS VARCHAR) || '|' || CAST(bal AS VARCHAR))
+         AS n_groups
+FROM tagged
+GROUP BY seg, qi_status
+"""
+
+
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit histogram (operators/governance.py
+    ``l_diversity_audit``): QI groups bucketed by their DISTINCT
+    sensitive-value count (sensitive = market segment), split by whether
+    the group also meets k >= 4.  ``l_distinct = 1`` rows are the
+    homogeneity leaks k-anonymity alone cannot see."""
+    gen = _generalized_customer(spark, sf_dir)
+    audit = G.l_diversity_audit(gen, ["nk", "bal"], "seg")
+    return audit.groupBy(
+        F.col("l_distinct"),
+        (F.col("qi_group_n") >= _K).alias("meets_k"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_qi_groups"),
+        F.sum("qi_group_n").alias("n_rows_covered"),
+    )
+
+
+ORACLE_L_DIVERSITY = f"""
+WITH g AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(floor(c_acctbal / 500) AS BIGINT) AS bal,
+         c_mktsegment AS seg
+  FROM customer
+),
+audit AS (
+  SELECT nk, bal, count(*) AS qi_group_n,
+         count(DISTINCT seg) AS l_distinct
+  FROM g GROUP BY nk, bal
+)
+SELECT l_distinct, qi_group_n >= {_K} AS meets_k,
+       count(*) AS n_qi_groups,
+       CAST(sum(qi_group_n) AS BIGINT) AS n_rows_covered
+FROM audit
+GROUP BY l_distinct, qi_group_n >= {_K}
+"""
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["privacy_k_anonymity"] = q_privacy_k_anonymity
+    oracles["privacy_k_anonymity"] = ORACLE_K_ANONYMITY
+    queries["privacy_l_diversity"] = q_privacy_l_diversity
+    oracles["privacy_l_diversity"] = ORACLE_L_DIVERSITY
