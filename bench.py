@@ -274,6 +274,12 @@ FULL_SUITE = [
     "stats_kendall_tau",
     "graph_label_propagation",
     "emb_kmeans_step",
+    # round-4 late sessions: merge-on-read DML, governance
+    "txlog_delete_vectors",
+    "txlog_merge_on_read",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "sql_udf_functions",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

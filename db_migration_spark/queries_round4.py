@@ -1144,7 +1144,59 @@ GROUP BY a.cid, q.i
 """
 
 
+def q_sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 ``CREATE FUNCTION ... RETURN``) —
+    the extension seam that stays ENTIRELY inside Catalyst: a scalar SQL
+    UDF (exact-cents conversion) and a correlated SQL TABLE function
+    (a customer's orders) used through LATERAL.  Catalyst inlines the
+    scalar body and DECORRELATES the table function into a plain
+    broadcast/shuffle hash equi-join — verified no Python eval and no
+    nested-loop join in the plan (tests/test_plans_guard.py) — so user
+    abstractions cost nothing at 100 TB, unlike row-at-a-time UDFs.
+    The oracle inlines both bodies by hand in DuckDB SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sg_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION sg_cust_orders(ck BIGINT)
+        RETURNS TABLE(okey BIGINT, ocents BIGINT)
+        RETURN SELECT o_orderkey, sg_cents(o_totalprice)
+               FROM orders WHERE o_custkey = ck
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS seg,
+               count(t.okey) AS n_orders,
+               CAST(sum(t.ocents) AS BIGINT) AS sum_cents,
+               CAST(sum(sg_cents(c.c_acctbal)) AS BIGINT) AS sum_bal_cents
+        FROM customer c, LATERAL sg_cust_orders(c.c_custkey) t
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+ORACLE_SQL_UDF = """
+SELECT c.c_mktsegment AS seg,
+       count(o.o_orderkey) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_bal_cents
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["sql_udf_functions"] = q_sql_udf_functions
+    oracles["sql_udf_functions"] = ORACLE_SQL_UDF
     queries["asof_nearest_tolerance"] = q_asof_nearest_tolerance
     oracles["asof_nearest_tolerance"] = ORACLE_ASOF_NEAREST
     queries["f_hof_suite"] = q_f_hof_suite

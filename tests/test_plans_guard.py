@@ -478,3 +478,21 @@ def test_txlog_read_is_plain_parquet_scan(spark):
     plan = _plan(spark, "txlog_time_travel")
     assert "Scan parquet" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sql_udf_decorrelates_to_hash_join(spark):
+    """SQL-defined functions must vanish into Catalyst: the scalar UDF
+    inlines (no Python eval node) and the correlated LATERAL table
+    function decorrelates to a hash equi-join (never a nested loop)."""
+    plan = _plan(spark, "sql_udf_functions")
+    assert "Python" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_k_anonymity_no_window_partial_agg(spark):
+    """Group-size annotation must partial-aggregate (groupBy+join), not
+    sort every partition under a count() window."""
+    plan = _plan(spark, "privacy_k_anonymity")
+    assert "Window" not in plan
+    assert "partial_count" in plan
