@@ -97,6 +97,10 @@ class CommitConflict(RuntimeError):
     """Another writer owned the version this transaction raced for."""
 
 
+class ConstraintViolation(ValueError):
+    """A write (or ADD CONSTRAINT) found rows failing a CHECK expression."""
+
+
 def _stat_scalar(v):
     """JSON-able, ORDER-PRESERVING image of a parquet footer min/max.
 
@@ -198,6 +202,117 @@ class TxTable:
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self._versions()]
 
+    def version_at_timestamp(self, ts) -> int:
+        """TIMESTAMP AS OF: the latest version whose commit time is
+        ≤ ``ts`` (a unix epoch float, or an ISO ``YYYY-MM-DDTHH:MM:SSZ``
+        string).  Raises if the table has no commit that old — the same
+        contract as Delta's timestamp time travel.  Commits carry a
+        float ``committed_ts`` (sub-second); pre-existing logs fall back
+        to parsing the second-granular ``committed_at`` string."""
+        import calendar
+
+        if isinstance(ts, str):
+            ts = calendar.timegm(
+                time.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")
+            )
+        best = -1
+        for v in self._versions():
+            c = self._read_commit(v)
+            cts = c.get("committed_ts")
+            if cts is None:
+                cts = calendar.timegm(
+                    time.strptime(c["committed_at"], "%Y-%m-%dT%H:%M:%SZ")
+                )
+            if cts <= ts:
+                best = v
+        if best < 0:
+            raise ValueError(
+                f"no commit at or before {ts!r} in {self.root}"
+            )
+        return best
+
+    # -- CHECK constraints --------------------------------------------------
+
+    def constraints(self) -> dict[str, str]:
+        """Live CHECK constraints: {name: sql_expr}.  Replayed from the
+        full log (constraint commits are rare and the log is KBs — no
+        checkpoint dependency)."""
+        cons: dict[str, str] = {}
+        for v in self._versions():
+            c = self._read_commit(v)
+            if c.get("op") == "set_constraint":
+                cons[c["constraint"]["name"]] = c["constraint"]["expr"]
+            elif c.get("op") == "drop_constraint":
+                cons.pop(c["constraint"]["name"], None)
+        return cons
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Raise :class:`ConstraintViolation` if any row of ``df``
+        evaluates a live constraint to FALSE (NULL passes — the SQL
+        CHECK contract).  One combined filter+count job for all
+        constraints."""
+        from pyspark.sql import functions as F
+
+        cons = self.constraints()
+        if not cons:
+            return
+        violating = None
+        for expr in cons.values():
+            miss = ~F.coalesce(F.expr(expr), F.lit(True))
+            violating = miss if violating is None else (violating | miss)
+        n = df.filter(violating).count()
+        if n:
+            raise ConstraintViolation(
+                f"{n} rows violate CHECK constraints {sorted(cons)} "
+                f"in {self.root}"
+            )
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str,
+        max_retries: int = 5,
+    ) -> int:
+        """ADD CONSTRAINT name CHECK (expr): validates the EXISTING
+        table contents first (a constraint the data already violates is
+        rejected, as in Delta), then commits the constraint as a
+        metadata-only log entry.  Every subsequent write — append,
+        overwrite, merge, update, merge-into delta — is validated
+        against the live constraint set before its commit publishes."""
+        for _ in range(max_retries):
+            read_v = self.latest_version()
+            if read_v >= 0:
+                live = self.read(spark, read_v)
+                from pyspark.sql import functions as F
+
+                n = live.filter(
+                    ~F.coalesce(F.expr(expr), F.lit(True))
+                ).count()
+                if n:
+                    raise ConstraintViolation(
+                        f"cannot add {name!r}: {n} existing rows violate "
+                        f"({expr})"
+                    )
+            try:
+                return self._try_commit(
+                    "set_constraint", [], [], read_v + 1,
+                    constraint={"name": name, "expr": expr},
+                )
+            except CommitConflict:
+                continue  # re-validate against the advanced snapshot
+        raise CommitConflict(f"add_constraint lost {max_retries} races")
+
+    def drop_constraint(self, name: str, max_retries: int = 20) -> int:
+        if name not in self.constraints():
+            raise ValueError(f"no constraint named {name!r}")
+        for _ in range(max_retries):
+            try:
+                return self._try_commit(
+                    "drop_constraint", [], [], self.latest_version() + 1,
+                    constraint={"name": name},
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"drop_constraint lost {max_retries} races")
+
     def _replay(self, upto: int) -> tuple[list[str], dict, list[dict]]:
         """Replay commits 0..upto → (live groups, {group: zone-map
         stats}, live deletion vectors).
@@ -284,6 +399,7 @@ class TxTable:
         stats: dict | None = None,
         txn: tuple[str, int] | None = None,
         dv: dict | None = None,
+        constraint: dict | None = None,
     ) -> int:
         commit = {
             "version": version,
@@ -291,6 +407,7 @@ class TxTable:
             "add": add,
             "remove": remove,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_ts": time.time(),
         }
         if stats:
             commit["stats"] = stats
@@ -298,6 +415,8 @@ class TxTable:
             commit["txn"] = {"app": txn[0], "batch": int(txn[1])}
         if dv is not None:
             commit["dv"] = dv
+        if constraint is not None:
+            commit["constraint"] = constraint
         self._publish(version, commit)
         return version
 
@@ -328,6 +447,10 @@ class TxTable:
             seen = self.txn_version(*txn)
             if seen is not None:
                 return seen
+        sch = self.read_schema(df.sparkSession)
+        if sch is not None:
+            df = self._align_to_schema(df, sch)
+        self._check_constraints(df)
         group, stats = self._write_group(df)
         for _ in range(max_retries):
             try:
@@ -354,6 +477,7 @@ class TxTable:
     def commit_overwrite(self, df: DataFrame, max_retries: int = 20) -> int:
         """Replace the table contents atomically (old groups removed
         logically; bytes stay for time travel)."""
+        self._check_constraints(df)
         group, stats = self._write_group(df)
         for _ in range(max_retries):
             read_v = self.latest_version()
@@ -382,7 +506,9 @@ class TxTable:
         for _ in range(max_retries):
             read_v = self.latest_version()
             current = self.read(spark, read_v) if read_v >= 0 else None
-            group, stats = self._write_group(transform(current))
+            out = transform(current)
+            self._check_constraints(out)
+            group, stats = self._write_group(out)
             try:
                 return self._try_commit(
                     "merge",
@@ -712,6 +838,8 @@ class TxTable:
                     for c in scan.columns
                 ]
             )
+            updated = self._align_to_schema(updated, scan.schema)
+            self._check_constraints(updated)
             group, gstats = self._write_group(updated)
             try:
                 return self._try_commit(
@@ -758,7 +886,7 @@ class TxTable:
             scan = spark.read.parquet(
                 *[os.path.join(self.data_dir, g) for g in active]
             )
-            src = source.select(*scan.columns)  # target schema + order
+            src = self._align_to_schema(source, scan.schema)
             if src.groupBy(*keys).count().where("count > 1").take(1):
                 raise ValueError(
                     f"merge source is not unique on {keys}"
@@ -785,6 +913,7 @@ class TxTable:
                     live.select(*keys).distinct(), on=keys, how="left_semi"
                 )
             )
+            self._check_constraints(delta)
             group, gstats = self._write_group(delta)
             import pyarrow.parquet as _pq
 
@@ -824,13 +953,44 @@ class TxTable:
     def read_schema_columns(self, spark: SparkSession) -> list[str]:
         """Column names of the current table schema (from the live
         groups' parquet footers — no data read)."""
+        sch = self.read_schema(spark)
+        return [f.name for f in sch.fields] if sch is not None else []
+
+    def read_schema(self, spark: SparkSession):
+        """The current table schema (StructType) from the live groups'
+        parquet footers — no data read; None on an empty table."""
         v = self.latest_version()
         if v < 0:
-            return []
+            return None
         active = self._replay(v)[0]
+        if not active:
+            return None
         return spark.read.parquet(
             os.path.join(self.data_dir, active[0])
-        ).columns
+        ).schema
+
+    @staticmethod
+    def _align_to_schema(df: DataFrame, schema) -> DataFrame:
+        """Schema enforcement on write: the incoming frame must carry
+        exactly the table's columns (any order); each is cast to the
+        table's type so one heterogeneous file group can never poison
+        the multi-file scan (an int32 ``lit(…)`` next to an int64 table
+        column fails at READ time otherwise, and only on the unlucky
+        schema-inference ordering).  Missing or extra columns raise —
+        the Delta schema-on-write contract."""
+        from pyspark.sql import functions as F
+
+        names = [f.name for f in schema.fields]
+        missing = set(names) - set(df.columns)
+        extra = set(df.columns) - set(names)
+        if missing or extra:
+            raise ValueError(
+                f"schema mismatch: missing {sorted(missing)}, "
+                f"unexpected {sorted(extra)}"
+            )
+        return df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
 
     def prune_groups(
         self,

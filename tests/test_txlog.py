@@ -474,3 +474,91 @@ def test_dv_precise_covers_limits_cdf_scan(spark, tmp_path):
     t.delete_where(spark, F.col("k") == 5)
     dvs = t._replay(t.latest_version())[2]
     assert len(dvs) == 1 and len(dvs[0]["covers"]) == 1
+
+
+# -- TIMESTAMP AS OF + CHECK constraints -------------------------------------
+
+
+def test_version_at_timestamp(spark, tmp_path):
+    import json
+    import os
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 5))    # v0
+    t.commit_append(_df(spark, 5, 10))   # v1
+    # pin distinct commit times (the publish is sub-second in tests)
+    for v, ts in ((0, 1000.0), (1, 2000.0)):
+        p = os.path.join(t.log_dir, f"{v:020d}.json")
+        c = json.load(open(p))
+        c["committed_ts"] = ts
+        json.dump(c, open(p, "w"))
+    assert t.version_at_timestamp(1500.0) == 0
+    assert t.version_at_timestamp(2000.0) == 1
+    assert t.read(spark, t.version_at_timestamp(1500.0)).count() == 5
+    with pytest.raises(ValueError, match="no commit"):
+        t.version_at_timestamp(10.0)
+    # legacy commits without committed_ts fall back to the ISO string
+    c = json.load(open(p))
+    del c["committed_ts"]
+    c["committed_at"] = "2020-06-01T00:00:00Z"
+    json.dump(c, open(p, "w"))
+    assert t.version_at_timestamp("2020-06-01T00:00:00Z") == 1
+
+
+def test_check_constraint_blocks_bad_writes(spark, tmp_path):
+    from db_migration_spark.plans.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    t.add_constraint(spark, "v_nonneg", "v >= 0")
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+    bad = spark.range(1).select(
+        F.lit(99).alias("k"), F.lit(-5).alias("v")
+    )
+    before = t.latest_version()
+    with pytest.raises(ConstraintViolation):
+        t.commit_append(bad)
+    assert t.latest_version() == before  # nothing committed
+    assert t.read(spark).count() == 10
+    # a valid append still works; the violating UPDATE is blocked too
+    t.commit_append(_df(spark, 10, 12))
+    with pytest.raises(ConstraintViolation):
+        t.update_where(spark, F.col("k") == 1, {"v": F.lit(-1)})
+    with pytest.raises(ConstraintViolation):
+        t.merge_into(
+            spark,
+            spark.range(1).select(
+                F.lit(1).alias("k"), F.lit(-7).alias("v")
+            ),
+            "k",
+        )
+    # dropping the constraint re-opens the gate
+    t.drop_constraint("v_nonneg")
+    t.commit_append(bad)
+    assert t.read(spark).filter(F.col("v") < 0).count() == 1
+
+
+def test_add_constraint_rejects_existing_violations(spark, tmp_path):
+    from db_migration_spark.plans.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(
+        spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") - 1).alias("v")
+        )
+    )  # v contains -1
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint(spark, "v_nonneg", "v >= 0")
+    assert t.constraints() == {}
+
+
+def test_check_constraint_null_passes(spark, tmp_path):
+    """SQL CHECK semantics: a NULL evaluation is NOT a violation."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 3))
+    t.add_constraint(spark, "v_cap", "v < 100")
+    nullv = spark.range(1).select(
+        F.lit(50).alias("k"), F.lit(None).cast("long").alias("v")
+    )
+    t.commit_append(nullv)  # must not raise
+    assert t.read(spark).count() == 4
