@@ -280,6 +280,7 @@ FULL_SUITE = [
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "sql_udf_functions",
+    "corpus_preference_pairs",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

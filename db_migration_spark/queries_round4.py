@@ -1194,9 +1194,113 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF alignment data prep): the
+    documents are partitioned into deterministic prompt groups
+    (lang, doc_id % 50 — the stand-in for per-prompt candidate pools a
+    generation log would provide) and each group emits ONE
+    (chosen, rejected) pair: highest vs lowest deterministic quality
+    score (whitespace token count; ties broken by doc_id so both
+    engines pick identical rows), kept only when the score gap clears a
+    margin — the filter that keeps near-equal pairs from teaching
+    nothing.  Declared result aggregates per language so the gate
+    certifies the pairing logic, not a row dump.
+
+    Plan: one exact-integer projection, two row_number windows over the
+    same (lang, pid) partitioning — Catalyst computes both rank
+    directions in a single Window exchange — then a self-join of the
+    two rank-1 frames on the group key.  At 100 TB the group key is the
+    natural partitioner and no state exceeds a group."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 50).alias("pid"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + F.lit(1)
+        ).cast("long").alias("score"),
+    )
+    w_best = Window.partitionBy("lang", "pid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_worst = Window.partitionBy("lang", "pid").orderBy(
+        F.col("score").asc(), F.col("doc_id").desc()
+    )
+    ranked = docs.select(
+        "*",
+        F.row_number().over(w_best).alias("rk_best"),
+        F.row_number().over(w_worst).alias("rk_worst"),
+    )
+    best = ranked.filter(F.col("rk_best") == 1).select(
+        "lang", "pid",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    worst = ranked.filter(F.col("rk_worst") == 1).select(
+        "lang", "pid",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    pairs = (
+        best.join(worst, on=["lang", "pid"], how="inner")
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .filter(F.col("chosen_score") - F.col("rejected_score") >= 8)
+    )
+    return pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("chosen_score").alias("sum_chosen"),
+        F.sum("rejected_score").alias("sum_rejected"),
+        F.sum(
+            F.col("chosen_score") - F.col("rejected_score")
+        ).alias("sum_gap"),
+        F.min(F.col("chosen_score") - F.col("rejected_score")).alias(
+            "min_gap"
+        ),
+    )
+
+
+ORACLE_PREFERENCE_PAIRS = """
+WITH docs AS (
+  SELECT doc_id, lang, doc_id % 50 AS pid,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang, pid
+                            ORDER BY score DESC, doc_id ASC) AS rk_best,
+         row_number() OVER (PARTITION BY lang, pid
+                            ORDER BY score ASC, doc_id DESC) AS rk_worst
+  FROM docs
+),
+pairs AS (
+  SELECT b.lang, b.pid,
+         b.doc_id AS chosen_id, b.score AS chosen_score,
+         w.doc_id AS rejected_id, w.score AS rejected_score
+  FROM (SELECT * FROM ranked WHERE rk_best = 1) b
+  JOIN (SELECT * FROM ranked WHERE rk_worst = 1) w
+    ON b.lang IS NOT DISTINCT FROM w.lang AND b.pid = w.pid
+  WHERE b.doc_id <> w.doc_id AND b.score - w.score >= 8
+)
+SELECT lang, count(*) AS n_pairs,
+       CAST(sum(chosen_score) AS BIGINT) AS sum_chosen,
+       CAST(sum(rejected_score) AS BIGINT) AS sum_rejected,
+       CAST(sum(chosen_score - rejected_score) AS BIGINT) AS sum_gap,
+       CAST(min(chosen_score - rejected_score) AS BIGINT) AS min_gap
+FROM pairs
+GROUP BY lang
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["sql_udf_functions"] = q_sql_udf_functions
     oracles["sql_udf_functions"] = ORACLE_SQL_UDF
+    queries["corpus_preference_pairs"] = q_corpus_preference_pairs
+    oracles["corpus_preference_pairs"] = ORACLE_PREFERENCE_PAIRS
     queries["asof_nearest_tolerance"] = q_asof_nearest_tolerance
     oracles["asof_nearest_tolerance"] = ORACLE_ASOF_NEAREST
     queries["f_hof_suite"] = q_f_hof_suite

@@ -181,6 +181,12 @@ INSPECT = {
     "cohort_ltv": ["Window", "HashAggregate"],
     "events_sliding_distinct": ["Expand", "HashAggregate"],
     "multimodal_pdf_meta": [],
+    # round-4 late sessions
+    "txlog_delete_vectors": ["HashAggregate"],
+    "txlog_merge_on_read": ["HashAggregate"],
+    "privacy_k_anonymity": ["HashJoin", "HashAggregate"],
+    "sql_udf_functions": ["HashJoin", "HashAggregate"],
+    "corpus_preference_pairs": ["Window", "HashAggregate"],
 }
 
 # plans that must NOT contain a product node (blocking worked)
@@ -207,6 +213,13 @@ FORBID = {
     "graph_modularity": ["CartesianProduct"],
     "stats_mad": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "ts_concurrent_intervals": ["CartesianProduct"],
+    # governance must stay window-free; SQL UDFs must inline/decorrelate
+    "privacy_k_anonymity": ["Window", "CartesianProduct"],
+    "sql_udf_functions": [
+        "BatchEvalPython", "ArrowEvalPython",
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+    ],
+    "corpus_preference_pairs": ["CartesianProduct"],
 }
 
 
