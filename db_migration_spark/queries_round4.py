@@ -1206,13 +1206,14 @@ def q_corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing.  Declared result aggregates per language so the gate
     certifies the pairing logic, not a row dump.
 
-    Plan: one exact-integer projection, two row_number windows over the
-    same (lang, pid) partitioning — Catalyst computes both rank
-    directions in a single Window exchange — then a self-join of the
-    two rank-1 frames on the group key.  At 100 TB the group key is the
-    natural partitioner and no state exceeds a group."""
-    from pyspark.sql import Window
-
+    Plan: one exact-integer projection, then a SINGLE hash aggregate
+    per prompt group — ``max_by``/``min_by`` keyed on the composite
+    ordering struct (score, −doc_id) pick the chosen and rejected rows
+    in the same pass, partial-aggregating map-side.  No window sort, no
+    self-join, one scan of the corpus: at 100 TB the shuffle carries
+    one row per (lang, prompt) group, nothing more.  (The oracle uses
+    the equivalent dual-row_number formulation — DuckDB's arg_max lacks
+    composite ordering keys.)"""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -1223,29 +1224,21 @@ def q_corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1)
         ).cast("long").alias("score"),
     )
-    w_best = Window.partitionBy("lang", "pid").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    w_worst = Window.partitionBy("lang", "pid").orderBy(
-        F.col("score").asc(), F.col("doc_id").desc()
-    )
-    ranked = docs.select(
-        "*",
-        F.row_number().over(w_best).alias("rk_best"),
-        F.row_number().over(w_worst).alias("rk_worst"),
-    )
-    best = ranked.filter(F.col("rk_best") == 1).select(
-        "lang", "pid",
-        F.col("doc_id").alias("chosen_id"),
-        F.col("score").alias("chosen_score"),
-    )
-    worst = ranked.filter(F.col("rk_worst") == 1).select(
-        "lang", "pid",
-        F.col("doc_id").alias("rejected_id"),
-        F.col("score").alias("rejected_score"),
-    )
+    row = F.struct(F.col("doc_id").alias("id"), F.col("score").alias("sc"))
+    okey = F.struct(F.col("score"), (-F.col("doc_id")).alias("nd"))
     pairs = (
-        best.join(worst, on=["lang", "pid"], how="inner")
+        docs.groupBy("lang", "pid")
+        .agg(
+            F.max_by(row, okey).alias("chosen"),
+            F.min_by(row, okey).alias("rejected"),
+        )
+        .select(
+            "lang", "pid",
+            F.col("chosen.id").alias("chosen_id"),
+            F.col("chosen.sc").alias("chosen_score"),
+            F.col("rejected.id").alias("rejected_id"),
+            F.col("rejected.sc").alias("rejected_score"),
+        )
         .filter(F.col("chosen_id") != F.col("rejected_id"))
         .filter(F.col("chosen_score") - F.col("rejected_score") >= 8)
     )

@@ -186,7 +186,7 @@ INSPECT = {
     "txlog_merge_on_read": ["HashAggregate"],
     "privacy_k_anonymity": ["HashJoin", "HashAggregate"],
     "sql_udf_functions": ["HashJoin", "HashAggregate"],
-    "corpus_preference_pairs": ["Window", "HashAggregate"],
+    "corpus_preference_pairs": ["HashAggregate", "max_by", "min_by"],
 }
 
 # plans that must NOT contain a product node (blocking worked)
@@ -219,7 +219,7 @@ FORBID = {
         "BatchEvalPython", "ArrowEvalPython",
         "BroadcastNestedLoopJoin", "CartesianProduct",
     ],
-    "corpus_preference_pairs": ["CartesianProduct"],
+    "corpus_preference_pairs": ["CartesianProduct", "Window", "SortMergeJoin"],
 }
 
 
