@@ -562,3 +562,94 @@ def test_check_constraint_null_passes(spark, tmp_path):
     )
     t.commit_append(nullv)  # must not raise
     assert t.read(spark).count() == 4
+
+
+def test_concurrent_delete_and_merge_serialize(spark, tmp_path):
+    """A delete and a merge racing on the same table must serialize via
+    the optimistic loop: whichever loses the version race recomputes
+    against the winner's state — the end state equals SOME serial order
+    of the two, and no masked row resurrects."""
+    import threading
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 40))
+    src = spark.range(30, 50).select(
+        F.col("id").alias("k"), F.lit(777).alias("v")
+    )
+    errs = []
+
+    def do_delete():
+        try:
+            t.delete_where(spark, F.col("k") < 10)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def do_merge():
+        try:
+            t.merge_into(spark, src, "k")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    th = [threading.Thread(target=do_delete), threading.Thread(target=do_merge)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    # both serial orders agree on this outcome: k<10 gone, 30..49 = 777
+    assert set(got) == set(range(10, 50))
+    for k in range(30, 50):
+        assert got[k] == 777
+    for k in range(10, 30):
+        assert got[k] == k * 2
+    assert t.latest_version() == 2  # two DML commits, serialized
+
+
+def test_stream_source_delete_commit_contract(spark, tmp_path):
+    """The txlog streaming source must treat a deletion-vector commit as
+    a non-append poison (error without ignoreChanges, skip with) — a
+    DV silently ignored would leave deleted rows in the stream."""
+    import os
+
+    from db_migration_spark.sources import txlog_datasource
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    t.delete_where(spark, F.col("k") < 3)
+    t.commit_append(_df(spark, 100, 105))
+    txlog_datasource.register(spark)
+    chk = str(tmp_path / "chk")
+
+    def drain(ignore, name):
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", t.root)
+            .option("ignoreChanges", str(ignore).lower())
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        from pyspark.errors import StreamingQueryException
+
+        try:
+            q.awaitTermination(120)
+        except StreamingQueryException as exc:
+            return exc
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("drain hung")
+        return q.exception()
+
+    exc = drain(False, "dv_poison_a")
+    assert exc is not None and "non-append" in str(exc)
+    import shutil as _sh
+
+    _sh.rmtree(chk, ignore_errors=True)
+    assert drain(True, "dv_poison_b") is None
+    rows = spark.table("dv_poison_b").count()
+    assert rows == 15  # both append commits; the DV commit is skipped
