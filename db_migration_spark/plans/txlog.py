@@ -400,6 +400,7 @@ class TxTable:
         txn: tuple[str, int] | None = None,
         dv: dict | None = None,
         constraint: dict | None = None,
+        schema_json: str | None = None,
     ) -> int:
         commit = {
             "version": version,
@@ -417,6 +418,8 @@ class TxTable:
             commit["dv"] = dv
         if constraint is not None:
             commit["constraint"] = constraint
+        if schema_json is not None:
+            commit["schema"] = json.loads(schema_json)
         self._publish(version, commit)
         return version
 
@@ -434,6 +437,7 @@ class TxTable:
         df: DataFrame,
         max_retries: int = 20,
         txn: tuple[str, int] | None = None,
+        evolve: bool = False,
     ) -> int:
         """Blind append: always rebases cleanly — on conflict just retry
         at the next version; the data group is written once.
@@ -442,13 +446,30 @@ class TxTable:
         log already contains that identity (a replayed micro-batch after
         a sink restart) nothing is written and the original version is
         returned — at-least-once delivery becomes exactly-once, the
-        Delta ``txn`` action."""
+        Delta ``txn`` action.
+
+        ``evolve=True`` is ADD-COLUMN schema evolution (Delta
+        mergeSchema): columns the table lacks are appended to the log
+        schema by this commit; readers backfill NULL for files written
+        before it.  Without it, an extra column raises."""
+        from pyspark.sql.types import StructField, StructType
+
         if txn is not None:
             seen = self.txn_version(*txn)
             if seen is not None:
                 return seen
         sch = self.read_schema(df.sparkSession)
         if sch is not None:
+            have = {f.name for f in sch.fields}
+            extra = [c for c in df.columns if c not in have]
+            if extra and evolve:
+                sch = StructType(
+                    list(sch.fields)
+                    + [
+                        StructField(c, df.schema[c].dataType, True)
+                        for c in extra
+                    ]
+                )
             df = self._align_to_schema(df, sch)
         self._check_constraints(df)
         group, stats = self._write_group(df)
@@ -461,6 +482,7 @@ class TxTable:
                     self.latest_version() + 1,
                     stats={group: stats},
                     txn=txn,
+                    schema_json=df.schema.json(),
                 )
             except CommitConflict:
                 if txn is not None:
@@ -488,6 +510,7 @@ class TxTable:
                     self.active_groups(read_v),
                     read_v + 1,
                     stats={group: stats},
+                    schema_json=df.schema.json(),
                 )
             except CommitConflict:
                 continue
@@ -516,6 +539,7 @@ class TxTable:
                     self.active_groups(read_v),
                     read_v + 1,
                     stats={group: stats},
+                    schema_json=out.schema.json(),
                 )
             except CommitConflict:
                 continue  # re-read, re-transform, re-write
@@ -670,10 +694,25 @@ class TxTable:
         groups, _stats, dvs = self._replay(upto)
         if not groups:
             raise ValueError(f"table at {self.root} is empty at v{version}")
-        df = spark.read.parquet(
+        df = self._scan(spark, groups, upto)
+        return self._apply_dvs(spark, df, dvs)
+
+    def _scan(
+        self, spark: SparkSession, groups: list[str], upto: int
+    ) -> DataFrame:
+        """Scan the given groups under the LOG-OWNED schema at ``upto``
+        (files from before an ADD COLUMN backfill NULL for the new
+        columns — parquet-by-schema read semantics); legacy logs with no
+        recorded schema fall back to footer inference."""
+        from pyspark.sql.types import StructType
+
+        js = self.table_schema_json(upto)
+        reader = spark.read
+        if js is not None:
+            reader = reader.schema(StructType.fromJson(js))
+        return reader.parquet(
             *[os.path.join(self.data_dir, g) for g in groups]
         )
-        return self._apply_dvs(spark, df, dvs)
 
     def _apply_dvs(
         self, spark: SparkSession, df: DataFrame, dvs: list[dict]
@@ -956,10 +995,32 @@ class TxTable:
         sch = self.read_schema(spark)
         return [f.name for f in sch.fields] if sch is not None else []
 
-    def read_schema(self, spark: SparkSession):
-        """The current table schema (StructType) from the live groups'
-        parquet footers — no data read; None on an empty table."""
-        v = self.latest_version()
+    def table_schema_json(self, upto: int | None = None):
+        """The schema recorded in the log at ``upto`` (default latest):
+        the LAST data commit's schema wins — Delta's log-owned schema,
+        so planning never opens a parquet footer.  None on pre-schema
+        (legacy) logs."""
+        v = self.latest_version() if upto is None else upto
+        out = None
+        for ver in self._versions():
+            if ver > v:
+                break
+            c = self._read_commit(ver)
+            if "schema" in c:
+                out = c["schema"]
+        return out
+
+    def read_schema(self, spark: SparkSession, version: int | None = None):
+        """The table schema (StructType) — from the LOG when recorded
+        (schema evolution: AS OF a version returns that version's
+        schema), else inferred from the first live group's footer
+        (legacy logs); None on an empty table."""
+        from pyspark.sql.types import StructType
+
+        js = self.table_schema_json(version)
+        if js is not None:
+            return StructType.fromJson(js)
+        v = self.latest_version() if version is None else version
         if v < 0:
             return None
         active = self._replay(v)[0]
@@ -1088,7 +1149,7 @@ class TxTable:
             )
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def read_pruned(
@@ -1111,10 +1172,8 @@ class TxTable:
         if not groups:
             full = self.read(spark, version)
             return full.filter(F.lit(False))
-        df = spark.read.parquet(
-            *[os.path.join(self.data_dir, g) for g in groups]
-        )
         upto = self.latest_version() if version is None else version
+        df = self._scan(spark, groups, upto)
         df = self._apply_dvs(spark, df, self._replay(upto)[2])
         if lo is not None:
             df = df.filter(F.col(column) >= F.lit(lo))

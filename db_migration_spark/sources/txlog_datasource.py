@@ -40,9 +40,29 @@ _PA_TO_DDL = {
 }
 
 
-def _data_schema_ddl(root: str) -> str:
-    """Infer the table schema from the FIRST live group's parquet footer
-    (metadata only) — commits all share the table schema."""
+_DDL_TO_PA = {
+    "tinyint": "int8",
+    "byte": "int8",
+    "smallint": "int16",
+    "short": "int16",
+    "int": "int32",
+    "integer": "int32",
+    "bigint": "int64",
+    "long": "int64",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date32[day]",
+    "timestamp": "timestamp[us]",
+}
+
+
+def _schema_fields(root: str) -> list[tuple[str, str]]:
+    """[(column, spark-ddl)] of the table — from the LOG-OWNED schema
+    when recorded (so the stream's declared schema survives files
+    written after an ADD COLUMN), else the first live group's parquet
+    footer (legacy logs)."""
     import glob
 
     import pyarrow.parquet as pq
@@ -50,6 +70,9 @@ def _data_schema_ddl(root: str) -> str:
     from ..plans.txlog import TxTable
 
     t = TxTable(root)
+    js = t.table_schema_json()
+    if js is not None:
+        return [(f["name"], _spark_ddl_of(f["type"])) for f in js["fields"]]
     groups = t.active_groups()
     if not groups:
         raise ValueError(f"cannot infer schema of empty table {root}")
@@ -57,7 +80,7 @@ def _data_schema_ddl(root: str) -> str:
         glob.glob(os.path.join(root, "data", groups[0], "*.parquet"))
     )
     schema = pq.ParquetFile(files[0]).schema_arrow
-    cols = []
+    out = []
     for field in schema:
         s = str(field.type)
         if s.startswith("timestamp"):
@@ -68,7 +91,20 @@ def _data_schema_ddl(root: str) -> str:
             ddl = _PA_TO_DDL.get(s)
         if ddl is None:
             raise TypeError(f"unsupported column type {s} in txlog stream")
-        cols.append(f"`{field.name}` {ddl}")
+        out.append((field.name, ddl))
+    return out
+
+
+def _spark_ddl_of(t) -> str:
+    """Spark DDL string for a StructType-JSON field type (flat types
+    only — the txlog stream contract)."""
+    if isinstance(t, str):
+        return t
+    raise TypeError(f"unsupported nested column type {t} in txlog stream")
+
+
+def _data_schema_ddl(root: str) -> str:
+    cols = [f"`{n}` {d}" for n, d in _schema_fields(root)]
     cols.append("`_commit_version` long")
     return ", ".join(cols)
 
@@ -87,6 +123,14 @@ class TxlogStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
+        self.ignore_deletes = (
+            str(options.get("ignoreDeletes", "false")).lower() == "true"
+        )
+        # declared stream schema, pinned at query start: file batches
+        # are projected onto it so commits after an ADD COLUMN (extra
+        # file columns) or files from before one (missing columns →
+        # typed nulls) never break a running stream
+        self.fields = _schema_fields(self.root)
 
     def _table(self):
         from ..plans.txlog import TxTable
@@ -112,12 +156,24 @@ class TxlogStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             c = t._read_commit(v)
             if c.get("op", "append") != "append":
+                if not (c.get("add") or c.get("remove") or c.get("dv")):
+                    continue  # metadata-only (constraint/schema): no rows
+                delete_only = bool(c.get("dv")) and not (
+                    c.get("add") or c.get("remove")
+                )
+                if delete_only and (self.ignore_deletes or self.ignore_changes):
+                    continue
                 if self.ignore_changes:
                     continue
+                hint = (
+                    "ignoreDeletes=true to skip delete commits"
+                    if delete_only
+                    else "ignoreChanges=true to skip rewrite commits"
+                )
                 raise ValueError(
                     f"txlog stream hit non-append commit v{v} "
-                    f"({c.get('op')}); set ignoreChanges=true to skip "
-                    "rewrite commits (the Delta streaming-source contract)"
+                    f"({c.get('op')}); set {hint} "
+                    "(the Delta streaming-source contract)"
                 )
             for g in c.get("add", []):
                 for f in sorted(
@@ -136,13 +192,26 @@ class TxlogStreamReader(DataSourceStreamReader):
 
         # yield Arrow RecordBatches, not Python rows: the Python data
         # source API transfers them columnar end-to-end (measured 35s →
-        # ~4s at ×10 vs the row-at-a-time tuple path)
+        # ~4s at ×10 vs the row-at-a-time tuple path).  Project onto the
+        # stream's declared schema: drop columns added after the query
+        # started, null-fill columns this file predates.
         table = pq.read_table(partition.path)
         for batch in table.to_batches():
             ver = pa.array([partition.version] * batch.num_rows, pa.int64())
+            cols, names = [], []
+            for name, ddl in self.fields:
+                if name in batch.schema.names:
+                    cols.append(batch.column(name))
+                else:
+                    pa_t = _DDL_TO_PA.get(ddl)
+                    if pa_t is None and ddl.startswith("decimal"):
+                        pa_t = ddl
+                    cols.append(
+                        pa.nulls(batch.num_rows, type=pa.type_for_alias(pa_t))
+                    )
+                names.append(name)
             yield pa.RecordBatch.from_arrays(
-                [*batch.columns, ver],
-                names=[*batch.schema.names, "_commit_version"],
+                [*cols, ver], names=[*names, "_commit_version"]
             )
 
     def commit(self, end: dict) -> None:

@@ -653,3 +653,91 @@ def test_stream_source_delete_commit_contract(spark, tmp_path):
     assert drain(True, "dv_poison_b") is None
     rows = spark.table("dv_poison_b").count()
     assert rows == 15  # both append commits; the DV commit is skipped
+
+
+# -- log-owned schema + ADD COLUMN evolution ---------------------------------
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """evolve=True appends new columns to the LOG schema; files written
+    before the evolution backfill NULL; without evolve the extra column
+    raises (schema-on-write)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 5))
+    wide = spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    with pytest.raises(ValueError, match="unexpected"):
+        t.commit_append(wide)
+    t.commit_append(wide, evolve=True)
+    out = t.read(spark)
+    assert out.columns == ["k", "v", "tag"]
+    rows = {r.k: r.tag for r in out.collect()}
+    assert rows[0] is None and rows[6] == "x"  # NULL backfill
+    # post-evolution appends lacking the new column raise (explicit
+    # NULL literal required — schema-on-write stays strict)
+    with pytest.raises(ValueError, match="missing"):
+        t.commit_append(_df(spark, 100, 101))
+    # time travel reads the OLD schema before the evolution commit
+    old = t.read(spark, version=0)
+    assert old.columns == ["k", "v"]
+
+
+def test_schema_recorded_in_log(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 3))
+    js = t.table_schema_json()
+    assert [f["name"] for f in js["fields"]] == ["k", "v"]
+    assert t.read_schema(spark).fieldNames() == ["k", "v"]
+
+
+def test_stream_skips_metadata_commits_and_ignore_deletes(spark, tmp_path):
+    """Constraint commits are metadata-only — a running stream must pass
+    over them silently; ignoreDeletes skips DV commits but still
+    poisons on a rewrite."""
+    from pyspark.errors import StreamingQueryException
+
+    from db_migration_spark.sources import txlog_datasource
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    t.add_constraint(spark, "v_ok", "v >= 0")     # metadata-only commit
+    t.delete_where(spark, F.col("k") < 2)          # delete-only commit
+    t.commit_append(_df(spark, 100, 105))
+    txlog_datasource.register(spark)
+
+    def drain(name, chk, **opts):
+        r = spark.readStream.format("txlog").option("path", t.root)
+        for k_, v_ in opts.items():
+            r = r.option(k_, v_)
+        q = (
+            r.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except StreamingQueryException as exc:
+            return exc
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("drain hung")
+        return q.exception()
+
+    # without any option, the DELETE commit poisons — with ignoreDeletes
+    # hint in the message
+    exc = drain("md_a", "chk_a")
+    assert exc is not None and "ignoreDeletes" in str(exc)
+    # ignoreDeletes drains both appends; the constraint commit is silent
+    assert drain("md_b", "chk_b", ignoreDeletes="true") is None
+    assert spark.table("md_b").count() == 15
+    # a rewrite still poisons under ignoreDeletes
+    t.optimize(spark, target_groups=1)
+    exc = drain("md_c", "chk_c", ignoreDeletes="true")
+    assert exc is not None and "ignoreChanges" in str(exc)
