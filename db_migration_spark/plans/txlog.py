@@ -904,6 +904,7 @@ class TxTable:
         key_cols,
         insert: bool = True,
         max_retries: int = 5,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE INTO, merge-on-read (whenMatchedUpdateAll /
         whenNotMatchedInsertAll): matched target rows are masked by a
@@ -915,8 +916,18 @@ class TxTable:
         1000-executor CDC ingest needs against a 100 TB table.  The
         source must be unique on ``key_cols`` (checked — a duplicate
         would commit two live versions of one key, the same error Delta
-        MERGE raises on multiple source matches)."""
+        MERGE raises on multiple source matches).
+
+        ``txn=(app_id, batch_id)`` makes the merge IDEMPOTENT on the
+        transaction identity, like ``commit_append``: a foreachBatch
+        CDC upsert replayed after a sink restart finds its identity in
+        the log and returns without recomputing — exactly-once MERGE on
+        top of at-least-once micro-batch delivery."""
         keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        if txn is not None:
+            seen = self.txn_version(*txn)
+            if seen is not None:
+                return seen
         for _ in range(max_retries):
             read_v = self.latest_version()
             if read_v < 0:
@@ -977,6 +988,7 @@ class TxTable:
                     [],
                     read_v + 1,
                     stats={group: gstats} if n_delta else None,
+                    txn=txn,
                     dv=(
                         {"group": dv_group, "covers": covered}
                         if n_masked
@@ -986,6 +998,10 @@ class TxTable:
             except CommitConflict:
                 shutil.rmtree(dv_path, ignore_errors=True)
                 shutil.rmtree(gpath, ignore_errors=True)
+                if txn is not None:
+                    seen = self.txn_version(*txn)
+                    if seen is not None:  # the race WAS our replay twin
+                        return seen
                 continue
         raise CommitConflict(f"merge_into lost {max_retries} races")
 

@@ -741,3 +741,19 @@ def test_stream_skips_metadata_commits_and_ignore_deletes(spark, tmp_path):
     t.optimize(spark, target_groups=1)
     exc = drain("md_c", "chk_c", ignoreDeletes="true")
     assert exc is not None and "ignoreChanges" in str(exc)
+
+
+def test_merge_into_txn_is_idempotent(spark, tmp_path):
+    """A replayed (app, batch) merge is a no-op returning the original
+    version — exactly-once CDC upsert for foreachBatch sinks."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    src = spark.range(5, 12).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    v1 = t.merge_into(spark, src, "k", txn=("cdc", 7))
+    v_dup = t.merge_into(spark, src, "k", txn=("cdc", 7))
+    assert v1 == v_dup == t.latest_version()
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(got) == 12  # not re-merged: no duplicate delta
+    assert got[6] == 1 and got[2] == 4
