@@ -281,6 +281,7 @@ FULL_SUITE = [
     "privacy_l_diversity",
     "sql_udf_functions",
     "corpus_preference_pairs",
+    "stream_cdc_upsert",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

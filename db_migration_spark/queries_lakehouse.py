@@ -624,6 +624,147 @@ FROM final GROUP BY prio
 """
 
 
+# ---------------------------------------------------------------------------
+# streaming CDC upsert through MERGE INTO (exactly-once)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_cdc_upsert_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Drain the events stream through foreachBatch: each micro-batch is
+    collapsed to its LATEST event per user (max_by on (ts, event_id) —
+    the merge key uniqueness contract) and MERGEd into the ACID table
+    with the batch's transaction identity; then batch 0 is adversarially
+    REPLAYED — the txn identity makes the re-merge a no-op, which the
+    builder asserts on the version counter."""
+    from .queries_streaming import _events_stream
+
+    root = _fx(sf_dir, "txlog_cdc_upsert_v1")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+
+    def lww(df: DataFrame) -> DataFrame:
+        """Last write per user on the collapsed shape — the key-unique
+        merge source."""
+        row = F.struct(
+            F.col("event_type").alias("et"),
+            F.col("cents").alias("cents"),
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("eid"),
+        )
+        okey = F.struct(F.col("ts"), F.col("event_id"))
+        return (
+            df.groupBy("user_id")
+            .agg(F.max_by(row, okey).alias("r"))
+            .select(
+                "user_id",
+                F.col("r.et").alias("event_type"),
+                F.col("r.cents").alias("cents"),
+                F.col("r.ts").alias("ts"),
+                F.col("r.eid").alias("eid"),
+            )
+            .withColumnRenamed("eid", "event_id")
+        )
+
+    def collapse(bdf: DataFrame) -> DataFrame:
+        return lww(
+            bdf.select(
+                "user_id",
+                "event_type",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                "ts",
+                "event_id",
+            )
+        )
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        table = TxTable(root)
+        sp = bdf.sparkSession
+        latest = collapse(bdf)
+        if table.latest_version() < 0:
+            table.commit_append(latest, txn=("cdc_upsert", batch_id))
+            return
+        # CDC streams guarantee per-key order only within a batch; a
+        # later batch may carry an OLDER change for a key.  Upsert must
+        # therefore be last-write-wins against current state: fold the
+        # touched keys' existing rows into the source before the merge
+        # (one semi-join read of the touched keys, O(|batch|)).
+        cur = table.read(sp).join(
+            latest.select("user_id").distinct(), "user_id", "left_semi"
+        )
+        table.merge_into(
+            sp,
+            lww(latest.unionByName(cur)),
+            "user_id",
+            txn=("cdc_upsert", batch_id),
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("cdc upsert drain did not finish in 300s")
+    # adversarial replay of batch 0 (sink restart redelivery): the txn
+    # identity is already in the log → must not advance the version
+    before = t.latest_version()
+    if t.latest_version() < 0:
+        raise RuntimeError("drain committed nothing")
+    replay0 = collapse(load_table(spark, sf_dir, "events"))
+    t.merge_into(spark, replay0, "user_id", txn=("cdc_upsert", 0))
+    assert t.latest_version() == before, "replayed merge must be a no-op"
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming CDC upsert (plans/txlog.py ``merge_into``
+    with a transaction identity): the events stream drains through
+    foreachBatch, each batch collapses to its latest change per user
+    and MERGEs merge-on-read into the ACID table; a replayed batch is a
+    no-op (builder-asserted).  The declared result aggregates the final
+    per-user state; the oracle collapses the same changelog in one
+    batch window query — only an exactly-once, last-write-wins upsert
+    table can match it.  This is the Delta CDC-ingest pattern: upsert
+    cost O(|batch| + matched), no table rewrite, task retries and
+    restarts absorbed by the txn action."""
+    t = _ensure_cdc_upsert_store(spark, sf_dir)
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_CDC_UPSERT = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT event_type, count(*) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ranked WHERE rk = 1
+GROUP BY event_type
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -639,3 +780,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_delete_vectors"] = ORACLE_DELETE_VECTORS
     queries["txlog_merge_on_read"] = q_txlog_merge_on_read
     oracles["txlog_merge_on_read"] = ORACLE_MERGE_ON_READ
+    queries["stream_cdc_upsert"] = q_stream_cdc_upsert
+    oracles["stream_cdc_upsert"] = ORACLE_CDC_UPSERT
