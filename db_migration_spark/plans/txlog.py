@@ -766,27 +766,40 @@ class TxTable:
         Coverage is PRECISE — only the groups that actually contain a
         masked position — so CDF pre-image reads touch just those files
         and the DV retires as soon as ITS files are rewritten, not when
-        the whole table is."""
-        import pyarrow.compute as _pc
+        the whole table is.  Scale: the row count comes from the parquet
+        FOOTERS (metadata only) and the covered-group set from an
+        executor-side DISTINCT over the just-written DV (bounded by the
+        table's file count) — nothing O(rows deleted) ever touches the
+        driver."""
         import pyarrow.parquet as _pq
 
         group = f"dv-{uuid.uuid4().hex}"
         path = os.path.join(self.data_dir, group)
         pos.write.mode("errorifexists").parquet(path)
-        n = 0
-        covered: set[str] = set()
-        for f in os.listdir(path):
-            if not f.endswith(".parquet"):
-                continue
-            tbl = _pq.read_table(
-                os.path.join(path, f), columns=["file_path"]
+        n = sum(
+            _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if n == 0:
+            return group, 0, []
+        from pyspark.sql import functions as F
+
+        # files live directly inside their group directory:
+        # .../data/<group>/<part-file> → parent dir name is the group
+        spark = pos.sparkSession
+        covered = sorted(
+            r.g
+            for r in spark.read.parquet(path)
+            .select(
+                F.element_at(
+                    F.split(F.col("file_path"), "/"), -2
+                ).alias("g")
             )
-            n += tbl.num_rows
-            for uri in _pc.unique(tbl.column("file_path")).to_pylist():
-                # files live directly inside their group directory:
-                # .../data/<group>/<part-file>
-                covered.add(uri.rstrip("/").rsplit("/", 2)[-2])
-        return group, n, sorted(covered)
+            .distinct()
+            .collect()
+        )
+        return group, n, covered
 
     def delete_where(
         self, spark: SparkSession, predicate, max_retries: int = 5
