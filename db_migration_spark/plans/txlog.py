@@ -855,7 +855,9 @@ class TxTable:
         """Row-level UPDATE, merge-on-read: ONE atomic commit carries a
         deletion vector masking the matched rows in place AND an
         appended delta group holding their updated versions — no
-        existing data file is rewritten, cost is O(rows updated).
+        existing data file is rewritten; the write is O(rows updated)
+        (the predicate evaluation itself is one pruned scan, as in any
+        engine).
         ``assignments`` maps column name → Column expression evaluated
         over the pre-update row (unassigned columns carry through).
         Readers see old XOR new atomically: both the DV and the delta
@@ -924,9 +926,12 @@ class TxTable:
         deletion vector and the WHOLE source lands as one appended delta
         group — new versions for the matched keys, inserts for the rest
         (``insert=False`` restricts the delta to matched keys only).
-        One atomic commit, no data file rewritten: cost is
-        O(|source| + rows matched), never O(table) — the upsert path a
-        1000-executor CDC ingest needs against a 100 TB table.  The
+        One atomic commit, no data file rewritten: the WRITE cost is
+        O(|source| + rows matched); locating matches costs one scan of
+        the target (column-pruned to the key + _metadata, and
+        zone-map-prunable when the merge keys cluster) — the same cost
+        envelope as Delta MERGE's find-touched-files job, and never a
+        table REWRITE.  The
         source must be unique on ``key_cols`` (checked — a duplicate
         would commit two live versions of one key, the same error Delta
         MERGE raises on multiple source matches).
