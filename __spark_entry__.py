@@ -59,21 +59,21 @@ FLAGSHIP_ORDER = [
     "fixedwidth_source",
     "f_regex_suite",
     "text_quality_logit",
-    "csv_multiline_roundtrip",
     "mv_reuse_rollup",
     "txlog_zonemap_scan",   # r4: zone-map file skipping (lakehouse)
     "shard_manifest",
     "ivm_delta_merge",
     "text_html_extract",    # r4: boilerplate removal
     "geo_radius_pairs",     # r4: spatial grid self-join
-    "sink_compaction_roundtrip",
-    "eav_tuple_attr",
+    "txlog_delete_vectors",  # r4 late: positional deletion vectors
     "asof_nearest_tolerance",  # r4: merge_asof nearest+tolerance
-    "f_bitwise_suite",
+    "txlog_merge_on_read",  # r4 late: merge-on-read UPDATE/MERGE
     "stream_txlog_sink",    # r4: exactly-once streaming sink
-    "graph_assortativity",
+    "stream_cdc_upsert",    # r4 late: exactly-once CDC MERGE sink
+    "privacy_k_anonymity",  # r4 late: governance family
+    "sql_udf_functions",    # r4 late: SQL UDF + LATERAL decorrelation
+    "corpus_preference_pairs",  # r4 late: alignment data prep
     "merge_into_upsert",
-    "stream_merge_upsert",
     # --- rotated in: EAV/Datomic + engine depth, never driver-checked (5) ---
     "eav_bitemporal",
     "eav_excision",
