@@ -282,6 +282,7 @@ FULL_SUITE = [
     "sql_udf_functions",
     "corpus_preference_pairs",
     "stream_cdc_upsert",
+    "corpus_fim_split",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

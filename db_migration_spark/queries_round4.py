@@ -1289,7 +1289,90 @@ GROUP BY lang
 """
 
 
+def q_corpus_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) pretraining transform: each document is
+    split into (prefix, middle, suffix) at two deterministic,
+    doc-keyed boundaries (30% and 70% of the text ± a per-doc jitter so
+    the split points are not a fixed fraction — the randomization FIM
+    training needs, replayable from doc_id alone).  The declared result
+    certifies the actual SUBSTRING operations, not just the arithmetic:
+    per language it aggregates the measured lengths of the three
+    pieces, their recomposition invariant (Σp+m+s = Σ chars), and the
+    count of degenerate (empty-middle) docs that a FIM loader must
+    route to plain causal examples.
+
+    Map-only plan — three codegen substrings per row, no shuffle before
+    the final aggregate; at 100 TB this runs at scan speed."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").cast("long").alias("L"),
+    )
+    a = F.greatest(
+        F.lit(0),
+        (F.floor(F.col("L") * 3 / 10) + F.col("doc_id") % 7).cast("int"),
+    )
+    b = F.least(
+        F.col("L").cast("int"),
+        F.greatest(
+            a, (F.floor(F.col("L") * 7 / 10) + F.col("doc_id") % 5).cast("int")
+        ),
+    )
+    split = docs.select(
+        "lang",
+        F.substring(F.col("text"), 1, a).alias("p"),
+        F.substring(F.col("text"), a + 1, b - a).alias("m"),
+        F.substring(F.col("text"), b + 1, F.col("L").cast("int")).alias("s"),
+        "L",
+    )
+    return split.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("p").cast("long")).alias("sum_prefix"),
+        F.sum(F.length("m").cast("long")).alias("sum_middle"),
+        F.sum(F.length("s").cast("long")).alias("sum_suffix"),
+        F.sum("L").alias("sum_chars"),
+        F.sum(
+            F.when(F.length("m") == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_empty_middle"),
+    )
+
+
+ORACLE_FIM_SPLIT = """
+WITH d AS (
+  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS L
+  FROM documents
+),
+cut AS (
+  SELECT lang, text, L,
+         greatest(0, CAST(floor(L * 3 / 10) + doc_id % 7 AS INT)) AS a,
+         CAST(floor(L * 7 / 10) + doc_id % 5 AS INT) AS b_raw
+  FROM d
+),
+pieces AS (
+  SELECT lang, L,
+         substring(text, 1, a) AS p,
+         substring(text, a + 1, least(CAST(L AS INT),
+                                      greatest(a, b_raw)) - a) AS m,
+         substring(text, least(CAST(L AS INT), greatest(a, b_raw)) + 1,
+                   CAST(L AS INT)) AS s
+  FROM cut
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(p)) AS BIGINT) AS sum_prefix,
+       CAST(sum(length(m)) AS BIGINT) AS sum_middle,
+       CAST(sum(length(s)) AS BIGINT) AS sum_suffix,
+       CAST(sum(L) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN length(m) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_middle
+FROM pieces
+GROUP BY lang
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["corpus_fim_split"] = q_corpus_fim_split
+    oracles["corpus_fim_split"] = ORACLE_FIM_SPLIT
     queries["sql_udf_functions"] = q_sql_udf_functions
     oracles["sql_udf_functions"] = ORACLE_SQL_UDF
     queries["corpus_preference_pairs"] = q_corpus_preference_pairs
