@@ -350,6 +350,9 @@ class TxTable:
             stats.update(c.get("stats", {}))
             if c.get("dv"):
                 dvs.append(dict(c["dv"]))
+            if c.get("drop_dvs"):  # RESTORE retires post-target DVs
+                dead = set(c["drop_dvs"])
+                dvs = [d for d in dvs if d["group"] not in dead]
         live = set(active)
         dvs = [d for d in dvs if live.intersection(d.get("covers", []))]
         return active, {g: stats.get(g, {}) for g in active}, dvs
@@ -401,6 +404,7 @@ class TxTable:
         dv: dict | None = None,
         constraint: dict | None = None,
         schema_json: str | None = None,
+        drop_dvs: list[str] | None = None,
     ) -> int:
         commit = {
             "version": version,
@@ -420,6 +424,8 @@ class TxTable:
             commit["constraint"] = constraint
         if schema_json is not None:
             commit["schema"] = json.loads(schema_json)
+        if drop_dvs:
+            commit["drop_dvs"] = list(drop_dvs)
         self._publish(version, commit)
         return version
 
@@ -681,6 +687,46 @@ class TxTable:
                 shutil.rmtree(path)
                 deleted.append(g)
         return deleted
+
+    def restore(self, version: int, max_retries: int = 20) -> int:
+        """RESTORE TABLE TO VERSION: publish a NEW commit whose replayed
+        state equals the state at ``version`` — the rollback is itself
+        history (time travel to the pre-restore state keeps working, the
+        Delta RESTORE contract).  The commit re-activates the target's
+        group set with its zone-map stats and schema, and RETIRES every
+        deletion vector created after the target (their masks must not
+        apply to the restored state).  If the target's bytes were
+        VACUUMed past the retention horizon, the next read fails loudly
+        at scan time — restore never resurrects deleted bytes."""
+        t_active, t_stats, t_dvs = self._replay(version)
+        t_schema = self.table_schema_json(version)
+        keep = {d["group"] for d in t_dvs}
+        for _ in range(max_retries):
+            read_v = self.latest_version()
+            if version > read_v:
+                raise ValueError(f"cannot restore to future v{version}")
+            cur_active = self.active_groups(read_v)
+            cur_set = set(cur_active)
+            drop = [
+                d["group"]
+                for d in self._replay(read_v)[2]
+                if d["group"] not in keep
+            ]
+            try:
+                return self._try_commit(
+                    "restore",
+                    [g for g in t_active if g not in cur_set],
+                    [g for g in cur_active if g not in set(t_active)],
+                    read_v + 1,
+                    stats=t_stats,
+                    schema_json=(
+                        json.dumps(t_schema) if t_schema is not None else None
+                    ),
+                    drop_dvs=drop,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"restore lost {max_retries} races")
 
     # -- reads --------------------------------------------------------------
 

@@ -757,3 +757,38 @@ def test_merge_into_txn_is_idempotent(spark, tmp_path):
     got = {r.k: r.v for r in t.read(spark).collect()}
     assert len(got) == 12  # not re-merged: no duplicate delta
     assert got[6] == 1 and got[2] == 4
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE publishes a new commit equal to the target state: rows
+    deleted after the target resurrect (post-target DVs retired), rows
+    appended after it vanish, the rollback itself is time-travelable,
+    and a subsequent append works on the restored schema."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 20))                    # v0
+    t.delete_where(spark, F.col("k") < 5)                 # v1 (DV)
+    t.commit_append(_df(spark, 100, 110))                 # v2
+    v = t.restore(0)                                      # v3
+    assert v == 3
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(20))
+    # rollback is itself history: the pre-restore state still reads
+    assert t.read(spark, version=2).count() == 25
+    assert t._replay(2)[2] != [] and t._replay(3)[2] == []
+    assert t.history()[-1]["op"] == "restore"
+    # the table keeps working after the rollback
+    t.commit_append(_df(spark, 500, 503))
+    assert t.read(spark).count() == 23
+
+
+def test_restore_keeps_target_dvs(spark, tmp_path):
+    """A DV that was live AT the target stays applied after restore;
+    only post-target DVs retire."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    t.delete_where(spark, F.col("k") == 0)   # v1 — in-target DV
+    t.delete_where(spark, F.col("k") == 1)   # v2 — post-target DV
+    t.restore(1)                             # v3
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == list(range(1, 10))         # k=0 still deleted, k=1 back
+    with pytest.raises(ValueError):
+        t.restore(99)
