@@ -73,13 +73,19 @@ def main(argv: list[str] | None = None) -> int:
         "table-maintain",
         help="transaction-log table maintenance: optimize (compact + "
         "optional cluster), checkpoint the log, vacuum old file groups, "
-        "or print the commit history",
+        "restore to a version, or print the commit history",
     )
     sp.add_argument("--table", required=True, help="TxTable root directory")
     sp.add_argument(
         "--action",
-        choices=("optimize", "checkpoint", "vacuum", "history"),
+        choices=("optimize", "checkpoint", "vacuum", "history", "restore"),
         required=True,
+    )
+    sp.add_argument(
+        "--to-version",
+        type=int,
+        default=None,
+        help="target version for restore",
     )
     sp.add_argument(
         "--cluster-by",
@@ -142,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
             ]
         elif args.action == "checkpoint":
             out["checkpointed_version"] = t.checkpoint()
+        elif args.action == "restore":
+            if args.to_version is None:
+                raise SystemExit("restore requires --to-version")
+            out["version"] = t.restore(args.to_version)
+            out["restored_to"] = args.to_version
         elif args.action == "vacuum":
             deleted = t.vacuum(
                 retain_versions=args.retain_versions,

@@ -142,6 +142,22 @@ def test_table_maintain_cli(spark, tmp_path, capsys):
     assert vac["deleted_groups"] == 4  # the four pre-optimize groups
     assert t.read(spark).count() == base.count()  # current state intact
 
+    # restore to the post-optimize version via the CLI (pre-optimize
+    # layouts were just vacuumed, so restore to the optimize commit)
+    opt_v = t.latest_version() - 0  # checkpoint/vacuum add no commits
+    assert (
+        main(
+            [
+                "table-maintain", "--table", root, "--action", "restore",
+                "--to-version", str(opt_v),
+            ]
+        )
+        == 0
+    )
+    res = json.loads(capsys.readouterr().out)
+    assert res["restored_to"] == opt_v and res["version"] == opt_v + 1
+    assert t.read(spark).count() == base.count()
+
 
 def test_stream_source_incremental_and_nonappend_contract(spark, tmp_path):
     """The txlog streaming source: (1) a second drain after a new append
