@@ -283,6 +283,7 @@ FULL_SUITE = [
     "corpus_preference_pairs",
     "stream_cdc_upsert",
     "corpus_fim_split",
+    "txlog_incremental_mv",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -429,6 +429,17 @@ class TxTable:
         self._publish(version, commit)
         return version
 
+    def txn_latest_batch(self, app: str) -> int | None:
+        """The highest batch id an app identity has committed, or None —
+        the refresh CURSOR of an incremental consumer whose txn batch
+        ids encode 'source processed up to'."""
+        best = None
+        for v in self._versions():
+            t = self._read_commit(v).get("txn")
+            if t and t["app"] == app:
+                best = t["batch"] if best is None else max(best, t["batch"])
+        return best
+
     def txn_version(self, app: str, batch: int) -> int | None:
         """The version a transaction identity committed at, or None —
         the idempotence probe for exactly-once streaming sinks."""
@@ -527,11 +538,20 @@ class TxTable:
         spark: SparkSession,
         transform,
         max_retries: int = 5,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Serializable read-modify-write: ``transform(current_df) ->
         new_df`` is re-executed against the ADVANCED snapshot if another
         commit won the race — the Delta/Iceberg optimistic-retry loop, so
-        concurrent merges compose instead of losing updates."""
+        concurrent merges compose instead of losing updates.
+
+        ``txn=(app, batch)`` makes the rewrite idempotent on the
+        transaction identity — the cursor primitive an incremental
+        materialized-view refresh records ATOMICALLY with its output."""
+        if txn is not None:
+            seen = self.txn_version(*txn)
+            if seen is not None:
+                return seen
         for _ in range(max_retries):
             read_v = self.latest_version()
             current = self.read(spark, read_v) if read_v >= 0 else None
@@ -545,9 +565,14 @@ class TxTable:
                     self.active_groups(read_v),
                     read_v + 1,
                     stats={group: stats},
+                    txn=txn,
                     schema_json=out.schema.json(),
                 )
             except CommitConflict:
+                if txn is not None:
+                    seen = self.txn_version(*txn)
+                    if seen is not None:
+                        return seen
                 continue  # re-read, re-transform, re-write
         raise CommitConflict(f"merge lost {max_retries} races")
 

@@ -765,6 +765,121 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental materialized view over the change feed (exactly-once cursor)
+# ---------------------------------------------------------------------------
+
+
+def _mv_rollup(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+def _mv_refresh(spark: SparkSession, src: TxTable, mv: TxTable) -> int:
+    """One incremental refresh: read the source CHANGE FEED since the
+    recorded cursor, partial-aggregate ONLY the delta, and fold it into
+    the view with a serializable merge whose transaction identity IS the
+    new cursor — output and cursor move in ONE atomic commit, so a
+    replayed refresh (retry, crashed scheduler) is a no-op and the view
+    can never double-count.  The Delta/Materialize incremental-refresh
+    contract built from txlog primitives."""
+    src_v = src.latest_version()
+    last = mv.txn_latest_batch("mv_refresh")
+    if last is not None and last >= src_v:
+        return mv.latest_version()  # already caught up
+    frm = -1 if last is None else last
+    delta = _mv_rollup(
+        src.read_changes(spark, from_version=frm, to_version=src_v).drop(
+            "_commit_version", "_change_op"
+        )
+    )
+
+    def fold(cur: DataFrame | None) -> DataFrame:
+        if cur is None:
+            return delta
+        c, d = cur.alias("c"), delta.alias("d")
+        return (
+            c.join(d, on="event_type", how="full_outer")
+            .select(
+                "event_type",
+                (
+                    F.coalesce(F.col("c.n_events"), F.lit(0))
+                    + F.coalesce(F.col("d.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("c.sum_cents"), F.lit(0))
+                    + F.coalesce(F.col("d.sum_cents"), F.lit(0))
+                ).alias("sum_cents"),
+            )
+        )
+
+    if mv.latest_version() < 0:
+        return mv.commit_append(delta, txn=("mv_refresh", src_v))
+    return mv.merge(spark, fold, txn=("mv_refresh", src_v))
+
+
+def _ensure_incremental_mv(
+    spark: SparkSession, sf_dir: str
+) -> tuple[TxTable, TxTable]:
+    """Source events in three append commits; the MV refreshed after the
+    second commit, again after the third, then adversarially re-refreshed
+    at the same cursor (must be a version-stable no-op)."""
+    root = _fx(sf_dir, "txlog_incr_mv_v1")
+    done = os.path.join(root, "_BUILD_DONE")
+    src = TxTable(os.path.join(root, "src"))
+    mv = TxTable(os.path.join(root, "mv"))
+    if os.path.exists(done):
+        return src, mv
+    shutil.rmtree(root, ignore_errors=True)
+    src, mv = TxTable(os.path.join(root, "src")), TxTable(
+        os.path.join(root, "mv")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    src.commit_append(ev.filter(F.col("event_id") % 3 == 0))
+    src.commit_append(ev.filter(F.col("event_id") % 3 == 1))
+    _mv_refresh(spark, src, mv)          # view covers commits 0..1
+    src.commit_append(ev.filter(F.col("event_id") % 3 == 2))
+    _mv_refresh(spark, src, mv)          # + commit 2, delta-only
+    before = mv.latest_version()
+    _mv_refresh(spark, src, mv)          # replayed refresh: no-op
+    assert mv.latest_version() == before, "replayed refresh must not commit"
+    with open(done, "w"):
+        pass
+    return src, mv
+
+
+def q_txlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view over the ACID table's change feed:
+    each refresh partial-aggregates ONLY the new commits (never
+    re-touching processed facts) and folds into the view in one commit
+    that also records the cursor as a transaction identity — replayed
+    refreshes are no-ops (builder-asserted).  The oracle is the
+    single-pass aggregate over ALL events: the gate literally checks
+    incremental == recompute, across two refreshes and a replay.
+
+    At 100 TB this is how a rollup stays fresh under continuous ingest:
+    refresh cost is O(delta) + a view-sized merge, and exactly-once
+    holds through scheduler crashes because output and cursor are one
+    atomic commit."""
+    _src, mv = _ensure_incremental_mv(spark, sf_dir)
+    return mv.read(spark)
+
+
+ORACLE_INCREMENTAL_MV = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -782,3 +897,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_merge_on_read"] = ORACLE_MERGE_ON_READ
     queries["stream_cdc_upsert"] = q_stream_cdc_upsert
     oracles["stream_cdc_upsert"] = ORACLE_CDC_UPSERT
+    queries["txlog_incremental_mv"] = q_txlog_incremental_mv
+    oracles["txlog_incremental_mv"] = ORACLE_INCREMENTAL_MV
