@@ -234,11 +234,14 @@ class TxTable:
     # -- CHECK constraints --------------------------------------------------
 
     def constraints(self) -> dict[str, str]:
-        """Live CHECK constraints: {name: sql_expr}.  Replayed from the
-        full log (constraint commits are rare and the log is KBs — no
-        checkpoint dependency)."""
-        cons: dict[str, str] = {}
+        """Live CHECK constraints: {name: sql_expr} — checkpoint-seeded,
+        O(commits since checkpoint)."""
+        upto = self.latest_version()
+        base, start = self._checkpoint_base(upto, "constraints")
+        cons: dict[str, str] = dict(base or {})
         for v in self._versions():
+            if v < start:
+                continue
             c = self._read_commit(v)
             if c.get("op") == "set_constraint":
                 cons[c["constraint"]["name"]] = c["constraint"]["expr"]
@@ -429,25 +432,32 @@ class TxTable:
         self._publish(version, commit)
         return version
 
+    def _txn_map(self) -> dict:
+        """{app: {str(batch): version}} over the whole log —
+        checkpoint-seeded, O(commits since checkpoint).  The map a
+        long-lived streaming sink probes every micro-batch."""
+        upto = self.latest_version()
+        base, start = self._checkpoint_base(upto, "txns")
+        txns: dict = {a: dict(b) for a, b in (base or {}).items()}
+        for v in self._versions():
+            if v < start:
+                continue
+            t = self._read_commit(v).get("txn")
+            if t:
+                txns.setdefault(t["app"], {})[str(t["batch"])] = v
+        return txns
+
     def txn_latest_batch(self, app: str) -> int | None:
         """The highest batch id an app identity has committed, or None —
         the refresh CURSOR of an incremental consumer whose txn batch
         ids encode 'source processed up to'."""
-        best = None
-        for v in self._versions():
-            t = self._read_commit(v).get("txn")
-            if t and t["app"] == app:
-                best = t["batch"] if best is None else max(best, t["batch"])
-        return best
+        m = self._txn_map().get(app)
+        return max(int(b) for b in m) if m else None
 
     def txn_version(self, app: str, batch: int) -> int | None:
         """The version a transaction identity committed at, or None —
         the idempotence probe for exactly-once streaming sinks."""
-        for v in self._versions():
-            t = self._read_commit(v).get("txn")
-            if t and t["app"] == app and t["batch"] == int(batch):
-                return v
-        return None
+        return self._txn_map().get(app, {}).get(str(int(batch)))
 
     def commit_append(
         self,
@@ -671,7 +681,19 @@ class TxTable:
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(
-                {"version": v, "active": active, "stats": stats, "dvs": dvs},
+                {
+                    "version": v,
+                    "active": active,
+                    "stats": stats,
+                    "dvs": dvs,
+                    # seed every log-derived lookup, not just the file
+                    # state: schema, constraints, and the txn map all
+                    # resume from here (O(commits since checkpoint) for
+                    # long-lived streaming tables)
+                    "schema": self.table_schema_json(v),
+                    "constraints": self.constraints(),
+                    "txns": self._txn_map(),
+                },
                 fh,
             )
         try:
@@ -1100,14 +1122,33 @@ class TxTable:
         sch = self.read_schema(spark)
         return [f.name for f in sch.fields] if sch is not None else []
 
+    def _checkpoint_base(self, upto: int, key: str):
+        """(base_value, first_version_to_walk) for a log-derived lookup:
+        the newest checkpoint ≤ ``upto`` that RECORDS ``key`` seeds the
+        scan so the walk is O(commits since checkpoint); old-format
+        checkpoints without the key fall back to a full walk."""
+        cps = [v for v in self._checkpoint_versions() if v <= upto]
+        if cps:
+            with open(
+                os.path.join(
+                    self.log_dir, f"{cps[-1]:020d}.checkpoint.json"
+                )
+            ) as fh:
+                snap = json.load(fh)
+            if key in snap:
+                return snap[key], cps[-1] + 1
+        return None, 0
+
     def table_schema_json(self, upto: int | None = None):
         """The schema recorded in the log at ``upto`` (default latest):
         the LAST data commit's schema wins — Delta's log-owned schema,
         so planning never opens a parquet footer.  None on pre-schema
-        (legacy) logs."""
+        (legacy) logs.  O(commits since checkpoint)."""
         v = self.latest_version() if upto is None else upto
-        out = None
+        out, start = self._checkpoint_base(v, "schema")
         for ver in self._versions():
+            if ver < start:
+                continue
             if ver > v:
                 break
             c = self._read_commit(ver)
