@@ -80,6 +80,18 @@ Round-4 extensions (same public-knowledge protocol surface):
   is O(rows changed + |source|), the Iceberg merge-on-read v2 / Delta
   DV-update write path; a later OPTIMIZE majors the deltas back into
   clustered files and retires the DVs.
+* **CHECK constraints** — ``add_constraint(name, expr)`` validates
+  existing data then gates every write path (SQL NULL semantics);
+  **TIMESTAMP AS OF** — ``version_at_timestamp``; **RESTORE** —
+  ``restore(v)`` publishes a forward commit equal to the target state
+  and retires post-target DVs.
+* **Log-owned schema** — every data commit records its StructType;
+  reads plan from the log (never a footer), time travel returns each
+  version's own schema, and ``commit_append(evolve=True)`` is
+  ADD-COLUMN evolution with NULL backfill.  Transaction identities on
+  append/merge/merge_into give exactly-once sinks, CDC upserts, and
+  atomic output+cursor refreshes; checkpoints seed schema, constraints,
+  and the txn map so all log-derived lookups stay O(recent).
 """
 
 from __future__ import annotations
@@ -747,17 +759,21 @@ class TxTable:
         at scan time — restore never resurrects deleted bytes."""
         t_active, t_stats, t_dvs = self._replay(version)
         t_schema = self.table_schema_json(version)
-        keep = {d["group"] for d in t_dvs}
         for _ in range(max_retries):
             read_v = self.latest_version()
             if version > read_v:
                 raise ValueError(f"cannot restore to future v{version}")
             cur_active = self.active_groups(read_v)
             cur_set = set(cur_active)
+            # retire EVERY deletion vector committed after the target —
+            # including ones currently retired (their covered groups come
+            # back alive with the restore and the masks would resurrect;
+            # caught by tests/test_txlog_model.py)
             drop = [
-                d["group"]
-                for d in self._replay(read_v)[2]
-                if d["group"] not in keep
+                self._read_commit(v)["dv"]["group"]
+                for v in self._versions()
+                if version < v <= read_v
+                and self._read_commit(v).get("dv")
             ]
             try:
                 return self._try_commit(
