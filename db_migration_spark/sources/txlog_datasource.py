@@ -126,6 +126,10 @@ class TxlogStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             str(options.get("ignoreDeletes", "false")).lower() == "true"
         )
+        # Delta's startingVersion: begin the stream AFTER this commit
+        # (exclusive), instead of replaying the whole log.  Default -1
+        # streams everything.
+        self.starting_version = int(options.get("startingVersion", -1))
         # declared stream schema, pinned at query start: file batches
         # are projected onto it so commits after an ADD COLUMN (extra
         # file columns) or files from before one (missing columns →
@@ -138,7 +142,7 @@ class TxlogStreamReader(DataSourceStreamReader):
         return TxTable(self.root)
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         # a large backlog means MANY file partitions in one micro-batch,

@@ -235,3 +235,39 @@ def test_cdf_read_versions_and_ops(spark, tmp_path):
         range(10, 15)
     )
     assert sorted(r.k for r in rows if r._commit_version == 2) == [50, 51]
+
+
+def test_stream_source_starting_version(spark, tmp_path):
+    """startingVersion begins the stream AFTER the given commit — a
+    catch-up consumer that already processed the backlog via the batch
+    CDF path starts the continuous tail where it left off."""
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.plans.txlog import TxTable
+    from db_migration_spark.sources import txlog_datasource
+
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.commit_append(
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+        )
+    txlog_datasource.register(spark)
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", t.root)
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("sv_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive and q.exception() is None
+    rows = spark.table("sv_tail")
+    assert rows.count() == 10  # only commit v2
+    assert rows.agg(F.min("_commit_version")).collect()[0][0] == 2
