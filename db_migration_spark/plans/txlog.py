@@ -510,9 +510,24 @@ class TxTable:
                     ]
                 )
             df = self._align_to_schema(df, sch)
+        cons_seen = self.constraints()
         self._check_constraints(df)
         group, stats = self._write_group(df)
         for _ in range(max_retries):
+            # a constraint committed since validation (it is exactly what
+            # our version conflict can be) must gate THIS append too —
+            # re-validate whenever the live constraint set changed
+            cons_now = self.constraints()
+            if cons_now != cons_seen:
+                try:
+                    self._check_constraints(df)
+                except ConstraintViolation:
+                    shutil.rmtree(
+                        os.path.join(self.data_dir, group),
+                        ignore_errors=True,
+                    )
+                    raise
+                cons_seen = cons_now
             try:
                 return self._try_commit(
                     "append",

@@ -792,3 +792,34 @@ def test_restore_keeps_target_dvs(spark, tmp_path):
     assert got == list(range(1, 10))         # k=0 still deleted, k=1 back
     with pytest.raises(ValueError):
         t.restore(99)
+
+
+def test_constraint_committed_mid_append_still_gates(spark, tmp_path):
+    """An append validated against the old constraint set must re-check
+    when a constraint lands between its validation and its publish —
+    otherwise the race admits violating rows under the new rule."""
+    from db_migration_spark.plans.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 5))
+    bad = spark.range(1).select(
+        F.lit(9).cast("long").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    orig = t._try_commit
+    fired = {"done": False}
+
+    def racing(op, *a, **kw):
+        # inject the constraint AFTER the append validated, BEFORE its
+        # first publish attempt — it wins the version race
+        if op == "append" and not fired["done"]:
+            fired["done"] = True
+            t.add_constraint(spark, "v_nonneg", "v >= 0")
+        return orig(op, *a, **kw)
+
+    t._try_commit = racing
+    try:
+        with pytest.raises(ConstraintViolation):
+            t.commit_append(bad)
+    finally:
+        t._try_commit = orig
+    assert t.read(spark).filter(F.col("v") < 0).count() == 0
