@@ -553,9 +553,21 @@ class TxTable:
     def commit_overwrite(self, df: DataFrame, max_retries: int = 20) -> int:
         """Replace the table contents atomically (old groups removed
         logically; bytes stay for time travel)."""
+        cons_seen = self.constraints()
         self._check_constraints(df)
         group, stats = self._write_group(df)
         for _ in range(max_retries):
+            cons_now = self.constraints()
+            if cons_now != cons_seen:  # same race window as commit_append
+                try:
+                    self._check_constraints(df)
+                except ConstraintViolation:
+                    shutil.rmtree(
+                        os.path.join(self.data_dir, group),
+                        ignore_errors=True,
+                    )
+                    raise
+                cons_seen = cons_now
             read_v = self.latest_version()
             try:
                 return self._try_commit(
