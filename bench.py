@@ -284,6 +284,7 @@ FULL_SUITE = [
     "stream_cdc_upsert",
     "corpus_fim_split",
     "txlog_incremental_mv",
+    "txlog_describe_history",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -818,6 +818,52 @@ class TxTable:
                 continue
         raise CommitConflict(f"restore lost {max_retries} races")
 
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE HISTORY as a DataFrame: one row per commit with the
+        operation, group add/remove counts, and DML/metadata markers —
+        the audit surface Delta exposes as SQL.  Driver-tier (the log is
+        KBs; never a data-file read)."""
+        rows = []
+        for v in self._versions():
+            c = self._read_commit(v)
+            rows.append(
+                (
+                    v,
+                    c.get("op", "append"),
+                    len(c.get("add", [])),
+                    len(c.get("remove", [])),
+                    bool(c.get("dv")),
+                    bool(c.get("txn")),
+                    c.get("committed_at"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version long, op string, n_added int, n_removed int, "
+            "has_dv boolean, has_txn boolean, committed_at string",
+        )
+
+    def detail_df(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE DETAIL as a one-row DataFrame: current version,
+        live group/DV counts, constraint count, and schema column count
+        — all from the log."""
+        v = self.latest_version()
+        active, _stats, dvs = self._replay(v) if v >= 0 else ([], {}, [])
+        js = self.table_schema_json()
+        return spark.createDataFrame(
+            [
+                (
+                    v,
+                    len(active),
+                    len(dvs),
+                    len(self.constraints()),
+                    len(js["fields"]) if js else None,
+                )
+            ],
+            "version long, n_groups int, n_live_dvs int, "
+            "n_constraints int, n_columns int",
+        )
+
     # -- reads --------------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

@@ -624,6 +624,33 @@ FROM final GROUP BY prio
 """
 
 
+def q_txlog_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a queryable DataFrame (plans/txlog.py
+    ``history_df``) over the year-per-group store: version, operation,
+    and group-delta counts per commit — the audit trail a data steward
+    reads before trusting a table.  The oracle reconstructs the commit
+    ledger from ``orders`` (version v = v-th distinct order year, one
+    appended group each, nothing removed — the deterministic build
+    contract of the fixture)."""
+    t = _ensure_zonemap_store(spark, sf_dir)
+    return t.history_df(spark).select(
+        "version", "op",
+        F.col("n_added").cast("long").alias("n_added"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+ORACLE_DESCRIBE_HISTORY = """
+WITH vmap AS (
+  SELECT row_number() OVER (ORDER BY yr) - 1 AS ver
+  FROM (SELECT DISTINCT year(o_orderdate) AS yr FROM orders)
+)
+SELECT CAST(ver AS BIGINT) AS version, 'append' AS op,
+       CAST(1 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed
+FROM vmap
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming CDC upsert through MERGE INTO (exactly-once)
 # ---------------------------------------------------------------------------
@@ -899,3 +926,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stream_cdc_upsert"] = ORACLE_CDC_UPSERT
     queries["txlog_incremental_mv"] = q_txlog_incremental_mv
     oracles["txlog_incremental_mv"] = ORACLE_INCREMENTAL_MV
+    queries["txlog_describe_history"] = q_txlog_describe_history
+    oracles["txlog_describe_history"] = ORACLE_DESCRIBE_HISTORY
