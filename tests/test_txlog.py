@@ -823,3 +823,20 @@ def test_constraint_committed_mid_append_still_gates(spark, tmp_path):
     finally:
         t._try_commit = orig
     assert t.read(spark).filter(F.col("v") < 0).count() == 0
+
+
+def test_describe_detail_and_history(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    t.add_constraint(spark, "v_ok", "v >= 0")
+    t.delete_where(spark, F.col("k") == 1)
+    d = t.detail_df(spark).collect()[0]
+    assert (d.version, d.n_groups, d.n_live_dvs, d.n_constraints) == (
+        2, 1, 1, 1,
+    )
+    assert d.n_columns == 2
+    h = {r.version: (r.op, r.n_added, r.has_dv) for r in
+         t.history_df(spark).collect()}
+    assert h[0] == ("append", 1, False)
+    assert h[1] == ("set_constraint", 0, False)
+    assert h[2] == ("delete", 0, True)
