@@ -840,3 +840,39 @@ def test_describe_detail_and_history(spark, tmp_path):
     assert h[0] == ("append", 1, False)
     assert h[1] == ("set_constraint", 0, False)
     assert h[2] == ("delete", 0, True)
+
+
+def test_concurrent_overlapping_updates_serialize(spark, tmp_path):
+    """Two racing UPDATEs over the SAME rows must serialize: each loser
+    recomputes against the winner's state, so the increments COMPOSE
+    (the lost-update anomaly is the thing the optimistic loop exists to
+    prevent)."""
+    import threading
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 30))
+    errs = []
+
+    def bump(amount):
+        try:
+            t.update_where(
+                spark, F.col("k") % 3 == 0, {"v": F.col("v") + amount}
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    th = [
+        threading.Thread(target=bump, args=(1000,)),
+        threading.Thread(target=bump, args=(200,)),
+    ]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert len(got) == 30
+    for k in range(30):
+        expect = k * 2 + (1200 if k % 3 == 0 else 0)
+        assert got[k] == expect, f"lost update at k={k}"
+    assert t.latest_version() == 2
