@@ -26,6 +26,14 @@ that matter at 100 TB:
   POST-optimize version and aggregates both — OPTIMIZE must be a
   logical no-op, and the old layout must stay time-travelable.
 
+Late-round additions under the same gate: ``txlog_delete_vectors``
+(positional-DV DELETE with CDF row-level deletes),
+``txlog_merge_on_read`` (UPDATE + MERGE INTO as one DV+delta commit),
+``stream_cdc_upsert`` (exactly-once CDC MERGE from foreachBatch with
+adversarial batch replay), ``txlog_incremental_mv`` (delta-only view
+refresh whose txn identity is the cursor), and
+``txlog_describe_history`` (the audit ledger as a DataFrame).
+
 Reference anchor: the reference's store is Datomic (transactional
 appends, pseudoace.py:98-102; backup/restore datomic.py:12-23); these
 queries are the Spark-native table-format equivalent of that contract,
