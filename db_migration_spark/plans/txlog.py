@@ -245,15 +245,19 @@ class TxTable:
 
     # -- CHECK constraints --------------------------------------------------
 
-    def constraints(self) -> dict[str, str]:
-        """Live CHECK constraints: {name: sql_expr} — checkpoint-seeded,
-        O(commits since checkpoint)."""
-        upto = self.latest_version()
+    def constraints(self, upto: int | None = None) -> dict[str, str]:
+        """Live CHECK constraints at ``upto`` (default latest):
+        {name: sql_expr} — checkpoint-seeded, O(commits since
+        checkpoint)."""
+        if upto is None:
+            upto = self.latest_version()
         base, start = self._checkpoint_base(upto, "constraints")
         cons: dict[str, str] = dict(base or {})
         for v in self._versions():
             if v < start:
                 continue
+            if v > upto:
+                break
             c = self._read_commit(v)
             if c.get("op") == "set_constraint":
                 cons[c["constraint"]["name"]] = c["constraint"]["expr"]
@@ -368,6 +372,17 @@ class TxTable:
             if c.get("drop_dvs"):  # RESTORE retires post-target DVs
                 dead = set(c["drop_dvs"])
                 dvs = [d for d in dvs if d["group"] not in dead]
+            if c.get("re_add_dvs"):
+                # RESTORE re-asserts the target's live DVs: a replay
+                # seeded from a checkpoint taken AFTER the DVs retired
+                # (delete → rewrite → checkpoint) no longer carries
+                # them, and the restore re-activates their covered
+                # groups — without this the deleted rows resurrect.
+                # Replace-by-group so a full replay (which still has
+                # them) doesn't double-count.
+                back = {d["group"]: dict(d) for d in c["re_add_dvs"]}
+                dvs = [d for d in dvs if d["group"] not in back]
+                dvs.extend(back.values())
         live = set(active)
         dvs = [d for d in dvs if live.intersection(d.get("covers", []))]
         return active, {g: stats.get(g, {}) for g in active}, dvs
@@ -420,6 +435,7 @@ class TxTable:
         constraint: dict | None = None,
         schema_json: str | None = None,
         drop_dvs: list[str] | None = None,
+        re_add_dvs: list[dict] | None = None,
     ) -> int:
         commit = {
             "version": version,
@@ -441,19 +457,25 @@ class TxTable:
             commit["schema"] = json.loads(schema_json)
         if drop_dvs:
             commit["drop_dvs"] = list(drop_dvs)
+        if re_add_dvs:
+            commit["re_add_dvs"] = [dict(d) for d in re_add_dvs]
         self._publish(version, commit)
         return version
 
-    def _txn_map(self) -> dict:
-        """{app: {str(batch): version}} over the whole log —
-        checkpoint-seeded, O(commits since checkpoint).  The map a
-        long-lived streaming sink probes every micro-batch."""
-        upto = self.latest_version()
+    def _txn_map(self, upto: int | None = None) -> dict:
+        """{app: {str(batch): version}} over the log up to ``upto``
+        (default latest) — checkpoint-seeded, O(commits since
+        checkpoint).  The map a long-lived streaming sink probes every
+        micro-batch."""
+        if upto is None:
+            upto = self.latest_version()
         base, start = self._checkpoint_base(upto, "txns")
         txns: dict = {a: dict(b) for a, b in (base or {}).items()}
         for v in self._versions():
             if v < start:
                 continue
+            if v > upto:
+                break
             t = self._read_commit(v).get("txn")
             if t:
                 txns.setdefault(t["app"], {})[str(t["batch"])] = v
@@ -528,6 +550,36 @@ class TxTable:
                     )
                     raise
                 cons_seen = cons_now
+            # re-read the log schema EVERY attempt: a concurrent
+            # evolve=True append may have committed a new column since
+            # our snapshot, and stamping our (narrower) schema on the
+            # winning commit would clobber it — the commit's schema is
+            # the UNION (our file backfills NULL for the new column, the
+            # same contract as any pre-evolution file).  A schema that
+            # LOST one of our columns (a concurrent overwrite) is a
+            # metadata conflict and fails, Delta's rule.
+            sch_now = self.read_schema(df.sparkSession)
+            commit_schema = df.schema
+            if sch_now is not None:
+                ours = {f.name for f in df.schema.fields}
+                lost = ours - {f.name for f in sch_now.fields}
+                if lost and not (evolve or sch is None):
+                    shutil.rmtree(
+                        os.path.join(self.data_dir, group),
+                        ignore_errors=True,
+                    )
+                    raise CommitConflict(
+                        f"concurrent schema change removed {sorted(lost)}"
+                    )
+                commit_schema = StructType(
+                    list(sch_now.fields)
+                    + [
+                        f
+                        for f in df.schema.fields
+                        if f.name
+                        not in {g.name for g in sch_now.fields}
+                    ]
+                )
             try:
                 return self._try_commit(
                     "append",
@@ -536,7 +588,7 @@ class TxTable:
                     self.latest_version() + 1,
                     stats={group: stats},
                     txn=txn,
-                    schema_json=df.schema.json(),
+                    schema_json=commit_schema.json(),
                 )
             except CommitConflict:
                 if txn is not None:
@@ -728,10 +780,14 @@ class TxTable:
                     # seed every log-derived lookup, not just the file
                     # state: schema, constraints, and the txn map all
                     # resume from here (O(commits since checkpoint) for
-                    # long-lived streaming tables)
+                    # long-lived streaming tables).  All BOUNDED BY v —
+                    # a checkpoint of an older version must be version-
+                    # consistent, not a mix of v's files with latest's
+                    # metadata (and racing checkpointers of the same v
+                    # really do write identical content)
                     "schema": self.table_schema_json(v),
-                    "constraints": self.constraints(),
-                    "txns": self._txn_map(),
+                    "constraints": self.constraints(upto=v),
+                    "txns": self._txn_map(upto=v),
                 },
                 fh,
             )
@@ -813,6 +869,11 @@ class TxTable:
                         json.dumps(t_schema) if t_schema is not None else None
                     ),
                     drop_dvs=drop,
+                    # re-assert the target's live DVs so a checkpoint-
+                    # seeded replay (where they may have been end-
+                    # filtered out after a rewrite) masks the restored
+                    # groups exactly as a full replay does
+                    re_add_dvs=t_dvs,
                 )
             except CommitConflict:
                 continue
@@ -1005,9 +1066,9 @@ class TxTable:
             if read_v < 0:
                 raise ValueError("cannot delete from an empty table")
             active, _stats, dvs = self._replay(read_v)
-            scan = spark.read.parquet(
-                *[os.path.join(self.data_dir, g) for g in active]
-            )
+            # log-owned schema (not footer inference): post-ADD-COLUMN
+            # the newest column may be absent from older footers
+            scan = self._scan(spark, active, read_v)
             matched = self._apply_dvs(spark, scan, dvs).filter(predicate)
             group, n, covered = self._write_dv(self._positions(matched))
             path = os.path.join(self.data_dir, group)
@@ -1055,9 +1116,10 @@ class TxTable:
             if read_v < 0:
                 raise ValueError("cannot update an empty table")
             active, _stats, dvs = self._replay(read_v)
-            scan = spark.read.parquet(
-                *[os.path.join(self.data_dir, g) for g in active]
-            )
+            # log-owned schema: updated rows must carry EVERY table
+            # column (footer inference after ADD COLUMN can miss the new
+            # one and silently drop it from the rebuilt delta rows)
+            scan = self._scan(spark, active, read_v)
             matched = self._apply_dvs(spark, scan, dvs).filter(predicate)
             dv_group, n, covered = self._write_dv(self._positions(matched))
             dv_path = os.path.join(self.data_dir, dv_group)
@@ -1133,9 +1195,9 @@ class TxTable:
             if read_v < 0:
                 raise ValueError("cannot merge into an empty table")
             active, _stats, dvs = self._replay(read_v)
-            scan = spark.read.parquet(
-                *[os.path.join(self.data_dir, g) for g in active]
-            )
+            # log-owned schema: _align_to_schema(source, …) must see the
+            # full evolved column set, not a pre-evolution footer's
+            scan = self._scan(spark, active, read_v)
             src = self._align_to_schema(source, scan.schema)
             if src.groupBy(*keys).count().where("count > 1").take(1):
                 raise ValueError(
@@ -1176,7 +1238,21 @@ class TxTable:
             if n_masked == 0 and n_delta == 0:  # provable no-op
                 shutil.rmtree(dv_path, ignore_errors=True)
                 shutil.rmtree(gpath, ignore_errors=True)
-                return read_v
+                if txn is None:
+                    return read_v
+                # a no-op merge CARRYING a txn identity must still
+                # record it (metadata-only commit) so the incremental
+                # consumer's cursor advances past the empty batch —
+                # otherwise txn_latest_batch() re-serves it forever
+                try:
+                    return self._try_commit(
+                        "merge_into", [], [], read_v + 1, txn=txn
+                    )
+                except CommitConflict:
+                    seen = self.txn_version(*txn)
+                    if seen is not None:
+                        return seen
+                    continue
             if n_delta == 0:  # delete-only merge — drop the empty group
                 shutil.rmtree(gpath, ignore_errors=True)
             if n_masked == 0:

@@ -246,9 +246,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_f).alias("f_tile"),
         F.ntile(4).over(w_m).alias("m_tile"),
     )
+    # exact decimal agg internally, DOUBLE boundary (unscaled < 2^53 →
+    # bit-equal conversion; decimal client encodings are engine-specific)
     return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum("monetary").alias("segment_spend"),
+        F.sum("monetary").cast("double").alias("segment_spend"),
     )
 
 
@@ -270,7 +272,7 @@ tiled AS (
 )
 SELECT r_tile, f_tile, m_tile,
        count(*) AS n_customers,
-       sum(monetary) AS segment_spend
+       CAST(sum(monetary) AS DOUBLE) AS segment_spend
 FROM tiled GROUP BY r_tile, f_tile, m_tile
 """
 
@@ -392,7 +394,10 @@ def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_trades"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("volume"),
+        # exact decimal sum, DOUBLE boundary (unscaled < 2^53)
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("volume"),
     )
 
 
@@ -411,7 +416,7 @@ SELECT bar_ts, event_type,
        min(value) AS low,
        max(CASE WHEN rn_d = 1 THEN value END) AS close,
        count(*) AS n_trades,
-       sum(CAST(value AS DECIMAL(18,6))) AS volume
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
 FROM bars GROUP BY bar_ts, event_type
 """
 
@@ -666,11 +671,15 @@ def q_ts_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hour") + F.expr("INTERVAL 168 HOURS")).alias("hour"),
         F.col("total").alias("forecast"),
     )
+    # exact decimal math internally, DOUBLE boundary (unscaled < 2^53 →
+    # bit-equal conversion; decimal client encodings are engine-specific)
     return hourly.join(prev, "hour").select(
         "hour",
-        F.col("total").alias("actual"),
-        "forecast",
-        F.abs(F.col("total") - F.col("forecast")).alias("abs_err"),
+        F.col("total").cast("double").alias("actual"),
+        F.col("forecast").cast("double").alias("forecast"),
+        F.abs(F.col("total") - F.col("forecast"))
+        .cast("double")
+        .alias("abs_err"),
         "n_events",
     )
 
@@ -682,8 +691,9 @@ WITH hourly AS (
          count(*) AS n_events
   FROM events GROUP BY 1
 )
-SELECT h.hour, h.total AS actual, p.total AS forecast,
-       abs(h.total - p.total) AS abs_err, h.n_events
+SELECT h.hour, CAST(h.total AS DOUBLE) AS actual,
+       CAST(p.total AS DOUBLE) AS forecast,
+       CAST(abs(h.total - p.total) AS DOUBLE) AS abs_err, h.n_events
 FROM hourly h
 JOIN hourly p ON h.hour = p.hour + INTERVAL 168 HOUR
 """
@@ -1085,7 +1095,8 @@ def q_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.size(F.split(F.col("note"), "\n", -1)) - 1
         ).alias("embedded_newlines"),
-        F.sum("price").alias("price_sum"),
+        # exact decimal sum, DOUBLE boundary (unscaled < 2^53)
+        F.sum("price").cast("double").alias("price_sum"),
     )
 
 
@@ -1095,7 +1106,7 @@ SELECT count(*) AS n_rows,
        CAST(sum(length('note "' || o_orderpriority || '"' || chr(10)
            || 'line2 for ' || o_orderstatus)) AS BIGINT) AS note_chars,
        count(*) AS embedded_newlines,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price_sum
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
 FROM orders
 """
 
@@ -1166,27 +1177,35 @@ def q_mv_reuse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree plus a ReusedExchange node for the second consumer
     (plan-guarded).  This is the materialized-view-lite pattern that
     matters at 100 TB: the fact scan and its shuffle happen once, every
-    coarser grain is a re-aggregation of the finer one."""
+    coarser grain is a re-aggregation of the finer one.
+
+    Revenue crosses the oracle boundary as integer cents (BIGINT): the
+    round-4 driver hash-red on this query was a decimal-canonicalization
+    sensitivity (values verified equal), and integers are the one
+    numeric type every canonicalizer agrees on — the same recipe that
+    drove the round-3 HUGEINT class to driver-green."""
     li = load_table(spark, sf_dir, "lineitem")
     daily = li.groupBy(
         F.date_trunc("day", F.col("l_shipdate")).alias("day")
     ).agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("rev_cents"),
         F.count(F.lit(1)).alias("n"),
     )
     by_day = daily.select(
         F.lit("day").alias("grain"),
         F.col("day").cast("date").alias("period"),
-        "rev",
+        "rev_cents",
         "n",
     )
     by_week = (
         daily.groupBy(F.date_trunc("week", F.col("day")).alias("wk"))
-        .agg(F.sum("rev").alias("rev"), F.sum("n").alias("n"))
+        .agg(F.sum("rev_cents").alias("rev_cents"), F.sum("n").alias("n"))
         .select(
             F.lit("week").alias("grain"),
             F.col("wk").cast("date").alias("period"),
-            "rev",
+            "rev_cents",
             "n",
         )
     )
@@ -1196,14 +1215,15 @@ def q_mv_reuse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MV_REUSE = """
 WITH daily AS (
   SELECT date_trunc('day', l_shipdate) AS day,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
          count(*) AS n
   FROM lineitem GROUP BY 1
 )
-SELECT 'day' AS grain, CAST(day AS DATE) AS period, rev, n FROM daily
+SELECT 'day' AS grain, CAST(day AS DATE) AS period, rev_cents, n FROM daily
 UNION ALL
 SELECT 'week', CAST(date_trunc('week', day) AS DATE),
-       sum(rev), CAST(sum(n) AS BIGINT)
+       CAST(sum(rev_cents) AS BIGINT), CAST(sum(n) AS BIGINT)
 FROM daily GROUP BY 2
 """
 
@@ -2181,18 +2201,22 @@ def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(
         F.date_trunc("day", F.col("l_shipdate")).cast("date").alias("day")
     ).agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-            "vwap_num"
-        ),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("vwap_den"),
+        # exact decimal sums, DOUBLE boundary (unscaled < 2^53)
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("vwap_num"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("vwap_den"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 ORACLE_VWAP = """
 SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS vwap_num,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS vwap_den,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS vwap_num,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vwap_den,
        count(*) AS n_lines
 FROM lineitem GROUP BY 1
 """

@@ -155,16 +155,21 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias(
-                "sum_qty"
-            ),
+            # decimal internally (exact map-side combine), DOUBLE at the
+            # boundary: client canonicalizers disagree on decimals
+            # (DuckDB→float64, Spark→Decimal), and the conversion of an
+            # exact decimal whose unscaled value fits 2^53 is correctly
+            # rounded in both engines, so the doubles are bit-equal
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
         )
     )
 
 
 ORACLE_BLOOM = """
 SELECT l_returnflag, count(*) AS n_lines,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_returnflag
@@ -213,15 +218,23 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("xy").cast("decimal(28,4)").alias("sum_xy"),
         )
     )
+    # boundary types: sum_x crosses as DOUBLE (unscaled < 2^53, so the
+    # decimal→double conversion is correctly rounded and bit-equal in
+    # both engines); the second-order numerators exceed 2^53 unscaled
+    # and cross as canonical decimal STRINGS — the one client encoding
+    # every engine agrees on for exact wide integers (scale pinned, so
+    # '…​.0000' renders identically)
     return agg.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n"),
-        "sum_x",
+        F.col("sum_x").cast("double").alias("sum_x"),
         (F.col("n") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x"))
         .cast("decimal(34,4)")
+        .cast("string")
         .alias("var_num"),
         (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
         .cast("decimal(37,4)")
+        .cast("string")
         .alias("cov_num"),
         (F.col("sum_x").cast("double") / F.col("n").cast("double")).alias(
             "mean_x"
@@ -241,16 +254,16 @@ WITH s AS (
 )
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n,
-       sum_x,
+       CAST(sum_x AS DOUBLE) AS sum_x,
        -- the DECIMAL(19,…) casts force int128 physical math in DuckDB
        -- (its multiply keeps the operands' int64 width and would
        -- overflow); values are identical to Spark's (15,2)×(15,2)
-       CAST(n * sum_x2 -
+       CAST(CAST(n * sum_x2 -
             CAST(sum_x AS DECIMAL(19,2)) * CAST(sum_x AS DECIMAL(19,2))
-            AS DECIMAL(34,4)) AS var_num,
-       CAST(n * sum_xy -
+            AS DECIMAL(34,4)) AS VARCHAR) AS var_num,
+       CAST(CAST(n * sum_xy -
             CAST(sum_x AS DECIMAL(19,2)) * CAST(sum_y AS DECIMAL(19,2))
-            AS DECIMAL(37,4)) AS cov_num,
+            AS DECIMAL(37,4)) AS VARCHAR) AS cov_num,
        CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
 FROM s
 """
@@ -838,12 +851,14 @@ def q_u5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,4)")
         .alias("sum_disc"),
     )
+    # DOUBLE at the boundary (unscaled < 2^53 → conversion bit-equal in
+    # both engines; decimal client canonicalization is engine-specific)
     return wide.unpivot(
         ["l_returnflag"],
         ["sum_qty", "sum_price", "sum_disc"],
         "measure",
         "value",
-    )
+    ).withColumn("value", F.col("value").cast("double"))
 
 
 ORACLE_UNPIVOT = """
@@ -854,11 +869,13 @@ WITH wide AS (
          CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc
   FROM lineitem GROUP BY l_returnflag
 )
-SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
-UNION ALL
-SELECT l_returnflag, 'sum_price', sum_price FROM wide
-UNION ALL
-SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+SELECT l_returnflag, measure, CAST(value AS DOUBLE) AS value FROM (
+  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+)
 """
 
 
@@ -1080,15 +1097,17 @@ def q_sink_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
-            "sum_price"
-        ),
+        # exact decimal agg, DOUBLE boundary (unscaled < 2^53 →
+        # conversion bit-equal; decimal client encodings are not)
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
 ORACLE_ZSTD = """
 SELECT l_linestatus, count(*) AS n_lines,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4))
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
          AS sum_price
 FROM lineitem WHERE l_returnflag = 'R'
 GROUP BY l_linestatus

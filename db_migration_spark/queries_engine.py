@@ -52,9 +52,9 @@ SELECT l_returnflag,
        l_linestatus,
        count(*) AS n_rows,
        CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
-            AS DECIMAL(38,0)) AS qty_cents,
+            AS BIGINT) AS qty_cents,
        CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-            AS DECIMAL(38,0)) AS price_cents
+            AS BIGINT) AS price_cents
 FROM lineitem
 WHERE l_quantity < 45
 GROUP BY ALL
@@ -878,7 +878,7 @@ FROM lineitem
 |> WHERE l_quantity < 45
 |> AGGREGATE count(*) AS n_rows,
              CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-                  AS DECIMAL(38,0)) AS price_cents
+                  AS BIGINT) AS price_cents
    GROUP BY l_returnflag, l_linestatus
 |> ORDER BY l_returnflag, l_linestatus
 """
@@ -897,7 +897,7 @@ ORACLE_PIPE = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
        CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-            AS DECIMAL(38,0)) AS price_cents
+            AS BIGINT) AS price_cents
 FROM lineitem
 WHERE l_quantity < 45
 GROUP BY l_returnflag, l_linestatus

@@ -162,17 +162,25 @@ def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * y).cast("decimal(38,0)").alias("sxy"),
         F.sum(x * x).cast("decimal(38,0)").alias("sx2"),
     )
+    # boundary types: linear cent-sums fit BIGINT at any realistic scale
+    # and cross as such; the second-order numerators ride DECIMAL(38,0)
+    # internally and cross as canonical decimal STRINGS — exact at any
+    # width, and the one client encoding every engine agrees on
+    # (decimal client canonicalization is engine-specific: DuckDB's
+    # float64 vs Spark's Decimal objects)
     n = F.col("n").cast("decimal(38,0)")
     return agg.select(
         "l_returnflag",
         "n",
-        "sx",
-        "sy",
+        F.col("sx").cast("bigint").alias("sx"),
+        F.col("sy").cast("bigint").alias("sy"),
         (n * F.col("sxy") - F.col("sx") * F.col("sy"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("slope_num"),
         (n * F.col("sx2") - F.col("sx") * F.col("sx"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("slope_den"),
     )
 
@@ -191,11 +199,12 @@ WITH pts AS (
          CAST(sum(x * x) AS DECIMAL(38,0)) AS sx2
   FROM pts GROUP BY l_returnflag
 )
-SELECT l_returnflag, n, sx, sy,
-       CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DECIMAL(38,0))
-         AS slope_num,
-       CAST(CAST(n AS DECIMAL(38,0)) * sx2 - sx * sx AS DECIMAL(38,0))
-         AS slope_den
+SELECT l_returnflag, n,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DECIMAL(38,0))
+         AS VARCHAR) AS slope_num,
+       CAST(CAST(CAST(n AS DECIMAL(38,0)) * sx2 - sx * sx AS DECIMAL(38,0))
+         AS VARCHAR) AS slope_den
 FROM s
 """
 
@@ -1148,9 +1157,11 @@ def q_stats_welch_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(b * F.col("v")).alias("sx2"),
         F.sum(a.cast("decimal(38,0)") * vd * vd)
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("sxx1"),
         F.sum(b.cast("decimal(38,0)") * vd * vd)
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("sxx2"),
     )
 
@@ -1167,14 +1178,14 @@ SELECT c_mktsegment,
        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
                 ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
                 END) AS BIGINT) AS sx2,
-       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+       CAST(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
                 THEN CAST(floor(o_totalprice * 100) AS DECIMAL(38,0))
                      * CAST(floor(o_totalprice * 100) AS DECIMAL(38,0))
-                ELSE 0 END) AS DECIMAL(38,0)) AS sxx1,
-       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+                ELSE 0 END) AS DECIMAL(38,0)) AS VARCHAR) AS sxx1,
+       CAST(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
                 ELSE CAST(floor(o_totalprice * 100) AS DECIMAL(38,0))
                      * CAST(floor(o_totalprice * 100) AS DECIMAL(38,0))
-                END) AS DECIMAL(38,0)) AS sxx2
+                END) AS DECIMAL(38,0)) AS VARCHAR) AS sxx2
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -1587,11 +1598,17 @@ def q_stats_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
         )
     )
+    # hhi_num exceeds int64 even at sf0.01 (~1e20): it rides
+    # DECIMAL(38,0) internally and crosses the boundary as a canonical
+    # decimal STRING — exact at any width, engine-agnostic encoding
     rd = F.col("r").cast("decimal(38,0)")
     return rev.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("r").alias("total_cents"),
-        F.sum(rd * rd).cast("decimal(38,0)").alias("hhi_num"),
+        F.sum(rd * rd)
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("hhi_num"),
     )
 
 
@@ -1608,8 +1625,8 @@ WITH rev AS (
 SELECT s_nationkey,
        count(*) AS n_suppliers,
        CAST(sum(r) AS BIGINT) AS total_cents,
-       CAST(sum(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))
-            AS DECIMAL(38,0)) AS hhi_num
+       CAST(CAST(sum(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS VARCHAR) AS hhi_num
 FROM tagged
 GROUP BY s_nationkey
 """
@@ -1721,8 +1738,13 @@ def q_stats_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = cd(F.col("c")) * (
         cd(F.col("v")) * cd(F.col("below_n")) - cd(F.col("below_sum"))
     )
+    # absdiff_num passes BIGINT at fact scale: DECIMAL(38,0) internally,
+    # canonical decimal STRING at the boundary (exact, engine-agnostic)
     return cum.groupBy("c_mktsegment").agg(
-        (2 * F.sum(contrib)).cast("decimal(38,0)").alias("absdiff_num"),
+        (2 * F.sum(contrib))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("absdiff_num"),
         F.sum("c").alias("n"),
         F.sum(F.col("c") * F.col("v")).alias("total_cents"),
     )
@@ -1745,9 +1767,9 @@ WITH vals AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 SELECT c_mktsegment,
-       CAST(2 * sum(CAST(c AS DECIMAL(38,0)) *
+       CAST(CAST(2 * sum(CAST(c AS DECIMAL(38,0)) *
                     (CAST(v AS DECIMAL(38,0)) * below_n - below_sum))
-            AS DECIMAL(38,0)) AS absdiff_num,
+            AS DECIMAL(38,0)) AS VARCHAR) AS absdiff_num,
        CAST(sum(c) AS BIGINT) AS n,
        CAST(sum(c * v) AS BIGINT) AS total_cents
 FROM cum

@@ -40,9 +40,17 @@ def _ops():
         st.integers(200, 299),
     )
     optimize = st.tuples(st.just("optimize"), st.just(None), st.just(0))
-    restore = st.tuples(st.just("restore"), st.just(None), st.just(0))
+    # arg picks the restore target among committed versions (mod len),
+    # so restores land mid-history — where DVs may be live — not just v0
+    restore = st.tuples(st.just("restore"), st.integers(0, 31), st.just(0))
+    # checkpoint is metadata-only (no new version) but changes the
+    # REPLAY PATH of every later read — interleaving it with restore is
+    # what caught the end-filtered-DV resurrection bug (round-4 advice)
+    checkpoint = st.tuples(st.just("checkpoint"), st.just(None), st.just(0))
     return st.lists(
-        st.one_of(append, delete, update, merge, optimize, restore),
+        st.one_of(
+            append, delete, update, merge, optimize, restore, checkpoint
+        ),
         min_size=3,
         max_size=7,
     )
@@ -97,8 +105,10 @@ def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops):
             if not model:
                 continue
             t.optimize(spark, target_groups=1)
+        elif op == "checkpoint":
+            t.checkpoint()
         elif op == "restore":
-            target = len(history) - 1 if len(history) == 1 else 0
+            target = arg % len(history)
             t.restore(target)
             model = dict(history[target])
         if t.latest_version() != before_v:

@@ -48,6 +48,85 @@ def row_key(row, col_order):
     return tuple(k(row[i]) for i in col_order)
 
 
+# --- declared-type parity -------------------------------------------------
+# The round-3/round-4 driver hash-reds were all TYPE-metadata sensitivities
+# the value multiset cannot see: client canonicalizers disagree on wide /
+# exact numerics (DuckDB→pandas turns every DECIMAL into float64 and HUGEINT
+# loses precision; Spark→pandas keeps exact Decimal objects).  So the
+# stand-in additionally (a) maps both engines' declared output types into
+# one canonical space and requires per-column equality, and (b) hard-fails
+# any DECIMAL or HUGEINT at the oracle boundary — exact wide integers must
+# cross as BIGINT (when they fit at scale) or as canonical decimal strings,
+# fractional exact sums as DOUBLE (bit-equal when unscaled < 2^53).
+
+_SPARK_CANON = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "binary": "bytes",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+    "void": "null",
+}
+
+_DUCK_CANON = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "UBIGINT": "int", "HUGEINT": "hugeint",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "BLOB": "bytes",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts",
+    '"NULL"': "null", "NULL": "null",
+}
+
+
+def canon_spark(t: str) -> str:
+    t = t.strip()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{canon_spark(t[6:-1])}>"
+    if t.startswith(("struct<", "map<")):
+        return "nested"
+    return _SPARK_CANON.get(t, t)
+
+
+def canon_duck(t: str) -> str:
+    t = t.strip()
+    if t.upper().startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]"):
+        return f"list<{canon_duck(t[:-2])}>"
+    if t.upper().startswith(("STRUCT(", "MAP(")):
+        return "nested"
+    return _DUCK_CANON.get(t.upper(), t)
+
+
+def type_parity_errors(spark_fields, duck_described) -> list[str]:
+    """Per-column canonical-type mismatches + boundary-policy violations.
+
+    ``spark_fields``: StructField list; ``duck_described``: rows of
+    ``DESCRIBE <sql>`` (name, type, ...).  Column match is by NAME (the
+    driver sorts columns by name before hashing).
+    """
+    errs = []
+    stypes = {f.name: f.dataType.simpleString() for f in spark_fields}
+    dtypes = {r[0]: r[1] for r in duck_described}
+    for name, st in stypes.items():
+        cs = canon_spark(st)
+        if "decimal" in cs:
+            errs.append(f"{name}: spark {st} — decimal at oracle boundary")
+        if name not in dtypes:
+            continue
+        cd = canon_duck(dtypes[name])
+        if "decimal" in cd or "hugeint" in cd:
+            errs.append(
+                f"{name}: duckdb {dtypes[name]} — wide numeric at boundary"
+            )
+        if cs != cd and "decimal" not in cs + cd and "hugeint" not in cd:
+            errs.append(f"{name}: spark {st} vs duckdb {dtypes[name]}")
+    return errs
+
+
 def main() -> int:
     import json
 
@@ -95,6 +174,9 @@ def main() -> int:
                 print(f"  WARNING: {name} returned 0 rows")
             continue
         try:
+            described = con.execute(
+                f"DESCRIBE {ORACLES[name]}"
+            ).fetchall()
             ddf = con.execute(ORACLES[name])
             dcols = [d[0] for d in ddf.description]
             drows = ddf.fetchall()
@@ -113,6 +195,13 @@ def main() -> int:
         if not rec["schema_match"]:
             failures.append(name)
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            continue
+        terrs = type_parity_errors(sdf.schema.fields, described)
+        if terrs:
+            failures.append(name)
+            rec["schema_match"] = False
+            rec["err"] = f"type parity: {'; '.join(terrs)}"[:300]
+            print(f"FAIL {name}: type parity: {terrs}")
             continue
         if not rec["rows_match"]:
             failures.append(name)
