@@ -335,6 +335,59 @@ HEADLINE = [
 ]
 
 
+# The sketch registry entries became SELF-CERTIFYING this round: each now
+# runs its production operator PLUS an in-query exact-side verification
+# (brute-force top-k / exact n-gram Jaccard / exact percentiles) so the
+# driver can hash-gate the sketch contract.  The bench must keep timing the
+# PRODUCTION operator alone — that is what r2's comparable numbers measured
+# and what a deployment runs (nobody ships the verification harness).
+def _perf_overrides():
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.operators import dedup, similarity
+
+    def minhash(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.minhash_near_dups(
+            docs, num_hashes=32, bands=8, threshold=0.4
+        )
+
+    def simhash(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.simhash_near_dups(docs, max_hamming=3, bands=4)
+
+    def ivf(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 8)
+        return similarity.ivf_topk(emb, q, k=10, n_lists=16, n_probe=6)
+
+    def pq(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 8)
+        return similarity.pq_topk(
+            emb, q, k=10, n_sub=8, n_codes=16, rerank=50
+        )
+
+    def quantiles(spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.expr(
+                "approx_percentile(CAST(floor(l_extendedprice * 100) AS"
+                " BIGINT), array(0.25, 0.5, 0.75), 10000)"
+            ).alias("approx_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    return {
+        "dedup_minhash": minhash,
+        "dedup_simhash": simhash,
+        "ann_ivf_topk": ivf,
+        "ann_pq_topk": pq,
+        "a11_approx_quantiles": quantiles,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -352,12 +405,14 @@ def main() -> None:
     # two executions per query, min reported: run 1 pays one-time
     # whole-stage-codegen JIT for that query shape, run 2 is the
     # steady-state pipeline cost (what repeats on real workloads)
+    overrides = _perf_overrides()
     timings: dict[str, float] = {}
     for name in FULL_SUITE:
+        fn = overrides.get(name, QUERIES[name])
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            df = QUERIES[name](spark, sf_dir)
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)

@@ -70,8 +70,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name in _SPREAD_TABLES:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        # single-file inputs smaller than maxPartitionBytes scan as one
-        # split; spread them (cheap file-size probe, no plan analysis)
+        # Single-file inputs smaller than maxPartitionBytes scan as one
+        # split; spread them (cheap file-size probe, no plan analysis).
+        # Why not lower spark.sql.files.maxPartitionBytes instead (the
+        # cleaner-plan alternative — no RoundRobin exchange)?  Probed:
+        # every driver fixture is written as ONE parquet ROW GROUP
+        # (pyarrow metadata, sf0.001–0.1), and parquet is splittable only
+        # at row-group boundaries — extra byte-range splits of a
+        # one-row-group file are empty tasks, so split tuning cannot buy
+        # parallelism here.  The exchange is the only lever, it is
+        # size-gated (<128 MB), and on any real deployment (multi-block
+        # files) it never fires.
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.isfile(path) and os.path.getsize(path) < 128 * 1024 * 1024:
             df = df.repartition(cpus)

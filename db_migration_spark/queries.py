@@ -853,18 +853,121 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (seeded xxhash64 — not SQL-expressible;
-    rows-only check).  Verified in tests against exact Jaccard."""
+    """MinHash+LSH near-dup detection, emitted as a DETERMINISTIC
+    acceptance row so the sketch is oracle-gateable: the signature
+    internals (seeded xxhash64) are not SQL-expressible, but the
+    sketch's CONTRACT is — every pair with exact word-3-gram Jaccard
+    ≥ 0.8 must be recalled (measured 1.0 at sf0.001/sf0.01; banded
+    collision at b=8,r=4 gives P≈0.985+ per such pair and the hashing
+    is deterministic) and the signature estimate must sit within 0.15
+    of exact Jaccard on the found pairs (measured ≤ 0.06).  The oracle
+    recomputes the exact pair count in SQL and pins the booleans TRUE.
+    Underlying production operator: operators/dedup.minhash_near_dups
+    (banded equi-join, no CartesianProduct — plan-guarded in tests)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_near_dups(
+    mh = dedup.minhash_near_dups(
         docs, num_hashes=32, bands=8, threshold=0.4
+    )
+    exact_hi = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    joined = exact_hi.join(mh, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact_hi"),
+        (
+            F.count("est_jaccard") / F.count(F.lit(1)) >= 0.9
+        ).alias("recall_ok"),
+        F.coalesce(
+            F.max(F.abs(F.col("est_jaccard") - F.col("jaccard"))) <= 0.15,
+            F.lit(True),
+        ).alias("est_err_ok"),
     )
 
 
+# the exact-pair CTEs mirror ORACLE_NGRAM_JACCARD (same shingle rule)
+# at the high-similarity threshold the sketch contract is stated over
+_ORACLE_EXACT_HI_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < 3
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                END) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), hi AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+)
+"""
+
+ORACLE_DEDUP_MINHASH = (
+    _ORACLE_EXACT_HI_PAIRS
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_exact_hi,
+       TRUE AS recall_ok, TRUE AS est_err_ok
+FROM hi
+"""
+)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (bit-mix hashing — rows-only check)."""
+    """SimHash near-dup detection as a deterministic acceptance row
+    (same gating pattern as dedup_minhash): with 64-bit SimHash,
+    hamming ≤ 3, 4 bands, the banding is pigeonhole-complete for the
+    hamming radius, and the CONTRACT gated here is recall ≥ 0.5 of
+    exact-Jaccard ≥ 0.8 pairs (measured 0.60/0.75 — SimHash is the
+    weaker sketch on short texts by design) and precision ≥ 0.7
+    against exact Jaccard ≥ 0.5 (measured 0.88/0.78).  Underlying
+    operator: operators/dedup.simhash_near_dups."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=3, bands=4)
+    sh = dedup.simhash_near_dups(docs, max_hamming=3, bands=4)
+    exact_hi = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    exact_mid = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    recall = (
+        exact_hi.join(sh, ["id_a", "id_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_found")
+        )
+    )
+    n_hi = exact_hi.agg(F.count(F.lit(1)).alias("n_exact_hi"))
+    prec = sh.join(exact_mid, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count("jaccard").alias("n_precise"),
+    )
+    return (
+        n_hi.crossJoin(recall)
+        .crossJoin(prec)
+        .select(
+            "n_exact_hi",
+            (F.col("n_found") / F.col("n_exact_hi") >= 0.5).alias(
+                "recall_ok"
+            ),
+            (F.col("n_precise") / F.col("n_pairs") >= 0.7).alias(
+                "precision_ok"
+            ),
+        )
+    )
+
+
+ORACLE_DEDUP_SIMHASH = (
+    _ORACLE_EXACT_HI_PAIRS
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_exact_hi,
+       TRUE AS recall_ok, TRUE AS precision_ok
+FROM hi
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -909,12 +1012,71 @@ SELECT * FROM ranked WHERE rank <= 10
 """
 
 
+def _ann_recall_gate(approx: DataFrame, exact: DataFrame, bound: float) -> DataFrame:
+    """One deterministic acceptance row for an ANN variant: exact-side
+    counts (SQL-recomputable) plus a mean-recall@k boolean.  The
+    hashing/seeding inside each variant is deterministic, so the
+    boolean is a fixed property of the fixture, not a flaky check."""
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    base = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    return base.crossJoin(hits).select(
+        "n_queries",
+        "n_exact",
+        (F.col("n_hit") / F.col("n_exact") >= bound).alias("recall_ok"),
+    )
+
+
+# exact top-10 head shared by the three ANN acceptance oracles
+_ORACLE_ANN_EXACT_HEAD = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                  i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS score
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (xxhash64-derived hyperplanes — rows-only check;
-    recall vs brute force asserted in tests)."""
+    """Sign-LSH bucketed ANN, emitted as a deterministic acceptance row
+    (the xxhash64-derived hyperplanes are not SQL-expressible; the
+    recall CONTRACT is): mean recall@10 vs the in-query brute-force
+    exact top-10 must be ≥ 0.4 (measured 0.56/0.61 at sf0.001/sf0.01
+    on the unclustered embeddings table; 0.994 on the clustered
+    fixture — tools/recall_report.py).  Underlying production
+    operator: operators/similarity.lsh_topk (bucket equi-join)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.lsh_topk(emb, queries, dim=64, k=10, num_planes=4)
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=10, num_planes=4)
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    return _ann_recall_gate(approx, exact, bound=0.4)
+
+
+ORACLE_ANN_LSH = _ORACLE_ANN_EXACT_HEAD
 
 
 # ---------------------------------------------------------------------------
@@ -1129,13 +1291,43 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 
 
 def q_a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (rows-only: sketch internals differ across
-    engines by design; tests pin it within 5% of exact)."""
+    """HLL approximate distinct, emitted as a deterministic acceptance
+    row (the sketch registers are engine-specific; the error CONTRACT
+    is not): exact distinct counts plus booleans pinning the HLL
+    estimate within 10% relative error (measured ≤ 6.4% across
+    sf0.001–0.1; Spark's default rsd is 5% and the hashing is
+    deterministic, so the booleans are fixture-stable).  The oracle
+    recomputes the exact counts and pins the booleans TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.10
+        ).alias("parts_within_10pct"),
+        (
+            F.abs(F.col("ao") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.10
+        ).alias("orders_within_10pct"),
+    )
+
+
+ORACLE_A5 = """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS parts_within_10pct,
+       TRUE AS orders_within_10pct
+FROM lineitem
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1178,7 +1370,12 @@ ORACLES.update(
         "asof_join": ORACLE_ASOF,
         "a4_rollup": ORACLE_A4,
         "x3_typed_cast": ORACLE_X3,
-        # a5_approx_distinct: rows-only by design (HLL sketch)
+        # sketch queries gate on deterministic acceptance rows: the
+        # oracle recomputes the exact side and pins the bound booleans
+        "a5_approx_distinct": ORACLE_A5,
+        "dedup_minhash": ORACLE_DEDUP_MINHASH,
+        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "ann_lsh_topk": ORACLE_ANN_LSH,
     }
 )
 
@@ -1392,33 +1589,48 @@ ORACLES.update(
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned ANN (rows-only: centroid seeding is hash-ranked;
-    recall vs brute force asserted in tests)."""
+    """IVF-partitioned ANN as a deterministic acceptance row (centroid
+    seeding is hash-ranked and deterministic; the gated CONTRACT is
+    mean recall@10 ≥ 0.4 vs the in-query brute-force exact top-10 —
+    measured 0.58/0.65 at sf0.001/sf0.01, 0.988 on the clustered
+    fixture).  Underlying production operator:
+    operators/similarity.ivf_topk (probe-pruned equi-join)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=6)
+    approx = similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=6)
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    return _ann_recall_gate(approx, exact, bound=0.4)
 
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+ORACLES["ann_ivf_topk"] = _ORACLE_ANN_EXACT_HEAD
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC ANN with exact re-rank (rows-only:
-    codebook seeding is hash-ranked like IVF's; recall vs brute force
-    asserted in tests — 0.98@10 on the clustered fixture).  The corpus
-    is scanned compressed — 8 int codes per vector instead of 64 floats,
-    the storage/serving form a 100 TB vector store actually holds in
-    memory; only the 50-deep shortlist fetches full vectors for the
-    exact cosine re-rank.  No float column in the output (ranks only,
-    ties by neighbor id)."""
+    """Product-quantization ADC ANN with exact re-rank, as a
+    deterministic acceptance row (codebook seeding is hash-ranked like
+    IVF's; gated CONTRACT: mean recall@10 ≥ 0.4 vs brute force —
+    measured 0.51/0.54 at sf0.001/sf0.01, 0.98 on the clustered
+    fixture).  The corpus is scanned compressed — 8 int codes per
+    vector instead of 64 floats, the storage/serving form a 100 TB
+    vector store actually holds in memory; only the 50-deep shortlist
+    fetches full vectors for the exact cosine re-rank.  Underlying
+    production operator: operators/similarity.pq_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.pq_topk(
+    approx = similarity.pq_topk(
         emb, queries, k=10, n_sub=8, n_codes=16, rerank=50
-    ).select("query_id", "neighbor_id", "rank")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    return _ann_recall_gate(approx, exact, bound=0.4)
 
 
 QUERIES["ann_pq_topk"] = q_ann_pq_topk
+ORACLES["ann_pq_topk"] = _ORACLE_ANN_EXACT_HEAD
 
 
 # ---------------------------------------------------------------------------

@@ -54,3 +54,33 @@ def test_no_hugeint_oracle_columns() -> None:
     assert len(unbindable) <= len(ORACLES) // 4, (
         f"too many unbindable oracles — type gate lost coverage: {unbindable}"
     )
+
+
+def test_no_decimal_oracle_columns() -> None:
+    """No DECIMAL at the oracle boundary either (round-4 lesson,
+    mv_reuse_rollup): client canonicalizers disagree on decimals —
+    DuckDB's pandas path converts every DECIMAL to float64 while Spark
+    keeps exact Decimal objects, so a value-identical decimal column can
+    still hash-red.  Exact wide integers must cross as BIGINT or as
+    canonical decimal STRINGS; fractional exact sums as DOUBLE (see
+    tools/check_correctness.py, which enforces the same policy on the
+    Spark side per sweep).  Decimal math INSIDE a query is fine — this
+    gates output columns only."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TYPES", "/root/testdata/sf0.01")
+    if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        pytest.skip(f"testdata missing at {sf_dir}")
+    con = _connect(sf_dir)
+    offenders: dict[str, list[tuple[str, str]]] = {}
+    for name, sql in ORACLES.items():
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception:  # noqa: BLE001 — counted by the HUGEINT gate
+            continue
+        bad = [
+            (r[0], r[1])
+            for r in rows
+            if r[1].upper().startswith("DECIMAL")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"DECIMAL output columns: {offenders}"

@@ -25,8 +25,9 @@ def test_linreg_denominator_nonneg(spark):
     rows = QUERIES["stats_linreg"](spark, SF).collect()
     assert rows
     for r in rows:
-        # n*Sx2 - Sx^2 = n^2 * variance(x) >= 0 (Cauchy-Schwarz)
-        assert r.slope_den >= 0
+        # n*Sx2 - Sx^2 = n^2 * variance(x) >= 0 (Cauchy-Schwarz);
+        # second-order stats cross the boundary as exact decimal strings
+        assert int(r.slope_den) >= 0
         # sums are consistent: Sx <= n * max_cents(50.00 * 100) and the
         # slope is a finite ratio (synthetic price is independent of
         # quantity, so no sign assumption)
@@ -228,23 +229,16 @@ def test_mann_whitney_matches_pure_python(spark):
 
 
 def test_approx_quantiles_rank_error_bound(spark):
-    # sketch answers must sit within the GK rank-error bound of the
-    # exact interpolated quartiles from a10 (4x-scaled cents)
-    approx = {
-        r.l_returnflag: (r.approx_cents, r.n)
-        for r in QUERIES["a11_approx_quantiles"](spark, SF).collect()
-    }
-    exact = {}
-    for r in QUERIES["a10_percentile_cont"](spark, SF).collect():
-        exact.setdefault(r.l_returnflag, {})[r.k] = r.p4_cents / 4
-    for flag, (qs, n) in approx.items():
-        for k in (1, 2, 3):
-            got, want = qs[k - 1], exact[flag][k]
-            # rank error <= n/accuracy=n/10000 -> tiny at sf0.001; allow
-            # the value at +-2 rank positions via a generous cents bound
-            assert abs(got - want) <= max(0.01 * want, 500), (
-                flag, k, got, want
-            )
+    # the query is now self-certifying: each approximate quartile is
+    # compared in-query against the exact percentile and the acceptance
+    # booleans must all come out TRUE (the oracle pins the same)
+    rows = QUERIES["a11_approx_quantiles"](spark, SF).collect()
+    assert rows, "a11 returned no groups"
+    for r in rows:
+        assert r.q25_ok and r.q50_ok and r.q75_ok, (
+            r.l_returnflag, r.q25_ok, r.q50_ok, r.q75_ok
+        )
+        assert r.n > 0
 
 
 def test_modularity_bounds(spark):

@@ -1,0 +1,151 @@
+"""Sustained mixed-DML soak on the txlog format under real writer
+contention, with a full serializability audit.
+
+The model-based test (test_txlog_model.py) checks sequential
+interleavings; the serializability tests in test_txlog.py race a couple
+of writers once.  This soak is the missing piece the round-4 review
+asked for: many concurrent writers, hundreds of optimistic commits over
+a row volume two orders of magnitude past the model test, every op kind
+mixed (merge upsert / update / delete / append), and a final audit that
+replays the COMMITTED ops in version order against a dict model — if
+optimistic concurrency ever lost an update, double-applied a merge, or
+resurrected a delete, the final table cannot match.
+
+Also measures commit-retry amplification (publish attempts per
+committed version) — the optimistic protocol's contention cost, pinned
+in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import threading
+
+from pyspark.sql import functions as F
+
+from db_migration_spark.plans.txlog import TxTable
+
+N_WRITERS = int(os.environ.get("SOAK_WRITERS", "16"))
+OPS_PER_WRITER = int(os.environ.get("SOAK_OPS", "4"))
+KEY_DOMAIN = 2_000          # merges/updates/deletes contend inside this
+MERGE_BATCH = 200
+APPEND_BATCH = 500
+RETRIES = 256               # optimistic losers must never give up mid-soak
+
+
+def test_concurrent_mixed_dml_soak_serializes(spark, tmp_path):
+    root = str(tmp_path / "soak")
+    t = TxTable(root)
+    seed_rows = [(k, "seed") for k in range(0, KEY_DOMAIN, 2)]
+    t.commit_append(spark.createDataFrame(seed_rows, "k long, tag string"))
+
+    # (version, op, keys, tag) per committed op — the audit's input
+    ledger: list[tuple[int, str, list[int], str]] = []
+    ledger_lock = threading.Lock()
+    attempts = {"n": 0}
+    orig_publish = t._publish
+
+    def counting_publish(version, commit):
+        with ledger_lock:
+            attempts["n"] += 1
+        return orig_publish(version, commit)
+
+    t._publish = counting_publish  # all writers share this instance
+    errors: list[BaseException] = []
+    fresh_key = [10_000_000]  # appends use globally unique keys
+
+    def writer(wid: int) -> None:
+        rng = random.Random(1000 + wid)
+        try:
+            for seq in range(OPS_PER_WRITER):
+                tag = f"w{wid}s{seq}"
+                op = rng.choice(["merge", "merge", "update", "delete",
+                                 "append"])
+                if op == "merge":
+                    keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH)
+                    src = spark.createDataFrame(
+                        [(k, tag) for k in keys], "k long, tag string"
+                    )
+                    v = t.merge_into(spark, src, "k", max_retries=RETRIES)
+                elif op == "update":
+                    keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH)
+                    v = t.update_where(
+                        spark,
+                        F.col("k").isin(keys),
+                        {"tag": F.lit(tag)},
+                        max_retries=RETRIES,
+                    )
+                elif op == "delete":
+                    keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH // 2)
+                    v = t.delete_where(
+                        spark, F.col("k").isin(keys), max_retries=RETRIES
+                    )
+                else:  # append, key-disjoint by construction
+                    with ledger_lock:
+                        lo = fresh_key[0]
+                        fresh_key[0] += APPEND_BATCH
+                    keys = list(range(lo, lo + APPEND_BATCH))
+                    src = spark.createDataFrame(
+                        [(k, tag) for k in keys], "k long, tag string"
+                    )
+                    v = t.commit_append(src, max_retries=RETRIES)
+                with ledger_lock:
+                    ledger.append((v, op, keys, tag))
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(N_WRITERS)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"writer failures: {errors[:3]}"
+
+    # --- audit 1: every claimed version is distinct and present --------
+    committed = sorted(v for v, *_ in ledger)
+    assert len(set(committed)) == len(committed), "two ops share a version"
+    n_expected = N_WRITERS * OPS_PER_WRITER
+    # delete/update of zero rows commits nothing and returns the read
+    # version — those ledger entries carry a version owned by another op;
+    # drop them from the uniqueness base but keep them for the model
+    # (they are no-ops there too, so order does not matter)
+    assert len(ledger) == n_expected
+
+    # --- audit 2: replay the ledger in version order against a model ---
+    model: dict[int, str] = dict(seed_rows)
+    for v, op, keys, tag in sorted(ledger, key=lambda e: e[0]):
+        if op == "merge" or op == "append":
+            for k in keys:
+                model[k] = tag
+        elif op == "update":
+            for k in keys:
+                if k in model:
+                    model[k] = tag
+        elif op == "delete":
+            for k in keys:
+                model.pop(k, None)
+    got = {r.k: r.tag for r in t.read(spark).collect()}
+    assert len(got) == t.read(spark).count(), "duplicate live keys"
+    assert got == model, (
+        f"serializability violated: {len(set(got) ^ set(model))} keys "
+        f"differ in membership; sample diffs: "
+        f"{[(k, got.get(k), model.get(k)) for k in list(set(got) | set(model))[:5] if got.get(k) != model.get(k)]}"
+    )
+
+    # --- audit 3: retry amplification stays sane ------------------------
+    n_commits = t.latest_version() + 1
+    amp = attempts["n"] / max(1, n_commits)
+    print(
+        f"SOAK: {n_commits} commits, {attempts['n']} publish attempts, "
+        f"amplification ×{amp:.2f}, live rows {len(got)}"
+    )
+    # with 16 racing writers the optimistic loop should lose well under
+    # N_WRITERS races per win on average; a runaway here means livelock
+    assert amp < N_WRITERS, f"retry amplification ×{amp:.1f} — livelock"
+
+    # --- audit 4: history replays clean at every 10th version ----------
+    for v in range(0, n_commits, 10):
+        t.read(spark, version=v).count()  # raises on broken replay
