@@ -535,6 +535,35 @@ class TxTable:
         cons_seen = self.constraints()
         self._check_constraints(df)
         group, stats = self._write_group(df)
+        return self._commit_append_groups(
+            df, [group], {group: stats}, sch, cons_seen,
+            max_retries=max_retries, txn=txn, evolve=evolve,
+        )
+
+    def _commit_append_groups(
+        self,
+        df: DataFrame,
+        groups: list[str],
+        stats: dict,
+        sch,
+        cons_seen: dict,
+        max_retries: int,
+        txn: tuple[str, int] | None,
+        evolve: bool,
+    ) -> int:
+        """The optimistic append-commit loop shared by the plain and the
+        partitioned append: constraint re-validation on change, schema
+        re-read on every attempt (union with a concurrently evolved
+        schema; loud failure on a concurrent column removal), txn
+        idempotence, and cleanup of every staged group on abort."""
+        from pyspark.sql.types import StructType
+
+        def _cleanup():
+            for g in groups:
+                shutil.rmtree(
+                    os.path.join(self.data_dir, g), ignore_errors=True
+                )
+
         for _ in range(max_retries):
             # a constraint committed since validation (it is exactly what
             # our version conflict can be) must gate THIS append too —
@@ -544,10 +573,7 @@ class TxTable:
                 try:
                     self._check_constraints(df)
                 except ConstraintViolation:
-                    shutil.rmtree(
-                        os.path.join(self.data_dir, group),
-                        ignore_errors=True,
-                    )
+                    _cleanup()
                     raise
                 cons_seen = cons_now
             # re-read the log schema EVERY attempt: a concurrent
@@ -564,10 +590,7 @@ class TxTable:
                 ours = {f.name for f in df.schema.fields}
                 lost = ours - {f.name for f in sch_now.fields}
                 if lost and not (evolve or sch is None):
-                    shutil.rmtree(
-                        os.path.join(self.data_dir, group),
-                        ignore_errors=True,
-                    )
+                    _cleanup()
                     raise CommitConflict(
                         f"concurrent schema change removed {sorted(lost)}"
                     )
@@ -583,10 +606,10 @@ class TxTable:
             try:
                 return self._try_commit(
                     "append",
-                    [group],
+                    list(groups),
                     [],
                     self.latest_version() + 1,
-                    stats={group: stats},
+                    stats=stats,
                     txn=txn,
                     schema_json=commit_schema.json(),
                 )
@@ -594,13 +617,106 @@ class TxTable:
                 if txn is not None:
                     seen = self.txn_version(*txn)
                     if seen is not None:  # the race WAS our replay twin
-                        shutil.rmtree(
-                            os.path.join(self.data_dir, group),
-                            ignore_errors=True,
-                        )
+                        _cleanup()
                         return seen
                 continue
         raise CommitConflict(f"append lost {max_retries} races")
+
+    def commit_append_partitioned(
+        self,
+        df: DataFrame,
+        partition_cols,
+        max_retries: int = 20,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Hive/Delta-style partitioned append as ONE atomic commit.
+
+        The frame is written ONCE through a staged ``partitionBy`` on a
+        duplicated partition key (so the data files keep the full table
+        schema — no re-attach of dropped columns at read), then every
+        leaf partition directory is promoted to its own file group —
+        the same rename dance as clustered OPTIMIZE, no second data
+        pass.  Because each group then holds exactly one partition
+        tuple, the footer zone maps on the partition columns are EXACT
+        (min == max), so ``prune_groups``/``read_pruned`` deliver true
+        partition pruning through the existing planner: an equality
+        predicate on the partition column plans exactly the matching
+        groups, never a directory listing.  At 100 TB this is the write
+        layout that makes time/tenant-sliced queries touch only their
+        slice, and it composes with every other table feature (DVs,
+        merge-on-read DML, time travel, restore) because partitioned
+        groups ARE ordinary groups.
+
+        Reference contract: the reference partitions its EDN tx logs by
+        tx range for exactly this selective-replay reason
+        (azanium/pseudoace.py — cited in sources/edn.py).
+        """
+        cols = (
+            [partition_cols]
+            if isinstance(partition_cols, str)
+            else list(partition_cols)
+        )
+        missing = set(cols) - set(df.columns)
+        if missing:
+            raise ValueError(f"unknown partition columns: {sorted(missing)}")
+        if txn is not None:
+            seen = self.txn_version(*txn)
+            if seen is not None:
+                return seen
+        sch = self.read_schema(df.sparkSession)
+        if sch is not None:
+            df = self._align_to_schema(df, sch)
+        cons_seen = self.constraints()
+        self._check_constraints(df)
+
+        from pyspark.sql import functions as F
+
+        staged = df
+        pcopies = []
+        for c in cols:
+            pc = f"__p_{c}"
+            staged = staged.withColumn(pc, F.col(c))
+            pcopies.append(pc)
+        staging = os.path.join(self.data_dir, f".part-{uuid.uuid4().hex}")
+        staged.write.partitionBy(*pcopies).parquet(staging)
+        groups: list[str] = []
+        stats: dict = {}
+        for dirpath, _dirs, files in sorted(os.walk(staging)):
+            parquets = [f for f in files if f.endswith(".parquet")]
+            if not parquets:
+                continue
+            group = f"g-{uuid.uuid4().hex}"
+            gdir = os.path.join(self.data_dir, group)
+            os.makedirs(gdir)
+            for f in parquets:
+                os.rename(
+                    os.path.join(dirpath, f), os.path.join(gdir, f)
+                )
+            groups.append(group)
+            stats[group] = _footer_stats(gdir)
+        shutil.rmtree(staging, ignore_errors=True)
+        if not groups:
+            raise ValueError("partitioned append of an empty frame")
+        return self._commit_append_groups(
+            df, groups, stats, sch, cons_seen,
+            max_retries=max_retries, txn=txn, evolve=False,
+        )
+
+    def partitions(self, column: str, version: int | None = None) -> list:
+        """The distinct values a partition column takes across the live
+        groups, from the zone maps alone (a group written by the
+        partitioned append has min == max) — the SHOW PARTITIONS
+        surface, zero data reads.  Groups where the column is not
+        constant (plain appends, compacted mixtures) report None."""
+        upto = self.latest_version() if version is None else version
+        _active, stats, _dvs = self._replay(upto)
+        out = set()
+        for g, s in stats.items():
+            rng = s.get(column)
+            if rng is None:
+                continue
+            out.add(rng[0] if rng[0] == rng[1] else None)
+        return sorted(out, key=lambda v: (v is None, str(v)))
 
     def commit_overwrite(self, df: DataFrame, max_retries: int = 20) -> int:
         """Replace the table contents atomically (old groups removed
@@ -1280,6 +1396,117 @@ class TxTable:
                         return seen
                 continue
         raise CommitConflict(f"merge_into lost {max_retries} races")
+
+    def replace_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        df: DataFrame,
+        max_retries: int = 5,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Delta's ``replaceWhere`` as ONE atomic merge-on-read commit:
+        every live row matching ``predicate`` is masked by a deletion
+        vector and ``df`` (which must itself satisfy the predicate —
+        checked, the Delta contract) lands as the replacement group.
+        Readers see old XOR new; no existing data file is rewritten, so
+        the write cost is O(rows replaced + |df|) — at 100 TB a
+        daily-partition backfill touches one slice's positions and the
+        new slice, never the table.  The pre-replace state stays
+        time-travelable like any other commit."""
+        from pyspark.sql import functions as F
+
+        if txn is not None:
+            seen = self.txn_version(*txn)
+            if seen is not None:
+                return seen
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        for _ in range(max_retries):
+            read_v = self.latest_version()
+            if read_v < 0:
+                raise ValueError("cannot replace into an empty table")
+            active, _stats, dvs = self._replay(read_v)
+            scan = self._scan(spark, active, read_v)
+            src = self._align_to_schema(df, scan.schema)
+            n_outside = src.filter(~F.coalesce(pred, F.lit(False))).count()
+            if n_outside:
+                raise ValueError(
+                    f"{n_outside} replacement rows do not satisfy the "
+                    f"replaceWhere predicate"
+                )
+            self._check_constraints(src)
+            matched = self._apply_dvs(spark, scan, dvs).filter(pred)
+            dv_group, n_masked, covered = self._write_dv(
+                self._positions(matched)
+            )
+            dv_path = os.path.join(self.data_dir, dv_group)
+            if n_masked == 0:
+                shutil.rmtree(dv_path, ignore_errors=True)
+            group, gstats = self._write_group(src)
+            try:
+                return self._try_commit(
+                    "replace_where",
+                    [group],
+                    [],
+                    read_v + 1,
+                    stats={group: gstats},
+                    txn=txn,
+                    dv=(
+                        {"group": dv_group, "covers": covered}
+                        if n_masked
+                        else None
+                    ),
+                )
+            except CommitConflict:
+                shutil.rmtree(dv_path, ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(self.data_dir, group), ignore_errors=True
+                )
+                if txn is not None:
+                    seen = self.txn_version(*txn)
+                    if seen is not None:
+                        return seen
+                continue
+        raise CommitConflict(f"replace_where lost {max_retries} races")
+
+    def overwrite_partitions(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        partition_cols,
+        max_retries: int = 5,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Dynamic partition overwrite (Spark's
+        ``partitionOverwriteMode=dynamic`` / Hive INSERT OVERWRITE):
+        atomically replace exactly the partition tuples PRESENT in
+        ``df``, leaving every other partition untouched.  Sugar over
+        :meth:`replace_where` with the predicate derived from ``df``'s
+        distinct partition tuples (driver-tier: bounded by the
+        partition count, the same cardinality any metastore holds)."""
+        from pyspark.sql import functions as F
+
+        cols = (
+            [partition_cols]
+            if isinstance(partition_cols, str)
+            else list(partition_cols)
+        )
+        missing = set(cols) - set(df.columns)
+        if missing:
+            raise ValueError(f"unknown partition columns: {sorted(missing)}")
+        tuples = df.select(*cols).distinct().collect()
+        if not tuples:
+            raise ValueError("overwrite_partitions with an empty frame")
+        pred = None
+        for row in tuples:
+            clause = None
+            for c in cols:
+                eq = F.col(c).eqNullSafe(F.lit(row[c]))
+                clause = eq if clause is None else (clause & eq)
+            pred = clause if pred is None else (pred | clause)
+        return self.replace_where(
+            spark, pred, df, max_retries=max_retries, txn=txn
+        )
 
     def read_schema_columns(self, spark: SparkSession) -> list[str]:
         """Column names of the current table schema (from the live

@@ -915,9 +915,163 @@ GROUP BY event_type
 """
 
 
+def _ensure_partitioned_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Orders partitioned by priority through commit_append_partitioned:
+    ONE atomic commit, ONE Spark write job, one file group per priority
+    (the staged partitionBy → group-promotion path; contrast the
+    zone-map store's per-year commit loop, which pays a job per slice).
+    Rebuilt from scratch if a previous build died mid-way."""
+    root = _fx(sf_dir, "txlog_partitioned_orders")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    if t.latest_version() >= 0:
+        shutil.rmtree(root, ignore_errors=True)
+        t = TxTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    t.commit_append_partitioned(orders, "prio")
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning over a partitioned txlog table
+    (plans/txlog.py ``commit_append_partitioned``): an equality
+    predicate on the partition column plans EXACTLY the matching group
+    — ``groups_scanned`` must be 1 and ``groups_total`` the priority
+    count, both recomputed by the oracle from ``orders``, so pruning
+    too little (scanned > 1) or a broken partition layout is a value
+    mismatch.  ``partitions()`` (SHOW PARTITIONS from zone maps alone)
+    must enumerate every priority; its count rides the result too.
+
+    At 100 TB partitioned writes are the difference between a
+    tenant/time-sliced query touching its slice and touching the table:
+    one atomic commit lays out one group per partition value, and the
+    existing zone-map planner prunes with EXACT (min == max) bounds —
+    no directory-listing metastore, no new planner machinery."""
+    t = _ensure_partitioned_store(spark, sf_dir)
+    picked, total = t.prune_groups("prio", lo="1-URGENT", hi="1-URGENT")
+    n_parts = len([p for p in t.partitions("prio") if p is not None])
+    return (
+        t.read_pruned(spark, "prio", lo="1-URGENT", hi="1-URGENT")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn("groups_scanned", F.lit(len(picked)).cast("long"))
+        .withColumn("groups_total", F.lit(total).cast("long"))
+        .withColumn("n_partitions", F.lit(n_parts).cast("long"))
+    )
+
+
+ORACLE_PARTITIONED = """
+WITH src AS (
+  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+meta AS (
+  SELECT count(DISTINCT prio) AS total FROM src
+)
+SELECT status, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(1 AS BIGINT) AS groups_scanned,
+       CAST(meta.total AS BIGINT) AS groups_total,
+       CAST(meta.total AS BIGINT) AS n_partitions
+FROM src, meta
+WHERE prio = '1-URGENT'
+GROUP BY status, meta.total
+"""
+
+
+def _ensure_replace_where_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Events ingested once, then the ``click`` slice atomically
+    REPLACEd with a doubled-cents backfill via ``replace_where`` — the
+    daily-partition-correction write a lakehouse does constantly.  The
+    replacement frame is derived from the pre-replace read, so the
+    final state is a pure function of ``events``."""
+    root = _fx(sf_dir, "txlog_replace_where_events")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    if t.latest_version() >= 0:
+        shutil.rmtree(root, ignore_errors=True)
+        t = TxTable(root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("uid"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+    t.commit_append_partitioned(ev, "event_type")
+    clicks = t.read(spark).filter(F.col("event_type") == "click")
+    t.replace_where(
+        spark,
+        F.col("event_type") == "click",
+        clicks.withColumn("cents", F.col("cents") * 2),
+    )
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLACE WHERE (plans/txlog.py ``replace_where`` — Delta's
+    replaceWhere / dynamic partition overwrite): one atomic merge-on-read
+    commit masks every row of the predicate slice with a deletion vector
+    and lands the corrected slice as the replacement group — readers see
+    old XOR new, cost O(rows replaced), and the pre-replace state stays
+    time-travelable.  The declared result aggregates the post-replace
+    table per event type PLUS the same aggregate time-traveled to the
+    pre-replace version — leakage of old clicks, loss of non-click rows,
+    or a broken DV mask all shift a value."""
+    t = _ensure_replace_where_store(spark, sf_dir)
+    after = t.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    before = (
+        t.read(spark, version=0)
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("sum_cents_v0"))
+    )
+    return after.join(before, "event_type")
+
+
+ORACLE_REPLACE_WHERE = """
+WITH src AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'click' THEN cents * 2
+                ELSE cents END) AS BIGINT) AS sum_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents_v0
+FROM src
+GROUP BY event_type
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
+    queries["txlog_partitioned_scan"] = q_txlog_partitioned_scan
+    oracles["txlog_partitioned_scan"] = ORACLE_PARTITIONED
+    queries["txlog_replace_where"] = q_txlog_replace_where
+    oracles["txlog_replace_where"] = ORACLE_REPLACE_WHERE
     queries["stream_txlog_sink"] = q_stream_txlog_sink
     oracles["stream_txlog_sink"] = ORACLE_STREAM_TXLOG
     queries["txlog_optimize_zorder"] = q_txlog_optimize_zorder
