@@ -61,7 +61,7 @@ def test_concurrent_mixed_dml_soak_serializes(spark, tmp_path):
             for seq in range(OPS_PER_WRITER):
                 tag = f"w{wid}s{seq}"
                 op = rng.choice(["merge", "merge", "update", "delete",
-                                 "append"])
+                                 "append", "replace"])
                 if op == "merge":
                     keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH)
                     src = spark.createDataFrame(
@@ -81,6 +81,23 @@ def test_concurrent_mixed_dml_soak_serializes(spark, tmp_path):
                     v = t.delete_where(
                         spark, F.col("k").isin(keys), max_retries=RETRIES
                     )
+                elif op == "replace":
+                    # REPLACE WHERE on a key slice: every live row in
+                    # the slice is masked, the replacement (half the
+                    # slice) lands atomically — the model removes the
+                    # whole slice then re-adds the replacement keys
+                    keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH // 2)
+                    repl = keys[: len(keys) // 2]
+                    src = spark.createDataFrame(
+                        [(k, tag) for k in repl], "k long, tag string"
+                    )
+                    v = t.replace_where(
+                        spark,
+                        F.col("k").isin(keys),
+                        src,
+                        max_retries=RETRIES,
+                    )
+                    keys = [("slice", keys, repl)]  # model marker
                 else:  # append, key-disjoint by construction
                     with ledger_lock:
                         lo = fresh_key[0]
@@ -127,6 +144,12 @@ def test_concurrent_mixed_dml_soak_serializes(spark, tmp_path):
         elif op == "delete":
             for k in keys:
                 model.pop(k, None)
+        elif op == "replace":
+            _marker, sliced, repl = keys[0]
+            for k in sliced:
+                model.pop(k, None)
+            for k in repl:
+                model[k] = tag
     got = {r.k: r.tag for r in t.read(spark).collect()}
     assert len(got) == t.read(spark).count(), "duplicate live keys"
     assert got == model, (

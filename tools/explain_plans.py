@@ -187,6 +187,12 @@ INSPECT = {
     "privacy_k_anonymity": ["HashJoin", "HashAggregate"],
     "sql_udf_functions": ["HashJoin", "HashAggregate"],
     "corpus_preference_pairs": ["HashAggregate", "max_by", "min_by"],
+    # round 5 (mv_reuse_rollup's ReusedExchange is an AQE runtime node —
+    # asserted on the executed plan in test_plans_guard.py, invisible to
+    # the static explain this tool captures)
+    "mv_reuse_rollup": ["HashAggregate"],
+    "txlog_partitioned_scan": ["HashAggregate"],  # post-prune slice agg
+    "txlog_replace_where": ["HashAggregate"],
 }
 
 # plans that must NOT contain a product node (blocking worked)
