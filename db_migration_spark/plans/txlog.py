@@ -1508,6 +1508,178 @@ class TxTable:
             spark, pred, df, max_retries=max_retries, txn=txn
         )
 
+    # -- bloom-filter point-lookup index --------------------------------------
+
+    def _bloom_positions(
+        self, spark: SparkSession, col, m: int, k: int
+    ):
+        """The k bloom bit positions of ``col`` (a Column), as Spark
+        expressions — pmod(xxhash64(value, seed_j), m).  Hashing stays
+        in the JVM so the index builder and the lookup prober can never
+        disagree on the hash family."""
+        from pyspark.sql import functions as F
+
+        return [
+            F.pmod(F.xxhash64(col, F.lit(j)), F.lit(m)).cast("long")
+            for j in range(k)
+        ]
+
+    def add_bloom_index(
+        self,
+        spark: SparkSession,
+        column: str,
+        bits_per_key: int = 10,
+        k: int = 4,
+        version: int | None = None,
+    ) -> int:
+        """Build bloom-filter sidecar indexes for every live group that
+        lacks one — the point-lookup complement to zone maps (a
+        high-cardinality key like an event id is uniform per group, so
+        min/max never prunes; a bloom does).  Delta's bloom filter
+        index, as group-local ``_bloom_<col>.json`` sidecars: the
+        leading underscore keeps them invisible to parquet scans, and
+        they ride with their immutable group (a rewritten group starts
+        index-less).  Sizing: m = bits_per_key × group rows, rounded to
+        a power of two (k=4 at 10 bits/key → ~1.2% false positives).
+
+        Scale: ONE Spark job per un-indexed group computes the DISTINCT
+        bit positions (≤ m of them); the driver materializes only the
+        index bytes it is about to write (≤ m bits per group — the same
+        bytes any indexer must hold).  On a cluster the sidecar write
+        goes to shared storage exactly like the data files.  Returns
+        the number of groups indexed."""
+        from pyspark.sql import functions as F
+
+        upto = self.latest_version() if version is None else version
+        built = 0
+        for g in self.active_groups(upto):
+            gdir = os.path.join(self.data_dir, g)
+            side = os.path.join(gdir, f"_bloom_{column}.json")
+            if os.path.exists(side):
+                continue
+            df = spark.read.parquet(gdir)
+            if column not in df.columns:
+                continue
+            n = df.count()
+            if n == 0:
+                continue
+            m = 64
+            while m < n * bits_per_key:
+                m *= 2
+            # fold positions into 64-bit lanes JVM-SIDE: the driver
+            # receives (lane, bits) pairs — ≤ m/64 rows, i.e. exactly
+            # the index bytes, never the O(rows × k) raw positions
+            lanes = (
+                df.select(
+                    F.explode(
+                        F.array(
+                            *self._bloom_positions(
+                                spark, F.col(column), m, k
+                            )
+                        )
+                    ).alias("p")
+                )
+                .groupBy((F.col("p") / 64).cast("long").alias("lane"))
+                # SQL shiftleft accepts a column shift; the pyspark
+                # wrapper only takes a literal int, hence expr()
+                .agg(
+                    F.expr(
+                        "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(p % 64 AS INT)))"
+                    ).alias("bits")
+                )
+                .collect()
+            )
+            bitmap = bytearray(m // 8)
+            for r in lanes:
+                lane, bits = int(r.lane), int(r.bits) & ((1 << 64) - 1)
+                bitmap[lane * 8: lane * 8 + 8] = bits.to_bytes(
+                    8, "little"
+                )
+            import base64
+
+            tmp = side + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "column": column,
+                        "m": m,
+                        "k": k,
+                        "bitmap": base64.b64encode(bytes(bitmap)).decode(),
+                    },
+                    fh,
+                )
+            os.replace(tmp, side)
+            built += 1
+        return built
+
+    def prune_groups_point(
+        self, spark: SparkSession, column: str, value, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Point-lookup planning: keep the live groups whose bloom
+        sidecar MAY contain ``value`` (groups without a sidecar are
+        never wrongly pruned — kept), composed with the zone-map range
+        check.  Probing hashes the value through the same JVM exprs the
+        builder used (one 1-row job per distinct (m, k) sizing)."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        upto = self.latest_version() if version is None else version
+        zone_kept, _total = self.prune_groups(
+            column, lo=value, hi=value, version=upto
+        )
+        probe_cache: dict[tuple[int, int], list[int]] = {}
+        kept: list[str] = []
+        sch = self.read_schema(spark, upto)
+        vtype = None
+        if sch is not None and column in [f.name for f in sch.fields]:
+            vtype = sch[column].dataType
+        for g in zone_kept:
+            side = os.path.join(
+                self.data_dir, g, f"_bloom_{column}.json"
+            )
+            if not os.path.exists(side):
+                kept.append(g)
+                continue
+            with open(side) as fh:
+                idx = json.load(fh)
+            m, kk = int(idx["m"]), int(idx["k"])
+            if (m, kk) not in probe_cache:
+                lit = F.lit(value)
+                if vtype is not None:
+                    lit = lit.cast(vtype)
+                row = (
+                    spark.range(1)
+                    .select(*self._bloom_positions(spark, lit, m, kk))
+                    .collect()[0]
+                )
+                probe_cache[(m, kk)] = [int(v) for v in row]
+            bitmap = base64.b64decode(idx["bitmap"])
+            if all(
+                bitmap[p // 8] & (1 << (p % 8))
+                for p in probe_cache[(m, kk)]
+            ):
+                kept.append(g)
+        return kept, len(self.active_groups(upto))
+
+    def read_point(
+        self, spark: SparkSession, column: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup read: bloom + zone-map pruned scan, exact
+        equality filter pushed into the survivors."""
+        from pyspark.sql import functions as F
+
+        upto = self.latest_version() if version is None else version
+        groups, _total = self.prune_groups_point(
+            spark, column, value, version=upto
+        )
+        if not groups:
+            return self.read(spark, upto).filter(F.lit(False))
+        df = self._scan(spark, groups, upto)
+        df = self._apply_dvs(spark, df, self._replay(upto)[2])
+        return df.filter(F.col(column) == F.lit(value))
+
     def read_schema_columns(self, spark: SparkSession) -> list[str]:
         """Column names of the current table schema (from the live
         groups' parquet footers — no data read)."""

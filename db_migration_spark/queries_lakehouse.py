@@ -1065,6 +1065,179 @@ GROUP BY event_type
 """
 
 
+def _ensure_stream_partitioned(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Streaming × partitioning: every micro-batch lands through
+    ``commit_append_partitioned`` (one atomic commit per batch, one
+    group per event type inside it) with the per-batch txn identity,
+    then batch 0 is adversarially replayed — exactly-once AND
+    partition-pruned in the same sink."""
+    from .queries_streaming import _events_stream
+
+    root = _fx(sf_dir, "txlog_stream_partitioned")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    events = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        TxTable(root).commit_append_partitioned(
+            bdf, "event_type", txn=("p_sink", batch_id)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("partitioned stream drain did not finish")
+    replay = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .limit(500)
+    )
+    before = t.latest_version()
+    t.commit_append_partitioned(replay, "event_type", txn=("p_sink", 0))
+    assert t.latest_version() == before, "replayed batch must not commit"
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest INTO a partitioned table: each
+    micro-batch is one atomic partitioned commit (txn identity makes
+    replays no-ops), so the table accretes one group per (batch, type)
+    and an equality read on one type prunes to that type's groups.  The
+    declared result is the per-type aggregate — exactly-once is what
+    the oracle (a plain batch aggregate over ``events``) checks — plus
+    a ``pruned`` boolean proving the partition layout actually skips
+    files on the single-type read (strictly fewer groups planned than
+    live, and identical row count to the unpruned filter)."""
+    t = _ensure_stream_partitioned(spark, sf_dir)
+    picked, total = t.prune_groups("event_type", lo="click", hi="click")
+    pruned_count = t.read_pruned(
+        spark, "event_type", lo="click", hi="click"
+    ).count()
+    full_count = (
+        t.read(spark).filter(F.col("event_type") == "click").count()
+    )
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct_ids"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn(
+            "pruned",
+            F.lit(
+                len(picked) < total and pruned_count == full_count
+            ),
+        )
+    )
+
+
+ORACLE_STREAM_PARTITIONED = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT event_id) AS n_distinct_ids,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       TRUE AS pruned
+FROM events
+GROUP BY event_type
+"""
+
+
+def _ensure_bloom_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Events ingested as 4 appends STRIDED on event_id (every group's
+    min/max spans the whole id domain — zone maps cannot tell groups
+    apart), then bloom sidecars built on event_id.  The layout where
+    only a bloom index can skip files for a point lookup."""
+    root = _fx(sf_dir, "txlog_bloom_events")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    if t.latest_version() >= 0:
+        shutil.rmtree(root, ignore_errors=True)
+        t = TxTable(root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+    for s in range(4):
+        t.commit_append(ev.filter(F.col("event_id") % 4 == s))
+    t.add_bloom_index(spark, "event_id")
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookup (plans/txlog.py ``add_bloom_index`` /
+    ``read_point``): the high-cardinality complement to zone maps.  The
+    store's groups interleave event ids, so min/max stats keep every
+    group; the bloom sidecars (10 bits/key, k=4 — Delta's bloom index
+    as group-local ``_bloom_<col>.json``) prune the lookup to the
+    owning group (± a ~1% false-positive group).  The declared result
+    is the looked-up key's aggregate plus ``bloom_skipped`` — strictly
+    fewer groups planned than live — so a bloom that stops pruning (or
+    wrongly drops the owning group) goes hash-red.  At 100 TB this is
+    the needle-in-haystack path: a key lookup opens one group's files,
+    not the table's."""
+    t = _ensure_bloom_store(spark, sf_dir)
+    key = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("event_id").alias("k"))
+        .collect()[0]["k"]
+    )
+    picked, total = t.prune_groups_point(spark, "event_id", key)
+    return (
+        t.read_point(spark, "event_id", key)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn("event_id", F.lit(key).cast("long"))
+        .withColumn("bloom_skipped", F.lit(len(picked) < total))
+    )
+
+
+ORACLE_BLOOM_LOOKUP = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       (SELECT min(event_id) FROM events) AS event_id,
+       TRUE AS bloom_skipped
+FROM events
+WHERE event_id = (SELECT min(event_id) FROM events)
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -1072,6 +1245,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_partitioned_scan"] = ORACLE_PARTITIONED
     queries["txlog_replace_where"] = q_txlog_replace_where
     oracles["txlog_replace_where"] = ORACLE_REPLACE_WHERE
+    queries["stream_partitioned_sink"] = q_stream_partitioned_sink
+    oracles["stream_partitioned_sink"] = ORACLE_STREAM_PARTITIONED
+    queries["txlog_bloom_lookup"] = q_txlog_bloom_lookup
+    oracles["txlog_bloom_lookup"] = ORACLE_BLOOM_LOOKUP
     queries["stream_txlog_sink"] = q_stream_txlog_sink
     oracles["stream_txlog_sink"] = ORACLE_STREAM_TXLOG
     queries["txlog_optimize_zorder"] = q_txlog_optimize_zorder
