@@ -799,6 +799,7 @@ class TxTable:
         sort_key=None,
         target_groups: int = 1,
         max_retries: int = 5,
+        where: tuple | None = None,
     ) -> int:
         """Compact the active groups into ``target_groups`` rewritten
         groups, optionally clustered by ``sort_key`` (a Column — e.g.
@@ -808,6 +809,14 @@ class TxTable:
         zone maps (sorted files have narrow min/max) and removes the
         small-file tax; the pre-optimize layout stays time-travelable.
 
+        ``where=(column, lo, hi)`` is OPTIMIZE ... WHERE: only the
+        groups whose zone maps intersect the range are rewritten — the
+        slice a streaming-partitioned ingest fragments (one group per
+        (batch, partition)) compacts without touching, or even reading,
+        any other partition's bytes.  A group partially overlapping the
+        range is rewritten WHOLE (group granularity, Delta's rule), so
+        row content never changes.
+
         On a cluster ``target_groups`` is sized from live bytes the way
         operators/compaction does; conflicts re-read the advanced active
         set and retry on top of it."""
@@ -815,7 +824,24 @@ class TxTable:
             read_v = self.latest_version()
             if read_v < 0:
                 raise ValueError("cannot optimize an empty table")
-            df = self.read(spark, read_v)
+            if where is not None:
+                w_col, w_lo, w_hi = where
+                selected, _total = self.prune_groups(
+                    w_col, lo=w_lo, hi=w_hi, version=read_v
+                )
+                if not selected:
+                    return read_v  # nothing to compact in the slice
+                dvs = [
+                    d
+                    for d in self._replay(read_v)[2]
+                    if set(d.get("covers", [])) & set(selected)
+                ]
+                df = self._apply_dvs(
+                    spark, self._scan(spark, selected, read_v), dvs
+                )
+            else:
+                selected = self.active_groups(read_v)
+                df = self.read(spark, read_v)
             if sort_key is not None:
                 # global range layout on the cluster key: one rewritten
                 # GROUP per range partition (repartitionByRange samples
@@ -840,7 +866,7 @@ class TxTable:
                 return self._try_commit(
                     "optimize",
                     added,
-                    self.active_groups(read_v),
+                    selected,
                     read_v + 1,
                     stats=stats,
                 )

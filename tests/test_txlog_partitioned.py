@@ -205,3 +205,49 @@ def test_replace_where_txn_idempotent(spark, ptable):
     assert ptable.read(spark).filter(
         F.col("day") == "2024-01-01"
     ).count() == 1
+
+
+def test_optimize_where_compacts_one_partition(spark, ptable):
+    # fragment one partition with three more partitioned appends
+    for i in range(3):
+        ptable.commit_append_partitioned(
+            _mk(spark, [("2024-01-02", 900 + i, i)]), "day"
+        )
+    before = ptable.active_groups()
+    assert len(before) == 6  # 3 original + 3 fragments
+    full = {(r.day, r.k, r.v) for r in ptable.read(spark).collect()}
+    ptable.optimize(
+        spark, where=("day", "2024-01-02", "2024-01-02"), target_groups=1
+    )
+    after = ptable.active_groups()
+    # the 4 day-02 groups collapsed to 1; the other days' groups are
+    # untouched (same group ids — their bytes were never read)
+    assert len(after) == 3
+    untouched = {g for g in before if g in after}
+    assert len(untouched) == 2
+    assert {(r.day, r.k, r.v) for r in ptable.read(spark).collect()} == full
+    # pruning tightens back to one group for the compacted day
+    picked, total = ptable.prune_groups(
+        "day", lo="2024-01-02", hi="2024-01-02"
+    )
+    assert (len(picked), total) == (1, 3)
+
+
+def test_optimize_where_respects_deletion_vectors(spark, ptable):
+    ptable.delete_where(
+        spark, (F.col("day") == "2024-01-02") & (F.col("k") == 201)
+    )
+    full = {(r.day, r.k) for r in ptable.read(spark).collect()}
+    ptable.optimize(spark, where=("day", "2024-01-02", "2024-01-02"))
+    assert {(r.day, r.k) for r in ptable.read(spark).collect()} == full
+    assert ("2024-01-02", 201) not in full
+    # the rewrite read through the DV, so no live DV remains
+    assert ptable._replay(ptable.latest_version())[2] == []
+
+
+def test_optimize_where_empty_slice_is_noop(spark, ptable):
+    v = ptable.latest_version()
+    assert ptable.optimize(
+        spark, where=("day", "2030-01-01", "2030-01-01")
+    ) == v
+    assert ptable.latest_version() == v
