@@ -319,6 +319,107 @@ class TxTable:
                 continue  # re-validate against the advanced snapshot
         raise CommitConflict(f"add_constraint lost {max_retries} races")
 
+    # -- ALTER TABLE column surface (metadata-only, column mapping) ----------
+
+    def _constraint_mentions(self, column: str) -> list[str]:
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(column)}\b")
+        return sorted(
+            n for n, e in self.constraints().items() if pat.search(e)
+        )
+
+    def alter_rename_column(
+        self, spark: SparkSession, old: str, new: str, max_retries: int = 20
+    ) -> int:
+        """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
+        column mapping): the logical name changes in the log schema
+        while the field keeps its stable PHYSICAL on-file name — no
+        data file is read or rewritten at any size.  Readers alias
+        physical → logical inside ``_scan``; writers rename back before
+        the parquet write; time travel to a pre-rename version returns
+        the old name (each version's schema is its own)."""
+        from pyspark.sql.types import StructField, StructType
+
+        sch = self.read_schema(spark)
+        if sch is None:
+            raise ValueError("cannot rename a column of an empty table")
+        names = [f.name for f in sch.fields]
+        if old not in names:
+            raise ValueError(f"no column named {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        cons = self._constraint_mentions(old)
+        if cons:
+            raise ValueError(
+                f"column {old!r} is referenced by constraints {cons}; "
+                f"drop them first"
+            )
+        fields = []
+        for f in sch.fields:
+            if f.name == old:
+                md = dict(f.metadata or {})
+                md["physical"] = self._physical_name(f)
+                fields.append(
+                    StructField(new, f.dataType, f.nullable, md)
+                )
+            else:
+                fields.append(f)
+        new_schema = StructType(fields)
+        for _ in range(max_retries):
+            try:
+                return self._try_commit(
+                    "alter_rename", [], [], self.latest_version() + 1,
+                    schema_json=new_schema.json(),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"rename lost {max_retries} races")
+
+    def alter_drop_column(
+        self, spark: SparkSession, column: str, max_retries: int = 20
+    ) -> int:
+        """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the field
+        leaves the log schema, so every subsequent read projects it
+        away at the scan (the bytes stay in place for time travel — a
+        pre-drop version still serves the column).  Rejected while a
+        CHECK constraint references it."""
+        from pyspark.sql.types import StructType
+
+        sch = self.read_schema(spark)
+        if sch is None:
+            raise ValueError("cannot drop a column of an empty table")
+        names = [f.name for f in sch.fields]
+        if column not in names:
+            raise ValueError(f"no column named {column!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        cons = self._constraint_mentions(column)
+        if cons:
+            raise ValueError(
+                f"column {column!r} is referenced by constraints {cons}; "
+                f"drop them first"
+            )
+        phys = next(
+            self._physical_name(f) for f in sch.fields if f.name == column
+        )
+        new_schema = StructType(
+            [f for f in sch.fields if f.name != column]
+        )
+        for _ in range(max_retries):
+            try:
+                return self._try_commit(
+                    "alter_drop", [], [], self.latest_version() + 1,
+                    schema_json=new_schema.json(),
+                    # the physical name is retired FOREVER: a later
+                    # re-add of the same logical name must map to a
+                    # fresh physical name or old file bytes resurrect
+                    dropped={"logical": column, "physical": phys},
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"drop column lost {max_retries} races")
+
     def drop_constraint(self, name: str, max_retries: int = 20) -> int:
         if name not in self.constraints():
             raise ValueError(f"no constraint named {name!r}")
@@ -436,6 +537,7 @@ class TxTable:
         schema_json: str | None = None,
         drop_dvs: list[str] | None = None,
         re_add_dvs: list[dict] | None = None,
+        dropped: dict | None = None,
     ) -> int:
         commit = {
             "version": version,
@@ -459,8 +561,23 @@ class TxTable:
             commit["drop_dvs"] = list(drop_dvs)
         if re_add_dvs:
             commit["re_add_dvs"] = [dict(d) for d in re_add_dvs]
+        if dropped:
+            commit["dropped"] = dict(dropped)
         self._publish(version, commit)
         return version
+
+    def _dropped_physicals(self) -> set[str]:
+        """Physical column names retired by ALTER DROP COLUMN across the
+        whole log — a re-added logical column must never reuse one, or
+        the dropped column's bytes in pre-drop files would resurrect
+        under the new field.  Alter commits are rare, so this is a plain
+        log walk (no checkpoint seeding needed)."""
+        out: set[str] = set()
+        for v in self._versions():
+            d = self._read_commit(v).get("dropped")
+            if d:
+                out.add(d["physical"])
+        return out
 
     def _txn_map(self, upto: int | None = None) -> dict:
         """{app: {str(batch): version}} over the log up to ``upto``
@@ -524,17 +641,23 @@ class TxTable:
             have = {f.name for f in sch.fields}
             extra = [c for c in df.columns if c not in have]
             if extra and evolve:
-                sch = StructType(
-                    list(sch.fields)
-                    + [
-                        StructField(c, df.schema[c].dataType, True)
-                        for c in extra
-                    ]
-                )
+                retired = self._dropped_physicals()
+                new_fields = []
+                for c in extra:
+                    md = {}
+                    if c in retired:
+                        # the name was dropped before: map the re-added
+                        # field to a FRESH physical name so pre-drop
+                        # file bytes stay invisible under it
+                        md = {"physical": f"{c}__{uuid.uuid4().hex[:8]}"}
+                    new_fields.append(
+                        StructField(c, df.schema[c].dataType, True, md)
+                    )
+                sch = StructType(list(sch.fields) + new_fields)
             df = self._align_to_schema(df, sch)
         cons_seen = self.constraints()
         self._check_constraints(df)
-        group, stats = self._write_group(df)
+        group, stats = self._write_group(self._to_physical(df, schema=sch))
         return self._commit_append_groups(
             df, [group], {group: stats}, sch, cons_seen,
             max_retries=max_retries, txn=txn, evolve=evolve,
@@ -594,10 +717,17 @@ class TxTable:
                     raise CommitConflict(
                         f"concurrent schema change removed {sorted(lost)}"
                     )
+                # extras prefer the caller's local schema fields: the
+                # select/cast of _align_to_schema strips StructField
+                # metadata, and an evolving append's fresh PHYSICAL
+                # name lives exactly there
+                local = {
+                    f.name: f for f in (sch.fields if sch is not None else [])
+                }
                 commit_schema = StructType(
                     list(sch_now.fields)
                     + [
-                        f
+                        local.get(f.name, f)
                         for f in df.schema.fields
                         if f.name
                         not in {g.name for g in sch_now.fields}
@@ -671,11 +801,12 @@ class TxTable:
 
         from pyspark.sql import functions as F
 
-        staged = df
+        mapping = self._physical_map()
+        staged = self._to_physical(df)
         pcopies = []
         for c in cols:
             pc = f"__p_{c}"
-            staged = staged.withColumn(pc, F.col(c))
+            staged = staged.withColumn(pc, F.col(mapping.get(c, c)))
             pcopies.append(pc)
         staging = os.path.join(self.data_dir, f".part-{uuid.uuid4().hex}")
         staged.write.partitionBy(*pcopies).parquet(staging)
@@ -709,6 +840,7 @@ class TxTable:
         surface, zero data reads.  Groups where the column is not
         constant (plain appends, compacted mixtures) report None."""
         upto = self.latest_version() if version is None else version
+        column = self._physical_map(upto).get(column, column)
         _active, stats, _dvs = self._replay(upto)
         out = set()
         for g, s in stats.items():
@@ -856,10 +988,12 @@ class TxTable:
                     df.repartitionByRange(target_groups, *keys)
                     .sortWithinPartitions(*keys)
                 )
-                added, stats = self._write_split_groups(staged)
+                added, stats = self._write_split_groups(
+                    self._to_physical(staged)
+                )
             else:
                 group, gstats = self._write_group(
-                    df.repartition(target_groups)
+                    self._to_physical(df.repartition(target_groups))
                 )
                 added, stats = [group], {group: gstats}
             try:
@@ -1082,21 +1216,85 @@ class TxTable:
         df = self._scan(spark, groups, upto)
         return self._apply_dvs(spark, df, dvs)
 
+    @staticmethod
+    def _physical_name(field) -> str:
+        """The on-file column name of a schema field: its
+        ``physical`` metadata when column mapping is active (the field
+        was renamed), else the logical name itself."""
+        md = field.metadata or {}
+        return md.get("physical", field.name)
+
+    def _physical_map(self, upto: int | None = None) -> dict[str, str]:
+        """{logical name: physical name} at ``upto`` — identity for
+        tables that never renamed a column."""
+        from pyspark.sql.types import StructType
+
+        js = self.table_schema_json(upto)
+        if js is None:
+            return {}
+        sch = StructType.fromJson(js)
+        return {f.name: self._physical_name(f) for f in sch.fields}
+
+    def _to_physical(self, df: DataFrame, schema=None) -> DataFrame:
+        """Rename a LOGICAL-schema frame to its on-file PHYSICAL column
+        names before a schema-preserving write (append / DML delta /
+        optimize rewrite).  ``schema`` overrides the log's mapping for
+        writers whose schema commit has not published yet (an evolving
+        append carrying a fresh physical name).  Identity when no
+        column was ever renamed — the overwhelmingly common case pays a
+        dict lookup, no plan node."""
+        if schema is not None:
+            mapping = {
+                f.name: self._physical_name(f) for f in schema.fields
+            }
+        else:
+            mapping = self._physical_map()
+        renames = {
+            lo: ph
+            for lo, ph in mapping.items()
+            if lo != ph and lo in df.columns
+        }
+        for lo, ph in renames.items():
+            df = df.withColumnRenamed(lo, ph)
+        return df
+
     def _scan(
         self, spark: SparkSession, groups: list[str], upto: int
     ) -> DataFrame:
         """Scan the given groups under the LOG-OWNED schema at ``upto``
         (files from before an ADD COLUMN backfill NULL for the new
         columns — parquet-by-schema read semantics); legacy logs with no
-        recorded schema fall back to footer inference."""
-        from pyspark.sql.types import StructType
+        recorded schema fall back to footer inference.  Column mapping:
+        files are read under their PHYSICAL names and aliased back to
+        the logical schema, so RENAME COLUMN is a metadata commit, never
+        a rewrite."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
 
         js = self.table_schema_json(upto)
-        reader = spark.read
-        if js is not None:
-            reader = reader.schema(StructType.fromJson(js))
-        return reader.parquet(
+        if js is None:
+            return spark.read.parquet(
+                *[os.path.join(self.data_dir, g) for g in groups]
+            )
+        sch = StructType.fromJson(js)
+        phys = StructType(
+            [
+                StructField(
+                    self._physical_name(f), f.dataType, f.nullable
+                )
+                for f in sch.fields
+            ]
+        )
+        df = spark.read.schema(phys).parquet(
             *[os.path.join(self.data_dir, g) for g in groups]
+        )
+        if [f.name for f in phys.fields] == [f.name for f in sch.fields]:
+            return df
+        return df.select(
+            *[
+                F.col(self._physical_name(f)).alias(f.name)
+                for f in sch.fields
+            ]
         )
 
     def _apply_dvs(
@@ -1280,7 +1478,7 @@ class TxTable:
             )
             updated = self._align_to_schema(updated, scan.schema)
             self._check_constraints(updated)
-            group, gstats = self._write_group(updated)
+            group, gstats = self._write_group(self._to_physical(updated))
             try:
                 return self._try_commit(
                     "update",
@@ -1368,7 +1566,7 @@ class TxTable:
                 )
             )
             self._check_constraints(delta)
-            group, gstats = self._write_group(delta)
+            group, gstats = self._write_group(self._to_physical(delta))
             import pyarrow.parquet as _pq
 
             gpath = os.path.join(self.data_dir, group)
@@ -1468,7 +1666,7 @@ class TxTable:
             dv_path = os.path.join(self.data_dir, dv_group)
             if n_masked == 0:
                 shutil.rmtree(dv_path, ignore_errors=True)
-            group, gstats = self._write_group(src)
+            group, gstats = self._write_group(self._to_physical(src))
             try:
                 return self._try_commit(
                     "replace_where",
@@ -1577,6 +1775,7 @@ class TxTable:
         from pyspark.sql import functions as F
 
         upto = self.latest_version() if version is None else version
+        column = self._physical_map(upto).get(column, column)
         built = 0
         for g in self.active_groups(upto):
             gdir = os.path.join(self.data_dir, g)
@@ -1661,9 +1860,12 @@ class TxTable:
         vtype = None
         if sch is not None and column in [f.name for f in sch.fields]:
             vtype = sch[column].dataType
+        # sidecars are named by the stable PHYSICAL column name, so a
+        # renamed column keeps its index
+        phys = self._physical_map(upto).get(column, column)
         for g in zone_kept:
             side = os.path.join(
-                self.data_dir, g, f"_bloom_{column}.json"
+                self.data_dir, g, f"_bloom_{phys}.json"
             )
             if not os.path.exists(side):
                 kept.append(g)
@@ -1803,6 +2005,8 @@ class TxTable:
         column always survive — pruning is an optimization, never a
         filter."""
         upto = self.latest_version() if version is None else version
+        # zone maps are keyed by the on-file (PHYSICAL) column name
+        column = self._physical_map(upto).get(column, column)
         active, stats, _dvs = self._replay(upto)
         lo_n, hi_n = _stat_scalar(lo), _stat_scalar(hi)
         picked = []

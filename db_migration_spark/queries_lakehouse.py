@@ -1238,6 +1238,76 @@ WHERE event_id = (SELECT min(event_id) FROM events)
 """
 
 
+def _ensure_column_mapping_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Orders ingested, then the column surface exercised live:
+    RENAME cents → amount_cents and DROP prio, both metadata-only
+    commits over the same immutable data files."""
+    root = _fx(sf_dir, "txlog_colmap_orders")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    if t.latest_version() >= 0:
+        shutil.rmtree(root, ignore_errors=True)
+        t = TxTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    t.commit_append(orders)                              # v0
+    t.alter_rename_column(spark, "cents", "amount_cents")  # v1 (metadata)
+    t.alter_drop_column(spark, "prio")                     # v2 (metadata)
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE column mapping (plans/txlog.py ``alter_rename_column``
+    / ``alter_drop_column``): RENAME and DROP are metadata-only commits
+    — files keep their stable physical column names, readers alias
+    physical → logical inside the scan, and no byte is rewritten at any
+    table size (Delta's column-mapping contract).  The declared result
+    reads the POST-alter table under the new name AND time-travels to
+    v0 under the old one — a broken mapping (wrong alias, resurrected
+    dropped column, lost data under rename) shifts a value or a column
+    name.  ``n_columns`` pins the drop."""
+    t = _ensure_column_mapping_store(spark, sf_dir)
+    now = t.read(spark)
+    after = now.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("amount_cents").alias("sum_amount_cents"),
+    )
+    v0 = (
+        t.read(spark, version=0)
+        .groupBy("status")
+        .agg(F.sum("cents").alias("sum_cents_v0"))
+    )
+    return (
+        after.join(v0, "status")
+        .withColumn(
+            "n_columns", F.lit(len(now.columns)).cast("long")
+        )
+    )
+
+
+ORACLE_COLUMN_MAPPING = """
+SELECT o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_amount_cents,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents_v0,
+       CAST(3 AS BIGINT) AS n_columns
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -1249,6 +1319,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stream_partitioned_sink"] = ORACLE_STREAM_PARTITIONED
     queries["txlog_bloom_lookup"] = q_txlog_bloom_lookup
     oracles["txlog_bloom_lookup"] = ORACLE_BLOOM_LOOKUP
+    queries["txlog_column_mapping"] = q_txlog_column_mapping
+    oracles["txlog_column_mapping"] = ORACLE_COLUMN_MAPPING
     queries["stream_txlog_sink"] = q_stream_txlog_sink
     oracles["stream_txlog_sink"] = ORACLE_STREAM_TXLOG
     queries["txlog_optimize_zorder"] = q_txlog_optimize_zorder
