@@ -285,6 +285,12 @@ FULL_SUITE = [
     "corpus_fim_split",
     "txlog_incremental_mv",
     "txlog_describe_history",
+    # round 5: partitioned-table surface
+    "txlog_partitioned_scan",
+    "txlog_replace_where",
+    "stream_partitioned_sink",
+    "txlog_bloom_lookup",
+    "txlog_column_mapping",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

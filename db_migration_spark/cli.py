@@ -78,8 +78,26 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True, help="TxTable root directory")
     sp.add_argument(
         "--action",
-        choices=("optimize", "checkpoint", "vacuum", "history", "restore"),
+        choices=(
+            "optimize", "checkpoint", "vacuum", "history", "restore",
+            "rename-column", "drop-column", "bloom-index", "partitions",
+        ),
         required=True,
+    )
+    sp.add_argument(
+        "--column", default=None,
+        help="target column for rename/drop/bloom-index/partitions",
+    )
+    sp.add_argument(
+        "--to-name", default=None, help="new name for rename-column"
+    )
+    sp.add_argument(
+        "--where", default=None,
+        help="optimize only this slice: column=value (OPTIMIZE WHERE)",
+    )
+    sp.add_argument(
+        "--bits-per-key", type=int, default=10,
+        help="bloom index sizing",
     )
     sp.add_argument(
         "--to-version",
@@ -159,12 +177,44 @@ def main(argv: list[str] | None = None) -> int:
                 min_age_seconds=args.min_age_seconds,
             )
             out["deleted_groups"] = len(deleted)
+        elif args.action == "rename-column":
+            if not (args.column and args.to_name):
+                raise SystemExit("rename-column requires --column --to-name")
+            spark = get_spark("table-maintain")
+            out["version"] = t.alter_rename_column(
+                spark, args.column, args.to_name
+            )
+        elif args.action == "drop-column":
+            if not args.column:
+                raise SystemExit("drop-column requires --column")
+            spark = get_spark("table-maintain")
+            out["version"] = t.alter_drop_column(spark, args.column)
+        elif args.action == "bloom-index":
+            if not args.column:
+                raise SystemExit("bloom-index requires --column")
+            spark = get_spark("table-maintain")
+            out["groups_indexed"] = t.add_bloom_index(
+                spark, args.column, bits_per_key=args.bits_per_key
+            )
+        elif args.action == "partitions":
+            if not args.column:
+                raise SystemExit("partitions requires --column")
+            out["partitions"] = [
+                str(v) for v in t.partitions(args.column)
+            ]
         else:  # optimize
             spark = get_spark("table-maintain")
             keys = [c for c in args.cluster_by.split(",") if c] or None
+            where = None
+            if args.where:
+                w_col, _, w_val = args.where.partition("=")
+                where = (w_col, w_val, w_val)
             before = len(t.active_groups())
             out["version"] = t.optimize(
-                spark, sort_key=keys, target_groups=args.target_groups
+                spark,
+                sort_key=keys,
+                target_groups=args.target_groups,
+                where=where,
             )
             out["groups_before"] = before
             out["groups_after"] = len(t.active_groups())

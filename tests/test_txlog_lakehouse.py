@@ -158,6 +158,58 @@ def test_table_maintain_cli(spark, tmp_path, capsys):
     assert res["restored_to"] == opt_v and res["version"] == opt_v + 1
     assert t.read(spark).count() == base.count()
 
+    # round-5 actions: ALTER column surface + bloom index + partitions
+    assert (
+        main(
+            [
+                "table-maintain", "--table", root, "--action",
+                "rename-column", "--column", "bucket", "--to-name",
+                "amount",
+            ]
+        )
+        == 0
+    )
+    ren = json.loads(capsys.readouterr().out)
+    assert ren["version"] == t.latest_version()
+    assert "amount" in t.read(spark).columns
+
+    assert (
+        main(
+            [
+                "table-maintain", "--table", root, "--action",
+                "bloom-index", "--column", "amount",
+            ]
+        )
+        == 0
+    )
+    bl = json.loads(capsys.readouterr().out)
+    assert bl["groups_indexed"] == len(t.active_groups())
+
+    assert (
+        main(
+            [
+                "table-maintain", "--table", root, "--action",
+                "partitions", "--column", "day",
+            ]
+        )
+        == 0
+    )
+    parts = json.loads(capsys.readouterr().out)
+    assert len(parts["partitions"]) >= 1
+
+    assert (
+        main(
+            [
+                "table-maintain", "--table", root, "--action",
+                "drop-column", "--column", "amount",
+            ]
+        )
+        == 0
+    )
+    dr = json.loads(capsys.readouterr().out)
+    assert dr["version"] == t.latest_version()
+    assert "amount" not in t.read(spark).columns
+
 
 def test_stream_source_incremental_and_nonappend_contract(spark, tmp_path):
     """The txlog streaming source: (1) a second drain after a new append
