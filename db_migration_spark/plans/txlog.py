@@ -152,8 +152,10 @@ def _footer_stats(path: str) -> dict:
     lo: dict = {}
     hi: dict = {}
     dead: set = set()
+    n_rows = 0
     for f in _glob.glob(os.path.join(path, "*.parquet")):
         md = _pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
@@ -171,7 +173,10 @@ def _footer_stats(path: str) -> dict:
                     continue
                 lo[name] = mn if name not in lo else min(lo[name], mn)
                 hi[name] = mx if name not in hi else max(hi[name], mx)
-    return {c: [lo[c], hi[c]] for c in lo}
+    out = {c: [lo[c], hi[c]] for c in lo}
+    # reserved key: the group's exact row count (metadata-only COUNT)
+    out["__rows"] = n_rows
+    return out
 
 
 class TxTable:
@@ -1421,7 +1426,7 @@ class TxTable:
                     [],
                     [],
                     read_v + 1,
-                    dv={"group": group, "covers": covered},
+                    dv={"group": group, "covers": covered, "n": n},
                 )
             except CommitConflict:
                 shutil.rmtree(path, ignore_errors=True)
@@ -1486,7 +1491,7 @@ class TxTable:
                     [],
                     read_v + 1,
                     stats={group: gstats},
-                    dv={"group": dv_group, "covers": covered},
+                    dv={"group": dv_group, "covers": covered, "n": n},
                 )
             except CommitConflict:
                 shutil.rmtree(dv_path, ignore_errors=True)
@@ -1606,7 +1611,11 @@ class TxTable:
                     stats={group: gstats} if n_delta else None,
                     txn=txn,
                     dv=(
-                        {"group": dv_group, "covers": covered}
+                        {
+                            "group": dv_group,
+                            "covers": covered,
+                            "n": n_masked,
+                        }
                         if n_masked
                         else None
                     ),
@@ -1676,7 +1685,11 @@ class TxTable:
                     stats={group: gstats},
                     txn=txn,
                     dv=(
-                        {"group": dv_group, "covers": covered}
+                        {
+                            "group": dv_group,
+                            "covers": covered,
+                            "n": n_masked,
+                        }
                         if n_masked
                         else None
                     ),
@@ -1907,6 +1920,39 @@ class TxTable:
         df = self._scan(spark, groups, upto)
         df = self._apply_dvs(spark, df, self._replay(upto)[2])
         return df.filter(F.col(column) == F.lit(value))
+
+    def count_rows(
+        self, spark: SparkSession, version: int | None = None
+    ) -> int:
+        """COUNT(*) from COMMIT METADATA alone when possible: every
+        group's exact row count rides its commit stats (parquet-footer
+        ``__rows``, harvested at write) and every deletion vector
+        records its masked-position cardinality — so the live row count
+        is Σ group rows − Σ DV positions with ZERO data files opened,
+        at any table size (the Delta/Iceberg snapshot-count fast path).
+
+        Falls back to a real scan-count when the metadata cannot prove
+        the answer: a pre-upgrade group without ``__rows``, a DV
+        without a cardinality, or a DV whose covered groups are not all
+        live (its recorded count may include positions in rewritten
+        groups, so subtraction would undercount)."""
+        upto = self.latest_version() if version is None else version
+        active, stats, dvs = self._replay(upto)
+        live = set(active)
+        total = 0
+        for g in active:
+            n = stats.get(g, {}).get("__rows")
+            if not isinstance(n, int):
+                return self.read(spark, upto).count()
+            total += n
+        for d in dvs:
+            n = d.get("n")
+            if not isinstance(n, int) or not set(
+                d.get("covers", [])
+            ) <= live:
+                return self.read(spark, upto).count()
+            total -= n
+        return total
 
     def read_schema_columns(self, spark: SparkSession) -> list[str]:
         """Column names of the current table schema (from the live

@@ -1238,6 +1238,31 @@ WHERE event_id = (SELECT min(event_id) FROM events)
 """
 
 
+def q_txlog_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (plans/txlog.py ``count_rows``): every
+    group's exact row count rides its commit stats and every deletion
+    vector records its masked cardinality, so the live count is
+    Σ rows − Σ masked with zero data files opened — the
+    Delta/Iceberg snapshot-count fast path, at any table size.  The
+    declared result carries the metadata count AND the scan count over
+    the replace-where store (one replaced slice = one live DV), so a
+    drifting ledger (lost DV cardinality, stale group stats, a
+    double-subtracted mask) is a hash red."""
+    t = _ensure_replace_where_store(spark, sf_dir)
+    n_meta = t.count_rows(spark)
+    n_scan = t.read(spark).count()
+    return spark.createDataFrame(
+        [(n_meta, n_scan)], "n_meta long, n_scan long"
+    )
+
+
+ORACLE_FAST_COUNT = """
+SELECT CAST(count(*) AS BIGINT) AS n_meta,
+       CAST(count(*) AS BIGINT) AS n_scan
+FROM events
+"""
+
+
 def _ensure_column_mapping_store(spark: SparkSession, sf_dir: str) -> TxTable:
     """Orders ingested, then the column surface exercised live:
     RENAME cents → amount_cents and DROP prio, both metadata-only
@@ -1321,6 +1346,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_bloom_lookup"] = ORACLE_BLOOM_LOOKUP
     queries["txlog_column_mapping"] = q_txlog_column_mapping
     oracles["txlog_column_mapping"] = ORACLE_COLUMN_MAPPING
+    queries["txlog_fast_count"] = q_txlog_fast_count
+    oracles["txlog_fast_count"] = ORACLE_FAST_COUNT
     queries["stream_txlog_sink"] = q_stream_txlog_sink
     oracles["stream_txlog_sink"] = ORACLE_STREAM_TXLOG
     queries["txlog_optimize_zorder"] = q_txlog_optimize_zorder

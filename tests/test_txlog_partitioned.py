@@ -251,3 +251,38 @@ def test_optimize_where_empty_slice_is_noop(spark, ptable):
         spark, where=("day", "2030-01-01", "2030-01-01")
     ) == v
     assert ptable.latest_version() == v
+
+
+def test_count_rows_metadata_only(spark, ptable, monkeypatch):
+    ptable.delete_where(spark, F.col("k") == 201)
+    ptable.merge_into(
+        spark, _mk(spark, [("2024-01-01", 101, 0), ("2024-09-01", 1, 1)]),
+        ["day", "k"],
+    )
+    expected = ptable.read(spark).count()
+    # prove the fast path never opens a data file: a scan would raise
+    monkeypatch.setattr(
+        ptable, "read",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("scanned")),
+    )
+    assert ptable.count_rows(spark) == expected
+
+
+def test_count_rows_falls_back_on_partial_dv_cover(spark, ptable):
+    ptable.delete_where(spark, F.col("day") == "2024-01-02")
+    # compact a DIFFERENT slice plus... rewrite only day-01 so the DV's
+    # covered day-02 group stays live — still metadata-provable
+    assert ptable.count_rows(spark) == 8
+    # now rewrite EVERYTHING (optimize): the DV retires with its covered
+    # groups; metadata count must match the scan either way
+    ptable.optimize(spark, target_groups=1)
+    assert ptable.count_rows(spark) == ptable.read(spark).count() == 8
+
+
+def test_count_rows_tracks_replace_where(spark, ptable):
+    ptable.replace_where(
+        spark, F.col("day") == "2024-01-03",
+        _mk(spark, [("2024-01-03", 1, 1)]),
+    )
+    assert ptable.count_rows(spark) == 9  # 4 + 4 + 1
+    assert ptable.count_rows(spark, version=0) == 12
