@@ -207,7 +207,17 @@ def main(argv: list[str] | None = None) -> int:
             keys = [c for c in args.cluster_by.split(",") if c] or None
             where = None
             if args.where:
-                w_col, _, w_val = args.where.partition("=")
+                w_col, _, w_raw = args.where.partition("=")
+                # bound must live in the column's value domain: numeric
+                # stats vs a string bound would TypeError inside the
+                # zone-map check and silently keep EVERY group
+                w_val: object = w_raw
+                for cast in (int, float):
+                    try:
+                        w_val = cast(w_raw)
+                        break
+                    except ValueError:
+                        continue
                 where = (w_col, w_val, w_val)
             before = len(t.active_groups())
             out["version"] = t.optimize(

@@ -343,35 +343,41 @@ class TxTable:
         data file is read or rewritten at any size.  Readers alias
         physical → logical inside ``_scan``; writers rename back before
         the parquet write; time travel to a pre-rename version returns
-        the old name (each version's schema is its own)."""
+        the old name (each version's schema is its own).
+
+        The whole schema derivation (including the constraint guard)
+        re-runs INSIDE the optimistic loop: an alter that lost its race
+        must rebase onto the advanced schema, never republish its stale
+        snapshot — or a concurrent evolve's column would silently
+        vanish."""
         from pyspark.sql.types import StructField, StructType
 
-        sch = self.read_schema(spark)
-        if sch is None:
-            raise ValueError("cannot rename a column of an empty table")
-        names = [f.name for f in sch.fields]
-        if old not in names:
-            raise ValueError(f"no column named {old!r}")
-        if new in names:
-            raise ValueError(f"column {new!r} already exists")
-        cons = self._constraint_mentions(old)
-        if cons:
-            raise ValueError(
-                f"column {old!r} is referenced by constraints {cons}; "
-                f"drop them first"
-            )
-        fields = []
-        for f in sch.fields:
-            if f.name == old:
-                md = dict(f.metadata or {})
-                md["physical"] = self._physical_name(f)
-                fields.append(
-                    StructField(new, f.dataType, f.nullable, md)
-                )
-            else:
-                fields.append(f)
-        new_schema = StructType(fields)
         for _ in range(max_retries):
+            sch = self.read_schema(spark)
+            if sch is None:
+                raise ValueError("cannot rename a column of an empty table")
+            names = [f.name for f in sch.fields]
+            if old not in names:
+                raise ValueError(f"no column named {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            cons = self._constraint_mentions(old)
+            if cons:
+                raise ValueError(
+                    f"column {old!r} is referenced by constraints {cons}; "
+                    f"drop them first"
+                )
+            fields = []
+            for f in sch.fields:
+                if f.name == old:
+                    md = dict(f.metadata or {})
+                    md["physical"] = self._physical_name(f)
+                    fields.append(
+                        StructField(new, f.dataType, f.nullable, md)
+                    )
+                else:
+                    fields.append(f)
+            new_schema = StructType(fields)
             try:
                 return self._try_commit(
                     "alter_rename", [], [], self.latest_version() + 1,
@@ -388,30 +394,34 @@ class TxTable:
         leaves the log schema, so every subsequent read projects it
         away at the scan (the bytes stay in place for time travel — a
         pre-drop version still serves the column).  Rejected while a
-        CHECK constraint references it."""
+        CHECK constraint references it.  Like rename, the schema
+        derivation re-runs inside the retry loop so a lost race rebases
+        onto the advanced schema instead of republishing a stale one."""
         from pyspark.sql.types import StructType
 
-        sch = self.read_schema(spark)
-        if sch is None:
-            raise ValueError("cannot drop a column of an empty table")
-        names = [f.name for f in sch.fields]
-        if column not in names:
-            raise ValueError(f"no column named {column!r}")
-        if len(names) == 1:
-            raise ValueError("cannot drop the only column")
-        cons = self._constraint_mentions(column)
-        if cons:
-            raise ValueError(
-                f"column {column!r} is referenced by constraints {cons}; "
-                f"drop them first"
-            )
-        phys = next(
-            self._physical_name(f) for f in sch.fields if f.name == column
-        )
-        new_schema = StructType(
-            [f for f in sch.fields if f.name != column]
-        )
         for _ in range(max_retries):
+            sch = self.read_schema(spark)
+            if sch is None:
+                raise ValueError("cannot drop a column of an empty table")
+            names = [f.name for f in sch.fields]
+            if column not in names:
+                raise ValueError(f"no column named {column!r}")
+            if len(names) == 1:
+                raise ValueError("cannot drop the only column")
+            cons = self._constraint_mentions(column)
+            if cons:
+                raise ValueError(
+                    f"column {column!r} is referenced by constraints "
+                    f"{cons}; drop them first"
+                )
+            phys = next(
+                self._physical_name(f)
+                for f in sch.fields
+                if f.name == column
+            )
+            new_schema = StructType(
+                [f for f in sch.fields if f.name != column]
+            )
             try:
                 return self._try_commit(
                     "alter_drop", [], [], self.latest_version() + 1,
@@ -646,14 +656,17 @@ class TxTable:
             have = {f.name for f in sch.fields}
             extra = [c for c in df.columns if c not in have]
             if extra and evolve:
-                retired = self._dropped_physicals()
+                # a new logical name must not collide with ANY physical
+                # name that exists in files — drop-retired ones (their
+                # bytes would resurrect) or the stable physical of a
+                # renamed-away field (duplicate column at write)
+                taken = self._dropped_physicals() | {
+                    self._physical_name(f) for f in sch.fields
+                }
                 new_fields = []
                 for c in extra:
                     md = {}
-                    if c in retired:
-                        # the name was dropped before: map the re-added
-                        # field to a FRESH physical name so pre-drop
-                        # file bytes stay invisible under it
+                    if c in taken:
                         md = {"physical": f"{c}__{uuid.uuid4().hex[:8]}"}
                     new_fields.append(
                         StructField(c, df.schema[c].dataType, True, md)
@@ -666,6 +679,7 @@ class TxTable:
         return self._commit_append_groups(
             df, [group], {group: stats}, sch, cons_seen,
             max_retries=max_retries, txn=txn, evolve=evolve,
+            own_extras=set(extra) if (sch is not None and evolve) else set(),
         )
 
     def _commit_append_groups(
@@ -678,6 +692,7 @@ class TxTable:
         max_retries: int,
         txn: tuple[str, int] | None,
         evolve: bool,
+        own_extras: set | None = None,
     ) -> int:
         """The optimistic append-commit loop shared by the plain and the
         partitioned append: constraint re-validation on change, schema
@@ -716,12 +731,37 @@ class TxTable:
             commit_schema = df.schema
             if sch_now is not None:
                 ours = {f.name for f in df.schema.fields}
-                lost = ours - {f.name for f in sch_now.fields}
-                if lost and not (evolve or sch is None):
+                lost = (
+                    ours
+                    - {f.name for f in sch_now.fields}
+                    - (own_extras or set())  # our evolution, not a loss
+                )
+                if lost and sch is not None:
+                    # a column we carry vanished mid-flight (concurrent
+                    # overwrite or ALTER DROP).  Never re-add it — under
+                    # evolve that would resurrect a retired physical —
+                    # fail as a metadata conflict, Delta's rule.
                     _cleanup()
                     raise CommitConflict(
                         f"concurrent schema change removed {sorted(lost)}"
                     )
+                if sch is not None:
+                    # a concurrent writer remapping one of our columns to
+                    # a different physical name means OUR already-written
+                    # file carries the wrong on-file name — unrecoverable
+                    # without a rewrite, so fail loudly
+                    local_phys = {
+                        f.name: self._physical_name(f) for f in sch.fields
+                    }
+                    for f in sch_now.fields:
+                        lp = local_phys.get(f.name)
+                        if lp is not None and lp != self._physical_name(f):
+                            _cleanup()
+                            raise CommitConflict(
+                                f"concurrent schema change remapped "
+                                f"{f.name!r} ({lp!r} → "
+                                f"{self._physical_name(f)!r})"
+                            )
                 # extras prefer the caller's local schema fields: the
                 # select/cast of _align_to_schema strips StructField
                 # metadata, and an evolving append's fresh PHYSICAL
@@ -832,7 +872,13 @@ class TxTable:
             stats[group] = _footer_stats(gdir)
         shutil.rmtree(staging, ignore_errors=True)
         if not groups:
-            raise ValueError("partitioned append of an empty frame")
+            # empty micro-batches are NORMAL for a streaming sink: with
+            # a txn identity, publish a metadata-only commit so the
+            # batch cursor advances (the merge_into no-op rule);
+            # without one, there is nothing to record — return the
+            # current version, commit nothing
+            if txn is None:
+                return self.latest_version()
         return self._commit_append_groups(
             df, groups, stats, sch, cons_seen,
             max_retries=max_retries, txn=txn, evolve=False,
@@ -1248,20 +1294,23 @@ class TxTable:
         append carrying a fresh physical name).  Identity when no
         column was ever renamed — the overwhelmingly common case pays a
         dict lookup, no plan node."""
+        from pyspark.sql import functions as F
+
         if schema is not None:
             mapping = {
                 f.name: self._physical_name(f) for f in schema.fields
             }
         else:
             mapping = self._physical_map()
-        renames = {
-            lo: ph
-            for lo, ph in mapping.items()
-            if lo != ph and lo in df.columns
-        }
-        for lo, ph in renames.items():
-            df = df.withColumnRenamed(lo, ph)
-        return df
+        if all(mapping.get(c, c) == c for c in df.columns):
+            return df
+        # ONE atomic select: sequential withColumnRenamed would create a
+        # transient duplicate when a swap chain reuses a vacated name
+        # (rename v→amount leaves physical 'v'; re-adding logical 'v'
+        # then maps amount→v while v→v__fresh)
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
 
     def _scan(
         self, spark: SparkSession, groups: list[str], upto: int
@@ -1864,7 +1913,7 @@ class TxTable:
         from pyspark.sql import functions as F
 
         upto = self.latest_version() if version is None else version
-        zone_kept, _total = self.prune_groups(
+        zone_kept, total = self.prune_groups(
             column, lo=value, hi=value, version=upto
         )
         probe_cache: dict[tuple[int, int], list[int]] = {}
@@ -1902,7 +1951,10 @@ class TxTable:
                 for p in probe_cache[(m, kk)]
             ):
                 kept.append(g)
-        return kept, len(self.active_groups(upto))
+        # prune_groups already replayed the log for this version — its
+        # total IS the live-group count; a second replay here would
+        # double the planning cost of every point lookup
+        return kept, total
 
     def read_point(
         self, spark: SparkSession, column: str, value, version: int | None = None
@@ -2098,18 +2150,16 @@ class TxTable:
             c = self._read_commit(v)
             for g in c.get("add", []):
                 parts.append(
-                    spark.read.parquet(os.path.join(self.data_dir, g))
+                    # log-owned schema at v (not footer inference): the
+                    # feed speaks each version's LOGICAL column names,
+                    # so column mapping (rename/drop) holds in CDF too
+                    self._scan(spark, [g], v)
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                     .withColumn("_change_op", F.lit(c.get("op", "append")))
                 )
             if c.get("dv"):
                 d = c["dv"]
-                covered = spark.read.parquet(
-                    *[
-                        os.path.join(self.data_dir, g)
-                        for g in d.get("covers", [])
-                    ]
-                )
+                covered = self._scan(spark, d.get("covers", []), v)
                 pos = spark.read.parquet(
                     os.path.join(self.data_dir, d["group"])
                 )

@@ -872,8 +872,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = exact_hi.join(mh, ["id_a", "id_b"], "left")
     return joined.agg(
         F.count(F.lit(1)).alias("n_exact_hi"),
-        (
-            F.count("est_jaccard") / F.count(F.lit(1)) >= 0.9
+        # coalesce: an empty exact set makes the ratio NULL (0/0); the
+        # contract is vacuously satisfied, matching the oracle's TRUE
+        F.coalesce(
+            F.count("est_jaccard") / F.count(F.lit(1)) >= 0.9,
+            F.lit(True),
         ).alias("recall_ok"),
         F.coalesce(
             F.max(F.abs(F.col("est_jaccard") - F.col("jaccard"))) <= 0.15,
@@ -950,12 +953,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(prec)
         .select(
             "n_exact_hi",
-            (F.col("n_found") / F.col("n_exact_hi") >= 0.5).alias(
-                "recall_ok"
-            ),
-            (F.col("n_precise") / F.col("n_pairs") >= 0.7).alias(
-                "precision_ok"
-            ),
+            # coalesce: empty denominators (no exact pairs / no sketch
+            # pairs) are vacuous passes, matching the oracle's TRUE
+            F.coalesce(
+                F.col("n_found") / F.col("n_exact_hi") >= 0.5, F.lit(True)
+            ).alias("recall_ok"),
+            F.coalesce(
+                F.col("n_precise") / F.col("n_pairs") >= 0.7, F.lit(True)
+            ).alias("precision_ok"),
         )
     )
 
@@ -1029,7 +1034,10 @@ def _ann_recall_gate(approx: DataFrame, exact: DataFrame, bound: float) -> DataF
     return base.crossJoin(hits).select(
         "n_queries",
         "n_exact",
-        (F.col("n_hit") / F.col("n_exact") >= bound).alias("recall_ok"),
+        # vacuous pass on an empty exact set (matches the oracle's TRUE)
+        F.coalesce(
+            F.col("n_hit") / F.col("n_exact") >= bound, F.lit(True)
+        ).alias("recall_ok"),
     )
 
 

@@ -132,3 +132,97 @@ def test_partitioned_append_after_rename(spark, tmp_path):
     assert (len(picked), total) == (1, 3)
     got = {(r.dt, r.k) for r in t.read(spark).collect()}
     assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_alter_losing_race_rebases_onto_evolved_schema(
+    spark, table, monkeypatch
+):
+    """A rename that loses its commit race must re-derive the schema
+    from the ADVANCED snapshot — republishing its stale one would erase
+    the concurrent evolve's column."""
+    root = table.root
+    state = {"raced": False}
+    orig = table._publish
+
+    def racy(version, commit):
+        if not state["raced"] and commit.get("op") == "alter_rename":
+            state["raced"] = True
+            TxTable(root).commit_append(
+                _mk(spark, [(9, 90, 900)], "k long, v long, w long"),
+                evolve=True,
+            )
+        return orig(version, commit)
+
+    monkeypatch.setattr(table, "_publish", racy)
+    table.alter_rename_column(spark, "v", "amount")
+    names = [f.name for f in table.read_schema(spark).fields]
+    assert names == ["k", "amount", "w"], (
+        "the losing rename clobbered the concurrently evolved column"
+    )
+    got = {r.k: (r.amount, r.w) for r in table.read(spark).collect()}
+    assert got[9] == (90, 900)
+
+
+def test_evolve_append_racing_concurrent_drop_fails_loudly(
+    spark, table, monkeypatch
+):
+    """An evolve append that loses its race to ALTER DROP of a column
+    it carries must fail as a metadata conflict — silently re-adding
+    the column would resurrect the retired physical bytes."""
+    from db_migration_spark.plans.txlog import CommitConflict
+
+    root = table.root
+    state = {"raced": False}
+    orig = table._publish
+
+    def racy(version, commit):
+        if not state["raced"] and commit.get("op") == "append":
+            state["raced"] = True
+            TxTable(root).alter_drop_column(spark, "v")
+        return orig(version, commit)
+
+    monkeypatch.setattr(table, "_publish", racy)
+    with pytest.raises(CommitConflict, match="removed"):
+        table.commit_append(
+            _mk(spark, [(5, 50, 500)], "k long, v long, w long"),
+            evolve=True,
+        )
+    # the drop won; the loser's group never became visible
+    assert table.read(spark).columns == ["k"]
+
+
+def test_evolve_readds_renamed_away_name_without_collision(spark, table):
+    """ADD COLUMN of a name whose physical slot is occupied by a
+    renamed field must take a fresh physical name, not collide."""
+    table.alter_rename_column(spark, "v", "amount")
+    table.commit_append(
+        _mk(spark, [(4, 40, 7)], "k long, amount long, v long"),
+        evolve=True,
+    )
+    got = {r.k: (r.amount, r.v) for r in table.read(spark).collect()}
+    # pre-existing rows: old physical 'v' serves amount, new v is NULL
+    assert got == {1: (10, None), 2: (20, None), 3: (30, None),
+                   4: (40, 7)}
+
+
+def test_cdf_speaks_each_versions_logical_schema(spark, table):
+    table.alter_rename_column(spark, "v", "amount")
+    table.commit_append(_mk(spark, [(4, 40)], "k long, amount long"))
+    feed = table.read_changes(spark, from_version=1)
+    assert "amount" in feed.columns and "v" not in feed.columns
+    assert {r.k for r in feed.collect()} == {4}
+
+
+def test_empty_partitioned_append(spark, tmp_path):
+    t = TxTable(str(tmp_path / "ept"))
+    t.commit_append_partitioned(
+        _mk(spark, [("a", 1)], "day string, k long"), "day"
+    )
+    empty = spark.createDataFrame([], "day string, k long")
+    # without a txn: nothing to record, no commit
+    assert t.commit_append_partitioned(empty, "day") == 0
+    assert t.latest_version() == 0
+    # with a txn: metadata-only commit so the batch cursor advances
+    v = t.commit_append_partitioned(empty, "day", txn=("sink", 5))
+    assert v == 1 and t.txn_latest_batch("sink") == 5
+    assert t.read(spark).count() == 1
