@@ -25,6 +25,36 @@ import sys
 from .session import get_spark
 
 
+def _coerce_where_bound(schema, col: str, raw: str):
+    """Coerce an ``--where col=value`` bound into the COLUMN's value
+    domain as the table schema declares it: a numeric-looking STRING
+    partition value ('00501') must stay a string, or the zone-map
+    comparison TypeErrors and OPTIMIZE ... WHERE silently rewrites the
+    whole table instead of one slice.  Date/timestamp bounds stay
+    strings too (zone maps store isoformat strings).  Unknown columns
+    (pre-schema legacy logs) fall back to best-effort int/float."""
+    f = next(
+        (f for f in (schema.fields if schema is not None else [])
+         if f.name == col),
+        None,
+    )
+    tname = f.dataType.typeName() if f is not None else None
+    if tname in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if tname in ("float", "double") or (
+        tname is not None and tname.startswith("decimal")
+    ):
+        return float(raw)
+    if tname is not None:
+        return raw  # string/char/varchar/date/timestamp/binary: verbatim
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            continue
+    return raw
+
+
 def _add_migrate_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--workspace", required=True)
     p.add_argument("--dumps", required=True)
@@ -208,16 +238,9 @@ def main(argv: list[str] | None = None) -> int:
             where = None
             if args.where:
                 w_col, _, w_raw = args.where.partition("=")
-                # bound must live in the column's value domain: numeric
-                # stats vs a string bound would TypeError inside the
-                # zone-map check and silently keep EVERY group
-                w_val: object = w_raw
-                for cast in (int, float):
-                    try:
-                        w_val = cast(w_raw)
-                        break
-                    except ValueError:
-                        continue
+                w_val = _coerce_where_bound(
+                    t.read_schema(spark), w_col, w_raw
+                )
                 where = (w_col, w_val, w_val)
             before = len(t.active_groups())
             out["version"] = t.optimize(

@@ -326,12 +326,14 @@ class TxTable:
 
     # -- ALTER TABLE column surface (metadata-only, column mapping) ----------
 
-    def _constraint_mentions(self, column: str) -> list[str]:
+    def _constraint_mentions(
+        self, column: str, upto: int | None = None
+    ) -> list[str]:
         import re as _re
 
         pat = _re.compile(rf"\b{_re.escape(column)}\b")
         return sorted(
-            n for n, e in self.constraints().items() if pat.search(e)
+            n for n, e in self.constraints(upto=upto).items() if pat.search(e)
         )
 
     def alter_rename_column(
@@ -346,14 +348,18 @@ class TxTable:
         the old name (each version's schema is its own).
 
         The whole schema derivation (including the constraint guard)
-        re-runs INSIDE the optimistic loop: an alter that lost its race
-        must rebase onto the advanced schema, never republish its stale
-        snapshot — or a concurrent evolve's column would silently
-        vanish."""
+        re-runs INSIDE the optimistic loop, PINNED to one read version:
+        ``read_v`` is snapshotted first, schema and constraints are
+        derived AT that version, and the commit targets ``read_v + 1``
+        — so any commit landing between the snapshot and the publish
+        surfaces as a CommitConflict and the attempt rebases, never
+        republishing a stale schema at a later free slot (the
+        add_constraint pattern)."""
         from pyspark.sql.types import StructField, StructType
 
         for _ in range(max_retries):
-            sch = self.read_schema(spark)
+            read_v = self.latest_version()
+            sch = self.read_schema(spark, read_v) if read_v >= 0 else None
             if sch is None:
                 raise ValueError("cannot rename a column of an empty table")
             names = [f.name for f in sch.fields]
@@ -361,7 +367,7 @@ class TxTable:
                 raise ValueError(f"no column named {old!r}")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
-            cons = self._constraint_mentions(old)
+            cons = self._constraint_mentions(old, upto=read_v)
             if cons:
                 raise ValueError(
                     f"column {old!r} is referenced by constraints {cons}; "
@@ -380,7 +386,7 @@ class TxTable:
             new_schema = StructType(fields)
             try:
                 return self._try_commit(
-                    "alter_rename", [], [], self.latest_version() + 1,
+                    "alter_rename", [], [], read_v + 1,
                     schema_json=new_schema.json(),
                 )
             except CommitConflict:
@@ -395,12 +401,15 @@ class TxTable:
         away at the scan (the bytes stay in place for time travel — a
         pre-drop version still serves the column).  Rejected while a
         CHECK constraint references it.  Like rename, the schema
-        derivation re-runs inside the retry loop so a lost race rebases
-        onto the advanced schema instead of republishing a stale one."""
+        derivation re-runs inside the retry loop pinned to a snapshot
+        version (``read_v``), and the commit targets ``read_v + 1`` so
+        an intervening commit is a CommitConflict, not a silent stale
+        republish."""
         from pyspark.sql.types import StructType
 
         for _ in range(max_retries):
-            sch = self.read_schema(spark)
+            read_v = self.latest_version()
+            sch = self.read_schema(spark, read_v) if read_v >= 0 else None
             if sch is None:
                 raise ValueError("cannot drop a column of an empty table")
             names = [f.name for f in sch.fields]
@@ -408,7 +417,7 @@ class TxTable:
                 raise ValueError(f"no column named {column!r}")
             if len(names) == 1:
                 raise ValueError("cannot drop the only column")
-            cons = self._constraint_mentions(column)
+            cons = self._constraint_mentions(column, upto=read_v)
             if cons:
                 raise ValueError(
                     f"column {column!r} is referenced by constraints "
@@ -424,7 +433,7 @@ class TxTable:
             )
             try:
                 return self._try_commit(
-                    "alter_drop", [], [], self.latest_version() + 1,
+                    "alter_drop", [], [], read_v + 1,
                     schema_json=new_schema.json(),
                     # the physical name is retired FOREVER: a later
                     # re-add of the same logical name must map to a
@@ -534,6 +543,14 @@ class TxTable:
         just written (no second data pass — the row-group min/max already
         exist; this is how Delta/Iceberg collect file stats at write).
         Not yet visible — visibility comes from the log commit."""
+        if "__rows" in df.columns:
+            # '__rows' is the reserved stats key carrying the group's
+            # exact row count (metadata-only COUNT); a physical column
+            # with that name would silently lose its zone map
+            raise ValueError(
+                "column name '__rows' is reserved by the txlog stats "
+                "format; rename the column before writing"
+            )
         group = f"g-{uuid.uuid4().hex}"
         path = os.path.join(self.data_dir, group)
         df.write.mode("errorifexists").parquet(path)
@@ -708,10 +725,16 @@ class TxTable:
                 )
 
         for _ in range(max_retries):
+            # pin ONE read version per attempt: schema and constraints
+            # are derived AT read_v and the commit targets read_v + 1,
+            # so a commit landing mid-derivation is a CommitConflict
+            # (rebase), never a stale union schema published at a later
+            # free slot
+            read_v = self.latest_version()
             # a constraint committed since validation (it is exactly what
             # our version conflict can be) must gate THIS append too —
             # re-validate whenever the live constraint set changed
-            cons_now = self.constraints()
+            cons_now = self.constraints(upto=read_v)
             if cons_now != cons_seen:
                 try:
                     self._check_constraints(df)
@@ -727,7 +750,11 @@ class TxTable:
             # same contract as any pre-evolution file).  A schema that
             # LOST one of our columns (a concurrent overwrite) is a
             # metadata conflict and fails, Delta's rule.
-            sch_now = self.read_schema(df.sparkSession)
+            sch_now = (
+                self.read_schema(df.sparkSession, read_v)
+                if read_v >= 0
+                else None
+            )
             commit_schema = df.schema
             if sch_now is not None:
                 ours = {f.name for f in df.schema.fields}
@@ -783,7 +810,7 @@ class TxTable:
                     "append",
                     list(groups),
                     [],
-                    self.latest_version() + 1,
+                    read_v + 1,
                     stats=stats,
                     txn=txn,
                     schema_json=commit_schema.json(),
@@ -853,24 +880,40 @@ class TxTable:
             pc = f"__p_{c}"
             staged = staged.withColumn(pc, F.col(mapping.get(c, c)))
             pcopies.append(pc)
+        if "__rows" in staged.columns:
+            raise ValueError(
+                "column name '__rows' is reserved by the txlog stats "
+                "format; rename the column before writing"
+            )
         staging = os.path.join(self.data_dir, f".part-{uuid.uuid4().hex}")
-        staged.write.partitionBy(*pcopies).parquet(staging)
         groups: list[str] = []
         stats: dict = {}
-        for dirpath, _dirs, files in sorted(os.walk(staging)):
-            parquets = [f for f in files if f.endswith(".parquet")]
-            if not parquets:
-                continue
-            group = f"g-{uuid.uuid4().hex}"
-            gdir = os.path.join(self.data_dir, group)
-            os.makedirs(gdir)
-            for f in parquets:
-                os.rename(
-                    os.path.join(dirpath, f), os.path.join(gdir, f)
+        try:
+            staged.write.partitionBy(*pcopies).parquet(staging)
+            for dirpath, _dirs, files in sorted(os.walk(staging)):
+                parquets = [f for f in files if f.endswith(".parquet")]
+                if not parquets:
+                    continue
+                group = f"g-{uuid.uuid4().hex}"
+                gdir = os.path.join(self.data_dir, group)
+                os.makedirs(gdir)
+                for f in parquets:
+                    os.rename(
+                        os.path.join(dirpath, f), os.path.join(gdir, f)
+                    )
+                groups.append(group)
+                stats[group] = _footer_stats(gdir)
+        except BaseException:
+            # a failed staged write or promotion must not leak the
+            # '.part-<uuid>' staging dir (vacuum only collects g-/dv-
+            # prefixes) or half-promoted uncommitted groups
+            for g in groups:
+                shutil.rmtree(
+                    os.path.join(self.data_dir, g), ignore_errors=True
                 )
-            groups.append(group)
-            stats[group] = _footer_stats(gdir)
-        shutil.rmtree(staging, ignore_errors=True)
+            raise
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         if not groups:
             # empty micro-batches are NORMAL for a streaming sink: with
             # a txn identity, publish a metadata-only commit so the
@@ -908,7 +951,8 @@ class TxTable:
         self._check_constraints(df)
         group, stats = self._write_group(df)
         for _ in range(max_retries):
-            cons_now = self.constraints()
+            read_v = self.latest_version()  # pinned BEFORE derivations
+            cons_now = self.constraints(upto=read_v)
             if cons_now != cons_seen:  # same race window as commit_append
                 try:
                     self._check_constraints(df)
@@ -919,7 +963,6 @@ class TxTable:
                     )
                     raise
                 cons_seen = cons_now
-            read_v = self.latest_version()
             try:
                 return self._try_commit(
                     "overwrite",

@@ -240,3 +240,205 @@ def test_noop_merge_txn_then_real_batch_orders_cursor(spark, tmp_path):
     t.merge_into(spark, _kv(spark, [(2, 20)]), "k", txn=("feed", 2))
     assert t.txn_latest_batch("feed") == 2
     assert _state(spark, t) == {1: 10, 2: 20}
+
+
+# ---------------------------------------------------------------------------
+# round-5 advice: the ALTER / append-union schema derivations must be
+# PINNED to the version the commit targets — a commit landing between
+# the schema read and the publish is a CommitConflict that rebases,
+# never a stale schema republished at the next free slot (TOCTOU)
+# ---------------------------------------------------------------------------
+
+
+def _race_on_read_schema(t, root, spark, once):
+    """Monkeypatch helper: after the next read_schema, fire ``once``
+    (a concurrent commit through a second handle) exactly one time."""
+    state = {"raced": False}
+    orig = t.read_schema
+
+    def racy(sp, version=None):
+        sch = orig(sp, version)
+        if not state["raced"]:
+            state["raced"] = True
+            once()
+        return sch
+
+    return racy
+
+
+def test_alter_rename_race_rebases_onto_evolved_schema(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent evolve append lands BETWEEN the rename's schema read
+    and its commit: the rename must conflict and rebase — with the
+    pre-fix code it published its stale (w-less) schema at the next
+    free slot and the evolved column silently vanished."""
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.commit_append(_kv(spark, [(1, 10)]))  # v0: (k, v)
+
+    def concurrent_evolve():
+        TxTable(root).commit_append(
+            _kv(spark, [(2, 20, 200)], "k long, v long, w long"),
+            evolve=True,
+        )
+
+    monkeypatch.setattr(
+        t, "read_schema", _race_on_read_schema(t, root, spark,
+                                               concurrent_evolve)
+    )
+    t.alter_rename_column(spark, "v", "v2")
+    names = [f.name for f in t.read_schema(spark).fields]
+    assert names == ["k", "v2", "w"], (
+        "rename raced past a concurrent evolve and clobbered column w"
+    )
+    got = {r.k: (r.v2, r.w) for r in t.read(spark).collect()}
+    assert got == {1: (10, None), 2: (20, 200)}
+
+
+def test_alter_drop_race_rebases_onto_evolved_schema(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.commit_append(_kv(spark, [(1, 10)]))  # v0: (k, v)
+
+    def concurrent_evolve():
+        TxTable(root).commit_append(
+            _kv(spark, [(2, 20, 200)], "k long, v long, w long"),
+            evolve=True,
+        )
+
+    monkeypatch.setattr(
+        t, "read_schema", _race_on_read_schema(t, root, spark,
+                                               concurrent_evolve)
+    )
+    t.alter_drop_column(spark, "v")
+    names = [f.name for f in t.read_schema(spark).fields]
+    assert names == ["k", "w"], (
+        "drop raced past a concurrent evolve and clobbered column w"
+    )
+
+
+def test_append_union_schema_derivation_race(spark, tmp_path, monkeypatch):
+    """The same TOCTOU inside _commit_append_groups: a concurrent
+    evolve lands AFTER the union-schema re-read but BEFORE the publish.
+    The append must conflict at read_v+1 and re-derive the union on
+    retry, not publish the stale (narrower) schema at a later slot."""
+    root = str(tmp_path / "t")
+    t = TxTable(root)
+    t.commit_append(_kv(spark, [(1, 10)]))  # v0: (k, v)
+
+    state = {"raced": False}
+    orig = t.read_schema
+
+    def racy(sp, version=None):
+        sch = orig(sp, version)
+        # only the IN-LOOP re-read passes a pinned integer version;
+        # the pre-write snapshot passes None
+        if version is not None and not state["raced"]:
+            state["raced"] = True
+            TxTable(root).commit_append(
+                _kv(spark, [(2, 20, 200)], "k long, v long, w long"),
+                evolve=True,
+            )
+        return sch
+
+    monkeypatch.setattr(t, "read_schema", racy)
+    t.commit_append(_kv(spark, [(3, 30)]))
+    names = [f.name for f in t.read_schema(spark).fields]
+    assert names == ["k", "v", "w"], (
+        "append union-schema raced past a concurrent evolve"
+    )
+    got = {r.k: (r.v, r.w) for r in t.read(spark).collect()}
+    assert got == {1: (10, None), 2: (20, 200), 3: (30, None)}
+
+
+# ---------------------------------------------------------------------------
+# round-5 advice: '__rows' is a reserved stats key; a physical column
+# with that name must be rejected at write time, not silently lose its
+# zone map
+# ---------------------------------------------------------------------------
+
+
+def test_rows_column_name_reserved(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    bad = spark.createDataFrame([(1, 2)], "k long, __rows long")
+    with pytest.raises(ValueError, match="__rows.*reserved"):
+        t.commit_append(bad)
+    with pytest.raises(ValueError, match="__rows.*reserved"):
+        t.commit_append_partitioned(bad, "k")
+    assert t.latest_version() == -1  # nothing committed, nothing staged
+    assert os.listdir(t.data_dir) == []
+
+
+# ---------------------------------------------------------------------------
+# round-5 advice: a failed staged partitionBy write or promotion must
+# not leak the '.part-<uuid>' staging dir (vacuum only collects g-/dv-)
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_staging_cleaned_on_failure(
+    spark, tmp_path, monkeypatch
+):
+    import db_migration_spark.plans.txlog as TX
+
+    t = TxTable(str(tmp_path / "t"))
+
+    def boom(path):
+        raise RuntimeError("stats harvest failed")
+
+    monkeypatch.setattr(TX, "_footer_stats", boom)
+    with pytest.raises(RuntimeError, match="stats harvest"):
+        t.commit_append_partitioned(
+            _kv(spark, [(1, 10), (2, 20)]), "k"
+        )
+    leftovers = [
+        d for d in os.listdir(t.data_dir)
+        if d.startswith(".part-") or d.startswith("g-")
+    ]
+    assert leftovers == [], f"staging/group leak: {leftovers}"
+    assert t.latest_version() == -1
+
+
+# ---------------------------------------------------------------------------
+# round-5 advice: --where bounds coerce to the COLUMN's schema type —
+# a numeric-looking STRING partition value must stay a string
+# ---------------------------------------------------------------------------
+
+
+def test_cli_where_bound_coercion(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from db_migration_spark.cli import _coerce_where_bound
+
+    sch = spark.createDataFrame(
+        [("00501", 1, 1.5, True)],
+        "zip string, n long, x double, b boolean",
+    ).schema
+    assert _coerce_where_bound(sch, "zip", "00501") == "00501"
+    assert _coerce_where_bound(sch, "n", "42") == 42
+    assert _coerce_where_bound(sch, "x", "1.5") == 1.5
+    assert _coerce_where_bound(sch, "b", "true") == "true"
+    # unknown column / pre-schema log: legacy best-effort
+    assert _coerce_where_bound(None, "m", "7") == 7
+    assert _coerce_where_bound(StructType([]), "m", "a") == "a"
+    # and the coerced string bound actually prunes: build a table whose
+    # partition values are zero-padded strings and check OPTIMIZE WHERE
+    # touches only the slice
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [("00501", i) for i in range(4)] + [("00777", i) for i in range(4)],
+        "zip string, v long",
+    )
+    t.commit_append_partitioned(df.repartition(4), "zip")
+    before = set(t.active_groups())
+    bound = _coerce_where_bound(t.read_schema(spark), "zip", "00501")
+    assert bound == "00501"
+    t.optimize(spark, where=("zip", bound, bound))
+    after = set(t.active_groups())
+    # the 00777 groups survive untouched; the 00501 slice compacted
+    survivors = before & after
+    assert survivors, "OPTIMIZE WHERE rewrote the whole table"
+    got = {(r.zip, r.v) for r in t.read(spark).collect()}
+    assert got == {(z, i) for z in ("00501", "00777") for i in range(4)}
