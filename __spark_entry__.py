@@ -15,19 +15,16 @@ from pyspark.sql import DataFrame, SparkSession
 from db_migration_spark.queries import ORACLES, QUERIES
 
 # The driver's correctness harness verifies the FIRST 50 registry entries in
-# insertion order.  Round-5 rotation (round-4 verdict, Next round #3): keep
-# the 15 PERMANENT sentinels, rotate in 35 entries prioritizing (a) the one
-# r4 hash-red, mv_reuse_rollup, whose decimal boundary is now integer cents —
-# its green row is the regression proof, the only non-sentinel overlap with
-# the r4 window; (b) the 7 former no_oracle sketches, now gated on
-# deterministic acceptance rows (exact-side counts the oracle recomputes +
-# error/recall-bound booleans pinned TRUE) — first-ever driver
-# certification for the sketch family; (c) the 15 queries whose decimal
-# outputs moved to BIGINT/DOUBLE/string boundaries this round (same
-# canonicalization class as the r4 red — certify the whole class, not just
-# the instance that fired); (d) the heaviest never-driver-checked families
-# named in the r4 verdict: graph, stats, time series, lakehouse
-# introspection, multimodal codecs.  Everything else keeps its original
+# insertion order.  Round-6 rotation (round-5 verdict, Next round #2): keep
+# the 15 PERMANENT sentinels, rotate in 35 NEVER-driver-certified entries
+# prioritizing (a) the complete round-5 lakehouse/txlog surface (judge-
+# verified last round, driver-certified now) plus the txlog introspection
+# family; (b) the streaming stateful tail; (c) the geo family (never
+# checked); (d) governance/CDC (SCD2, l-diversity, CDC apply); (e) the
+# training-corpus pipeline; (f) heaviest remaining never-checked entries
+# across graph/sketch/time-series/stats/text/dedup/EAV.  Overlap with the
+# r5 window is exactly the 15 sentinels; cumulative distinct driver-
+# certified goes 153 → 188 when green.  Everything else keeps its original
 # relative order after the flagship block and remains judge-verifiable.
 FLAGSHIP_ORDER = [
     # --- permanent sentinels (15) ---
@@ -46,45 +43,47 @@ FLAGSHIP_ORDER = [
     "chunk_dedup",           # r3 hash-red #1 (HUGEINT oracle) — green
     "sql_recursive_cte",     # r3 hash-red #2 — green
     "stream_outer_join",     # r3 hash-red #3 — green
-    # --- (a) the r4 hash-red, re-certified on the cents boundary ---
-    "mv_reuse_rollup",
-    # --- (b) former no_oracle sketches, now acceptance-row gated ---
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "a5_approx_distinct",
-    "a11_approx_quantiles",
-    # --- (c) the decimal-boundary class, certified wholesale ---
-    "bloom_filter_join",
-    "stats_moments",
-    "u5_unpivot",
-    "sink_zstd_roundtrip",
-    "ts_seasonal_forecast",
-    "csv_multiline_roundtrip",
-    "ts_vwap",
-    "rfm_segments",
-    "ts_ohlc_bars",
-    "stats_linreg",
-    "stats_gini_inequality",
-    "stats_hhi_concentration",
-    "stats_welch_suffstats",
-    "sql_group_by_all",
-    "sql_pipe_syntax",
-    # --- (d) heaviest never-driver-checked families (r4 verdict list) ---
-    "graph_ktruss",
-    "graph_clustering_coeff",
-    "copurchase_triangles",
-    "stats_mad",
-    "stats_kruskal_wallis",
-    "ts_rolling_corr",
-    "ts_concurrent_intervals",
-    "txlog_describe_history",
-    "multimodal_jpeg_decode",
-    "multimodal_mp4_meta",
-    "multimodal_png_decode",
-    "eav_entity_history",
+    # --- (a) the round-5 txlog/lakehouse surface + introspection ---
+    "txlog_partitioned_scan",
+    "txlog_replace_where",
+    "txlog_bloom_lookup",
+    "txlog_column_mapping",
+    "txlog_fast_count",
+    "stream_partitioned_sink",
+    "txlog_cdf_read",
+    "txlog_time_travel",
+    "txlog_acid_upsert",
+    "txlog_incremental_mv",
+    "txlog_optimize_zorder",
+    "txlog_stream_source",
+    # --- (b) streaming stateful tail ---
+    "stream_cms",
+    "stream_chained_stateful",
+    "stream_topk_per_window",
+    "stream_merge_upsert",
+    # --- (c) geo family ---
+    "geo_cell_density",
+    "geo_nn_radius",
+    "geo_path_manhattan",
+    "geo_polygon_contains",
+    # --- (d) governance / CDC ---
+    "privacy_l_diversity",
+    "scd2_intervals",
+    "cdc_apply",
+    # --- (e) training-corpus pipeline ---
+    "corpus_fim_split",
+    "corpus_e2e_pipeline",
+    "mixture_interleave",
+    "sample_lang_budget",
+    # --- (f) heaviest never-checked across remaining families ---
+    "graph_label_propagation",
+    "graph_kcore",
+    "heavy_hitters_cms",
+    "ts_twap",
+    "ts_cusum_changepoint",
+    "stats_ks_test",
+    "text_contamination",
+    "dedup_survivors",
 ]
 
 

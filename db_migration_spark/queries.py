@@ -821,7 +821,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NGRAM_JACCARD = r"""
+# THE shared exact word-3-gram shingle/Jaccard CTE block — single
+# definition so a future shingle-rule change cannot fork the ngram
+# oracle from the sketch acceptance oracles that gate against it
+# (minhash/simhash recompute "exact Jaccard >= threshold" over the
+# SAME pair space).
+_SHINGLE_JACCARD_CTES = r"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
@@ -842,7 +847,10 @@ WITH toks AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+){extra_ctes}
+"""
+
+ORACLE_NGRAM_JACCARD = _SHINGLE_JACCARD_CTES.format(extra_ctes="") + r"""
 SELECT id_a, id_b,
        round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
 FROM inter
@@ -868,14 +876,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = dedup.minhash_near_dups(
         docs, num_hashes=32, bands=8, threshold=0.4
     )
+    return _minhash_acceptance(docs, mh)
+
+
+def _minhash_acceptance(docs: DataFrame, mh: DataFrame) -> DataFrame:
+    """The MinHash acceptance-row gate, factored out so the adversarial
+    fixture tests can drive it with a crippled sketch and prove it goes
+    RED (a silently dead sketch must not pass vacuously)."""
     exact_hi = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8)
     joined = exact_hi.join(mh, ["id_a", "id_b"], "left")
     return joined.agg(
         F.count(F.lit(1)).alias("n_exact_hi"),
         # coalesce: an empty exact set makes the ratio NULL (0/0); the
         # contract is vacuously satisfied, matching the oracle's TRUE
+        # try_divide: ANSI mode (Spark 4 default) makes 0/0 THROW, not
+        # NULL — the vacuous-pass contract needs the NULL back
         F.coalesce(
-            F.count("est_jaccard") / F.count(F.lit(1)) >= 0.9,
+            F.try_divide(F.count("est_jaccard"), F.count(F.lit(1))) >= 0.9,
             F.lit(True),
         ).alias("recall_ok"),
         F.coalesce(
@@ -885,35 +902,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the exact-pair CTEs mirror ORACLE_NGRAM_JACCARD (same shingle rule)
-# at the high-similarity threshold the sketch contract is stated over
-_ORACLE_EXACT_HI_PAIRS = r"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(toks) < 3
-                THEN [array_to_string(toks, ' ')]
-                ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
-                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-                END) AS shingle
-  FROM toks
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), hi AS (
+# the exact-pair CTE extends the SAME shared shingle block at the
+# high-similarity threshold the sketch contract is stated over
+_ORACLE_EXACT_HI_PAIRS = _SHINGLE_JACCARD_CTES.format(
+    extra_ctes=r""", hi AS (
   SELECT id_a, id_b
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+)"""
 )
-"""
 
 ORACLE_DEDUP_MINHASH = (
     _ORACLE_EXACT_HI_PAIRS
@@ -936,6 +935,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator: operators/dedup.simhash_near_dups."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.simhash_near_dups(docs, max_hamming=3, bands=4)
+    return _simhash_acceptance(docs, sh)
+
+
+def _simhash_acceptance(docs: DataFrame, sh: DataFrame) -> DataFrame:
+    """The SimHash acceptance-row gate, factored out for the same
+    adversarial-fixture reason as :func:`_minhash_acceptance`."""
     exact_hi = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8)
     exact_mid = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
     recall = (
@@ -956,10 +961,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             # coalesce: empty denominators (no exact pairs / no sketch
             # pairs) are vacuous passes, matching the oracle's TRUE
             F.coalesce(
-                F.col("n_found") / F.col("n_exact_hi") >= 0.5, F.lit(True)
+                F.try_divide(F.col("n_found"), F.col("n_exact_hi")) >= 0.5,
+                F.lit(True),
             ).alias("recall_ok"),
             F.coalesce(
-                F.col("n_precise") / F.col("n_pairs") >= 0.7, F.lit(True)
+                F.try_divide(F.col("n_precise"), F.col("n_pairs")) >= 0.7,
+                F.lit(True),
             ).alias("precision_ok"),
         )
     )
@@ -1036,7 +1043,8 @@ def _ann_recall_gate(approx: DataFrame, exact: DataFrame, bound: float) -> DataF
         "n_exact",
         # vacuous pass on an empty exact set (matches the oracle's TRUE)
         F.coalesce(
-            F.col("n_hit") / F.col("n_exact") >= bound, F.lit(True)
+            F.try_divide(F.col("n_hit"), F.col("n_exact")) >= bound,
+            F.lit(True),
         ).alias("recall_ok"),
     )
 

@@ -266,3 +266,142 @@ def test_pq_rerank_recall_on_clustered_fixture(spark):
     }
     # compressed-scan shortlist + exact re-rank: measured 0.98 here
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# Round-6: adversarial acceptance-gate fixtures.  The driver certifies the
+# sketch queries via acceptance rows whose booleans the oracle pins TRUE;
+# these tests prove the gates are NOT vacuous: planted near-miss pairs sit
+# just below the exact threshold (a loosened threshold changes the count),
+# and a silently dead sketch turns the recall boolean RED.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_sf_dir(spark, tmp_path_factory):
+    """A miniature sf-dir with surgically planted documents/embeddings:
+    one exact-duplicate doc pair (Jaccard 1.0), one near-miss pair at
+    Jaccard 33/43 ≈ 0.767 (just below the 0.8 contract threshold), and
+    8 clustered 64-dim embedding groups of 3 (tight intra-cluster
+    cosine ≈ 1, cross-cluster ≈ orthogonal)."""
+    d = tmp_path_factory.mktemp("planted")
+    base = " ".join(f"w{i}" for i in range(40))
+    near_a = " ".join(f"m{i}" for i in range(40))
+    near_b = " ".join(
+        f"m{i}" if i < 35 else f"x{i}" for i in range(40)
+    )
+    rows = [
+        (1, base), (2, base),          # exact pair: J = 1.0
+        (3, near_a), (4, near_b),      # near-miss: J ≈ 0.767 < 0.8
+    ] + [
+        (10 + j, " ".join(f"u{j}_{i}" for i in range(40)))
+        for j in range(8)              # isolated filler docs
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    import random
+
+    rng = random.Random(7)
+    vecs = []
+    for c in range(8):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for j in range(3):
+            vecs.append(
+                (
+                    c if j == 0 else 100 + c * 10 + j,  # vec_id<8 = queries
+                    [float(x + rng.gauss(0, 0.01)) for x in center],
+                    c,
+                )
+            )
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    emb.coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_minhash_gate_on_planted_fixture(spark, planted_sf_dir):
+    from db_migration_spark.queries import QUERIES
+
+    row = QUERIES["dedup_minhash"](spark, planted_sf_dir).collect()[0]
+    # exactly the ONE exact pair — the 0.767 near-miss must NOT count
+    # (a silently loosened exact threshold shows up right here)
+    assert row.n_exact_hi == 1
+    assert row.recall_ok and row.est_err_ok
+
+
+def test_minhash_gate_goes_red_when_sketch_dies(spark, planted_sf_dir):
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.queries import _minhash_acceptance
+
+    docs = load_table(spark, planted_sf_dir, "documents")
+    live = dedup.minhash_near_dups(docs, num_hashes=32, bands=8, threshold=0.4)
+    row = _minhash_acceptance(docs, live.limit(0)).collect()[0]
+    assert row.n_exact_hi == 1
+    assert row.recall_ok is False, (
+        "a sketch that returns nothing passed the recall gate"
+    )
+
+
+def test_simhash_gate_on_planted_fixture(spark, planted_sf_dir):
+    from db_migration_spark.queries import QUERIES
+
+    row = QUERIES["dedup_simhash"](spark, planted_sf_dir).collect()[0]
+    assert row.n_exact_hi == 1
+    assert row.recall_ok and row.precision_ok
+
+
+def test_simhash_gate_goes_red_when_sketch_dies(spark, planted_sf_dir):
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.queries import _simhash_acceptance
+
+    docs = load_table(spark, planted_sf_dir, "documents")
+    live = dedup.simhash_near_dups(docs, max_hamming=3, bands=4)
+    row = _simhash_acceptance(docs, live.limit(0)).collect()[0]
+    assert row.n_exact_hi == 1
+    assert row.recall_ok is False
+
+
+@pytest.mark.parametrize("qname", ["ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk"])
+def test_ann_gates_on_planted_clusters(spark, planted_sf_dir, qname):
+    """On the tight-cluster fixture every variant's recall clears the
+    bound honestly (intra-cluster neighbors dominate the exact top-k)."""
+    from db_migration_spark.queries import QUERIES
+
+    row = QUERIES[qname](spark, planted_sf_dir).collect()[0]
+    assert row.n_queries == 8 and row.n_exact > 0
+    assert row.recall_ok
+
+
+def test_ann_gate_goes_red_when_sketch_dies(spark, planted_sf_dir):
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.queries import _ann_recall_gate
+
+    emb = load_table(spark, planted_sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    row = _ann_recall_gate(exact.limit(0), exact, bound=0.4).collect()[0]
+    assert row.n_exact > 0
+    assert row.recall_ok is False
+
+
+def test_hll_and_quantile_gates_are_computed_not_pinned(spark):
+    """The a5/a11 acceptance booleans must be COMPUTED comparisons of
+    the sketch against the in-query exact side — if someone replaces
+    them with lit(True), the sketch function vanishes from the analyzed
+    plan and this goes red."""
+    from db_migration_spark.queries import QUERIES
+
+    a5 = QUERIES["a5_approx_distinct"](spark, "/root/testdata/sf0.001")
+    plan5 = str(a5._jdf.queryExecution().analyzed())
+    assert "approx_count_distinct" in plan5
+    assert "count(distinct" in plan5.lower()
+    a11 = QUERIES["a11_approx_quantiles"](spark, "/root/testdata/sf0.001")
+    plan11 = str(a11._jdf.queryExecution().analyzed())
+    assert "approx_percentile" in plan11
+    assert "percentile" in plan11.replace("approx_percentile", "")

@@ -82,3 +82,40 @@ def test_sidecar_invisible_to_scans_and_stats(spark, tmp_path):
     )
     # plain reads and aggregates are unaffected by the sidecar bytes
     assert t.read(spark).count() == N_GROUPS * KEYS_PER_GROUP
+
+
+def test_batched_build_with_evolved_and_renamed_groups(spark, tmp_path):
+    """Round-6 batched builder: groups written BEFORE an evolve lack the
+    indexed column physically (null-filled at scan — only deterministic
+    null-hash bits get set), and a renamed logical column indexes under
+    its stable physical name.  One call builds every group; lookups stay
+    exact on live rows."""
+    from db_migration_spark.plans.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(2, "b", 20), (3, "c", 30)], "k long, v string, ev long"
+        ),
+        evolve=True,
+    )
+    for i in range(4, 10):
+        t.commit_append(
+            spark.createDataFrame(
+                [(i, f"x{i}", i * 10)], "k long, v string, ev long"
+            )
+        )
+    t.alter_rename_column(spark, "ev", "event_id")
+    built = t.add_bloom_index(spark, "event_id")
+    assert built == len(t.active_groups())
+    # the group predating the evolve cannot hold event_id=50 and the
+    # bloom planner must keep exactly the real group (plus any false
+    # positives — assert content, then that pruning actually fired)
+    got = t.read_point(spark, "event_id", 50).collect()
+    assert [(r.k, r.event_id) for r in got] == [(4 + 1, 50)]
+    kept, total = t.prune_groups_point(spark, "event_id", 50)
+    assert total == len(t.active_groups())
+    assert len(kept) < total, "bloom pruned nothing across 8 groups"
+    # incremental: a second call is a no-op, and a fresh group builds solo
+    assert t.add_bloom_index(spark, "event_id") == 0
