@@ -429,10 +429,12 @@ def main() -> None:
     # timed runs — robust to one-off pauses in either direction, and
     # invariant to how many OTHER queries the suite carries.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    head_min3: dict[str, float] = {}  # min-of-3: comparable with the
+    for name in HEADLINE:             # min-of-2 protocol of r2–r5
         _run_once(name)  # warm-up: JIT + shuffle-file page cache
         runs = sorted(_run_once(name) for _ in range(3))
         timings[name] = round(runs[1], 3)
+        head_min3[name] = round(runs[0], 3)
 
     head = {k: timings[k] for k in HEADLINE if k in timings}
     total = round(sum(head.values()), 3)
@@ -475,6 +477,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "protocol": "headline=warmup+median3; rest=min-of-2",
+                "headline_min3": head_min3,
+                "headline_min3_total": round(sum(head_min3.values()), 3),
                 "overridden": sorted(set(_perf_overrides())),
             },
             fh,

@@ -1191,8 +1191,16 @@ class TxTable:
         deleted = []
         for g in sorted(os.listdir(self.data_dir)):
             path = os.path.join(self.data_dir, g)
+            # '.part-*' staging dirs are normally removed by the
+            # partitioned append's try/finally; an aged survivor means
+            # the writer PROCESS died mid-write — orphan bytes no commit
+            # references, collected like Delta VACUUM's uncommitted files
             if (
-                (g.startswith("g-") or g.startswith("dv-"))
+                (
+                    g.startswith("g-")
+                    or g.startswith("dv-")
+                    or g.startswith(".part-")
+                )
                 and g not in keep
                 and now - os.path.getmtime(path) >= min_age_seconds
             ):

@@ -442,3 +442,18 @@ def test_cli_where_bound_coercion(spark, tmp_path):
     assert survivors, "OPTIMIZE WHERE rewrote the whole table"
     got = {(r.zip, r.v) for r in t.read(spark).collect()}
     assert got == {(z, i) for z in ("00501", "00777") for i in range(4)}
+
+
+def test_vacuum_collects_orphaned_staging_dirs(spark, tmp_path):
+    """An aged '.part-*' dir (writer process died mid-partitioned-write)
+    is orphan bytes no commit references — vacuum collects it; young
+    ones are left alone (may be an in-flight writer)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_kv(spark, [(1, 10)]))
+    orphan = os.path.join(t.data_dir, ".part-deadbeef")
+    os.makedirs(orphan)
+    assert t.vacuum(min_age_seconds=3600) == []      # too young: kept
+    assert os.path.isdir(orphan)
+    assert t.vacuum(min_age_seconds=0.0) == [".part-deadbeef"]
+    assert not os.path.exists(orphan)
+    assert t.read(spark).count() == 1

@@ -172,3 +172,234 @@ def test_concurrent_mixed_dml_soak_serializes(spark, tmp_path):
     # --- audit 4: history replays clean at every 10th version ----------
     for v in range(0, n_commits, 10):
         t.read(spark, version=v).count()  # raises on broken replay
+
+
+def test_concurrent_soak_with_maintenance_ops(spark, tmp_path):
+    """Round-6 soak: the round-5 features race TOGETHER with the DML mix
+    — checkpoint, RESTORE, ALTER RENAME/DROP (+ evolve re-add), and
+    REPLACE WHERE interleave with merges/updates/deletes/appends from
+    16 threads.  The audit replays the committed ops in version order
+    against a dict model that SNAPSHOTS state per version, so a restore
+    is modeled exactly (state := snapshot[target]); if any interaction
+    (checkpoint-seeded replay × restore, evolve × append, alter ×
+    merge) breaks serializability, the final table cannot match.
+
+    Writers follow the format's own contract under metadata races: a
+    concurrent ALTER surfaces as CommitConflict('concurrent schema
+    change …') or a schema-mismatch ValueError, and the writer rebuilds
+    its source frame from the fresh schema and retries — exactly what a
+    production job does on Delta's metadata conflicts."""
+    root = str(tmp_path / "soak6")
+    t = TxTable(root)
+    seed_rows = [(k, "seed", 0) for k in range(0, KEY_DOMAIN, 2)]
+    t.commit_append(
+        spark.createDataFrame(seed_rows, "k long, tag string, aux long")
+    )
+
+    ledger: list[tuple[int | None, str, object, str]] = []
+    ledger_lock = threading.Lock()
+    errors: list[BaseException] = []
+    fresh_key = [10_000_000]
+
+    def current_cols() -> list[str]:
+        sch = t.read_schema(spark)
+        return [f.name for f in sch.fields]
+
+    def build_src(keys: list[int], tag: str):
+        names = current_cols()
+        ddl = ", ".join(
+            f"`{n}` string" if n == "tag" else f"`{n}` long" for n in names
+        )
+        rows = [
+            tuple(k if n == "k" else tag if n == "tag" else 0 for n in names)
+            for k in keys
+        ]
+        return spark.createDataFrame(rows, ddl)
+
+    def with_schema_retry(fn):
+        from db_migration_spark.plans.txlog import CommitConflict as CC
+
+        retryable = ("schema", "no column named", "already exists")
+        for _ in range(RETRIES):
+            try:
+                return fn()
+            except (CC, ValueError) as exc:
+                if not any(s in str(exc) for s in retryable):
+                    raise
+                continue  # metadata race: rebuild on fresh schema
+        raise RuntimeError("writer starved by schema races")
+
+    def writer(wid: int) -> None:
+        rng = random.Random(6000 + wid)
+        try:
+            for seq in range(OPS_PER_WRITER):
+                tag = f"w{wid}s{seq}"
+                op = rng.choice(
+                    ["merge", "merge", "update", "delete", "append",
+                     "replace", "alter", "checkpoint", "restore"]
+                )
+                if op == "merge":
+                    keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH)
+                    v = with_schema_retry(
+                        lambda: t.merge_into(
+                            spark, build_src(keys, tag), "k",
+                            max_retries=RETRIES,
+                        )
+                    )
+                elif op == "update":
+                    keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH)
+                    v = with_schema_retry(
+                        lambda: t.update_where(
+                            spark, F.col("k").isin(keys),
+                            {"tag": F.lit(tag)}, max_retries=RETRIES,
+                        )
+                    )
+                elif op == "delete":
+                    keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH // 2)
+                    v = with_schema_retry(
+                        lambda: t.delete_where(
+                            spark, F.col("k").isin(keys),
+                            max_retries=RETRIES,
+                        )
+                    )
+                elif op == "replace":
+                    keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH // 2)
+                    repl = keys[: len(keys) // 2]
+                    v = with_schema_retry(
+                        lambda: t.replace_where(
+                            spark, F.col("k").isin(keys),
+                            build_src(repl, tag), max_retries=RETRIES,
+                        )
+                    )
+                    keys = ("slice", keys, repl)
+                elif op == "alter":
+                    def do_alter():
+                        aux = [
+                            n for n in current_cols()
+                            if n.startswith("aux")
+                        ]
+                        if not aux:
+                            raise ValueError("schema: no aux column")
+                        if rng.random() < 0.6:
+                            return t.alter_rename_column(
+                                spark, aux[0], f"aux_{tag}",
+                                max_retries=RETRIES,
+                            ), "alter", []
+                        return t.alter_drop_column(
+                            spark, aux[0], max_retries=RETRIES
+                        ), "alter", []
+
+                    def do_alter_or_readd():
+                        if any(
+                            n.startswith("aux") for n in current_cols()
+                        ):
+                            return do_alter()
+                        # dropped by a racer: re-add via evolve append
+                        with ledger_lock:
+                            lo = fresh_key[0]
+                            fresh_key[0] += 10
+                        ks = list(range(lo, lo + 10))
+                        names = current_cols() + [f"aux_{tag}"]
+                        ddl = ", ".join(
+                            f"`{n}` string" if n == "tag" else f"`{n}` long"
+                            for n in names
+                        )
+                        src = spark.createDataFrame(
+                            [
+                                tuple(
+                                    k if n == "k" else tag if n == "tag"
+                                    else 0 for n in names
+                                )
+                                for k in ks
+                            ],
+                            ddl,
+                        )
+                        return t.commit_append(
+                            src, evolve=True, max_retries=RETRIES
+                        ), "append", ks
+
+                    v, op, keys = with_schema_retry(do_alter_or_readd)
+                elif op == "append":  # key-disjoint fresh rows
+                    with ledger_lock:
+                        lo = fresh_key[0]
+                        fresh_key[0] += APPEND_BATCH
+                    keys = list(range(lo, lo + APPEND_BATCH))
+                    v = with_schema_retry(
+                        lambda: t.commit_append(
+                            build_src(keys, tag), max_retries=RETRIES
+                        )
+                    )
+                elif op == "checkpoint":
+                    t.checkpoint()
+                    v, keys = None, []
+                elif op == "restore":  # a few versions back
+                    target = max(0, t.latest_version() - rng.randint(1, 3))
+                    v = t.restore(target, max_retries=RETRIES)
+                    keys = target
+                else:  # unreachable — every op kind has a branch
+                    raise AssertionError(f"unhandled op {op!r}")
+                with ledger_lock:
+                    ledger.append((v, op, keys, tag))
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(N_WRITERS)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"writer failures: {errors[:3]}"
+    assert len(ledger) == N_WRITERS * OPS_PER_WRITER
+
+    # --- version-ordered model replay with per-version snapshots -------
+    model: dict[int, str] = {k: tag for k, tag, _aux in seed_rows}
+    snap: dict[int, dict[int, str]] = {0: dict(model)}
+    by_version: dict[int, list] = {}
+    for v, op, keys, tag in ledger:
+        if v is None:  # checkpoint: no commit, no state change
+            continue
+        by_version.setdefault(v, []).append((op, keys, tag))
+    for v in sorted(by_version):
+        for op, keys, tag in by_version[v]:
+            if op in ("merge", "append"):
+                for k in keys:
+                    model[k] = tag
+            elif op == "update":
+                for k in keys:
+                    if k in model:
+                        model[k] = tag
+            elif op == "delete":
+                for k in keys:
+                    model.pop(k, None)
+            elif op == "replace":
+                _m, sliced, repl = keys
+                for k in sliced:
+                    model.pop(k, None)
+                for k in repl:
+                    model[k] = tag
+            elif op == "restore":
+                assert keys in snap, f"restore target v{keys} unmodeled"
+                model = dict(snap[keys])
+            # alter: metadata-only, state unchanged
+        snap[v] = dict(model)
+
+    got = {r.k: r.tag for r in t.read(spark).select("k", "tag").collect()}
+    assert len(got) == t.read(spark).count(), "duplicate live keys"
+    assert got == model, (
+        f"serializability violated with maintenance ops: "
+        f"{len(set(got) ^ set(model))} membership diffs; sample: "
+        f"{[(k, got.get(k), model.get(k)) for k in list(set(got) | set(model))[:8] if got.get(k) != model.get(k)]}"
+    )
+
+    # history replays clean through every checkpoint/restore interaction
+    n_commits = t.latest_version() + 1
+    for v in range(0, n_commits, 7):
+        t.read(spark, version=v).count()
+    print(
+        f"SOAK6: {n_commits} commits from {len(ledger)} ops "
+        f"({sum(1 for e in ledger if e[1] == 'restore')} restores, "
+        f"{sum(1 for e in ledger if e[1] == 'alter')} alters), "
+        f"live rows {len(got)}"
+    )
