@@ -175,6 +175,20 @@ def lsh_topk(
 
 # --- IVF (inverted-file) ANN -------------------------------------------------
 
+def centroid_array(centroids: DataFrame) -> DataFrame:
+    """Fold the (list_id, centroid) table into ONE row holding an
+    array<struct<list_id, centroid>> sorted by list_id — the shape both
+    IVF argmaxes consume via a 1-row broadcast cross join.  Lazy and
+    JVM-side: no driver collect, no giant literal tree (an
+    n_lists×dim per-element literal costs a quadratic analysis pass —
+    measured ~1s per query at 16×64)."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("list_id", "centroid"))
+        ).alias("__cents")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -182,23 +196,35 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (the IVF coarse
-    quantizer).  Centroids are broadcast; assignment is a map stage with a
-    per-row argmax over the centroid list — at 100 TB the resulting
-    ``list_id`` becomes the corpus partition key."""
-    c = centroids.select(
-        F.col("list_id"), F.col("centroid")
+    quantizer) as a map stage — ZERO exchange of the corpus.
+
+    The n_lists centroids fold into a single-row array-of-structs
+    (:func:`centroid_array`) that joins in as a 1-row broadcast nested
+    loop (each corpus partition receives the ~KB centroid row in place;
+    the corpus itself never moves), and the nearest list is an
+    ``array_max`` over a ``transform``: struct ordering compares
+    similarity first, then the negated list id, so ties resolve to the
+    LOWEST list_id — identical semantics to the previous ``crossJoin +
+    row_number`` shape, which shuffled n_lists× the corpus (vectors
+    included) through an exchange + sort just to pick a per-row
+    maximum.  At 100 TB assignment is embarrassingly parallel and the
+    resulting ``list_id`` becomes the corpus partition key."""
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                cosine(F.col(vec_col), s["centroid"]).alias("s"),
+                (-s["list_id"]).alias("nid"),
+            ),
+        )
     )
-    scored = corpus.crossJoin(F.broadcast(c)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "list_id",
-        cosine(vec_col, "centroid").alias("__sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.col("list_id"))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim")
+        corpus.crossJoin(F.broadcast(centroid_array(centroids)))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best["nid"]).alias("list_id"),
+        )
     )
 
 
@@ -253,6 +279,13 @@ def ivf_topk(
     Note: the seeding window ranks a deterministic hash order — an O(n log n)
     sort of ids only (not vectors); production deployments precompute
     centroids offline and pass them in.
+
+    Plan shape (round 6): both centroid argmaxes are map stages over a
+    1-row broadcast centroid array — corpus assignment via
+    :func:`ivf_assign`, and probe selection via an
+    ``array_sort``+``slice`` over the same folded array — so the only
+    exchanges left are the probe broadcast and the final per-query
+    top-k.
     """
     cents = deterministic_centroids(corpus, n_lists, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
@@ -260,24 +293,27 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
+    # top-n_probe lists per query, as a pure map: ascending struct sort on
+    # (-sim, list_id) == (desc sim, asc list_id) — the previous
+    # crossJoin + row_number tie-break, without the exchange.
+    probe_sorted = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                (-cosine(F.col("query_vec"), s["centroid"])).alias("ns"),
+                s["list_id"].alias("lid"),
+            ),
+        )
+    )
     q_probe = (
-        q.crossJoin(F.broadcast(cents))
+        q.crossJoin(F.broadcast(centroid_array(cents)))
         .select(
             "query_id",
             "query_vec",
-            "list_id",
-            cosine("query_vec", "centroid").alias("__sim"),
-        )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("__sim"), F.col("list_id")
-                )
+            F.explode(F.slice(probe_sorted, 1, n_probe)["lid"]).alias(
+                "list_id"
             ),
         )
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "query_vec", "list_id")
     )
     scored = (
         assigned.join(F.broadcast(q_probe), "list_id")
