@@ -291,6 +291,9 @@ FULL_SUITE = [
     "stream_partitioned_sink",
     "txlog_bloom_lookup",
     "txlog_column_mapping",
+    "sketch_hll_rollup",
+    "sketch_hll_union",
+    "sketch_hll_merge_total",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

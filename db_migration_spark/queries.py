@@ -3799,6 +3799,12 @@ from .queries_engine import register as _register_engine  # noqa: E402
 
 _register_engine(QUERIES, ORACLES)
 
+# portable mergeable HLL register rollups (md5-deterministic, register
+# digests hash-gated exactly cross-engine; union/intersection algebra)
+from .queries_sketches import register as _register_sketches  # noqa: E402
+
+_register_sketches(QUERIES, ORACLES)
+
 
 # ---------------------------------------------------------------------------
 # §2.12 — int8 embedding quantization (storage/serving path)

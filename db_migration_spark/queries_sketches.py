@@ -1,0 +1,360 @@
+"""Mergeable-sketch rollup declared queries — portable HLL registers.
+
+The pre-aggregation tier of a 100 TB pipeline: build (dims…, register,
+rank) rollups ONCE with a map-side-combinable MAX aggregate, then
+answer distinct-count questions over any dimension subset — including
+unions and (by inclusion–exclusion) intersections — from the rollup
+alone, never re-reading raw data.  Spark's own approx_count_distinct
+sketch is engine-private; these registers are deterministic functions
+of md5 (functions/hll.py), bit-identical in DuckDB, so the oracles
+hash the register digests EXACTLY and only the final estimate carries
+an error-bound gate.
+
+Every query here deliberately makes Spark and the oracle take
+DIFFERENT register paths to the same answer: Spark rolls up through an
+intermediate granularity (day level, or per-type then pairwise union)
+while the oracle computes registers directly at the target
+granularity.  Exact digest equality is then a PROOF of merge
+associativity across engines, not just a recomputation.
+
+No counterpart in the reference (exact Datomic/sort-based counting —
+azanium core.clj:1-80); extends SURVEY §2.4's aggregate tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.hll import hll_estimate, hll_merge, hll_registers
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE: portable registers over events at (event_type, j)
+# ---------------------------------------------------------------------------
+
+# one definition for the md5 shred + register MAX so the Spark scheme
+# (functions/hll.py hll_shred) can never fork from the oracle's
+_ORACLE_SHRED = """
+shred AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::UBIGINT
+              % 512 AS INT) AS j,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 13))::UBIGINT AS v
+  FROM events
+),
+type_regs AS (
+  SELECT event_type, j,
+         MAX(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS r
+  FROM shred GROUP BY 1, 2
+)
+"""
+
+# estimator constants — the SAME double-op chain functions/hll.py folds:
+# alpha = 0.7213/(1 + 1.079/m), m = 512, scale = 2^53
+_EST = """
+  CAST(FLOOR(
+    (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 * 9007199254740992.0
+      / CAST(total_scaled AS DOUBLE)
+    + 0.5) AS BIGINT)
+"""
+
+
+def q_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users from a DAY-grained register rollup
+    (functions/hll.py): Spark builds (event_type, day, j, r) then
+    merges day→type with register-wise MAX; the oracle computes
+    (event_type, j, r) directly from raw rows.  total_scaled (the
+    exact BIGINT register digest) must match bit-for-bit — proving the
+    merge is lossless — and the estimate is gated within 15% of the
+    exact count (σ = 1.04/√512 ≈ 4.6%)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    day_regs = hll_registers(ev, ["event_type", "day"], "user_id")
+    type_regs = hll_merge(day_regs, ["event_type"])
+    est = hll_estimate(type_regs, ["event_type"])
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_regs",
+            "total_scaled",
+            F.col("est").alias("est_users"),
+            "exact_users",
+            (
+                F.abs(F.col("est") / F.col("exact_users") - 1.0)
+                <= F.lit(0.15)
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HLL_ROLLUP = f"""
+WITH {_ORACLE_SHRED},
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_regs,
+         CAST(SUM(CAST(power(2.0, 53 - r) AS BIGINT))
+           + (512 - COUNT(*)) * 9007199254740992 AS BIGINT) AS total_scaled
+  FROM type_regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, n_regs, total_scaled,
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                     * 9007199254740992.0 / CAST(total_scaled AS DOUBLE)
+                   <= 2.5 * 512 AND 512 - n_regs > 0
+              THEN CAST(FLOOR(512.0 * ln(512.0 / CAST(512 - n_regs AS DOUBLE))
+                              + 0.5) AS BIGINT)
+              ELSE {_EST}
+         END AS est_users
+  FROM agg
+)
+SELECT e.event_type, e.n_regs, e.total_scaled, e.est_users,
+       x.exact_users,
+       abs(CAST(e.est_users AS DOUBLE) / x.exact_users - 1.0) <= 0.15
+         AS est_ok
+FROM est e
+JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1) x USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra over the per-type register rollup: for every
+    unordered pair of event types, the UNION distinct-user count is a
+    register-wise MAX of the two types' registers (no raw-data access)
+    and the INTERSECTION estimate follows by inclusion–exclusion
+    (est_a + est_b − est_union — exact BIGINT arithmetic on the
+    already-gated component estimates).  total_scaled of each merged
+    pair is hash-gated exactly; the union estimate within 15%, the
+    noisier intersection within max(25% of the union, 8) absolute."""
+    raw = load_table(spark, sf_dir, "events")
+    type_regs = hll_registers(raw, ["event_type"], "user_id")
+    types = raw.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    merged = hll_merge(
+        F.broadcast(pairs).join(
+            type_regs,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        ),
+        ["ta", "tb"],
+    )
+    est_u = hll_estimate(merged, ["ta", "tb"]).select(
+        "ta", "tb", "total_scaled", F.col("est").alias("est_union")
+    )
+    est_t = hll_estimate(type_regs, ["event_type"]).select(
+        "event_type", F.col("est").alias("est_t")
+    )
+    exact_t = raw.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_t")
+    )
+    exact_u = (
+        raw.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count_distinct("user_id").alias("exact_union"))
+    )
+    est_int = (
+        F.col("a.est_t") + F.col("b.est_t") - F.col("est_union")
+    ).alias("est_int")
+    exact_int = (
+        F.col("a2.exact_t") + F.col("b2.exact_t") - F.col("exact_union")
+    ).alias("exact_int")
+    return (
+        est_u.join(exact_u, ["ta", "tb"])
+        .join(est_t.alias("a"), F.col("ta") == F.col("a.event_type"))
+        .join(est_t.alias("b"), F.col("tb") == F.col("b.event_type"))
+        .join(exact_t.alias("a2"), F.col("ta") == F.col("a2.event_type"))
+        .join(exact_t.alias("b2"), F.col("tb") == F.col("b2.event_type"))
+        .select(
+            "ta",
+            "tb",
+            "total_scaled",
+            "est_union",
+            "exact_union",
+            (
+                F.abs(F.col("est_union") / F.col("exact_union") - 1.0)
+                <= F.lit(0.15)
+            ).alias("union_ok"),
+            est_int,
+            exact_int,
+        )
+        .withColumn(
+            "int_ok",
+            F.abs(F.col("est_int") - F.col("exact_int")).cast("double")
+            <= F.greatest(
+                F.col("exact_union") * F.lit(0.25), F.lit(8.0)
+            ),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+ORACLE_HLL_UNION = f"""
+WITH {_ORACLE_SHRED},
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM (SELECT DISTINCT event_type FROM events) a
+  JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type
+),
+merged AS (
+  SELECT p.ta, p.tb, t.j, MAX(t.r) AS r
+  FROM pairs p JOIN type_regs t
+    ON t.event_type = p.ta OR t.event_type = p.tb
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT ta, tb, COUNT(*) AS n_regs,
+         CAST(SUM(CAST(power(2.0, 53 - r) AS BIGINT))
+           + (512 - COUNT(*)) * 9007199254740992 AS BIGINT) AS total_scaled
+  FROM merged GROUP BY 1, 2
+),
+est_u AS (
+  SELECT ta, tb, total_scaled,
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                     * 9007199254740992.0 / CAST(total_scaled AS DOUBLE)
+                   <= 2.5 * 512 AND 512 - n_regs > 0
+              THEN CAST(FLOOR(512.0 * ln(512.0 / CAST(512 - n_regs AS DOUBLE))
+                              + 0.5) AS BIGINT)
+              ELSE {_EST}
+         END AS est_union
+  FROM agg
+),
+tagg AS (
+  SELECT event_type, COUNT(*) AS n_regs,
+         CAST(SUM(CAST(power(2.0, 53 - r) AS BIGINT))
+           + (512 - COUNT(*)) * 9007199254740992 AS BIGINT) AS total_scaled
+  FROM type_regs GROUP BY 1
+),
+est_t AS (
+  SELECT event_type,
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                     * 9007199254740992.0 / CAST(total_scaled AS DOUBLE)
+                   <= 2.5 * 512 AND 512 - n_regs > 0
+              THEN CAST(FLOOR(512.0 * ln(512.0 / CAST(512 - n_regs AS DOUBLE))
+                              + 0.5) AS BIGINT)
+              ELSE {_EST}
+         END AS est_t
+  FROM tagg
+),
+exact_t AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_t
+  FROM events GROUP BY 1
+),
+exact_u AS (
+  SELECT p.ta, p.tb, COUNT(DISTINCT e.user_id) AS exact_union
+  FROM pairs p JOIN events e
+    ON e.event_type = p.ta OR e.event_type = p.tb
+  GROUP BY 1, 2
+)
+SELECT u.ta, u.tb, u.total_scaled, u.est_union, x.exact_union,
+       abs(CAST(u.est_union AS DOUBLE) / x.exact_union - 1.0) <= 0.15
+         AS union_ok,
+       ea.est_t + eb.est_t - u.est_union AS est_int,
+       xa.exact_t + xb.exact_t - x.exact_union AS exact_int,
+       CAST(abs((ea.est_t + eb.est_t - u.est_union)
+                - (xa.exact_t + xb.exact_t - x.exact_union)) AS DOUBLE)
+         <= greatest(x.exact_union * 0.25, 8.0) AS int_ok
+FROM est_u u
+JOIN exact_u x ON u.ta = x.ta AND u.tb = x.tb
+JOIN est_t ea ON ea.event_type = u.ta
+JOIN est_t eb ON eb.event_type = u.tb
+JOIN exact_t xa ON xa.event_type = u.ta
+JOIN exact_t xb ON xb.event_type = u.tb
+ORDER BY u.ta, u.tb
+"""
+
+
+def q_sketch_hll_merge_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct users via a TWO-level register merge — raw →
+    (event_type, day, j) → (j) — against an oracle that merges through
+    a DIFFERENT intermediate granularity (event_type only).
+    Bit-equal total_scaled across the different
+    paths (and engines) is the associativity proof that makes register
+    rollups safe to build incrementally at 100 TB: daily partial
+    rollups merged later are exactly the registers a full rescan would
+    produce."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    fine = hll_registers(ev, ["event_type", "day"], "user_id")
+    total = hll_merge(fine, [])
+    est = hll_estimate(total, [])
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return est.crossJoin(exact).select(
+        "n_regs",
+        "total_scaled",
+        F.col("est").alias("est_users"),
+        "exact_users",
+        (
+            F.abs(F.col("est") / F.col("exact_users") - 1.0) <= F.lit(0.15)
+        ).alias("est_ok"),
+    )
+
+
+ORACLE_HLL_MERGE_TOTAL = f"""
+WITH {_ORACLE_SHRED},
+total AS (
+  SELECT j, MAX(r) AS r FROM type_regs GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS n_regs,
+         CAST(SUM(CAST(power(2.0, 53 - r) AS BIGINT))
+           + (512 - COUNT(*)) * 9007199254740992 AS BIGINT) AS total_scaled
+  FROM total
+)
+SELECT n_regs, total_scaled,
+       CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                   * 9007199254740992.0 / CAST(total_scaled AS DOUBLE)
+                 <= 2.5 * 512 AND 512 - n_regs > 0
+            THEN CAST(FLOOR(512.0 * ln(512.0 / CAST(512 - n_regs AS DOUBLE))
+                            + 0.5) AS BIGINT)
+            ELSE {_EST}
+       END AS est_users,
+       x.exact_users,
+       abs(CAST(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                   * 9007199254740992.0 / CAST(total_scaled AS DOUBLE)
+                 <= 2.5 * 512 AND 512 - n_regs > 0
+            THEN CAST(FLOOR(512.0 * ln(512.0 / CAST(512 - n_regs AS DOUBLE))
+                            + 0.5) AS BIGINT)
+            ELSE {_EST}
+       END AS DOUBLE) / x.exact_users - 1.0) <= 0.15 AS est_ok
+FROM agg
+CROSS JOIN (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events) x
+"""
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries.update(
+        {
+            "sketch_hll_rollup": q_sketch_hll_rollup,
+            "sketch_hll_union": q_sketch_hll_union,
+            "sketch_hll_merge_total": q_sketch_hll_merge_total,
+        }
+    )
+    oracles.update(
+        {
+            "sketch_hll_rollup": ORACLE_HLL_ROLLUP,
+            "sketch_hll_union": ORACLE_HLL_UNION,
+            "sketch_hll_merge_total": ORACLE_HLL_MERGE_TOTAL,
+        }
+    )
