@@ -944,14 +944,38 @@ class TxTable:
             out.add(rng[0] if rng[0] == rng[1] else None)
         return sorted(out, key=lambda v: (v is None, str(v)))
 
-    def commit_overwrite(self, df: DataFrame, max_retries: int = 20) -> int:
+    def commit_overwrite(
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Replace the table contents atomically (old groups removed
-        logically; bytes stay for time travel)."""
+        logically; bytes stay for time travel).
+
+        With ``txn=(app_id, batch_id)`` the overwrite is IDEMPOTENT like
+        ``commit_append``'s — a replayed micro-batch after a sink
+        restart is a no-op returning the original version.  This is the
+        streaming *materialized-view* sink shape: each batch rewrites a
+        small derived table (e.g. an HLL register rollup) exactly
+        once."""
+        if txn is not None:
+            seen = self.txn_version(*txn)
+            if seen is not None:
+                return seen
         cons_seen = self.constraints()
         self._check_constraints(df)
         group, stats = self._write_group(df)
         for _ in range(max_retries):
             read_v = self.latest_version()  # pinned BEFORE derivations
+            if txn is not None:
+                seen = self.txn_version(*txn)
+                if seen is not None:  # a replay raced this writer in
+                    shutil.rmtree(
+                        os.path.join(self.data_dir, group),
+                        ignore_errors=True,
+                    )
+                    return seen
             cons_now = self.constraints(upto=read_v)
             if cons_now != cons_seen:  # same race window as commit_append
                 try:
@@ -970,6 +994,7 @@ class TxTable:
                     self.active_groups(read_v),
                     read_v + 1,
                     stats={group: stats},
+                    txn=txn,
                     schema_json=df.schema.json(),
                 )
             except CommitConflict:

@@ -343,12 +343,114 @@ CROSS JOIN (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events) x
 """
 
 
+def _ensure_stream_hll_mv(spark: SparkSession, sf_dir: str):
+    """Streaming distinct-count materialized view: each micro-batch
+    shreds its rows to (event_type, j, r) registers and folds them into
+    a txlog table via the serializable ``merge`` primitive with a
+    per-batch txn identity — the incremental-MV refresh shape.  Because
+    register MAX is associative, the MV after any number of batches
+    equals a full-rescan register build — which is exactly what the
+    declared query's oracle computes.  Batch 0 is adversarially
+    replayed after the drain (must be a txn no-op).
+
+    At 100 TB: the per-batch work is one map-side-combinable aggregate
+    over the batch plus a rewrite of an m×dims-row table (KBs); raw
+    data is never re-read."""
+    import os
+    import shutil
+
+    from .plans.txlog import TxTable
+    from .queries_e2e import _fx
+    from .queries_streaming import _events_stream
+
+    root = _fx(sf_dir, "txlog_stream_hll_mv")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    events = _events_stream(spark, sf_dir).select("event_type", "user_id")
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(bdf, ["event_type"], "user_id")
+        mv = TxTable(root)
+
+        def fold(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return regs
+            return hll_merge(current.unionByName(regs), ["event_type"])
+
+        mv.merge(bdf.sparkSession, fold, txn=("hll_mv", batch_id))
+
+    q = (
+        events.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("hll mv stream drain did not finish")
+    # adversarial replay: batch 0's identity is already in the log
+    before = t.latest_version()
+    replay = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .limit(500)
+    )
+
+    def clobber(current):
+        return hll_registers(replay, ["event_type"], "user_id")
+
+    t.merge(spark, clobber, txn=("hll_mv", 0))
+    assert t.latest_version() == before, "replayed batch must not commit"
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_stream_hll_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type read from the STREAMED register MV
+    (see _ensure_stream_hll_mv) — never from raw events.  The oracle
+    recomputes registers directly from the events table, so the hash
+    gate proves the incremental merges converged to exactly the
+    full-rescan registers AND the sink was exactly-once (a replayed or
+    double-applied batch cannot corrupt a MAX-merge's *digest* only if
+    it carries the same keys — but a dropped or clobbered batch would
+    change total_scaled)."""
+    t = _ensure_stream_hll_mv(spark, sf_dir)
+    est = hll_estimate(t.read(spark), ["event_type"])
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_regs",
+            "total_scaled",
+            F.col("est").alias("est_users"),
+            "exact_users",
+            (
+                F.abs(F.col("est") / F.col("exact_users") - 1.0)
+                <= F.lit(0.15)
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
             "sketch_hll_rollup": q_sketch_hll_rollup,
             "sketch_hll_union": q_sketch_hll_union,
             "sketch_hll_merge_total": q_sketch_hll_merge_total,
+            "stream_hll_mv": q_stream_hll_mv,
         }
     )
     oracles.update(
@@ -356,5 +458,6 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_hll_rollup": ORACLE_HLL_ROLLUP,
             "sketch_hll_union": ORACLE_HLL_UNION,
             "sketch_hll_merge_total": ORACLE_HLL_MERGE_TOTAL,
+            "stream_hll_mv": ORACLE_HLL_ROLLUP,
         }
     )

@@ -457,3 +457,19 @@ def test_vacuum_collects_orphaned_staging_dirs(spark, tmp_path):
     assert t.vacuum(min_age_seconds=0.0) == [".part-deadbeef"]
     assert not os.path.exists(orphan)
     assert t.read(spark).count() == 1
+
+
+def test_commit_overwrite_txn_idempotent(spark, tmp_path):
+    """commit_overwrite with a txn identity is exactly-once: a replayed
+    batch (same app+batch) is a no-op returning the original version —
+    the streaming materialized-view sink contract."""
+    t = TxTable(str(tmp_path / "t"))
+    v1 = t.commit_overwrite(_kv(spark, [(1, 10), (2, 20)]), txn=("mv", 0))
+    assert t.commit_overwrite(_kv(spark, [(9, 99)]), txn=("mv", 0)) == v1
+    assert _state(spark, t) == {1: 10, 2: 20}  # replay did not clobber
+    v2 = t.commit_overwrite(_kv(spark, [(3, 30)]), txn=("mv", 1))
+    assert v2 == v1 + 1
+    assert _state(spark, t) == {3: 30}
+    # staged group from the replayed call must not linger as an orphan
+    orphans = t.vacuum(min_age_seconds=0.0)
+    assert _state(spark, t) == {3: 30}
