@@ -294,6 +294,8 @@ FULL_SUITE = [
     "sketch_hll_rollup",
     "sketch_hll_union",
     "sketch_hll_merge_total",
+    "stream_hll_mv",
+    "ann_ivf_pruned_store",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -1333,6 +1333,145 @@ GROUP BY o_orderstatus
 """
 
 
+def _ensure_ivf_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """The vector-database-on-the-lakehouse composition: every embedding
+    is assigned to its nearest IVF centroid (operators/similarity.
+    ivf_assign — a zero-exchange map over a 1-row broadcast centroid
+    array) and persisted with ``commit_append_partitioned`` on
+    ``list_id`` — ONE file group per inverted list, min==max zone maps.
+    A probe then prunes to its lists' groups at PLANNING time: the scan
+    fraction n_probe/n_lists stops being a join filter and becomes
+    file skipping, which is the property that matters when the corpus
+    is 100 TB of vectors."""
+    from .operators import similarity
+
+    root = _fx(sf_dir, "txlog_ivf_embeddings")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.deterministic_centroids(emb, 16)
+    t.commit_append_partitioned(
+        similarity.ivf_assign(emb, cents), "list_id"
+    )
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_ann_ivf_pruned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served FROM the partitioned store (_ensure_ivf_store):
+    probe lists are selected per query from the folded centroid array
+    (same deterministic seeding as ann_ivf_topk), the probed list ids
+    are collected (≤ n_lists rows — driver-tier bound, the query
+    planner's partition-selection step in any vector database), and
+    each probed list becomes a zone-map-pruned group read.  The
+    acceptance row gates mean recall@10 ≥ 0.4 against in-query brute
+    force — plus a ``pruned`` boolean requiring the probe plan to have
+    physically skipped groups (strictly fewer planned than live; when
+    the distinct probe set legitimately covers every list — possible
+    at toy corpus sizes where 8 queries × 6 probes span all 16 lists —
+    full coverage is the correct plan and the flag stays TRUE)."""
+    import functools
+
+    from pyspark.sql import Window
+
+    from .operators import similarity
+    from .operators.similarity import centroid_array, cosine
+
+    t = _ensure_ivf_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.deterministic_centroids(emb, 16)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    probe_sorted = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                (-cosine(F.col("query_vec"), s["centroid"])).alias("ns"),
+                s["list_id"].alias("lid"),
+            ),
+        )
+    )
+    q_probe = (
+        q.crossJoin(F.broadcast(centroid_array(cents)))
+        .select(
+            "query_id",
+            "query_vec",
+            F.explode(F.slice(probe_sorted, 1, 6)["lid"]).alias("list_id"),
+        )
+    )
+    probes = sorted(
+        r.list_id
+        for r in q_probe.select("list_id").distinct().collect()
+    )  # ≤ n_lists rows — the planner's partition-selection step
+    picked: set[str] = set()
+    total = len(t.active_groups())
+    for p in probes:
+        sel, _tot = t.prune_groups("list_id", lo=p, hi=p)
+        picked.update(sel)
+    corpus = functools.reduce(
+        DataFrame.unionByName,
+        [t.read_pruned(spark, "list_id", lo=p, hi=p) for p in probes],
+    )
+    scored = (
+        corpus.join(F.broadcast(q_probe), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("query_vec", "embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    exact = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10
+    ).select("query_id", "neighbor_id")
+    from .queries import _ann_recall_gate
+
+    return _ann_recall_gate(approx, exact, bound=0.4).withColumn(
+        "pruned",
+        F.lit(0 < len(picked) < total or len(probes) >= total),
+    )
+
+
+ORACLE_ANN_IVF_PRUNED = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                  i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS score
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok,
+       TRUE AS pruned
+FROM ranked WHERE rank <= 10
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -1366,3 +1505,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_incremental_mv"] = ORACLE_INCREMENTAL_MV
     queries["txlog_describe_history"] = q_txlog_describe_history
     oracles["txlog_describe_history"] = ORACLE_DESCRIBE_HISTORY
+    queries["ann_ivf_pruned_store"] = q_ann_ivf_pruned_store
+    oracles["ann_ivf_pruned_store"] = ORACLE_ANN_IVF_PRUNED

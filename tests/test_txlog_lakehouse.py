@@ -323,3 +323,35 @@ def test_stream_source_starting_version(spark, tmp_path):
     rows = spark.table("sv_tail")
     assert rows.count() == 10  # only commit v2
     assert rows.agg(F.min("_commit_version")).collect()[0][0] == 2
+
+
+def test_ivf_store_partition_pruned_probes(spark, tmp_path):
+    """The IVF-on-txlog layout: embeddings partitioned by list_id give
+    one group per inverted list with min==max zone maps, so a probe's
+    point read plans EXACTLY its list's group — the scan fraction
+    n_probe/n_lists is file skipping, not a post-scan filter."""
+    from db_migration_spark.operators import similarity
+
+    emb = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id").cast("string"), i), 97)
+                / 97.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    cents = similarity.deterministic_centroids(emb, 8)
+    assigned = similarity.ivf_assign(emb, cents)
+    t = TxTable(str(tmp_path / "ivf"))
+    t.commit_append_partitioned(assigned, "list_id")
+    lists = sorted(r.list_id for r in assigned.select("list_id").distinct().collect())
+    total = len(t.active_groups())
+    assert total == len(lists)  # one group per inverted list
+    for p in lists[:3]:
+        picked, tot = t.prune_groups("list_id", lo=p, hi=p)
+        assert len(picked) == 1 and tot == total
+        got = t.read_pruned(spark, "list_id", p, p).count()
+        want = assigned.filter(F.col("list_id") == p).count()
+        assert got == want
