@@ -496,3 +496,53 @@ def test_k_anonymity_no_window_partial_agg(spark):
     plan = _plan(spark, "privacy_k_anonymity")
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+def test_ivf_assign_corpus_never_shuffles(spark):
+    """Round-6 shape: assignment is a map over a 1-row broadcast
+    centroid array.  The corpus side must reach the BNLJ without any
+    hash/range exchange (the loader's round-robin fixture spread is the
+    only allowed Exchange), and no Window/sort may reappear."""
+    import contextlib as _ctx
+    import io as _io
+
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = similarity.deterministic_centroids(emb, 8)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        similarity.ivf_assign(emb, cents).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid build side
+    assert "hashpartitioning" not in plan, "corpus must not shuffle"
+    # exactly one Window — the row_number over the 16 already-selected
+    # seeds inside deterministic_centroids; the r5 shape had a second
+    # Window.partitionBy(vec_id) doing the argmax over the whole corpus
+    import re as _re
+
+    assert len(set(_re.findall(r"\((\d+)\) Window", plan))) == 1, plan
+
+
+def test_hll_registers_combine_map_side(spark):
+    plan = _plan(spark, "sketch_hll_rollup")
+    # three aggregate levels (shred, merge, estimate) — every Exchange
+    # must sit above a partial HashAggregate so raw rows collapse to
+    # ≤ dims×512 registers before any shuffle
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the shred aggregate must run a partial max on rho BEFORE its
+    # exchange (raw rows collapse to ≤ dims×512 registers map-side)
+    assert "partial_max(rho" in plan, "map-side combine must precede shuffle"
+
+
+def test_ivf_pruned_store_scans_subset_of_groups(spark):
+    """The probe plan must read strictly fewer store files than live
+    groups (or legitimately cover all lists at toy scale) — asserted
+    via the same prune_groups planner the query uses."""
+    from db_migration_spark.queries_lakehouse import _ensure_ivf_store
+
+    t = _ensure_ivf_store(spark, SF)
+    total = len(t.active_groups())
+    sel, tot = t.prune_groups("list_id", lo=0, hi=0)
+    assert tot == total and len(sel) <= 1
