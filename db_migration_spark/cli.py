@@ -150,6 +150,23 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "distinct-rollup",
+        help="portable HLL register rollup (functions/hll.py): build a "
+        "mergeable (dims..., j, r) register table from a parquet "
+        "source, or estimate distinct counts from an existing rollup "
+        "along any dimension subset",
+    )
+    sp.add_argument("--action", choices=("build", "estimate"), required=True)
+    sp.add_argument("--input", required=True, help="parquet path")
+    sp.add_argument("--key", default=None, help="build: distinct-count key")
+    sp.add_argument(
+        "--dims", default="",
+        help="comma-separated dimension columns (estimate may name any "
+        "subset of the rollup's build dims)",
+    )
+    sp.add_argument("--output", default=None, help="build: rollup dir")
+
+    sp = sub.add_parser(
         "corpus-prep",
         help="training-corpus pipeline: quality gate -> exact dedup "
         "survivors -> pack manifest over a documents table",
@@ -252,6 +269,39 @@ def main(argv: list[str] | None = None) -> int:
             out["groups_before"] = before
             out["groups_after"] = len(t.active_groups())
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "distinct-rollup":
+        # the pre-aggregation front door: rollups build once, answer any
+        # distinct-count question later without re-reading raw data
+        from .functions.hll import hll_estimate, hll_merge, hll_registers
+
+        spark = get_spark("distinct-rollup")
+        dims = [c for c in args.dims.split(",") if c]
+        df = spark.read.parquet(args.input)
+        if args.action == "build":
+            if not (args.key and args.output):
+                raise SystemExit("build requires --key and --output")
+            regs = hll_registers(df, dims, args.key)
+            regs.write.mode("overwrite").parquet(args.output)
+            print(
+                json.dumps(
+                    {
+                        "action": "build",
+                        "output": args.output,
+                        "rollup_rows": regs.count(),
+                        "dims": dims,
+                    }
+                )
+            )
+            return 0
+        # estimate: --input IS a rollup; merge to the requested dims
+        # first (summing duplicate registers would be wrong), then
+        # estimate per dimension tuple
+        est = hll_estimate(hll_merge(df, dims), dims)
+        rows = [r.asDict() for r in est.orderBy(*dims).collect()] if dims \
+            else [est.collect()[0].asDict()]
+        print(json.dumps({"action": "estimate", "dims": dims, "rows": rows}))
         return 0
 
     if args.cmd == "corpus-prep":

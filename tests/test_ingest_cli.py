@@ -127,3 +127,38 @@ def test_compact_parquet(tmp_path):
     a = {r["doc_id"] for r in spark.read.parquet(str(src)).collect()}
     b = {r["doc_id"] for r in spark.read.parquet(str(dst)).collect()}
     assert a == b
+
+
+def test_cli_distinct_rollup(tmp_path):
+    """build writes a register rollup; estimate merges it to any dim
+    subset and the global estimate lands within the HLL error bound of
+    the true 15 distinct users in the sf0.001 events fixture (a
+    cardinality this far below m is linear counting — near-exact)."""
+    import json
+    import subprocess
+    import sys
+
+    roll = tmp_path / "roll"
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "db_migration_spark.cli",
+             "distinct-rollup", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    built = run(
+        "--action", "build",
+        "--input", "/root/testdata/sf0.001/events.parquet",
+        "--key", "user_id", "--dims", "event_type",
+        "--output", str(roll),
+    )
+    assert 0 < built["rollup_rows"] <= 5 * 512
+    per_type = run("--action", "estimate", "--input", str(roll),
+                   "--dims", "event_type")
+    assert len(per_type["rows"]) == 5
+    total = run("--action", "estimate", "--input", str(roll))
+    est = total["rows"][0]["est"]
+    assert abs(est / 15 - 1.0) <= 0.14, est
