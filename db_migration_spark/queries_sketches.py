@@ -444,6 +444,365 @@ def q_stream_hll_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# theta/KMV sketches — the set operations HLL cannot express directly
+# ---------------------------------------------------------------------------
+
+# one definition of the KMV build (functions/theta.py scheme) so the
+# Spark path can never fork from the oracle's: distinct 52-bit md5
+# values per o_orderpriority, k=256 smallest retained
+_THETA_K = 256
+_THETA_DOMAIN = 4503599627370496  # 2^52
+_ORACLE_THETA_CTES = f"""
+hv AS (
+  SELECT DISTINCT o_orderpriority AS seg,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::UBIGINT
+              AS BIGINT) AS v
+  FROM orders
+),
+sk AS (
+  SELECT seg, v FROM (
+    SELECT seg, v,
+           row_number() OVER (PARTITION BY seg ORDER BY v) AS rn
+    FROM hv) WHERE rn <= {_THETA_K}
+),
+th AS (
+  SELECT seg, COUNT(*) AS n_vals,
+         CASE WHEN COUNT(*) >= {_THETA_K} THEN MAX(v)
+              ELSE {_THETA_DOMAIN} END AS theta_v,
+         CAST(SUM(v) AS BIGINT) AS digest,
+         CASE WHEN COUNT(*) >= {_THETA_K}
+              THEN CAST(FLOOR(CAST({_THETA_K - 1} AS DOUBLE)
+                              * CAST({_THETA_DOMAIN} AS DOUBLE)
+                              / CAST(MAX(v) AS DOUBLE) + 0.5) AS BIGINT)
+              ELSE COUNT(*) END AS est
+  FROM sk GROUP BY 1
+),
+pairs AS (
+  SELECT a.seg AS sa, b.seg AS sb
+  FROM (SELECT DISTINCT o_orderpriority AS seg FROM orders) a
+  JOIN (SELECT DISTINCT o_orderpriority AS seg FROM orders) b
+    ON a.seg < b.seg
+),
+pt AS (
+  SELECT p.sa, p.sb, least(ta.theta_v, tb.theta_v) AS theta_v
+  FROM pairs p
+  JOIN th ta ON ta.seg = p.sa
+  JOIN th tb ON tb.seg = p.sb
+),
+du AS (SELECT DISTINCT o_orderpriority AS seg, o_custkey AS c FROM orders)
+"""
+
+
+def q_sketch_theta_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority distinct customers from a KMV sketch built at MONTH
+    granularity and merged to priority level (functions/theta.py) —
+    the oracle sketches directly at priority level, so bit-equal
+    ``digest`` (Σ of the retained 52-bit values) proves KMV merge is
+    lossless across granularities AND engines, the property that makes
+    incremental daily sketch rollups safe at 100 TB.  The estimate is
+    gated within 20% of the exact count (RSE ≈ 1/√254 ≈ 6.3%); groups
+    under k distinct values take the exact path (theta_v = 2^52)."""
+    from .functions.theta import kmv_merge, kmv_sketch, kmv_stats
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        "o_custkey",
+    )
+    fine = kmv_sketch(od, ["seg", "mo"], "o_custkey", _THETA_K)
+    merged = kmv_merge(fine, ["seg"], _THETA_K)
+    st = kmv_stats(merged, ["seg"], _THETA_K)
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("seg"))
+        .agg(F.count_distinct("o_custkey").alias("exact_cust"))
+    )
+    return (
+        st.join(exact, "seg")
+        .select(
+            "seg",
+            "n_vals",
+            "theta_v",
+            "digest",
+            F.col("est").alias("est_cust"),
+            "exact_cust",
+            (
+                F.abs(F.col("est") / F.col("exact_cust") - 1.0)
+                <= F.lit(0.20)
+            ).alias("est_ok"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_THETA_BUILD = f"""
+WITH {_ORACLE_THETA_CTES},
+exact AS (SELECT seg, COUNT(*) AS exact_cust FROM du GROUP BY 1)
+SELECT t.seg, t.n_vals, t.theta_v, t.digest, t.est AS est_cust,
+       x.exact_cust,
+       abs(CAST(t.est AS DOUBLE) / x.exact_cust - 1.0) <= 0.20 AS est_ok
+FROM th t JOIN exact x USING (seg)
+ORDER BY t.seg
+"""
+
+
+def q_sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECT intersection estimate from theta sketches — the set
+    operation HLL registers cannot express (inclusion–exclusion noise
+    grows with the union; the theta sample scales only with 1/theta).
+    For every unordered priority pair: theta = min of the two sketch
+    thresholds, the common retained values below theta are an exact
+    uniform sample of the intersection, and est = |sample|·2^52/theta.
+    ``digest_common`` (Σ of the sampled values) is hash-gated exactly;
+    the estimate within max(20%, 15 absolute) of the exact overlap."""
+    from .functions.theta import kmv_scale_count, kmv_sketch, kmv_stats
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"), "o_custkey"
+    )
+    sk = kmv_sketch(od, ["seg"], "o_custkey", _THETA_K)
+    st = kmv_stats(sk, ["seg"], _THETA_K)
+    segs = od.select("seg").distinct()
+    pairs = (
+        segs.select(F.col("seg").alias("sa"))
+        .crossJoin(segs.select(F.col("seg").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    pt = (
+        F.broadcast(pairs)
+        .join(
+            st.select(F.col("seg").alias("sa"), F.col("theta_v").alias("tha")),
+            "sa",
+        )
+        .join(
+            st.select(F.col("seg").alias("sb"), F.col("theta_v").alias("thb")),
+            "sb",
+        )
+        .select("sa", "sb", F.least("tha", "thb").alias("theta_v"))
+    )
+    a_vals = sk.select(F.col("seg").alias("sa"), "v")
+    b_vals = sk.select(F.col("seg").alias("sbb"), F.col("v").alias("vb"))
+    common = (
+        F.broadcast(pt)
+        .join(a_vals, "sa")
+        .filter(F.col("v") < F.col("theta_v"))
+        .join(
+            b_vals,
+            (F.col("vb") == F.col("v")) & (F.col("sbb") == F.col("sb")),
+            "left_semi",
+        )
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("v").alias("digest_common"),
+        )
+    )
+    du = od.distinct()
+    exact = (
+        F.broadcast(pairs)
+        .join(du.select(F.col("seg").alias("sa"), "o_custkey"), "sa")
+        .join(
+            du.select(F.col("seg").alias("sb"), "o_custkey"),
+            ["sb", "o_custkey"],
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count_distinct("o_custkey").alias("exact_int"))
+    )
+    return (
+        pt.join(common, ["sa", "sb"], "left")
+        .join(exact, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            "theta_v",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("digest_common", F.lit(0)).alias("digest_common"),
+            kmv_scale_count(
+                F.coalesce("n_common", F.lit(0)), F.col("theta_v")
+            ).alias("est_int"),
+            F.coalesce("exact_int", F.lit(0)).alias("exact_int"),
+        )
+        .withColumn(
+            "int_ok",
+            F.abs(F.col("est_int") - F.col("exact_int")).cast("double")
+            <= F.greatest(F.col("exact_int") * F.lit(0.20), F.lit(15.0)),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+_ORACLE_SCALE = f"""
+  CASE WHEN {{t}} >= {_THETA_DOMAIN} THEN CAST({{c}} AS BIGINT)
+       ELSE CAST(FLOOR(CAST({{c}} AS DOUBLE) * {float(_THETA_DOMAIN)}
+                       / CAST({{t}} AS DOUBLE) + 0.5) AS BIGINT) END
+"""
+
+ORACLE_THETA_INTERSECT = f"""
+WITH {_ORACLE_THETA_CTES},
+acom AS (
+  SELECT pt.sa, pt.sb, sa_.v
+  FROM pt
+  JOIN sk sa_ ON sa_.seg = pt.sa AND sa_.v < pt.theta_v
+  JOIN sk sb_ ON sb_.seg = pt.sb AND sb_.v = sa_.v
+),
+cm AS (
+  SELECT sa, sb, COUNT(*) AS n_common,
+         CAST(SUM(v) AS BIGINT) AS digest_common
+  FROM acom GROUP BY 1, 2
+),
+common AS (
+  SELECT pt.sa, pt.sb, pt.theta_v,
+         COALESCE(cm.n_common, 0) AS n_common,
+         COALESCE(cm.digest_common, 0) AS digest_common
+  FROM pt LEFT JOIN cm ON cm.sa = pt.sa AND cm.sb = pt.sb
+),
+exact_i AS (
+  SELECT p.sa, p.sb, COUNT(*) AS exact_int
+  FROM pairs p
+  JOIN du a ON a.seg = p.sa
+  JOIN du b ON b.seg = p.sb AND b.c = a.c
+  GROUP BY 1, 2
+)
+SELECT c.sa, c.sb, c.theta_v, c.n_common, c.digest_common,
+       {_ORACLE_SCALE.format(t="c.theta_v", c="c.n_common")} AS est_int,
+       COALESCE(x.exact_int, 0) AS exact_int,
+       CAST(abs({_ORACLE_SCALE.format(t="c.theta_v", c="c.n_common")}
+                - COALESCE(x.exact_int, 0)) AS DOUBLE)
+         <= greatest(COALESCE(x.exact_int, 0) * 0.20, 15.0) AS int_ok
+FROM common c
+LEFT JOIN exact_i x ON x.sa = c.sa AND x.sb = c.sb
+ORDER BY c.sa, c.sb
+"""
+
+
+def q_sketch_theta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-DIFFERENCE estimate from theta sketches: customers who
+    placed orders at priority ``sa`` but never at ``sb`` — an
+    anti-join on the retained samples below the pair's theta, scaled
+    by 2^52/theta.  The difference is the harder target (here ~13% of
+    either set, where HLL inclusion–exclusion error would swamp the
+    signal); the sample digest is hash-gated exactly and the estimate
+    within max(45%, 25 absolute) of the exact anti-join count (sample
+    of a small set ⇒ relatively wider but still useful bounds — the
+    bound itself is part of the declared contract)."""
+    from .functions.theta import kmv_scale_count, kmv_sketch, kmv_stats
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"), "o_custkey"
+    )
+    sk = kmv_sketch(od, ["seg"], "o_custkey", _THETA_K)
+    st = kmv_stats(sk, ["seg"], _THETA_K)
+    segs = od.select("seg").distinct()
+    pairs = (
+        segs.select(F.col("seg").alias("sa"))
+        .crossJoin(segs.select(F.col("seg").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    pt = (
+        F.broadcast(pairs)
+        .join(
+            st.select(F.col("seg").alias("sa"), F.col("theta_v").alias("tha")),
+            "sa",
+        )
+        .join(
+            st.select(F.col("seg").alias("sb"), F.col("theta_v").alias("thb")),
+            "sb",
+        )
+        .select("sa", "sb", F.least("tha", "thb").alias("theta_v"))
+    )
+    a_vals = sk.select(F.col("seg").alias("sa"), "v")
+    b_vals = sk.select(F.col("seg").alias("sbb"), F.col("v").alias("vb"))
+    only_a = (
+        F.broadcast(pt)
+        .join(a_vals, "sa")
+        .filter(F.col("v") < F.col("theta_v"))
+        .join(
+            b_vals,
+            (F.col("vb") == F.col("v")) & (F.col("sbb") == F.col("sb")),
+            "left_anti",
+        )
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("n_only"),
+            F.sum("v").alias("digest_only"),
+        )
+    )
+    du = od.distinct()
+    exact = (
+        F.broadcast(pairs)
+        .join(du.select(F.col("seg").alias("sa"), "o_custkey"), "sa")
+        .join(
+            du.select(F.col("seg").alias("sb"), "o_custkey"),
+            ["sb", "o_custkey"],
+            "left_anti",
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count_distinct("o_custkey").alias("exact_diff"))
+    )
+    return (
+        pt.join(only_a, ["sa", "sb"], "left")
+        .join(exact, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            "theta_v",
+            F.coalesce("n_only", F.lit(0)).alias("n_only"),
+            F.coalesce("digest_only", F.lit(0)).alias("digest_only"),
+            kmv_scale_count(
+                F.coalesce("n_only", F.lit(0)), F.col("theta_v")
+            ).alias("est_diff"),
+            F.coalesce("exact_diff", F.lit(0)).alias("exact_diff"),
+        )
+        .withColumn(
+            "diff_ok",
+            F.abs(F.col("est_diff") - F.col("exact_diff")).cast("double")
+            <= F.greatest(F.col("exact_diff") * F.lit(0.45), F.lit(25.0)),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+ORACLE_THETA_DIFF = f"""
+WITH {_ORACLE_THETA_CTES},
+adiff AS (
+  SELECT pt.sa, pt.sb, sa_.v
+  FROM pt
+  JOIN sk sa_ ON sa_.seg = pt.sa AND sa_.v < pt.theta_v
+  LEFT JOIN sk sb_ ON sb_.seg = pt.sb AND sb_.v = sa_.v
+  WHERE sb_.v IS NULL
+),
+oa AS (
+  SELECT sa, sb, COUNT(*) AS n_only,
+         CAST(SUM(v) AS BIGINT) AS digest_only
+  FROM adiff GROUP BY 1, 2
+),
+only_a AS (
+  SELECT pt.sa, pt.sb, pt.theta_v,
+         COALESCE(oa.n_only, 0) AS n_only,
+         COALESCE(oa.digest_only, 0) AS digest_only
+  FROM pt LEFT JOIN oa ON oa.sa = pt.sa AND oa.sb = pt.sb
+),
+exact_d AS (
+  SELECT p.sa, p.sb, COUNT(*) AS exact_diff
+  FROM pairs p
+  JOIN du a ON a.seg = p.sa
+  WHERE NOT EXISTS (SELECT 1 FROM du b
+                    WHERE b.seg = p.sb AND b.c = a.c)
+  GROUP BY 1, 2
+)
+SELECT o.sa, o.sb, o.theta_v, o.n_only, o.digest_only,
+       {_ORACLE_SCALE.format(t="o.theta_v", c="o.n_only")} AS est_diff,
+       COALESCE(x.exact_diff, 0) AS exact_diff,
+       CAST(abs({_ORACLE_SCALE.format(t="o.theta_v", c="o.n_only")}
+                - COALESCE(x.exact_diff, 0)) AS DOUBLE)
+         <= greatest(COALESCE(x.exact_diff, 0) * 0.45, 25.0) AS diff_ok
+FROM only_a o
+LEFT JOIN exact_d x ON x.sa = o.sa AND x.sb = o.sb
+ORDER BY o.sa, o.sb
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -451,6 +810,9 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_hll_union": q_sketch_hll_union,
             "sketch_hll_merge_total": q_sketch_hll_merge_total,
             "stream_hll_mv": q_stream_hll_mv,
+            "sketch_theta_build": q_sketch_theta_build,
+            "sketch_theta_intersect": q_sketch_theta_intersect,
+            "sketch_theta_diff": q_sketch_theta_diff,
         }
     )
     oracles.update(
@@ -459,5 +821,8 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_hll_union": ORACLE_HLL_UNION,
             "sketch_hll_merge_total": ORACLE_HLL_MERGE_TOTAL,
             "stream_hll_mv": ORACLE_HLL_ROLLUP,
+            "sketch_theta_build": ORACLE_THETA_BUILD,
+            "sketch_theta_intersect": ORACLE_THETA_INTERSECT,
+            "sketch_theta_diff": ORACLE_THETA_DIFF,
         }
     )

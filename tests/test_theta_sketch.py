@@ -1,0 +1,125 @@
+"""theta/KMV sketch primitives (functions/theta.py): merge losslessness,
+hot-group pre-truncation equivalence, exact-path behavior, and
+adversarial planted-set bounds — the local red line in front of the
+oracle gates in queries_sketches.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_migration_spark.functions.theta import (
+    DOMAIN,
+    kmv_merge,
+    kmv_scale_count,
+    kmv_sketch,
+    kmv_stats,
+    theta_hash,
+)
+
+
+def _ids(spark, n, seg="a", start=0):
+    return spark.range(start, start + n).select(
+        F.lit(seg).alias("seg"), F.col("id").cast("string").alias("key")
+    )
+
+
+def _naive_topk(spark, df, k):
+    """Reference: k smallest distinct hashes per seg via plain SQL."""
+    hashed = df.select("seg", theta_hash("key").alias("v")).distinct()
+    hashed.createOrReplaceTempView("naive_hv")
+    return spark.sql(
+        f"""SELECT seg, v FROM (
+              SELECT seg, v,
+                     row_number() OVER (PARTITION BY seg ORDER BY v) rn
+              FROM naive_hv) WHERE rn <= {k}"""
+    )
+
+
+def test_sketch_equals_naive_topk(spark):
+    """The salted two-level build returns EXACTLY the global top-k
+    (the pre-truncation must be invisible)."""
+    df = _ids(spark, 5000)
+    got = kmv_sketch(df, ["seg"], "key", 64).orderBy("v").collect()
+    want = _naive_topk(spark, df, 64).orderBy("v").collect()
+    assert [r.v for r in got] == [r.v for r in want]
+    assert len(got) == 64
+
+
+def test_merge_is_lossless(spark):
+    """top-k of merged per-slice sketches == sketch of the union —
+    the associativity contract incremental rollups rely on."""
+    parts = [_ids(spark, 800, start=i * 500) for i in range(4)]  # overlap
+    whole = parts[0]
+    for p in parts[1:]:
+        whole = whole.unionByName(p)
+    direct = kmv_sketch(whole, ["seg"], "key", 128)
+    merged = kmv_merge(
+        kmv_sketch(parts[0], ["seg"], "key", 128)
+        .unionByName(kmv_sketch(parts[1], ["seg"], "key", 128))
+        .unionByName(kmv_sketch(parts[2], ["seg"], "key", 128))
+        .unionByName(kmv_sketch(parts[3], ["seg"], "key", 128)),
+        ["seg"],
+        128,
+    )
+    assert sorted(r.v for r in direct.collect()) == sorted(
+        r.v for r in merged.collect()
+    )
+
+
+def test_exact_path_under_k(spark):
+    """n < k: the sketch IS the value set; theta covers the domain and
+    the estimate is exactly n."""
+    st = kmv_stats(
+        kmv_sketch(_ids(spark, 37), ["seg"], "key", 256), ["seg"], 256
+    ).collect()[0]
+    assert st.n_vals == 37
+    assert st.theta_v == DOMAIN
+    assert st.est == 37
+
+
+def test_estimate_bound_planted(spark):
+    """Planted 20_000-key set: the k=256 estimate lands within 20%
+    (RSE ≈ 6.3%; 20% is > 3σ)."""
+    st = kmv_stats(
+        kmv_sketch(_ids(spark, 20_000), ["seg"], "key", 256), ["seg"], 256
+    ).collect()[0]
+    assert st.n_vals == 256 and st.theta_v < DOMAIN
+    assert abs(st.est / 20_000 - 1.0) <= 0.20
+
+
+def test_disjoint_sets_intersect_to_zero(spark):
+    """Adversarial: two DISJOINT planted sets must estimate a zero
+    intersection (any common retained value would be a hash collision
+    across different keys — none at these sizes)."""
+    a = kmv_sketch(_ids(spark, 3000, seg="a"), ["seg"], "key", 256)
+    b = kmv_sketch(
+        _ids(spark, 3000, seg="b", start=1_000_000), ["seg"], "key", 256
+    )
+    common = a.select("v").intersect(b.select("v"))
+    assert common.count() == 0
+
+
+def test_scale_count_exact_when_domain(spark):
+    """theta = full domain ⇒ the sample is the whole set: scaling is
+    the identity, no float path."""
+    df = spark.createDataFrame(
+        [(5, DOMAIN), (7, DOMAIN // 2)], "cnt long, th long"
+    )
+    out = {
+        (r.cnt, r.th): r.est
+        for r in df.select(
+            "cnt",
+            "th",
+            kmv_scale_count(F.col("cnt"), F.col("th")).alias("est"),
+        ).collect()
+    }
+    assert out[(5, DOMAIN)] == 5
+    assert out[(7, DOMAIN // 2)] == 14
+
+
+def test_no_python_udf_in_plan(spark):
+    """The whole family is JVM expressions — no Python eval nodes."""
+    plan = kmv_stats(
+        kmv_sketch(_ids(spark, 100), ["seg"], "key", 64), ["seg"], 64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
