@@ -546,3 +546,26 @@ def test_ivf_pruned_store_scans_subset_of_groups(spark):
     total = len(t.active_groups())
     sel, tot = t.prune_groups("list_id", lo=0, hi=0)
     assert tot == total and len(sel) <= 1
+
+
+def test_theta_build_salted_two_level_truncation(spark):
+    """kmv_sketch must keep BOTH window levels: the 64-slice salted
+    dense_rank (parallelizes a hot group's sort) and the tiny global
+    row_number truncation — a refactor that collapses them would put a
+    hot group's full distinct set on one reducer."""
+    import re
+
+    plan = _plan(spark, "sketch_theta_build")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # ≥ 4 distinct Window nodes: (salt, global) × (fine build, merge)
+    assert len(set(re.findall(r"\((\d+)\) Window", plan))) >= 4, plan
+
+
+def test_theta_set_ops_no_data_path_cartesian(spark):
+    """Intersect/diff join k-row sketches — the only unconditioned
+    join may be the 5×5 segment-pair cross (broadcast, dim×dim); the
+    CartesianProduct operator must never appear."""
+    for name in ("sketch_theta_intersect", "sketch_theta_diff"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
