@@ -150,6 +150,19 @@ def kmv_stats(
     )
 
 
+def det_sample(
+    df: DataFrame, key: Column | str, denom: int = 16
+) -> DataFrame:
+    """Deterministic hash-Bernoulli sample: keep rows whose key hashes
+    below 2^52/denom — an exactly-reproducible 1/denom sample (same
+    rows in any engine, any partitioning, any rerun), the property
+    random() sampling can never give an oracle.  Composable: the same
+    row is in the 1/4 sample iff it is in the 1/16 sample's superset,
+    so nested sample tiers share scans.  The filter is a JVM expression
+    evaluated at the scan, so column pruning and pushdown survive."""
+    return df.filter(theta_hash(key) < F.lit(DOMAIN // denom))
+
+
 def kmv_scale_count(cnt: Column, theta_v: Column) -> Column:
     """Scale a below-theta sample count up to a set-size estimate:
     cnt · 2^52 / theta_v, rounded to BIGINT (cnt exact when theta_v

@@ -803,6 +803,261 @@ ORDER BY o.sa, o.sb
 """
 
 
+# ---------------------------------------------------------------------------
+# streaming theta MV + deterministic-sample AQP
+# ---------------------------------------------------------------------------
+
+_THETA_MV_K = 64  # events has 150 users/type at sf0.01 — k=64 keeps the
+# sketch in the full (theta < domain) regime there, exact below
+
+
+def _ensure_stream_theta_mv(spark: SparkSession, sf_dir: str):
+    """Streaming KMV materialized view: each micro-batch sketches its
+    rows and folds them into a txlog table via the serializable
+    ``merge`` primitive with a per-batch txn identity.  Because KMV
+    merge (dedup + global top-k) is associative and idempotent, the MV
+    after any number of batches equals a full-rescan sketch — exactly
+    what the declared query's oracle computes, so the digest gate
+    certifies BOTH the incremental maintenance and exactly-once
+    delivery.  Batch 0 is adversarially replayed after the drain (must
+    be a txn no-op).  At 100 TB: per-batch work is one bounded sketch
+    build over the batch plus a rewrite of a ≤ k×dims-row table."""
+    import os
+    import shutil
+
+    from .functions.theta import kmv_merge, kmv_sketch
+    from .plans.txlog import TxTable
+    from .queries_e2e import _fx
+    from .queries_streaming import _events_stream
+
+    root = _fx(sf_dir, "txlog_stream_theta_mv")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    events = _events_stream(spark, sf_dir).select("event_type", "user_id")
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(bdf, ["event_type"], "user_id", _THETA_MV_K)
+        mv = TxTable(root)
+
+        def fold(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return sk
+            return kmv_merge(
+                current.unionByName(sk), ["event_type"], _THETA_MV_K
+            )
+
+        mv.merge(bdf.sparkSession, fold, txn=("theta_mv", batch_id))
+
+    q = (
+        events.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("theta mv stream drain did not finish")
+    before = t.latest_version()
+    replay = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .limit(500)
+    )
+
+    def clobber(current):
+        from .functions.theta import kmv_sketch as _sk
+
+        return _sk(replay, ["event_type"], "user_id", _THETA_MV_K)
+
+    t.merge(spark, clobber, txn=("theta_mv", 0))
+    assert t.latest_version() == before, "replayed batch must not commit"
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_stream_theta_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type read from the STREAMED KMV MV —
+    never from raw events.  The oracle rebuilds the k=64 sketch
+    directly from the events table; bit-equal ``digest`` proves the
+    incremental merges converged to the full-rescan sketch and the
+    sink was exactly-once (a dropped or doubled batch changes the
+    retained value set)."""
+    from .functions.theta import kmv_stats
+
+    t = _ensure_stream_theta_mv(spark, sf_dir)
+    st = kmv_stats(
+        t.read(spark).withColumnRenamed("event_type", "seg"),
+        ["seg"],
+        _THETA_MV_K,
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("seg"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        st.join(exact, "seg")
+        .select(
+            "seg",
+            "n_vals",
+            "theta_v",
+            "digest",
+            F.col("est").alias("est_users"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users")).cast("double")
+                <= F.greatest(
+                    F.col("exact_users") * F.lit(0.35), F.lit(8.0)
+                )
+            ).alias("est_ok"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_STREAM_THETA_MV = f"""
+WITH hv AS (
+  SELECT DISTINCT event_type AS seg,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT
+              AS BIGINT) AS v
+  FROM events
+),
+sk AS (
+  SELECT seg, v FROM (
+    SELECT seg, v,
+           row_number() OVER (PARTITION BY seg ORDER BY v) AS rn
+    FROM hv) WHERE rn <= {_THETA_MV_K}
+),
+th AS (
+  SELECT seg, COUNT(*) AS n_vals,
+         CASE WHEN COUNT(*) >= {_THETA_MV_K} THEN MAX(v)
+              ELSE {_THETA_DOMAIN} END AS theta_v,
+         CAST(SUM(v) AS BIGINT) AS digest,
+         CASE WHEN COUNT(*) >= {_THETA_MV_K}
+              THEN CAST(FLOOR(CAST({_THETA_MV_K - 1} AS DOUBLE)
+                              * CAST({_THETA_DOMAIN} AS DOUBLE)
+                              / CAST(MAX(v) AS DOUBLE) + 0.5) AS BIGINT)
+              ELSE COUNT(*) END AS est
+  FROM sk GROUP BY 1
+),
+exact AS (
+  SELECT event_type AS seg, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT t.seg, t.n_vals, t.theta_v, t.digest, t.est AS est_users,
+       x.exact_users,
+       CAST(abs(t.est - x.exact_users) AS DOUBLE)
+         <= greatest(x.exact_users * 0.35, 8.0) AS est_ok
+FROM th t JOIN exact x USING (seg)
+ORDER BY t.seg
+"""
+
+
+def q_sample_aqp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing from a DETERMINISTIC hash-Bernoulli
+    sample (functions/theta.py det_sample): per-returnflag revenue and
+    row counts estimated from the exactly-reproducible 1/16 sample —
+    the same rows in Spark, DuckDB, any partitioning, any rerun, which
+    is what lets the oracle gate the sample MEMBERSHIP itself
+    (``n_sample`` and a mod-p hash digest match exactly) rather than
+    just an error band.  Estimates scale by ×16; sums go through
+    DECIMAL(18,4) for exact cross-engine addition before one double
+    conversion.  At 100 TB the sample filter is a pushed-down JVM
+    predicate at the scan — the 15/16 of the data outside the sample
+    is never aggregated."""
+    from .functions.theta import det_sample, theta_hash
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("rev"),
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+    )
+    samp = det_sample(li, F.col("k"), 16)
+    g = samp.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum(theta_hash(F.col("k")) % F.lit(1000003)).alias("digest"),
+        F.sum("rev").alias("s_rev"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_cnt"),
+        F.sum("rev").alias("x_rev"),
+    )
+    return (
+        g.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_sample",
+            "digest",
+            (F.col("n_sample") * F.lit(16)).alias("est_cnt"),
+            "exact_cnt",
+            (
+                F.abs(F.col("n_sample") * F.lit(16) - F.col("exact_cnt"))
+                .cast("double")
+                <= F.col("exact_cnt") * F.lit(0.15)
+            ).alias("cnt_ok"),
+            (F.col("s_rev").cast("double") * F.lit(16.0)).alias("est_rev"),
+            F.col("x_rev").cast("double").alias("exact_rev"),
+            (
+                F.abs(
+                    F.col("s_rev").cast("double") * F.lit(16.0)
+                    - F.col("x_rev").cast("double")
+                )
+                <= F.col("x_rev").cast("double") * F.lit(0.15)
+            ).alias("rev_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SAMPLE_AQP = f"""
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+         CAST(l_orderkey AS VARCHAR) || '-'
+           || CAST(l_linenumber AS VARCHAR) AS k
+  FROM lineitem
+),
+hv AS (
+  SELECT l_returnflag, rev,
+         CAST(('0x' || substr(md5(k), 1, 13))::UBIGINT AS BIGINT) AS v
+  FROM li
+),
+samp AS (SELECT * FROM hv WHERE v < {_THETA_DOMAIN // 16}),
+g AS (
+  SELECT l_returnflag, COUNT(*) AS n_sample,
+         CAST(SUM(v % 1000003) AS BIGINT) AS digest,
+         SUM(rev) AS s_rev
+  FROM samp GROUP BY 1
+),
+exact AS (
+  SELECT l_returnflag, COUNT(*) AS exact_cnt, SUM(rev) AS x_rev
+  FROM li GROUP BY 1
+)
+SELECT g.l_returnflag, g.n_sample, g.digest,
+       g.n_sample * 16 AS est_cnt, x.exact_cnt,
+       CAST(abs(g.n_sample * 16 - x.exact_cnt) AS DOUBLE)
+         <= x.exact_cnt * 0.15 AS cnt_ok,
+       CAST(g.s_rev AS DOUBLE) * 16.0 AS est_rev,
+       CAST(x.x_rev AS DOUBLE) AS exact_rev,
+       abs(CAST(g.s_rev AS DOUBLE) * 16.0 - CAST(x.x_rev AS DOUBLE))
+         <= CAST(x.x_rev AS DOUBLE) * 0.15 AS rev_ok
+FROM g JOIN exact x USING (l_returnflag)
+ORDER BY g.l_returnflag
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -813,6 +1068,8 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_theta_build": q_sketch_theta_build,
             "sketch_theta_intersect": q_sketch_theta_intersect,
             "sketch_theta_diff": q_sketch_theta_diff,
+            "stream_theta_mv": q_stream_theta_mv,
+            "sample_aqp_revenue": q_sample_aqp_revenue,
         }
     )
     oracles.update(
@@ -824,5 +1081,7 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_theta_build": ORACLE_THETA_BUILD,
             "sketch_theta_intersect": ORACLE_THETA_INTERSECT,
             "sketch_theta_diff": ORACLE_THETA_DIFF,
+            "stream_theta_mv": ORACLE_STREAM_THETA_MV,
+            "sample_aqp_revenue": ORACLE_SAMPLE_AQP,
         }
     )

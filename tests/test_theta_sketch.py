@@ -123,3 +123,39 @@ def test_no_python_udf_in_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_det_sample_deterministic_and_nested(spark):
+    """Same rows under any partitioning; the 1/16 tier is a subset of
+    the 1/4 tier (nested-sample property random() cannot give)."""
+    from db_migration_spark.functions.theta import det_sample
+
+    df = _ids(spark, 4000)
+    s16a = sorted(r.key for r in det_sample(df, "key", 16).collect())
+    s16b = sorted(
+        r.key for r in det_sample(df.repartition(13), "key", 16).collect()
+    )
+    assert s16a == s16b and len(s16a) > 0
+    s4 = set(r.key for r in det_sample(df, "key", 4).collect())
+    assert set(s16a) <= s4
+    # fraction sanity: 1/16 ± 3σ
+    import math
+
+    n, p = 4000, 1 / 16
+    assert abs(len(s16a) - n * p) <= 3 * math.sqrt(n * p * (1 - p))
+
+
+def test_det_sample_filter_pushes_to_scan(spark, tmp_path):
+    """The sample predicate is a JVM expression at the scan — no
+    Python nodes, and the parquet scan carries the filter."""
+    from db_migration_spark.functions.theta import det_sample
+
+    p = str(tmp_path / "t.parquet")
+    _ids(spark, 1000).write.mode("overwrite").parquet(p)
+    plan = (
+        det_sample(spark.read.parquet(p), "key", 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
