@@ -167,6 +167,42 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--output", default=None, help="build: rollup dir")
 
     sp = sub.add_parser(
+        "theta-sketch",
+        help="portable theta/KMV sketch (functions/theta.py): build a "
+        "mergeable k-minimum-values table from a parquet source, "
+        "estimate distinct counts from it, or run the set operations "
+        "HLL cannot (intersect / diff between two segment values)",
+    )
+    sp.add_argument(
+        "--action",
+        choices=("build", "estimate", "intersect", "diff"),
+        required=True,
+    )
+    sp.add_argument("--input", required=True, help="parquet path")
+    sp.add_argument("--key", default=None, help="build: distinct-count key")
+    sp.add_argument(
+        "--dims", default="",
+        help="comma-separated dimension columns (estimate may merge to "
+        "any subset of the sketch's build dims)",
+    )
+    sp.add_argument("--k", type=int, default=256)
+    sp.add_argument("--output", default=None, help="build: sketch dir")
+    sp.add_argument("--seg-a", default=None, help="set op: left segment")
+    sp.add_argument("--seg-b", default=None, help="set op: right segment")
+
+    sp = sub.add_parser(
+        "det-sample",
+        help="deterministic hash-Bernoulli sample (functions/theta.py "
+        "det_sample): exactly-reproducible 1/denom row sample keyed on "
+        "--key — the same rows in any engine or rerun; nested across "
+        "denominators",
+    )
+    sp.add_argument("--input", required=True, help="parquet path")
+    sp.add_argument("--key", required=True)
+    sp.add_argument("--denom", type=int, default=16)
+    sp.add_argument("--output", required=True)
+
+    sp = sub.add_parser(
         "corpus-prep",
         help="training-corpus pipeline: quality gate -> exact dedup "
         "survivors -> pack manifest over a documents table",
@@ -302,6 +338,108 @@ def main(argv: list[str] | None = None) -> int:
         rows = [r.asDict() for r in est.orderBy(*dims).collect()] if dims \
             else [est.collect()[0].asDict()]
         print(json.dumps({"action": "estimate", "dims": dims, "rows": rows}))
+        return 0
+
+    if args.cmd == "theta-sketch":
+        # the set-algebra front door: sketches build once; estimate /
+        # intersect / diff answer later without re-reading raw data
+        from pyspark.sql import functions as F
+
+        from .functions.theta import (
+            kmv_merge,
+            kmv_scale_count,
+            kmv_sketch,
+            kmv_stats,
+        )
+
+        spark = get_spark("theta-sketch")
+        dims = [c for c in args.dims.split(",") if c]
+        df = spark.read.parquet(args.input)
+        if args.action == "build":
+            if not (args.key and args.output):
+                raise SystemExit("build requires --key and --output")
+            sk = kmv_sketch(df, dims, args.key, args.k)
+            sk.write.mode("overwrite").parquet(args.output)
+            print(
+                json.dumps(
+                    {
+                        "action": "build",
+                        "output": args.output,
+                        "sketch_rows": sk.count(),
+                        "dims": dims,
+                        "k": args.k,
+                    }
+                )
+            )
+            return 0
+        if args.action == "estimate":
+            # --input IS a sketch; merge to the requested dims first
+            # (k smallest of the union — keeping all rows would bias
+            # theta), then estimate per tuple
+            st = kmv_stats(kmv_merge(df, dims, args.k), dims, args.k)
+            rows = (
+                [r.asDict() for r in st.orderBy(*dims).collect()]
+                if dims
+                else [st.collect()[0].asDict()]
+            )
+            print(json.dumps({"action": "estimate", "dims": dims,
+                              "rows": rows}))
+            return 0
+        # set ops: --input is a sketch over exactly one dim column
+        if not (len(dims) == 1 and args.seg_a and args.seg_b):
+            raise SystemExit(f"{args.action} requires --dims SEG "
+                             "--seg-a A --seg-b B")
+        seg = dims[0]
+        st = {
+            r[seg]: r
+            for r in kmv_stats(df, [seg], args.k)
+            .filter(F.col(seg).isin(args.seg_a, args.seg_b))
+            .collect()
+        }
+        if args.seg_a not in st or args.seg_b not in st:
+            raise SystemExit("segment value(s) not present in sketch")
+        theta = min(st[args.seg_a]["theta_v"], st[args.seg_b]["theta_v"])
+        a = df.filter((F.col(seg) == args.seg_a) & (F.col("v") < theta))
+        b = df.filter(F.col(seg) == args.seg_b).select("v")
+        how = "left_semi" if args.action == "intersect" else "left_anti"
+        picked = a.join(b, "v", how).agg(
+            F.count(F.lit(1)).alias("n"),
+        )
+        est = picked.select(
+            kmv_scale_count(F.col("n"), F.lit(theta)).alias("est")
+        ).collect()[0]["est"]
+        print(
+            json.dumps(
+                {
+                    "action": args.action,
+                    "seg_a": args.seg_a,
+                    "seg_b": args.seg_b,
+                    "theta_v": theta,
+                    "estimate": int(est),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "det-sample":
+        from .functions.theta import det_sample
+
+        spark = get_spark("det-sample")
+        df = spark.read.parquet(args.input)
+        samp = det_sample(df, args.key, args.denom)
+        samp.write.mode("overwrite").parquet(args.output)
+        n, total = samp.count(), df.count()
+        print(
+            json.dumps(
+                {
+                    "action": "det-sample",
+                    "denom": args.denom,
+                    "rows_in": total,
+                    "rows_out": n,
+                    "output": args.output,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "corpus-prep":

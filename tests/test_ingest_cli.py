@@ -162,3 +162,61 @@ def test_cli_distinct_rollup(tmp_path):
     total = run("--action", "estimate", "--input", str(roll))
     est = total["rows"][0]["est"]
     assert abs(est / 15 - 1.0) <= 0.14, est
+
+
+def test_cli_theta_sketch_and_det_sample(tmp_path):
+    """theta-sketch build/estimate/intersect/diff + det-sample, driven
+    end-to-end as subprocesses against the sf0.001 orders fixture.
+    The priority segments share ~85% of their customers, so the
+    intersect estimate must land near the exact overlap (sketches are
+    exact at this scale: n < k) and diff near the exact anti-count."""
+    import json
+    import subprocess
+    import sys
+
+    sk = tmp_path / "sk"
+    samp = tmp_path / "samp"
+
+    def run(cmd, *argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "db_migration_spark.cli", cmd, *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    built = run(
+        "theta-sketch", "--action", "build",
+        "--input", "/root/testdata/sf0.001/orders.parquet",
+        "--key", "o_custkey", "--dims", "o_orderpriority",
+        "--output", str(sk),
+    )
+    assert 0 < built["sketch_rows"] <= 5 * 256
+    est = run("theta-sketch", "--action", "estimate", "--input", str(sk),
+              "--dims", "o_orderpriority")
+    assert len(est["rows"]) == 5
+    # n < k at sf0.001 -> estimates are exact distinct counts (~130)
+    assert all(100 <= r["est"] <= 160 for r in est["rows"])
+    inter = run(
+        "theta-sketch", "--action", "intersect", "--input", str(sk),
+        "--dims", "o_orderpriority",
+        "--seg-a", "1-URGENT", "--seg-b", "2-HIGH",
+    )
+    diff = run(
+        "theta-sketch", "--action", "diff", "--input", str(sk),
+        "--dims", "o_orderpriority",
+        "--seg-a", "1-URGENT", "--seg-b", "2-HIGH",
+    )
+    # exact at this scale: intersect + diff == |A|
+    a_est = next(r["est"] for r in est["rows"]
+                 if r["o_orderpriority"] == "1-URGENT")
+    assert inter["estimate"] + diff["estimate"] == a_est
+    assert inter["estimate"] > diff["estimate"] > 0
+
+    s = run(
+        "det-sample", "--input", "/root/testdata/sf0.001/orders.parquet",
+        "--key", "o_orderkey", "--denom", "4", "--output", str(samp),
+    )
+    assert s["rows_in"] == 1500
+    # 1/4 of 1500 ± 4σ
+    assert abs(s["rows_out"] - 375) <= 4 * (1500 * 0.25 * 0.75) ** 0.5
