@@ -3970,6 +3970,11 @@ from .queries_geo import register as _register_geo  # noqa: E402
 
 _register_geo(QUERIES, ORACLES)
 
+# ranked retrieval / hybrid search (BM25, postings, RRF, Dirichlet LM)
+from .queries_search import register as _register_search  # noqa: E402
+
+_register_search(QUERIES, ORACLES)
+
 # web-text extraction + Python UDTF surface
 from .queries_textweb import register as _register_textweb  # noqa: E402
 

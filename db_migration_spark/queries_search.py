@@ -1,0 +1,476 @@
+"""Full-text retrieval / hybrid-search declared queries.
+
+The retrieval tier of an LLM training-data pipeline: BM25 lexical
+scoring, an inverted-index (postings) build, reciprocal-rank-fusion of
+lexical and embedding rankers, and Dirichlet query-likelihood language
+-model scoring — all query-by-example over ``documents`` (+
+``embeddings`` for the semantic side), all pure DataFrame plans, all
+with EXACT DuckDB oracles.
+
+Cross-engine float determinism: every per-term score contribution is
+``round(x, 9)`` then cast to DECIMAL before the SUM, so the aggregate
+is associative and bit-identical regardless of partial-aggregation
+order (the module-level rule in queries.py — "sums go through
+DECIMAL").  ``ln`` appears only inside the rounded leaf, never after a
+float sum.  Ranks tie-break on doc_id, so row_number is total.
+
+Scale notes (the 100 TB shape, not just the sf0.01 one):
+- candidate generation is term-driven (docs sharing >= 1 query term),
+  the same boolean-OR pruning Lucene applies before scoring — never a
+  docs x queries cartesian;
+- corpus constants (N, avgdl, |C|) ride the plan as 1-row broadcasts,
+  no eager ``count()`` driver round-trips;
+- the tf <-> df join is left to AQE: at web-corpus vocabulary the term
+  side does NOT fit a broadcast (forcing one OOMs the driver), while
+  the per-QUERY term list (10s of terms) always does and is broadcast
+  explicitly.
+
+No counterpart in the reference (azanium orchestrates Datomic full
+scans; no ranked retrieval — core.clj:1-80); extends SURVEY §2.12's
+training-data families (tf-idf in queries.py:2901 is the seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions import text as TXT
+from .functions import vectors as V
+
+K1 = 1.2
+B = 0.75
+MU = 2000.0
+RRF_K = 60
+N_PROBES = 3  # query-by-example probes: doc_id < 3
+
+# ---------------------------------------------------------------------------
+# shared shapes
+# ---------------------------------------------------------------------------
+
+
+def _term_stats(spark: SparkSession, sf_dir: str):
+    """(tf, dl, df, corpus 1-row constants) over ``documents``.
+
+    tf: (doc_id, term, tf); dl: (doc_id, dl); df: (term, df, cf).
+    Tokenization matches ORACLE: lower + whitespace split, empties out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    consts = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").cast("double").alias("coll_len"),
+    )
+    return tf, dl, df_, consts
+
+
+def _probe_terms(tf: DataFrame) -> DataFrame:
+    """Query terms per probe: DISTINCT tokens of docs 0..N_PROBES-1."""
+    return (
+        tf.filter(F.col("doc_id") < N_PROBES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+
+
+def _dec9(c) -> F.Column:
+    """round-9 + DECIMAL(28,9): the associative-sum leaf."""
+    return F.round(c, 9).cast("decimal(28,9)")
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score DECIMAL) for all candidate docs sharing
+    >= 1 query term with the probe (self-match excluded)."""
+    tf, dl, df_, consts = _term_stats(spark, sf_dir)
+    q = _probe_terms(tf)
+    # per-query term lists are tiny -> broadcast; df_/tf join left to AQE
+    matched = (
+        tf.join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df_.select("term", "df"), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(consts))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf")
+        + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    return matched.groupBy("query_id", "doc_id").agg(
+        F.sum(_dec9(idf * tf_norm)).alias("score")
+    )
+
+
+# shared oracle CTEs mirroring _term_stats/_probe_terms exactly
+_ORACLE_TERMS = r"""
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+df_ AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1),
+consts AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(dl) AS avgdl,
+         CAST(sum(dl) AS DOUBLE) AS coll_len
+  FROM dl
+),
+q AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 3
+)
+"""
+
+_ORACLE_BM25_SCORED = """
+scored AS (
+  SELECT query_id, tf.doc_id,
+         SUM(CAST(round(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+           9) AS DECIMAL(28,9))) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN df_ USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN consts
+  WHERE tf.doc_id <> query_id
+  GROUP BY 1, 2
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# search_bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example BM25 (k1=1.2, b=0.75, Lucene +1 idf): top-10
+    docs per probe.  Candidates = docs sharing >= 1 query term (the
+    boolean-OR pruning every lexical engine applies); contributions
+    decimal-summed for exact cross-engine equality."""
+    scored = _bm25_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
+ORACLE_BM25 = (
+    "WITH "
+    + _ORACLE_TERMS
+    + ", "
+    + _ORACLE_BM25_SCORED
+    + """
+SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# search_inverted_postings
+# ---------------------------------------------------------------------------
+
+
+def q_search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term with df >= 5, the document
+    frequency, collection frequency, and the head of the postings list
+    (first 8 doc_ids ascending, comma-joined).  The groupBy is a single
+    map-side-combinable shuffle on term; postings order is pinned by
+    sort_array so collect_list's arrival order can't leak."""
+    tf, _, _, _ = _term_stats(spark, sf_dir)
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 8),
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+ORACLE_POSTINGS = (
+    "WITH "
+    + _ORACLE_TERMS
+    + """
+SELECT term, df, CAST(cf AS BIGINT) AS cf,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 8), ',')
+         AS postings_head
+FROM tf JOIN df_ USING (term)
+GROUP BY term, df, cf
+HAVING df >= 5
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# search_hybrid_rrf
+# ---------------------------------------------------------------------------
+
+
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: BM25 lexical ranks
+    (top-50) fused with exact embedding-cosine ranks (top-50, probe's
+    own vector as the query) by rrf = sum 1/(60 + rank); a doc missing
+    from one ranker contributes 0 on that side (full-outer join).  The
+    1/(60+r) leaves are exact IEEE divisions of small ints, rounded to
+    9 and decimal-summed, so fusion is bit-stable across engines."""
+    lex = _bm25_scores(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    lex_r = (
+        lex.withColumn("r_lex", F.row_number().over(wl))
+        .filter(F.col("r_lex") <= 50)
+        .select("query_id", "doc_id", "r_lex")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    sem = (
+        cand.join(F.broadcast(probes))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(V.cosine("qv", "embedding"), 6).alias("cos"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    sem_r = (
+        sem.withColumn("r_sem", F.row_number().over(ws))
+        .filter(F.col("r_sem") <= 50)
+        .select("query_id", "doc_id", "r_sem")
+    )
+
+    fused = lex_r.join(sem_r, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                _dec9(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex"))),
+                F.lit(0).cast("decimal(28,9)"),
+            )
+            + F.coalesce(
+                _dec9(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem"))),
+                F.lit(0).cast("decimal(28,9)"),
+            )
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rrf_score").cast("double").alias("rrf_score"),
+            "rank",
+        )
+    )
+
+
+ORACLE_RRF = (
+    "WITH "
+    + _ORACLE_TERMS
+    + ", "
+    + _ORACLE_BM25_SCORED
+    + """
+, lex_r AS (
+  SELECT query_id, doc_id, r_lex FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS r_lex
+    FROM scored
+  ) WHERE r_lex <= 50
+),
+qv AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings
+       WHERE vec_id < 3),
+sem AS (
+  SELECT query_id, vec_id AS doc_id,
+         round(
+           list_sum(list_transform(range(1, len(qv.v) + 1),
+                    i -> CAST(qv.v[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, len(qv.v) + 1),
+                    i -> CAST(qv.v[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+           6) AS cos
+  FROM embeddings e CROSS JOIN qv
+  WHERE vec_id <> query_id
+),
+sem_r AS (
+  SELECT query_id, doc_id, r_sem FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, doc_id) AS r_sem
+    FROM sem
+  ) WHERE r_sem <= 50
+),
+fused AS (
+  SELECT COALESCE(lex_r.query_id, sem_r.query_id) AS query_id,
+         COALESCE(lex_r.doc_id, sem_r.doc_id) AS doc_id,
+         COALESCE(CAST(round(1.0 / (60 + r_lex), 9) AS DECIMAL(28,9)),
+                  CAST(0 AS DECIMAL(28,9)))
+         + COALESCE(CAST(round(1.0 / (60 + r_sem), 9) AS DECIMAL(28,9)),
+                    CAST(0 AS DECIMAL(28,9))) AS rrf_score
+  FROM lex_r FULL OUTER JOIN sem_r
+    ON lex_r.query_id = sem_r.query_id AND lex_r.doc_id = sem_r.doc_id
+)
+SELECT query_id, doc_id, CAST(rrf_score AS DOUBLE) AS rrf_score, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# search_dirichlet_lm
+# ---------------------------------------------------------------------------
+
+
+def q_search_dirichlet_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood LM ranking (mu=2000), in the
+    sparse decomposition that never touches absent (doc, term) pairs:
+
+      score(d) = sum_t ln(mu * p_c(t))          [query constant]
+               - |q| * ln(dl_d + mu)            [per-doc length part]
+               + sum_{t in q AND d} ln(1 + tf / (mu * p_c(t)))
+
+    Candidates = docs matching >= 1 query term (boolean-OR pruning);
+    all three pieces are rounded-to-9 decimal leaves, summed as
+    DECIMAL.  p_c(t) = cf(t)/|C| is an exact int/int IEEE division."""
+    tf, dl, df_, consts = _term_stats(spark, sf_dir)
+    q = _probe_terms(tf)
+
+    # query constant + term count per probe
+    p_c = F.col("cf") / F.col("coll_len")
+    qstats = (
+        F.broadcast(q)
+        .join(df_.select("term", "cf"), "term")
+        .join(F.broadcast(consts))
+        .groupBy("query_id")
+        .agg(
+            F.sum(_dec9(F.log(F.lit(MU) * p_c))).alias("q_const"),
+            F.count(F.lit(1)).alias("n_q"),
+        )
+    )
+
+    # matched-term boosts per (query, doc)
+    boosts = (
+        tf.join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df_.select("term", "cf"), "term")
+        .join(F.broadcast(consts))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(_dec9(F.log(F.lit(1.0) + F.col("tf") / (MU * p_c)))).alias("boost"))
+    )
+
+    # n_q folds into the rounded DOUBLE leaf (an int x double product is
+    # correctly-rounded IEEE in both engines); the decimal sums downcast
+    # to (28,9) before combining so Spark's and DuckDB's widening rules
+    # for +/- can never diverge (|score| << 10^19, no overflow possible)
+    scored = (
+        boosts.join(F.broadcast(qstats), "query_id")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("q_const").cast("decimal(28,9)")
+                + F.col("boost").cast("decimal(28,9)")
+                - _dec9(F.col("n_q") * F.log(F.col("dl") + MU))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
+ORACLE_DIRICHLET = (
+    "WITH "
+    + _ORACLE_TERMS
+    + """
+, qstats AS (
+  SELECT query_id,
+         SUM(CAST(round(ln(2000.0 * (cf / coll_len)), 9)
+                  AS DECIMAL(28,9))) AS q_const,
+         count(*) AS n_q
+  FROM q JOIN df_ USING (term) CROSS JOIN consts
+  GROUP BY 1
+),
+boosts AS (
+  SELECT query_id, tf.doc_id,
+         SUM(CAST(round(ln(1.0 + tf / (2000.0 * (cf / coll_len))), 9)
+                  AS DECIMAL(28,9))) AS boost
+  FROM tf JOIN q USING (term) JOIN df_ USING (term) CROSS JOIN consts
+  WHERE tf.doc_id <> query_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(q_const AS DECIMAL(28,9)) + CAST(boost AS DECIMAL(28,9))
+           - CAST(round(n_q * ln(dl + 2000.0), 9) AS DECIMAL(28,9)) AS score
+  FROM boosts JOIN qstats USING (query_id) JOIN dl USING (doc_id)
+)
+SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+)
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["search_bm25_topk"] = q_search_bm25_topk
+    oracles["search_bm25_topk"] = ORACLE_BM25
+    queries["search_inverted_postings"] = q_search_inverted_postings
+    oracles["search_inverted_postings"] = ORACLE_POSTINGS
+    queries["search_hybrid_rrf"] = q_search_hybrid_rrf
+    oracles["search_hybrid_rrf"] = ORACLE_RRF
+    queries["search_dirichlet_lm"] = q_search_dirichlet_lm
+    oracles["search_dirichlet_lm"] = ORACLE_DIRICHLET
