@@ -50,7 +50,9 @@ FLAGSHIP_ORDER = [
     "txlog_column_mapping",
     "txlog_fast_count",
     "stream_partitioned_sink",
-    "txlog_cdf_read",
+    # (txlog_cdf_read rotated out: the r5 judge independently re-ran it
+    #  green; its slot certifies the new SHALLOW CLONE surface)
+    "txlog_shallow_clone",
     "txlog_time_travel",
     "txlog_acid_upsert",
     "txlog_incremental_mv",
@@ -72,11 +74,15 @@ FLAGSHIP_ORDER = [
     "corpus_e2e_pipeline",
     "mixture_interleave",
     "sample_lang_budget",
-    # --- (f) heaviest never-checked across remaining families ---
-    "graph_kcore",
-    "heavy_hitters_cms",
-    "ts_cusum_changepoint",
-    "stats_ks_test",
+    # --- (f) NEW round-6 surface: ranked retrieval / hybrid search ---
+    # (displaces the graph_kcore/heavy_hitters_cms/ts_cusum_changepoint/
+    #  stats_ks_test backlog picks — both sets are never-certified, so
+    #  cumulative-distinct is unchanged, and the newest code gets the
+    #  hard signal first; the four rotate back in next round)
+    "search_bm25_topk",
+    "search_inverted_postings",
+    "search_hybrid_rrf",
+    "search_dirichlet_lm",
     # --- (g) NEW round-6 surface: portable sketch algebra ---
     # (displaces corpus_fim_split / ts_twap / text_contamination /
     #  dedup_survivors / privacy_l_diversity / scd2_intervals /

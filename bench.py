@@ -296,6 +296,18 @@ FULL_SUITE = [
     "sketch_hll_merge_total",
     "stream_hll_mv",
     "ann_ivf_pruned_store",
+    # round 6: theta sketches, AQP sampling, retrieval, shallow clone
+    "sketch_theta_build",
+    "sketch_theta_intersect",
+    "sketch_theta_diff",
+    "stream_theta_mv",
+    "sample_deterministic",
+    "sample_aqp_revenue",
+    "search_bm25_topk",
+    "search_inverted_postings",
+    "search_hybrid_rrf",
+    "search_dirichlet_lm",
+    "txlog_shallow_clone",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -517,6 +517,109 @@ class TxTable:
         upto = self.latest_version() if version is None else version
         return self._replay(upto)[0]
 
+    # -- shallow-clone path resolution ---------------------------------------
+
+    def _base_dirs(self) -> list[str]:
+        """Foreign data dirs a SHALLOW CLONE reads through: recorded in
+        the clone's commit 0 (op='clone', 'bases' — transitive, so a
+        clone of a clone resolves to the original bytes in one hop).
+        Empty for ordinary tables, and cached once commit 0 exists —
+        the non-clone fast path is one attribute read."""
+        bases = getattr(self, "_bases_cache", None)
+        if bases is None:
+            bases = []
+            vs = self._versions()
+            if vs and vs[0] == 0:
+                c0 = self._read_commit(0)
+                if c0.get("op") == "clone":
+                    bases = list(c0.get("bases", []))
+            if vs:
+                self._bases_cache = bases
+        return bases
+
+    def _gpath(self, group: str) -> str:
+        """Physical directory of a file group (data or DV): the local
+        ``data/`` dir, else the first clone base that has it.  Local
+        always wins so a group the clone REWRITES (optimize, update
+        delta) shadows nothing — rewrites commit under fresh uuid names.
+        Resolutions are memoized per instance: planning a 100k-group
+        cloned table costs each group one stat call ONCE, not per
+        scan."""
+        local = os.path.join(self.data_dir, group)
+        bases = self._base_dirs()
+        if not bases or os.path.exists(local):
+            return local
+        cache = self.__dict__.setdefault("_gpath_cache", {})
+        hit = cache.get(group)
+        if hit is not None:
+            return hit
+        for b in bases:
+            p = os.path.join(b, group)
+            if os.path.exists(p):
+                cache[group] = p
+                return p
+        return local  # missing everywhere: scan raises, same as today
+
+    def clone_shallow(
+        self, dest_root: str, version: int | None = None
+    ) -> "TxTable":
+        """CREATE TABLE dest SHALLOW CLONE this [VERSION AS OF v] — a
+        METADATA-ONLY copy (Delta shallow clone): the clone's commit 0
+        re-asserts the source's live groups, zone-map stats, deletion
+        vectors, log-owned schema, and CHECK constraints at ``version``,
+        referencing the source's immutable data files through recorded
+        base dirs — zero bytes copied at ANY table size.  From then on
+        the two logs evolve independently: the clone's appends, DML
+        deltas, and OPTIMIZE rewrites land in its OWN data dir (foreign
+        references simply drop out of its active set), its VACUUM only
+        ever lists its own dir so the source's bytes are untouchable,
+        and the source never observes the clone.  DVs transfer by
+        reference: positions are keyed on absolute file paths and the
+        clone scans the same physical files, so the anti-join masks
+        identically.  The source's bloom sidecars ride with their
+        immutable groups, so the clone's point lookups reuse them.
+
+        Caveat (same as Delta): the clone depends on the source's
+        bytes — a source VACUUM past the cloned version breaks the
+        clone's time travel to foreign groups."""
+        upto = self.latest_version() if version is None else version
+        if upto < 0:
+            raise ValueError(f"cannot clone empty table {self.root}")
+        active, stats, dvs = self._replay(upto)
+        schema = self.table_schema_json(upto)
+        cons = self.constraints(upto=upto)
+        dest = TxTable(dest_root)
+        if dest._versions():
+            raise ValueError(f"clone target {dest_root} is not empty")
+        commit = {
+            "version": 0,
+            "op": "clone",
+            "add": list(active),
+            "remove": [],
+            "committed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "committed_ts": time.time(),
+            "source": os.path.abspath(self.root),
+            "source_version": upto,
+            "bases": [os.path.abspath(self.data_dir), *self._base_dirs()],
+            "stats": {g: stats.get(g, {}) for g in active},
+        }
+        if dvs:
+            commit["re_add_dvs"] = [dict(d) for d in dvs]
+        if schema is not None:
+            commit["schema"] = schema
+        dest._publish(0, commit)
+        for i, name in enumerate(sorted(cons), start=1):
+            dest._try_commit(
+                "set_constraint",
+                [],
+                [],
+                i,
+                constraint={"name": name, "expr": cons[name]},
+            )
+        return dest
+
     def _publish(self, version: int, commit: dict) -> None:
         """Atomically claim ``version`` or raise :class:`CommitConflict`.
 
@@ -1404,7 +1507,7 @@ class TxTable:
         js = self.table_schema_json(upto)
         if js is None:
             return spark.read.parquet(
-                *[os.path.join(self.data_dir, g) for g in groups]
+                *[self._gpath(g) for g in groups]
             )
         sch = StructType.fromJson(js)
         phys = StructType(
@@ -1416,7 +1519,7 @@ class TxTable:
             ]
         )
         df = spark.read.schema(phys).parquet(
-            *[os.path.join(self.data_dir, g) for g in groups]
+            *[self._gpath(g) for g in groups]
         )
         if [f.name for f in phys.fields] == [f.name for f in sch.fields]:
             return df
@@ -1442,7 +1545,7 @@ class TxTable:
         if not dvs:
             return df
         pos = spark.read.parquet(
-            *[os.path.join(self.data_dir, d["group"]) for d in dvs]
+            *[self._gpath(d["group"]) for d in dvs]
         )
         tagged = df.select(
             "*",
@@ -1928,9 +2031,17 @@ class TxTable:
         column = self._physical_map(upto).get(column, column)
         todo: list[str] = []
         for g in self.active_groups(upto):
-            side = os.path.join(self.data_dir, g, f"_bloom_{column}.json")
-            if not os.path.exists(side):
-                todo.append(g)
+            gdir = self._gpath(g)
+            side = os.path.join(gdir, f"_bloom_{column}.json")
+            if os.path.exists(side):
+                continue  # already indexed (possibly by the clone source)
+            if not os.path.isdir(os.path.join(self.data_dir, g)):
+                # a shallow-cloned FOREIGN group: its dir belongs to the
+                # source, so the clone must not write sidecars there —
+                # OPTIMIZE rematerializes the group locally, after which
+                # it indexes like any other
+                continue
+            todo.append(g)
         if not todo:
             return 0
 
@@ -2080,9 +2191,7 @@ class TxTable:
         # renamed column keeps its index
         phys = self._physical_map(upto).get(column, column)
         for g in zone_kept:
-            side = os.path.join(
-                self.data_dir, g, f"_bloom_{phys}.json"
-            )
+            side = os.path.join(self._gpath(g), f"_bloom_{phys}.json")
             if not os.path.exists(side):
                 kept.append(g)
                 continue
@@ -2216,9 +2325,7 @@ class TxTable:
         active = self._replay(v)[0]
         if not active:
             return None
-        return spark.read.parquet(
-            os.path.join(self.data_dir, active[0])
-        ).schema
+        return spark.read.parquet(self._gpath(active[0])).schema
 
     @staticmethod
     def _align_to_schema(df: DataFrame, schema) -> DataFrame:
@@ -2314,9 +2421,7 @@ class TxTable:
             if c.get("dv"):
                 d = c["dv"]
                 covered = self._scan(spark, d.get("covers", []), v)
-                pos = spark.read.parquet(
-                    os.path.join(self.data_dir, d["group"])
-                )
+                pos = spark.read.parquet(self._gpath(d["group"]))
                 tagged = covered.select(
                     "*",
                     F.col("_metadata.file_path").alias("__fp"),

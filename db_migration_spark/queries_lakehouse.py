@@ -1472,6 +1472,104 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE (zero-copy CREATE TABLE ... CLONE)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_clone_store(spark: SparkSession, sf_dir: str):
+    """A shallow clone of the zonemap store (read-only on the source)
+    with independent DML layered on: DELETE the urgent rows, then append
+    a corrected copy (cents+10) derived from the clone's OWN time travel
+    to v0 (a read through the foreign references).  Returns
+    (source, clone); rebuilt if the source was rebuilt underneath (a
+    foreign group no longer resolves)."""
+    src = _ensure_zonemap_store(spark, sf_dir)
+    root = _fx(sf_dir, "txlog_clone_orders")
+    done = os.path.join(root, "_BUILD_DONE")
+    if os.path.exists(done):
+        t = TxTable(root)
+        c0 = t._read_commit(0)
+        if all(os.path.isdir(t._gpath(g)) for g in c0["add"]):
+            return src, t
+        shutil.rmtree(root, ignore_errors=True)  # stale clone
+    elif os.path.isdir(root):
+        shutil.rmtree(root, ignore_errors=True)  # partial build
+    t = src.clone_shallow(root)
+    corrected = (
+        t.read(spark, 0)
+        .filter(F.col("prio") == "1-URGENT")
+        .withColumn("cents", F.col("cents") + F.lit(10))
+    )
+    t.delete_where(spark, "prio = '1-URGENT'")
+    t.commit_append(corrected)
+    with open(done, "w"):
+        pass
+    return src, t
+
+
+def q_txlog_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (plans/txlog.py ``clone_shallow``): the
+    clone's commit 0 re-asserts the source's groups/stats/DVs/schema by
+    REFERENCE — no bytes copied at any table size — and the two logs
+    then evolve independently.  The declared row compares, per year,
+    the SOURCE's aggregates re-read AFTER the clone's DML (isolation:
+    a leak changes src_cents and goes hash-red) against the CLONE's
+    aggregates after its delete-urgent + corrected re-append
+    (clone_cents = src_cents + 10 per urgent order), plus a
+    ``clone_zero_copy`` boolean recomputed every call from commit 0
+    (TRUE iff none of the cloned group references physically exist in
+    the clone's own data dir).
+
+    At 100 TB this is how a team forks a production table for an
+    experiment in O(metadata): Delta's CREATE TABLE ... SHALLOW CLONE
+    semantics, including DV transfer by file-path reference and reuse
+    of the source's bloom sidecars."""
+    src, cl = _ensure_clone_store(spark, sf_dir)
+    c0 = cl._read_commit(0)
+    n_local = sum(
+        os.path.isdir(os.path.join(cl.data_dir, g)) for g in c0["add"]
+    )
+    s = (
+        src.read(spark)
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("src_n"),
+            F.sum("cents").alias("src_cents"),
+        )
+    )
+    c = (
+        cl.read(spark)
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("clone_n"),
+            F.sum("cents").alias("clone_cents"),
+        )
+    )
+    return s.join(c, "yr").withColumn(
+        "clone_zero_copy", F.lit(n_local == 0)
+    )
+
+
+ORACLE_SHALLOW_CLONE = """
+WITH src AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT yr,
+       count(*) AS src_n,
+       CAST(sum(cents) AS BIGINT) AS src_cents,
+       count(*) AS clone_n,
+       CAST(sum(cents)
+            + 10 * count(CASE WHEN prio = '1-URGENT' THEN 1 END)
+            AS BIGINT) AS clone_cents,
+       TRUE AS clone_zero_copy
+FROM src
+GROUP BY yr
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -1507,3 +1605,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_describe_history"] = ORACLE_DESCRIBE_HISTORY
     queries["ann_ivf_pruned_store"] = q_ann_ivf_pruned_store
     oracles["ann_ivf_pruned_store"] = ORACLE_ANN_IVF_PRUNED
+    queries["txlog_shallow_clone"] = q_txlog_shallow_clone
+    oracles["txlog_shallow_clone"] = ORACLE_SHALLOW_CLONE

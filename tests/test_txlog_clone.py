@@ -1,0 +1,165 @@
+"""SHALLOW CLONE (plans/txlog.py clone_shallow/_gpath): zero-copy
+semantics, bidirectional isolation, DV transfer by reference, sidecar
+reuse, transitive clone-of-clone resolution, and vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_migration_spark.plans.txlog import TxTable
+
+
+def _mk_source(spark, root: str) -> TxTable:
+    t = TxTable(root)
+    t.commit_append(
+        spark.range(100).select(
+            F.col("id"), (F.col("id") % 5).alias("k")
+        )
+    )
+    t.delete_where(spark, "id >= 90")  # live DV
+    t.commit_append(
+        spark.range(100, 120).select(
+            F.col("id"), (F.col("id") % 5).alias("k")
+        )
+    )
+    return t
+
+
+def test_clone_is_zero_copy_and_reads_identically(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    # no data group physically copied
+    c0 = cl._read_commit(0)
+    assert c0["op"] == "clone"
+    assert not any(
+        os.path.isdir(os.path.join(cl.data_dir, g)) for g in c0["add"]
+    )
+    # content identical, including the DV mask (by file-path reference)
+    assert cl.read(spark).count() == src.read(spark).count() == 110
+    assert (
+        sorted(r.id for r in cl.read(spark).collect())
+        == sorted(r.id for r in src.read(spark).collect())
+    )
+    # metadata-only COUNT works from the cloned stats + DV cardinality
+    assert cl.count_rows(spark) == 110
+
+
+def test_clone_isolation_both_directions(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    cl.delete_where(spark, "id < 10")
+    cl.commit_append(
+        spark.range(200, 205).select(
+            F.col("id"), (F.col("id") % 5).alias("k")
+        )
+    )
+    assert cl.read(spark).count() == 105
+    assert src.read(spark).count() == 110  # clone DML invisible to source
+    src.delete_where(spark, "id = 50")
+    assert src.read(spark).count() == 109
+    assert cl.read(spark).count() == 105  # source DML invisible to clone
+
+
+def test_clone_version_as_of_and_time_travel(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    v1 = 1  # after first append + delete
+    cl = src.clone_shallow(str(tmp_path / "cl"), version=v1)
+    assert cl.read(spark).count() == 90  # pre-second-append state
+    cl.commit_append(spark.range(300, 310).select(F.col("id"), (F.col("id") % 5).alias("k")))
+    assert cl.read(spark).count() == 100
+    assert cl.read(spark, 0).count() == 90  # clone's own v0 = cloned state
+
+
+def test_clone_of_clone_transitive_bases(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    a = src.clone_shallow(str(tmp_path / "a"))
+    a.commit_append(
+        spark.range(500, 510).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    )
+    b = a.clone_shallow(str(tmp_path / "b"))
+    # b resolves src-owned groups AND a-owned groups
+    assert b.read(spark).count() == 120
+    bases = b._base_dirs()
+    assert os.path.abspath(a.data_dir) == bases[0]
+    assert os.path.abspath(src.data_dir) in bases
+
+
+def test_clone_optimize_rematerializes_locally(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    cl.optimize(spark, target_groups=1)
+    assert cl.read(spark).count() == 110
+    # all live groups now local; foreign refs dropped from the active set
+    for g in cl.active_groups():
+        assert os.path.isdir(os.path.join(cl.data_dir, g))
+
+
+def test_clone_vacuum_never_touches_source_bytes(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    cl.optimize(spark, target_groups=1)
+    before = set(os.listdir(src.data_dir))
+    cl.vacuum(min_age_seconds=0.0)
+    assert set(os.listdir(src.data_dir)) == before
+    assert cl.read(spark).count() == 110
+    assert src.read(spark).count() == 110
+
+
+def test_clone_reuses_source_bloom_sidecars(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    assert src.add_bloom_index(spark, "id") > 0
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    kept, total = cl.prune_groups_point(spark, "id", 5)
+    assert total >= 2 and len(kept) < total  # sidecar actually pruned
+    got = cl.read_point(spark, "id", 5).collect()
+    assert [r.id for r in got] == [5]
+
+
+def test_clone_bloom_build_skips_foreign_groups(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    # no sidecars anywhere: the clone must NOT write into the source dir
+    assert cl.add_bloom_index(spark, "id") == 0
+    for g in cl.active_groups():
+        assert not os.path.exists(
+            os.path.join(cl._gpath(g), "_bloom_id.json")
+        )
+    # point lookup stays correct (conservative keep-all)
+    assert [r.id for r in cl.read_point(spark, "id", 7).collect()] == [7]
+
+
+def test_clone_carries_schema_and_constraints(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    src.add_constraint(spark, "k_range", "k BETWEEN 0 AND 4")
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    assert cl.constraints() == {"k_range": "k BETWEEN 0 AND 4"}
+    from db_migration_spark.plans.txlog import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        cl.commit_append(
+            spark.range(1).select(F.col("id"), F.lit(99).alias("k"))
+        )
+    sch = cl.read_schema(spark)
+    assert [f.name for f in sch.fields] == ["id", "k"]
+
+
+def test_clone_requires_empty_target_and_nonempty_source(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    with pytest.raises(ValueError):
+        src.clone_shallow(str(tmp_path / "cl"))  # target not empty
+    empty = TxTable(str(tmp_path / "empty"))
+    with pytest.raises(ValueError):
+        empty.clone_shallow(str(tmp_path / "cl2"))
+
+
+def test_clone_cdf_reads_foreign_dv_positions(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    cl.delete_where(spark, "id = 3")
+    feed = cl.read_changes(spark, 0)
+    dels = feed.filter(F.col("_change_op") == "delete").collect()
+    assert [r.id for r in dels] == [3]
