@@ -111,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=(
             "optimize", "checkpoint", "vacuum", "history", "restore",
             "rename-column", "drop-column", "bloom-index", "partitions",
+            "clone",
         ),
         required=True,
     )
@@ -133,7 +134,11 @@ def main(argv: list[str] | None = None) -> int:
         "--to-version",
         type=int,
         default=None,
-        help="target version for restore",
+        help="target version for restore, or source version for clone",
+    )
+    sp.add_argument(
+        "--to-table", default=None,
+        help="clone: destination table root (must be empty)",
     )
     sp.add_argument(
         "--cluster-by",
@@ -279,6 +284,17 @@ def main(argv: list[str] | None = None) -> int:
             out["groups_indexed"] = t.add_bloom_index(
                 spark, args.column, bits_per_key=args.bits_per_key
             )
+        elif args.action == "clone":
+            # CREATE TABLE ... SHALLOW CLONE [VERSION AS OF v]: a
+            # metadata-only fork — zero data bytes copied at any size
+            if not args.to_table:
+                raise SystemExit("clone requires --to-table")
+            dest = t.clone_shallow(args.to_table, version=args.to_version)
+            c0 = dest._read_commit(0)
+            out["to_table"] = args.to_table
+            out["source_version"] = c0["source_version"]
+            out["groups_referenced"] = len(c0["add"])
+            out["bytes_copied"] = 0
         elif args.action == "partitions":
             if not args.column:
                 raise SystemExit("partitions requires --column")

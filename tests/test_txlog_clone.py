@@ -163,3 +163,27 @@ def test_clone_cdf_reads_foreign_dv_positions(spark, tmp_path):
     feed = cl.read_changes(spark, 0)
     dels = feed.filter(F.col("_change_op") == "delete").collect()
     assert [r.id for r in dels] == [3]
+
+
+def test_cli_clone_front_door(spark, tmp_path):
+    """table-maintain --action clone, driven as a subprocess."""
+    import json
+    import subprocess
+    import sys
+
+    src = _mk_source(spark, str(tmp_path / "src"))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "db_migration_spark.cli",
+            "table-maintain", "--table", str(tmp_path / "src"),
+            "--action", "clone", "--to-table", str(tmp_path / "cl"),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["bytes_copied"] == 0
+    assert out["source_version"] == src.latest_version()
+    assert out["groups_referenced"] == len(src.active_groups())
+    cl = TxTable(str(tmp_path / "cl"))
+    assert cl.read(spark).count() == 110
