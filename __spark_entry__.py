@@ -61,8 +61,10 @@ FLAGSHIP_ORDER = [
     # --- (b) streaming stateful tail ---
     "stream_cms",
     "stream_chained_stateful",
-    "stream_topk_per_window",
-    "stream_merge_upsert",
+    # (stream_topk_per_window / stream_merge_upsert defer one round —
+    #  their slots certify the new mergeable QUANTILE sketch family)
+    "sketch_quantile_rollup",
+    "sketch_quantile_merge_total",
     # --- (c) geo family ---
     "geo_cell_density",
     "geo_nn_radius",

@@ -308,6 +308,8 @@ FULL_SUITE = [
     "search_hybrid_rrf",
     "search_dirichlet_lm",
     "txlog_shallow_clone",
+    "sketch_quantile_rollup",
+    "sketch_quantile_merge_total",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

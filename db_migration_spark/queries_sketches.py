@@ -23,7 +23,7 @@ azanium core.clj:1-80); extends SURVEY §2.4's aggregate tier.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -1058,6 +1058,199 @@ ORDER BY g.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# mergeable QUANTILE sketch (exact-integer log bins — functions/qsketch.py)
+# ---------------------------------------------------------------------------
+
+_Q_NAMES = [("p50_est", 0.50), ("p90_est", 0.90), ("p99_est", 0.99)]
+_Q_BOUND = 0.07  # bin midpoint is within 6.25% of the true order stat
+
+
+def _cents_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def _qsketch_result(
+    spark: SparkSession, sf_dir: str, dims: list[str]
+) -> DataFrame:
+    """Shared shape for the quantile-sketch queries: build the bin
+    rollup at (dims…, month), merge to ``dims``, then emit per group
+    the rollup digest (hash-gated exactly — merge associativity proof),
+    the midpoint quantile estimates (ALSO hash-gated exactly: the
+    midpoint is exact IEEE arithmetic in both engines), and error-bound
+    booleans against the true order statistics at the same ceil(q·n)
+    rank rule the estimator uses."""
+    from .functions.qsketch import (
+        logbin_merge,
+        logbin_quantiles,
+        logbin_table,
+    )
+
+    src = _cents_src(spark, sf_dir)
+    fine = logbin_table(src, [*dims, "mo"], "cents")
+    merged = logbin_merge(fine, dims)
+    agg = merged.groupBy(*dims).agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.col("bin") * F.col("cnt")).alias("digest"),
+    )
+    est = logbin_quantiles(merged, dims, _Q_NAMES)
+
+    wn = Window.partitionBy(*dims) if dims else Window.partitionBy()
+    rk = src.select(
+        *dims,
+        "cents",
+        F.row_number().over(wn.orderBy("cents")).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = rk.groupBy(*dims).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rk") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.col("cents"),
+                )
+            ).alias(name.replace("_est", "_exact"))
+            for name, q in _Q_NAMES
+        ]
+    )
+    joined = (
+        agg.join(est, dims) if dims else agg.crossJoin(F.broadcast(est))
+    )
+    joined = (
+        joined.join(exact, dims)
+        if dims
+        else joined.crossJoin(F.broadcast(exact))
+    )
+    return joined.select(
+        *dims,
+        "n_rows",
+        "n_bins",
+        "digest",
+        *[F.col(name) for name, _ in _Q_NAMES],
+        *[
+            (
+                F.abs(
+                    F.col(name) / F.col(name.replace("_est", "_exact"))
+                    - 1.0
+                )
+                <= F.lit(_Q_BOUND)
+            ).alias(name.replace("_est", "_ok"))
+            for name, _ in _Q_NAMES
+        ],
+    )
+
+
+def q_sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-value quantiles from the mergeable log-bin
+    rollup (functions/qsketch.py): Spark builds at MONTH granularity
+    and merges to priority; the oracle bins directly at priority — the
+    bit-equal ``digest`` proves count-merge associativity across
+    granularities AND engines, and even the p50/p90/p99 midpoint
+    ESTIMATES hash-compare exactly (pure power-of-two IEEE
+    arithmetic).  ``*_ok`` pins the ≤6.25% relative-error contract
+    against true order statistics at the same rank rule."""
+    return _qsketch_result(spark, sf_dir, ["seg"]).orderBy("seg")
+
+
+def q_sketch_quantile_merge_total(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global quantiles through a TWO-level merge (month bins → global)
+    vs the oracle's direct global build — digest equality is the
+    associativity proof that makes incremental per-partition quantile
+    rollups safe to fold at 100 TB."""
+    return _qsketch_result(spark, sf_dir, [])
+
+
+from .functions.qsketch import oracle_bin_sql, oracle_midpoint_sql  # noqa: E402
+
+_QB = oracle_bin_sql("cents")
+_ORACLE_Q_CTES = f"""
+src AS (
+  SELECT o_orderpriority AS seg,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)"""
+
+
+def _oracle_qsketch(dims_sql: str) -> str:
+    """dims_sql: 'seg' or '' — the group-by key list."""
+    key = dims_sql
+    sel = f"{key}, " if key else ""
+    part = f"PARTITION BY {key}" if key else ""
+    grp = f"GROUP BY {key}" if key else ""
+    mids = {
+        name: oracle_midpoint_sql(f"b{name[1:3]}")
+        for name, _ in _Q_NAMES
+    }
+    return f"""
+WITH {_ORACLE_Q_CTES},
+b AS (
+  SELECT {sel}{_QB} AS bin, count(*) AS cnt
+  FROM src GROUP BY {key + ", " if key else ""}bin
+),
+agg AS (
+  SELECT {sel}CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_bins,
+         CAST(sum(bin * cnt) AS BIGINT) AS digest
+  FROM b {grp}
+),
+cum AS (
+  SELECT {sel}bin,
+         sum(cnt) OVER ({part} ORDER BY bin) AS cum,
+         sum(cnt) OVER ({part}) AS n
+  FROM b
+),
+qb AS (
+  SELECT {sel}
+         min(CASE WHEN cum >= ceiling(0.50 * n) THEN bin END) AS b50,
+         min(CASE WHEN cum >= ceiling(0.90 * n) THEN bin END) AS b90,
+         min(CASE WHEN cum >= ceiling(0.99 * n) THEN bin END) AS b99
+  FROM cum {grp}
+),
+est AS (
+  SELECT {sel}
+         {mids["p50_est"]} AS p50_est,
+         {mids["p90_est"]} AS p90_est,
+         {mids["p99_est"]} AS p99_est
+  FROM qb
+),
+rk AS (
+  SELECT {sel}cents,
+         row_number() OVER ({part} ORDER BY cents) AS rk,
+         count(*) OVER ({part}) AS n
+  FROM src
+),
+ex AS (
+  SELECT {sel}
+         min(CASE WHEN rk >= ceiling(0.50 * n) THEN cents END) AS x50,
+         min(CASE WHEN rk >= ceiling(0.90 * n) THEN cents END) AS x90,
+         min(CASE WHEN rk >= ceiling(0.99 * n) THEN cents END) AS x99
+  FROM rk {grp}
+)
+SELECT {("agg." + key + ", ") if key else ""}n_rows, n_bins, digest,
+       p50_est, p90_est, p99_est,
+       abs(p50_est / x50 - 1.0) <= {_Q_BOUND} AS p50_ok,
+       abs(p90_est / x90 - 1.0) <= {_Q_BOUND} AS p90_ok,
+       abs(p99_est / x99 - 1.0) <= {_Q_BOUND} AS p99_ok
+FROM agg
+{f"JOIN est USING ({key}) JOIN ex USING ({key})" if key
+ else "CROSS JOIN est CROSS JOIN ex"}
+{f"ORDER BY agg.{key}" if key else ""}
+"""
+
+
+ORACLE_QUANTILE_ROLLUP = _oracle_qsketch("seg")
+ORACLE_QUANTILE_MERGE_TOTAL = _oracle_qsketch("")
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1070,6 +1263,8 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_theta_diff": q_sketch_theta_diff,
             "stream_theta_mv": q_stream_theta_mv,
             "sample_aqp_revenue": q_sample_aqp_revenue,
+            "sketch_quantile_rollup": q_sketch_quantile_rollup,
+            "sketch_quantile_merge_total": q_sketch_quantile_merge_total,
         }
     )
     oracles.update(
@@ -1083,5 +1278,7 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_theta_diff": ORACLE_THETA_DIFF,
             "stream_theta_mv": ORACLE_STREAM_THETA_MV,
             "sample_aqp_revenue": ORACLE_SAMPLE_AQP,
+            "sketch_quantile_rollup": ORACLE_QUANTILE_ROLLUP,
+            "sketch_quantile_merge_total": ORACLE_QUANTILE_MERGE_TOTAL,
         }
     )
