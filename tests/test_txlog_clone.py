@@ -187,3 +187,55 @@ def test_cli_clone_front_door(spark, tmp_path):
     assert out["groups_referenced"] == len(src.active_groups())
     cl = TxTable(str(tmp_path / "cl"))
     assert cl.read(spark).count() == 110
+
+
+def test_clone_under_concurrent_writers_is_consistent_snapshot(
+    spark, tmp_path
+):
+    """Clones taken WHILE writers race must each equal the source's
+    state at their recorded source_version — the snapshot-isolation
+    contract commit-pinning gives for free, verified under fire."""
+    import threading
+
+    src = TxTable(str(tmp_path / "src"))
+    src.commit_append(
+        spark.range(50).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    )
+    stop = threading.Event()
+    errs: list[Exception] = []
+
+    def writer(i: int) -> None:
+        lo = 1000 * (i + 1)
+        n = 0
+        while not stop.is_set() and n < 6:
+            try:
+                src.commit_append(
+                    spark.range(lo + n * 10, lo + n * 10 + 10).select(
+                        F.col("id"), (F.col("id") % 5).alias("k")
+                    )
+                )
+                if n % 3 == 2:
+                    src.delete_where(
+                        spark, f"id = {lo + n * 10}", max_retries=30
+                    )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+                return
+            n += 1
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    clones = []
+    for j in range(4):
+        clones.append(src.clone_shallow(str(tmp_path / f"cl{j}")))
+    for t in threads:
+        t.join()
+    stop.set()
+    assert not errs, errs
+    for cl in clones:
+        v = cl._read_commit(0)["source_version"]
+        assert (
+            sorted(r.id for r in cl.read(spark).collect())
+            == sorted(r.id for r in src.read(spark, v).collect())
+        )
