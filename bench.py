@@ -310,6 +310,7 @@ FULL_SUITE = [
     "txlog_shallow_clone",
     "sketch_quantile_rollup",
     "sketch_quantile_merge_total",
+    "stream_quantile_mv",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -1147,6 +1147,150 @@ def _qsketch_result(
     )
 
 
+def _ensure_stream_quantile_mv(spark: SparkSession, sf_dir: str):
+    """Streaming quantile materialized view: each micro-batch bins its
+    rows (exact-integer log bins over value-cents) and folds the
+    (event_type, bin, cnt) table into a txlog MV via the serializable
+    ``merge`` primitive with a per-batch txn identity.  Count-SUM is
+    associative, so the MV after any number of batches equals a
+    full-rescan bin build — the oracle's exact recomputation.  Batch 0
+    is adversarially replayed after the drain (must be a txn no-op).
+
+    At 100 TB: per-batch work is one map-side-combinable aggregate
+    over the batch plus a rewrite of a <= dims x 416-row table (KBs);
+    raw data is never re-read."""
+    import os
+    import shutil
+
+    from .functions.qsketch import logbin_merge, logbin_table
+    from .plans.txlog import TxTable
+    from .queries_e2e import _fx
+    from .queries_streaming import _events_stream
+
+    root = _fx(sf_dir, "txlog_stream_quantile_mv")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+
+    def _cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+
+    events = _events_stream(spark, sf_dir).select("event_type", "value")
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        bins = logbin_table(_cents(bdf), ["event_type"], "cents")
+        mv = TxTable(root)
+
+        def fold(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return bins
+            return logbin_merge(
+                current.unionByName(bins), ["event_type"]
+            )
+
+        mv.merge(bdf.sparkSession, fold, txn=("qsk_mv", batch_id))
+
+    q = (
+        events.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("quantile mv stream drain did not finish")
+    before = t.latest_version()
+    replay = _cents(
+        load_table(spark, sf_dir, "events").limit(500)
+    )
+
+    def clobber(current):
+        from .functions.qsketch import logbin_table as _lt
+
+        return _lt(replay, ["event_type"], "cents")
+
+    t.merge(spark, clobber, txn=("qsk_mv", 0))
+    assert t.latest_version() == before, "replayed batch must not commit"
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_stream_quantile_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles read from the STREAMED bin MV —
+    never from raw events.  The oracle bins the events table directly,
+    so the hash-gated digest proves the incremental count-merges
+    converged to exactly the full-rescan bins AND the sink was
+    exactly-once (a dropped or double-applied batch changes the
+    digest); the midpoint estimates also hash-compare exactly."""
+    from .functions.qsketch import logbin_quantiles
+
+    t = _ensure_stream_quantile_mv(spark, sf_dir)
+    merged = t.read(spark)
+    agg = merged.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.col("bin") * F.col("cnt")).alias("digest"),
+    )
+    est = logbin_quantiles(merged, ["event_type"], _Q_NAMES)
+    wn = Window.partitionBy("event_type")
+    src = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    rk = src.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wn.orderBy("cents")).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = rk.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rk") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.col("cents"),
+                )
+            ).alias(name.replace("_est", "_exact"))
+            for name, q in _Q_NAMES
+        ]
+    )
+    return (
+        agg.join(est, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "n_bins",
+            "digest",
+            *[F.col(name) for name, _ in _Q_NAMES],
+            *[
+                (
+                    F.abs(
+                        F.col(name)
+                        / F.col(name.replace("_est", "_exact"))
+                        - 1.0
+                    )
+                    <= F.lit(_Q_BOUND)
+                ).alias(name.replace("_est", "_ok"))
+                for name, _ in _Q_NAMES
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority order-value quantiles from the mergeable log-bin
     rollup (functions/qsketch.py): Spark builds at MONTH granularity
@@ -1180,8 +1324,9 @@ src AS (
 )"""
 
 
-def _oracle_qsketch(dims_sql: str) -> str:
-    """dims_sql: 'seg' or '' — the group-by key list."""
+def _oracle_qsketch(dims_sql: str, src_cte: str | None = None) -> str:
+    """dims_sql: 'seg' or '' — the group-by key list; src_cte overrides
+    the orders-cents source (must emit the key column + ``cents``)."""
     key = dims_sql
     sel = f"{key}, " if key else ""
     part = f"PARTITION BY {key}" if key else ""
@@ -1191,7 +1336,7 @@ def _oracle_qsketch(dims_sql: str) -> str:
         for name, _ in _Q_NAMES
     }
     return f"""
-WITH {_ORACLE_Q_CTES},
+WITH {src_cte if src_cte is not None else _ORACLE_Q_CTES},
 b AS (
   SELECT {sel}{_QB} AS bin, count(*) AS cnt
   FROM src GROUP BY {key + ", " if key else ""}bin
@@ -1249,6 +1394,14 @@ FROM agg
 
 ORACLE_QUANTILE_ROLLUP = _oracle_qsketch("seg")
 ORACLE_QUANTILE_MERGE_TOTAL = _oracle_qsketch("")
+ORACLE_STREAM_QUANTILE_MV = _oracle_qsketch(
+    "event_type",
+    """src AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)""",
+)
 
 
 def register(queries: dict, oracles: dict) -> None:
@@ -1265,6 +1418,7 @@ def register(queries: dict, oracles: dict) -> None:
             "sample_aqp_revenue": q_sample_aqp_revenue,
             "sketch_quantile_rollup": q_sketch_quantile_rollup,
             "sketch_quantile_merge_total": q_sketch_quantile_merge_total,
+            "stream_quantile_mv": q_stream_quantile_mv,
         }
     )
     oracles.update(
@@ -1280,5 +1434,6 @@ def register(queries: dict, oracles: dict) -> None:
             "sample_aqp_revenue": ORACLE_SAMPLE_AQP,
             "sketch_quantile_rollup": ORACLE_QUANTILE_ROLLUP,
             "sketch_quantile_merge_total": ORACLE_QUANTILE_MERGE_TOTAL,
+            "stream_quantile_mv": ORACLE_STREAM_QUANTILE_MV,
         }
     )
