@@ -208,6 +208,30 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--output", required=True)
 
     sp = sub.add_parser(
+        "quantile-rollup",
+        help="mergeable quantile sketch (functions/qsketch.py): build "
+        "an exact-integer log-bin (dims…, bin, cnt) rollup from a "
+        "parquet source, or estimate quantiles from a rollup at any "
+        "dimension subset — never re-reading raw data",
+    )
+    sp.add_argument("--action", choices=("build", "estimate"), required=True)
+    sp.add_argument("--input", required=True, help="parquet path")
+    sp.add_argument(
+        "--key", default=None,
+        help="build: positive-integer value column to bin",
+    )
+    sp.add_argument(
+        "--dims", default="",
+        help="comma-separated dimension columns (estimate may merge to "
+        "any subset of the rollup's build dims)",
+    )
+    sp.add_argument(
+        "--quantiles", default="0.5,0.9,0.99",
+        help="estimate: comma-separated q values in (0,1)",
+    )
+    sp.add_argument("--output", default=None, help="build: rollup dir")
+
+    sp = sub.add_parser(
         "corpus-prep",
         help="training-corpus pipeline: quality gate -> exact dedup "
         "survivors -> pack manifest over a documents table",
@@ -354,6 +378,53 @@ def main(argv: list[str] | None = None) -> int:
         rows = [r.asDict() for r in est.orderBy(*dims).collect()] if dims \
             else [est.collect()[0].asDict()]
         print(json.dumps({"action": "estimate", "dims": dims, "rows": rows}))
+        return 0
+
+    if args.cmd == "quantile-rollup":
+        # quantile questions at any dimension subset from a bounded
+        # (dims…, bin, cnt) table — the merge is a plain count SUM
+        from .functions.qsketch import (
+            logbin_merge,
+            logbin_quantiles,
+            logbin_table,
+        )
+
+        spark = get_spark("quantile-rollup")
+        dims = [c for c in args.dims.split(",") if c]
+        df = spark.read.parquet(args.input)
+        if args.action == "build":
+            if not (args.key and args.output):
+                raise SystemExit("build requires --key and --output")
+            tbl = logbin_table(df, dims, args.key)
+            tbl.write.mode("overwrite").parquet(args.output)
+            print(
+                json.dumps(
+                    {
+                        "action": "build",
+                        "output": args.output,
+                        "rollup_rows": tbl.count(),
+                        "dims": dims,
+                    }
+                )
+            )
+            return 0
+        qs = [
+            (f"p{q.strip().replace('0.', '').rstrip('0') or '5'}",
+             float(q))
+            for q in args.quantiles.split(",")
+            if q.strip()
+        ]
+        est = logbin_quantiles(logbin_merge(df, dims), dims, qs)
+        rows = (
+            [r.asDict() for r in est.orderBy(*dims).collect()]
+            if dims
+            else [est.collect()[0].asDict()]
+        )
+        print(
+            json.dumps(
+                {"action": "estimate", "dims": dims, "rows": rows}
+            )
+        )
         return 0
 
     if args.cmd == "theta-sketch":

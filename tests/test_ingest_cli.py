@@ -220,3 +220,51 @@ def test_cli_theta_sketch_and_det_sample(tmp_path):
     assert s["rows_in"] == 1500
     # 1/4 of 1500 ± 4σ
     assert abs(s["rows_out"] - 375) <= 4 * (1500 * 0.25 * 0.75) ** 0.5
+
+
+def test_cli_quantile_rollup(tmp_path):
+    """quantile-rollup build + estimate as subprocesses over the
+    sf0.001 orders fixture; rollup must be bounded and the p50/p90
+    estimates within the 6.25% contract of DuckDB's exact order
+    statistics at the same ceil(q*n) rank."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    roll = tmp_path / "qroll"
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "db_migration_spark.cli",
+             "quantile-rollup", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    # build over a cents projection: write it first via duckdb
+    src = tmp_path / "cents.parquet"
+    duckdb.connect().execute(
+        "COPY (SELECT o_orderpriority AS seg, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM '/root/testdata/sf0.001/orders.parquet') "
+        f"TO '{src}' (FORMAT PARQUET)"
+    )
+    built = run("--action", "build", "--input", str(src),
+                "--key", "cents", "--dims", "seg", "--output", str(roll))
+    assert 0 < built["rollup_rows"] <= 5 * 8 * 52
+    est = run("--action", "estimate", "--input", str(roll),
+              "--dims", "seg", "--quantiles", "0.5,0.9")
+    assert len(est["rows"]) == 5
+    exact = dict(
+        duckdb.connect().execute(
+            "SELECT seg, min(CASE WHEN rk >= ceiling(0.5 * n) THEN cents "
+            "END) FROM (SELECT seg, cents, row_number() OVER ("
+            "PARTITION BY seg ORDER BY cents) AS rk, count(*) OVER ("
+            f"PARTITION BY seg) AS n FROM '{src}') GROUP BY seg"
+        ).fetchall()
+    )
+    for r in est["rows"]:
+        assert abs(r["p5"] / exact[r["seg"]] - 1.0) <= 0.0626, r
