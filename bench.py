@@ -304,6 +304,7 @@ FULL_SUITE = [
     "sample_deterministic",
     "sample_aqp_revenue",
     "search_bm25_topk",
+    "search_bm25_indexed",
     "search_inverted_postings",
     "search_hybrid_rrf",
     "search_dirichlet_lm",

@@ -135,3 +135,18 @@ def test_postings_plan_partial_aggregation(spark):
     plan = _plan(spark, "search_inverted_postings")
     assert "partial_count" in plan or "partial count" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_indexed_equals_from_scratch(spark):
+    a = {(r.query_id, r.rank): (r.doc_id, r.score)
+         for r in _rows(spark, "search_bm25_topk")}
+    b = {(r.query_id, r.rank): (r.doc_id, r.score)
+         for r in _rows(spark, "search_bm25_indexed")}
+    assert a == b  # index serving must equal from-scratch scoring
+
+
+def test_bm25_indexed_pushes_term_in_filter(spark):
+    plan = _plan(spark, "search_bm25_indexed")
+    assert "In(term, [" in plan  # probe-term list reaches the scan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
