@@ -312,6 +312,7 @@ FULL_SUITE = [
     "sketch_quantile_rollup",
     "sketch_quantile_merge_total",
     "stream_quantile_mv",
+    "txlog_rtbf_erasure",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

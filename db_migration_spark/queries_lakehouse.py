@@ -1473,6 +1473,126 @@ FROM ranked WHERE rank <= 10
 
 
 # ---------------------------------------------------------------------------
+# right-to-be-forgotten: DV delete -> rewrite -> physical vacuum
+# ---------------------------------------------------------------------------
+
+
+def _ensure_rtbf_store(spark: SparkSession, sf_dir: str):
+    """GDPR-erasure fixture: a txlog store of orders rows goes through
+    the full forget pipeline for one subject (the minimum custkey) —
+    (1) ``delete_where`` masks the subject's rows with a positional DV
+    (instant, O(rows deleted)); (2) ``optimize`` rewrites the LIVE rows
+    only, reading through the DV, so the new files never contain the
+    subject; (3) ``vacuum(retain 0)`` physically deletes the original
+    group files that still carried the bytes.  Returns
+    (table, subject, n_deleted_groups, old_version_raises)."""
+    import json as _json
+
+    root = _fx(sf_dir, "txlog_rtbf_orders")
+    done = os.path.join(root, "_BUILD_DONE")
+    meta = os.path.join(root, "_META.json")
+    if os.path.exists(done):
+        with open(meta) as fh:
+            m = _json.load(fh)
+        return TxTable(root), m["subject"], m["deleted"], m["raises"]
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    subject = orders.agg(F.min("o_custkey")).collect()[0][0]
+    # two appends so the subject's rows span multiple file groups
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    pre_groups = set(t.active_groups())
+    t.delete_where(spark, f"o_custkey = {subject}")
+    t.optimize(spark, target_groups=2)  # rewrite reads THROUGH the DV
+    deleted = t.vacuum(retain_versions=0, min_age_seconds=0.0)
+    # the pre-erasure layout must be physically gone, not just masked
+    raises = False
+    try:
+        t.read(spark, 1).count()
+    except Exception:
+        raises = True
+    with open(meta, "w") as fh:
+        _json.dump(
+            {
+                "subject": int(subject),
+                "deleted": len(set(deleted) & pre_groups),
+                "raises": bool(raises),
+            },
+            fh,
+        )
+    with open(done, "w"):
+        pass
+    return t, int(subject), len(set(deleted) & pre_groups), raises
+
+
+def q_txlog_rtbf_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, end to end and PHYSICAL: the declared row
+    carries the subject's pre-erasure order count (oracle-recomputed),
+    the post-erasure live count for the subject (must be 0) and for
+    everyone else (must be untouched), whether the subject's original
+    file groups were physically vacuumed, and whether time travel to
+    the pre-erasure version now RAISES (the bytes are gone — Delta's
+    VACUUM-beyond-retention contract).  A DV alone is a mask, not an
+    erasure; this gates the full delete -> rewrite-through-DV ->
+    vacuum pipeline.  At 100 TB the cost is O(subject rows) for the
+    DV + one compaction of the affected groups — never a table scan
+    per request when requests batch."""
+    t, subject, n_deleted_groups, raises = _ensure_rtbf_store(
+        spark, sf_dir
+    )
+    live = t.read(spark)
+    agg = live.agg(
+        F.sum(
+            F.when(F.col("o_custkey") == subject, 1).otherwise(0)
+        ).alias("subject_rows_live"),
+        F.count(F.lit(1)).alias("other_rows_live"),
+    )
+    pre = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.sum(
+                F.when(F.col("o_custkey") == subject, 1).otherwise(0)
+            ).alias("subject_rows_before"),
+            F.count(F.lit(1)).alias("total_rows_before"),
+        )
+    )
+    return (
+        pre.crossJoin(F.broadcast(agg))
+        .select(
+            F.lit(subject).cast("long").alias("subject"),
+            F.col("subject_rows_before").cast("long").alias("subject_rows_before"),
+            F.col("subject_rows_live").cast("long").alias("subject_rows_live"),
+            (
+                F.col("other_rows_live")
+                == F.col("total_rows_before") - F.col("subject_rows_before")
+            ).alias("others_untouched"),
+            F.lit(n_deleted_groups > 0).alias("bytes_physically_deleted"),
+            F.lit(raises).alias("pre_erasure_version_unreadable"),
+        )
+    )
+
+
+ORACLE_RTBF = """
+WITH s AS (SELECT min(o_custkey) AS subject FROM orders)
+SELECT CAST(subject AS BIGINT) AS subject,
+       CAST((SELECT count(*) FROM orders WHERE o_custkey = subject)
+            AS BIGINT) AS subject_rows_before,
+       CAST(0 AS BIGINT) AS subject_rows_live,
+       TRUE AS others_untouched,
+       TRUE AS bytes_physically_deleted,
+       TRUE AS pre_erasure_version_unreadable
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # SHALLOW CLONE (zero-copy CREATE TABLE ... CLONE)
 # ---------------------------------------------------------------------------
 
@@ -1607,3 +1727,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["ann_ivf_pruned_store"] = ORACLE_ANN_IVF_PRUNED
     queries["txlog_shallow_clone"] = q_txlog_shallow_clone
     oracles["txlog_shallow_clone"] = ORACLE_SHALLOW_CLONE
+    queries["txlog_rtbf_erasure"] = q_txlog_rtbf_erasure
+    oracles["txlog_rtbf_erasure"] = ORACLE_RTBF

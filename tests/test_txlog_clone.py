@@ -239,3 +239,34 @@ def test_clone_under_concurrent_writers_is_consistent_snapshot(
             sorted(r.id for r in cl.read(spark).collect())
             == sorted(r.id for r in src.read(spark, v).collect())
         )
+
+
+def test_rtbf_erasure_is_physical(spark, tmp_path):
+    """Right-to-be-forgotten: after delete -> optimize -> vacuum, the
+    subject's bytes must be GONE from every file on disk (not merely
+    DV-masked), others' rows intact, and pre-erasure time travel must
+    raise because the bytes no longer exist."""
+    import pytest as _pytest
+
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("cust"), F.col("id").alias("v")
+    )
+    t.commit_append(df.filter("id % 2 = 0"))
+    t.commit_append(df.filter("id % 2 = 1"))
+    pre_groups = set(t.active_groups())
+    t.delete_where(spark, "cust = 7")
+    t.optimize(spark, target_groups=1)
+    deleted = t.vacuum(retain_versions=0, min_age_seconds=0.0)
+    assert pre_groups <= set(deleted)  # original bytes physically gone
+    live = t.read(spark)
+    assert live.filter("cust = 7").count() == 0
+    assert live.count() == 1000 - 20
+    # every remaining parquet file on disk is subject-free
+    import os
+
+    for g in t.active_groups():
+        raw = spark.read.parquet(os.path.join(t.data_dir, g))
+        assert raw.filter("cust = 7").count() == 0
+    with _pytest.raises(Exception):
+        t.read(spark, 1).count()  # pre-erasure layout unreadable
