@@ -313,6 +313,7 @@ FULL_SUITE = [
     "sketch_quantile_merge_total",
     "stream_quantile_mv",
     "txlog_rtbf_erasure",
+    "txlog_partition_evolution",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

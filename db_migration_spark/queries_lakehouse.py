@@ -1473,6 +1473,110 @@ FROM ranked WHERE rank <= 10
 
 
 # ---------------------------------------------------------------------------
+# partition evolution: later appends repartition without rewriting history
+# ---------------------------------------------------------------------------
+
+
+def _ensure_evolution_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Iceberg-style partition EVOLUTION fixture: era 1 (even order
+    keys) lands partitioned by YEAR, era 2 (odd keys) by PRIORITY —
+    no rewrite of era-1 groups.  Because pruning plans from per-group
+    zone maps (not a table-level partition spec), both layouts coexist:
+    a predicate on either column prunes its own era's groups EXACTLY
+    (min == max) and keeps the other era's conservatively."""
+    root = _fx(sf_dir, "txlog_evolution_orders")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    if t.latest_version() >= 0:
+        shutil.rmtree(root, ignore_errors=True)
+        t = TxTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    t.commit_append_partitioned(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "yr"
+    )
+    t.commit_append_partitioned(
+        orders.filter(F.col("o_orderkey") % 2 == 1), "prio"
+    )
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition evolution without history rewrite: era 1 of the store
+    is year-partitioned, era 2 priority-partitioned (one atomic commit
+    each).  The declared row runs one query per layout key — urgent
+    rows (prio = '1-URGENT') and 1997 rows — carrying the exact counts
+    AND the planner's groups_scanned/groups_total, all recomputed by
+    the oracle from orders: each predicate must plan exactly 1 group
+    of its own era plus ALL of the other era's groups (zone maps on a
+    foreign-layout group span the full domain — conservative, never
+    wrong).  This is the Iceberg partition-spec-evolution contract on
+    zone maps alone: no table-level spec to migrate, old bytes never
+    rewritten, new writes immediately query-optimal for the new key."""
+    t = _ensure_evolution_store(spark, sf_dir)
+    picked_p, total = t.prune_groups("prio", lo="1-URGENT", hi="1-URGENT")
+    urgent = (
+        t.read_pruned(spark, "prio", lo="1-URGENT", hi="1-URGENT")
+        .filter(F.col("prio") == "1-URGENT")
+        .agg(
+            F.count(F.lit(1)).alias("n_urgent"),
+            F.sum("cents").alias("urgent_cents"),
+        )
+    )
+    picked_y, total_y = t.prune_groups("yr", lo=1997, hi=1997)
+    y1997 = (
+        t.read_pruned(spark, "yr", lo=1997, hi=1997)
+        .filter(F.col("yr") == 1997)
+        .agg(F.count(F.lit(1)).alias("n_1997"))
+    )
+    assert total == total_y
+    return (
+        urgent.crossJoin(F.broadcast(y1997))
+        .select(
+            "n_urgent",
+            "urgent_cents",
+            "n_1997",
+            F.lit(len(picked_p)).cast("long").alias("groups_scanned_prio"),
+            F.lit(len(picked_y)).cast("long").alias("groups_scanned_yr"),
+            F.lit(total).cast("long").alias("groups_total"),
+        )
+    )
+
+
+ORACLE_PARTITION_EVOLUTION = """
+WITH src AS (
+  SELECT o_orderkey, year(o_orderdate) AS yr,
+         o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+era1 AS (SELECT count(DISTINCT yr) AS n FROM src WHERE o_orderkey % 2 = 0),
+era2 AS (SELECT count(DISTINCT prio) AS n FROM src WHERE o_orderkey % 2 = 1)
+SELECT count(CASE WHEN prio = '1-URGENT' THEN 1 END) AS n_urgent,
+       CAST(sum(CASE WHEN prio = '1-URGENT' THEN cents END) AS BIGINT)
+         AS urgent_cents,
+       count(CASE WHEN yr = 1997 THEN 1 END) AS n_1997,
+       CAST(era1.n + 1 AS BIGINT) AS groups_scanned_prio,
+       CAST(era2.n + 1 AS BIGINT) AS groups_scanned_yr,
+       CAST(era1.n + era2.n AS BIGINT) AS groups_total
+FROM src CROSS JOIN era1 CROSS JOIN era2
+GROUP BY era1.n, era2.n
+"""
+
+
+# ---------------------------------------------------------------------------
 # right-to-be-forgotten: DV delete -> rewrite -> physical vacuum
 # ---------------------------------------------------------------------------
 
@@ -1729,3 +1833,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_shallow_clone"] = ORACLE_SHALLOW_CLONE
     queries["txlog_rtbf_erasure"] = q_txlog_rtbf_erasure
     oracles["txlog_rtbf_erasure"] = ORACLE_RTBF
+    queries["txlog_partition_evolution"] = q_txlog_partition_evolution
+    oracles["txlog_partition_evolution"] = ORACLE_PARTITION_EVOLUTION
