@@ -190,7 +190,13 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated dimension columns (estimate may merge to "
         "any subset of the sketch's build dims)",
     )
-    sp.add_argument("--k", type=int, default=256)
+    sp.add_argument(
+        "--k", type=int, default=None,
+        help="build: sketch size (default 256).  estimate/set ops read "
+        "the k the sketch was BUILT with from its _sketch_meta.json; "
+        "passing a conflicting --k there is an error (a larger k would "
+        "silently treat the truncated sketch as exact)",
+    )
     sp.add_argument("--output", default=None, help="build: sketch dir")
     sp.add_argument("--seg-a", default=None, help="set op: left segment")
     sp.add_argument("--seg-b", default=None, help="set op: right segment")
@@ -365,7 +371,9 @@ def main(argv: list[str] | None = None) -> int:
                     {
                         "action": "build",
                         "output": args.output,
-                        "rollup_rows": regs.count(),
+                        "rollup_rows": spark.read.parquet(
+                            args.output
+                        ).count(),
                         "dims": dims,
                     }
                 )
@@ -402,18 +410,26 @@ def main(argv: list[str] | None = None) -> int:
                     {
                         "action": "build",
                         "output": args.output,
-                        "rollup_rows": tbl.count(),
+                        "rollup_rows": spark.read.parquet(
+                            args.output
+                        ).count(),
                         "dims": dims,
                     }
                 )
             )
             return 0
-        qs = [
-            (f"p{q.strip().replace('0.', '').rstrip('0') or '5'}",
-             float(q))
-            for q in args.quantiles.split(",")
-            if q.strip()
-        ]
+        qs_map: dict[float, str] = {}
+        for tok in args.quantiles.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            q = float(tok)
+            if not 0.0 < q < 1.0:
+                raise SystemExit(f"--quantiles values must be in (0,1): {tok}")
+            qs_map[q] = "p" + str(q)[2:]  # 0.5->p5, 0.99->p99, 0.999->p999
+        if not qs_map:
+            raise SystemExit("--quantiles is empty")
+        qs = [(name, q) for q, name in qs_map.items()]
         est = logbin_quantiles(logbin_merge(df, dims), dims, qs)
         rows = (
             [r.asDict() for r in est.orderBy(*dims).collect()]
@@ -445,20 +461,41 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "build":
             if not (args.key and args.output):
                 raise SystemExit("build requires --key and --output")
-            sk = kmv_sketch(df, dims, args.key, args.k)
+            k = args.k if args.k is not None else 256
+            sk = kmv_sketch(df, dims, args.key, k)
             sk.write.mode("overwrite").parquet(args.output)
+            with open(
+                os.path.join(args.output, "_sketch_meta.json"), "w"
+            ) as fh:
+                json.dump({"k": k, "dims": dims, "key": args.key}, fh)
             print(
                 json.dumps(
                     {
                         "action": "build",
                         "output": args.output,
-                        "sketch_rows": sk.count(),
+                        # count the WRITTEN files, not a second sketch job
+                        "sketch_rows": spark.read.parquet(
+                            args.output
+                        ).count(),
                         "dims": dims,
-                        "k": args.k,
+                        "k": k,
                     }
                 )
             )
             return 0
+        meta_path = os.path.join(args.input, "_sketch_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                built_k = int(json.load(fh)["k"])
+            if args.k is not None and args.k != built_k:
+                raise SystemExit(
+                    f"sketch was built with k={built_k}; estimating with "
+                    f"k={args.k} would be wrong (a larger k treats the "
+                    "truncated sketch as exact) — omit --k"
+                )
+            args.k = built_k
+        elif args.k is None:
+            args.k = 256
         if args.action == "estimate":
             # --input IS a sketch; merge to the requested dims first
             # (k smallest of the union — keeping all rows would bias
@@ -511,11 +548,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "det-sample":
         from .functions.theta import det_sample
 
+        if args.denom < 1:
+            raise SystemExit(f"--denom must be >= 1, got {args.denom}")
         spark = get_spark("det-sample")
         df = spark.read.parquet(args.input)
         samp = det_sample(df, args.key, args.denom)
         samp.write.mode("overwrite").parquet(args.output)
-        n, total = samp.count(), df.count()
+        n = spark.read.parquet(args.output).count()
+        total = df.count()
         print(
             json.dumps(
                 {

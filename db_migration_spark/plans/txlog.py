@@ -268,6 +268,8 @@ class TxTable:
                 cons[c["constraint"]["name"]] = c["constraint"]["expr"]
             elif c.get("op") == "drop_constraint":
                 cons.pop(c["constraint"]["name"], None)
+            elif c.get("op") == "clone" and c.get("constraints"):
+                cons.update(c["constraints"])
         return cons
 
     def _check_constraints(self, df: DataFrame) -> None:
@@ -609,15 +611,13 @@ class TxTable:
             commit["re_add_dvs"] = [dict(d) for d in dvs]
         if schema is not None:
             commit["schema"] = schema
+        if cons:
+            # carried IN commit 0 (not as follow-up commits): the clone
+            # is fully formed or absent — a crash or a racing writer
+            # between commits can never leave a clone that silently
+            # dropped the source's CHECK constraints
+            commit["constraints"] = dict(cons)
         dest._publish(0, commit)
-        for i, name in enumerate(sorted(cons), start=1):
-            dest._try_commit(
-                "set_constraint",
-                [],
-                [],
-                i,
-                constraint={"name": name, "expr": cons[name]},
-            )
         return dest
 
     def _publish(self, version: int, commit: dict) -> None:
@@ -2035,11 +2035,15 @@ class TxTable:
             side = os.path.join(gdir, f"_bloom_{column}.json")
             if os.path.exists(side):
                 continue  # already indexed (possibly by the clone source)
-            if not os.path.isdir(os.path.join(self.data_dir, g)):
+            if self._base_dirs() and not os.path.isdir(
+                os.path.join(self.data_dir, g)
+            ):
                 # a shallow-cloned FOREIGN group: its dir belongs to the
                 # source, so the clone must not write sidecars there —
                 # OPTIMIZE rematerializes the group locally, after which
-                # it indexes like any other
+                # it indexes like any other.  (Non-clone tables fall
+                # through: a missing local dir there is corruption and
+                # must fail LOUDLY at the scan, as it always did.)
                 continue
             todo.append(g)
         if not todo:

@@ -405,7 +405,8 @@ def _ensure_stream_hll_mv(spark: SparkSession, sf_dir: str):
         return hll_registers(replay, ["event_type"], "user_id")
 
     t.merge(spark, clobber, txn=("hll_mv", 0))
-    assert t.latest_version() == before, "replayed batch must not commit"
+    if t.latest_version() != before:  # not an assert: -O must not strip it
+        raise RuntimeError("replayed batch must not commit (txn dedup broke)")
     with open(done, "w"):
         pass
     return t
@@ -875,7 +876,8 @@ def _ensure_stream_theta_mv(spark: SparkSession, sf_dir: str):
         return _sk(replay, ["event_type"], "user_id", _THETA_MV_K)
 
     t.merge(spark, clobber, txn=("theta_mv", 0))
-    assert t.latest_version() == before, "replayed batch must not commit"
+    if t.latest_version() != before:  # not an assert: -O must not strip it
+        raise RuntimeError("replayed batch must not commit (txn dedup broke)")
     with open(done, "w"):
         pass
     return t
@@ -1219,7 +1221,8 @@ def _ensure_stream_quantile_mv(spark: SparkSession, sf_dir: str):
         return _lt(replay, ["event_type"], "cents")
 
     t.merge(spark, clobber, txn=("qsk_mv", 0))
-    assert t.latest_version() == before, "replayed batch must not commit"
+    if t.latest_version() != before:  # not an assert: -O must not strip it
+        raise RuntimeError("replayed batch must not commit (txn dedup broke)")
     with open(done, "w"):
         pass
     return t

@@ -268,3 +268,50 @@ def test_cli_quantile_rollup(tmp_path):
     )
     for r in est["rows"]:
         assert abs(r["p5"] / exact[r["seg"]] - 1.0) <= 0.0626, r
+
+
+def test_cli_theta_sketch_k_is_persisted(tmp_path):
+    """A sketch built with a small k must be estimated with THAT k:
+    the build writes _sketch_meta.json, estimate reads it, and a
+    conflicting explicit --k is rejected (a larger k would silently
+    treat the truncated sketch as exact)."""
+    import json
+    import subprocess
+    import sys
+
+    sk = tmp_path / "sk"
+
+    def run(*argv, expect_fail=False):
+        r = subprocess.run(
+            [sys.executable, "-m", "db_migration_spark.cli",
+             "theta-sketch", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        if expect_fail:
+            assert r.returncode != 0
+            return r.stderr
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run("--action", "build",
+        "--input", "/root/testdata/sf0.001/orders.parquet",
+        "--key", "o_custkey", "--k", "32", "--output", str(sk))
+    assert (sk / "_sketch_meta.json").exists()
+    # no --k on estimate: stored k=32 applies; ~130 distinct custkeys
+    # per nothing-dim -> global sketch is TRUNCATED at 32, so the
+    # estimate must scale up (NOT report the raw 32 rows as exact)
+    est = run("--action", "estimate", "--input", str(sk))
+    total = est["rows"][0]["est"]
+    assert total > 32 * 2, total  # scaled estimate, not raw count
+    import duckdb
+
+    exact = duckdb.connect().execute(
+        "SELECT count(DISTINCT o_custkey) FROM "
+        "'/root/testdata/sf0.001/orders.parquet'"
+    ).fetchone()[0]
+    # k=32 -> RSE ~ 1/sqrt(31) ~ 18%; allow 4 sigma
+    assert abs(total / exact - 1.0) <= 0.75, (total, exact)
+    # conflicting explicit --k is an error, not a silent wrong answer
+    err = run("--action", "estimate", "--input", str(sk),
+              "--k", "256", expect_fail=True)
+    assert "built with k=32" in err

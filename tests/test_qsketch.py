@@ -26,13 +26,6 @@ def _py_bin(v: int) -> int:
     return e * SUBS + ((v - p) * SUBS) // p
 
 
-def _bins_of(spark, vals):
-    df = spark.createDataFrame([(int(v),) for v in vals], "v long")
-    return [
-        r.bin for r in df.select(logbin("v")).orderBy(F.lit(1)).collect()
-    ]
-
-
 def test_bin_matches_pure_python_at_boundaries(spark):
     # powers of two, edges of every sub-bin, and near-misses
     vals = []
