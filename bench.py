@@ -12,6 +12,17 @@ BENCH_r02's 52.73s): {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes to completion via the noop sink (full pipeline runs,
 nothing is collected to the driver — the closest local analog of a cluster
 job writing to storage).
+
+Round-7 protocol: the artifact is self-calibrating.  Round 6 proved a
+2.3× same-commit, same-boot session spread (builder 54.7s / driver 74.1s
+/ judge 123.7s headline) — so before the headline phase the bench times a
+fixed calibration pair (the warmed lineitem scan-agg, and a pure-CPU
+Python hash loop) with the identical warm-up+3-runs discipline and embeds
+both in the stdout JSON (``"calib"``).  The session-invariant quantity is
+headline/calib.scan_agg — quote it when comparing rounds.  min-of-3 is
+the primary headline (median-of-3 secondary), per-query GC time goes to
+BENCH_FULL.json, and the bench heap defaults to 24g (the round-6 GC-cliff
+fix).
 """
 
 from __future__ import annotations
@@ -23,6 +34,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Benchmarks get a large driver heap by default: in local[32] the driver
+# JVM hosts all 32 task threads, and at 8g queries with many aggregation
+# buffers run near the GC cliff — old-gen state left by prior queries
+# flipped a 4s query to 30s between sessions (round-6 verdict).  The box
+# has 128 GiB; the reference's own sizing rule is 75% of free RAM
+# (azanium util.py:279-286).  Must be set before the JVM launches.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 from db_migration_spark.queries import QUERIES
 from db_migration_spark.session import get_spark
@@ -417,6 +436,67 @@ def _perf_overrides():
     }
 
 
+def _gc_millis(spark) -> int:
+    """Cumulative stop-the-world GC time of the driver JVM (which in
+    local mode IS the executor), via the standard JMX beans."""
+    beans = (
+        spark._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    return sum(max(b.getCollectionTime(), 0) for b in beans)
+
+
+def _calibrate(spark, sf_dir: str) -> dict:
+    """Fixed calibration pair, timed exactly like the headline queries
+    (untimed warm-up, then median/min of 3).  Round-6 finding: the same
+    commit measured 54.7s / 74.1s / 123.7s headline in three sessions on
+    one machine boot — without an in-artifact probe nobody can tell
+    engine regressions from session noise.  The ratio headline/calib is
+    the session-invariant quantity.
+
+    * ``scan_agg``: a canonical JVM-bound probe — the warmed lineitem
+      scan + groupBy aggregate (parquet scan, whole-stage codegen,
+      one shuffle).  Tracks everything Spark-session-shaped: GC state,
+      JIT, shuffle I/O, core contention.
+    * ``cpu_py``: a pure-CPU single-thread Python probe (fixed hash
+      loop, no JVM).  Tracks raw host CPU / frequency / steal.
+    """
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.catalog import load_table
+
+    def scan_agg() -> float:
+        t0 = time.time()
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sq"),
+                F.sum("l_extendedprice").alias("sp"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.time() - t0
+
+    def cpu_py() -> float:
+        import hashlib
+
+        t0 = time.time()
+        h = b"calib"
+        for _ in range(200_000):
+            h = hashlib.sha256(h).digest()
+        return time.time() - t0
+
+    out: dict = {}
+    for name, fn in (("scan_agg", scan_agg), ("cpu_py", cpu_py)):
+        fn()  # warm-up, untimed
+        runs = sorted(fn() for _ in range(3))
+        out[name + "_min3"] = round(runs[0], 3)
+        out[name + "_med3"] = round(runs[1], 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -431,7 +511,10 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    calib = _calibrate(spark, sf_dir)
+
     overrides = _perf_overrides()
+    gc_timings: dict[str, int] = {}  # per-query GC ms across 1+3 runs
 
     def _run_once(name: str) -> float:
         fn = overrides.get(name, QUERIES[name])
@@ -439,6 +522,12 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
+
+    def _run_timed(name: str) -> float:
+        g0 = _gc_millis(spark)
+        dt = _run_once(name)
+        gc_timings[name] = gc_timings.get(name, 0) + _gc_millis(spark) - g0
+        return dt
 
     # --- headline phase FIRST, isolated from suite growth ---------------
     # Round-6 protocol fix: the r3-r5 headline drifted 52.7→58.0→72.1s on
@@ -451,41 +540,50 @@ def main() -> None:
     # whole-stage-codegen JIT for the query shape, then median-of-3
     # timed runs — robust to one-off pauses in either direction, and
     # invariant to how many OTHER queries the suite carries.
-    timings: dict[str, float] = {}
-    head_min3: dict[str, float] = {}  # min-of-3: comparable with the
-    for name in HEADLINE:             # min-of-2 protocol of r2–r5
+    # min-of-3 is now the PRIMARY headline (r7 protocol): of the three
+    # timed runs of a deterministic plan, the minimum is the one least
+    # contaminated by GC pauses / scheduling noise — the quantity that
+    # tracks the engine.  Median kept as the secondary robustness check.
+    timings: dict[str, float] = {}     # min-of-3 (primary)
+    head_med3: dict[str, float] = {}   # median-of-3 (secondary)
+    head_gc0 = _gc_millis(spark)
+    for name in HEADLINE:
         _run_once(name)  # warm-up: JIT + shuffle-file page cache
-        runs = sorted(_run_once(name) for _ in range(3))
-        timings[name] = round(runs[1], 3)
-        head_min3[name] = round(runs[0], 3)
+        runs = sorted(_run_timed(name) for _ in range(3))
+        timings[name] = round(runs[0], 3)
+        head_med3[name] = round(runs[1], 3)
+    head_gc_sec = round((_gc_millis(spark) - head_gc0) / 1000.0, 3)
 
     head = {k: timings[k] for k in HEADLINE if k in timings}
     total = round(sum(head.values()), 3)
+    med3_total = round(sum(head_med3.values()), 3)
     # single compact final line — must fit the driver's ~2000-char tail.
     # "overridden" flags the sketch entries timed via _perf_overrides
     # (production operator, not the declared query's in-query exact-side
-    # verification harness) so the artifact is self-describing.
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": head,
-                "sf": sf,
-                "protocol": "warmup+median3",
-                "overridden": sorted(set(overrides) & set(HEADLINE)),
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
-    )
+    # verification harness) so the artifact is self-describing.  "calib"
+    # embeds the fixed-probe timings so cross-session deltas are
+    # attributable (headline/calib.scan_agg_min3 is the session-invariant
+    # ratio); "gc_sec" is total stop-the-world GC during the timed
+    # headline runs.
+    headline_json = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": head,
+        "sf": sf,
+        "protocol": "warmup+min3(primary)",
+        "median3_total": med3_total,
+        "calib": calib,
+        "gc_sec": head_gc_sec,
+        "overridden": sorted(set(overrides) & set(HEADLINE)),
+    }
+    print(json.dumps(headline_json, separators=(",", ":")), flush=True)
 
     # --- full-suite phase: breadth coverage, min-of-2 ---------------------
     for name in FULL_SUITE:
         if name in timings:
             continue
-        timings[name] = round(min(_run_once(name) for _ in range(2)), 3)
+        timings[name] = round(min(_run_timed(name) for _ in range(2)), 3)
 
     full_total = round(sum(timings.values()), 3)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -499,9 +597,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
-                "protocol": "headline=warmup+median3; rest=min-of-2",
-                "headline_min3": head_min3,
-                "headline_min3_total": round(sum(head_min3.values()), 3),
+                "protocol": "headline=warmup+min3; rest=min-of-2",
+                "headline_median3": head_med3,
+                "headline_median3_total": med3_total,
+                "calib": calib,
+                "gc_ms_per_query": gc_timings,
+                "headline_gc_sec": head_gc_sec,
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM"),
                 "overridden": sorted(set(_perf_overrides())),
             },
             fh,
@@ -510,20 +612,7 @@ def main() -> None:
 
     # re-print the headline line LAST so the driver's stdout tail-capture
     # always sees it even if full-phase logging intervened
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": head,
-                "sf": sf,
-                "protocol": "warmup+median3",
-                "overridden": sorted(set(overrides) & set(HEADLINE)),
-            },
-            separators=(",", ":"),
-        )
-    )
+    print(json.dumps(headline_json, separators=(",", ":")))
 
 
 if __name__ == "__main__":

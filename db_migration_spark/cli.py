@@ -403,6 +403,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "build":
             if not (args.key and args.output):
                 raise SystemExit("build requires --key and --output")
+            # logbin is defined on positive non-NULL integers only:
+            # v=0 yields bin -8, negatives hit two's-complement bin()
+            # (which diverges from the oracle's signed rendering), and
+            # NULLs land in a NULL bin — all silent corruption. Fail
+            # loudly with a count instead.
+            from pyspark.sql import functions as F
+
+            bad = df.filter(
+                F.col(args.key).isNull() | (F.col(args.key) <= 0)
+            ).count()
+            if bad:
+                raise SystemExit(
+                    f"--key {args.key} has {bad} NULL or <= 0 rows; "
+                    "log-binning is defined on positive integers only "
+                    "— filter or re-key the input first"
+                )
             tbl = logbin_table(df, dims, args.key)
             tbl.write.mode("overwrite").parquet(args.output)
             print(
@@ -484,9 +500,12 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         meta_path = os.path.join(args.input, "_sketch_meta.json")
+        built_dims: list[str] | None = None
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
-                built_k = int(json.load(fh)["k"])
+                meta = json.load(fh)
+            built_k = int(meta["k"])
+            built_dims = list(meta.get("dims", []))
             if args.k is not None and args.k != built_k:
                 raise SystemExit(
                     f"sketch was built with k={built_k}; estimating with "
@@ -514,6 +533,17 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(f"{args.action} requires --dims SEG "
                              "--seg-a A --seg-b B")
         seg = dims[0]
+        if built_dims is not None and seg not in built_dims:
+            raise SystemExit(
+                f"sketch was built over dims={built_dims}; "
+                f"--dims {seg} is not one of them"
+            )
+        if built_dims is None or built_dims != [seg]:
+            # sketch is at finer dims: merge to (seg) first, exactly as
+            # the estimate path does — running stats/set-algebra on the
+            # unmerged rows double-counts duplicate v values across the
+            # fine-grained tuples and takes theta from the wrong union
+            df = kmv_merge(df, [seg], args.k)
         st = {
             r[seg]: r
             for r in kmv_stats(df, [seg], args.k)

@@ -549,18 +549,34 @@ class TxTable:
         scan."""
         local = os.path.join(self.data_dir, group)
         bases = self._base_dirs()
-        if not bases or os.path.exists(local):
+        if not bases:
             return local
+        # memo FIRST — including local resolutions — so a cloned
+        # table's repeated plans really do pay one stat per group once,
+        # not one os.path.exists per scan
         cache = self.__dict__.setdefault("_gpath_cache", {})
         hit = cache.get(group)
         if hit is not None:
             return hit
+        if os.path.exists(local):
+            cache[group] = local
+            return local
         for b in bases:
             p = os.path.join(b, group)
             if os.path.exists(p):
                 cache[group] = p
                 return p
-        return local  # missing everywhere: scan raises, same as today
+        # missing everywhere: name the clone bases that were tried so a
+        # moved/renamed source root is diagnosable (the old fallback to
+        # the local path produced a misleading 'path does not exist'
+        # under the clone's own data dir)
+        raise FileNotFoundError(
+            f"file group {group!r} of table {self.root} resolves to "
+            f"neither the local data dir ({self.data_dir}) nor any "
+            f"recorded clone base ({bases}); if the clone source was "
+            "moved or vacuumed past the cloned version, its bytes are "
+            "gone from those paths"
+        )
 
     def clone_shallow(
         self, dest_root: str, version: int | None = None

@@ -1738,7 +1738,13 @@ def _ensure_clone_store(spark: SparkSession, sf_dir: str):
     if os.path.exists(done):
         t = TxTable(root)
         c0 = t._read_commit(0)
-        if all(os.path.isdir(t._gpath(g)) for g in c0["add"]):
+        try:
+            stale = not all(
+                os.path.isdir(t._gpath(g)) for g in c0["add"]
+            )
+        except FileNotFoundError:
+            stale = True  # _gpath now raises for missing-everywhere
+        if not stale:
             return src, t
         shutil.rmtree(root, ignore_errors=True)  # stale clone
     elif os.path.isdir(root):

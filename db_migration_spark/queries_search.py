@@ -55,13 +55,19 @@ def _term_stats(spark: SparkSession, sf_dir: str):
 
     tf: (doc_id, term, tf); dl: (doc_id, dl); df: (term, df, cf).
     Tokenization matches ORACLE: lower + whitespace split, empties out.
+
+    dl and df are both DERIVED from tf (dl = sum(tf) per doc — a doc's
+    length IS the sum of its term frequencies), so the corpus is
+    exploded exactly ONCE; the r6 shape re-exploded it for dl, paying a
+    second tokenize+explode pass the PLANS.md bm25 audit flags as the
+    dominant cost of the from-scratch path.
     """
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
