@@ -22,6 +22,7 @@ import os
 import random
 import threading
 
+import pytest
 from pyspark.sql import functions as F
 
 from db_migration_spark.plans.txlog import TxTable
@@ -200,13 +201,19 @@ def test_concurrent_soak_with_maintenance_ops(spark, tmp_path):
     ledger_lock = threading.Lock()
     errors: list[BaseException] = []
     fresh_key = [10_000_000]
+    # round-7 soak additions (VERDICT task 6): partition-spec evolution
+    # (era-switching partitioned appends) and mid-soak SHALLOW CLONEs
+    # with clone-side DML race the DML mix — the interaction surfaces
+    # (evolution × restore, clone × source-vacuum) the r5 bugs lived in
+    clone_seq = [0]
+    clones: list[tuple[str, int, list[int], str, list[int]]] = []
 
     def current_cols() -> list[str]:
         sch = t.read_schema(spark)
         return [f.name for f in sch.fields]
 
-    def build_src(keys: list[int], tag: str):
-        names = current_cols()
+    def build_src(keys: list[int], tag: str, names: list[str] | None = None):
+        names = current_cols() if names is None else names
         ddl = ", ".join(
             f"`{n}` string" if n == "tag" else f"`{n}` long" for n in names
         )
@@ -215,6 +222,29 @@ def test_concurrent_soak_with_maintenance_ops(spark, tmp_path):
             for k in keys
         ]
         return spark.createDataFrame(rows, ddl)
+
+    def do_clone(tag: str) -> tuple[str, int, list[int], str, list[int]]:
+        """SHALLOW CLONE the live table mid-soak, then run clone-side
+        DML (a delete + an append) — the clone's log must evolve
+        independently while its v0 stays pinned to the source state at
+        clone time (audited post-soak against the model snapshots)."""
+        with ledger_lock:
+            cid = clone_seq[0]
+            clone_seq[0] += 1
+            lo = fresh_key[0]
+            fresh_key[0] += 10
+        croot = str(tmp_path / f"soak6_clone_{cid}")
+        cl = t.clone_shallow(croot)
+        src_v = cl._read_commit(0)["source_version"]
+        cdel = list(range(0, 40, 2))
+        cl.delete_where(spark, F.col("k").isin(cdel), max_retries=RETRIES)
+        cks = list(range(lo, lo + 10))
+        cnames = [f.name for f in cl.read_schema(spark).fields]
+        cl.commit_append(build_src(cks, tag, cnames), max_retries=RETRIES)
+        rec = (croot, src_v, cks, tag, cdel)
+        with ledger_lock:
+            clones.append(rec)
+        return rec
 
     def with_schema_retry(fn):
         from db_migration_spark.plans.txlog import CommitConflict as CC
@@ -236,7 +266,8 @@ def test_concurrent_soak_with_maintenance_ops(spark, tmp_path):
                 tag = f"w{wid}s{seq}"
                 op = rng.choice(
                     ["merge", "merge", "update", "delete", "append",
-                     "replace", "alter", "checkpoint", "restore"]
+                     "replace", "alter", "checkpoint", "restore",
+                     "append_part", "clone"]
                 )
                 if op == "merge":
                     keys = rng.sample(range(KEY_DOMAIN), MERGE_BATCH)
@@ -329,6 +360,28 @@ def test_concurrent_soak_with_maintenance_ops(spark, tmp_path):
                             build_src(keys, tag), max_retries=RETRIES
                         )
                     )
+                elif op == "append_part":
+                    # partition-spec EVOLUTION under contention: eras
+                    # alternate between tag-partitioned (one leaf) and
+                    # k-partitioned (one leaf per row) appends — each
+                    # commit is atomic and partitioned groups are
+                    # ordinary groups, so restore/optimize/vacuum must
+                    # compose across era boundaries
+                    with ledger_lock:
+                        lo = fresh_key[0]
+                        fresh_key[0] += 24
+                    keys = list(range(lo, lo + 24))
+                    part_cols = ["tag"] if rng.random() < 0.5 else ["k"]
+                    v = with_schema_retry(
+                        lambda: t.commit_append_partitioned(
+                            build_src(keys, tag), part_cols,
+                            max_retries=RETRIES,
+                        )
+                    )
+                    op = "append"  # same model semantics as append
+                elif op == "clone":
+                    do_clone(tag)  # no source commit: v=None below
+                    v, keys = None, []
                 elif op == "checkpoint":
                     t.checkpoint()
                     v, keys = None, []
@@ -400,6 +453,52 @@ def test_concurrent_soak_with_maintenance_ops(spark, tmp_path):
     print(
         f"SOAK6: {n_commits} commits from {len(ledger)} ops "
         f"({sum(1 for e in ledger if e[1] == 'restore')} restores, "
-        f"{sum(1 for e in ledger if e[1] == 'alter')} alters), "
-        f"live rows {len(got)}"
+        f"{sum(1 for e in ledger if e[1] == 'alter')} alters, "
+        f"{len(clones)} clones), live rows {len(got)}"
     )
+
+    # --- audit 5 (r7): every mid-soak clone is pinned AND independent --
+    # The clone's v0 must equal the source state at its recorded
+    # source_version (the model snapshot), and its OWN log must carry
+    # exactly the clone-side DML — proof no source commit after the
+    # clone leaked in, and no clone commit leaked out (the final source
+    # audit above already passed with the clones' DML excluded).
+    if not clones:  # rng produced none: force one so the audit always runs
+        do_clone("forced")
+    for croot, src_v, cks, ctag, cdel in clones:
+        base = snap.get(src_v)
+        assert base is not None, f"clone source_version v{src_v} unmodeled"
+        cl = TxTable(croot)  # fresh instance: no memoized group paths
+        got0 = {
+            r.k: r.tag
+            for r in cl.read(spark, version=0).select("k", "tag").collect()
+        }
+        assert got0 == base, (
+            f"clone v0 drifted from source v{src_v}: "
+            f"{len(set(got0) ^ set(base))} membership diffs"
+        )
+        expect = dict(base)
+        for k in cdel:
+            expect.pop(k, None)
+        for k in cks:
+            expect[k] = ctag
+        gotl = {
+            r.k: r.tag
+            for r in cl.read(spark).select("k", "tag").collect()
+        }
+        assert gotl == expect, "clone-side DML not serialized on clone log"
+
+    # --- audit 6 (r7): clone × source-VACUUM caveat is diagnosable -----
+    # Rewrite every source group, then vacuum the full history: the
+    # clone's foreign references are now dangling, and the read must
+    # fail naming the clone bases that were tried (plans/txlog.py
+    # _gpath) — not a misleading local-path miss.
+    croot0 = clones[0][0]
+    t.update_where(
+        spark, F.lit(True), {"tag": F.lit("rewrite")}, max_retries=RETRIES
+    )
+    t.optimize(spark, target_groups=2)
+    deleted = t.vacuum(retain_versions=0, min_age_seconds=0.0)
+    assert deleted, "vacuum removed nothing — rewrite did not churn groups"
+    with pytest.raises(FileNotFoundError, match="clone base"):
+        TxTable(croot0).read(spark, version=0).count()

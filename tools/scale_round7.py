@@ -1,0 +1,233 @@
+"""Round-7 scale/variance measurements for SCALE.md:
+
+1. ``simhash``  — three consecutive same-JVM timed runs of the headline
+   simhash near-dup pipeline at sf0.1 under the new 24g bench heap
+   (+ per-run GC time).  Round-6 verdict: the same plan ran 8.0s then
+   >=32s inside one JVM at the old 8g heap — the done-bar is three runs
+   within +/-25%.
+2. ``logbin100`` — the log-bin quantile rollup build at 100M raw rows
+   (the round-6 table stopped at x10/10M; HLL/theta go to x100).
+   Expect: build time flat vs the 10M row (map-side combine bounds the
+   shuffle by dims x bins at any volume).
+3. ``bm25x10`` — the indexed-BM25 serving probe against a 10x corpus
+   (replicated+perturbed documents, same remap as tools/scale_test.py).
+   Expect: probe cost proportional to MATCHED POSTINGS, not corpus; a
+   single-term point probe plans a small fraction of the store's file
+   groups (zone-map file skipping asserted).
+
+Usage: python tools/scale_round7.py [simhash|logbin100|bm25x10|all]
+Prints one JSON line per experiment; paste the numbers into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+from pyspark.sql import functions as F
+
+from db_migration_spark.session import get_spark
+
+BASE_SF = "/root/testdata/sf0.1"
+TMP = "/root/repo/.tmp"
+
+
+def _gc_millis(spark) -> int:
+    beans = (
+        spark._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    return sum(max(b.getCollectionTime(), 0) for b in beans)
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def exp_simhash(spark) -> dict:
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.operators import dedup
+
+    docs = load_table(spark, BASE_SF, "documents")
+    docs.count()  # table warm-up
+
+    def run() -> float:
+        t0 = time.time()
+        _noop(dedup.simhash_near_dups(docs, max_hamming=3, bands=4))
+        return time.time() - t0
+
+    run()  # untimed warm-up (JIT)
+    runs, gcs = [], []
+    for _ in range(3):
+        g0 = _gc_millis(spark)
+        runs.append(round(run(), 3))
+        gcs.append(_gc_millis(spark) - g0)
+    spread = round((max(runs) - min(runs)) / min(runs), 3)
+    return {
+        "exp": "simhash_same_jvm_x3",
+        "driver_mem": os.environ["SPARK_GRAFT_DRIVER_MEM"],
+        "runs_sec": runs,
+        "gc_ms": gcs,
+        "spread": spread,
+        "within_25pct": spread <= 0.25,
+    }
+
+
+def exp_logbin100(spark) -> dict:
+    from db_migration_spark.functions.qsketch import (
+        logbin_quantiles,
+        logbin_table,
+    )
+
+    n = 100_000_000
+    # synthetic uniform ints 1..1M over 8 dims — the same shape as the
+    # round-6 x1/x10 rows (true p50 ~ 500k)
+    raw = spark.range(n).select(
+        (F.col("id") % 8).cast("string").alias("dim"),
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1).alias("v"),
+    )
+    t0 = time.time()
+    tbl = logbin_table(raw, ["dim"], "v")
+    rollup_rows = tbl.count()
+    build = round(time.time() - t0, 2)
+    tbl = tbl.cache()
+    tbl.count()
+    t0 = time.time()
+    q = logbin_quantiles(tbl.drop("dim"), [], [("p50", 0.5)]).collect()
+    quantile = round(time.time() - t0, 2)
+    tbl.unpersist()
+    p50 = float(q[0]["p50"])
+    return {
+        "exp": "logbin_build_100M",
+        "raw_rows": n,
+        "rollup_rows": rollup_rows,
+        "build_sec": build,
+        "quantile_sec": quantile,
+        "p50": p50,
+        "p50_err_vs_500k": round(p50 / 500_000.0 - 1, 4),
+    }
+
+
+def exp_bm25x10(spark) -> dict:
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.functions import text as TXT
+    from db_migration_spark.plans.txlog import TxTable
+
+    docs10_path = f"{TMP}/r7_docs10.parquet"
+    if not os.path.exists(docs10_path):
+        base = load_table(spark, BASE_SF, "documents")
+        reps = spark.range(10).select(F.col("id").alias("__rep"))
+        df = (
+            base.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("__rep") * 10_000_000
+            )
+            .withColumn(
+                "text",
+                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                    F.concat(
+                        F.format_string("rep%d ", F.col("__rep")),
+                        F.col("text"),
+                    )
+                ),
+            )
+            .drop("__rep")
+        )
+        df.repartition(32).write.mode("overwrite").parquet(docs10_path)
+
+    docs = spark.read.parquet(docs10_path)
+    n_docs = docs.count()
+
+    store_root = f"{TMP}/r7_bm25x10_store"
+    shutil.rmtree(store_root, ignore_errors=True)
+    terms_df = docs.select(
+        "doc_id",
+        F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = terms_df.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    post = (
+        tf.join(dl, "doc_id").join(df_, "term")
+        .select("term", "doc_id", "tf", "dl", "df")
+    )
+    t0 = time.time()
+    t = TxTable(store_root)
+    t.commit_append(post)
+    t.optimize(spark, sort_key=["term"], target_groups=32)
+    build = round(time.time() - t0, 2)
+    n_post = t.read(spark).count()
+
+    # probe terms: the distinct tokens of docs 0..2 (the serving query)
+    probe_terms = sorted(
+        r.term
+        for r in tf.filter(F.col("doc_id") < 3)
+        .select("term").distinct().collect()
+    )
+    matched = (
+        t.read(spark)
+        .filter(F.col("term").isin(probe_terms))
+        .count()
+    )
+
+    def probe() -> float:
+        t0 = time.time()
+        _noop(
+            t.read(spark)
+            .filter(F.col("term").isin(probe_terms))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("s"))
+        )
+        return time.time() - t0
+
+    probe()
+    probe_sec = round(min(probe() for _ in range(3)), 3)
+
+    # zone-map file skipping: a single-term point probe must plan a
+    # small fraction of the term-clustered store's groups
+    one = probe_terms[len(probe_terms) // 2]
+    picked, total = t.prune_groups("term", lo=one, hi=one)
+    frac = len(picked) / total
+    assert frac <= 0.25, (
+        f"point probe planned {len(picked)}/{total} groups — "
+        "term clustering is not skipping files"
+    )
+    return {
+        "exp": "bm25_indexed_x10",
+        "n_docs": n_docs,
+        "postings_rows": n_post,
+        "store_build_sec": build,
+        "probe_terms": len(probe_terms),
+        "matched_postings": matched,
+        "probe_warm_min3_sec": probe_sec,
+        "point_probe_groups": [len(picked), total],
+        "point_probe_file_skip": round(1 - frac, 3),
+    }
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark("scale-r7")
+    spark.sparkContext.setLogLevel("ERROR")
+    exps = {
+        "simhash": exp_simhash,
+        "logbin100": exp_logbin100,
+        "bm25x10": exp_bm25x10,
+    }
+    for name, fn in exps.items():
+        if which not in ("all", name):
+            continue
+        print(json.dumps(fn(spark)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
