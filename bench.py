@@ -333,6 +333,9 @@ FULL_SUITE = [
     "stream_quantile_mv",
     "txlog_rtbf_erasure",
     "txlog_partition_evolution",
+    # round 7: persisted LSH band index (incremental near-dup serving)
+    "dedup_lsh_store_probe",
+    "stream_dedup_lsh_mv",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

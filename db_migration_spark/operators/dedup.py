@@ -112,20 +112,17 @@ def minhash_signatures(
     return df.select(F.col(id_col), sh).select(id_col, sig)
 
 
-def lsh_candidate_pairs(
+def band_rows(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` bands, hash each band
-    to a bucket, self-join on (band, bucket).  Docs sharing any band bucket
-    become a candidate pair (id_a < id_b, distinct).
-
-    Scale shape: explode to bands (xB rows), shuffle on the bucket hash —
-    uniform by construction — then an equi self-join.  Never quadratic unless
-    the data is (docs that are actually identical hash to one bucket; the
-    exact-dedup tier should run first to strip those).
-    """
+    """(id, band, bucket) LSH band rows of a signature table: split each
+    signature into ``bands`` bands, hash each band slice to a 64-bit
+    bucket.  This is the unit both the self-join candidate generator and
+    the PERSISTED band index (queries_dedupstore.py) are built from —
+    one definition, so a store written yesterday and a probe computed
+    today can never disagree on bucketing."""
     rows_per_band = (F.size("signature") / bands).cast("int")
     # when num_hashes % bands != 0 the trailing signature elements must not
     # be silently excluded (that would lower recall vs the configured
@@ -134,7 +131,7 @@ def lsh_candidate_pairs(
         F.col("band") == bands - 1,
         F.size("signature") - rows_per_band * (bands - 1),
     ).otherwise(rows_per_band)
-    banded = signatures.select(
+    return signatures.select(
         id_col,
         "signature",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -156,6 +153,23 @@ def lsh_candidate_pairs(
             ),
         ).alias("bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, hash each band
+    to a bucket, self-join on (band, bucket).  Docs sharing any band bucket
+    become a candidate pair (id_a < id_b, distinct).
+
+    Scale shape: explode to bands (xB rows), shuffle on the bucket hash —
+    uniform by construction — then an equi self-join.  Never quadratic unless
+    the data is (docs that are actually identical hash to one bucket; the
+    exact-dedup tier should run first to strip those).
+    """
+    banded = band_rows(signatures, id_col, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -3990,6 +3990,11 @@ from .queries_governance import register as _register_governance  # noqa: E402
 
 _register_governance(QUERIES, ORACLES)
 
+# persisted LSH band index: incremental near-dup dedup at serving shape
+from .queries_dedupstore import register as _register_dedupstore  # noqa: E402
+
+_register_dedupstore(QUERIES, ORACLES)
+
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (Spark-native columnar alternative to Parquet —

@@ -57,10 +57,15 @@ def _term_stats(spark: SparkSession, sf_dir: str):
     Tokenization matches ORACLE: lower + whitespace split, empties out.
 
     dl and df are both DERIVED from tf (dl = sum(tf) per doc — a doc's
-    length IS the sum of its term frequencies), so the corpus is
-    exploded exactly ONCE; the r6 shape re-exploded it for dl, paying a
-    second tokenize+explode pass the PLANS.md bm25 audit flags as the
-    dominant cost of the from-scratch path.
+    length IS the sum of its term frequencies), which removes the r6
+    shape's SECOND tokenize+explode pass for dl (measured sf0.1 warm:
+    3.2s → 2.2s).  The plan still expands the tf subtree per join arm
+    (exchange reuse does not fire across the differently-pruned arms) —
+    an explicit localCheckpoint(tf) was tried and measured SLOWER at
+    this scale (2.8-4.3s: the sync materialization costs more than the
+    re-expanded map-side explodes); the real fix for a large corpus is
+    the PERSISTED postings store, which is exactly what
+    search_bm25_indexed serves from.
     """
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
