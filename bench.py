@@ -335,6 +335,7 @@ FULL_SUITE = [
     "txlog_partition_evolution",
     # round 7: persisted LSH band index (incremental near-dup serving)
     "dedup_lsh_store_probe",
+    "dedup_lsh_point_probe",
     "stream_dedup_lsh_mv",
 ]
 

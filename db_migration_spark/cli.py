@@ -238,6 +238,50 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--output", default=None, help="build: rollup dir")
 
     sp = sub.add_parser(
+        "lsh-store",
+        help="persisted MinHash-LSH band index "
+        "(queries_dedupstore/operators.dedup): build a bucket-clustered "
+        "band store from a documents table, probe it with a batch of "
+        "new documents (near-dup pairs out), or point-probe it with one "
+        "document's text — never re-reading the corpus",
+    )
+    sp.add_argument(
+        "--action", choices=("build", "probe", "point"), required=True
+    )
+    sp.add_argument(
+        "--input", required=True,
+        help="build/probe: documents parquet (doc_id, text); "
+        "point: the store dir",
+    )
+    sp.add_argument(
+        "--store", required=True,
+        help="band-store directory (build writes it; probe/point read it)",
+    )
+    sp.add_argument("--text", default=None, help="point: document text")
+    sp.add_argument(
+        "--num-hashes", type=int, default=None,
+        help="build: signature length (default 32).  probe/point read "
+        "the store's _lsh_meta.json; a conflicting value is an error",
+    )
+    sp.add_argument(
+        "--bands", type=int, default=None,
+        help="build: LSH bands (default 8); probe/point as --num-hashes",
+    )
+    sp.add_argument(
+        "--threshold", type=float, default=0.4,
+        help="probe/point: signature-agreement verify floor",
+    )
+    sp.add_argument(
+        "--append", action="store_true",
+        help="probe: append the batch's band rows + signatures to the "
+        "store after probing (the incremental-ingest step)",
+    )
+    sp.add_argument(
+        "--output", default=None,
+        help="probe: optional parquet path for the found pairs",
+    )
+
+    sp = sub.add_parser(
         "corpus-prep",
         help="training-corpus pipeline: quality gate -> exact dedup "
         "survivors -> pack manifest over a documents table",
@@ -594,6 +638,186 @@ def main(argv: list[str] | None = None) -> int:
                     "rows_in": total,
                     "rows_out": n,
                     "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "lsh-store":
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import band_rows, minhash_signatures
+        from .plans.txlog import TxTable
+
+        spark = get_spark("lsh-store")
+        band_root = os.path.join(args.store, "bands")
+        sig_path = os.path.join(args.store, "signatures.parquet")
+        meta_path = os.path.join(args.store, "_lsh_meta.json")
+
+        def load_meta() -> dict:
+            if not os.path.exists(meta_path):
+                raise SystemExit(f"no _lsh_meta.json under {args.store}")
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            for k, v in (("num_hashes", args.num_hashes),
+                         ("bands", args.bands)):
+                if v is not None and v != meta[k]:
+                    raise SystemExit(
+                        f"store was built with {k}={meta[k]}; probing "
+                        f"with {k}={v} would bucket differently — omit "
+                        f"--{k.replace('_', '-')}"
+                    )
+            return meta
+
+        def est_col() -> F.Column:
+            return F.size(
+                F.filter(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    lambda m: m == 1,
+                )
+            ) / F.size("sig_a")
+
+        if args.action == "build":
+            nh = args.num_hashes if args.num_hashes is not None else 32
+            nb = args.bands if args.bands is not None else 8
+            docs = spark.read.parquet(args.input)
+            os.makedirs(args.store, exist_ok=True)
+            sigs = minhash_signatures(docs, num_hashes=nh)
+            sigs.write.mode("overwrite").parquet(sig_path)
+            sigs = spark.read.parquet(sig_path)
+            t = TxTable(band_root)
+            t.commit_append(band_rows(sigs, "doc_id", nb))
+            t.optimize(spark, sort_key=["bucket"], target_groups=8)
+            t.add_bloom_index(spark, "bucket")
+            with open(meta_path, "w") as fh:
+                json.dump({"num_hashes": nh, "bands": nb}, fh)
+            print(
+                json.dumps(
+                    {
+                        "action": "build",
+                        "store": args.store,
+                        "docs": spark.read.parquet(sig_path).count(),
+                        "band_rows": t.read(spark).count(),
+                    }
+                )
+            )
+            return 0
+
+        meta = load_meta()
+        t = TxTable(band_root)
+        if args.action == "probe":
+            batch = spark.read.parquet(args.input)
+            bsigs = minhash_signatures(
+                batch, num_hashes=meta["num_hashes"]
+            ).persist()
+            cand = (
+                band_rows(bsigs, "doc_id", meta["bands"])
+                .withColumnRenamed("doc_id", "probe_id")
+                .join(
+                    t.read(spark).withColumnRenamed("doc_id", "store_id"),
+                    ["band", "bucket"],
+                )
+                .select("store_id", "probe_id")
+                .distinct()
+            )
+            pairs = (
+                cand.join(
+                    spark.read.parquet(sig_path).select(
+                        F.col("doc_id").alias("store_id"),
+                        F.col("signature").alias("sig_a"),
+                    ),
+                    "store_id",
+                )
+                .join(
+                    bsigs.select(
+                        F.col("doc_id").alias("probe_id"),
+                        F.col("signature").alias("sig_b"),
+                    ),
+                    "probe_id",
+                )
+                .select(
+                    "store_id",
+                    "probe_id",
+                    F.round(est_col(), 6).alias("est_jaccard"),
+                )
+                .filter(F.col("est_jaccard") >= args.threshold)
+            )
+            if args.output:
+                pairs.write.mode("overwrite").parquet(args.output)
+                n_pairs = spark.read.parquet(args.output).count()
+            else:
+                n_pairs = pairs.count()
+            appended = False
+            if args.append:
+                t.commit_append(
+                    band_rows(bsigs, "doc_id", meta["bands"])
+                )
+                bsigs.write.mode("append").parquet(sig_path)
+                appended = True
+            out = {
+                "action": "probe",
+                "n_batch": batch.count(),
+                "n_pairs": n_pairs,
+                "appended": appended,
+            }
+            if args.output:
+                out["output"] = args.output
+            bsigs.unpersist()
+            print(json.dumps(out))
+            return 0
+
+        # point: one document's text against the store, bloom-pruned
+        if not args.text:
+            raise SystemExit("point requires --text")
+        probe = spark.createDataFrame(
+            [(-1, args.text)], "doc_id long, text string"
+        )
+        psig = minhash_signatures(probe, num_hashes=meta["num_hashes"])
+        prows = band_rows(psig, "doc_id", meta["bands"]).select(
+            "band", "bucket"
+        ).collect()
+        scanned: set = set()
+        parts = []
+        for r in prows:
+            picked, total = t.prune_groups_point(spark, "bucket", r.bucket)
+            scanned.update(picked)
+            parts.append(
+                t.read_point(spark, "bucket", r.bucket).filter(
+                    F.col("band") == r.band
+                )
+            )
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        matches = (
+            cand.select(F.col("doc_id").alias("store_id"))
+            .distinct()
+            .join(
+                spark.read.parquet(sig_path).select(
+                    F.col("doc_id").alias("store_id"),
+                    F.col("signature").alias("sig_a"),
+                ),
+                "store_id",
+            )
+            .crossJoin(
+                F.broadcast(psig.select(F.col("signature").alias("sig_b")))
+            )
+            .select(
+                "store_id", F.round(est_col(), 6).alias("est_jaccard")
+            )
+            .filter(F.col("est_jaccard") >= args.threshold)
+            .orderBy(F.desc("est_jaccard"), "store_id")
+            .limit(20)
+        )
+        print(
+            json.dumps(
+                {
+                    "action": "point",
+                    "matches": [r.asDict() for r in matches.collect()],
+                    "groups_scanned": len(scanned),
+                    "cost_bounded": len(scanned) <= meta["bands"],
                 }
             )
         )

@@ -180,6 +180,83 @@ def _store_acceptance(docs: DataFrame, found: DataFrame) -> DataFrame:
     )
 
 
+def q_dedup_lsh_point_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-document dedup lookup — the ONLINE serving path ("is this
+    incoming doc a near-dup of anything in the corpus?"): the probe's
+    BANDS band buckets are computed driver-side (they ARE the query,
+    like a search engine's term list), each consults the store's bloom
+    sidecars + zone maps (``prune_groups_point``) and reads only the
+    groups that may hold its bucket (``read_point``).  Planning cost is
+    therefore <= BANDS groups AT ANY STORE SIZE — the needle-in-haystack
+    property, emitted as ``probe_cost_bounded``.  The probe document is
+    a re-arrival of the lowest even (store-side) doc's text, so its
+    signature is identical to the stored copy and the self-match MUST
+    surface with agreement 1.0 (``self_found`` — collision certain, no
+    probabilistic slack)."""
+    t, sig_path = _ensure_lsh_store(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    probe_id = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .agg(F.min("doc_id").alias("k"))
+        .collect()[0]["k"]
+    )
+    probe = docs.filter(F.col("doc_id") == probe_id).select(
+        F.lit(-1).cast("long").alias("doc_id"), "text"
+    )
+    psig = dedup.minhash_signatures(probe, num_hashes=NUM_HASHES)
+    # the probe's band rows: BANDS rows, driver-side by design
+    prows = dedup.band_rows(psig, "doc_id", BANDS).select(
+        "band", "bucket"
+    ).collect()
+    scanned: set[str] = set()
+    parts = []
+    for r in prows:
+        picked, _total = t.prune_groups_point(spark, "bucket", r.bucket)
+        scanned.update(picked)
+        parts.append(
+            t.read_point(spark, "bucket", r.bucket).filter(
+                F.col("band") == r.band
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    est = F.size(
+        F.filter(
+            F.zip_with(
+                "signature", "sig_p", lambda x, y: (x == y).cast("int")
+            ),
+            lambda m: m == 1,
+        )
+    ) / F.size("signature")
+    verified = (
+        cand.select(F.col("doc_id").alias("store_id"))
+        .distinct()
+        .join(
+            spark.read.parquet(sig_path).withColumnRenamed(
+                "doc_id", "store_id"
+            ),
+            "store_id",
+        )
+        .crossJoin(
+            F.broadcast(psig.select(F.col("signature").alias("sig_p")))
+        )
+        .select("store_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= THRESHOLD)
+    )
+    return verified.agg(
+        F.lit(probe_id).cast("long").alias("probe_id"),
+        F.coalesce(
+            F.max(
+                (F.col("store_id") == probe_id)
+                & (F.col("est_jaccard") >= 1.0 - 1e-9)
+            ),
+            F.lit(False),
+        ).alias("self_found"),
+        F.lit(len(scanned) <= BANDS).alias("probe_cost_bounded"),
+    )
+
+
 def q_stream_dedup_lsh_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The band index maintained INCREMENTALLY: a documents stream
     appends each micro-batch's band rows to the txlog store under a
@@ -301,7 +378,15 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        TRUE AS store_equals_batch
 FROM documents
 """
+    oracle_point = """
+SELECT CAST((SELECT min(doc_id) FROM documents WHERE doc_id % 2 = 0)
+            AS BIGINT) AS probe_id,
+       TRUE AS self_found,
+       TRUE AS probe_cost_bounded
+"""
     queries["dedup_lsh_store_probe"] = q_dedup_lsh_store_probe
     oracles["dedup_lsh_store_probe"] = oracle_probe
+    queries["dedup_lsh_point_probe"] = q_dedup_lsh_point_probe
+    oracles["dedup_lsh_point_probe"] = oracle_point
     queries["stream_dedup_lsh_mv"] = q_stream_dedup_lsh_mv
     oracles["stream_dedup_lsh_mv"] = oracle_mv

@@ -92,6 +92,13 @@ def test_probe_finds_planted_cross_split_dup(spark, tmp_path):
     assert row.recall_ok and row.est_err_ok
 
 
+def test_point_probe_serves_self_match(spark, sf_dir):
+    row = QUERIES["dedup_lsh_point_probe"](spark, sf_dir).collect()[0]
+    assert row.self_found            # identical text => certain collision
+    assert row.probe_cost_bounded    # <= BANDS groups planned, any size
+    assert row.probe_id % 2 == 0
+
+
 def test_stream_mv_equals_batch(spark, sf_dir):
     row = QUERIES["stream_dedup_lsh_mv"](spark, sf_dir).collect()[0]
     assert row.store_equals_batch

@@ -315,3 +315,70 @@ def test_cli_theta_sketch_k_is_persisted(tmp_path):
     err = run("--action", "estimate", "--input", str(sk),
               "--k", "256", expect_fail=True)
     assert "built with k=32" in err
+
+
+def test_cli_lsh_store_build_probe_point(tmp_path):
+    """lsh-store build/probe/point as subprocesses: build the band
+    index over the even half of sf0.001 documents, probe with the odd
+    half (+ --append), then point-probe with a stored doc's exact text
+    — the self-match must surface with est 1.0 through the bloom-pruned
+    path, and the probe after --append must see the appended batch."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    store = tmp_path / "store"
+    even = tmp_path / "even.parquet"
+    odd = tmp_path / "odd.parquet"
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT doc_id, text FROM "
+        "'/root/testdata/sf0.001/documents.parquet' WHERE doc_id % 2 = 0) "
+        f"TO '{even}' (FORMAT PARQUET)"
+    )
+    con.execute(
+        "COPY (SELECT doc_id, text FROM "
+        "'/root/testdata/sf0.001/documents.parquet' WHERE doc_id % 2 = 1) "
+        f"TO '{odd}' (FORMAT PARQUET)"
+    )
+    probe_text, probe_id = con.execute(
+        "SELECT text, doc_id FROM "
+        "'/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id % 2 = 0 ORDER BY doc_id LIMIT 1"
+    ).fetchone()[0:2]
+
+    def run(*argv, expect_fail=False):
+        r = subprocess.run(
+            [sys.executable, "-m", "db_migration_spark.cli",
+             "lsh-store", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+        if expect_fail:
+            assert r.returncode != 0
+            return r.stderr
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    built = run("--action", "build", "--input", str(even),
+                "--store", str(store))
+    assert built["band_rows"] == built["docs"] * 8
+    assert (store / "_lsh_meta.json").exists()
+
+    probed = run("--action", "probe", "--input", str(odd),
+                 "--store", str(store), "--append")
+    assert probed["appended"] and probed["n_batch"] > 0
+
+    # conflicting banding params must be rejected (meta is authoritative)
+    err = run("--action", "probe", "--input", str(odd),
+              "--store", str(store), "--bands", "4", expect_fail=True)
+    assert "bucket differently" in err
+
+    pt = run("--action", "point", "--store", str(store),
+             "--input", str(store), "--text", probe_text)
+    assert pt["cost_bounded"]
+    assert any(
+        m["store_id"] == probe_id and m["est_jaccard"] >= 0.999999
+        for m in pt["matches"]
+    )
