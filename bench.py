@@ -518,7 +518,7 @@ def main() -> None:
     calib = _calibrate(spark, sf_dir)
 
     overrides = _perf_overrides()
-    gc_timings: dict[str, int] = {}  # per-query GC ms across 1+3 runs
+    gc_timings: dict[str, int] = {}  # per-query GC ms across TIMED runs
 
     def _run_once(name: str) -> float:
         fn = overrides.get(name, QUERIES[name])
@@ -550,13 +550,17 @@ def main() -> None:
     # tracks the engine.  Median kept as the secondary robustness check.
     timings: dict[str, float] = {}     # min-of-3 (primary)
     head_med3: dict[str, float] = {}   # median-of-3 (secondary)
-    head_gc0 = _gc_millis(spark)
     for name in HEADLINE:
         _run_once(name)  # warm-up: JIT + shuffle-file page cache
         runs = sorted(_run_timed(name) for _ in range(3))
         timings[name] = round(runs[0], 3)
         head_med3[name] = round(runs[1], 3)
-    head_gc_sec = round((_gc_millis(spark) - head_gc0) / 1000.0, 3)
+    # sum of the per-query counters, NOT a before/after JVM span: the
+    # span would fold the untimed warm-up runs' GC into a field whose
+    # meaning is "GC during the TIMED headline runs"
+    head_gc_sec = round(
+        sum(gc_timings.get(n, 0) for n in HEADLINE) / 1000.0, 3
+    )
 
     head = {k: timings[k] for k in HEADLINE if k in timings}
     total = round(sum(head.values()), 3)

@@ -280,6 +280,12 @@ def main(argv: list[str] | None = None) -> int:
         "--output", default=None,
         help="probe: optional parquet path for the found pairs",
     )
+    sp.add_argument(
+        "--batch-id", type=int, default=None,
+        help="probe --append: idempotency identity for the batch "
+        "(default: derived from the input path) — re-running the same "
+        "append is a version no-op on both store logs",
+    )
 
     sp = sub.add_parser(
         "corpus-prep",
@@ -644,14 +650,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "lsh-store":
+        # probe/point logic is SHARED with the declared queries
+        # (queries_dedupstore.probe_pairs / point_candidates) — the CLI
+        # is a front door, not a re-implementation
+        import zlib
+
         from pyspark.sql import functions as F
 
-        from .operators.dedup import band_rows, minhash_signatures
+        from .operators.dedup import (
+            band_rows,
+            minhash_signatures,
+            sig_agreement,
+        )
         from .plans.txlog import TxTable
+        from .queries_dedupstore import point_candidates, probe_pairs
 
         spark = get_spark("lsh-store")
         band_root = os.path.join(args.store, "bands")
-        sig_path = os.path.join(args.store, "signatures.parquet")
+        sig_root = os.path.join(args.store, "sigs")
         meta_path = os.path.join(args.store, "_lsh_meta.json")
 
         def load_meta() -> dict:
@@ -669,26 +685,22 @@ def main(argv: list[str] | None = None) -> int:
                     )
             return meta
 
-        def est_col() -> F.Column:
-            return F.size(
-                F.filter(
-                    F.zip_with(
-                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
-                    ),
-                    lambda m: m == 1,
-                )
-            ) / F.size("sig_a")
-
         if args.action == "build":
+            if os.path.exists(meta_path):
+                raise SystemExit(
+                    f"{args.store} already holds an lsh store — building "
+                    "on top would stack stale band rows under the live "
+                    "index; use probe --append for incremental ingest, "
+                    "or remove the store first"
+                )
             nh = args.num_hashes if args.num_hashes is not None else 32
             nb = args.bands if args.bands is not None else 8
             docs = spark.read.parquet(args.input)
             os.makedirs(args.store, exist_ok=True)
-            sigs = minhash_signatures(docs, num_hashes=nh)
-            sigs.write.mode("overwrite").parquet(sig_path)
-            sigs = spark.read.parquet(sig_path)
+            ts = TxTable(sig_root)
+            ts.commit_append(minhash_signatures(docs, num_hashes=nh))
             t = TxTable(band_root)
-            t.commit_append(band_rows(sigs, "doc_id", nb))
+            t.commit_append(band_rows(ts.read(spark), "doc_id", nb))
             t.optimize(spark, sort_key=["bucket"], target_groups=8)
             t.add_bloom_index(spark, "bucket")
             with open(meta_path, "w") as fh:
@@ -698,7 +710,7 @@ def main(argv: list[str] | None = None) -> int:
                     {
                         "action": "build",
                         "store": args.store,
-                        "docs": spark.read.parquet(sig_path).count(),
+                        "docs": ts.read(spark).count(),
                         "band_rows": t.read(spark).count(),
                     }
                 )
@@ -707,43 +719,16 @@ def main(argv: list[str] | None = None) -> int:
 
         meta = load_meta()
         t = TxTable(band_root)
+        ts = TxTable(sig_root)
         if args.action == "probe":
             batch = spark.read.parquet(args.input)
             bsigs = minhash_signatures(
                 batch, num_hashes=meta["num_hashes"]
             ).persist()
-            cand = (
-                band_rows(bsigs, "doc_id", meta["bands"])
-                .withColumnRenamed("doc_id", "probe_id")
-                .join(
-                    t.read(spark).withColumnRenamed("doc_id", "store_id"),
-                    ["band", "bucket"],
-                )
-                .select("store_id", "probe_id")
-                .distinct()
-            )
-            pairs = (
-                cand.join(
-                    spark.read.parquet(sig_path).select(
-                        F.col("doc_id").alias("store_id"),
-                        F.col("signature").alias("sig_a"),
-                    ),
-                    "store_id",
-                )
-                .join(
-                    bsigs.select(
-                        F.col("doc_id").alias("probe_id"),
-                        F.col("signature").alias("sig_b"),
-                    ),
-                    "probe_id",
-                )
-                .select(
-                    "store_id",
-                    "probe_id",
-                    F.round(est_col(), 6).alias("est_jaccard"),
-                )
-                .filter(F.col("est_jaccard") >= args.threshold)
-            )
+            pairs = probe_pairs(
+                t.read(spark), ts.read(spark), bsigs,
+                bands=meta["bands"], threshold=args.threshold,
+            ).withColumn("est_jaccard", F.round("est_jaccard", 6))
             if args.output:
                 pairs.write.mode("overwrite").parquet(args.output)
                 n_pairs = spark.read.parquet(args.output).count()
@@ -751,10 +736,28 @@ def main(argv: list[str] | None = None) -> int:
                 n_pairs = pairs.count()
             appended = False
             if args.append:
-                t.commit_append(
-                    band_rows(bsigs, "doc_id", meta["bands"])
+                # idempotent two-table append: both commits carry the
+                # SAME batch identity (derived from the input path unless
+                # --batch-id pins it), so a retried pipeline step is a
+                # version no-op on both logs; signatures commit FIRST so
+                # a crash in between leaves no band row whose candidate
+                # would silently drop at the signature join
+                bid = (
+                    args.batch_id
+                    if args.batch_id is not None
+                    else zlib.crc32(
+                        os.path.abspath(args.input).encode()
+                    )
                 )
-                bsigs.write.mode("append").parquet(sig_path)
+                ts.commit_append(bsigs, txn=("lsh_sigs", bid))
+                t.commit_append(
+                    band_rows(bsigs, "doc_id", meta["bands"]),
+                    txn=("lsh_bands", bid),
+                )
+                # keep the point-probe cost bound: fresh groups get
+                # bloom sidecars (add_bloom_index only touches groups
+                # that lack one)
+                t.add_bloom_index(spark, "bucket")
                 appended = True
             out = {
                 "action": "probe",
@@ -775,27 +778,12 @@ def main(argv: list[str] | None = None) -> int:
             [(-1, args.text)], "doc_id long, text string"
         )
         psig = minhash_signatures(probe, num_hashes=meta["num_hashes"])
-        prows = band_rows(psig, "doc_id", meta["bands"]).select(
-            "band", "bucket"
-        ).collect()
-        scanned: set = set()
-        parts = []
-        for r in prows:
-            picked, total = t.prune_groups_point(spark, "bucket", r.bucket)
-            scanned.update(picked)
-            parts.append(
-                t.read_point(spark, "bucket", r.bucket).filter(
-                    F.col("band") == r.band
-                )
-            )
-        cand = parts[0]
-        for p in parts[1:]:
-            cand = cand.unionByName(p)
+        cand, scanned = point_candidates(
+            spark, t, psig, bands=meta["bands"]
+        )
         matches = (
-            cand.select(F.col("doc_id").alias("store_id"))
-            .distinct()
-            .join(
-                spark.read.parquet(sig_path).select(
+            cand.join(
+                ts.read(spark).select(
                     F.col("doc_id").alias("store_id"),
                     F.col("signature").alias("sig_a"),
                 ),
@@ -805,7 +793,7 @@ def main(argv: list[str] | None = None) -> int:
                 F.broadcast(psig.select(F.col("signature").alias("sig_b")))
             )
             .select(
-                "store_id", F.round(est_col(), 6).alias("est_jaccard")
+                "store_id", F.round(sig_agreement(), 6).alias("est_jaccard")
             )
             .filter(F.col("est_jaccard") >= args.threshold)
             .orderBy(F.desc("est_jaccard"), "store_id")

@@ -155,6 +155,19 @@ def band_rows(
     )
 
 
+def sig_agreement(a: str = "sig_a", b: str = "sig_b"):
+    """Estimated Jaccard between two MinHash signature columns (by
+    NAME): the fraction of agreeing positions.  ONE definition shared
+    by the self-join verifier, the persisted-store probes, and the CLI
+    — the estimate can never fork between build and serving."""
+    return F.size(
+        F.filter(
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    ) / F.size(a)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -210,16 +223,10 @@ def minhash_near_dups(
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda m: m == 1,
-        )
-    ) / F.size("sig_a")
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .select("id_a", "id_b", sig_agreement().alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 

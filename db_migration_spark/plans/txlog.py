@@ -2047,20 +2047,21 @@ class TxTable:
         column = self._physical_map(upto).get(column, column)
         todo: list[str] = []
         for g in self.active_groups(upto):
-            gdir = self._gpath(g)
-            side = os.path.join(gdir, f"_bloom_{column}.json")
-            if os.path.exists(side):
-                continue  # already indexed (possibly by the clone source)
             if self._base_dirs() and not os.path.isdir(
                 os.path.join(self.data_dir, g)
             ):
                 # a shallow-cloned FOREIGN group: its dir belongs to the
                 # source, so the clone must not write sidecars there —
                 # OPTIMIZE rematerializes the group locally, after which
-                # it indexes like any other.  (Non-clone tables fall
-                # through: a missing local dir there is corruption and
-                # must fail LOUDLY at the scan, as it always did.)
+                # it indexes like any other.  Checked BEFORE _gpath so a
+                # source-vacuumed group skips here instead of raising
+                # mid-index (the diagnostic raise belongs to the scan).
+                # (Non-clone tables fall through: a missing local dir
+                # there is corruption and must fail LOUDLY at the scan.)
                 continue
+            side = os.path.join(self._gpath(g), f"_bloom_{column}.json")
+            if os.path.exists(side):
+                continue  # already indexed
             todo.append(g)
         if not todo:
             return 0
@@ -2211,7 +2212,14 @@ class TxTable:
         # renamed column keeps its index
         phys = self._physical_map(upto).get(column, column)
         for g in zone_kept:
-            side = os.path.join(self._gpath(g), f"_bloom_{phys}.json")
+            try:
+                side = os.path.join(self._gpath(g), f"_bloom_{phys}.json")
+            except FileNotFoundError:
+                # clone group missing everywhere: planning never raises
+                # (pruning is an optimization) — keep it, so the SCAN
+                # raises the diagnostic naming the tried clone bases
+                kept.append(g)
+                continue
             if not os.path.exists(side):
                 kept.append(g)
                 continue
@@ -2487,11 +2495,29 @@ class TxTable:
         if not groups:
             full = self.read(spark, version)
             return full.filter(F.lit(False))
-        upto = self.latest_version() if version is None else version
-        df = self._scan(spark, groups, upto)
-        df = self._apply_dvs(spark, df, self._replay(upto)[2])
+        df = self.read_groups(spark, groups, version)
         if lo is not None:
             df = df.filter(F.col(column) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(column) <= F.lit(hi))
         return df
+
+    def read_groups(
+        self,
+        spark: SparkSession,
+        groups: list[str],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan an EXPLICIT group subset (a planner's output — e.g. the
+        union of several ``prune_groups_point`` answers) with deletion
+        vectors applied.  This is the multi-point composition primitive:
+        plan each key once, scan the union once — instead of one
+        ``read_point`` (which re-plans internally) per key.  Callers own
+        the exactness filter, as with ``read_pruned``."""
+        from pyspark.sql import functions as F
+
+        upto = self.latest_version() if version is None else version
+        if not groups:
+            return self.read(spark, upto).filter(F.lit(False))
+        df = self._scan(spark, list(groups), upto)
+        return self._apply_dvs(spark, df, self._replay(upto)[2])

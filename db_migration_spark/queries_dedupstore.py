@@ -95,6 +95,79 @@ def _ensure_lsh_store(spark: SparkSession, sf_dir: str):
     return t, sig_path
 
 
+def probe_pairs(
+    store_bands: DataFrame,
+    store_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    bands: int = BANDS,
+    threshold: float = THRESHOLD,
+) -> DataFrame:
+    """Batch-vs-store candidate generation + verification, shared by the
+    declared probe query and the lsh-store CLI: the batch's band rows
+    equi-join the store's on (band, bucket), then pairs verify by
+    signature agreement >= threshold.  Returns (store_id, probe_id,
+    est_jaccard)."""
+    cand = (
+        dedup.band_rows(batch_sigs, "doc_id", bands)
+        .withColumnRenamed("doc_id", "probe_id")
+        .join(
+            store_bands.withColumnRenamed("doc_id", "store_id"),
+            ["band", "bucket"],
+        )
+        .select("store_id", "probe_id")
+        .distinct()
+    )
+    return (
+        cand.join(
+            store_sigs.select(
+                F.col("doc_id").alias("store_id"),
+                F.col("signature").alias("sig_a"),
+            ),
+            "store_id",
+        )
+        .join(
+            batch_sigs.select(
+                F.col("doc_id").alias("probe_id"),
+                F.col("signature").alias("sig_b"),
+            ),
+            "probe_id",
+        )
+        .select(
+            "store_id",
+            "probe_id",
+            dedup.sig_agreement().alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def point_candidates(
+    spark: SparkSession, t, probe_sig: DataFrame, bands: int = BANDS
+):
+    """Single-document candidate generation through the store's bloom
+    sidecars + zone maps: plan each of the probe's band buckets ONCE
+    (``prune_groups_point``), then scan the PLANNED UNION in one job
+    (``read_groups``) and keep rows matching a probe (band, bucket).
+    Returns (candidate store-id DataFrame, planned group set).  The
+    probe's band rows are driver-side by design — they ARE the query,
+    bounded by ``bands``."""
+    prows = dedup.band_rows(probe_sig, "doc_id", bands).select(
+        "band", "bucket"
+    )
+    pairs = prows.collect()
+    scanned: set[str] = set()
+    for r in pairs:
+        picked, _total = t.prune_groups_point(spark, "bucket", r.bucket)
+        scanned.update(picked)
+    cand = (
+        t.read_groups(spark, sorted(scanned))
+        .join(F.broadcast(prows), ["band", "bucket"])
+        .select(F.col("doc_id").alias("store_id"))
+        .distinct()
+    )
+    return cand, scanned
+
+
 def q_dedup_lsh_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-store near-dup probe through the persisted band index,
     emitted as the deterministic acceptance row (same contract and
@@ -108,54 +181,24 @@ def q_dedup_lsh_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, sig_path = _ensure_lsh_store(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     probe_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    # persisted (and left so, same as minhash_near_dups): the probe
+    # signatures feed both the banding arm and the verify arm, and the
+    # returned plan executes AFTER this function returns — an early
+    # unpersist would silently void the cache
     psigs = dedup.minhash_signatures(
         probe_docs, num_hashes=NUM_HASHES
     ).persist()
-    cand = (
-        dedup.band_rows(psigs, "doc_id", BANDS)
-        .withColumnRenamed("doc_id", "probe_id")
-        .join(
-            t.read(spark).withColumnRenamed("doc_id", "store_id"),
-            ["band", "bucket"],
-        )
-        .select(
-            # normalize to the (id_a < id_b) orientation the exact-pair
-            # frame uses; store ids are even, probe ids odd, so least/
-            # greatest is the orientation-free form
-            F.least("store_id", "probe_id").alias("id_a"),
-            F.greatest("store_id", "probe_id").alias("id_b"),
-        )
-        .distinct()
+    found = probe_pairs(
+        t.read(spark), spark.read.parquet(sig_path), psigs
+    ).select(
+        # normalize to the (id_a < id_b) orientation the exact-pair
+        # frame uses; store ids are even, probe ids odd, so least/
+        # greatest is the orientation-free form
+        F.least("store_id", "probe_id").alias("id_a"),
+        F.greatest("store_id", "probe_id").alias("id_b"),
+        "est_jaccard",
     )
-    ssigs = spark.read.parquet(sig_path)
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda m: m == 1,
-        )
-    ) / F.size("sig_a")
-    sig_union = ssigs.unionByName(psigs)
-    found = (
-        cand.join(
-            sig_union.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("signature").alias("sig_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            sig_union.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("signature").alias("sig_b"),
-            ),
-            "id_b",
-        )
-        .select("id_a", "id_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= THRESHOLD)
-    )
-    out = _store_acceptance(docs, found)
-    psigs.unpersist()
-    return out
+    return _store_acceptance(docs, found)
 
 
 def _store_acceptance(docs: DataFrame, found: DataFrame) -> DataFrame:
@@ -204,44 +247,19 @@ def q_dedup_lsh_point_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("doc_id"), "text"
     )
     psig = dedup.minhash_signatures(probe, num_hashes=NUM_HASHES)
-    # the probe's band rows: BANDS rows, driver-side by design
-    prows = dedup.band_rows(psig, "doc_id", BANDS).select(
-        "band", "bucket"
-    ).collect()
-    scanned: set[str] = set()
-    parts = []
-    for r in prows:
-        picked, _total = t.prune_groups_point(spark, "bucket", r.bucket)
-        scanned.update(picked)
-        parts.append(
-            t.read_point(spark, "bucket", r.bucket).filter(
-                F.col("band") == r.band
-            )
-        )
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    est = F.size(
-        F.filter(
-            F.zip_with(
-                "signature", "sig_p", lambda x, y: (x == y).cast("int")
-            ),
-            lambda m: m == 1,
-        )
-    ) / F.size("signature")
+    cand, scanned = point_candidates(spark, t, psig)
     verified = (
-        cand.select(F.col("doc_id").alias("store_id"))
-        .distinct()
-        .join(
-            spark.read.parquet(sig_path).withColumnRenamed(
-                "doc_id", "store_id"
+        cand.join(
+            spark.read.parquet(sig_path).select(
+                F.col("doc_id").alias("store_id"),
+                F.col("signature").alias("sig_a"),
             ),
             "store_id",
         )
         .crossJoin(
-            F.broadcast(psig.select(F.col("signature").alias("sig_p")))
+            F.broadcast(psig.select(F.col("signature").alias("sig_b")))
         )
-        .select("store_id", est.alias("est_jaccard"))
+        .select("store_id", dedup.sig_agreement().alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= THRESHOLD)
     )
     return verified.agg(

@@ -75,16 +75,25 @@ def test_probe_finds_planted_cross_split_dup(spark, tmp_path):
     """End-to-end through the REAL store fixture on a planted corpus:
     an even/odd exact-duplicate pair must surface through the persisted
     index path (collision certain: identical signatures)."""
+    import hashlib
+
     base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, base, "en", "s", len(base)), (1, base, "en", "s", len(base))
+    ] + [
+        (10 + j, " ".join(f"u{j}_{i}" for i in range(40)), "en", "s", 0)
+        for j in range(6)
+    ]
     docs = spark.createDataFrame(
-        [(0, base, "en", "s", len(base)), (1, base, "en", "s", len(base))]
-        + [
-            (10 + j, " ".join(f"u{j}_{i}" for i in range(40)), "en", "s", 0)
-            for j in range(6)
-        ],
+        rows,
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    d = tmp_path / "planted"
+    # dir name carries a content hash: _ensure_lsh_store caches fixtures
+    # by sf_dir BASENAME (+ package-code hash, which does not see test
+    # files) — editing the planted rows must move the cache key, or the
+    # probe would silently run against the previous corpus's band index
+    h = hashlib.md5(repr(rows).encode()).hexdigest()[:8]
+    d = tmp_path / f"planted_{h}"
     d.mkdir()
     docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
     row = QUERIES["dedup_lsh_store_probe"](spark, str(d)).collect()[0]

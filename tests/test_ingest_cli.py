@@ -366,15 +366,13 @@ def test_cli_lsh_store_build_probe_point(tmp_path):
     assert built["band_rows"] == built["docs"] * 8
     assert (store / "_lsh_meta.json").exists()
 
-    probed = run("--action", "probe", "--input", str(odd),
-                 "--store", str(store), "--append")
-    assert probed["appended"] and probed["n_batch"] > 0
+    # rebuilding onto a live store must refuse (stale-row stacking)
+    err = run("--action", "build", "--input", str(even),
+              "--store", str(store), expect_fail=True)
+    assert "already holds" in err
 
-    # conflicting banding params must be rejected (meta is authoritative)
-    err = run("--action", "probe", "--input", str(odd),
-              "--store", str(store), "--bands", "4", expect_fail=True)
-    assert "bucket differently" in err
-
+    # point probe against the CLUSTERED store: each bucket plans <= 1
+    # group by the disjoint zone ranges, so the bound is deterministic
     pt = run("--action", "point", "--store", str(store),
              "--input", str(store), "--text", probe_text)
     assert pt["cost_bounded"]
@@ -382,3 +380,24 @@ def test_cli_lsh_store_build_probe_point(tmp_path):
         m["store_id"] == probe_id and m["est_jaccard"] >= 0.999999
         for m in pt["matches"]
     )
+
+    probed = run("--action", "probe", "--input", str(odd),
+                 "--store", str(store), "--append")
+    assert probed["appended"] and probed["n_batch"] > 0
+
+    # the append is IDEMPOTENT (txn identity from the input path):
+    # re-running it must not duplicate signatures or band rows — a
+    # duplicated store would double every pair in the next probe
+    probed2 = run("--action", "probe", "--input", str(odd),
+                  "--store", str(store), "--append")
+    # after the first append the store contains the odd batch itself, so
+    # the re-probe finds each odd doc as its own exact pair; the count
+    # must be stable across the duplicate append attempt
+    probed3 = run("--action", "probe", "--input", str(odd),
+                  "--store", str(store))
+    assert probed3["n_pairs"] == probed2["n_pairs"]
+
+    # conflicting banding params must be rejected (meta is authoritative)
+    err = run("--action", "probe", "--input", str(odd),
+              "--store", str(store), "--bands", "4", expect_fail=True)
+    assert "bucket differently" in err

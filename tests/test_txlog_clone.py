@@ -270,3 +270,29 @@ def test_rtbf_erasure_is_physical(spark, tmp_path):
         assert raw.filter("cust = 7").count() == 0
     with _pytest.raises(Exception):
         t.read(spark, 1).count()  # pre-erasure layout unreadable
+
+
+def test_bloom_and_point_planning_survive_source_vacuum(spark, tmp_path):
+    """r7 regression (_gpath now raises for missing-everywhere groups):
+    maintenance and PLANNING on a clone whose source was vacuumed must
+    not raise — add_bloom_index skips the dangling foreign groups and
+    indexes the clone's own, prune_groups_point keeps them (pruning is
+    an optimization; the diagnostic raise belongs to the SCAN, which
+    the last assert pins)."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    cl = src.clone_shallow(str(tmp_path / "cl"))
+    cl.commit_append(
+        spark.range(500, 520).select(
+            F.col("id"), (F.col("id") % 5).alias("k")
+        )
+    )
+    # rewrite everything in the source, then drop its old bytes
+    src.update_where(spark, F.lit(True), {"k": F.lit(99)})
+    src.optimize(spark, target_groups=1)
+    assert src.vacuum(retain_versions=0, min_age_seconds=0.0)
+    fresh = TxTable(str(tmp_path / "cl"))  # no memoized group paths
+    assert fresh.add_bloom_index(spark, "id") >= 1  # local group indexed
+    picked, total = fresh.prune_groups_point(spark, "id", 510)
+    assert picked and total == len(fresh.active_groups())
+    with pytest.raises(FileNotFoundError, match="clone base"):
+        fresh.read(spark).count()  # the scan still raises the diagnostic
