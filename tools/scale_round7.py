@@ -219,6 +219,70 @@ def exp_bm25x10(spark) -> dict:
     }
 
 
+def exp_lshx10(spark) -> dict:
+    """Persisted LSH band store at a 10x corpus: build once, then (a)
+    batch-probe with a 5k-doc batch (cost = batch x matched buckets)
+    and (b) point-probe one stored doc's text (planning bounded by
+    BANDS groups at any store size — bloom + disjoint zone ranges)."""
+    from db_migration_spark.operators import dedup
+    from db_migration_spark.plans.txlog import TxTable
+    from db_migration_spark.queries_dedupstore import (
+        point_candidates,
+        probe_pairs,
+    )
+
+    docs10_path = f"{TMP}/r7_docs10.parquet"
+    if not os.path.exists(docs10_path):
+        raise SystemExit("run bm25x10 first (builds the 10x corpus)")
+    docs = spark.read.parquet(docs10_path)
+    store_root = f"{TMP}/r7_lshx10_store"
+    shutil.rmtree(store_root, ignore_errors=True)
+    sig_path = f"{TMP}/r7_lshx10_sigs.parquet"
+
+    t0 = time.time()
+    sigs = dedup.minhash_signatures(docs, num_hashes=32)
+    sigs.write.mode("overwrite").parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
+    t = TxTable(store_root)
+    t.commit_append(dedup.band_rows(sigs, "doc_id", 8))
+    t.optimize(spark, sort_key=["bucket"], target_groups=32)
+    t.add_bloom_index(spark, "bucket")
+    build = round(time.time() - t0, 2)
+    n_docs = docs.count()
+
+    batch = docs.filter(F.col("doc_id") % 10 == 3)
+    bsigs = dedup.minhash_signatures(batch, num_hashes=32).persist()
+    bsigs.count()
+
+    def probe() -> float:
+        t0 = time.time()
+        _noop(probe_pairs(t.read(spark), sigs, bsigs))
+        return time.time() - t0
+
+    probe()
+    probe_sec = round(min(probe() for _ in range(3)), 3)
+
+    one = docs.orderBy("doc_id").limit(1).select(
+        F.lit(-1).cast("long").alias("doc_id"), "text"
+    )
+    psig = dedup.minhash_signatures(one, num_hashes=32)
+    t0 = time.time()
+    cand, scanned = point_candidates(spark, t, psig)
+    n_cand = cand.count()
+    point_sec = round(time.time() - t0, 3)
+    assert len(scanned) <= 8, scanned
+    return {
+        "exp": "lsh_store_x10",
+        "n_docs": n_docs,
+        "store_build_sec": build,
+        "batch_docs": batch.count(),
+        "batch_probe_warm_min3_sec": probe_sec,
+        "point_probe_sec": point_sec,
+        "point_candidates": n_cand,
+        "point_groups_scanned": [len(scanned), len(t.active_groups())],
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("scale-r7")
@@ -227,6 +291,7 @@ def main() -> None:
         "simhash": exp_simhash,
         "logbin100": exp_logbin100,
         "bm25x10": exp_bm25x10,
+        "lshx10": exp_lshx10,
     }
     for name, fn in exps.items():
         if which not in ("all", name):
