@@ -337,6 +337,8 @@ FULL_SUITE = [
     "dedup_lsh_store_probe",
     "dedup_lsh_point_probe",
     "stream_dedup_lsh_mv",
+    # round 7: MaxScore-pruned BM25 serving (exact top-k, term ub sidecar)
+    "search_bm25_maxscore",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -45,6 +45,13 @@ MU = 2000.0
 RRF_K = 60
 N_PROBES = 3  # query-by-example probes: doc_id < 3
 
+# planner diagnostics of the last maxscore_topk run (per query_id:
+# n_terms / n_essential / theta; plus the union of essential terms) —
+# read by tests and the SCALE tool to assert pruning actually fires;
+# never part of results
+MAXSCORE_LAST_STATS: dict[int, dict] = {}
+MAXSCORE_LAST_ESSENTIAL: set[str] = set()
+
 # ---------------------------------------------------------------------------
 # shared shapes
 # ---------------------------------------------------------------------------
@@ -311,6 +318,230 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# search_bm25_maxscore — exact top-k with term-level upper-bound pruning
+# ---------------------------------------------------------------------------
+
+
+def _ensure_maximpact(spark: SparkSession, sf_dir: str) -> str:
+    """Per-term scoring upper bound ("max impact") sidecar for the
+    postings store: (term, df, ub) where ub = max over the term's
+    postings of its BM25 contribution idf(df) * tf_norm(tf, dl).
+
+    This is the metadata a WAND/MaxScore engine keeps beside each
+    postings list (Lucene stores it per block as "impacts").  It is
+    vocabulary-sized — independent of corpus row count — and derived
+    from the store in one aggregate pass at build time, so queries can
+    plan term pruning WITHOUT touching any postings."""
+    import json as _json
+    import os
+    import shutil
+
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "search_maximpact")
+    done = os.path.join(root, "_BUILD_DONE")
+    path = os.path.join(root, "term_ub")
+    if os.path.exists(done):
+        return path
+    t, consts_path = _ensure_search_index(spark, sf_dir)
+    with open(consts_path) as fh:
+        c = _json.load(fh)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    post = t.read(spark)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(c["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(c["avgdl"]))
+    )
+    ub = post.groupBy("term").agg(
+        F.max("df").alias("df"), F.max(idf * tf_norm).alias("ub")
+    )
+    ub.coalesce(1).write.mode("overwrite").parquet(path)
+    with open(done, "w"):
+        pass
+    return path
+
+
+def q_search_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 BM25 with MaxScore term pruning (Turtle & Flood 1995;
+    the term-level tier of the Block-Max WAND family) over the postings
+    store — same answer as ORACLE_BM25, provably, while reading only the
+    selective postings lists for candidate generation.
+
+    The 100 TB problem this solves: the plain indexed path's candidate
+    set is "docs sharing >= 1 query term", and for queries containing
+    common words that is effectively the corpus (the ×10 SCALE row
+    measured 96% of postings matched).  Every lexical engine prunes this
+    with per-term score caps; the distributed adaptation here is
+    three bounded phases, all metadata/selective-postings-sized:
+
+    1. **Seed** — exactly score candidates from the highest-impact third
+       of each probe's terms (rare terms ⇒ short lists).  The 10th-best
+       seed score θ is a LOWER bound of the true 10th-best full score
+       (partial sums over non-negative contributions under-count, and
+       the seed docs all exist in the final ranking).
+    2. **Prune** — per query, sort terms by ub ascending and mark the
+       longest prefix with cumulative Σub < θ − ε non-essential.  A doc
+       containing ONLY non-essential terms scores ≤ Σub < θ, so it can
+       never enter the top 10 (ε also kills θ-ties, which rank's
+       doc_id tie-break would otherwise let in).  This is where common
+       words — exactly the longest postings lists — drop out.
+    3. **Score** — candidates = docs in ≥1 ESSENTIAL term's postings
+       (In-filter on essential terms only ⇒ zone-map group skipping on
+       the term-clustered store); their full scores use all query terms
+       but the big lists are now read through a candidate semi-join,
+       not materialized per-candidate-generation.
+
+    Per-query planner state (term list, ub rows, θ) is driver-side and
+    bounded by the query's own vocabulary — the same state any WAND
+    engine keeps in memory per query.  Scoring math is the identical
+    decimal-leaf sum, so the oracle is literally ORACLE_BM25: pruning
+    must be invisible in the result, bit-for-bit.  Degenerate seeds
+    (< 10 docs) fall back to θ = −∞ ⇒ all terms essential ⇒ the plain
+    indexed plan.  No counterpart in the reference (azanium has no
+    retrieval; core.clj:1-80)."""
+    import json as _json
+
+    t, consts_path = _ensure_search_index(spark, sf_dir)
+    ub_path = _ensure_maximpact(spark, sf_dir)
+    with open(consts_path) as fh:
+        c = _json.load(fh)
+    post = t.read(spark)
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.filter(F.col("doc_id") < N_PROBES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .distinct()
+    )
+    return maxscore_topk(spark, post, c, q, spark.read.parquet(ub_path))
+
+
+def maxscore_topk(
+    spark: SparkSession,
+    post: DataFrame,
+    c: dict,
+    q: DataFrame,
+    ub: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The three MaxScore phases of :func:`q_search_bm25_maxscore`,
+    reusable against any postings relation (term, doc_id, tf, dl, df)
+    + constants dict {n_docs, avgdl} + query (query_id, term) + per-term
+    upper bounds (term, ub).  Kept separate so the SCALE tool can drive
+    it against the ×10 store and assert pruning."""
+    # query-planner state: per-term ub for the probe vocabulary (~40
+    # terms x 3 probes).  Driver-side in any serving engine.
+    q_terms: dict[int, list[str]] = {}
+    for r in q.collect():
+        q_terms.setdefault(r.query_id, []).append(r.term)
+    all_terms = sorted({t_ for ts in q_terms.values() for t_ in ts})
+    ub_rows = ub.filter(F.col("term").isin(all_terms)).collect()
+    ub_map = {r.term: r.ub for r in ub_rows}
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(c["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(c["avgdl"]))
+    )
+    contrib = idf * tf_norm
+
+    # --- phase 1: seed thresholds from the highest-impact terms ---------
+    seed_pairs = []
+    for qid, ts in q_terms.items():
+        ranked = sorted(ts, key=lambda t_: (-ub_map.get(t_, 0.0), t_))
+        # the highest-impact third seeds θ; floor 2 so short keyword
+        # queries seed from their rare terms only (a common term's huge
+        # list would cost more than the θ it buys; ANY seed set is exact)
+        n_seed = max(2, len(ranked) // 3)
+        seed_pairs += [(qid, t_) for t_ in ranked[:n_seed]]
+    q_seed = spark.createDataFrame(seed_pairs, ["query_id", "term"])
+    seed_terms = sorted({t_ for _, t_ in seed_pairs})
+    seed_scores = (
+        post.filter(F.col("term").isin(seed_terms))
+        .join(F.broadcast(q_seed), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("partial"))
+    )
+    w_seed = Window.partitionBy("query_id").orderBy(F.desc("partial"))
+    theta_rows = (
+        seed_scores.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == k)
+        .select("query_id", "partial")
+        .collect()
+    )
+    # θ − ε: ε absorbs the double-vs-decimal leaf rounding (≤ 5e-10/term)
+    # and guarantees strictness at ties
+    theta = {r.query_id: r.partial - 1e-6 for r in theta_rows}
+
+    # --- phase 2: essential terms per query (driver-side, |T| rows) -----
+    ess_pairs = []
+    for qid, ts in q_terms.items():
+        th = theta.get(qid, float("-inf"))
+        ranked = sorted(ts, key=lambda t_: (ub_map.get(t_, 0.0), t_))
+        cum = 0.0
+        for i, t_ in enumerate(ranked):
+            cum += ub_map.get(t_, 0.0)
+            if cum >= th:
+                ess_pairs += [(qid, t2) for t2 in ranked[i:]]
+                break
+    q_ess = spark.createDataFrame(ess_pairs, ["query_id", "term"])
+    ess_terms = sorted({t_ for _, t_ in ess_pairs})
+    # observability for tests / the SCALE tool: how hard did phase 2
+    # prune?  (module-level, overwritten per call — planner diagnostics,
+    # not part of the query result)
+    MAXSCORE_LAST_STATS.clear()
+    for qid, ts in q_terms.items():
+        n_ess = sum(1 for p in ess_pairs if p[0] == qid)
+        MAXSCORE_LAST_STATS[qid] = {
+            "n_terms": len(ts),
+            "n_essential": n_ess,
+            "theta": theta.get(qid),
+        }
+    MAXSCORE_LAST_ESSENTIAL.clear()
+    MAXSCORE_LAST_ESSENTIAL.update(ess_terms)
+
+    # --- phase 3: candidates from essential postings, full exact score --
+    cands = (
+        post.filter(F.col("term").isin(ess_terms))
+        .select("term", "doc_id")
+        .join(F.broadcast(q_ess), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    scored = (
+        post.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(q), "term")
+        .join(cands, ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(_dec9(contrib)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
         .select(
             "query_id",
             "doc_id",
@@ -596,6 +827,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["search_bm25_topk"] = ORACLE_BM25
     queries["search_bm25_indexed"] = q_search_bm25_indexed
     oracles["search_bm25_indexed"] = ORACLE_BM25
+    queries["search_bm25_maxscore"] = q_search_bm25_maxscore
+    oracles["search_bm25_maxscore"] = ORACLE_BM25
     queries["search_inverted_postings"] = q_search_inverted_postings
     oracles["search_inverted_postings"] = ORACLE_POSTINGS
     queries["search_hybrid_rrf"] = q_search_hybrid_rrf

@@ -150,3 +150,32 @@ def test_bm25_indexed_pushes_term_in_filter(spark):
     assert "In(term, [" in plan  # probe-term list reaches the scan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_maxscore_equals_from_scratch(spark):
+    # the MaxScore pruning contract: bit-identical to the unpruned path
+    a = {(r.query_id, r.rank): (r.doc_id, r.score)
+         for r in _rows(spark, "search_bm25_topk")}
+    b = {(r.query_id, r.rank): (r.doc_id, r.score)
+         for r in _rows(spark, "search_bm25_maxscore")}
+    assert a == b
+
+
+def test_bm25_maxscore_planner_state_sound(spark):
+    from db_migration_spark.queries_search import MAXSCORE_LAST_STATS
+
+    _rows(spark, "search_bm25_maxscore")
+    assert set(MAXSCORE_LAST_STATS) == {0, 1, 2}
+    for qid, st in MAXSCORE_LAST_STATS.items():
+        # essential set non-empty and never larger than the query
+        assert 1 <= st["n_essential"] <= st["n_terms"]
+        # a θ was established (the fixture has >= 10 candidate docs per
+        # probe), so pruning had a real threshold to work with
+        assert st["theta"] is not None and st["theta"] > 0
+
+
+def test_bm25_maxscore_plan_guards(spark):
+    plan = _plan(spark, "search_bm25_maxscore")
+    assert "CartesianProduct" not in plan
+    assert "In(term, [" in plan  # essential-term In-filter at the scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -219,6 +219,344 @@ def exp_bm25x10(spark) -> dict:
     }
 
 
+def exp_maxscorex10(spark) -> dict:
+    """MaxScore-pruned BM25 vs plain indexed serving at the 10x corpus:
+    same top-10 (asserted row-for-row), but candidate generation reads
+    only the essential terms' postings.  The quantities that matter at
+    100 TB: essential-term fraction, candidate-generation postings
+    (essential-matched vs all-matched), and warm wall time."""
+    from db_migration_spark.functions import text as TXT
+    from db_migration_spark.plans.txlog import TxTable
+    from db_migration_spark.queries_search import (
+        K1,
+        B,
+        MAXSCORE_LAST_STATS,
+        _dec9,
+        maxscore_topk,
+    )
+
+    docs10_path = f"{TMP}/r7_docs10.parquet"
+    if not os.path.exists(docs10_path):
+        raise SystemExit("run bm25x10 first (builds the 10x corpus)")
+    docs = spark.read.parquet(docs10_path)
+
+    store_root = f"{TMP}/r7_bm25x10_store"
+    if not os.path.exists(store_root):
+        raise SystemExit("run bm25x10 first (builds the postings store)")
+    t = TxTable(store_root)
+    post = t.read(spark)
+
+    consts = post.select("doc_id", "dl").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
+    c = {"n_docs": consts["n_docs"], "avgdl": consts["avgdl"]}
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(c["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(c["avgdl"]))
+    )
+    t0 = time.time()
+    ub = post.groupBy("term").agg(F.max(idf * tf_norm).alias("ub"))
+    ub_path = f"{TMP}/r7_maxscore_ub.parquet"
+    ub.coalesce(1).write.mode("overwrite").parquet(ub_path)
+    ub = spark.read.parquet(ub_path)
+    ub_build = round(time.time() - t0, 2)
+
+    q = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term"),
+    ).distinct().persist()
+    q.count()
+    all_terms = sorted(r.term for r in q.select("term").distinct().collect())
+
+    def plain() -> float:
+        t0 = time.time()
+        scored = (
+            post.filter(F.col("term").isin(all_terms))
+            .join(F.broadcast(q), "term")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(_dec9(idf * tf_norm)).alias("score"))
+        )
+        _noop(scored)
+        return time.time() - t0
+
+    def pruned() -> float:
+        t0 = time.time()
+        _noop(maxscore_topk(spark, post, c, q, ub))
+        return time.time() - t0
+
+    plain()
+    plain_sec = round(min(plain() for _ in range(3)), 3)
+    pruned()
+    pruned_sec = round(min(pruned() for _ in range(3)), 3)
+
+    # exactness at x10: pruned top-10 == unpruned top-10 (rank windows
+    # over the same decimal scores)
+    from pyspark.sql import Window
+
+    scored_full = (
+        post.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(_dec9(idf * tf_norm)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    full_top = {
+        (r.query_id, r.rank): (r.doc_id, float(r.score))
+        for r in scored_full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id",
+                F.col("score").cast("double").alias("score"), "rank")
+        .collect()
+    }
+    pruned_top = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in maxscore_topk(spark, post, c, q, ub).collect()
+    }
+    assert pruned_top == full_top, "MaxScore pruning changed the top-10"
+
+    stats = dict(MAXSCORE_LAST_STATS)
+    n_terms = sum(s["n_terms"] for s in stats.values())
+    n_ess = sum(s["n_essential"] for s in stats.values())
+    # postings read for candidate generation, both ways: the union of
+    # essential terms is what phase 3 In-filters at the scan
+    from db_migration_spark.queries_search import MAXSCORE_LAST_ESSENTIAL
+
+    all_matched = post.filter(F.col("term").isin(all_terms)).count()
+    ess_matched = post.filter(
+        F.col("term").isin(sorted(MAXSCORE_LAST_ESSENTIAL))
+    ).count()
+    return {
+        "exp": "bm25_maxscore_x10",
+        "n_docs": docs.count(),
+        "ub_sidecar_build_sec": ub_build,
+        "query_terms": n_terms,
+        "essential_terms": n_ess,
+        "essential_term_frac": round(n_ess / n_terms, 3),
+        "all_matched_postings": all_matched,
+        "essential_matched_postings": ess_matched,
+        "candidate_postings_frac": round(ess_matched / all_matched, 4),
+        "plain_indexed_warm_min3_sec": plain_sec,
+        "maxscore_warm_min3_sec": pruned_sec,
+        "exact_top10": True,
+    }
+
+
+def exp_maxscore_zipf(spark) -> dict:
+    """MaxScore on a REALISTIC vocabulary: the sf0.1 documents table has
+    40 distinct terms with min df = 5% of docs — a worst case where no
+    impact ordering can differentiate (measured: 75% of terms stay
+    essential, pruning buys nothing).  Real text is Zipfian; this
+    experiment generates a log-uniform-rank corpus (P(rank r) ~ 1/r,
+    i.e. Zipf s=1: 50k-term vocabulary, a few ubiquitous terms, a long
+    rare tail) and serves 3 keyword queries of 2 common + 2 rare terms —
+    the workload WAND/MaxScore was built for.  Expected shape: the rare
+    terms alone are essential, candidate generation reads their short
+    lists only, and the common terms' giant lists are touched only
+    through the candidate semi-join at scoring."""
+    import math
+
+    from pyspark.sql import Window
+
+    from db_migration_spark.plans.txlog import TxTable
+    from db_migration_spark.queries_search import (
+        B,
+        K1,
+        MAXSCORE_LAST_ESSENTIAL,
+        MAXSCORE_LAST_STATS,
+        _dec9,
+        maxscore_topk,
+    )
+
+    V, N, L = 50_000, 400_000, 100
+    store_root = f"{TMP}/r7_zipf_store"
+    t = TxTable(store_root)
+    t0 = time.time()
+    if not t.active_groups():
+        toks = (
+            spark.range(N)
+            .select(F.col("id").alias("doc_id"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(L - 1))
+                ).alias("pos"),
+            )
+        )
+        u = (
+            F.abs(F.xxhash64("doc_id", "pos", F.lit(7))) % 1_000_000_003
+        ) / 1_000_000_003.0
+        rank = F.least(
+            F.lit(V),
+            F.greatest(
+                F.lit(1), F.floor(F.exp(u * F.lit(math.log(V))))
+            ),
+        ).cast("long")
+        term = F.concat(F.lit("t"), F.format_string("%06d", rank))
+        tf = (
+            toks.select("doc_id", term.alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        post = (
+            tf.join(dl, "doc_id").join(df_, "term")
+            .select("term", "doc_id", "tf", "dl", "df")
+        )
+        t.commit_append(post)
+        t.optimize(spark, sort_key=["term"], target_groups=32)
+    build = round(time.time() - t0, 2)
+    post = t.read(spark)
+
+    consts = (
+        post.select("doc_id", "dl").distinct()
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("a"),
+        )
+        .collect()[0]
+    )
+    c = {"n_docs": consts["n"], "avgdl": consts["a"]}
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(c["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(c["avgdl"]))
+    )
+    t0 = time.time()
+    ub_path = f"{TMP}/r7_zipf_ub.parquet"
+    post.groupBy("term").agg(F.max(idf * tf_norm).alias("ub")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(ub_path)
+    ub = spark.read.parquet(ub_path)
+    ub_build = round(time.time() - t0, 2)
+
+    stats = post.select("term", "df").distinct()
+    common = [
+        r.term
+        for r in stats.orderBy(F.desc("df"), "term").limit(6).collect()
+    ]
+    rare = [
+        r.term
+        for r in stats.filter(
+            (F.col("df") >= 50) & (F.col("df") <= 200)
+        ).orderBy("term").limit(6).collect()
+    ]
+    qrows = []
+    for qid in range(3):
+        qrows += [
+            (qid, common[2 * qid]),
+            (qid, common[2 * qid + 1]),
+            (qid, rare[2 * qid]),
+            (qid, rare[2 * qid + 1]),
+        ]
+    q = spark.createDataFrame(qrows, ["query_id", "term"]).persist()
+    q.count()
+    all_terms = sorted({r[1] for r in qrows})
+
+    def scored_full():
+        return (
+            post.filter(F.col("term").isin(all_terms))
+            .join(F.broadcast(q), "term")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(_dec9(idf * tf_norm)).alias("score"))
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+
+    def plain() -> float:
+        t0 = time.time()
+        _noop(
+            scored_full()
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+        )
+        return time.time() - t0
+
+    def pruned() -> float:
+        t0 = time.time()
+        _noop(maxscore_topk(spark, post, c, q, ub))
+        return time.time() - t0
+
+    plain()
+    plain_sec = round(min(plain() for _ in range(3)), 3)
+    pruned()
+    pruned_sec = round(min(pruned() for _ in range(3)), 3)
+
+    full_top = {
+        (r.query_id, r.rank): (r.doc_id, float(r.score))
+        for r in scored_full()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            "rank",
+        )
+        .collect()
+    }
+    pruned_top = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in maxscore_topk(spark, post, c, q, ub).collect()
+    }
+    assert pruned_top == full_top, "MaxScore pruning changed the top-10"
+
+    st = dict(MAXSCORE_LAST_STATS)
+    n_terms = sum(s["n_terms"] for s in st.values())
+    n_ess = sum(s["n_essential"] for s in st.values())
+    ess_terms = sorted(MAXSCORE_LAST_ESSENTIAL)
+    all_matched = post.filter(F.col("term").isin(all_terms)).count()
+    ess_matched = post.filter(F.col("term").isin(ess_terms)).count()
+
+    # group-level planning: zone maps on the term-clustered layout — how
+    # many of the 32 file groups each phase's In-filter plans
+    def groups_for(terms: list) -> int:
+        picked: set = set()
+        for term in terms:
+            g, _ = t.prune_groups("term", lo=term, hi=term)
+            picked.update(g)
+        return len(picked)
+
+    n_groups = len(t.active_groups())
+    cand_frac = ess_matched / all_matched
+    assert n_ess / n_terms <= 0.6, "expected common terms pruned"
+    assert cand_frac <= 0.05, "expected candidate postings collapse"
+    return {
+        "exp": "bm25_maxscore_zipf",
+        "n_docs": N,
+        "vocab": V,
+        "postings_rows": post.count(),
+        "store_build_sec": build,
+        "ub_sidecar_build_sec": ub_build,
+        "query_terms": n_terms,
+        "essential_terms": n_ess,
+        "essential_term_frac": round(n_ess / n_terms, 3),
+        "all_matched_postings": all_matched,
+        "essential_matched_postings": ess_matched,
+        "candidate_postings_frac": round(cand_frac, 5),
+        "candidate_groups_planned": [groups_for(ess_terms), n_groups],
+        "scoring_groups_planned": [groups_for(all_terms), n_groups],
+        "plain_indexed_warm_min3_sec": plain_sec,
+        "maxscore_warm_min3_sec": pruned_sec,
+        "exact_top10": True,
+    }
+
+
 def exp_lshx10(spark) -> dict:
     """Persisted LSH band store at a 10x corpus: build once, then (a)
     batch-probe with a 5k-doc batch (cost = batch x matched buckets)
@@ -292,6 +630,8 @@ def main() -> None:
         "logbin100": exp_logbin100,
         "bm25x10": exp_bm25x10,
         "lshx10": exp_lshx10,
+        "maxscorex10": exp_maxscorex10,
+        "maxscorezipf": exp_maxscore_zipf,
     }
     for name, fn in exps.items():
         if which not in ("all", name):
