@@ -339,6 +339,8 @@ FULL_SUITE = [
     "stream_dedup_lsh_mv",
     # round 7: MaxScore-pruned BM25 serving (exact top-k, term ub sidecar)
     "search_bm25_maxscore",
+    # round 7: weighted priority sampling (mergeable subset-sum sketch)
+    "sketch_priority_sample",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver
@@ -588,6 +590,13 @@ def main() -> None:
         "overridden": sorted(set(overrides) & set(HEADLINE)),
     }
     print(json.dumps(headline_json, separators=(",", ":")), flush=True)
+
+    # headline-only mode: used for same-session calibration-ratio
+    # validation (two consecutive headline runs without the ~5-minute
+    # full phase between them).  The driver always runs the default
+    # full protocol — this flag only short-circuits local validation.
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        return
 
     # --- full-suite phase: breadth coverage, min-of-2 ---------------------
     for name in FULL_SUITE:

@@ -163,6 +163,93 @@ def det_sample(
     return df.filter(theta_hash(key) < F.lit(DOMAIN // denom))
 
 
+# --- priority sampling (weighted bottom-k) ----------------------------------
+#
+# Duffield–Lund–Thorup priority sampling: item i with weight w_i gets
+# priority q_i = w_i / u_i with u_i uniform in (0,1]; keep the k largest
+# priorities, let tau = the (k+1)-th.  The estimator for ANY subset-sum
+# SUM(w_i over i satisfying P) is SUM over sampled i with P(i) of
+# max(w_i, tau) — unbiased (VLDB'07 proves zero covariance between
+# items), and within O(1/sqrt(k)) relative error for the totals the
+# declared queries gate.  Determinism: u = (v+1)/2^52 from the same
+# md5-derived 52-bit v as the theta sketches — (v+1) and the division by
+# a power of two are EXACT in a double, so q is the identical IEEE
+# double in Spark and DuckDB and the retained set is engine-independent
+# (the property random() priorities can never give an oracle).
+#
+# Mergeable like KMV: the global top-(k+1) by priority is a subset of
+# the union of per-partial top-(k+1)s, so month-partial samples merged
+# to coarser dims equal a direct build — the digest equality the
+# declared query gates.
+
+
+def priority_sample(
+    df: DataFrame,
+    dims: list[str],
+    key: str,
+    weight: str,
+    payload: tuple[str, ...] = (),
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Weighted priority sample per dimension tuple: rows
+    (dims…, payload…, v, w, q, rn) with rn ≤ k+1 — ranks 1..k are the
+    sample, rank k+1 carries tau.  ``payload`` columns ride along so
+    downstream subset predicates can be evaluated on the sample.
+
+    Plan shape (hot-group safe, same as kmv_sketch): row_number ≤ k+1
+    inside 64 deterministic salt slices (pmod(v, 64)) bounds any one
+    reducer's sort, then the ≤ 64(k+1) survivors per group take the
+    global top-(k+1).  Correct because any of the k+1 globally-largest
+    priorities is among the k+1 largest of its own slice."""
+    v = theta_hash(key)
+    w = F.col(weight).cast("double")
+    q = (w * F.lit(float(DOMAIN))) / (v + F.lit(1)).cast("double")
+    hashed = df.select(
+        *dims, *payload, v.alias("v"), w.alias("w"), q.alias("q")
+    )
+    w1 = Window.partitionBy(
+        *dims, F.pmod(F.col("v"), F.lit(_SALT))
+    ).orderBy(F.desc("q"), "v")
+    pre = (
+        hashed.withColumn("srn", F.row_number().over(w1))
+        .filter(F.col("srn") <= k + 1)
+        .drop("srn")
+    )
+    w2 = Window.partitionBy(*dims).orderBy(F.desc("q"), "v")
+    return (
+        pre.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k + 1)
+    )
+
+
+def priority_merge(
+    sp: DataFrame, dims: list[str], k: int = DEFAULT_K
+) -> DataFrame:
+    """Merge priority samples to coarser dimensions: re-rank the union
+    by (q desc, v) and keep the top-(k+1).  Lossless — every rank of
+    the direct build survives in some input partial — so incremental
+    per-day samples fold to the same sample a full rescan builds.
+    Input is ≤ k+1 rows per input tuple: a tiny exchange."""
+    w2 = Window.partitionBy(*dims).orderBy(F.desc("q"), "v")
+    return (
+        sp.drop("rn")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k + 1)
+    )
+
+
+def priority_estimate_cents(w_col, tau_col) -> Column:
+    """Exact-integer estimator leaf: max(w, tau) quantized to cents via
+    floor(x·100 + 0.5) — multiply and floor of the same IEEE double are
+    identical in every engine, and the BIGINT cents sum is associative,
+    so the estimate is bit-reproducible cross-engine (round(x, 9) on
+    ~1e6-scale money doubles is NOT: the engines disagree at the 15th
+    significant digit)."""
+    return F.floor(
+        F.greatest(w_col, tau_col) * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+
+
 def kmv_scale_count(cnt: Column, theta_v: Column) -> Column:
     """Scale a below-theta sample count up to a set-size estimate:
     cnt · 2^52 / theta_v, rounded to BIGINT (cnt exact when theta_v

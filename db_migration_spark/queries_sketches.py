@@ -1407,6 +1407,163 @@ ORACLE_STREAM_QUANTILE_MV = _oracle_qsketch(
 )
 
 
+# ---------------------------------------------------------------------------
+# priority sampling — weighted bottom-k with unbiased subset-sum estimates
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duffield–Lund–Thorup priority sample (functions/theta.py): a
+    k=256-row weighted sample of ``orders`` per priority segment that
+    answers ARBITRARY subset-sum questions about o_totalprice — the
+    capability uniform sampling (sample_aqp_revenue) lacks for skewed
+    weights and log-bin rollups lack for ad-hoc predicates.
+
+    Three gated properties per segment:
+    * **merge losslessness** — the sample is built at MONTH granularity
+      and merged to segment level; ``digest`` (Σ of the retained 52-bit
+      key hashes, exact BIGINT) and tau must equal a direct
+      segment-level build bit-for-bit (digest_match / tau_match), the
+      proof that incremental daily samples fold safely at 100 TB.
+    * **total estimate** — Σ max(w, tau) over the sample (exact integer
+      cents) within 15% of the exact segment revenue.
+    * **subset estimate** — the same stored sample answers "revenue
+      from year-1997 orders only" (a ~1/7 subset chosen AFTER the
+      sample was built) within 35%.
+
+    All retained values, taus and estimator leaves are deterministic
+    IEEE doubles derived from the portable md5→52-bit scheme, so the
+    oracle recomputes the identical sample and identical cents.  At
+    100 TB: one salted top-(k+1) per group (no reducer sorts a hot
+    group's full set), then all estimation runs on ≤ k+1 rows per
+    group.  No counterpart in the reference (azanium core.clj:1-80);
+    extends the §2.12 sampling tier."""
+    from .functions.theta import (
+        priority_estimate_cents,
+        priority_merge,
+        priority_sample,
+    )
+
+    k = _THETA_K
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        F.year("o_orderdate").alias("yr"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    fine = priority_sample(
+        od, ["seg", "mo"], "o_orderkey", "o_totalprice", payload=("yr",), k=k
+    )
+    merged = priority_merge(fine.drop("mo"), ["seg"], k=k)
+    direct = priority_sample(
+        od, ["seg"], "o_orderkey", "o_totalprice", payload=("yr",), k=k
+    )
+
+    def stats(sp: DataFrame) -> DataFrame:
+        tau = sp.filter(F.col("rn") == k + 1).select(
+            "seg", F.col("q").alias("tau")
+        )
+        s = (
+            sp.filter(F.col("rn") <= k)
+            .join(tau, "seg", "left")
+            .na.fill({"tau": 0.0})
+        )
+        leaf = priority_estimate_cents(F.col("w"), F.col("tau"))
+        return s.groupBy("seg").agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum("v").alias("digest"),
+            F.max("tau").alias("tau"),
+            F.sum(leaf).alias("est_total_c"),
+            F.sum(
+                F.when(F.col("yr") == 1997, leaf).otherwise(F.lit(0))
+            ).alias("est_sub_c"),
+        )
+
+    m, d = stats(merged), stats(direct)
+    exact = od.groupBy("seg").agg(
+        F.sum(F.col("o_totalprice").cast("double")).alias("ex_total"),
+        F.sum(
+            F.when(
+                F.col("yr") == 1997, F.col("o_totalprice").cast("double")
+            ).otherwise(0.0)
+        ).alias("ex_sub"),
+    )
+    return (
+        m.alias("m")
+        .join(d.alias("d"), "seg")
+        .join(exact, "seg")
+        .select(
+            "seg",
+            F.col("m.n_vals").alias("n_vals"),
+            F.col("m.digest").alias("digest"),
+            (F.col("m.digest") == F.col("d.digest")).alias("digest_match"),
+            (F.col("m.tau") == F.col("d.tau")).alias("tau_match"),
+            (F.col("m.est_total_c") / F.lit(100.0)).alias("est_total"),
+            (
+                F.abs(
+                    F.col("m.est_total_c") / F.lit(100.0) / F.col("ex_total")
+                    - 1
+                )
+                <= F.lit(0.15)
+            ).alias("total_ok"),
+            (F.col("m.est_sub_c") / F.lit(100.0)).alias("est_sub"),
+            (
+                F.abs(
+                    F.col("m.est_sub_c") / F.lit(100.0) / F.col("ex_sub") - 1
+                )
+                <= F.lit(0.35)
+            ).alias("subset_ok"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_PRIORITY_SAMPLE = f"""
+WITH pv AS (
+  SELECT o_orderpriority AS seg, date_trunc('month', o_orderdate) AS mo,
+         year(o_orderdate) AS yr, CAST(o_totalprice AS DOUBLE) AS w,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,13))::UBIGINT
+              AS BIGINT) AS v
+  FROM orders),
+pq AS (SELECT *, w * {float(_THETA_DOMAIN)} / CAST(v + 1 AS DOUBLE) AS q
+       FROM pv),
+mk AS (SELECT * FROM (SELECT seg, mo, yr, v, w, q,
+        row_number() OVER (PARTITION BY seg, mo ORDER BY q DESC, v) AS rn
+        FROM pq) WHERE rn <= {_THETA_K + 1}),
+mg AS (SELECT * FROM (SELECT seg, yr, v, w, q,
+        row_number() OVER (PARTITION BY seg ORDER BY q DESC, v) AS rn
+        FROM mk) WHERE rn <= {_THETA_K + 1}),
+dg AS (SELECT * FROM (SELECT seg, yr, v, w, q,
+        row_number() OVER (PARTITION BY seg ORDER BY q DESC, v) AS rn
+        FROM pq) WHERE rn <= {_THETA_K + 1}),
+mt AS (SELECT seg, max(CASE WHEN rn = {_THETA_K + 1} THEN q ELSE 0 END) AS tau
+       FROM mg GROUP BY 1),
+dt AS (SELECT seg, max(CASE WHEN rn = {_THETA_K + 1} THEN q ELSE 0 END) AS tau
+       FROM dg GROUP BY 1),
+ms AS (SELECT g.seg, count(*) AS n_vals, CAST(sum(v) AS BIGINT) AS digest,
+        max(t.tau) AS tau,
+        SUM(CAST(floor(greatest(w, t.tau) * 100.0 + 0.5) AS BIGINT))
+          AS est_total_c,
+        SUM(CASE WHEN yr = 1997
+             THEN CAST(floor(greatest(w, t.tau) * 100.0 + 0.5) AS BIGINT)
+             ELSE 0 END) AS est_sub_c
+     FROM mg g JOIN mt t USING (seg) WHERE rn <= {_THETA_K} GROUP BY 1),
+ds AS (SELECT g.seg, CAST(sum(v) AS BIGINT) AS digest, max(t.tau) AS tau
+     FROM dg g JOIN dt t USING (seg) WHERE rn <= {_THETA_K} GROUP BY 1),
+ex AS (SELECT seg, SUM(w) AS ex_total,
+        SUM(CASE WHEN yr = 1997 THEN w ELSE 0 END) AS ex_sub
+       FROM pv GROUP BY 1)
+SELECT m.seg, m.n_vals, m.digest, m.digest = d.digest AS digest_match,
+       m.tau = d.tau AS tau_match,
+       m.est_total_c / 100.0 AS est_total,
+       abs(m.est_total_c / 100.0 / ex_total - 1) <= 0.15 AS total_ok,
+       m.est_sub_c / 100.0 AS est_sub,
+       abs(m.est_sub_c / 100.0 / ex_sub - 1) <= 0.35 AS subset_ok
+FROM ms m JOIN ds d USING (seg) JOIN ex USING (seg) ORDER BY m.seg
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1422,6 +1579,7 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_quantile_rollup": q_sketch_quantile_rollup,
             "sketch_quantile_merge_total": q_sketch_quantile_merge_total,
             "stream_quantile_mv": q_stream_quantile_mv,
+            "sketch_priority_sample": q_sketch_priority_sample,
         }
     )
     oracles.update(
@@ -1438,5 +1596,6 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_quantile_rollup": ORACLE_QUANTILE_ROLLUP,
             "sketch_quantile_merge_total": ORACLE_QUANTILE_MERGE_TOTAL,
             "stream_quantile_mv": ORACLE_STREAM_QUANTILE_MV,
+            "sketch_priority_sample": ORACLE_PRIORITY_SAMPLE,
         }
     )

@@ -159,3 +159,126 @@ def test_det_sample_filter_pushes_to_scan(spark, tmp_path):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- priority sampling -------------------------------------------------------
+
+
+def _weighted(spark, n, seg="a"):
+    # deterministic skewed weights: w in {1, 2, ..} with a few heavy items
+    return spark.range(n).select(
+        F.lit(seg).alias("seg"),
+        F.col("id").cast("string").alias("key"),
+        (
+            F.when(F.col("id") % 97 == 0, F.lit(1000.0)).otherwise(
+                (F.col("id") % 7 + 1).cast("double")
+            )
+        ).alias("w"),
+    )
+
+
+def test_priority_sample_salted_equals_naive(spark):
+    """The salted two-level top-(k+1) must equal a plain global
+    top-(k+1) by (q desc, v) — pre-truncation invisible."""
+    from db_migration_spark.functions.theta import priority_sample
+
+    df = _weighted(spark, 4000)
+    k = 64
+    got = priority_sample(df, ["seg"], "key", "w", k=k)
+    hashed = df.select(
+        "seg",
+        theta_hash("key").alias("v"),
+        F.col("w"),
+        (
+            (F.col("w") * F.lit(float(DOMAIN)))
+            / (theta_hash("key") + F.lit(1)).cast("double")
+        ).alias("q"),
+    )
+    hashed.createOrReplaceTempView("naive_pq")
+    naive = spark.sql(
+        f"""SELECT seg, v FROM (
+              SELECT seg, v,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY q DESC, v) rn
+              FROM naive_pq) WHERE rn <= {k + 1}"""
+    )
+    assert sorted(r.v for r in got.collect()) == sorted(
+        r.v for r in naive.collect()
+    )
+
+
+def test_priority_merge_lossless(spark):
+    """Partial samples over a split of the data merge to EXACTLY the
+    direct sample (same retained v set, same tau row)."""
+    from db_migration_spark.functions.theta import (
+        priority_merge,
+        priority_sample,
+    )
+
+    df = _weighted(spark, 3000).withColumn(
+        "part", (F.col("key").cast("long") % 5).cast("int")
+    )
+    k = 32
+    fine = priority_sample(df, ["seg", "part"], "key", "w", k=k)
+    merged = priority_merge(fine.drop("part"), ["seg"], k=k)
+    direct = priority_sample(df, ["seg"], "key", "w", k=k)
+    assert sorted((r.v, r.rn) for r in merged.collect()) == sorted(
+        (r.v, r.rn) for r in direct.collect()
+    )
+
+
+def test_priority_estimator_exact_when_undersized(spark):
+    """n <= k: everything is sampled, tau = 0, estimate == exact sum."""
+    from db_migration_spark.functions.theta import (
+        priority_estimate_cents,
+        priority_sample,
+    )
+
+    df = _weighted(spark, 20)
+    k = 64
+    sp = priority_sample(df, ["seg"], "key", "w", k=k)
+    tau = sp.filter(F.col("rn") == k + 1)
+    assert tau.count() == 0
+    est_c = (
+        sp.filter(F.col("rn") <= k)
+        .select(priority_estimate_cents(F.col("w"), F.lit(0.0)).alias("c"))
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    exact = df.agg(F.sum("w")).collect()[0][0]
+    assert est_c == int(round(exact * 100))
+
+
+def test_priority_estimator_subset_unbiased_band(spark):
+    """Large-n sanity: total and a ~1/7 subset estimate land within the
+    declared gates on skewed weights."""
+    from db_migration_spark.functions.theta import (
+        priority_estimate_cents,
+        priority_merge,
+        priority_sample,
+    )
+
+    df = _weighted(spark, 30000).withColumn(
+        "flag", (F.col("key").cast("long") % 7 == 3).cast("boolean")
+    )
+    k = 256
+    sp = priority_sample(df, ["seg"], "key", "w", payload=("flag",), k=k)
+    tau_row = sp.filter(F.col("rn") == k + 1).collect()
+    tau = tau_row[0].q if tau_row else 0.0
+    leaf = priority_estimate_cents(F.col("w"), F.lit(tau))
+    agg = (
+        sp.filter(F.col("rn") <= k)
+        .agg(
+            F.sum(leaf).alias("tot"),
+            F.sum(F.when(F.col("flag"), leaf).otherwise(F.lit(0))).alias(
+                "sub"
+            ),
+        )
+        .collect()[0]
+    )
+    ex = df.agg(
+        F.sum("w").alias("tot"),
+        F.sum(F.when(F.col("flag"), F.col("w")).otherwise(0.0)).alias("sub"),
+    ).collect()[0]
+    assert abs(agg.tot / 100.0 / ex.tot - 1) <= 0.15
+    assert abs(agg.sub / 100.0 / ex.sub - 1) <= 0.35
