@@ -341,6 +341,7 @@ FULL_SUITE = [
     "search_bm25_maxscore",
     # round 7: weighted priority sampling (mergeable subset-sum sketch)
     "sketch_priority_sample",
+    "stream_priority_mv",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -1564,6 +1564,180 @@ FROM ms m JOIN ds d USING (seg) JOIN ex USING (seg) ORDER BY m.seg
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_priority_mv — incrementally maintained priority sample
+# ---------------------------------------------------------------------------
+
+_PRIO_MV_K = 128
+
+
+def _ensure_stream_priority_mv(spark: SparkSession, sf_dir: str):
+    """Streaming priority-sample materialized view: each micro-batch
+    builds its own weighted priority sample (functions/theta.py) and
+    folds it into a txlog table via the serializable ``merge``
+    primitive with a per-batch txn identity.  Priority-merge is
+    lossless (the global top-(k+1) by priority survives any merge
+    order), so the MV after any number of batches equals a direct
+    full-rescan sample — the digest equality the declared query's
+    oracle certifies, which simultaneously proves exactly-once
+    delivery (a dropped or doubled batch changes the retained set).
+    Batch 0 is adversarially replayed after the drain (must be a txn
+    no-op).  At 100 TB: per-batch work is one salted top-(k+1) over
+    the batch plus a rewrite of a ≤ (k+1)×dims-row table."""
+    import os
+    import shutil
+
+    from .functions.theta import priority_merge, priority_sample
+    from .plans.txlog import TxTable
+    from .queries_e2e import _fx
+    from .queries_streaming import _events_stream
+
+    root = _fx(sf_dir, "txlog_stream_priority_mv")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    events = _events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("seg"), "event_id", "value"
+    )
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        sk = priority_sample(bdf, ["seg"], "event_id", "value", k=_PRIO_MV_K)
+        mv = TxTable(root)
+
+        def fold(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return sk
+            return priority_merge(
+                current.unionByName(sk), ["seg"], _PRIO_MV_K
+            )
+
+        mv.merge(bdf.sparkSession, fold, txn=("priority_mv", batch_id))
+
+    q = (
+        events.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("priority mv stream drain did not finish")
+    before = t.latest_version()
+    replay = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("seg"), "event_id", "value"
+        )
+        .limit(500)
+    )
+
+    def clobber(current):
+        from .functions.theta import priority_sample as _ps
+
+        return _ps(replay, ["seg"], "event_id", "value", k=_PRIO_MV_K)
+
+    t.merge(spark, clobber, txn=("priority_mv", 0))
+    if t.latest_version() != before:  # not an assert: -O must not strip it
+        raise RuntimeError("replayed batch must not commit (txn dedup broke)")
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_stream_priority_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type total ``value`` estimated from the STREAMED
+    priority-sample MV — never from raw events.  The oracle rebuilds
+    the k=128 sample directly from the events table; bit-equal
+    ``digest`` (Σ of retained 52-bit key hashes) proves the
+    incremental priority-merges converged to the full-rescan sample
+    AND the sink was exactly-once.  The estimate (Σ max(w, tau) in
+    exact integer cents) gates within 25%."""
+    from .functions.theta import priority_estimate_cents
+
+    t = _ensure_stream_priority_mv(spark, sf_dir)
+    sp = t.read(spark)
+    k = _PRIO_MV_K
+    tau = sp.filter(F.col("rn") == k + 1).select(
+        "seg", F.col("q").alias("tau")
+    )
+    s = (
+        sp.filter(F.col("rn") <= k)
+        .join(tau, "seg", "left")
+        .na.fill({"tau": 0.0})
+    )
+    st = s.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum("v").alias("digest"),
+        F.sum(priority_estimate_cents(F.col("w"), F.col("tau"))).alias(
+            "est_c"
+        ),
+    )
+    # exact side in integer cents as well: a raw double SUM is
+    # summation-order-dependent across engines (house rule)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("seg"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("value").cast("double") * F.lit(100.0)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("exact_c")
+        )
+    )
+    return (
+        st.join(exact, "seg")
+        .select(
+            "seg",
+            "n_vals",
+            "digest",
+            (F.col("est_c") / F.lit(100.0)).alias("est_value"),
+            (F.col("exact_c") / F.lit(100.0)).alias("exact_value"),
+            (
+                F.abs(F.col("est_c") - F.col("exact_c"))
+                <= F.greatest(
+                    F.col("exact_c") * F.lit(0.25), F.lit(5000.0)
+                )
+            ).alias("est_ok"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_STREAM_PRIORITY_MV = f"""
+WITH pv AS (
+  SELECT event_type AS seg, CAST(value AS DOUBLE) AS w,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,13))::UBIGINT
+              AS BIGINT) AS v
+  FROM events),
+pq AS (SELECT *, w * {float(_THETA_DOMAIN)} / CAST(v + 1 AS DOUBLE) AS q
+       FROM pv),
+dg AS (SELECT * FROM (SELECT seg, v, w, q,
+        row_number() OVER (PARTITION BY seg ORDER BY q DESC, v) AS rn
+        FROM pq) WHERE rn <= {_PRIO_MV_K + 1}),
+dt AS (SELECT seg, max(CASE WHEN rn = {_PRIO_MV_K + 1} THEN q ELSE 0 END)
+         AS tau
+       FROM dg GROUP BY 1),
+st AS (SELECT g.seg, count(*) AS n_vals, CAST(sum(v) AS BIGINT) AS digest,
+        SUM(CAST(floor(greatest(w, t.tau) * 100.0 + 0.5) AS BIGINT)) AS est_c
+     FROM dg g JOIN dt t USING (seg) WHERE rn <= {_PRIO_MV_K} GROUP BY 1),
+ex AS (SELECT event_type AS seg,
+        SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+          AS exact_c
+       FROM events GROUP BY 1)
+SELECT s.seg, s.n_vals, s.digest,
+       s.est_c / 100.0 AS est_value, ex.exact_c / 100.0 AS exact_value,
+       abs(s.est_c - ex.exact_c)
+         <= greatest(ex.exact_c * 0.25, 5000.0) AS est_ok
+FROM st s JOIN ex USING (seg) ORDER BY s.seg
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1580,6 +1754,7 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_quantile_merge_total": q_sketch_quantile_merge_total,
             "stream_quantile_mv": q_stream_quantile_mv,
             "sketch_priority_sample": q_sketch_priority_sample,
+            "stream_priority_mv": q_stream_priority_mv,
         }
     )
     oracles.update(
@@ -1597,5 +1772,6 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_quantile_merge_total": ORACLE_QUANTILE_MERGE_TOTAL,
             "stream_quantile_mv": ORACLE_STREAM_QUANTILE_MV,
             "sketch_priority_sample": ORACLE_PRIORITY_SAMPLE,
+            "stream_priority_mv": ORACLE_STREAM_PRIORITY_MV,
         }
     )
