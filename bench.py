@@ -342,6 +342,8 @@ FULL_SUITE = [
     # round 7: weighted priority sampling (mergeable subset-sum sketch)
     "sketch_priority_sample",
     "stream_priority_mv",
+    # round 7: offline mean-shift changepoint (exact-integer argmax)
+    "ts_changepoint",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -726,7 +726,91 @@ FROM stats
 # ---------------------------------------------------------------------------
 
 
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single changepoint per event-type series: the split
+    maximizing the mean-shift likelihood statistic
+    stat² = (i·(n−i)/n)·(mean_left − mean_right)² — the CUSUM-family
+    likelihood-ratio test for one mean change (Hinkley 1970).
+
+    Exactness discipline: values quantize to micro-units once
+    (floor(v·1e6) BIGINT), the running and total sums are exact
+    BIGINTs, and the score numerator cum·n − S·i is an exact BIGINT
+    (|S·i| < 2^62 at every declared sf), so the ARGMAX is decided on
+    exact integers up to ONE deterministic double division
+    d²/(i·(n−i)) — identical IEEE in both engines.  Ties break on the
+    earlier split.  Plan: two window passes over each series (running
+    sum, then rank by score) — no self-joins, no collects; at 100 TB
+    each series partition streams once."""
+    ev = load_table(spark, sf_dir, "events")
+    w_run = Window.partitionBy("seg").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("seg")
+    base = ev.select(
+        F.col("event_type").alias("seg"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    cum = (
+        base.withColumn("i", F.row_number().over(w_run))
+        .withColumn("cum", F.sum("v").over(w_run))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("s", F.sum("v").over(w_all))
+        .filter(F.col("i") < F.col("n"))  # split AFTER row i needs a right side
+    )
+    d = (F.col("cum") * F.col("n") - F.col("s") * F.col("i")).cast("double")
+    stat2 = (d * d) / (
+        (F.col("i") * (F.col("n") - F.col("i"))).cast("double")
+        * F.col("n").cast("double")
+    )
+    scored = cum.withColumn("stat2", stat2)
+    w_rank = Window.partitionBy("seg").orderBy(F.desc("stat2"), "i")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            "seg",
+            F.col("n").alias("n_points"),
+            F.col("i").alias("split_i"),
+            F.col("event_id").alias("split_event_id"),
+            F.col("cum").alias("left_sum_micro"),
+            (F.col("s") - F.col("cum")).alias("right_sum_micro"),
+            "stat2",
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_TS_CHANGEPOINT = """
+WITH base AS (
+  SELECT event_type AS seg, ts, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v
+  FROM events),
+cum AS (
+  SELECT seg, ts, event_id, v,
+         row_number() OVER w AS i,
+         SUM(v) OVER w AS cum,
+         COUNT(*) OVER (PARTITION BY seg) AS n,
+         SUM(v) OVER (PARTITION BY seg) AS s
+  FROM base
+  WINDOW w AS (PARTITION BY seg ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT *,
+         CAST(cum * n - s * i AS DOUBLE) * CAST(cum * n - s * i AS DOUBLE)
+           / (CAST(i * (n - i) AS DOUBLE) * CAST(n AS DOUBLE)) AS stat2
+  FROM cum WHERE i < n)
+SELECT seg, n AS n_points, i AS split_i, event_id AS split_event_id,
+       CAST(cum AS BIGINT) AS left_sum_micro,
+       CAST(s - cum AS BIGINT) AS right_sum_micro, stat2
+FROM (SELECT *, row_number() OVER (PARTITION BY seg
+        ORDER BY stat2 DESC, i) AS rk FROM scored)
+WHERE rk = 1 ORDER BY seg
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["ts_changepoint"] = q_ts_changepoint
+    oracles["ts_changepoint"] = ORACLE_TS_CHANGEPOINT
     queries["stats_spearman"] = q_stats_spearman
     oracles["stats_spearman"] = ORACLE_SPEARMAN
     queries["stats_linreg"] = q_stats_linreg
