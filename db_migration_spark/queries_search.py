@@ -105,6 +105,27 @@ def _dec9(c) -> F.Column:
     return F.round(c, 9).cast("decimal(28,9)")
 
 
+def bm25_contrib(n_docs, avgdl) -> F.Column:
+    """The single definition of the per-posting BM25 contribution
+    idf(df) · tf_norm(tf, dl) over a postings relation carrying
+    (tf, dl, df) columns.  ``n_docs``/``avgdl`` are literals or
+    Columns.  EVERY site — from-scratch scoring, the indexed path, the
+    max-impact sidecar build, MaxScore seed/final scoring, and the
+    scale tools — must use this helper: the MaxScore pruning proof
+    requires the sidecar's upper bound and the scoring formula to stay
+    bit-identical, so a drift in one inline copy would silently break
+    exactness rather than fail loudly."""
+    n_docs = n_docs if isinstance(n_docs, F.Column) else F.lit(n_docs)
+    avgdl = avgdl if isinstance(avgdl, F.Column) else F.lit(avgdl)
+    idf = F.log(
+        F.lit(1.0) + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl)
+    )
+    return idf * tf_norm
+
+
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, score DECIMAL) for all candidate docs sharing
     >= 1 query term with the probe (self-match excluded)."""
@@ -118,16 +139,10 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .join(F.broadcast(consts))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (K1 + 1)) / (
-        F.col("tf")
-        + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
-    )
     return matched.groupBy("query_id", "doc_id").agg(
-        F.sum(_dec9(idf * tf_norm)).alias("score")
+        F.sum(
+            _dec9(bm25_contrib(F.col("n_docs"), F.col("avgdl")))
+        ).alias("score")
     )
 
 
@@ -302,15 +317,8 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(c["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (K1 + 1)) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(c["avgdl"]))
-    )
     scored = matched.groupBy("query_id", "doc_id").agg(
-        F.sum(_dec9(idf * tf_norm)).alias("score")
+        F.sum(_dec9(bm25_contrib(c["n_docs"], c["avgdl"]))).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("doc_id")
@@ -359,15 +367,9 @@ def _ensure_maximpact(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     post = t.read(spark)
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(c["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (K1 + 1)) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(c["avgdl"]))
-    )
     ub = post.groupBy("term").agg(
-        F.max("df").alias("df"), F.max(idf * tf_norm).alias("ub")
+        F.max("df").alias("df"),
+        F.max(bm25_contrib(c["n_docs"], c["avgdl"])).alias("ub"),
     )
     ub.coalesce(1).write.mode("overwrite").parquet(path)
     with open(done, "w"):
@@ -455,14 +457,7 @@ def maxscore_topk(
     ub_rows = ub.filter(F.col("term").isin(all_terms)).collect()
     ub_map = {r.term: r.ub for r in ub_rows}
 
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(c["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (K1 + 1)) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(c["avgdl"]))
-    )
-    contrib = idf * tf_norm
+    contrib = bm25_contrib(c["n_docs"], c["avgdl"])
 
     # --- phase 1: seed thresholds from the highest-impact terms ---------
     seed_pairs = []
@@ -494,13 +489,20 @@ def maxscore_topk(
     theta = {r.query_id: r.partial - 1e-6 for r in theta_rows}
 
     # --- phase 2: essential terms per query (driver-side, |T| rows) -----
+    # A term MISSING from the ub sidecar (stale sidecar after an append,
+    # or a caller-supplied partial ub) gets ub = +inf: always essential.
+    # Defaulting to 0 would under-count the non-essential prefix sum and
+    # silently prune docs that belong in the exact top-k — the one
+    # direction the proof cannot tolerate.  (+inf also guarantees the
+    # break fires, so a query never ends up with zero essential terms.)
+    _INF = float("inf")
     ess_pairs = []
     for qid, ts in q_terms.items():
         th = theta.get(qid, float("-inf"))
-        ranked = sorted(ts, key=lambda t_: (ub_map.get(t_, 0.0), t_))
+        ranked = sorted(ts, key=lambda t_: (ub_map.get(t_, _INF), t_))
         cum = 0.0
         for i, t_ in enumerate(ranked):
-            cum += ub_map.get(t_, 0.0)
+            cum += ub_map.get(t_, _INF)
             if cum >= th:
                 ess_pairs += [(qid, t2) for t2 in ranked[i:]]
                 break

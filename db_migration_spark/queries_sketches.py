@@ -1481,13 +1481,17 @@ def q_sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     m, d = stats(merged), stats(direct)
+    # exact side in integer cents too: a raw double SUM is summation-
+    # order-dependent across engines (house rule; the booleans below
+    # must be decided on identical numbers)
+    ex_cents = F.floor(
+        F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
     exact = od.groupBy("seg").agg(
-        F.sum(F.col("o_totalprice").cast("double")).alias("ex_total"),
+        F.sum(ex_cents).alias("ex_total_c"),
         F.sum(
-            F.when(
-                F.col("yr") == 1997, F.col("o_totalprice").cast("double")
-            ).otherwise(0.0)
-        ).alias("ex_sub"),
+            F.when(F.col("yr") == 1997, ex_cents).otherwise(F.lit(0))
+        ).alias("ex_sub_c"),
     )
     return (
         m.alias("m")
@@ -1501,18 +1505,13 @@ def q_sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m.tau") == F.col("d.tau")).alias("tau_match"),
             (F.col("m.est_total_c") / F.lit(100.0)).alias("est_total"),
             (
-                F.abs(
-                    F.col("m.est_total_c") / F.lit(100.0) / F.col("ex_total")
-                    - 1
-                )
-                <= F.lit(0.15)
+                F.abs(F.col("m.est_total_c") - F.col("ex_total_c"))
+                <= F.col("ex_total_c") * F.lit(0.15)
             ).alias("total_ok"),
             (F.col("m.est_sub_c") / F.lit(100.0)).alias("est_sub"),
             (
-                F.abs(
-                    F.col("m.est_sub_c") / F.lit(100.0) / F.col("ex_sub") - 1
-                )
-                <= F.lit(0.35)
+                F.abs(F.col("m.est_sub_c") - F.col("ex_sub_c"))
+                <= F.col("ex_sub_c") * F.lit(0.35)
             ).alias("subset_ok"),
         )
         .orderBy("seg")
@@ -1551,15 +1550,18 @@ ms AS (SELECT g.seg, count(*) AS n_vals, CAST(sum(v) AS BIGINT) AS digest,
      FROM mg g JOIN mt t USING (seg) WHERE rn <= {_THETA_K} GROUP BY 1),
 ds AS (SELECT g.seg, CAST(sum(v) AS BIGINT) AS digest, max(t.tau) AS tau
      FROM dg g JOIN dt t USING (seg) WHERE rn <= {_THETA_K} GROUP BY 1),
-ex AS (SELECT seg, SUM(w) AS ex_total,
-        SUM(CASE WHEN yr = 1997 THEN w ELSE 0 END) AS ex_sub
+ex AS (SELECT seg,
+        SUM(CAST(floor(w * 100.0 + 0.5) AS BIGINT)) AS ex_total_c,
+        SUM(CASE WHEN yr = 1997
+             THEN CAST(floor(w * 100.0 + 0.5) AS BIGINT)
+             ELSE 0 END) AS ex_sub_c
        FROM pv GROUP BY 1)
 SELECT m.seg, m.n_vals, m.digest, m.digest = d.digest AS digest_match,
        m.tau = d.tau AS tau_match,
        m.est_total_c / 100.0 AS est_total,
-       abs(m.est_total_c / 100.0 / ex_total - 1) <= 0.15 AS total_ok,
+       abs(m.est_total_c - ex_total_c) <= ex_total_c * 0.15 AS total_ok,
        m.est_sub_c / 100.0 AS est_sub,
-       abs(m.est_sub_c / 100.0 / ex_sub - 1) <= 0.35 AS subset_ok
+       abs(m.est_sub_c - ex_sub_c) <= ex_sub_c * 0.35 AS subset_ok
 FROM ms m JOIN ds d USING (seg) JOIN ex USING (seg) ORDER BY m.seg
 """
 
