@@ -250,6 +250,68 @@ def priority_estimate_cents(w_col, tau_col) -> Column:
     ).cast("bigint")
 
 
+# --- bottom-k uniform sample (rank-quantile sketch) -------------------------
+#
+# The KMV retention rule applied to whole ROWS: keep the k rows whose
+# key hashes smallest, payload columns riding along.  Because the md5
+# hash is independent of every payload column, the retained rows are a
+# uniform-without-replacement sample of the distinct keys, so the
+# sample's order statistics estimate POPULATION quantiles of any
+# payload with distribution-free rank error O(1/sqrt(k)) (Bahadur;
+# any DKW-style bound) — over ANY orderable type (money, dates,
+# strings), which the value-space log-bin sketch (functions/qsketch.py,
+# positive integers only) cannot do.  Mergeable exactly like KMV: the
+# global bottom-k is a subset of the union of per-partial bottom-ks,
+# so day/month partials re-truncated equal a direct full-rescan build
+# — the digest equality the declared query gates.
+
+
+def bottomk_sample(
+    df: DataFrame,
+    dims: list[str],
+    key: str,
+    payload: tuple[str, ...] = (),
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Uniform bottom-k hash sample per dimension tuple: rows
+    (dims…, payload…, v) with the k smallest key hashes.  Plan shape
+    (hot-group safe, same as kmv_sketch): row_number ≤ k inside 64
+    deterministic salt slices bounds any one reducer's sort to ~1/64
+    of a group's rows, then the ≤ 64k survivors take the global
+    bottom-k.  Correct because any of the k globally-smallest hashes
+    is among the k smallest of its own slice."""
+    hashed = df.select(*dims, *payload, theta_hash(key).alias("v"))
+    w1 = Window.partitionBy(
+        *dims, F.pmod(F.col("v"), F.lit(_SALT))
+    ).orderBy("v")
+    pre = (
+        hashed.withColumn("srn", F.row_number().over(w1))
+        .filter(F.col("srn") <= k)
+        .drop("srn")
+    )
+    w2 = Window.partitionBy(*dims).orderBy("v")
+    return (
+        pre.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bottomk_merge(
+    sp: DataFrame, dims: list[str], k: int = DEFAULT_K
+) -> DataFrame:
+    """Merge bottom-k samples to coarser dimensions: re-rank the union
+    by v and keep the bottom-k.  Lossless (every retained row of the
+    direct build survives in some input partial); input is ≤ k rows
+    per input tuple, so this is a tiny exchange."""
+    w = Window.partitionBy(*dims).orderBy("v")
+    return (
+        sp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def kmv_scale_count(cnt: Column, theta_v: Column) -> Column:
     """Scale a below-theta sample count up to a set-size estimate:
     cnt · 2^52 / theta_v, rounded to BIGINT (cnt exact when theta_v

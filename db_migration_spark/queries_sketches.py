@@ -1740,6 +1740,202 @@ FROM st s JOIN ex USING (seg) ORDER BY s.seg
 """
 
 
+# ---------------------------------------------------------------------------
+# bottom-k uniform sample — distribution-free rank quantiles, any type
+# ---------------------------------------------------------------------------
+
+_BK_K = 512
+
+
+def q_sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k uniform-sample rank-quantile sketch (functions/
+    theta.py bottomk_sample): the k=512 rows of ``orders`` with the
+    smallest md5 key hashes per priority segment, payloads riding
+    along.  The sample's order statistics estimate POPULATION
+    quantiles of ANY orderable payload — here o_totalprice (money)
+    AND o_orderdate (a DATE median, which the value-space log-bin
+    sketch of functions/qsketch.py cannot express) — with
+    distribution-free rank error O(1/sqrt(k)), no geometry assumption.
+
+    Gated properties per segment:
+    * **merge losslessness** — built at MONTH granularity, merged to
+      segment; Σ of retained 52-bit hashes must equal a direct
+      segment-level build bit-for-bit (digest_match), the proof that
+      incremental daily samples fold safely at 100 TB.
+    * **rank-error acceptance** — each estimate is joined back to the
+      full table and its TRUE rank compared to the target in pure
+      BIGINT arithmetic (|1000·r − q·1000·n| ≤ bound·n): ±0.08 rank
+      at p50 (≈3.6σ for k=512), ±0.05 at p90, ±0.025 at p99, ±0.08
+      for the date median.  Both engines compute the identical sample
+      and identical integers, so even the booleans hash-compare.
+
+    At 100 TB: the build is a salted top-k per group (no reducer
+    sorts a hot group's full set), state is ≤ k rows per group
+    forever, merges touch only k-row frames, and every quantile
+    question — for any payload column carried — is answered from the
+    k-row sample without re-reading raw data.  No counterpart in the
+    reference (exact GNU-sort percentiles only, azanium
+    core.clj:1-80); completes §2.12's mergeable-summary algebra with
+    a rank-based tier next to the value-space log-bin tier."""
+    from .functions.theta import bottomk_merge, bottomk_sample
+
+    k = _BK_K
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        "o_orderkey",
+        F.floor(
+            F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderdate").alias("od"),
+    )
+    fine = bottomk_sample(
+        od, ["seg", "mo"], "o_orderkey", payload=("cents", "od"), k=k
+    )
+    merged = bottomk_merge(fine.drop("mo"), ["seg"], k=k)
+    direct = bottomk_sample(
+        od, ["seg"], "o_orderkey", payload=("cents", "od"), k=k
+    )
+
+    dig_m = merged.groupBy("seg").agg(F.sum("v").alias("digest"))
+    dig_d = direct.groupBy("seg").agg(F.sum("v").alias("digest_d"))
+
+    wq = Window.partitionBy("seg").orderBy("cents", "v")
+    wd = Window.partitionBy("seg").orderBy("od", "v")
+    wm = Window.partitionBy("seg")
+    sq = (
+        merged.withColumn("qrn", F.row_number().over(wq))
+        .withColumn("drn", F.row_number().over(wd))
+        .withColumn("m", F.count(F.lit(1)).over(wm))
+    )
+    est = sq.groupBy("seg").agg(
+        F.max("m").alias("m"),
+        F.min(
+            F.when(
+                F.col("qrn") == F.ceil(F.lit(0.50) * F.col("m")), F.col("cents")
+            )
+        ).alias("p50c"),
+        F.min(
+            F.when(
+                F.col("qrn") == F.ceil(F.lit(0.90) * F.col("m")), F.col("cents")
+            )
+        ).alias("p90c"),
+        F.min(
+            F.when(
+                F.col("qrn") == F.ceil(F.lit(0.99) * F.col("m")), F.col("cents")
+            )
+        ).alias("p99c"),
+        F.min(
+            F.when(
+                F.col("drn") == F.ceil(F.lit(0.50) * F.col("m")), F.col("od")
+            )
+        ).alias("d50"),
+    )
+    # true ranks of the estimates on the FULL table — tiny est side
+    # broadcast to the scan, all gates decided in BIGINT arithmetic
+    rk = (
+        od.join(F.broadcast(est), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cents") <= F.col("p50c")).cast("bigint")).alias(
+                "r50"
+            ),
+            F.sum((F.col("cents") <= F.col("p90c")).cast("bigint")).alias(
+                "r90"
+            ),
+            F.sum((F.col("cents") <= F.col("p99c")).cast("bigint")).alias(
+                "r99"
+            ),
+            F.sum((F.col("od") <= F.col("d50")).cast("bigint")).alias("rd50"),
+        )
+    )
+
+    def rank_ok(r: str, q_milli: int, bound_milli: int):
+        return (
+            F.abs(
+                F.lit(1000) * F.col(r) - F.lit(q_milli) * F.col("n")
+            )
+            <= F.lit(bound_milli) * F.col("n")
+        )
+
+    return (
+        dig_m.join(dig_d, "seg")
+        .join(est, "seg")
+        .join(rk, "seg")
+        .select(
+            "seg",
+            "n",
+            "m",
+            "digest",
+            (F.col("digest") == F.col("digest_d")).alias("digest_match"),
+            (F.col("p50c") / F.lit(100.0)).alias("p50_price"),
+            (F.col("p90c") / F.lit(100.0)).alias("p90_price"),
+            (F.col("p99c") / F.lit(100.0)).alias("p99_price"),
+            F.col("d50").alias("median_date"),
+            rank_ok("r50", 500, 80).alias("r50_ok"),
+            rank_ok("r90", 900, 50).alias("r90_ok"),
+            rank_ok("r99", 990, 25).alias("r99_ok"),
+            rank_ok("rd50", 500, 80).alias("d50_ok"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_BOTTOMK_QUANTILES = f"""
+WITH pv AS (
+  SELECT o_orderpriority AS seg, date_trunc('month', o_orderdate) AS mo,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS cents,
+         o_orderdate AS od,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,13))::UBIGINT
+              AS BIGINT) AS v
+  FROM orders),
+fine AS (SELECT * FROM (SELECT seg, mo, cents, od, v,
+          row_number() OVER (PARTITION BY seg, mo ORDER BY v) AS rn FROM pv)
+         WHERE rn <= {_BK_K}),
+mg AS (SELECT * FROM (SELECT seg, cents, od, v,
+          row_number() OVER (PARTITION BY seg ORDER BY v) AS rn FROM fine)
+       WHERE rn <= {_BK_K}),
+dg AS (SELECT * FROM (SELECT seg, cents, od, v,
+          row_number() OVER (PARTITION BY seg ORDER BY v) AS rn FROM pv)
+       WHERE rn <= {_BK_K}),
+dmg AS (SELECT seg, CAST(sum(v) AS BIGINT) AS digest FROM mg GROUP BY 1),
+ddg AS (SELECT seg, CAST(sum(v) AS BIGINT) AS digest_d FROM dg GROUP BY 1),
+sq AS (SELECT seg, cents, od, v,
+        row_number() OVER (PARTITION BY seg ORDER BY cents, v) AS qrn,
+        row_number() OVER (PARTITION BY seg ORDER BY od, v) AS drn,
+        count(*) OVER (PARTITION BY seg) AS m
+       FROM mg),
+est AS (SELECT seg, max(m) AS m,
+        min(CASE WHEN qrn = ceiling(0.50 * m) THEN cents END) AS p50c,
+        min(CASE WHEN qrn = ceiling(0.90 * m) THEN cents END) AS p90c,
+        min(CASE WHEN qrn = ceiling(0.99 * m) THEN cents END) AS p99c,
+        min(CASE WHEN drn = ceiling(0.50 * m) THEN od END) AS d50
+       FROM sq GROUP BY 1),
+rk AS (SELECT pv.seg, count(*) AS n,
+        SUM(CASE WHEN cents <= e.p50c THEN 1 ELSE 0 END) AS r50,
+        SUM(CASE WHEN cents <= e.p90c THEN 1 ELSE 0 END) AS r90,
+        SUM(CASE WHEN cents <= e.p99c THEN 1 ELSE 0 END) AS r99,
+        SUM(CASE WHEN od <= e.d50 THEN 1 ELSE 0 END) AS rd50
+       FROM pv JOIN est e USING (seg) GROUP BY 1)
+SELECT m.seg, rk.n, e.m, m.digest, m.digest = d.digest_d AS digest_match,
+       e.p50c / 100.0 AS p50_price,
+       e.p90c / 100.0 AS p90_price,
+       e.p99c / 100.0 AS p99_price,
+       e.d50 AS median_date,
+       abs(1000 * rk.r50 - 500 * rk.n) <= 80 * rk.n AS r50_ok,
+       abs(1000 * rk.r90 - 900 * rk.n) <= 50 * rk.n AS r90_ok,
+       abs(1000 * rk.r99 - 990 * rk.n) <= 25 * rk.n AS r99_ok,
+       abs(1000 * rk.rd50 - 500 * rk.n) <= 80 * rk.n AS d50_ok
+FROM dmg m JOIN ddg d USING (seg) JOIN est e USING (seg)
+     JOIN rk USING (seg)
+ORDER BY m.seg
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
@@ -1757,6 +1953,7 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_quantile_mv": q_stream_quantile_mv,
             "sketch_priority_sample": q_sketch_priority_sample,
             "stream_priority_mv": q_stream_priority_mv,
+            "sketch_bottomk_quantiles": q_sketch_bottomk_quantiles,
         }
     )
     oracles.update(
@@ -1775,5 +1972,6 @@ def register(queries: dict, oracles: dict) -> None:
             "stream_quantile_mv": ORACLE_STREAM_QUANTILE_MV,
             "sketch_priority_sample": ORACLE_PRIORITY_SAMPLE,
             "stream_priority_mv": ORACLE_STREAM_PRIORITY_MV,
+            "sketch_bottomk_quantiles": ORACLE_BOTTOMK_QUANTILES,
         }
     )

@@ -282,3 +282,73 @@ def test_priority_estimator_subset_unbiased_band(spark):
     ).collect()[0]
     assert abs(agg.tot / 100.0 / ex.tot - 1) <= 0.15
     assert abs(agg.sub / 100.0 / ex.sub - 1) <= 0.35
+
+
+def test_bottomk_sample_equals_naive_and_merges_lossless(spark):
+    """bottomk_sample == the global bottom-k rows by key hash (payload
+    riding along), and partition-wise partials merged re-truncate to
+    the identical set — the digest equality the declared query gates."""
+    from db_migration_spark.functions.theta import (
+        bottomk_merge,
+        bottomk_sample,
+    )
+
+    k = 64
+    df = spark.range(0, 5000).select(
+        F.lit("a").alias("seg"),
+        F.col("id").cast("string").alias("key"),
+        (F.col("id") * 3 % 1000).alias("val"),
+    )
+    got = bottomk_sample(df, ["seg"], "key", payload=("val",), k=k)
+    hashed = df.select("seg", "val", theta_hash("key").alias("v"))
+    hashed.createOrReplaceTempView("bk_naive")
+    want = spark.sql(
+        f"""SELECT seg, val, v FROM (
+              SELECT seg, val, v,
+                     row_number() OVER (PARTITION BY seg ORDER BY v) rn
+              FROM bk_naive) WHERE rn <= {k}"""
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # lossless merge: 4 overlapping slices -> merge == direct
+    parts = [
+        bottomk_sample(
+            df.filter(F.col("id") % 4 == i), ["seg"], "key",
+            payload=("val",), k=k,
+        )
+        for i in range(4)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = bottomk_merge(u, ["seg"], k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+
+
+def test_bottomk_quantiles_rank_error(spark):
+    """Sample order statistics hit population rank targets within the
+    distribution-free bound on a skewed (lognormal-ish) planted set."""
+    from db_migration_spark.functions.theta import bottomk_sample
+
+    k = 512
+    n = 40_000
+    df = spark.range(0, n).select(
+        F.lit("a").alias("seg"),
+        F.col("id").cast("string").alias("key"),
+        # deterministic heavy-tailed values: (id*2654435761 % n)^2
+        (
+            F.pmod(F.col("id") * 2654435761, F.lit(n))
+            * F.pmod(F.col("id") * 2654435761, F.lit(n))
+        ).alias("val"),
+    )
+    sp = bottomk_sample(df, ["seg"], "key", payload=("val",), k=k)
+    sample_vals = sorted(r.val for r in sp.collect())
+    assert len(sample_vals) == k
+    for q, bound in ((0.5, 0.08), (0.9, 0.05), (0.99, 0.025)):
+        est = sample_vals[int(q * k + 0.999999) - 1]
+        true_rank = df.filter(F.col("val") <= est).count()
+        assert abs(true_rank / n - q) <= bound, (q, true_rank / n)
