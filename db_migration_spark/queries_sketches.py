@@ -1745,6 +1745,193 @@ FROM st s JOIN ex USING (seg) ORDER BY s.seg
 # ---------------------------------------------------------------------------
 
 _BK_K = 512
+_BK_MV_K = 256
+
+
+def _ensure_stream_bottomk_mv(spark: SparkSession, sf_dir: str):
+    """Streaming bottom-k uniform-sample materialized view: each
+    micro-batch builds its own bottom-k row sample (functions/theta.py
+    bottomk_sample, value cents riding along as payload) and folds it
+    into a txlog table via the serializable ``merge`` primitive with a
+    per-batch txn identity.  Bottom-k merge is lossless (the global
+    bottom-k by key hash survives any merge order), so the MV after
+    any number of batches equals a direct full-rescan sample — the
+    digest equality the declared query's oracle certifies, which
+    simultaneously proves exactly-once delivery (a dropped or doubled
+    batch changes the retained set).  Batch 0 is adversarially
+    replayed after the drain (must be a txn no-op).  At 100 TB:
+    per-batch work is one salted bottom-k over the batch plus a
+    rewrite of a ≤ k×dims-row table."""
+    import os
+    import shutil
+
+    from .functions.theta import bottomk_merge, bottomk_sample
+    from .plans.txlog import TxTable
+    from .queries_e2e import _fx
+    from .queries_streaming import _events_stream
+
+    root = _fx(sf_dir, "txlog_stream_bottomk_mv")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    cents = F.floor(
+        F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    events = _events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("seg"), "event_id", cents.alias("cents")
+    )
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        sk = bottomk_sample(
+            bdf, ["seg"], "event_id", payload=("cents",), k=_BK_MV_K
+        )
+        mv = TxTable(root)
+
+        def fold(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return sk
+            return bottomk_merge(
+                current.unionByName(sk), ["seg"], _BK_MV_K
+            )
+
+        mv.merge(bdf.sparkSession, fold, txn=("bottomk_mv", batch_id))
+
+    q = (
+        events.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("bottomk mv stream drain did not finish")
+    before = t.latest_version()
+    replay = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("seg"), "event_id", cents.alias("cents")
+        )
+        .limit(500)
+    )
+
+    def clobber(current):
+        from .functions.theta import bottomk_sample as _bs
+
+        return _bs(replay, ["seg"], "event_id", payload=("cents",), k=_BK_MV_K)
+
+    t.merge(spark, clobber, txn=("bottomk_mv", 0))
+    if t.latest_version() != before:  # not an assert: -O must not strip it
+        raise RuntimeError("replayed batch must not commit (txn dedup broke)")
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_stream_bottomk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rank quantiles served from the STREAMED bottom-k
+    sample MV — never from raw events.  The oracle rebuilds the k=256
+    sample directly from the events table; bit-equal ``digest`` (Σ of
+    retained 52-bit key hashes) proves the incremental bottom-k merges
+    converged to the full-rescan sample AND the sink was exactly-once.
+    The p50/p90 estimates carry BIGINT rank-error gates against the
+    full table (±0.10 / ±0.07 rank — ≈3σ for k=256)."""
+    t = _ensure_stream_bottomk_mv(spark, sf_dir)
+    sp = t.read(spark).select("seg", "cents", "v")
+
+    wq = Window.partitionBy("seg").orderBy("cents", "v")
+    wm = Window.partitionBy("seg")
+    sq = sp.withColumn("qrn", F.row_number().over(wq)).withColumn(
+        "m", F.count(F.lit(1)).over(wm)
+    )
+    est = sq.groupBy("seg").agg(
+        F.max("m").alias("m"),
+        F.sum("v").alias("digest"),
+        F.min(
+            F.when(
+                F.col("qrn") == F.ceil(F.lit(0.50) * F.col("m")), F.col("cents")
+            )
+        ).alias("p50c"),
+        F.min(
+            F.when(
+                F.col("qrn") == F.ceil(F.lit(0.90) * F.col("m")), F.col("cents")
+            )
+        ).alias("p90c"),
+    )
+    cents = F.floor(
+        F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    full = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("seg"), cents.alias("cents")
+    )
+    rk = (
+        full.join(F.broadcast(est), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cents") <= F.col("p50c")).cast("bigint")).alias(
+                "r50"
+            ),
+            F.sum((F.col("cents") <= F.col("p90c")).cast("bigint")).alias(
+                "r90"
+            ),
+        )
+    )
+    return (
+        est.join(rk, "seg")
+        .select(
+            "seg",
+            "n",
+            "m",
+            "digest",
+            (F.col("p50c") / F.lit(100.0)).alias("p50_value"),
+            (F.col("p90c") / F.lit(100.0)).alias("p90_value"),
+            (
+                F.abs(F.lit(1000) * F.col("r50") - F.lit(500) * F.col("n"))
+                <= F.lit(100) * F.col("n")
+            ).alias("r50_ok"),
+            (
+                F.abs(F.lit(1000) * F.col("r90") - F.lit(900) * F.col("n"))
+                <= F.lit(70) * F.col("n")
+            ).alias("r90_ok"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_STREAM_BOTTOMK_MV = f"""
+WITH pv AS (
+  SELECT event_type AS seg,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,13))::UBIGINT
+              AS BIGINT) AS v
+  FROM events),
+dg AS (SELECT * FROM (SELECT seg, cents, v,
+          row_number() OVER (PARTITION BY seg ORDER BY v) AS rn FROM pv)
+       WHERE rn <= {_BK_MV_K}),
+sq AS (SELECT seg, cents, v,
+        row_number() OVER (PARTITION BY seg ORDER BY cents, v) AS qrn,
+        count(*) OVER (PARTITION BY seg) AS m
+       FROM dg),
+est AS (SELECT seg, max(m) AS m, CAST(sum(v) AS BIGINT) AS digest,
+        min(CASE WHEN qrn = ceiling(0.50 * m) THEN cents END) AS p50c,
+        min(CASE WHEN qrn = ceiling(0.90 * m) THEN cents END) AS p90c
+       FROM sq GROUP BY 1),
+rk AS (SELECT pv.seg, count(*) AS n,
+        SUM(CASE WHEN cents <= e.p50c THEN 1 ELSE 0 END) AS r50,
+        SUM(CASE WHEN cents <= e.p90c THEN 1 ELSE 0 END) AS r90
+       FROM pv JOIN est e USING (seg) GROUP BY 1)
+SELECT e.seg, rk.n, e.m, e.digest,
+       e.p50c / 100.0 AS p50_value,
+       e.p90c / 100.0 AS p90_value,
+       abs(1000 * rk.r50 - 500 * rk.n) <= 100 * rk.n AS r50_ok,
+       abs(1000 * rk.r90 - 900 * rk.n) <= 70 * rk.n AS r90_ok
+FROM est e JOIN rk USING (seg)
+ORDER BY e.seg
+"""
 
 
 def q_sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1954,6 +2141,7 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_priority_sample": q_sketch_priority_sample,
             "stream_priority_mv": q_stream_priority_mv,
             "sketch_bottomk_quantiles": q_sketch_bottomk_quantiles,
+            "stream_bottomk_mv": q_stream_bottomk_mv,
         }
     )
     oracles.update(
@@ -1973,5 +2161,6 @@ def register(queries: dict, oracles: dict) -> None:
             "sketch_priority_sample": ORACLE_PRIORITY_SAMPLE,
             "stream_priority_mv": ORACLE_STREAM_PRIORITY_MV,
             "sketch_bottomk_quantiles": ORACLE_BOTTOMK_QUANTILES,
+            "stream_bottomk_mv": ORACLE_STREAM_BOTTOMK_MV,
         }
     )
