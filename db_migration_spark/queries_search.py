@@ -824,6 +824,146 @@ SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank FROM (
 )
 
 
+# ---------------------------------------------------------------------------
+# search_phrase_match — positional postings, rarest-term-anchored phrases
+# ---------------------------------------------------------------------------
+
+
+def q_search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search over positional postings — the retrieval
+    capability doc-level postings cannot express (BM25 treats "fast
+    slow" and "slow fast" identically; a phrase query must not).
+
+    Query-by-example: the phrase for probe q is the first three tokens
+    of document q (q < 3).  Spark side: positional postings
+    (doc_id, term, pos) via one posexplode, then the Lucene/Tantivy
+    phrase shape — anchor on the RAREST phrase term (min (df, term,
+    slot), df from the postings themselves), so candidate generation
+    costs the rarest term's postings list, never the corpus; the
+    remaining slots verify by equi-join on the DERIVED key
+    (doc_id, anchor_pos − anchor_slot + slot, term) — point lookups
+    into the postings, shuffle-partitioned by (doc_id, pos).  A start
+    position is a match iff BOTH other slots hit (count == 2).
+
+    The oracle takes a deliberately INDEPENDENT path — a brute-force
+    scan of every document's token array counting adjacent triples —
+    so agreement verifies the postings intersection end-to-end rather
+    than replaying it.  Top-10 per probe by (n_matches desc, doc_id);
+    every count is an exact integer.  At 100 TB the postings frame is
+    the persisted term-clustered store of search_bm25_indexed with
+    `pos` as one more column; anchoring bounds the probe cost by the
+    rarest term exactly as MaxScore bounds scoring.  No counterpart in
+    the reference (no ranked or positional retrieval — azanium
+    core.clj:1-80); extends the §2.12 retrieval family."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", TXT.tokens(F.lower(F.col("text"))).alias("a")
+    )
+    post = toks.select(
+        "doc_id", F.posexplode("a").alias("pos", "term")
+    )
+    ph = toks.filter((F.col("doc_id") < 3) & (F.size("a") >= 3)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("a").getItem(0).alias("t0"),
+        F.col("a").getItem(1).alias("t1"),
+        F.col("a").getItem(2).alias("t2"),
+    )
+    slots = ph.select(
+        "query_id",
+        F.posexplode(F.array("t0", "t1", "t2")).alias("slot", "term"),
+    )
+    df_ = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    sdf = slots.join(df_, "term", "left").na.fill({"df": 0})
+    w = Window.partitionBy("query_id").orderBy("df", "term", "slot")
+    anchor = (
+        sdf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("term").alias("a_term"),
+            F.col("slot").alias("a_slot"),
+        )
+    )
+    others = (
+        sdf.join(anchor, "query_id")
+        .filter(F.col("slot") != F.col("a_slot"))
+        .select("query_id", "a_slot", "slot", "term")
+    )
+    cand = post.join(
+        F.broadcast(anchor), post["term"] == anchor["a_term"]
+    ).select("query_id", "doc_id", F.col("pos").alias("apos"), "a_slot")
+    chk = cand.join(F.broadcast(others), ["query_id", "a_slot"])
+    hits = chk.join(
+        post.select(
+            F.col("doc_id").alias("h_doc"),
+            F.col("pos").alias("h_pos"),
+            F.col("term").alias("h_term"),
+        ),
+        (F.col("h_doc") == F.col("doc_id"))
+        & (
+            F.col("h_pos")
+            == F.col("apos") - F.col("a_slot") + F.col("slot")
+        )
+        & (F.col("h_term") == F.col("term")),
+    )
+    starts = (
+        hits.groupBy("query_id", "doc_id", "apos")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .filter(F.col("n_slots") == 2)
+    )
+    matched = starts.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matches"), "doc_id"
+    )
+    return (
+        matched.join(F.broadcast(ph), "query_id")
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            F.concat_ws(" ", "t0", "t1", "t2").alias("phrase"),
+            "doc_id",
+            "n_matches",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_PHRASE_MATCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+ph AS (
+  SELECT doc_id AS query_id, a[1] AS t0, a[2] AS t1, a[3] AS t2
+  FROM toks WHERE doc_id < 3 AND len(a) >= 3
+),
+m AS (
+  SELECT p.query_id, t.doc_id,
+         len(list_filter(range(1, greatest(len(t.a) - 1, 1)),
+             i -> t.a[i] = p.t0 AND t.a[i+1] = p.t1 AND t.a[i+2] = p.t2))
+           AS n_matches
+  FROM toks t CROSS JOIN ph p
+)
+SELECT query_id, t0 || ' ' || t1 || ' ' || t2 AS phrase, doc_id,
+       n_matches, rank
+FROM (
+  SELECT m.query_id, ph.t0, ph.t1, ph.t2, m.doc_id, m.n_matches,
+         CAST(row_number() OVER (
+             PARTITION BY m.query_id
+             ORDER BY m.n_matches DESC, m.doc_id) AS INTEGER) AS rank
+  FROM m JOIN ph USING (query_id)
+  WHERE m.n_matches > 0
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["search_bm25_topk"] = q_search_bm25_topk
     oracles["search_bm25_topk"] = ORACLE_BM25
@@ -837,3 +977,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["search_hybrid_rrf"] = ORACLE_RRF
     queries["search_dirichlet_lm"] = q_search_dirichlet_lm
     oracles["search_dirichlet_lm"] = ORACLE_DIRICHLET
+    queries["search_phrase_match"] = q_search_phrase_match
+    oracles["search_phrase_match"] = ORACLE_PHRASE_MATCH

@@ -179,3 +179,47 @@ def test_bm25_maxscore_plan_guards(spark):
     assert "CartesianProduct" not in plan
     assert "In(term, [" in plan  # essential-term In-filter at the scan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phrase_match_planted_corpus(spark):
+    """Planted docs with known phrase occurrences: overlapping repeats
+    counted per start position, order-sensitivity (the reversed bigram
+    must NOT match), and rank totality."""
+    from db_migration_spark.queries_search import q_search_phrase_match
+    import os
+    import tempfile
+
+    rows = [
+        # probe doc 0 -> phrase "a b a"
+        (0, "a b a b a"),          # starts at pos 0 and 2 -> 2 matches
+        (1, "x a b a y"),          # one interior match
+        (2, "c c c"),              # probe doc 2 -> phrase "c c c"
+        (3, "b a b a"),            # contains "a b a" at pos 1
+        (4, "a b x a b"),          # phrase broken: no match
+        (5, "c c c c"),            # "c c c" at pos 0 and 1 -> 2 matches
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "test", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r.query_id, r.doc_id): (r.n_matches, r.rank, r.phrase)
+            for r in q_search_phrase_match(spark, d).collect()
+        }
+    # probe 0 phrase "a b a": doc0 x2, doc1 x1, doc3 x1; doc4 none
+    assert got[(0, 0)] == (2, 1, "a b a")
+    assert got[(0, 1)][0] == 1 and got[(0, 3)][0] == 1
+    assert (0, 4) not in got
+    # probe 1 phrase "x a b": only doc 1 itself
+    assert got[(1, 1)] == (1, 1, "x a b")
+    # probe 2 phrase "c c c": doc5 has overlapping starts 0 and 1
+    assert got[(2, 5)] == (2, 1, "c c c")
+    assert got[(2, 2)] == (1, 2, "c c c")
+
+
+def test_phrase_match_plan_no_cartesian_and_broadcast_probes(spark):
+    p = _plan(spark, "search_phrase_match")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # anchor/others/phrase probe sides
