@@ -1,0 +1,174 @@
+"""Multi-table transactions: an atomic CATALOG commit log over txlog
+tables — the Iceberg-catalog / Nessie / Delta-multi-statement seam the
+single-table log cannot give.
+
+A :class:`TxTable` commit is atomic for ONE table; a pipeline that
+maintains a fact table and its summary (or an index sidecar, or a
+lineage table) needs readers to see the PAIR move together.  The
+catalog provides that with the same one store primitive the table log
+uses (plans/txlog.py:_publish — ``os.link`` put-if-absent; S3
+conditional PUT at scale):
+
+* each catalog version is one JSON file holding the FULL pinned
+  mapping ``{table_name: table_version}`` — reading a snapshot is one
+  GET, never a replay (the mapping is small: #tables, not #commits);
+* a multi-table transaction stages ordinary single-table commits
+  first (each internally atomic, but NOT yet visible to catalog
+  readers), then publishes the new mapping with put-if-absent;
+* optimistic concurrency at the catalog tier: a writer declares the
+  catalog version its transaction was BASED ON; on a lost race the
+  commit rebases onto the new head only if the interleaved commits
+  touched DISJOINT tables, else raises :class:`CatalogConflict` —
+  the same logical conflict detection Delta applies to file overlaps,
+  lifted to table granularity.
+
+Readers that resolve table versions through a catalog snapshot can
+never observe table A's new version next to table B's old one, and
+table-level commits not yet published in the catalog (in-flight
+transactions) are invisible — the isolation property the declared
+query (queries_lakehouse.py txlog_catalog_snapshot) oracle-gates.
+
+No counterpart in the reference (azanium drives a single Datomic
+transactor — runcommand.py:1-60); extends SURVEY §2.9's migration/
+snapshot tier to cross-table atomicity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .txlog import CommitConflict, TxTable
+
+
+class CatalogConflict(RuntimeError):
+    """Concurrent catalog commit touched an overlapping table set."""
+
+
+class TxCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        self.log_dir = os.path.join(root, "_catalog_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- log ------------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else -1
+
+    def snapshot(self, version: int | None = None) -> dict[str, int]:
+        """The pinned ``{table: version}`` mapping at a catalog
+        version (default: head).  Empty mapping for an empty log."""
+        if version is None:
+            version = self.latest_version()
+        if version < 0:
+            return {}
+        path = os.path.join(self.log_dir, f"{version:020d}.json")
+        with open(path) as fh:
+            return {k: int(v) for k, v in json.load(fh)["tables"].items()}
+
+    # -- tables -----------------------------------------------------------
+
+    def table(self, name: str) -> TxTable:
+        if "/" in name or name.startswith("_") or name.startswith("."):
+            raise ValueError(f"illegal table name {name!r}")
+        return TxTable(os.path.join(self.root, name))
+
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        catalog_version: int | None = None,
+    ) -> DataFrame:
+        """Read a table AT the version the catalog snapshot pins —
+        never the table head, so cross-table reads are consistent."""
+        snap = self.snapshot(catalog_version)
+        if name not in snap:
+            raise KeyError(
+                f"table {name!r} not in catalog snapshot "
+                f"{catalog_version if catalog_version is not None else self.latest_version()}"
+            )
+        return self.table(name).read(spark, version=snap[name])
+
+    # -- commits ----------------------------------------------------------
+
+    def commit(
+        self,
+        updates: dict[str, int],
+        based_on: int | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Publish ``updates`` (table → new pinned version) atomically
+        as the next catalog version.
+
+        ``based_on`` is the catalog version the writer's transaction
+        read from (default: the head observed now).  If another commit
+        lands first, this commit REBASES onto the new head when the
+        interleaved commits touched only disjoint tables, and raises
+        :class:`CatalogConflict` when they overlap — the caller must
+        re-run its transaction against fresh reads (its staged table
+        versions may be built on stale inputs)."""
+        if not updates:
+            raise ValueError("empty catalog commit")
+        base = self.latest_version() if based_on is None else based_on
+        for _ in range(max_retries):
+            head = self.latest_version()
+            if head > base:
+                # someone committed since our reads: table-level
+                # write-write conflict check before rebasing
+                for v in range(base + 1, head + 1):
+                    theirs = self._commit_updates(v)
+                    clash = theirs & set(updates)
+                    if clash:
+                        raise CatalogConflict(
+                            f"catalog commit lost race on tables "
+                            f"{sorted(clash)} (version {v} updated them "
+                            f"after base {base})"
+                        )
+            mapping = self.snapshot(head)
+            mapping.update({k: int(v) for k, v in updates.items()})
+            version = head + 1
+            commit = {
+                "version": version,
+                "tables": mapping,
+                "updated": sorted(updates),
+                "based_on": base,
+            }
+            final = os.path.join(self.log_dir, f"{version:020d}.json")
+            tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                json.dump(commit, fh, indent=1)
+            try:
+                os.link(tmp, final)
+                return version
+            except FileExistsError:
+                continue  # lost the publish race: loop re-checks overlap
+            finally:
+                os.remove(tmp)
+        raise CommitConflict(
+            f"catalog commit lost {max_retries} publish races"
+        )
+
+    def _commit_updates(self, version: int) -> set[str]:
+        path = os.path.join(self.log_dir, f"{version:020d}.json")
+        with open(path) as fh:
+            return set(json.load(fh)["updated"])
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self._versions():
+            path = os.path.join(self.log_dir, f"{v:020d}.json")
+            with open(path) as fh:
+                out.append(json.load(fh))
+        return out

@@ -1824,6 +1824,147 @@ GROUP BY yr
 """
 
 
+# ---------------------------------------------------------------------------
+# multi-table transactions: atomic catalog snapshots across txlog tables
+# ---------------------------------------------------------------------------
+
+
+def _ensure_catalog_txn(spark: SparkSession, sf_dir: str):
+    """Two multi-table transactions over a fact table and its summary,
+    published through the atomic catalog (plans/catalog_txn.py), plus
+    one IN-FLIGHT table-level append that never gets a catalog commit
+    — the adversarial case catalog isolation must hide."""
+    from .plans.catalog_txn import TxCatalog
+
+    root = _fx(sf_dir, "txlog_catalog")
+    done = os.path.join(root, "_BUILD_DONE")
+    cat = TxCatalog(root)
+    if os.path.exists(done):
+        return cat
+    shutil.rmtree(root, ignore_errors=True)
+    cat = TxCatalog(root)
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.floor(
+            F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderkey") % 3).alias("sl"),
+    )
+    fact, summ = cat.table("fact"), cat.table("summ")
+
+    def summarize(max_sl: int) -> DataFrame:
+        return (
+            od.filter(F.col("sl") <= max_sl)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("cents").alias("total_c"),
+            )
+        )
+
+    # txn 1: slice 0 into fact + its summary, one catalog publish
+    fv = fact.commit_append(od.filter(F.col("sl") == 0).drop("sl"))
+    sv = summ.commit_overwrite(summarize(0))
+    cat.commit({"fact": fv, "summ": sv})
+    # txn 2: slice 1 appended, summary rewritten, one catalog publish
+    fv = fact.commit_append(od.filter(F.col("sl") == 1).drop("sl"))
+    sv = summ.commit_overwrite(summarize(1))
+    cat.commit({"fact": fv, "summ": sv})
+    # in-flight: a table-level commit with NO catalog publish — catalog
+    # readers must never see it
+    fact.commit_append(od.filter(F.col("sl") == 2).drop("sl"))
+    with open(done, "w"):
+        pass
+    return cat
+
+
+def q_txlog_catalog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table snapshot isolation through the catalog commit log
+    (plans/catalog_txn.py): two multi-table transactions each move a
+    fact table AND its summary table in one atomic catalog publish; a
+    third, in-flight fact append has no catalog commit.
+
+    For BOTH catalog snapshots the query re-aggregates the fact table
+    AT THE PINNED VERSION and joins the summary read at the same
+    snapshot: ``consistent`` gates that every (cnt, total_c) pair
+    matches — a reader resolving through the catalog can never see the
+    fact table's new rows next to the summary's old totals, at either
+    snapshot, even though three table-level fact commits exist.
+    ``inflight_hidden`` gates that the uncommitted-at-catalog-tier
+    append (slice 2) is invisible at the catalog head while the
+    table's own head has moved past the pinned version.
+
+    The oracle recomputes both snapshots' expected aggregates straight
+    from ``orders`` (slice 0; slices 0-1) — so torn reads, a catalog
+    that pins the wrong version, or leakage of the in-flight slice are
+    value mismatches.  At 100 TB: a catalog snapshot read is ONE
+    metadata GET (the full mapping rides each commit file — #tables
+    entries, not #commits), the publish is the same put-if-absent
+    primitive as the table log, and conflict detection is
+    table-granular, so disjoint pipelines never serialize against each
+    other.  No counterpart in the reference (single Datomic
+    transactor, runcommand.py:1-60); extends §2.9's snapshot tier."""
+    cat = _ensure_catalog_txn(spark, sf_dir)
+    head = cat.latest_version()
+    parts = []
+    for cv in range(head + 1):
+        f = (
+            cat.read(spark, "fact", cv)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("f_cnt"),
+                F.sum("cents").alias("f_total"),
+            )
+        )
+        s = cat.read(spark, "summ", cv)
+        parts.append(
+            f.join(s, "seg").select(
+                F.lit(cv).alias("cv"),
+                "seg",
+                F.col("f_cnt").alias("cnt"),
+                F.col("f_total").alias("total_c"),
+                (
+                    (F.col("f_cnt") == F.col("cnt"))
+                    & (F.col("f_total") == F.col("total_c"))
+                ).alias("consistent"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # driver-tier metadata compare: the fact table's own head is PAST
+    # the catalog-pinned version (the in-flight append), yet no
+    # snapshot above saw its rows
+    inflight_hidden = (
+        cat.table("fact").latest_version() > cat.snapshot()["fact"]
+    )
+    return out.withColumn(
+        "inflight_hidden", F.lit(bool(inflight_hidden))
+    ).orderBy("cv", "seg")
+
+
+ORACLE_CATALOG_SNAPSHOT = """
+WITH od AS (
+  SELECT o_orderpriority AS seg,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS cents,
+         o_orderkey % 3 AS sl
+  FROM orders),
+s AS (
+  SELECT 0 AS cv, seg, count(*) AS cnt,
+         CAST(sum(cents) AS BIGINT) AS total_c
+  FROM od WHERE sl = 0 GROUP BY 2
+  UNION ALL
+  SELECT 1 AS cv, seg, count(*) AS cnt,
+         CAST(sum(cents) AS BIGINT) AS total_c
+  FROM od WHERE sl <= 1 GROUP BY 2)
+SELECT cv, seg, cnt, total_c, TRUE AS consistent, TRUE AS inflight_hidden
+FROM s ORDER BY cv, seg
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
@@ -1861,6 +2002,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["ann_ivf_pruned_store"] = ORACLE_ANN_IVF_PRUNED
     queries["txlog_shallow_clone"] = q_txlog_shallow_clone
     oracles["txlog_shallow_clone"] = ORACLE_SHALLOW_CLONE
+    queries["txlog_catalog_snapshot"] = q_txlog_catalog_snapshot
+    oracles["txlog_catalog_snapshot"] = ORACLE_CATALOG_SNAPSHOT
     queries["txlog_rtbf_erasure"] = q_txlog_rtbf_erasure
     oracles["txlog_rtbf_erasure"] = ORACLE_RTBF
     queries["txlog_partition_evolution"] = q_txlog_partition_evolution
