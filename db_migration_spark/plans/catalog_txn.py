@@ -103,11 +103,25 @@ class TxCatalog:
 
     # -- commits ----------------------------------------------------------
 
+    def txn_version(self, app: str, batch: int) -> int | None:
+        """Catalog version that already carries this (app, batch)
+        transaction identity, or None — the exactly-once seam for
+        streaming multi-table sinks (same contract as
+        TxTable.commit_append's ``txn``)."""
+        for c in self.history():
+            t = c.get("txn")
+            if t and t.get("app") == app and int(t.get("batch")) == int(
+                batch
+            ):
+                return int(c["version"])
+        return None
+
     def commit(
         self,
         updates: dict[str, int],
         based_on: int | None = None,
         max_retries: int = 20,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Publish ``updates`` (table → new pinned version) atomically
         as the next catalog version.
@@ -118,9 +132,19 @@ class TxCatalog:
         interleaved commits touched only disjoint tables, and raises
         :class:`CatalogConflict` when they overlap — the caller must
         re-run its transaction against fresh reads (its staged table
-        versions may be built on stale inputs)."""
+        versions may be built on stale inputs).
+
+        With ``txn=(app_id, batch_id)`` the catalog publish is
+        IDEMPOTENT: a replayed micro-batch whose identity already
+        appears in the log is a no-op returning the original catalog
+        version — together with the table-level ``txn`` dedup this
+        makes a multi-table streaming sink exactly-once END TO END."""
         if not updates:
             raise ValueError("empty catalog commit")
+        if txn is not None:
+            seen = self.txn_version(*txn)
+            if seen is not None:
+                return seen
         base = self.latest_version() if based_on is None else based_on
         for _ in range(max_retries):
             head = self.latest_version()
@@ -128,6 +152,15 @@ class TxCatalog:
                 # someone committed since our reads: table-level
                 # write-write conflict check before rebasing
                 for v in range(base + 1, head + 1):
+                    if txn is not None:
+                        c = self._read_commit(v)
+                        t = c.get("txn")
+                        if (
+                            t
+                            and t.get("app") == txn[0]
+                            and int(t.get("batch")) == int(txn[1])
+                        ):
+                            return v  # our own identity won the race
                     theirs = self._commit_updates(v)
                     clash = theirs & set(updates)
                     if clash:
@@ -145,6 +178,8 @@ class TxCatalog:
                 "updated": sorted(updates),
                 "based_on": base,
             }
+            if txn is not None:
+                commit["txn"] = {"app": txn[0], "batch": int(txn[1])}
             final = os.path.join(self.log_dir, f"{version:020d}.json")
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as fh:
@@ -160,10 +195,13 @@ class TxCatalog:
             f"catalog commit lost {max_retries} publish races"
         )
 
-    def _commit_updates(self, version: int) -> set[str]:
+    def _read_commit(self, version: int) -> dict:
         path = os.path.join(self.log_dir, f"{version:020d}.json")
         with open(path) as fh:
-            return set(json.load(fh)["updated"])
+            return json.load(fh)
+
+    def _commit_updates(self, version: int) -> set[str]:
+        return set(self._read_commit(version)["updated"])
 
     def history(self) -> list[dict]:
         out = []

