@@ -48,10 +48,27 @@ class CatalogConflict(RuntimeError):
     """Concurrent catalog commit touched an overlapping table set."""
 
 
+def _check_branch_name(name: str) -> None:
+    if (
+        not name
+        or name in ("main", "branches")
+        or "/" in name
+        or name.startswith((".", "_"))
+    ):
+        raise ValueError(f"illegal branch name {name!r}")
+
+
 class TxCatalog:
-    def __init__(self, root: str):
+    def __init__(self, root: str, branch: str = "main"):
         self.root = root
-        self.log_dir = os.path.join(root, "_catalog_log")
+        self.branch = branch
+        if branch == "main":
+            self.log_dir = os.path.join(root, "_catalog_log")
+        else:
+            _check_branch_name(branch)
+            self.log_dir = os.path.join(
+                root, "_catalog_log", "branches", branch
+            )
         os.makedirs(self.log_dir, exist_ok=True)
 
     # -- log ------------------------------------------------------------
@@ -210,3 +227,79 @@ class TxCatalog:
             with open(path) as fh:
                 out.append(json.load(fh))
         return out
+
+    # -- branches ---------------------------------------------------------
+    #
+    # Nessie-style refs: a branch is its own numbered commit log seeded
+    # (version 0) with the full main mapping at the branch point, so
+    # branch snapshot resolution is the SAME one-GET read as main's.
+    # Table data is shared storage — a branch pins different VERSIONS of
+    # the same immutable table logs, so branching copies zero bytes.
+
+    def create_branch(self, name: str, at: int | None = None) -> "TxCatalog":
+        """Branch off main at catalog version ``at`` (default head).
+        The branch starts with exactly main's pinned mapping; commits
+        on it are invisible to main until :meth:`merge_branch`."""
+        if self.branch != "main":
+            raise ValueError("branches fork from main only")
+        _check_branch_name(name)
+        at = self.latest_version() if at is None else at
+        br = TxCatalog(self.root, branch=name)
+        if br.latest_version() >= 0:
+            raise ValueError(f"branch {name!r} already exists")
+        commit = {
+            "version": 0,
+            "tables": self.snapshot(at),
+            "updated": [],
+            "branched_from": at,
+        }
+        final = os.path.join(br.log_dir, f"{0:020d}.json")
+        tmp = os.path.join(br.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(commit, fh, indent=1)
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise ValueError(f"branch {name!r} already exists") from exc
+        finally:
+            os.remove(tmp)
+        return br
+
+    def checkout(self, name: str) -> "TxCatalog":
+        br = TxCatalog(self.root, branch=name) if name != "main" else (
+            TxCatalog(self.root)
+        )
+        if br.latest_version() < 0:
+            raise ValueError(f"branch {name!r} does not exist")
+        return br
+
+    def branches(self) -> list[str]:
+        d = os.path.join(self.root, "_catalog_log", "branches")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n))
+        )
+
+    def merge_branch(self, name: str) -> int:
+        """Merge a branch's net table updates into main as ONE atomic
+        catalog commit.  Conflict detection is the same table-granular
+        rule as concurrent commits: if main moved any table the branch
+        updated since the branch point, raise :class:`CatalogConflict`
+        (rebase the branch by re-running its transactions); disjoint
+        main progress merges cleanly."""
+        if self.branch != "main":
+            raise ValueError("merge lands on main only")
+        br = self.checkout(name)
+        hist = br.history()
+        base = hist[0].get("branched_from", -1)
+        updated: set[str] = set()
+        for c in hist[1:]:
+            updated.update(c["updated"])
+        if not updated:
+            return self.latest_version()  # nothing to merge
+        head_map = br.snapshot()
+        return self.commit(
+            {t: head_map[t] for t in sorted(updated)}, based_on=base
+        )

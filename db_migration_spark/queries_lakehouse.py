@@ -1945,6 +1945,136 @@ def q_txlog_catalog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cv", "seg")
 
 
+def _ensure_catalog_branch(spark: SparkSession, sf_dir: str):
+    """Main carries txn(slice 0); branch `dev` adds slice 1 to the
+    fact/summary pair; merge lands the pair on main atomically.  Table
+    data is shared immutable storage — the branch pins VERSIONS, so
+    branching copies zero bytes."""
+    from .plans.catalog_txn import TxCatalog
+
+    root = _fx(sf_dir, "txlog_catalog_branch")
+    done = os.path.join(root, "_BUILD_DONE")
+    cat = TxCatalog(root)
+    if os.path.exists(done):
+        return cat
+    shutil.rmtree(root, ignore_errors=True)
+    cat = TxCatalog(root)
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.floor(
+            F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderkey") % 3).alias("sl"),
+    )
+    fact, summ = cat.table("fact"), cat.table("summ")
+
+    def summarize(max_sl: int) -> DataFrame:
+        return (
+            od.filter(F.col("sl") <= max_sl)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("cents").alias("total_c"),
+            )
+        )
+
+    fv = fact.commit_append(od.filter(F.col("sl") == 0).drop("sl"))
+    sv = summ.commit_overwrite(summarize(0))
+    cat.commit({"fact": fv, "summ": sv})
+    main_head_before = cat.latest_version()
+    dev = cat.create_branch("dev")
+    fv = fact.commit_append(od.filter(F.col("sl") == 1).drop("sl"))
+    sv = summ.commit_overwrite(summarize(1))
+    dev.commit({"fact": fv, "summ": sv})
+    # isolation, both directions, before the merge (not an assert: -O)
+    if cat.latest_version() != main_head_before:
+        raise RuntimeError("branch commit leaked into main")
+    if dev.snapshot()["fact"] != fv:
+        raise RuntimeError("branch head did not advance")
+    cat.merge_branch("dev")
+    with open(done, "w"):
+        pass
+    return cat
+
+
+def q_txlog_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nessie-style catalog BRANCHES over txlog tables (plans/
+    catalog_txn.py): a `dev` branch forks from main (version 0 of the
+    branch log seeds main's full pinned mapping — one GET, zero bytes
+    copied), lands a multi-table transaction invisibly to main, and
+    merges back as ONE atomic main commit under the same
+    table-granular conflict rule as concurrent writers.
+
+    Three refs are read back through their snapshots: main BEFORE the
+    merge (must still be slice 0 — branch isolation), the branch head
+    (slices 0-1), and main AFTER the merge (slices 0-1, and its
+    fact/summary pair must be consistent — the merge is atomic).  The
+    oracle recomputes all three expected aggregates from ``orders``;
+    a branch leak, torn merge, or wrong branch point is a value
+    mismatch.  At 100 TB this is zero-copy dev/prod isolation for
+    whole PIPELINES: experiments rewrite tables on a branch, validate,
+    then promote atomically — the catalog tier of the table-level
+    SHALLOW CLONE story (txlog_shallow_clone).  No counterpart in the
+    reference; extends §2.9's snapshot tier."""
+    cat = _ensure_catalog_branch(spark, sf_dir)
+    dev = cat.checkout("dev")
+    main_before = cat.latest_version() - 1  # the merge is the head commit
+
+    def agg_at(c, cv, ref):
+        f = (
+            c.read(spark, "fact", cv)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("f_cnt"),
+                F.sum("cents").alias("f_total"),
+            )
+        )
+        s = c.read(spark, "summ", cv)
+        return f.join(s, "seg").select(
+            F.lit(ref).alias("ref"),
+            "seg",
+            F.col("f_cnt").alias("cnt"),
+            F.col("f_total").alias("total_c"),
+            (
+                (F.col("f_cnt") == F.col("cnt"))
+                & (F.col("f_total") == F.col("total_c"))
+            ).alias("consistent"),
+        )
+
+    out = (
+        agg_at(cat, main_before, "main_before")
+        .unionByName(agg_at(dev, None, "dev"))
+        .unionByName(agg_at(cat, None, "main_merged"))
+    )
+    return out.orderBy("ref", "seg")
+
+
+ORACLE_CATALOG_BRANCH = """
+WITH od AS (
+  SELECT o_orderpriority AS seg,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS cents,
+         o_orderkey % 3 AS sl
+  FROM orders),
+s AS (
+  SELECT 'main_before' AS ref, seg, count(*) AS cnt,
+         CAST(sum(cents) AS BIGINT) AS total_c
+  FROM od WHERE sl = 0 GROUP BY 2
+  UNION ALL
+  SELECT 'dev' AS ref, seg, count(*) AS cnt,
+         CAST(sum(cents) AS BIGINT) AS total_c
+  FROM od WHERE sl <= 1 GROUP BY 2
+  UNION ALL
+  SELECT 'main_merged' AS ref, seg, count(*) AS cnt,
+         CAST(sum(cents) AS BIGINT) AS total_c
+  FROM od WHERE sl <= 1 GROUP BY 2)
+SELECT ref, seg, cnt, total_c, TRUE AS consistent
+FROM s ORDER BY ref, seg
+"""
+
+
 def _ensure_stream_catalog(spark: SparkSession, sf_dir: str):
     """Streaming MULTI-TABLE exactly-once: every micro-batch appends to
     the fact table, rewrites its summary FROM the pinned fact version,
@@ -2129,6 +2259,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_catalog_snapshot"] = ORACLE_CATALOG_SNAPSHOT
     queries["stream_catalog_txn"] = q_stream_catalog_txn
     oracles["stream_catalog_txn"] = ORACLE_STREAM_CATALOG
+    queries["txlog_catalog_branch"] = q_txlog_catalog_branch
+    oracles["txlog_catalog_branch"] = ORACLE_CATALOG_BRANCH
     queries["txlog_rtbf_erasure"] = q_txlog_rtbf_erasure
     oracles["txlog_rtbf_erasure"] = ORACLE_RTBF
     queries["txlog_partition_evolution"] = q_txlog_partition_evolution

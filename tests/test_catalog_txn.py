@@ -164,3 +164,53 @@ def test_racing_writers_soak(spark, tmp_path):
                 F.count(F.lit(1)).alias("cnt"), F.sum("x").alias("tot")
             ).collect()[0]
             assert (got.cnt, got.tot) == (f.cnt, f.tot), (cv, fact_n)
+
+
+def test_branch_isolation_and_merge(spark, tmp_path):
+    cat = TxCatalog(str(tmp_path / "cat"))
+    a, b = cat.table("a"), cat.table("b")
+    cat.commit({"a": a.commit_append(_df(spark, [1]))})
+    dev = cat.create_branch("dev")
+    dev.commit({"a": a.commit_append(_df(spark, [2]))})
+    # both directions invisible
+    assert sorted(r.x for r in cat.read(spark, "a").collect()) == [1]
+    assert sorted(r.x for r in dev.read(spark, "a").collect()) == [1, 2]
+    # DISJOINT main progress does not block the merge
+    cat.commit({"b": b.commit_append(_df(spark, [10]))})
+    cat.merge_branch("dev")
+    assert sorted(r.x for r in cat.read(spark, "a").collect()) == [1, 2]
+    assert sorted(r.x for r in cat.read(spark, "b").collect()) == [10]
+    assert cat.branches() == ["dev"]
+
+
+def test_branch_merge_conflict_on_overlap(spark, tmp_path):
+    cat = TxCatalog(str(tmp_path / "cat"))
+    a = cat.table("a")
+    cat.commit({"a": a.commit_append(_df(spark, [1]))})
+    dev = cat.create_branch("dev")
+    dev.commit({"a": a.commit_append(_df(spark, [2]))})
+    # main moves the SAME table after the branch point
+    cat.commit({"a": a.commit_append(_df(spark, [3]))})
+    with pytest.raises(CatalogConflict):
+        cat.merge_branch("dev")
+
+
+def test_branch_name_rules(spark, tmp_path):
+    cat = TxCatalog(str(tmp_path / "cat"))
+    a = cat.table("a")
+    cat.commit({"a": a.commit_append(_df(spark, [1]))})
+    for bad in ("main", "branches", "", "x/y", "_x", ".x"):
+        with pytest.raises(ValueError):
+            cat.create_branch(bad)
+    dev = cat.create_branch("dev")
+    with pytest.raises(ValueError):
+        cat.create_branch("dev")  # already exists
+    with pytest.raises(ValueError):
+        dev.create_branch("dev2")  # forks from main only
+    with pytest.raises(ValueError):
+        dev.merge_branch("dev")  # merges land on main only
+    with pytest.raises(ValueError):
+        cat.checkout("nope")
+    # empty branch merge is a no-op
+    head = cat.latest_version()
+    assert cat.merge_branch("dev") == head
