@@ -288,6 +288,37 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "catalog",
+        help="multi-table transaction catalog: snapshot/history/branches "
+        "at any ref, create-branch, merge a branch into main, or publish "
+        "a prepared {table: version} commit atomically",
+    )
+    sp.add_argument("--root", required=True, help="TxCatalog root directory")
+    sp.add_argument(
+        "--action",
+        required=True,
+        choices=(
+            "snapshot",
+            "history",
+            "branches",
+            "create-branch",
+            "merge",
+            "commit",
+        ),
+    )
+    sp.add_argument("--ref", default="main", help="branch to operate on")
+    sp.add_argument(
+        "--version",
+        type=int,
+        default=None,
+        help="catalog version (snapshot) or branch point (create-branch)",
+    )
+    sp.add_argument("--name", default=None, help="branch name")
+    sp.add_argument(
+        "--tables", default=None, help="commit payload: table=version[,..]"
+    )
+
+    sp = sub.add_parser(
         "corpus-prep",
         help="training-corpus pipeline: quality gate -> exact dedup "
         "survivors -> pack manifest over a documents table",
@@ -400,6 +431,51 @@ def main(argv: list[str] | None = None) -> int:
             )
             out["groups_before"] = before
             out["groups_after"] = len(t.active_groups())
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "catalog":
+        # the multi-table transaction / branching surface
+        # (plans/catalog_txn.py) — the operational commands Nessie and
+        # the Iceberg catalogs expose
+        from .plans.catalog_txn import TxCatalog
+
+        cat = TxCatalog(args.root, branch=args.ref)
+        out = {"root": args.root, "ref": args.ref, "action": args.action}
+        if args.action == "snapshot":
+            out["version"] = (
+                args.version
+                if args.version is not None
+                else cat.latest_version()
+            )
+            out["tables"] = cat.snapshot(args.version)
+        elif args.action == "history":
+            out["commits"] = cat.history()
+        elif args.action == "branches":
+            out["branches"] = cat.branches()
+            out["head"] = cat.latest_version()
+        elif args.action == "create-branch":
+            if not args.name:
+                ap.error("create-branch requires --name")
+            br = cat.create_branch(args.name, at=args.version)
+            out["branch"] = args.name
+            out["branched_from"] = br.history()[0]["branched_from"]
+        elif args.action == "merge":
+            if not args.name:
+                ap.error("merge requires --name")
+            out["merged_version"] = cat.merge_branch(args.name)
+            out["tables"] = cat.snapshot()
+        elif args.action == "commit":
+            if not args.tables:
+                ap.error("commit requires --tables table=version[,..]")
+            updates = {}
+            for part in args.tables.split(","):
+                k, _, v = part.partition("=")
+                if not v:
+                    ap.error(f"bad --tables entry {part!r}")
+                updates[k.strip()] = int(v)
+            out["version"] = cat.commit(updates)
+            out["tables"] = cat.snapshot()
         print(json.dumps(out))
         return 0
 

@@ -214,3 +214,56 @@ def test_branch_name_rules(spark, tmp_path):
     # empty branch merge is a no-op
     head = cat.latest_version()
     assert cat.merge_branch("dev") == head
+
+
+def test_catalog_cli_roundtrip(spark, tmp_path, capsys):
+    """The metadata-only CLI surface (cli.py catalog): snapshot,
+    branches, create-branch, commit, merge — all in-process (no Spark
+    needed on these paths)."""
+    import json
+
+    from db_migration_spark.cli import main
+
+    root = str(tmp_path / "cat")
+    cat = TxCatalog(root)
+    a = cat.table("a")
+    v0 = a.commit_append(_df(spark, [1]))
+    cat.commit({"a": v0})
+
+    def run(*argv):
+        assert main(["catalog", "--root", root, *argv]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    snap = run("--action", "snapshot")
+    assert snap["tables"] == {"a": v0} and snap["version"] == 0
+    assert run("--action", "branches")["branches"] == []
+    cb = run("--action", "create-branch", "--name", "dev")
+    assert cb["branched_from"] == 0
+    v1 = a.commit_append(_df(spark, [2]))
+    dv = run("--action", "commit", "--ref", "dev",
+             "--tables", f"a={v1}")
+    assert dv["tables"] == {"a": v1}
+    mg = run("--action", "merge", "--name", "dev")
+    assert mg["tables"] == {"a": v1}
+    hist = run("--action", "history")
+    assert [c["version"] for c in hist["commits"]] == [0, 1]
+
+
+def test_stray_tmp_files_do_not_break_catalog(spark, tmp_path):
+    """Crash resilience: a writer that died between tmp-write and link
+    leaves a .tmp- file; reads, commits and branch creation must be
+    unaffected (the log reader filters dotfiles)."""
+    import os
+
+    root = str(tmp_path / "cat")
+    cat = TxCatalog(root)
+    a = cat.table("a")
+    cat.commit({"a": a.commit_append(_df(spark, [1]))})
+    with open(os.path.join(cat.log_dir, ".tmp-deadbeef.json"), "w") as fh:
+        fh.write("{not json")
+    assert cat.latest_version() == 0
+    assert cat.snapshot() == {"a": 0}
+    cat.commit({"a": a.commit_append(_df(spark, [2]))})
+    assert cat.latest_version() == 1
+    dev = cat.create_branch("dev")
+    assert dev.snapshot() == cat.snapshot()
