@@ -615,6 +615,101 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (Holt linear trend with a
+    single α) per event-type series, EXACT in BIGINT arithmetic: with
+    α = 1/2 and depth 8, the first smooth is the halving-decay EWMA
+    numerator num_t = Σ 2^(7−j)·v_(t−j) (denominator 255), the second
+    smooth re-smooths the NUMERATORS snum_t = Σ 2^(7−j)·num_(t−j)
+    (denominator 255²), and Brown's identities become integer
+    combinations over the constant denominator 255²:
+
+        level = 2·S' − S''          → 2·255·num − snum
+        trend = (α/(1−α))(S'−S'')   → 255·num − snum
+        3-step forecast             → level + 3·trend
+
+    Output rows are the FULL-HISTORY region only (≥ 15 prior rows —
+    null lag propagation enforces it), so the denominator is constant
+    and every value is an exact integer the oracle reproduces bit-for-
+    bit; no float recurrence, no accumulation order.  Two chained
+    window passes per series; nothing global, no self-joins.  At
+    100 TB: series partition by event_type, each streamed once per
+    pass.  No counterpart in the reference; extends the §2.12
+    time-series tier next to ts_ewma (level only) and
+    ts_seasonal_forecast."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micro"),
+    )
+    # first smooth: null lags PROPAGATE (plain sum, no coalesce), so
+    # num is non-null only with 8 rows of history
+    num = sum(
+        (F.lag("v_micro", j).over(w) * F.lit(1 << (7 - j)) for j in range(8)),
+        start=F.lit(0),
+    )
+    s1 = base.withColumn("num", num.cast("long"))
+    snum = sum(
+        (F.lag("num", j).over(w) * F.lit(1 << (7 - j)) for j in range(8)),
+        start=F.lit(0),
+    )
+    s2 = s1.withColumn("snum", snum.cast("long")).filter(
+        F.col("snum").isNotNull()
+    )
+    level = F.lit(2 * 255) * F.col("num") - F.col("snum")
+    trend = F.lit(255) * F.col("num") - F.col("snum")
+    return s2.select(
+        "event_type",
+        "event_id",
+        "v_micro",
+        level.cast("long").alias("level_num"),
+        trend.cast("long").alias("trend_num"),
+        (level + F.lit(3) * trend).cast("long").alias("fc3_num"),
+    )
+
+
+def _holt_sql_terms() -> tuple[str, str]:
+    t1 = " + ".join(
+        f"lag(v_micro, {j}) OVER w * {1 << (7 - j)}" for j in range(8)
+    )
+    t2 = " + ".join(
+        f"lag(num, {j}) OVER w2 * {1 << (7 - j)}" for j in range(8)
+    )
+    return t1, t2
+
+
+_HOLT_T1, _HOLT_T2 = _holt_sql_terms()
+
+ORACLE_HOLT = f"""
+WITH base AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+),
+s1 AS (
+  SELECT event_type, event_id, ts, v_micro,
+         CAST({_HOLT_T1} AS BIGINT) AS num
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT event_type, event_id, v_micro, num,
+         CAST({_HOLT_T2} AS BIGINT) AS snum
+  FROM s1
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, event_id, v_micro,
+       CAST(2 * 255 * num - snum AS BIGINT) AS level_num,
+       CAST(255 * num - snum AS BIGINT) AS trend_num,
+       CAST((2 * 255 * num - snum) + 3 * (255 * num - snum) AS BIGINT)
+         AS fc3_num
+FROM s2 WHERE snum IS NOT NULL
+"""
+
+
 def _ewma_sql_terms() -> tuple[str, str]:
     nums = []
     dens = []
@@ -823,6 +918,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["graph_jaccard_linkpred"] = ORACLE_JACCARD_LP
     queries["ts_ewma"] = q_ts_ewma
     oracles["ts_ewma"] = ORACLE_EWMA
+    queries["ts_holt_trend"] = q_ts_holt_trend
+    oracles["ts_holt_trend"] = ORACLE_HOLT
     queries["ts_rolling_corr"] = q_ts_rolling_corr
     oracles["ts_rolling_corr"] = ORACLE_ROLLING_CORR
     queries["eav_attr_stats"] = q_eav_attr_stats
