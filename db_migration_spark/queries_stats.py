@@ -710,6 +710,146 @@ FROM s2 WHERE snum IS NOT NULL
 """
 
 
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event-type series: the median of all
+    pairwise slopes over the DAILY-aggregated series (y = exact daily
+    cents, x = integer day index), plus the median-residual intercept.
+    Robust to outliers where least squares (stats_linreg) is not —
+    breakdown point ≈ 29%.
+
+    Determinism: every slope is one IEEE division of exact BIGINTs
+    ((y_j − y_i) / (x_j − x_i)) — identical bits in both engines — and
+    the median is an order statistic (lo = (p+1)÷2, hi = (p+2)÷2,
+    med = (v_lo + v_hi)/2.0), so tie order cannot change the selected
+    VALUES.  Scale shape: the pairwise join is over the aggregated
+    series, bounded by the CALENDAR (L days → L(L−1)/2 pairs per
+    series), never by raw volume; the daily aggregate itself is one
+    map-side-combinable pass.  No counterpart in the reference;
+    extends §2.12's robust-statistics tier next to stats_mad and
+    winsorize_values."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("y")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+
+    def med(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        n = Window.partitionBy("event_type")
+        r = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "p", F.count(F.lit(1)).over(n)
+        )
+        return r.groupBy("event_type").agg(
+            F.max("p").alias(f"{out}_n"),
+            (
+                (
+                    F.min(
+                        F.when(
+                            F.col("rn") == F.expr("(p + 1) div 2"),
+                            F.col(col),
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            F.col("rn") == F.expr("(p + 2) div 2"),
+                            F.col(col),
+                        )
+                    )
+                )
+                / F.lit(2.0)
+            ).alias(out),
+        )
+
+    slope_med = med(pairs, "slope", "slope_cents_per_day")
+    resid = daily.join(
+        F.broadcast(slope_med.select("event_type", "slope_cents_per_day")),
+        "event_type",
+    ).select(
+        "event_type",
+        (
+            F.col("y").cast("double")
+            - F.col("slope_cents_per_day") * F.col("x").cast("double")
+        ).alias("ic"),
+    )
+    ic_med = med(resid, "ic", "intercept_c")
+    return (
+        slope_med.join(ic_med, "event_type")
+        .select(
+            "event_type",
+            F.col("slope_cents_per_day_n").alias("n_pairs"),
+            F.col("intercept_c_n").alias("n_days"),
+            "slope_cents_per_day",
+            "intercept_c",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x),
+sm AS (
+  SELECT event_type, max(p) AS n_pairs,
+         (min(CASE WHEN rn = (p + 1) // 2 THEN slope END)
+          + min(CASE WHEN rn = (p + 2) // 2 THEN slope END)) / 2.0
+           AS slope_cents_per_day
+  FROM (SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type ORDER BY slope)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS p
+        FROM pairs) GROUP BY 1),
+resid AS (
+  SELECT d.event_type,
+         CAST(d.y AS DOUBLE) - s.slope_cents_per_day * CAST(d.x AS DOUBLE)
+           AS ic
+  FROM daily d JOIN sm s USING (event_type)),
+im AS (
+  SELECT event_type, max(p) AS n_days,
+         (min(CASE WHEN rn = (p + 1) // 2 THEN ic END)
+          + min(CASE WHEN rn = (p + 2) // 2 THEN ic END)) / 2.0
+           AS intercept_c
+  FROM (SELECT event_type, ic,
+               row_number() OVER (PARTITION BY event_type ORDER BY ic) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS p
+        FROM resid) GROUP BY 1)
+SELECT s.event_type, s.n_pairs, i.n_days, s.slope_cents_per_day,
+       i.intercept_c
+FROM sm s JOIN im i USING (event_type) ORDER BY s.event_type
+"""
+
+
 def _ewma_sql_terms() -> tuple[str, str]:
     nums = []
     dens = []
@@ -920,6 +1060,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["ts_ewma"] = ORACLE_EWMA
     queries["ts_holt_trend"] = q_ts_holt_trend
     oracles["ts_holt_trend"] = ORACLE_HOLT
+    queries["ts_theil_sen"] = q_ts_theil_sen
+    oracles["ts_theil_sen"] = ORACLE_THEIL_SEN
     queries["ts_rolling_corr"] = q_ts_rolling_corr
     oracles["ts_rolling_corr"] = ORACLE_ROLLING_CORR
     queries["eav_attr_stats"] = q_eav_attr_stats
