@@ -19,7 +19,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -1370,7 +1370,202 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval over fixed-point inner products
+# ---------------------------------------------------------------------------
+
+_MMR_CANDS = 12  # per-query candidate pool (top by relevance)
+_MMR_K = 5  # selected set size
+_MMR_SCALE = 16777216.0  # 2^24 — exact power-of-two fixed-point scale
+# integer trade-off weights: score = rel − max_sim_to_selected — the
+# canonical λ=0.5 MMR balance (Carbonell & Goldstein's default)
+_MMR_LAM, _MMR_MU = 1, 1
+
+
+def _fp_dot(a, b):
+    """Fixed-point inner product: each element product is quantized to
+    a BIGINT (floor(x·y·2^24 + 0.5) of the identical IEEE doubles), so
+    the SUM is an associative integer — bit-identical in any engine at
+    any fold order, unlike a float dot product."""
+    prod = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(_MMR_SCALE)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return F.aggregate(
+        prod, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def q_emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    diversified top-5 from each probe's top-12 inner-product
+    candidates, greedy score = rel − max-sim-to-selected (λ=0.5) — the
+    serving-side step that keeps a retrieval answer from returning
+    five near-duplicates.
+
+    Exactness: relevance AND pairwise similarity are fixed-point
+    integer inner products (_fp_dot), so every greedy comparison is
+    BIGINT arithmetic with id tie-breaks — the selected SET and ORDER
+    are engine-reproducible, and the oracle replays the identical
+    greedy as four chained CTEs (no recursion, no tolerance).  Plan
+    shape: candidate generation is the brute-force scored top-12 per
+    probe (3 probes broadcast — the declared exact tier; the IVF/LSH
+    stores are the scale path for candidate generation); the greedy
+    runs entirely on the 12-row-per-query candidate frame and its
+    12×12 pairwise sims — bounded by k·|C|², independent of corpus
+    size.  No counterpart in the reference; extends the §2.12
+    retrieval family next to search_hybrid_rrf (fusion) and
+    ann_*_topk (candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            _fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
+            "embedding",
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    cands = (
+        scored.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= _MMR_CANDS)
+        .drop("crn")
+    )
+    a, b = cands.alias("a"), cands.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.cand_id") != F.col("b.cand_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.cand_id").alias("cand_id"),
+        F.col("b.cand_id").alias("other_id"),
+        _fp_dot(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    cands = cands.drop("embedding").localCheckpoint(eager=False)
+    pair = pair.localCheckpoint(eager=False)
+
+    # greedy: step 1 is pure relevance; steps 2..k re-score remaining
+    # candidates against the selected set — all BIGINT comparisons
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    sel = (
+        cands.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", "rel", F.lit(1).alias("step"))
+    )
+    for step in range(2, _MMR_K + 1):
+        remaining = cands.join(
+            sel.select("query_id", "cand_id"), ["query_id", "cand_id"],
+            "left_anti",
+        )
+        ms = (
+            pair.join(
+                sel.select(
+                    "query_id", F.col("cand_id").alias("other_id")
+                ),
+                ["query_id", "other_id"],
+            )
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored_t = remaining.join(ms, ["query_id", "cand_id"]).withColumn(
+            "mmr",
+            F.lit(_MMR_LAM) * F.col("rel") - F.lit(_MMR_MU) * F.col("max_sim"),
+        )
+        wt = Window.partitionBy("query_id").orderBy(F.desc("mmr"), "cand_id")
+        pick = (
+            scored_t.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "cand_id", "rel", F.lit(step).alias("step")
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select(
+        "query_id", "step", F.col("cand_id").alias("neighbor_id"), "rel"
+    ).orderBy("query_id", "step")
+
+
+def _mmr_oracle_sql() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+        "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * "
+        f"{_MMR_SCALE} + 0.5) AS BIGINT))) AS BIGINT)"
+    )
+    head = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, e.vec_id AS cand_id,
+         {dot.format(a="qv", b="e.embedding")} AS rel
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+cands AS (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, cand_id) AS crn
+    FROM scored) WHERE crn <= {_MMR_CANDS}),
+pair AS (
+  SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+         {dot.format(a="ea.embedding", b="eb.embedding")} AS sim
+  FROM cands a JOIN cands b
+    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+  JOIN embeddings ea ON ea.vec_id = a.cand_id
+  JOIN embeddings eb ON eb.vec_id = b.cand_id),
+sel1 AS (
+  SELECT query_id, cand_id, rel, 1 AS step FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+    FROM cands) WHERE rn = 1)"""
+    for s in range(2, _MMR_K + 1):
+        union = " UNION ALL ".join(
+            f"SELECT * FROM sel{i}" for i in range(1, s)
+        )
+        head += f""",
+sel{s} AS (
+  SELECT query_id, cand_id, rel, {s} AS step FROM (
+    SELECT c.query_id, c.cand_id, c.rel,
+           row_number() OVER (PARTITION BY c.query_id
+               ORDER BY {_MMR_LAM} * c.rel - {_MMR_MU} * m.max_sim DESC,
+                        c.cand_id) AS rn
+    FROM cands c
+    JOIN (SELECT p.query_id, p.cand_id, max(p.sim) AS max_sim
+          FROM pair p JOIN ({union}) s
+            ON p.query_id = s.query_id AND p.other_id = s.cand_id
+          GROUP BY 1, 2) m
+      ON m.query_id = c.query_id AND m.cand_id = c.cand_id
+    WHERE NOT EXISTS (SELECT 1 FROM ({union}) s2
+                      WHERE s2.query_id = c.query_id
+                        AND s2.cand_id = c.cand_id)
+  ) WHERE rn = 1)"""
+    all_sel = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, _MMR_K + 1)
+    )
+    return (
+        head
+        + f"""
+SELECT query_id, step, cand_id AS neighbor_id, rel
+FROM ({all_sel}) ORDER BY query_id, step
+"""
+    )
+
+
+ORACLE_MMR = _mmr_oracle_sql()
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["emb_mmr_diversify"] = q_emb_mmr_diversify
+    oracles["emb_mmr_diversify"] = ORACLE_MMR
     queries["corpus_fim_split"] = q_corpus_fim_split
     oracles["corpus_fim_split"] = ORACLE_FIM_SPLIT
     queries["sql_udf_functions"] = q_sql_udf_functions

@@ -58,3 +58,45 @@ def test_dangling_node_leaks_mass(spark):
     ref = _reference([(1, 2)], [1, 2], 2)
     assert got == ref
     assert got[1] == 15 * SCALE // 100
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    """Planted pool: the query's two most-relevant candidates are
+    identical twins; plain top-2 takes both, MMR's step 2 must skip
+    the redundant twin for the diverse third candidate."""
+    import os
+
+    from db_migration_spark.queries_round4 import q_emb_mmr_diversify
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (64 - len(xs))
+
+    rows = [
+        (0, v(1, 0, 0, 0)),            # probe 0 (vec_id < 3 are probes)
+        (1, v(0, 1, 0, 0)),            # probe filler
+        (2, v(0, 0, 1, 0)),            # probe filler
+        (10, v(1.0, 0.3, 0, 0)),       # top rel for probe 0
+        (11, v(1.0, 0.3, 0, 0)),       # identical twin of 10
+        (12, v(0.7, -0.7, 0, 0)),      # diverse, decent rel
+        (13, v(0.2, 0, 0.5, 0)),       # diverse, weak
+        (14, v(0.1, 0.2, 0.1, 0.2)),
+        (15, v(0.05, 0.05, 0.05, 0.05)),
+    ]
+    df = spark.createDataFrame(
+        [(i, e, 0) for i, e in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path / "emb")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+    got = {
+        (r.query_id, r.step): r.neighbor_id
+        for r in q_emb_mmr_diversify(spark, d).collect()
+    }
+    # step 1: relevance tie 10 vs 11 -> id tie-break
+    assert got[(0, 1)] == 10
+    # step 2: rel - max_sim: twin 11 scores 1.0 - 1.09 < diverse 12's
+    # 0.7 - 0.49 -> the twin is skipped
+    assert got[(0, 2)] == 12
+    picked = [got[(0, s)] for s in range(1, 6)]
+    assert len(set(picked)) == 5      # no repeats
