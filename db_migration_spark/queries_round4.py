@@ -1563,9 +1563,70 @@ FROM ({all_sel}) ORDER BY query_id, step
 ORACLE_MMR = _mmr_oracle_sql()
 
 
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact top-10 by inner product among the
+    vectors sharing the probe's ``label`` — the metadata-predicate +
+    similarity query every vector store serves (Qdrant/Milvus filtered
+    search; Lucene KNN with pre-filter).  Scores are fixed-point
+    integer inner products (_fp_dot), so ranks AND scores reproduce
+    bit-for-bit — a stronger oracle than the count-gate the float-
+    cosine ANN rows use.  Plan: the label equality prunes BEFORE any
+    scoring (predicate pushdown to the scan; in the IVF-store serving
+    tier the same predicate prunes file groups via zone maps —
+    ann_ivf_pruned_store), probes broadcast, one row_number top-k.
+    Extends the §2.12 similarity tier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q), emb["label"] == q["q_label"]
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            _fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "q_label", "rel")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_FILTERED = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+           FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, q_label, e.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i ->
+              CAST(floor(CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i]
+                   AS DOUBLE) * {_MMR_SCALE} + 0.5) AS BIGINT)))
+              AS BIGINT) AS rel
+  FROM embeddings e JOIN q ON e.label = q.q_label
+  WHERE e.vec_id <> query_id)
+SELECT query_id, rank, neighbor_id, q_label, rel FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS INTEGER)
+    AS rank
+  FROM scored) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["emb_mmr_diversify"] = q_emb_mmr_diversify
     oracles["emb_mmr_diversify"] = ORACLE_MMR
+    queries["ann_filtered_topk"] = q_ann_filtered_topk
+    oracles["ann_filtered_topk"] = ORACLE_ANN_FILTERED
     queries["corpus_fim_split"] = q_corpus_fim_split
     oracles["corpus_fim_split"] = ORACLE_FIM_SPLIT
     queries["sql_udf_functions"] = q_sql_udf_functions
