@@ -6,7 +6,7 @@ A :class:`TxTable` commit is atomic for ONE table; a pipeline that
 maintains a fact table and its summary (or an index sidecar, or a
 lineage table) needs readers to see the PAIR move together.  The
 catalog provides that with the same one store primitive the table log
-uses (plans/txlog.py:_publish — ``os.link`` put-if-absent; S3
+uses (plans/txlog.py publish_if_absent — ``os.link`` put-if-absent; S3
 conditional PUT at scale):
 
 * each catalog version is one JSON file holding the FULL pinned
@@ -37,11 +37,10 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .txlog import CommitConflict, TxTable
+from .txlog import CommitConflict, TxTable, publish_if_absent
 
 
 class CatalogConflict(RuntimeError):
@@ -64,16 +63,20 @@ class TxCatalog:
         self.branch = branch
         if branch == "main":
             self.log_dir = os.path.join(root, "_catalog_log")
+            os.makedirs(self.log_dir, exist_ok=True)
         else:
+            # branch log dirs are created by create_branch ONLY —
+            # referencing a nonexistent branch must never conjure one
             _check_branch_name(branch)
             self.log_dir = os.path.join(
                 root, "_catalog_log", "branches", branch
             )
-        os.makedirs(self.log_dir, exist_ok=True)
 
     # -- log ------------------------------------------------------------
 
     def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []  # nonexistent branch: empty log, no side effects
         return sorted(
             int(f[: -len(".json")])
             for f in os.listdir(self.log_dir)
@@ -124,13 +127,22 @@ class TxCatalog:
         """Catalog version that already carries this (app, batch)
         transaction identity, or None — the exactly-once seam for
         streaming multi-table sinks (same contract as
-        TxTable.commit_append's ``txn``)."""
-        for c in self.history():
-            t = c.get("txn")
-            if t and t.get("app") == app and int(t.get("batch")) == int(
-                batch
-            ):
-                return int(c["version"])
+        TxTable.commit_append's ``txn``).
+
+        Scanned NEWEST-first with an early exit once a commit of the
+        SAME app carries a smaller batch id (streaming batch ids are
+        monotone per app), so the common non-replay publish checks
+        O(1) commits instead of replaying the whole log — at batch B
+        the naive forward scan is O(B) per publish, O(B²) per run."""
+        for v in reversed(self._versions()):
+            t = self._read_commit(v).get("txn")
+            if not t or t.get("app") != app:
+                continue
+            got = int(t.get("batch"))
+            if got == int(batch):
+                return v
+            if got < int(batch):
+                return None  # monotone per app: older batches only below
         return None
 
     def commit(
@@ -158,6 +170,11 @@ class TxCatalog:
         makes a multi-table streaming sink exactly-once END TO END."""
         if not updates:
             raise ValueError("empty catalog commit")
+        if self.branch != "main" and self.latest_version() < 0:
+            raise ValueError(
+                f"branch {self.branch!r} does not exist (create_branch "
+                "seeds version 0 with main's mapping)"
+            )
         if txn is not None:
             seen = self.txn_version(*txn)
             if seen is not None:
@@ -197,17 +214,9 @@ class TxCatalog:
             }
             if txn is not None:
                 commit["txn"] = {"app": txn[0], "batch": int(txn[1])}
-            final = os.path.join(self.log_dir, f"{version:020d}.json")
-            tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
-            with open(tmp, "w") as fh:
-                json.dump(commit, fh, indent=1)
-            try:
-                os.link(tmp, final)
+            if publish_if_absent(self.log_dir, version, commit):
                 return version
-            except FileExistsError:
-                continue  # lost the publish race: loop re-checks overlap
-            finally:
-                os.remove(tmp)
+            # lost the publish race: loop re-checks overlap
         raise CommitConflict(
             f"catalog commit lost {max_retries} publish races"
         )
@@ -253,16 +262,8 @@ class TxCatalog:
             "updated": [],
             "branched_from": at,
         }
-        final = os.path.join(br.log_dir, f"{0:020d}.json")
-        tmp = os.path.join(br.log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(commit, fh, indent=1)
-        try:
-            os.link(tmp, final)
-        except FileExistsError as exc:
-            raise ValueError(f"branch {name!r} already exists") from exc
-        finally:
-            os.remove(tmp)
+        if not publish_if_absent(br.log_dir, 0, commit):
+            raise ValueError(f"branch {name!r} already exists")
         return br
 
     def checkout(self, name: str) -> "TxCatalog":

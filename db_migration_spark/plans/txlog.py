@@ -105,6 +105,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def publish_if_absent(log_dir: str, version: int, commit: dict) -> bool:
+    """The ONE store primitive the whole commit protocol needs
+    (table log and catalog tier alike): write a tmp file, hard-link it
+    to the final version name — ``os.link`` fails with EEXIST iff
+    another writer already owns the version.  Returns False on a lost
+    race; the tmp file is always removed.  (On object stores this maps
+    to put-if-absent, e.g. S3 conditional PUT; Delta uses the same
+    seam.)"""
+    os.makedirs(log_dir, exist_ok=True)
+    final = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(commit, fh, indent=1)
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
 class CommitConflict(RuntimeError):
     """Another writer owned the version this transaction raced for."""
 
@@ -637,22 +659,9 @@ class TxTable:
         return dest
 
     def _publish(self, version: int, commit: dict) -> None:
-        """Atomically claim ``version`` or raise :class:`CommitConflict`.
-
-        ``os.link`` fails with EEXIST if another writer already owns the
-        version — the one primitive this protocol needs from the store.
-        (On object stores this maps to put-if-absent, e.g. S3
-        conditional PUT; Delta uses the same seam.)"""
-        final = os.path.join(self.log_dir, f"{version:020d}.json")
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(commit, fh, indent=1)
-        try:
-            os.link(tmp, final)
-        except FileExistsError as exc:
-            raise CommitConflict(f"version {version} already committed") from exc
-        finally:
-            os.remove(tmp)
+        """Atomically claim ``version`` or raise :class:`CommitConflict`."""
+        if not publish_if_absent(self.log_dir, version, commit):
+            raise CommitConflict(f"version {version} already committed")
 
     # -- writes -------------------------------------------------------------
 

@@ -1829,6 +1829,32 @@ GROUP BY yr
 # ---------------------------------------------------------------------------
 
 
+def _sliced_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared catalog-fixture projection: (seg, cents, sl) with
+    sl = o_orderkey % 3 — ONE definition so the snapshot and branch
+    fixtures (and their oracles) can never test different shapes."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.floor(
+            F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderkey") % 3).alias("sl"),
+    )
+
+
+def _summarize_slices(od: DataFrame, max_sl: int) -> DataFrame:
+    return (
+        od.filter(F.col("sl") <= max_sl)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("total_c"),
+        )
+    )
+
+
 def _ensure_catalog_txn(spark: SparkSession, sf_dir: str):
     """Two multi-table transactions over a fact table and its summary,
     published through the atomic catalog (plans/catalog_txn.py), plus
@@ -1843,26 +1869,11 @@ def _ensure_catalog_txn(spark: SparkSession, sf_dir: str):
         return cat
     shutil.rmtree(root, ignore_errors=True)
     cat = TxCatalog(root)
-    od = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("seg"),
-        F.floor(
-            F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("cents"),
-        (F.col("o_orderkey") % 3).alias("sl"),
-    )
+    od = _sliced_orders(spark, sf_dir)
     fact, summ = cat.table("fact"), cat.table("summ")
 
     def summarize(max_sl: int) -> DataFrame:
-        return (
-            od.filter(F.col("sl") <= max_sl)
-            .groupBy("seg")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum("cents").alias("total_c"),
-            )
-        )
+        return _summarize_slices(od, max_sl)
 
     # txn 1: slice 0 into fact + its summary, one catalog publish
     fv = fact.commit_append(od.filter(F.col("sl") == 0).drop("sl"))
@@ -1959,26 +1970,11 @@ def _ensure_catalog_branch(spark: SparkSession, sf_dir: str):
         return cat
     shutil.rmtree(root, ignore_errors=True)
     cat = TxCatalog(root)
-    od = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("seg"),
-        F.floor(
-            F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("cents"),
-        (F.col("o_orderkey") % 3).alias("sl"),
-    )
+    od = _sliced_orders(spark, sf_dir)
     fact, summ = cat.table("fact"), cat.table("summ")
 
     def summarize(max_sl: int) -> DataFrame:
-        return (
-            od.filter(F.col("sl") <= max_sl)
-            .groupBy("seg")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum("cents").alias("total_c"),
-            )
-        )
+        return _summarize_slices(od, max_sl)
 
     fv = fact.commit_append(od.filter(F.col("sl") == 0).drop("sl"))
     sv = summ.commit_overwrite(summarize(0))

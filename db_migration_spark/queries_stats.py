@@ -628,7 +628,7 @@ def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         trend = (α/(1−α))(S'−S'')   → 255·num − snum
         3-step forecast             → level + 3·trend
 
-    Output rows are the FULL-HISTORY region only (≥ 15 prior rows —
+    Output rows are the FULL-HISTORY region only (≥ 14 prior rows —
     null lag propagation enforces it), so the denominator is constant
     and every value is an exact integer the oracle reproduces bit-for-
     bit; no float recurrence, no accumulation order.  Two chained
