@@ -304,6 +304,8 @@ def main(argv: list[str] | None = None) -> int:
             "create-branch",
             "merge",
             "commit",
+            "create-tag",
+            "tags",
         ),
     )
     sp.add_argument("--ref", default="main", help="branch to operate on")
@@ -311,11 +313,22 @@ def main(argv: list[str] | None = None) -> int:
         "--version",
         type=int,
         default=None,
-        help="catalog version (snapshot) or branch point (create-branch)",
+        help="catalog version (snapshot/create-tag) or branch point "
+        "(create-branch)",
     )
-    sp.add_argument("--name", default=None, help="branch name")
+    sp.add_argument("--name", default=None, help="branch or tag name")
     sp.add_argument(
         "--tables", default=None, help="commit payload: table=version[,..]"
+    )
+    sp.add_argument(
+        "--tag", default=None, help="resolve snapshot via an immutable tag"
+    )
+    sp.add_argument(
+        "--as-of",
+        type=float,
+        default=None,
+        dest="as_of",
+        help="resolve snapshot via epoch timestamp (AS OF semantics)",
     )
 
     sp = sub.add_parser(
@@ -443,12 +456,23 @@ def main(argv: list[str] | None = None) -> int:
         cat = TxCatalog(args.root, branch=args.ref)
         out = {"root": args.root, "ref": args.ref, "action": args.action}
         if args.action == "snapshot":
+            version = args.version
+            if args.tag is not None:
+                version = cat.tag_version(args.tag)
+                out["tag"] = args.tag
+            elif args.as_of is not None:
+                version = cat.version_at_timestamp(args.as_of)
             out["version"] = (
-                args.version
-                if args.version is not None
-                else cat.latest_version()
+                version if version is not None else cat.latest_version()
             )
-            out["tables"] = cat.snapshot(args.version)
+            out["tables"] = cat.snapshot(version)
+        elif args.action == "create-tag":
+            if not args.name:
+                ap.error("create-tag requires --name")
+            out["tag"] = args.name
+            out["version"] = cat.create_tag(args.name, args.version)
+        elif args.action == "tags":
+            out["tags"] = cat.tags()
         elif args.action == "history":
             out["commits"] = cat.history()
         elif args.action == "branches":

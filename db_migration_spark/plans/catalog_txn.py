@@ -37,6 +37,8 @@ from __future__ import annotations
 
 import json
 import os
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -211,6 +213,10 @@ class TxCatalog:
                 "tables": mapping,
                 "updated": sorted(updates),
                 "based_on": base,
+                "committed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                "committed_ts": time.time(),
             }
             if txn is not None:
                 commit["txn"] = {"app": txn[0], "batch": int(txn[1])}
@@ -304,3 +310,64 @@ class TxCatalog:
         return self.commit(
             {t: head_map[t] for t in sorted(updated)}, based_on=base
         )
+
+    # -- tags & time travel ------------------------------------------------
+
+    def version_at_timestamp(self, ts: float) -> int:
+        """Catalog version in effect AT a wall-clock time (AS OF
+        semantics): the newest commit with committed_ts ≤ ts.  Raises
+        if the catalog is empty or ts predates the first commit."""
+        best = -1
+        for c in self.history():
+            if float(c.get("committed_ts", 0.0)) <= ts:
+                best = int(c["version"])
+        if best < 0:
+            raise ValueError(
+                f"no catalog commit at or before timestamp {ts}"
+            )
+        return best
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named ref to one catalog version (a release
+        pointer: 'v2024.08' → version N).  Tags never move — re-tagging
+        a taken name raises; published with the same put-if-absent
+        primitive as commits so concurrent taggers cannot split-brain
+        a name."""
+        _check_branch_name(name)  # same lexical rules as branches
+        version = self.latest_version() if version is None else version
+        if not (0 <= version <= self.latest_version()):
+            raise ValueError(f"no catalog version {version} to tag")
+        tag_dir = os.path.join(self.root, "_catalog_log", "tags")
+        os.makedirs(tag_dir, exist_ok=True)
+        path = os.path.join(tag_dir, f"{name}.json")
+        tmp = os.path.join(tag_dir, f".tmp-{uuid.uuid4().hex}.json")
+        payload = {"tag": name, "version": int(version)}
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        try:
+            os.link(tmp, path)
+        except FileExistsError as exc:
+            raise ValueError(f"tag {name!r} already exists") from exc
+        finally:
+            os.remove(tmp)
+        return int(version)
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self.root, "_catalog_log", "tags")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".json") or f.startswith("."):
+                continue
+            with open(os.path.join(d, f)) as fh:
+                c = json.load(fh)
+            if "tag" in c:
+                out[c["tag"]] = int(c["version"])
+        return out
+
+    def tag_version(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"tag {name!r} does not exist")
+        return t[name]

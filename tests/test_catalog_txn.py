@@ -267,3 +267,50 @@ def test_stray_tmp_files_do_not_break_catalog(spark, tmp_path):
     assert cat.latest_version() == 1
     dev = cat.create_branch("dev")
     assert dev.snapshot() == cat.snapshot()
+
+
+def test_tags_and_as_of(spark, tmp_path):
+    import json
+    import time as _time
+
+    from db_migration_spark.cli import main
+
+    root = str(tmp_path / "cat")
+    cat = TxCatalog(root)
+    a = cat.table("a")
+    cat.commit({"a": a.commit_append(_df(spark, [1]))})
+    t_between = _time.time()
+    _time.sleep(0.05)
+    cat.commit({"a": a.commit_append(_df(spark, [2]))})
+
+    # tags are immutable named refs published put-if-absent
+    assert cat.create_tag("rel1", 0) == 0
+    assert cat.create_tag("rel2") == 1  # default: head
+    assert cat.tags() == {"rel1": 0, "rel2": 1}
+    with pytest.raises(ValueError):
+        cat.create_tag("rel1", 1)  # tags never move
+    with pytest.raises(ValueError):
+        cat.create_tag("rel3", 99)  # no such version
+    with pytest.raises(ValueError):
+        cat.tag_version("nope")
+    # AS OF: between the two commits resolves to version 0
+    assert cat.version_at_timestamp(t_between) == 0
+    assert cat.version_at_timestamp(_time.time()) == 1
+    with pytest.raises(ValueError):
+        cat.version_at_timestamp(0.0)  # predates the log
+
+    # CLI resolution via tag and as-of
+    import io
+    from contextlib import redirect_stdout
+
+    def run(*argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(["catalog", "--root", root, *argv]) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    assert run("--action", "snapshot", "--tag", "rel1")["version"] == 0
+    assert run("--action", "snapshot", "--as-of", str(t_between))[
+        "version"
+    ] == 0
+    assert run("--action", "tags")["tags"] == {"rel1": 0, "rel2": 1}
