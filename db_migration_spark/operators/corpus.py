@@ -77,6 +77,111 @@ def lm_score(docs: DataFrame, round_to: int = 6) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256
+DSIR_SCALE = 1_000_000
+
+
+def dsir_weights(docs: DataFrame, target_pred) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much its hashed-bigram distribution resembles a
+    TARGET slice of the corpus.  Features are word bigrams hashed into
+    ``DSIR_BUCKETS`` buckets; the weight is the bag-of-buckets
+    log-likelihood ratio  log ŵ(doc) = Σ_b c_doc(b)·(log p̂(b) − log q̂(b))
+    with add-one smoothing, p̂ fit on the target slice and q̂ on the full
+    raw corpus — the paper's exact estimator, minus the Gumbel noise
+    (selection here is deterministic top-k, the zero-temperature limit).
+
+    Exactness: the bucket hash is the portable md5 scheme (identical in
+    Spark and DuckDB, so hash COLLISIONS — which change bucket counts —
+    are bit-identical too), and each bucket's log-ratio is quantized
+    ONCE to integer micro-nats; a document weight is then an
+    associative BIGINT sum of its buckets' quantized ratios, stable
+    under any fold order.
+
+    Plan shape: one bigram explode feeds both distribution fits (the
+    target fit is a filter over the same exploded frame — no second
+    text pass) as 256-row hash aggregates; the per-occurrence scoring
+    join broadcasts that 256-row dim, and the weight is a map-side
+    combinable sum per doc.  At 100 TB raw the cost is one linear pass
+    + one broadcast join — no pairwise anything; the target fit is
+    typically a small high-quality slice whose stats are megabytes."""
+    toks = TXT.tokens(F.lower(F.col("text")))
+    base = docs.select("doc_id", "lang", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    occ = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw_stats = occ.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_stats = (
+        occ.filter(target_pred)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    totals = occ.agg(
+        F.count(F.lit(1)).alias("r_tot"),
+        F.sum(F.when(target_pred, 1).otherwise(0)).alias("t_tot"),
+    )
+    lr = (
+        raw_stats.join(tgt_stats, "b", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "b",
+            F.floor(
+                F.lit(float(DSIR_SCALE))
+                * F.log(
+                    (
+                        (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1)).cast(
+                            "double"
+                        )
+                        * (F.col("r_tot") + F.lit(DSIR_BUCKETS)).cast(
+                            "double"
+                        )
+                    )
+                    / (
+                        (F.col("rc") + F.lit(1)).cast("double")
+                        * (F.col("t_tot") + F.lit(DSIR_BUCKETS)).cast(
+                            "double"
+                        )
+                    )
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        occ.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lr_micro").alias("w_micro"),
+        )
+    )
+
+
 def scrub_frequent_ngrams(docs: DataFrame, k: int = 3, min_df: int = 5) -> DataFrame:
     """Boilerplate / duplicate-span removal (the C4 "repeated lines" and
     Lee-et-al duplicate-substring pass, at n-gram granularity): any word

@@ -1600,6 +1600,93 @@ GROUP BY 1, 2
 """
 
 
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view incremental maintenance (the delta-join rule): the
+    per-customer revenue view V = γ(orders ⋈ lineitem) is maintained
+    under deltas to BOTH base tables without recomputing the old×old
+    join — ΔV = γ(ΔO⋈L₀) ⊎ γ(O₀⋈ΔL) ⊎ γ(ΔO⋈ΔL), merged into the
+    stored V₀ = γ(O₀⋈L₀) by summing partials on the group key.  This
+    is the join tier of the IVM contract (``ivm_delta_merge`` is the
+    aggregate tier; DBSP/differential-dataflow give the same rule its
+    algebraic form).  The deltas here are independent slices (orders
+    by key residue, lineitem by line number), so all three delta terms
+    are non-empty — the oracle is the single-pass join+agg over the
+    FULL tables, so the gate literally checks incremental == batch.
+
+    Exactness: per-line revenue quantizes to integer cents at the leaf
+    (floor(p·(1−d)·100 + 0.5) of identical IEEE doubles), so every
+    partial and the merge are associative BIGINT sums.  Scale: the
+    three delta joins touch only delta-sided rows — ΔO⋈L₀ and O₀⋈ΔL
+    broadcast the delta batch against the base's join-key layout
+    (bucketed/co-partitioned on orderkey at 100 TB, so no base
+    shuffle), ΔO⋈ΔL is batch×batch; V₀ is never rebuilt and O₀⋈L₀ is
+    never re-executed after bootstrap — the per-batch cost is
+    O(|Δ| + |view partials touched|), independent of base size."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+
+    o_old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    o_dlt = orders.filter(F.col("o_orderkey") % 7 == 0)
+    l_old = li.filter(F.col("l_linenumber") < 4)
+    l_dlt = li.filter(F.col("l_linenumber") >= 4)
+
+    def view(o, l):
+        return (
+            o.select("o_orderkey", "o_custkey")
+            .join(
+                l.select("l_orderkey", cents.alias("cents")),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum("cents").alias("rev_cents"),
+            )
+        )
+
+    v0 = view(o_old, l_old)
+    dv = (
+        view(o_dlt, l_old)
+        .unionByName(view(o_old, l_dlt))
+        .unionByName(view(o_dlt, l_dlt))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("rev_cents").alias("rev_cents"),
+        )
+    )
+    b, d = v0.alias("b"), dv.alias("d")
+    return b.join(
+        d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("b.o_custkey"), F.col("d.o_custkey")).alias(
+            "o_custkey"
+        ),
+        (
+            F.coalesce(F.col("b.n_lines"), F.lit(0))
+            + F.coalesce(F.col("d.n_lines"), F.lit(0))
+        ).alias("n_lines"),
+        (
+            F.coalesce(F.col("b.rev_cents"), F.lit(0))
+            + F.coalesce(F.col("d.rev_cents"), F.lit(0))
+        ).alias("rev_cents"),
+    )
+
+
+ORACLE_IVM_JOIN = """
+SELECT o_custkey,
+       count(*) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # bitemporal state (valid time x transaction time)
 # ---------------------------------------------------------------------------
@@ -2343,6 +2430,8 @@ FROM counts c JOIN ppm p ON c.digit = p.digit
 
 
 def register(queries: dict, oracles: dict) -> None:
+    queries["ivm_join_delta"] = q_ivm_join_delta
+    oracles["ivm_join_delta"] = ORACLE_IVM_JOIN
     queries["eav_tx_log"] = q_eav_tx_log
     oracles["eav_tx_log"] = ORACLE_EAV_TX_LOG
     queries["ts_seasonal_forecast"] = q_ts_seasonal_forecast

@@ -19,6 +19,70 @@ from .catalog import load_table
 from .operators import corpus as C
 
 
+def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/corpus.py ``dsir_weights``): rank
+    every document by its hashed-bigram importance weight toward the
+    English slice as target, and keep the deterministic top-50 — the
+    importance-resampling pass a pre-training mix runs to pull
+    target-like data out of a raw crawl.  Weights are associative
+    BIGINT sums of per-bucket micro-nat log-ratios under the portable
+    md5 bucket hash, so set AND order reproduce exactly; the top-k is
+    orderBy+limit (TakeOrderedAndProject — no global sort shuffle at
+    scale) with the rank window applied to the 50 survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = C.dsir_weights(docs, F.col("lang") == "en")
+    from pyspark.sql import Window
+
+    top = w.orderBy(F.desc("w_micro"), "doc_id").limit(50)
+    rw = Window.orderBy(F.desc("w_micro"), "doc_id")
+    return top.select(
+        F.row_number().over(rw).cast("int").alias("rank"),
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "w_micro",
+    )
+
+
+ORACLE_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(bg), 1, 8))::UBIGINT % 256 AS BIGINT) AS b
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM toks WHERE len(toks) >= 2)
+), raw AS (SELECT b, count(*) AS rc FROM occ GROUP BY 1),
+tgt AS (SELECT b, count(*) AS tc FROM occ WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT count(*) AS r_tot,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS t_tot
+        FROM occ),
+lr AS (
+  SELECT r.b,
+         CAST(floor(1000000.0 * ln(
+             ((coalesce(tc, 0) + 1)::DOUBLE * (r_tot + 256)::DOUBLE)
+             / ((rc + 1)::DOUBLE * (t_tot + 256)::DOUBLE)) + 0.5)
+           AS BIGINT) AS lr_micro
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot
+), w AS (
+  SELECT doc_id, lang, count(*) AS n_bigrams,
+         CAST(sum(lr_micro) AS BIGINT) AS w_micro
+  FROM occ JOIN lr USING (b)
+  GROUP BY 1, 2
+)
+SELECT rank, doc_id, lang, n_bigrams, w_micro FROM (
+  SELECT CAST(row_number() OVER (ORDER BY w_micro DESC, doc_id) AS INTEGER)
+           AS rank, *
+  FROM w) WHERE rank <= 50
+"""
+
+
 def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity filter over ``documents`` (operators/corpus.py
     ``lm_score``): the CCNet-style quality knob, self-trained on the corpus
@@ -341,6 +405,7 @@ FROM (VALUES
 def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
+            "corpus_dsir_select": q_corpus_dsir_select,
             "bpe_train_merges": q_bpe_train_merges,
             "passage_chunks": q_passage_chunks,
             "text_lm_perplexity": q_text_lm_perplexity,
@@ -357,6 +422,7 @@ def register(queries: dict, oracles: dict) -> None:
     )
     oracles.update(
         {
+            "corpus_dsir_select": ORACLE_DSIR,
             "passage_chunks": ORACLE_PASSAGES,
             "text_lm_perplexity": ORACLE_LM_PPL,
             "text_boilerplate_scrub": ORACLE_SCRUB,
