@@ -1622,11 +1622,221 @@ ORDER BY query_id, rank
 """
 
 
+# NSW graph-search parameters: M out-degree, W beam width, H hops, K answer
+_NSW_M, _NSW_W, _NSW_H, _NSW_K = 8, 16, 3, 10
+
+
+def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN serving (Navigable Small World — Malkov et al.;
+    the single-layer core of HNSW): a beam search over a prebuilt
+    M-nearest-neighbor graph answers top-10, completing the similarity
+    family's index spectrum (brute / LSH / IVF / PQ / graph).  The
+    search is the deterministic BREADTH-BEAM variant — each hop expands
+    the whole beam's out-edges, rescores, and keeps the top-W by
+    fixed-point relevance with id tie-breaks — so the visited set and
+    final ranking are engine-reproducible, and the oracle replays the
+    identical H=3 hops as chained CTEs (the MMR greedy precedent).
+    ``in_exact10`` joins each answer against the exact brute-force
+    top-10, surfacing recall inside the hash gate instead of beside it.
+
+    Scale: the SERVING cost is what the graph buys — per probe the
+    search touches ≤ W·(M+1) nodes per hop (≤ 432 score evaluations
+    here) regardless of corpus size, vs. the corpus-sized scan of the
+    brute tier; edges live as an adjacency table equi-joined on src
+    (bucketed by src at 100 TB, so a hop is a co-located lookup, and
+    the beam side is probe-bounded and broadcast).  The offline BUILD
+    here is the exact all-pairs kNN (declared: corpus² at test scale);
+    the scale path for the build is the sign-LSH blocked candidate
+    generation dedup_embedding_cosine already demonstrates, which
+    bounds build candidates per node without touching the serving
+    plan.  No counterpart in the reference; §2.12 similarity tier."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dots = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            _fp_dot(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "dot"
+            ),
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+    knn = (
+        dots.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _NSW_M)
+        .select("src", "dst")
+    )
+    edges = (
+        knn.unionByName(
+            knn.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"), "embedding")
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(nodes, "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "node",
+                _fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
+            )
+        )
+
+    entry = emb.agg(F.min("vec_id").alias("node"))
+    beam = score(
+        q.select("query_id").crossJoin(F.broadcast(entry))
+    ).localCheckpoint(eager=False)
+    for _hop in range(_NSW_H):
+        s = beam.alias("s")
+        cand = (
+            beam.select("query_id", "node")
+            .unionByName(
+                s.join(
+                    edges.alias("e"), F.col("s.node") == F.col("e.src")
+                ).select(
+                    F.col("s.query_id").alias("query_id"),
+                    F.col("e.dst").alias("node"),
+                )
+            )
+            .dropDuplicates(["query_id", "node"])
+        )
+        wb = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
+        beam = (
+            score(cand)
+            .withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= _NSW_W)
+            .drop("rn")
+            .localCheckpoint(eager=False)
+        )
+
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _fp_dot(F.col("qv"), F.col("embedding")).alias("xrel"),
+        )
+    )
+    wx = Window.partitionBy("query_id").orderBy(F.desc("xrel"), "neighbor_id")
+    exact = (
+        exact.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= _NSW_K)
+        .select("query_id", "neighbor_id", F.lit(True).alias("hit"))
+    )
+
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
+    fin = (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= _NSW_K)
+        .select(
+            "query_id", "rank", F.col("node").alias("neighbor_id"), "rel"
+        )
+    )
+    return (
+        fin.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "rel",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact10"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _nsw_oracle_sql() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+        "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * "
+        f"{_MMR_SCALE} + 0.5) AS BIGINT))) AS BIGINT)"
+    )
+    sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 3),
+dots AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {dot.format(a="a.embedding", b="b.embedding")} AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+        PARTITION BY src ORDER BY dot DESC, dst) AS rn
+    FROM dots) WHERE rn <= {_NSW_M}),
+edges AS (SELECT src, dst FROM knn
+          UNION SELECT dst AS src, src AS dst FROM knn),
+entry AS (SELECT min(vec_id) AS node FROM embeddings),
+s0 AS (
+  SELECT query_id, node, {dot.format(a="qv", b="e.embedding")} AS rel
+  FROM q CROSS JOIN entry JOIN embeddings e ON e.vec_id = node)"""
+    for i in range(1, _NSW_H + 1):
+        sql += f""",
+c{i} AS (
+  SELECT query_id, node FROM s{i - 1}
+  UNION
+  SELECT s.query_id, ed.dst AS node
+  FROM s{i - 1} s JOIN edges ed ON ed.src = s.node),
+s{i} AS (
+  SELECT query_id, node, rel FROM (
+    SELECT x.*, row_number() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, node) AS rn
+    FROM (SELECT c.query_id, c.node,
+                 {dot.format(a="qv", b="e.embedding")} AS rel
+          FROM c{i} c
+          JOIN embeddings e ON e.vec_id = c.node
+          JOIN q ON q.query_id = c.query_id) x)
+  WHERE rn <= {_NSW_W})"""
+    sql += f""",
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY {dot.format(a="qv", b="e.embedding")} DESC,
+                        e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id)
+  WHERE rn <= {_NSW_K}),
+fin AS (
+  SELECT query_id, node AS neighbor_id, rel,
+         CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, node) AS INTEGER) AS rank
+  FROM s{_NSW_H} WHERE node <> query_id)
+SELECT f.query_id, f.rank, f.neighbor_id, f.rel,
+       (e.neighbor_id IS NOT NULL) AS in_exact10
+FROM fin f LEFT JOIN exact e
+  ON e.query_id = f.query_id AND e.neighbor_id = f.neighbor_id
+WHERE f.rank <= {_NSW_K}
+ORDER BY 1, 2
+"""
+    return sql
+
+
+ORACLE_NSW = _nsw_oracle_sql()
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["emb_mmr_diversify"] = q_emb_mmr_diversify
     oracles["emb_mmr_diversify"] = ORACLE_MMR
     queries["ann_filtered_topk"] = q_ann_filtered_topk
     oracles["ann_filtered_topk"] = ORACLE_ANN_FILTERED
+    queries["ann_nsw_topk"] = q_ann_nsw_topk
+    oracles["ann_nsw_topk"] = ORACLE_NSW
     queries["corpus_fim_split"] = q_corpus_fim_split
     oracles["corpus_fim_split"] = ORACLE_FIM_SPLIT
     queries["sql_udf_functions"] = q_sql_udf_functions
