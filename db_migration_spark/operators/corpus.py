@@ -99,13 +99,14 @@ def dsir_weights(docs: DataFrame, target_pred) -> DataFrame:
     associative BIGINT sum of its buckets' quantized ratios, stable
     under any fold order.
 
-    Plan shape: one bigram explode feeds both distribution fits (the
-    target fit is a filter over the same exploded frame — no second
-    text pass) as 256-row hash aggregates; the per-occurrence scoring
-    join broadcasts that 256-row dim, and the weight is a map-side
-    combinable sum per doc.  At 100 TB raw the cost is one linear pass
-    + one broadcast join — no pairwise anything; the target fit is
-    typically a small high-quality slice whose stats are megabytes."""
+    Plan shape: TWO linear corpus passes and nothing else.  Pass one
+    fits both distributions as a single 256-row conditional-sum
+    aggregate (tc is a CASE sum inside the rc aggregate — the target
+    fit rides the raw fit's shuffle), and the totals re-aggregate
+    those 256 rows, not the corpus; pass two re-explodes for scoring,
+    broadcasts the 256-row log-ratio dim, and sums per doc map-side.
+    At 100 TB raw there is no pairwise anything, and the only
+    corpus-keyed shuffle is the per-doc weight aggregate."""
     toks = TXT.tokens(F.lower(F.col("text")))
     base = docs.select("doc_id", "lang", toks.alias("toks")).filter(
         F.size("toks") >= 2
@@ -133,44 +134,34 @@ def dsir_weights(docs: DataFrame, target_pred) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("b"),
     )
-    raw_stats = occ.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt_stats = (
-        occ.filter(target_pred)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # both distributions AND their totals come out of ONE corpus pass:
+    # rc/tc are a single conditional-sum aggregate per bucket, and the
+    # totals re-aggregate the 256-row stats frame, not the corpus.
+    stats = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(target_pred, 1).otherwise(0)).alias("tc"),
     )
-    totals = occ.agg(
-        F.count(F.lit(1)).alias("r_tot"),
-        F.sum(F.when(target_pred, 1).otherwise(0)).alias("t_tot"),
+    totals = stats.agg(
+        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
     )
-    lr = (
-        raw_stats.join(tgt_stats, "b", "left")
-        .join(F.broadcast(totals))
-        .select(
-            "b",
-            F.floor(
-                F.lit(float(DSIR_SCALE))
-                * F.log(
-                    (
-                        (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1)).cast(
-                            "double"
-                        )
-                        * (F.col("r_tot") + F.lit(DSIR_BUCKETS)).cast(
-                            "double"
-                        )
-                    )
-                    / (
-                        (F.col("rc") + F.lit(1)).cast("double")
-                        * (F.col("t_tot") + F.lit(DSIR_BUCKETS)).cast(
-                            "double"
-                        )
-                    )
+    lr = stats.join(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            F.lit(float(DSIR_SCALE))
+            * F.log(
+                (
+                    (F.col("tc") + F.lit(1)).cast("double")
+                    * (F.col("r_tot") + F.lit(DSIR_BUCKETS)).cast("double")
                 )
-                + F.lit(0.5)
+                / (
+                    (F.col("rc") + F.lit(1)).cast("double")
+                    * (F.col("t_tot") + F.lit(DSIR_BUCKETS)).cast("double")
+                )
             )
-            .cast("long")
-            .alias("lr_micro"),
+            + F.lit(0.5)
         )
+        .cast("long")
+        .alias("lr_micro"),
     )
     return (
         occ.join(F.broadcast(lr), "b")

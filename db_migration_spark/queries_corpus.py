@@ -57,19 +57,21 @@ WITH toks AS (
                unnest(list_transform(range(1, len(toks)),
                       i -> toks[i] || ' ' || toks[i+1])) AS bg
         FROM toks WHERE len(toks) >= 2)
-), raw AS (SELECT b, count(*) AS rc FROM occ GROUP BY 1),
-tgt AS (SELECT b, count(*) AS tc FROM occ WHERE lang = 'en' GROUP BY 1),
-tot AS (SELECT count(*) AS r_tot,
-               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                 AS t_tot
-        FROM occ),
-lr AS (
-  SELECT r.b,
+), stats AS (
+  SELECT b, count(*) AS rc,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+  FROM occ GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(rc) AS BIGINT) AS r_tot,
+         CAST(sum(tc) AS BIGINT) AS t_tot
+  FROM stats
+), lr AS (
+  SELECT b,
          CAST(floor(1000000.0 * ln(
-             ((coalesce(tc, 0) + 1)::DOUBLE * (r_tot + 256)::DOUBLE)
+             ((tc + 1)::DOUBLE * (r_tot + 256)::DOUBLE)
              / ((rc + 1)::DOUBLE * (t_tot + 256)::DOUBLE)) + 0.5)
            AS BIGINT) AS lr_micro
-  FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot
+  FROM stats CROSS JOIN tot
 ), w AS (
   SELECT doc_id, lang, count(*) AS n_bigrams,
          CAST(sum(lr_micro) AS BIGINT) AS w_micro
