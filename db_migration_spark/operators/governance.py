@@ -100,3 +100,60 @@ def l_diversity_audit(
         F.count(F.lit(1)).alias("qi_group_n"),
         F.countDistinct(F.col(sensitive_col)).alias("l_distinct"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Per QI group: member count and the EXACT total-variation distance
+    between the group's sensitive-value distribution and the global one
+    (t-closeness, Li/Li/Venkatasubramanian ICDE'07 — the refinement that
+    catches what l-diversity misses: a group can hold many DISTINCT
+    sensitive values yet still skew far from the population).
+
+    For categorical sensitive values TVD = ½·Σ_v |c_gv/n_g − C_v/N|;
+    cleared of denominators, ``d_num = Σ_v |c_gv·N − C_v·n_g|`` and
+    ``d_den = 2·n_g·N`` so TVD = d_num/d_den is an exact integer
+    fraction — a t gate is one cross-multiplied BIGINT comparison, no
+    float division anywhere.
+
+    Plan: one pass builds per-(group, value) counts; the value-complete
+    frame is the bounded QI-group dim crossed with the |V|-row global
+    distribution (broadcast), left-joined to the observed counts — the
+    corpus is never re-scanned, and absent values contribute their
+    exact C_v·n_g term via coalesce-0."""
+    gv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    groups = gv.groupBy(*quasi_cols).agg(F.sum("c").alias("qi_group_n"))
+    glob = gv.groupBy(sensitive_col).agg(F.sum("c").alias("cv"))
+    tot = glob.agg(F.sum("cv").alias("n_tot"))
+    full = groups.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    # null-safe key equality: a NULL quasi-identifier value is ONE group
+    # (matching groupBy semantics) and must still find its observed counts
+    gvr = gv
+    keys = [*quasi_cols, sensitive_col]
+    for c in keys:
+        gvr = gvr.withColumnRenamed(c, f"__gv_{c}")
+    cond = None
+    for c in keys:
+        e = F.col(c).eqNullSafe(F.col(f"__gv_{c}"))
+        cond = e if cond is None else cond & e
+    joined = full.join(gvr, cond, "left").select(
+        *quasi_cols,
+        "qi_group_n",
+        "n_tot",
+        F.abs(
+            F.coalesce(F.col("c"), F.lit(0)) * F.col("n_tot")
+            - F.col("cv") * F.col("qi_group_n")
+        ).alias("term"),
+    )
+    return joined.groupBy(*quasi_cols).agg(
+        F.first("qi_group_n").alias("qi_group_n"),
+        F.sum("term").alias("d_num"),
+        (F.lit(2) * F.first("qi_group_n") * F.first("n_tot")).alias(
+            "d_den"
+        ),
+    )

@@ -127,8 +127,72 @@ GROUP BY l_distinct, qi_group_n >= {_K}
 """
 
 
+# t-closeness threshold t = 2/5: a QI group passes iff TVD ≤ 0.4, i.e.
+# 5·d_num ≤ 2·d_den — one cross-multiplied BIGINT comparison.
+_T_NUM, _T_DEN = 2, 5
+
+
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit histogram (operators/governance.py
+    ``t_closeness_audit``): QI groups bucketed by whether their
+    sensitive-value distribution sits within TVD ≤ 0.4 of the global
+    one, crossed with the k ≥ 4 bucket — completing the disclosure
+    triad (k-anonymity → l-diversity → t-closeness).  Distances are
+    exact integer fractions (no float division), so the histogram and
+    the summed numerators are hash-exact.  Plan: one corpus pass to
+    (group, value) counts; everything downstream is bounded by
+    |groups|×|values| with the 5-row global distribution broadcast."""
+    gen = _generalized_customer(spark, sf_dir)
+    audit = G.t_closeness_audit(gen, ["nk", "bal"], "seg")
+    return audit.groupBy(
+        (
+            F.lit(_T_DEN) * F.col("d_num")
+            <= F.lit(_T_NUM) * F.col("d_den")
+        ).alias("meets_t"),
+        (F.col("qi_group_n") >= _K).alias("meets_k"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_qi_groups"),
+        F.sum("qi_group_n").alias("n_rows_covered"),
+        F.sum("d_num").alias("d_num_total"),
+    )
+
+
+ORACLE_T_CLOSENESS = f"""
+WITH g AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(floor(c_acctbal / 500) AS BIGINT) AS bal,
+         c_mktsegment AS seg
+  FROM customer
+),
+gv AS (SELECT nk, bal, seg, count(*) AS c FROM g GROUP BY 1, 2, 3),
+grp AS (SELECT nk, bal, CAST(sum(c) AS BIGINT) AS n_g FROM gv GROUP BY 1, 2),
+gl AS (SELECT seg, CAST(sum(c) AS BIGINT) AS cv FROM gv GROUP BY 1),
+tot AS (SELECT CAST(sum(cv) AS BIGINT) AS n_tot FROM gl),
+d AS (
+  SELECT fx.nk, fx.bal, max(n_g) AS qi_group_n,
+         CAST(sum(abs(coalesce(c, 0) * n_tot - cv * n_g)) AS BIGINT)
+           AS d_num,
+         CAST(max(2 * n_g * n_tot) AS BIGINT) AS d_den
+  FROM (SELECT grp.nk, grp.bal, grp.n_g, gl.seg, gl.cv, tot.n_tot
+        FROM grp CROSS JOIN gl CROSS JOIN tot) fx
+  LEFT JOIN gv ON gv.nk = fx.nk AND gv.bal = fx.bal
+             AND gv.seg = fx.seg
+  GROUP BY 1, 2
+)
+SELECT {_T_DEN} * d_num <= {_T_NUM} * d_den AS meets_t,
+       qi_group_n >= {_K} AS meets_k,
+       count(*) AS n_qi_groups,
+       CAST(sum(qi_group_n) AS BIGINT) AS n_rows_covered,
+       CAST(sum(d_num) AS BIGINT) AS d_num_total
+FROM d
+GROUP BY 1, 2
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["privacy_k_anonymity"] = q_privacy_k_anonymity
     oracles["privacy_k_anonymity"] = ORACLE_K_ANONYMITY
     queries["privacy_l_diversity"] = q_privacy_l_diversity
     oracles["privacy_l_diversity"] = ORACLE_L_DIVERSITY
+    queries["privacy_t_closeness"] = q_privacy_t_closeness
+    oracles["privacy_t_closeness"] = ORACLE_T_CLOSENESS

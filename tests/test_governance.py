@@ -70,3 +70,23 @@ def test_group_size_plan_has_no_window(spark, people):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_t_closeness_exact_fractions(spark, people):
+    """Hand-computed TVD fractions: global dist flu=5, cold=4, covid=1
+    over N=10."""
+    audit = G.t_closeness_audit(people, ["zip3", "age"], "dx")
+    by_group = {
+        (r.zip3, r.age): (r.qi_group_n, r.d_num, r.d_den)
+        for r in audit.collect()
+    }
+    # ("130",2): n=4, flu=3 cold=1 → |30-20|+|10-16|+|0-4| = 20 / 80
+    assert by_group[("130", 2)] == (4, 20, 80)
+    # ("130",3): n=1, covid=1 → 5+4+9 = 18 / 20 (TVD 0.9)
+    assert by_group[("130", 3)] == (1, 18, 20)
+    # ("141",2): n=2, flu=2 → 10+8+2 = 20 / 40 (TVD 0.5)
+    assert by_group[("141", 2)] == (2, 20, 40)
+    # NULL zip is ONE group: n=3, cold=3 → 15+18+3 = 36 / 60 (TVD 0.6)
+    assert by_group[(None, 2)] == (3, 36, 60)
+    # TVD ≤ 1 always: d_num ≤ d_den
+    assert all(d <= dd for (_, d, dd) in by_group.values())
