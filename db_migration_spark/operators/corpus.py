@@ -107,11 +107,20 @@ def dsir_weights(docs: DataFrame, target_pred) -> DataFrame:
     broadcasts the 256-row log-ratio dim, and sums per doc map-side.
     At 100 TB raw there is no pairwise anything, and the only
     corpus-keyed shuffle is the per-doc weight aggregate."""
+    occ = dsir_occurrences(docs)
+    stats = dsir_bucket_stats(occ, target_pred)
+    return dsir_weights_from_stats(occ, stats)
+
+
+def dsir_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) per bigram occurrence — ONE definition of
+    the tokenize→bigram→md5-bucket pipeline so the batch fit, the
+    streaming MV fold, and the scoring pass can never disagree."""
     toks = TXT.tokens(F.lower(F.col("text")))
     base = docs.select("doc_id", "lang", toks.alias("toks")).filter(
         F.size("toks") >= 2
     )
-    occ = base.select(
+    return base.select(
         "doc_id",
         "lang",
         F.explode(
@@ -134,13 +143,23 @@ def dsir_weights(docs: DataFrame, target_pred) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("b"),
     )
-    # both distributions AND their totals come out of ONE corpus pass:
-    # rc/tc are a single conditional-sum aggregate per bucket, and the
-    # totals re-aggregate the 256-row stats frame, not the corpus.
-    stats = occ.groupBy("b").agg(
+
+
+def dsir_bucket_stats(occ: DataFrame, target_pred) -> DataFrame:
+    """(b, rc, tc) — both distributions out of ONE pass: tc is a CASE
+    sum riding the rc aggregate's shuffle.  Plain integer counts, so
+    stats from separate batches MERGE by per-bucket addition — the
+    property the streaming MV fold relies on."""
+    return occ.groupBy("b").agg(
         F.count(F.lit(1)).alias("rc"),
         F.sum(F.when(target_pred, 1).otherwise(0)).alias("tc"),
     )
+
+
+def dsir_weights_from_stats(occ: DataFrame, stats: DataFrame) -> DataFrame:
+    """Per-doc importance weights given a (b, rc, tc) stats frame (from
+    a direct fit or a streamed MV): quantize each bucket's log-ratio to
+    micro-nats ONCE, broadcast the 256-row dim, sum per doc."""
     totals = stats.agg(
         F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
     )

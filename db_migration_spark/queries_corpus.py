@@ -85,6 +85,105 @@ SELECT rank, doc_id, lang, n_bigrams, w_micro FROM (
 """
 
 
+def _ensure_stream_dsir_mv(spark: SparkSession, sf_dir: str):
+    """Streaming DSIR distribution fit: each micro-batch of documents
+    folds its (b, rc, tc) bucket counts into a txlog MV through the
+    serializable ``merge`` primitive with a per-batch txn identity —
+    counts are associative integers, so the MV after the drain equals
+    the direct one-pass fit bucket-for-bucket.  Batch 0 is
+    adversarially replayed after the drain (must be a txn no-op).  At
+    100 TB the per-batch work is one conditional-sum aggregate over
+    the batch plus a rewrite of a ≤256-row table; scored corpora never
+    re-fit the distribution."""
+    import os
+    import shutil
+
+    from .operators.corpus import dsir_bucket_stats, dsir_occurrences
+    from .plans.txlog import TxTable
+    from .queries_dedupstore import _docs_stream
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "txlog_stream_dsir_mv")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    docs = _docs_stream(spark, sf_dir).select("doc_id", "lang", "text")
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        stats = dsir_bucket_stats(
+            dsir_occurrences(bdf), F.col("lang") == "en"
+        )
+        mv = TxTable(root)
+
+        def fold(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return stats
+            return (
+                current.unionByName(stats)
+                .groupBy("b")
+                .agg(
+                    F.sum("rc").alias("rc"), F.sum("tc").alias("tc")
+                )
+            )
+
+        mv.merge(bdf.sparkSession, fold, txn=("dsir_mv", batch_id))
+
+    q = (
+        docs.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("dsir mv stream drain did not finish")
+    before = t.latest_version()
+    replay = load_table(spark, sf_dir, "documents").limit(50)
+
+    def clobber(current):
+        return dsir_bucket_stats(
+            dsir_occurrences(replay), F.col("lang") == "en"
+        )
+
+    t.merge(spark, clobber, txn=("dsir_mv", 0))
+    if t.latest_version() != before:
+        raise RuntimeError("replayed batch must not commit (txn dedup broke)")
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_stream_dsir_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR top-50 selection served from the STREAMED bucket-stats MV
+    (_ensure_stream_dsir_mv) — the log-ratio dim comes from the MV,
+    never from a direct fit.  The oracle is ORACLE_DSIR verbatim
+    (direct one-pass fit), so the hash gate proves the incremental
+    folds converged to exactly the batch distribution AND the sink was
+    exactly-once — any dropped, doubled, or replay-leaked batch shifts
+    some bucket's counts and with them the micro-nat weights."""
+    from .operators.corpus import dsir_occurrences, dsir_weights_from_stats
+
+    t = _ensure_stream_dsir_mv(spark, sf_dir)
+    stats = t.read(spark).select("b", "rc", "tc")
+    occ = dsir_occurrences(load_table(spark, sf_dir, "documents"))
+    w = dsir_weights_from_stats(occ, stats)
+    from pyspark.sql import Window
+
+    top = w.orderBy(F.desc("w_micro"), "doc_id").limit(50)
+    rw = Window.orderBy(F.desc("w_micro"), "doc_id")
+    return top.select(
+        F.row_number().over(rw).cast("int").alias("rank"),
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "w_micro",
+    )
+
+
 def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity filter over ``documents`` (operators/corpus.py
     ``lm_score``): the CCNet-style quality knob, self-trained on the corpus
@@ -408,6 +507,7 @@ def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
             "corpus_dsir_select": q_corpus_dsir_select,
+            "stream_dsir_mv": q_stream_dsir_mv,
             "bpe_train_merges": q_bpe_train_merges,
             "passage_chunks": q_passage_chunks,
             "text_lm_perplexity": q_text_lm_perplexity,
@@ -425,6 +525,7 @@ def register(queries: dict, oracles: dict) -> None:
     oracles.update(
         {
             "corpus_dsir_select": ORACLE_DSIR,
+            "stream_dsir_mv": ORACLE_DSIR,
             "passage_chunks": ORACLE_PASSAGES,
             "text_lm_perplexity": ORACLE_LM_PPL,
             "text_boilerplate_scrub": ORACLE_SCRUB,
