@@ -604,6 +604,165 @@ def exp_lshx10(spark) -> dict:
     }
 
 
+def exp_nswserve(spark) -> dict:
+    """NSW graph-ANN: the serving claim is that SEARCH cost is bounded
+    by beam x degree x hops, independent of corpus size.  Build the kNN
+    graph offline at 1x (500 vecs) and 10x (5000 vecs), persist the
+    adjacency, then time the beam search alone — expect build ~corpus^2
+    while search stays flat with IDENTICAL candidate bounds."""
+    from pyspark.sql import Window
+
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.queries_round4 import (
+        _NSW_H,
+        _NSW_K,
+        _NSW_M,
+        _NSW_W,
+        _fp_dot,
+    )
+
+    scales = []
+    for sf, tag in (("/root/testdata/sf0.01", "x1"), (BASE_SF, "x10")):
+        emb = load_table(spark, sf, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        n_vecs = emb.count()
+        path = f"{TMP}/r7_nsw_edges_{tag}.parquet"
+        t0 = time.time()
+        a, b = emb.alias("a"), emb.alias("b")
+        dots = (
+            a.crossJoin(b)
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"),
+                _fp_dot(
+                    F.col("a.embedding"), F.col("b.embedding")
+                ).alias("dot"),
+            )
+        )
+        wk = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+        knn = (
+            dots.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= _NSW_M)
+            .select("src", "dst")
+        )
+        knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"]).write.mode("overwrite").parquet(
+            path
+        )
+        build = round(time.time() - t0, 2)
+
+        edges = spark.read.parquet(path)
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        nodes = emb.select(F.col("vec_id").alias("node"), "embedding")
+
+        def score(cand):
+            return (
+                cand.join(nodes, "node")
+                .join(F.broadcast(q), "query_id")
+                .select(
+                    "query_id",
+                    "node",
+                    _fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
+                )
+            )
+
+        def search(count_cands: bool = False):
+            t0 = time.time()
+            entry = emb.agg(F.min("vec_id").alias("node"))
+            beam = score(q.select("query_id").crossJoin(F.broadcast(entry)))
+            beam = beam.localCheckpoint(eager=False)
+            cands = 0
+            for _hop in range(_NSW_H):
+                s = beam.alias("s")
+                cand = (
+                    beam.select("query_id", "node")
+                    .unionByName(
+                        s.join(
+                            edges.alias("e"),
+                            F.col("s.node") == F.col("e.src"),
+                        ).select(
+                            F.col("s.query_id").alias("query_id"),
+                            F.col("e.dst").alias("node"),
+                        )
+                    )
+                    .dropDuplicates(["query_id", "node"])
+                )
+                if count_cands:
+                    cands += cand.count()
+                wb = Window.partitionBy("query_id").orderBy(
+                    F.desc("rel"), "node"
+                )
+                beam = (
+                    score(cand)
+                    .withColumn("rn", F.row_number().over(wb))
+                    .filter(F.col("rn") <= _NSW_W)
+                    .drop("rn")
+                    .localCheckpoint(eager=False)
+                )
+            n = beam.filter(F.col("node") != F.col("query_id")).count()
+            assert n >= _NSW_K
+            return time.time() - t0, cands
+
+        search()  # warm-up
+        _, cands = search(count_cands=True)
+        best = round(min(search()[0] for _ in range(3)), 3)
+        scales.append(
+            {
+                "tag": tag,
+                "n_vecs": n_vecs,
+                "build_sec": build,
+                "search_warm_min3_sec": best,
+                "cands_scored": cands,
+            }
+        )
+    return {"exp": "nsw_serving_x10", "scales": scales}
+
+
+def exp_dsirx10(spark) -> dict:
+    """DSIR fit+score at 1x vs 10x documents: expect ~linear wall time
+    (two corpus passes) with the stats frame pinned at <=256 rows."""
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.operators.corpus import (
+        dsir_bucket_stats,
+        dsir_occurrences,
+        dsir_weights,
+    )
+
+    docs10_path = f"{TMP}/r7_docs10.parquet"
+    if not os.path.exists(docs10_path):
+        exp_bm25x10(spark)  # builds and caches the 10x corpus
+    out = []
+    for tag, docs in (
+        ("x1", load_table(spark, BASE_SF, "documents")),
+        ("x10", spark.read.parquet(docs10_path)),
+    ):
+        n = docs.count()
+        t0 = time.time()
+        stats_rows = dsir_bucket_stats(
+            dsir_occurrences(docs), F.col("lang") == "en"
+        ).count()
+        fit = round(time.time() - t0, 2)
+        t0 = time.time()
+        _noop(dsir_weights(docs, F.col("lang") == "en"))
+        full = round(time.time() - t0, 2)
+        out.append(
+            {
+                "tag": tag,
+                "n_docs": n,
+                "stats_rows": stats_rows,
+                "fit_sec": fit,
+                "fit_plus_score_sec": full,
+            }
+        )
+    return {"exp": "dsir_x10", "scales": out}
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("scale-r7")
@@ -615,6 +774,8 @@ def main() -> None:
         "lshx10": exp_lshx10,
         "maxscorex10": exp_maxscorex10,
         "maxscorezipf": exp_maxscore_zipf,
+        "nswserve": exp_nswserve,
+        "dsirx10": exp_dsirx10,
     }
     for name, fn in exps.items():
         if which not in ("all", name):
