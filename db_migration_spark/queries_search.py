@@ -336,6 +336,173 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream_postings_mv — the search index maintained INCREMENTALLY
+# ---------------------------------------------------------------------------
+
+
+def _ensure_stream_postings_mv(spark: SparkSession, sf_dir: str):
+    """The index-freshness tier of the serving story: a documents
+    stream maintains the THREE relations BM25 serving needs — postings
+    (term, doc_id, tf, dl: doc-local, append-only), term stats
+    (term, df, cf: associative sums, merged), and corpus constants
+    (n_docs, coll_len: associative 1-row sums, merged) — each under a
+    per-batch txn identity, each adversarially replayed after the
+    drain (all three must be version no-ops).  df/consts live in their
+    own tiny tables exactly because they are corpus-global: folding
+    them separately is what lets postings stay append-only instead of
+    rewriting every denormalized row when one more document mentions a
+    term.  At 100 TB the per-batch cost is the batch's own tokenize +
+    one ≤|vocab|-row and one 1-row fold."""
+    import os
+    import shutil
+
+    from .plans.txlog import TxTable
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "txlog_stream_postings_mv")
+    done = os.path.join(root, "_BUILD_DONE")
+    paths = {
+        k: os.path.join(root, k) for k in ("postings", "stats", "consts")
+    }
+    if os.path.exists(done):
+        return paths
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        terms = bdf.select(
+            "doc_id",
+            F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        tf_b = terms.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        post_b = tf_b.join(dl_b, "doc_id").select(
+            "term", "doc_id", "tf", "dl"
+        )
+        TxTable(paths["postings"]).commit_append(
+            post_b, txn=("postings_mv", batch_id)
+        )
+        stats_b = tf_b.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+        )
+
+        def fold_stats(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                return stats_b
+            return (
+                cur.unionByName(stats_b)
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            )
+
+        TxTable(paths["stats"]).merge(
+            bdf.sparkSession, fold_stats, txn=("stats_mv", batch_id)
+        )
+        consts_b = dl_b.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("coll_len"),
+        )
+
+        def fold_consts(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                return consts_b
+            return cur.unionByName(consts_b).agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("coll_len").alias("coll_len"),
+            )
+
+        TxTable(paths["consts"]).merge(
+            bdf.sparkSession, fold_consts, txn=("consts_mv", batch_id)
+        )
+
+    from .queries_dedupstore import _docs_stream
+
+    q = (
+        _docs_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("postings mv stream drain did not finish")
+    before = {k: TxTable(p).latest_version() for k, p in paths.items()}
+    refresh(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(50),
+        0,
+    )
+    after = {k: TxTable(p).latest_version() for k, p in paths.items()}
+    if before != after:
+        raise RuntimeError(
+            f"replayed batch 0 must no-op all three tables: {before} {after}"
+        )
+    with open(done, "w"):
+        pass
+    return paths
+
+
+def q_stream_postings_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served from the STREAM-maintained index
+    (_ensure_stream_postings_mv) — postings, term stats, and corpus
+    constants all read from the MVs, never from the corpus.  The
+    oracle is ORACLE_BM25 verbatim (from-scratch scoring over the full
+    documents table), so the hash gate proves incremental index
+    maintenance converged to the batch index exactly — a dropped or
+    doubled batch shifts df/n_docs and with them every idf in the
+    ranking.  avgdl is recomputed as coll_len/n_docs from the exact
+    integer constants, the identical IEEE division the batch path's
+    avg() performs."""
+    from .plans.txlog import TxTable
+
+    paths = _ensure_stream_postings_mv(spark, sf_dir)
+    post = TxTable(paths["postings"]).read(spark)
+    stats = TxTable(paths["stats"]).read(spark)
+    consts = TxTable(paths["consts"]).read(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.filter(F.col("doc_id") < N_PROBES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .distinct()
+    )
+    matched = (
+        post.join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(stats.select("term", "df"), "term")
+        .crossJoin(F.broadcast(consts))
+    )
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("coll_len").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum(_dec9(bm25_contrib(n_docs, avgdl))).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # search_bm25_maxscore — exact top-k with term-level upper-bound pruning
 # ---------------------------------------------------------------------------
 
@@ -971,6 +1138,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["search_bm25_indexed"] = ORACLE_BM25
     queries["search_bm25_maxscore"] = q_search_bm25_maxscore
     oracles["search_bm25_maxscore"] = ORACLE_BM25
+    queries["stream_postings_mv"] = q_stream_postings_mv
+    oracles["stream_postings_mv"] = ORACLE_BM25
     queries["search_inverted_postings"] = q_search_inverted_postings
     oracles["search_inverted_postings"] = ORACLE_POSTINGS
     queries["search_hybrid_rrf"] = q_search_hybrid_rrf
