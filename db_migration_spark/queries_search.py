@@ -336,6 +336,171 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# search_eval_ndcg — retrieval-quality evaluation over the BM25 run
+# ---------------------------------------------------------------------------
+
+
+def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking evaluation (NDCG@10 / MRR / P@10) of the BM25 run against
+    deterministic graded relevance — the measurement harness every
+    retrieval stack needs beside its serving path.  Relevance is
+    derived from document metadata (same source AND lang as the probe
+    → relevance 2, same source only → relevance 1), mapped to the
+    exponential gains 2^rel − 1 = {3, 1} — so both engines hold the
+    identical qrels without any external judgment file.
+
+    Exactness: every DCG term quantizes ONCE to integer micro-units —
+    floor(1e6·gain/log2(rank+1) + 0.5) of exact-integer gain and rank
+    — so per-query DCG/IDCG are associative BIGINT sums; NDCG is
+    emitted as the (dcg_micro, idcg_micro) integer fraction (the
+    assoc_rules numer/denom pattern), MRR as the first-relevant rank,
+    P@10 as a hit count.  IDCG ranks the relevant set by (grade desc,
+    doc_id) — a deterministic ideal ordering.  Scale: the run side is
+    10 rows per query; the ideal side joins the broadcast probe dim to
+    docs filtered to rel > 0 (metadata-pruned before any window) and
+    windows within query — both bounded by the relevant set, never the
+    corpus."""
+    ranked = q_search_bm25_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    probes = docs.filter(F.col("doc_id") < N_PROBES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("source").alias("q_source"),
+        F.col("lang").alias("q_lang"),
+    )
+    gain = (
+        F.when(
+            (F.col("source") == F.col("q_source"))
+            & (F.col("lang") == F.col("q_lang")),
+            3,
+        )
+        .when(F.col("source") == F.col("q_source"), 1)
+        .otherwise(0)
+    )
+    term = F.when(
+        F.col("gain") > 0,
+        F.floor(
+            F.lit(1e6)
+            * F.col("gain").cast("double")
+            / F.log2(F.col("r").cast("double") + F.lit(1.0))
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+    run = (
+        ranked.join(docs, "doc_id")
+        .join(F.broadcast(probes), "query_id")
+        .select(
+            "query_id",
+            F.col("rank").alias("r"),
+            gain.alias("gain"),
+        )
+    )
+    run_agg = run.select("query_id", "r", "gain", term.alias("t")).groupBy(
+        "query_id"
+    ).agg(
+        F.sum("t").alias("dcg_micro"),
+        F.sum(F.when(F.col("gain") > 0, 1).otherwise(0)).alias("p10_hits"),
+        F.min(F.when(F.col("gain") > 0, F.col("r"))).alias("first_rel"),
+    )
+
+    ideal_cand = (
+        docs.join(F.broadcast(probes))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", gain.alias("gain"))
+        .filter(F.col("gain") > 0)
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.desc("gain"), F.col("doc_id")
+    )
+    ideal = (
+        ideal_cand.withColumn("r", F.row_number().over(wi))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "r", "gain", term.alias("t"))
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("idcg_micro"))
+    )
+    return (
+        run_agg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "dcg_micro",
+            "idcg_micro",
+            F.coalesce(F.col("first_rel"), F.lit(0)).alias("first_rel"),
+            "p10_hits",
+        )
+        .orderBy("query_id")
+    )
+
+
+_NDCG_GAIN = """
+CASE WHEN d.source = p.q_source AND d.lang = p.q_lang THEN 3
+     WHEN d.source = p.q_source THEN 1 ELSE 0 END
+"""
+
+ORACLE_NDCG = (
+    "WITH "
+    + _ORACLE_TERMS
+    + ", "
+    + _ORACLE_BM25_SCORED
+    + f"""
+, ranked AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER)
+      AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+probes AS (
+  SELECT doc_id AS query_id, source AS q_source, lang AS q_lang
+  FROM documents WHERE doc_id < 3
+),
+run AS (
+  SELECT r.query_id, r.rank AS rnk, {_NDCG_GAIN} AS gain
+  FROM ranked r
+  JOIN documents d ON d.doc_id = r.doc_id
+  JOIN probes p ON p.query_id = r.query_id
+),
+run_agg AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN gain > 0 THEN
+             CAST(floor(1e6 * CAST(gain AS DOUBLE)
+                  / log2(CAST(rnk AS DOUBLE) + 1.0) + 0.5) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS dcg_micro,
+         CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS p10_hits,
+         min(CASE WHEN gain > 0 THEN rnk END) AS first_rel
+  FROM run GROUP BY 1
+),
+ideal AS (
+  SELECT query_id,
+         CAST(sum(CAST(floor(1e6 * CAST(gain AS DOUBLE)
+              / log2(CAST(rnk AS DOUBLE) + 1.0) + 0.5) AS BIGINT))
+           AS BIGINT) AS idcg_micro
+  FROM (
+    SELECT query_id, gain,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY gain DESC, doc_id) AS rnk
+    FROM (
+      SELECT p.query_id, d.doc_id, {_NDCG_GAIN} AS gain
+      FROM documents d CROSS JOIN probes p
+      WHERE d.doc_id <> p.query_id
+    ) WHERE gain > 0
+  ) WHERE rnk <= 10
+  GROUP BY 1
+)
+SELECT a.query_id, a.dcg_micro, i.idcg_micro,
+       CAST(coalesce(a.first_rel, 0) AS INTEGER) AS first_rel,
+       a.p10_hits
+FROM run_agg a JOIN ideal i ON i.query_id = a.query_id
+ORDER BY 1
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # stream_postings_mv — the search index maintained INCREMENTALLY
 # ---------------------------------------------------------------------------
 
@@ -1140,6 +1305,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["search_bm25_maxscore"] = ORACLE_BM25
     queries["stream_postings_mv"] = q_stream_postings_mv
     oracles["stream_postings_mv"] = ORACLE_BM25
+    queries["search_eval_ndcg"] = q_search_eval_ndcg
+    oracles["search_eval_ndcg"] = ORACLE_NDCG
     queries["search_inverted_postings"] = q_search_inverted_postings
     oracles["search_inverted_postings"] = ORACLE_POSTINGS
     queries["search_hybrid_rrf"] = q_search_hybrid_rrf
