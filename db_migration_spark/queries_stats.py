@@ -1043,7 +1043,127 @@ WHERE rk = 1 ORDER BY seg
 """
 
 
+def q_stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots — the
+    standard drift monitor a data pipeline runs between yesterday's
+    and today's crawl (PSI = Σ_bins (p−q)·ln(p/q); > 0.2 is the
+    conventional "investigate" line).  Snapshots here are the
+    deterministic even/odd doc_id split; features are the language
+    distribution and the 500-char length bin.
+
+    Exactness: counts are add-one-smoothed exact integers; each bin's
+    PSI term is quantized ONCE to nano-units from the single IEEE
+    expression ((c/N_c) − (r/N_r)) · ln((c·N_r)/(r·N_c)) of those
+    integers, so per-bin rows AND any downstream total are associative
+    BIGINT sums.  Plan: one corpus pass per feature to a ≤|bins|-row
+    conditional-sum aggregate (ref/cur counts ride the same shuffle —
+    the DSIR fit shape); totals re-aggregate the bin frame.  At 100 TB
+    the output is bounded by the feature cardinality at any volume."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+    )
+
+    def feature_psi(df: DataFrame, feat_name: str, bin_col) -> DataFrame:
+        binned = df.select(
+            F.lit(feat_name).alias("feature"),
+            bin_col.cast("string").alias("bin"),
+            "is_ref",
+        )
+        stats = binned.groupBy("feature", "bin").agg(
+            (
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0)) + F.lit(1)
+            ).alias("ref_n"),
+            (
+                F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)) + F.lit(1)
+            ).alias("cur_n"),
+        )
+        tot = stats.agg(
+            F.sum("ref_n").alias("ref_tot"), F.sum("cur_n").alias("cur_tot")
+        )
+        return stats.join(F.broadcast(tot)).select(
+            "feature",
+            "bin",
+            (F.col("ref_n") - F.lit(1)).alias("ref_n"),
+            (F.col("cur_n") - F.lit(1)).alias("cur_n"),
+            F.floor(
+                F.lit(1e9)
+                * (
+                    F.col("cur_n").cast("double")
+                    / F.col("cur_tot").cast("double")
+                    - F.col("ref_n").cast("double")
+                    / F.col("ref_tot").cast("double")
+                )
+                * F.log(
+                    (F.col("cur_n").cast("double") * F.col("ref_tot").cast("double"))
+                    / (F.col("ref_n").cast("double") * F.col("cur_tot").cast("double"))
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_nano"),
+        )
+
+    out = feature_psi(docs, "lang", F.col("lang")).unionByName(
+        feature_psi(docs, "len500", F.floor(F.col("n_chars") / 500))
+    )
+    return out.orderBy("feature", "bin")
+
+
+_PSI_FEAT_SQL = """
+  SELECT feature, bin, ref_n - 1 AS ref_n, cur_n - 1 AS cur_n,
+         CAST(floor(1e9 *
+             (cur_n::DOUBLE / cur_tot::DOUBLE
+              - ref_n::DOUBLE / ref_tot::DOUBLE)
+             * ln((cur_n::DOUBLE * ref_tot::DOUBLE)
+                  / (ref_n::DOUBLE * cur_tot::DOUBLE))
+             + 0.5) AS BIGINT) AS term_nano
+  FROM (
+    SELECT feature, bin,
+           CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) + 1 AS BIGINT)
+             AS ref_n,
+           CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) + 1 AS BIGINT)
+             AS cur_n
+    FROM {src} GROUP BY 1, 2
+  ) s CROSS JOIN (
+    SELECT CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                + count(DISTINCT bin) AS BIGINT) AS ref_tot,
+           CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                + count(DISTINCT bin) AS BIGINT) AS cur_tot
+    FROM {src}
+  ) t
+"""
+
+ORACLE_PSI = (
+    """
+WITH base AS (
+  SELECT doc_id, lang, n_chars, doc_id % 2 = 0 AS is_ref FROM documents
+),
+langf AS (
+  SELECT 'lang' AS feature, CAST(lang AS VARCHAR) AS bin, is_ref FROM base
+),
+lenf AS (
+  SELECT 'len500' AS feature,
+         CAST(CAST(floor(n_chars / 500) AS BIGINT) AS VARCHAR) AS bin,
+         is_ref
+  FROM base
+)
+SELECT * FROM ("""
+    + _PSI_FEAT_SQL.format(src="langf")
+    + """) UNION ALL
+SELECT * FROM ("""
+    + _PSI_FEAT_SQL.format(src="lenf")
+    + """)
+ORDER BY feature, bin
+"""
+)
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["stats_psi_drift"] = q_stats_psi_drift
+    oracles["stats_psi_drift"] = ORACLE_PSI
     queries["ts_changepoint"] = q_ts_changepoint
     oracles["ts_changepoint"] = ORACLE_TS_CHANGEPOINT
     queries["stats_spearman"] = q_stats_spearman
