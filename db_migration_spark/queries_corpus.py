@@ -19,18 +19,10 @@ from .catalog import load_table
 from .operators import corpus as C
 
 
-def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection (operators/corpus.py ``dsir_weights``): rank
-    every document by its hashed-bigram importance weight toward the
-    English slice as target, and keep the deterministic top-50 — the
-    importance-resampling pass a pre-training mix runs to pull
-    target-like data out of a raw crawl.  Weights are associative
-    BIGINT sums of per-bucket micro-nat log-ratios under the portable
-    md5 bucket hash, so set AND order reproduce exactly; the top-k is
-    orderBy+limit (TakeOrderedAndProject — no global sort shuffle at
-    scale) with the rank window applied to the 50 survivors only."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = C.dsir_weights(docs, F.col("lang") == "en")
+def _dsir_top50(w: DataFrame) -> DataFrame:
+    """The ONE definition of the DSIR selection tail (top-50 by weight,
+    doc_id tie-break, rank window applied to the 50 survivors only) so
+    the batch and streamed-MV queries cannot drift from ORACLE_DSIR."""
     from pyspark.sql import Window
 
     top = w.orderBy(F.desc("w_micro"), "doc_id").limit(50)
@@ -42,6 +34,20 @@ def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "w_micro",
     )
+
+
+def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/corpus.py ``dsir_weights``): rank
+    every document by its hashed-bigram importance weight toward the
+    English slice as target, and keep the deterministic top-50 — the
+    importance-resampling pass a pre-training mix runs to pull
+    target-like data out of a raw crawl.  Weights are associative
+    BIGINT sums of per-bucket micro-nat log-ratios under the portable
+    md5 bucket hash, so set AND order reproduce exactly; the top-k is
+    orderBy+limit (TakeOrderedAndProject — no global sort shuffle at
+    scale) with the rank window applied to the 50 survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dsir_top50(C.dsir_weights(docs, F.col("lang") == "en"))
 
 
 ORACLE_DSIR = r"""
@@ -170,18 +176,7 @@ def q_stream_dsir_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _ensure_stream_dsir_mv(spark, sf_dir)
     stats = t.read(spark).select("b", "rc", "tc")
     occ = dsir_occurrences(load_table(spark, sf_dir, "documents"))
-    w = dsir_weights_from_stats(occ, stats)
-    from pyspark.sql import Window
-
-    top = w.orderBy(F.desc("w_micro"), "doc_id").limit(50)
-    rw = Window.orderBy(F.desc("w_micro"), "doc_id")
-    return top.select(
-        F.row_number().over(rw).cast("int").alias("rank"),
-        "doc_id",
-        "lang",
-        "n_bigrams",
-        "w_micro",
-    )
+    return _dsir_top50(dsir_weights_from_stats(occ, stats))
 
 
 def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

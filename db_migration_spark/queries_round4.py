@@ -1626,33 +1626,11 @@ ORDER BY query_id, rank
 _NSW_M, _NSW_W, _NSW_H, _NSW_K = 8, 16, 3, 10
 
 
-def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-based ANN serving (Navigable Small World — Malkov et al.;
-    the single-layer core of HNSW): a beam search over a prebuilt
-    M-nearest-neighbor graph answers top-10, completing the similarity
-    family's index spectrum (brute / LSH / IVF / PQ / graph).  The
-    search is the deterministic BREADTH-BEAM variant — each hop expands
-    the whole beam's out-edges, rescores, and keeps the top-W by
-    fixed-point relevance with id tie-breaks — so the visited set and
-    final ranking are engine-reproducible, and the oracle replays the
-    identical H=3 hops as chained CTEs (the MMR greedy precedent).
-    ``in_exact10`` joins each answer against the exact brute-force
-    top-10, surfacing recall inside the hash gate instead of beside it.
-
-    Scale: the SERVING cost is what the graph buys — per probe the
-    search touches ≤ W·(M+1) nodes per hop (≤ 432 score evaluations
-    here) regardless of corpus size, vs. the corpus-sized scan of the
-    brute tier; edges live as an adjacency table equi-joined on src
-    (bucketed by src at 100 TB, so a hop is a co-located lookup, and
-    the beam side is probe-bounded and broadcast).  The offline BUILD
-    here is the exact all-pairs kNN (declared: corpus² at test scale);
-    the scale path for the build is the sign-LSH blocked candidate
-    generation dedup_embedding_cosine already demonstrates, which
-    bounds build candidates per node without touching the serving
-    plan.  No counterpart in the reference; §2.12 similarity tier."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
+def nsw_build_edges(emb: DataFrame) -> DataFrame:
+    """Symmetrized exact top-M kNN adjacency (the offline graph build).
+    ONE definition shared by the declared query and the scale tool —
+    the serving-flatness evidence must measure the algorithm under the
+    oracle gate, not a copy that can drift (the bm25_contrib rule)."""
     a, b = emb.alias("a"), emb.alias("b")
     dots = (
         a.crossJoin(b)
@@ -1671,19 +1649,22 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _NSW_M)
         .select("src", "dst")
     )
-    edges = (
-        knn.unionByName(
-            knn.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=False)
-    )
+    return knn.unionByName(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
 
-    q = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
+
+def nsw_beam_search(
+    emb: DataFrame,
+    edges: DataFrame,
+    q: DataFrame,
+    on_candidates=None,
+) -> DataFrame:
+    """Deterministic breadth-beam search: H hops of expand → rescore →
+    top-W with id tie-breaks, from the min-vec_id entry point.  ``q``
+    is (query_id, qv); returns the final (query_id, node, rel) beam.
+    ``on_candidates`` (if given) observes each hop's candidate frame —
+    the scale tool counts rows through it without forking the loop."""
     nodes = emb.select(F.col("vec_id").alias("node"), "embedding")
 
     def score(cand: DataFrame) -> DataFrame:
@@ -1715,6 +1696,8 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .dropDuplicates(["query_id", "node"])
         )
+        if on_candidates is not None:
+            on_candidates(cand)
         wb = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
         beam = (
             score(cand)
@@ -1723,6 +1706,41 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
             .localCheckpoint(eager=False)
         )
+    return beam
+
+
+def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN serving (Navigable Small World — Malkov et al.;
+    the single-layer core of HNSW): a beam search over a prebuilt
+    M-nearest-neighbor graph answers top-10, completing the similarity
+    family's index spectrum (brute / LSH / IVF / PQ / graph).  The
+    search is the deterministic BREADTH-BEAM variant — each hop expands
+    the whole beam's out-edges, rescores, and keeps the top-W by
+    fixed-point relevance with id tie-breaks — so the visited set and
+    final ranking are engine-reproducible, and the oracle replays the
+    identical H=3 hops as chained CTEs (the MMR greedy precedent).
+    ``in_exact10`` joins each answer against the exact brute-force
+    top-10, surfacing recall inside the hash gate instead of beside it.
+
+    Scale: the SERVING cost is what the graph buys — per probe the
+    search touches ≤ W·(M+1) nodes per hop (≤ 432 score evaluations
+    here) regardless of corpus size, vs. the corpus-sized scan of the
+    brute tier; edges live as an adjacency table equi-joined on src
+    (bucketed by src at 100 TB, so a hop is a co-located lookup, and
+    the beam side is probe-bounded and broadcast).  The offline BUILD
+    here is the exact all-pairs kNN (declared: corpus² at test scale);
+    the scale path for the build is the sign-LSH blocked candidate
+    generation dedup_embedding_cosine already demonstrates, which
+    bounds build candidates per node without touching the serving
+    plan.  No counterpart in the reference; §2.12 similarity tier."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    edges = nsw_build_edges(emb).localCheckpoint(eager=False)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    beam = nsw_beam_search(emb, edges, q)
 
     exact = (
         emb.crossJoin(F.broadcast(q))

@@ -1112,7 +1112,19 @@ def q_stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("feature", "bin")
 
 
+# totals are summed over the SMOOTHED per-bin stats frame (never a
+# separate corpus pass with its own NULL-bin semantics) — bit-identical
+# to the Spark side, which aggregates stats then re-sums the bin frame
 _PSI_FEAT_SQL = """
+stats_{src} AS (
+  SELECT feature, bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS ref_n,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) + 1 AS BIGINT)
+           AS cur_n
+  FROM {src} GROUP BY 1, 2
+),
+psi_{src} AS (
   SELECT feature, bin, ref_n - 1 AS ref_n, cur_n - 1 AS cur_n,
          CAST(floor(1e9 *
              (cur_n::DOUBLE / cur_tot::DOUBLE
@@ -1120,20 +1132,12 @@ _PSI_FEAT_SQL = """
              * ln((cur_n::DOUBLE * ref_tot::DOUBLE)
                   / (ref_n::DOUBLE * cur_tot::DOUBLE))
              + 0.5) AS BIGINT) AS term_nano
-  FROM (
-    SELECT feature, bin,
-           CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) + 1 AS BIGINT)
-             AS ref_n,
-           CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) + 1 AS BIGINT)
-             AS cur_n
-    FROM {src} GROUP BY 1, 2
-  ) s CROSS JOIN (
-    SELECT CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
-                + count(DISTINCT bin) AS BIGINT) AS ref_tot,
-           CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
-                + count(DISTINCT bin) AS BIGINT) AS cur_tot
-    FROM {src}
+  FROM stats_{src} CROSS JOIN (
+    SELECT CAST(sum(ref_n) AS BIGINT) AS ref_tot,
+           CAST(sum(cur_n) AS BIGINT) AS cur_tot
+    FROM stats_{src}
   ) t
+)
 """
 
 ORACLE_PSI = (
@@ -1149,13 +1153,14 @@ lenf AS (
          CAST(CAST(floor(n_chars / 500) AS BIGINT) AS VARCHAR) AS bin,
          is_ref
   FROM base
-)
-SELECT * FROM ("""
+),
+"""
     + _PSI_FEAT_SQL.format(src="langf")
-    + """) UNION ALL
-SELECT * FROM ("""
+    + ","
     + _PSI_FEAT_SQL.format(src="lenf")
-    + """)
+    + """
+SELECT * FROM psi_langf UNION ALL
+SELECT * FROM psi_lenf
 ORDER BY feature, bin
 """
 )

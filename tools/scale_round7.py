@@ -125,27 +125,7 @@ def exp_bm25x10(spark) -> dict:
     from db_migration_spark.functions import text as TXT
     from db_migration_spark.plans.txlog import TxTable
 
-    docs10_path = f"{TMP}/r7_docs10.parquet"
-    if not os.path.exists(docs10_path):
-        base = load_table(spark, BASE_SF, "documents")
-        reps = spark.range(10).select(F.col("id").alias("__rep"))
-        df = (
-            base.crossJoin(F.broadcast(reps))
-            .withColumn(
-                "doc_id", F.col("doc_id") + F.col("__rep") * 10_000_000
-            )
-            .withColumn(
-                "text",
-                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
-                    F.concat(
-                        F.format_string("rep%d ", F.col("__rep")),
-                        F.col("text"),
-                    )
-                ),
-            )
-            .drop("__rep")
-        )
-        df.repartition(32).write.mode("overwrite").parquet(docs10_path)
+    docs10_path = _ensure_docs10(spark)
 
     docs = spark.read.parquet(docs10_path)
     n_docs = docs.count()
@@ -607,51 +587,27 @@ def exp_lshx10(spark) -> dict:
 def exp_nswserve(spark) -> dict:
     """NSW graph-ANN: the serving claim is that SEARCH cost is bounded
     by beam x degree x hops, independent of corpus size.  Build the kNN
-    graph offline at 1x (500 vecs) and 10x (5000 vecs), persist the
-    adjacency, then time the beam search alone — expect build ~corpus^2
-    while search stays flat with IDENTICAL candidate bounds."""
-    from pyspark.sql import Window
-
+    graph offline at x1 (sf0.01, 500 vecs) and x4 (sf0.1, 2000 vecs),
+    persist the adjacency, then time the beam search alone — expect
+    build ~corpus^2 while search stays flat with near-identical
+    candidate counts.  Build and search run the SAME code the oracle
+    gate certifies (queries_round4.nsw_build_edges/nsw_beam_search)."""
     from db_migration_spark.catalog import load_table
     from db_migration_spark.queries_round4 import (
-        _NSW_H,
         _NSW_K,
-        _NSW_M,
-        _NSW_W,
-        _fp_dot,
+        nsw_beam_search,
+        nsw_build_edges,
     )
 
     scales = []
-    for sf, tag in (("/root/testdata/sf0.01", "x1"), (BASE_SF, "x10")):
+    for sf, tag in (("/root/testdata/sf0.01", "x1"), (BASE_SF, "x4")):
         emb = load_table(spark, sf, "embeddings").select(
             "vec_id", "embedding"
         )
         n_vecs = emb.count()
         path = f"{TMP}/r7_nsw_edges_{tag}.parquet"
         t0 = time.time()
-        a, b = emb.alias("a"), emb.alias("b")
-        dots = (
-            a.crossJoin(b)
-            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("src"),
-                F.col("b.vec_id").alias("dst"),
-                _fp_dot(
-                    F.col("a.embedding"), F.col("b.embedding")
-                ).alias("dot"),
-            )
-        )
-        wk = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
-        knn = (
-            dots.withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= _NSW_M)
-            .select("src", "dst")
-        )
-        knn.unionByName(
-            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).dropDuplicates(["src", "dst"]).write.mode("overwrite").parquet(
-            path
-        )
+        nsw_build_edges(emb).write.mode("overwrite").parquet(path)
         build = round(time.time() - t0, 2)
 
         edges = spark.read.parquet(path)
@@ -659,55 +615,19 @@ def exp_nswserve(spark) -> dict:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
         )
-        nodes = emb.select(F.col("vec_id").alias("node"), "embedding")
-
-        def score(cand):
-            return (
-                cand.join(nodes, "node")
-                .join(F.broadcast(q), "query_id")
-                .select(
-                    "query_id",
-                    "node",
-                    _fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
-                )
-            )
 
         def search(count_cands: bool = False):
             t0 = time.time()
-            entry = emb.agg(F.min("vec_id").alias("node"))
-            beam = score(q.select("query_id").crossJoin(F.broadcast(entry)))
-            beam = beam.localCheckpoint(eager=False)
-            cands = 0
-            for _hop in range(_NSW_H):
-                s = beam.alias("s")
-                cand = (
-                    beam.select("query_id", "node")
-                    .unionByName(
-                        s.join(
-                            edges.alias("e"),
-                            F.col("s.node") == F.col("e.src"),
-                        ).select(
-                            F.col("s.query_id").alias("query_id"),
-                            F.col("e.dst").alias("node"),
-                        )
-                    )
-                    .dropDuplicates(["query_id", "node"])
-                )
-                if count_cands:
-                    cands += cand.count()
-                wb = Window.partitionBy("query_id").orderBy(
-                    F.desc("rel"), "node"
-                )
-                beam = (
-                    score(cand)
-                    .withColumn("rn", F.row_number().over(wb))
-                    .filter(F.col("rn") <= _NSW_W)
-                    .drop("rn")
-                    .localCheckpoint(eager=False)
-                )
+            cands = [0]
+            on_c = (
+                (lambda df: cands.__setitem__(0, cands[0] + df.count()))
+                if count_cands
+                else None
+            )
+            beam = nsw_beam_search(emb, edges, q, on_candidates=on_c)
             n = beam.filter(F.col("node") != F.col("query_id")).count()
             assert n >= _NSW_K
-            return time.time() - t0, cands
+            return time.time() - t0, cands[0]
 
         search()  # warm-up
         _, cands = search(count_cands=True)
@@ -721,7 +641,37 @@ def exp_nswserve(spark) -> dict:
                 "cands_scored": cands,
             }
         )
-    return {"exp": "nsw_serving_x10", "scales": scales}
+    return {"exp": "nsw_serving_x4", "scales": scales}
+
+
+def _ensure_docs10(spark) -> str:
+    """Materialize (once) the 10x replicated+perturbed documents corpus
+    shared by the bm25/lsh/dsir x10 experiments."""
+    from db_migration_spark.catalog import load_table
+
+    docs10_path = f"{TMP}/r7_docs10.parquet"
+    if os.path.exists(docs10_path):
+        return docs10_path
+    base = load_table(spark, BASE_SF, "documents")
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+    df = (
+        base.crossJoin(F.broadcast(reps))
+        .withColumn(
+            "doc_id", F.col("doc_id") + F.col("__rep") * 10_000_000
+        )
+        .withColumn(
+            "text",
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.format_string("rep%d ", F.col("__rep")),
+                    F.col("text"),
+                )
+            ),
+        )
+        .drop("__rep")
+    )
+    df.repartition(32).write.mode("overwrite").parquet(docs10_path)
+    return docs10_path
 
 
 def exp_dsirx10(spark) -> dict:
@@ -734,9 +684,7 @@ def exp_dsirx10(spark) -> dict:
         dsir_weights,
     )
 
-    docs10_path = f"{TMP}/r7_docs10.parquet"
-    if not os.path.exists(docs10_path):
-        exp_bm25x10(spark)  # builds and caches the 10x corpus
+    docs10_path = _ensure_docs10(spark)
     out = []
     for tag, docs in (
         ("x1", load_table(spark, BASE_SF, "documents")),
