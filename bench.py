@@ -344,6 +344,31 @@ FULL_SUITE = [
     "stream_priority_mv",
     # round 7: offline mean-shift changepoint (exact-integer argmax)
     "ts_changepoint",
+    # round 7 continuation: exact-integer trend + robust slope
+    "ts_holt_trend",
+    "ts_theil_sen",
+    # round 7: bottom-k rank-quantile sketch + streaming MV
+    "sketch_bottomk_quantiles",
+    "stream_bottomk_mv",
+    # round 7: multi-table catalog transactions / branches
+    "txlog_catalog_snapshot",
+    "stream_catalog_txn",
+    "txlog_catalog_branch",
+    # round 7: positional phrase search; MMR / filtered vector serving
+    "search_phrase_match",
+    "emb_mmr_diversify",
+    "ann_filtered_topk",
+    # round 7: join-view IVM, DSIR selection (batch + streamed fit),
+    # NSW graph ANN, t-closeness, streamed postings index, NDCG eval,
+    # PSI drift
+    "ivm_join_delta",
+    "corpus_dsir_select",
+    "stream_dsir_mv",
+    "ann_nsw_topk",
+    "privacy_t_closeness",
+    "stream_postings_mv",
+    "search_eval_ndcg",
+    "stats_psi_drift",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -50,7 +50,7 @@ def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_top50(C.dsir_weights(docs, F.col("lang") == "en"))
 
 
-ORACLE_DSIR = r"""
+_DSIR_CTES = r"""
 WITH toks AS (
   SELECT doc_id, lang,
          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
@@ -83,12 +83,88 @@ WITH toks AS (
          CAST(sum(lr_micro) AS BIGINT) AS w_micro
   FROM occ JOIN lr USING (b)
   GROUP BY 1, 2
-)
+)"""
+
+ORACLE_DSIR = (
+    _DSIR_CTES
+    + """
 SELECT rank, doc_id, lang, n_bigrams, w_micro FROM (
   SELECT CAST(row_number() OVER (ORDER BY w_micro DESC, doc_id) AS INTEGER)
            AS rank, *
   FROM w) WHERE rank <= 50
 """
+)
+
+ORACLE_DSIR_RESAMPLE = (
+    _DSIR_CTES
+    + """
+, keyed AS (
+  SELECT doc_id, lang, w_micro,
+         w_micro + CAST(floor(1000000.0 * (
+             -ln(-ln((('0x' || substr(md5('g' || CAST(doc_id AS VARCHAR)),
+                       1, 13))::UBIGINT + 1)
+                     / 4503599627370498.0))
+           ) + 0.5) AS BIGINT) AS key_micro
+  FROM w
+)
+SELECT rank, doc_id, lang, w_micro, key_micro FROM (
+  SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
+              AS INTEGER) AS rank, *
+  FROM keyed) WHERE rank <= 50
+"""
+)
+
+
+def q_corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's ACTUAL selection rule — Gumbel-top-k importance
+    resampling (sampling without replacement with probability ∝ the
+    importance weight; Vieira's Gumbel-max trick, the step
+    corpus_dsir_select takes at zero temperature): key = log ŵ + G
+    with G ~ Gumbel(0,1), take the top-50 keys.  The "noise" is
+    deterministic — G is derived from the md5 of the doc_id through
+    the inverse-CDF −ln(−ln(u)) with u the 52-bit hash mapped into
+    (0,1) — so the sample is reproducible across engines AND runs
+    (the seeded-sampling discipline sample_deterministic established),
+    and both sides quantize log-weight and noise to the SAME micro-nat
+    scale before the integer addition that forms the key.  Plan: the
+    weight pass is dsir_weights unchanged; the key is one hash
+    expression per doc and the top-k is orderBy+limit."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = C.dsir_weights(docs, F.col("lang") == "en")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("g"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(4503599627370498.0)
+    keyed = w.select(
+        "doc_id",
+        "lang",
+        "w_micro",
+        (
+            F.col("w_micro")
+            + F.floor(
+                F.lit(1e6) * (-F.log(-F.log(u))) + F.lit(0.5)
+            ).cast("long")
+        ).alias("key_micro"),
+    )
+    from pyspark.sql import Window
+
+    top = keyed.orderBy(F.desc("key_micro"), "doc_id").limit(50)
+    rw = Window.orderBy(F.desc("key_micro"), "doc_id")
+    return top.select(
+        F.row_number().over(rw).cast("int").alias("rank"),
+        "doc_id",
+        "lang",
+        "w_micro",
+        "key_micro",
+    )
 
 
 def _ensure_stream_dsir_mv(spark: SparkSession, sf_dir: str):
@@ -502,6 +578,7 @@ def register(queries: dict, oracles: dict) -> None:
     queries.update(
         {
             "corpus_dsir_select": q_corpus_dsir_select,
+            "corpus_dsir_resample": q_corpus_dsir_resample,
             "stream_dsir_mv": q_stream_dsir_mv,
             "bpe_train_merges": q_bpe_train_merges,
             "passage_chunks": q_passage_chunks,
@@ -520,6 +597,7 @@ def register(queries: dict, oracles: dict) -> None:
     oracles.update(
         {
             "corpus_dsir_select": ORACLE_DSIR,
+            "corpus_dsir_resample": ORACLE_DSIR_RESAMPLE,
             "stream_dsir_mv": ORACLE_DSIR,
             "passage_chunks": ORACLE_PASSAGES,
             "text_lm_perplexity": ORACLE_LM_PPL,
