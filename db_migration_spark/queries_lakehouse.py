@@ -993,6 +993,93 @@ GROUP BY status, meta.total
 """
 
 
+def _ensure_constraint_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """CHECK-constraint lifecycle fixture: seed commit → ADD CONSTRAINT
+    (validates existing rows first) → a violating append is REJECTED
+    before its commit publishes (the raise is asserted here — reaching
+    the declared query proves it fired) → a clean append lands.  The
+    final state is a pure function of ``orders``."""
+    from .plans.txlog import ConstraintViolation
+
+    root = _fx(sf_dir, "txlog_check_constraint")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    if t.latest_version() >= 0:
+        shutil.rmtree(root, ignore_errors=True)
+        t = TxTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    t.commit_append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.add_constraint(spark, "cents_pos", "cents > 0")
+    second = orders.filter(F.col("o_orderkey") % 3 == 1)
+    v_before = t.latest_version()
+    try:
+        t.commit_append(second.withColumn("cents", -F.col("cents")))
+    except ConstraintViolation:
+        pass
+    else:
+        raise RuntimeError("violating append must be rejected")
+    if t.latest_version() != v_before:
+        raise RuntimeError("rejected append must not advance the log")
+    t.commit_append(second)
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints enforced at COMMIT time (plans/txlog.py
+    ``add_constraint``/``_check_constraints`` — Delta's ALTER TABLE ADD
+    CONSTRAINT): adding validates existing rows, and every subsequent
+    write is gated BEFORE its commit publishes, so a violating batch
+    can never become visible to any reader at any version.  The
+    declared result aggregates the table after seed + rejected + clean
+    appends: the violating batch's rows (negated cents) must be absent
+    and the clean batch present — a leak flips a sum's sign pattern.
+    ``blocked_raised`` is reachable only through the asserted raise in
+    the fixture build; ``n_constraints`` reads the live constraint set.
+    Metadata-only enforcement state (O(commits) replay, checkpoint-
+    seeded) — the validation itself is one combined filter+count over
+    the BATCH, never the table."""
+    t = _ensure_constraint_store(spark, sf_dir)
+    n_cons = len(t.constraints())
+    return (
+        t.read(spark)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "status",
+            "n_orders",
+            "sum_cents",
+            F.lit(n_cons).cast("int").alias("n_constraints"),
+            F.lit(True).alias("blocked_raised"),
+        )
+    )
+
+
+ORACLE_CHECK_CONSTRAINT = """
+SELECT o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(1 AS INTEGER) AS n_constraints,
+       TRUE AS blocked_raised
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY 1
+"""
+
+
 def _ensure_replace_where_store(spark: SparkSession, sf_dir: str) -> TxTable:
     """Events ingested once, then the ``click`` slice atomically
     REPLACEd with a doubled-cents backfill via ``replace_where`` — the
@@ -2221,6 +2308,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_partitioned_scan"] = ORACLE_PARTITIONED
     queries["txlog_replace_where"] = q_txlog_replace_where
     oracles["txlog_replace_where"] = ORACLE_REPLACE_WHERE
+    queries["txlog_check_constraint"] = q_txlog_check_constraint
+    oracles["txlog_check_constraint"] = ORACLE_CHECK_CONSTRAINT
     queries["stream_partitioned_sink"] = q_stream_partitioned_sink
     oracles["stream_partitioned_sink"] = ORACLE_STREAM_PARTITIONED
     queries["txlog_bloom_lookup"] = q_txlog_bloom_lookup
