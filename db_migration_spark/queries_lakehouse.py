@@ -1080,6 +1080,81 @@ GROUP BY 1
 """
 
 
+def _ensure_restore_store(spark: SparkSession, sf_dir: str) -> TxTable:
+    """RESTORE lifecycle fixture: three appends (A, B, C), a checkpoint,
+    RESTORE back to the A∪B state (one metadata commit — C's groups
+    drop out of the live set but stay time-travelable), then a fourth
+    append D.  Live = A∪B∪D; AS OF the pre-restore version = A∪B∪C."""
+    root = _fx(sf_dir, "txlog_restore_checkpoint")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    if t.latest_version() >= 0:
+        shutil.rmtree(root, ignore_errors=True)
+        t = TxTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+
+    def part(i: int) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % 4 == i)
+
+    t.commit_append(part(0))  # v0: A
+    t.commit_append(part(1))  # v1: B
+    t.commit_append(part(2))  # v2: C
+    t.checkpoint()
+    t.restore(1)  # v3: metadata-only rollback to A∪B
+    t.commit_append(part(3))  # v4: D
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_restore_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + checkpoint (plans/txlog.py ``restore``/``checkpoint``
+    — Delta's RESTORE TABLE ... TO VERSION): rolling back is ONE
+    metadata commit that re-pins the live group set to the target
+    version — zero bytes rewritten, the undone commits stay readable
+    by time travel, and later writes stack on the restored state.  The
+    declared row aggregates the live table (A∪B∪D — C's rows must be
+    gone) beside the SAME aggregate AS OF the pre-restore version
+    (A∪B∪C — C must still be there), so both the rollback and the
+    preserved history are inside the hash gate.  The checkpoint before
+    the restore makes the post-restore replay checkpoint-seeded —
+    O(commits since checkpoint), not O(history)."""
+    t = _ensure_restore_store(spark, sf_dir)
+    live = t.read(spark).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("cents").alias("cents_live"),
+    )
+    pre = (
+        t.read(spark, version=2)
+        .groupBy("status")
+        .agg(F.sum("cents").alias("cents_pre_restore"))
+    )
+    return live.join(pre, "status").orderBy("status")
+
+
+ORACLE_RESTORE = """
+SELECT o_orderstatus AS status,
+       count(CASE WHEN o_orderkey % 4 IN (0, 1, 3) THEN 1 END) AS n_live,
+       CAST(sum(CASE WHEN o_orderkey % 4 IN (0, 1, 3) THEN
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+            AS BIGINT) AS cents_live,
+       CAST(sum(CASE WHEN o_orderkey % 4 IN (0, 1, 2) THEN
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+            AS BIGINT) AS cents_pre_restore
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def _ensure_replace_where_store(spark: SparkSession, sf_dir: str) -> TxTable:
     """Events ingested once, then the ``click`` slice atomically
     REPLACEd with a doubled-cents backfill via ``replace_where`` — the
@@ -2310,6 +2385,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_replace_where"] = ORACLE_REPLACE_WHERE
     queries["txlog_check_constraint"] = q_txlog_check_constraint
     oracles["txlog_check_constraint"] = ORACLE_CHECK_CONSTRAINT
+    queries["txlog_restore_checkpoint"] = q_txlog_restore_checkpoint
+    oracles["txlog_restore_checkpoint"] = ORACLE_RESTORE
     queries["stream_partitioned_sink"] = q_stream_partitioned_sink
     oracles["stream_partitioned_sink"] = ORACLE_STREAM_PARTITIONED
     queries["txlog_bloom_lookup"] = q_txlog_bloom_lookup
