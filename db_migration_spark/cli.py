@@ -332,6 +332,41 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "dsir",
+        help="DSIR importance-resampling data selection "
+        "(operators/corpus.py dsir_*): fit hashed-bigram bucket stats "
+        "against a target predicate over a documents table "
+        "(doc_id, lang, text), then select the top-k most target-like "
+        "documents — deterministic top-k or hash-seeded Gumbel "
+        "resampling; the fitted stats are a mergeable 256-row table",
+    )
+    sp.add_argument("--action", choices=("fit", "select"), required=True)
+    sp.add_argument(
+        "--input", required=True,
+        help="documents parquet (doc_id, lang, text)",
+    )
+    sp.add_argument(
+        "--target", default=None,
+        help="SQL boolean predicate over the occurrence frame defining "
+        "the target slice, e.g. \"lang = 'en'\" (fit; or select "
+        "without --stats)",
+    )
+    sp.add_argument(
+        "--stats", default=None,
+        help="select: fitted stats directory from a prior fit",
+    )
+    sp.add_argument(
+        "--output", default=None,
+        help="fit: stats dir; select: optional parquet for the selection",
+    )
+    sp.add_argument("--top", type=int, default=50, help="select: k")
+    sp.add_argument(
+        "--gumbel", action="store_true",
+        help="select: sample ∝ weight (seeded Gumbel-top-k) instead of "
+        "deterministic top-k",
+    )
+
+    sp = sub.add_parser(
         "corpus-prep",
         help="training-corpus pipeline: quality gate -> exact dedup "
         "survivors -> pack manifest over a documents table",
@@ -906,6 +941,83 @@ def main(argv: list[str] | None = None) -> int:
                     "matches": [r.asDict() for r in matches.collect()],
                     "groups_scanned": len(scanned),
                     "cost_bounded": len(scanned) <= meta["bands"],
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "dsir":
+        from pyspark.sql import functions as F
+
+        from .operators.corpus import (
+            DSIR_BUCKETS,
+            dsir_bucket_stats,
+            dsir_gumbel_key,
+            dsir_occurrences,
+            dsir_weights_from_stats,
+        )
+
+        spark = get_spark("dsir")
+        docs = spark.read.parquet(args.input)
+        occ = dsir_occurrences(docs)
+        if args.action == "fit":
+            if not (args.target and args.output):
+                raise SystemExit("fit requires --target and --output")
+            stats = dsir_bucket_stats(occ, F.expr(args.target))
+            stats.write.mode("overwrite").parquet(args.output)
+            with open(
+                os.path.join(args.output, "_dsir_meta.json"), "w"
+            ) as fh:
+                json.dump(
+                    {"buckets": DSIR_BUCKETS, "target": args.target}, fh
+                )
+            fitted = spark.read.parquet(args.output)
+            tot = fitted.agg(
+                F.sum("rc").alias("r"), F.sum("tc").alias("t")
+            ).collect()[0]
+            print(
+                json.dumps(
+                    {
+                        "action": "fit",
+                        "output": args.output,
+                        "buckets": fitted.count(),
+                        "raw_bigrams": tot["r"],
+                        "target_bigrams": tot["t"],
+                    }
+                )
+            )
+            return 0
+        if args.stats:
+            meta_path = os.path.join(args.stats, "_dsir_meta.json")
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if meta["buckets"] != DSIR_BUCKETS:
+                raise SystemExit(
+                    f"stats fitted at {meta['buckets']} buckets; this "
+                    f"build hashes into {DSIR_BUCKETS} — refit"
+                )
+            stats = spark.read.parquet(args.stats)
+        elif args.target:
+            stats = dsir_bucket_stats(occ, F.expr(args.target))
+        else:
+            raise SystemExit("select requires --stats or --target")
+        w = dsir_weights_from_stats(occ, stats)
+        order_col = "w_micro"
+        if args.gumbel:
+            w = dsir_gumbel_key(w)
+            order_col = "key_micro"
+        top = w.orderBy(F.desc(order_col), "doc_id").limit(args.top)
+        if args.output:
+            top.write.mode("overwrite").parquet(args.output)
+        rows = [r.asDict() for r in top.collect()]
+        print(
+            json.dumps(
+                {
+                    "action": "select",
+                    "mode": "gumbel" if args.gumbel else "topk",
+                    "k": args.top,
+                    "rows": rows[:10],
+                    "n_selected": len(rows),
                 }
             )
         )

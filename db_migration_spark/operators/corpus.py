@@ -192,6 +192,33 @@ def dsir_weights_from_stats(occ: DataFrame, stats: DataFrame) -> DataFrame:
     )
 
 
+def dsir_gumbel_key(w: DataFrame) -> DataFrame:
+    """Add the Gumbel-top-k sampling key: key_micro = w_micro +
+    ⌊1e6·(−ln(−ln u)) + ½⌋ with u a 52-bit md5-derived uniform in (0,1)
+    — sampling without replacement ∝ the importance weight, seeded so
+    the sample reproduces across engines and runs.  ONE definition
+    shared by the declared query and the CLI."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("g"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(4503599627370498.0)
+    return w.withColumn(
+        "key_micro",
+        F.col("w_micro")
+        + F.floor(F.lit(1e6) * (-F.log(-F.log(u))) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
 def scrub_frequent_ngrams(docs: DataFrame, k: int = 3, min_df: int = 5) -> DataFrame:
     """Boilerplate / duplicate-span removal (the C4 "repeated lines" and
     Lee-et-al duplicate-substring pass, at n-gram granularity): any word

@@ -131,28 +131,8 @@ def q_corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression per doc and the top-k is orderBy+limit."""
     docs = load_table(spark, sf_dir, "documents")
     w = C.dsir_weights(docs, F.col("lang") == "en")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("g"), F.col("doc_id").cast("string"))),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + F.lit(1)
-    ).cast("double") / F.lit(4503599627370498.0)
-    keyed = w.select(
-        "doc_id",
-        "lang",
-        "w_micro",
-        (
-            F.col("w_micro")
-            + F.floor(
-                F.lit(1e6) * (-F.log(-F.log(u))) + F.lit(0.5)
-            ).cast("long")
-        ).alias("key_micro"),
+    keyed = C.dsir_gumbel_key(w).select(
+        "doc_id", "lang", "w_micro", "key_micro"
     )
     from pyspark.sql import Window
 

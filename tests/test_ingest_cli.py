@@ -401,3 +401,45 @@ def test_cli_lsh_store_build_probe_point(tmp_path):
     err = run("--action", "probe", "--input", str(odd),
               "--store", str(store), "--bands", "4", expect_fail=True)
     assert "bucket differently" in err
+
+
+def test_cli_dsir_fit_select(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    stats_dir = tmp_path / "stats"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "db_migration_spark.cli", "dsir",
+            "--action", "fit",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--target", "lang = 'en'",
+            "--output", str(stats_dir),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    fit = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < fit["target_bigrams"] < fit["raw_bigrams"]
+    assert fit["buckets"] <= 256
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "db_migration_spark.cli", "dsir",
+            "--action", "select",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--stats", str(stats_dir),
+            "--top", "10",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    sel = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sel["n_selected"] == 10
+    # deterministic top-k skews toward the target slice
+    langs = [row["lang"] for row in sel["rows"]]
+    assert langs.count("en") > len(langs) // 2
+    # weights are sorted desc with doc_id tie-break
+    ws = [row["w_micro"] for row in sel["rows"]]
+    assert ws == sorted(ws, reverse=True)
