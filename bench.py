@@ -369,6 +369,9 @@ FULL_SUITE = [
     "stream_postings_mv",
     "search_eval_ndcg",
     "stats_psi_drift",
+    "corpus_dsir_resample",
+    "txlog_check_constraint",
+    "txlog_restore_checkpoint",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -314,3 +314,102 @@ def test_tags_and_as_of(spark, tmp_path):
         "version"
     ] == 0
     assert run("--action", "tags")["tags"] == {"rel1": 0, "rel2": 1}
+
+
+def test_branch_racing_soak(spark, tmp_path):
+    """Branches under contention — the interaction surface the
+    single-threaded branch tests cannot see: 6 main writers race 3
+    branch writers (each branch owns its own table) plus each branch's
+    MERGE racing the moving main head.  Every writer owns its own
+    table (per-writer append streams — the shared-table pattern is
+    test_racing_writers_soak's pair-consistency contract instead:
+    catalog-retried appends to a SHARED table legitimately leave
+    orphan rows in later pins), so exactly-once row counts are
+    auditable here.  Audits: every main txn and every branch txn lands
+    exactly once after all merges; a branch's table never appears in a
+    main snapshot before that branch's merge committed."""
+    import threading
+
+    root = str(tmp_path / "cat")
+    cat = TxCatalog(root)
+    cat.commit({"m": cat.table("m").commit_append(_df(spark, [0]))})
+    errors: list = []
+    merge_versions: dict[str, int] = {}
+
+    def main_writer(wid: int) -> None:
+        try:
+            c = TxCatalog(root)
+            m = c.table(f"m{wid}")
+            for t in range(4):
+                for _ in range(120):
+                    base = c.latest_version()
+                    v = m.commit_append(_df(spark, [wid * 100 + t]))
+                    try:
+                        c.commit({f"m{wid}": v}, based_on=base)
+                        break
+                    except CatalogConflict:
+                        continue
+                else:
+                    raise RuntimeError("main txn starved")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def branch_writer(bid: int) -> None:
+        try:
+            c = TxCatalog(root)
+            name = f"dev{bid}"
+            for _ in range(120):
+                try:
+                    br = c.create_branch(name)
+                    break
+                except CatalogConflict:
+                    continue
+            else:
+                raise RuntimeError("create_branch starved")
+            tb = c.table(f"t{bid}")
+            for t in range(4):
+                for _ in range(120):
+                    base = br.latest_version()
+                    v = tb.commit_append(_df(spark, [bid * 1000 + t]))
+                    try:
+                        br.commit({f"t{bid}": v}, based_on=base)
+                        break
+                    except CatalogConflict:
+                        continue
+                else:
+                    raise RuntimeError("branch txn starved")
+            for _ in range(120):
+                try:
+                    merge_versions[name] = TxCatalog(root).merge_branch(
+                        name
+                    )
+                    break
+                except CatalogConflict:
+                    continue
+            else:
+                raise RuntimeError("merge starved")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=main_writer, args=(w,)) for w in range(6)
+    ] + [threading.Thread(target=branch_writer, args=(b,)) for b in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    # exactly-once: each main writer's table holds exactly its 4 rows;
+    # each branch table exactly its 4
+    assert cat.read(spark, "m").count() == 1
+    for w in range(6):
+        assert cat.read(spark, f"m{w}").count() == 4
+    for b in range(3):
+        assert cat.read(spark, f"t{b}").count() == 4
+    # isolation: t{b} never visible on main before its merge landed
+    for v in range(cat.latest_version() + 1):
+        snap = cat.snapshot(v)
+        for b in range(3):
+            if f"t{b}" in snap:
+                assert v >= merge_versions[f"dev{b}"], (v, b)
