@@ -1626,11 +1626,12 @@ ORDER BY query_id, rank
 _NSW_M, _NSW_W, _NSW_H, _NSW_K = 8, 16, 3, 10
 
 
-def nsw_build_edges(emb: DataFrame) -> DataFrame:
-    """Symmetrized exact top-M kNN adjacency (the offline graph build).
-    ONE definition shared by the declared query and the scale tool —
-    the serving-flatness evidence must measure the algorithm under the
-    oracle gate, not a copy that can drift (the bm25_contrib rule)."""
+def nsw_build_edges(emb: DataFrame, m: int = _NSW_M) -> DataFrame:
+    """Symmetrized exact top-``m`` kNN adjacency (the offline graph
+    build).  ONE definition shared by the declared queries (NSW layer
+    0, HNSW upper layer) and the scale tool — the serving-flatness
+    evidence must measure the algorithm under the oracle gate, not a
+    copy that can drift (the bm25_contrib rule)."""
     a, b = emb.alias("a"), emb.alias("b")
     dots = (
         a.crossJoin(b)
@@ -1646,7 +1647,7 @@ def nsw_build_edges(emb: DataFrame) -> DataFrame:
     wk = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
     knn = (
         dots.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= _NSW_M)
+        .filter(F.col("rn") <= m)
         .select("src", "dst")
     )
     return knn.unionByName(
@@ -1659,10 +1660,15 @@ def nsw_beam_search(
     edges: DataFrame,
     q: DataFrame,
     on_candidates=None,
+    entry: DataFrame | None = None,
+    hops: int = _NSW_H,
+    width: int = _NSW_W,
 ) -> DataFrame:
-    """Deterministic breadth-beam search: H hops of expand → rescore →
-    top-W with id tie-breaks, from the min-vec_id entry point.  ``q``
-    is (query_id, qv); returns the final (query_id, node, rel) beam.
+    """Deterministic breadth-beam search: ``hops`` rounds of expand →
+    rescore → top-``width`` with id tie-breaks.  ``q`` is (query_id,
+    qv); returns the final (query_id, node, rel) beam.  ``entry`` is an
+    optional per-query (query_id, node) seed frame (HNSW's upper layer
+    routes through it); default is the global min-vec_id node.
     ``on_candidates`` (if given) observes each hop's candidate frame —
     the scale tool counts rows through it without forking the loop."""
     nodes = emb.select(F.col("vec_id").alias("node"), "embedding")
@@ -1678,11 +1684,13 @@ def nsw_beam_search(
             )
         )
 
-    entry = emb.agg(F.min("vec_id").alias("node"))
-    beam = score(
-        q.select("query_id").crossJoin(F.broadcast(entry))
-    ).localCheckpoint(eager=False)
-    for _hop in range(_NSW_H):
+    if entry is None:
+        entry0 = emb.agg(F.min("vec_id").alias("node"))
+        seed = q.select("query_id").crossJoin(F.broadcast(entry0))
+    else:
+        seed = entry.select("query_id", "node")
+    beam = score(seed).localCheckpoint(eager=False)
+    for _hop in range(hops):
         s = beam.alias("s")
         cand = (
             beam.select("query_id", "node")
@@ -1702,7 +1710,7 @@ def nsw_beam_search(
         beam = (
             score(cand)
             .withColumn("rn", F.row_number().over(wb))
-            .filter(F.col("rn") <= _NSW_W)
+            .filter(F.col("rn") <= width)
             .drop("rn")
             .localCheckpoint(eager=False)
         )
@@ -1741,7 +1749,13 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     beam = nsw_beam_search(emb, edges, q)
+    return _nsw_answer(beam, emb, q)
 
+
+def _nsw_answer(beam: DataFrame, emb: DataFrame, q: DataFrame) -> DataFrame:
+    """Rank the final beam to top-K (self excluded) and join each
+    answer against the exact brute-force top-K (``in_exact10`` puts
+    recall inside the hash gate).  Shared by the NSW and HNSW tails."""
     exact = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1778,6 +1792,47 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# HNSW upper-layer parameters: 1-in-8 node sample, degree 4, 2 hops,
+# beam 4 — the routing layer is SMALL and cheap by design
+_HNSW_STRIDE, _HNSW_M1, _HNSW_H1, _HNSW_W1 = 8, 4, 2, 4
+
+
+def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical NSW (Malkov & Yashunin's HNSW, two layers): a
+    sparse upper layer (every 8th vector, degree-4 graph) routes each
+    probe in 2 cheap hops to a GOOD layer-0 entry point, and the
+    layer-0 beam search runs exactly ann_nsw_topk's plan from that
+    entry instead of the global one — the hierarchy buys entry
+    quality, which is precisely single-entry NSW's weakness.  Both
+    layers' searches are the same deterministic breadth-beam
+    (nsw_beam_search) and the oracle replays layer 1, the routing
+    argmax, and layer 0 as one CTE chain; ``in_exact10`` exposes the
+    recall gain inside the hash gate.  Scale: the upper layer is
+    corpus/8 nodes with degree 4 — its build is 64× cheaper than layer
+    0's and its search adds ≤ W1·(M1·2+1)·H1 scored candidates per
+    probe; serving stays corpus-size independent."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    l1 = emb.filter(F.col("vec_id") % _HNSW_STRIDE == 0)
+    edges1 = nsw_build_edges(l1, m=_HNSW_M1).localCheckpoint(eager=False)
+    beam1 = nsw_beam_search(
+        l1, edges1, q, hops=_HNSW_H1, width=_HNSW_W1
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
+    entry0 = (
+        beam1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "node")
+    )
+    edges0 = nsw_build_edges(emb).localCheckpoint(eager=False)
+    beam = nsw_beam_search(emb, edges0, q, entry=entry0)
+    return _nsw_answer(beam, emb, q)
 
 
 def _nsw_oracle_sql() -> str:
@@ -1848,6 +1903,107 @@ ORDER BY 1, 2
 ORACLE_NSW = _nsw_oracle_sql()
 
 
+def _hnsw_oracle_sql() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+        "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * "
+        f"{_MMR_SCALE} + 0.5) AS BIGINT))) AS BIGINT)"
+    )
+    sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 3),
+dots AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {dot.format(a="a.embedding", b="b.embedding")} AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+        PARTITION BY src ORDER BY dot DESC, dst) AS rn
+    FROM dots) WHERE rn <= {_NSW_M}),
+edges AS (SELECT src, dst FROM knn
+          UNION SELECT dst AS src, src AS dst FROM knn),
+l1knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+        PARTITION BY src ORDER BY dot DESC, dst) AS rn
+    FROM dots
+    WHERE src % {_HNSW_STRIDE} = 0 AND dst % {_HNSW_STRIDE} = 0)
+  WHERE rn <= {_HNSW_M1}),
+l1edges AS (SELECT src, dst FROM l1knn
+            UNION SELECT dst AS src, src AS dst FROM l1knn),
+l1entry AS (SELECT min(vec_id) AS node FROM embeddings
+            WHERE vec_id % {_HNSW_STRIDE} = 0),
+u0 AS (
+  SELECT query_id, node, {dot.format(a="qv", b="e.embedding")} AS rel
+  FROM q CROSS JOIN l1entry JOIN embeddings e ON e.vec_id = node)"""
+    for i in range(1, _HNSW_H1 + 1):
+        sql += f""",
+uc{i} AS (
+  SELECT query_id, node FROM u{i - 1}
+  UNION
+  SELECT s.query_id, ed.dst AS node
+  FROM u{i - 1} s JOIN l1edges ed ON ed.src = s.node),
+u{i} AS (
+  SELECT query_id, node, rel FROM (
+    SELECT x.*, row_number() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, node) AS rn
+    FROM (SELECT c.query_id, c.node,
+                 {dot.format(a="qv", b="e.embedding")} AS rel
+          FROM uc{i} c
+          JOIN embeddings e ON e.vec_id = c.node
+          JOIN q ON q.query_id = c.query_id) x)
+  WHERE rn <= {_HNSW_W1})"""
+    sql += f""",
+s0 AS (
+  SELECT query_id, node, rel FROM (
+    SELECT query_id, node, rel, row_number() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, node) AS rn
+    FROM u{_HNSW_H1}) WHERE rn = 1)"""
+    for i in range(1, _NSW_H + 1):
+        sql += f""",
+c{i} AS (
+  SELECT query_id, node FROM s{i - 1}
+  UNION
+  SELECT s.query_id, ed.dst AS node
+  FROM s{i - 1} s JOIN edges ed ON ed.src = s.node),
+s{i} AS (
+  SELECT query_id, node, rel FROM (
+    SELECT x.*, row_number() OVER (
+        PARTITION BY query_id ORDER BY rel DESC, node) AS rn
+    FROM (SELECT c.query_id, c.node,
+                 {dot.format(a="qv", b="e.embedding")} AS rel
+          FROM c{i} c
+          JOIN embeddings e ON e.vec_id = c.node
+          JOIN q ON q.query_id = c.query_id) x)
+  WHERE rn <= {_NSW_W})"""
+    sql += f""",
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY {dot.format(a="qv", b="e.embedding")} DESC,
+                        e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id)
+  WHERE rn <= {_NSW_K}),
+fin AS (
+  SELECT query_id, node AS neighbor_id, rel,
+         CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, node) AS INTEGER) AS rank
+  FROM s{_NSW_H} WHERE node <> query_id)
+SELECT f.query_id, f.rank, f.neighbor_id, f.rel,
+       (e.neighbor_id IS NOT NULL) AS in_exact10
+FROM fin f LEFT JOIN exact e
+  ON e.query_id = f.query_id AND e.neighbor_id = f.neighbor_id
+WHERE f.rank <= {_NSW_K}
+ORDER BY 1, 2
+"""
+    return sql
+
+
+ORACLE_HNSW = _hnsw_oracle_sql()
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["emb_mmr_diversify"] = q_emb_mmr_diversify
     oracles["emb_mmr_diversify"] = ORACLE_MMR
@@ -1855,6 +2011,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["ann_filtered_topk"] = ORACLE_ANN_FILTERED
     queries["ann_nsw_topk"] = q_ann_nsw_topk
     oracles["ann_nsw_topk"] = ORACLE_NSW
+    queries["ann_hnsw_topk"] = q_ann_hnsw_topk
+    oracles["ann_hnsw_topk"] = ORACLE_HNSW
     queries["corpus_fim_split"] = q_corpus_fim_split
     oracles["corpus_fim_split"] = ORACLE_FIM_SPLIT
     queries["sql_udf_functions"] = q_sql_udf_functions
