@@ -372,6 +372,7 @@ FULL_SUITE = [
     "corpus_dsir_resample",
     "txlog_check_constraint",
     "txlog_restore_checkpoint",
+    "ann_hnsw_topk",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver
