@@ -139,3 +139,40 @@ def test_nsw_rel_matches_exact_dot(spark, sf_dir):
         .collect()
     )
     assert chk and all(r.rel == r.direct for r in chk)
+
+
+def test_nsw_descent_build_quality(spark, sf_dir):
+    """NN-descent graph at sf0.001: recovers a solid majority of exact
+    kNN edges on random vectors (the adversarial case — see the
+    builder's docstring) and serves a full beam answer."""
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.queries_round4 import (
+        _NSW_K,
+        _nsw_answer,
+        nsw_beam_search,
+        nsw_build_edges,
+        nsw_build_edges_descent,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    exact = nsw_build_edges(emb)
+    desc = nsw_build_edges_descent(emb)
+    ne = exact.count()
+    recovered = exact.join(desc, ["src", "dst"], "left_semi").count()
+    assert recovered / ne >= 0.6, (recovered, ne)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rows = _nsw_answer(
+        nsw_beam_search(emb, desc.localCheckpoint(eager=False), q), emb, q
+    ).collect()
+    assert len(rows) == 3 * _NSW_K
+    # ranks contiguous per query
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, _NSW_K + 1))

@@ -644,6 +644,107 @@ def exp_nswserve(spark) -> dict:
     return {"exp": "nsw_serving_x4", "scales": scales}
 
 
+def exp_nswdescent(spark) -> dict:
+    """NN-descent graph build at 20,000 synthetic vectors — a corpus
+    where the n² exact build is ~100× the sf0.1 one and off the table.
+    Measures: descent build wall (4 rounds, cost ∝ n·(2m)² per round),
+    then beam-search recall@10 for 5 probes against the exact
+    brute-force answer (brute only for those 5 probes — 5·n dots, the
+    verification-sized exception)."""
+    from pyspark.sql import Window
+
+    from db_migration_spark.queries_round4 import (
+        _NSW_K,
+        _fp_dot,
+        nsw_beam_search,
+        nsw_build_edges_descent,
+        nsw_longrange_edges,
+    )
+
+    # clustered vectors (200 centers + 0.25-amplitude noise) — the
+    # regime real embeddings live in; UNIFORM random vectors are the
+    # degenerate ANN case (pairwise dots concentrate, so neighbor
+    # structure barely exists: recall there was 11/50 even at 15 hops,
+    # for descent AND for any index — recorded as the honest negative)
+    n, dim, n_clusters = 20_000, 64, 200
+    cid = F.col("id") % n_clusters
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                (
+                    F.pmod(F.xxhash64(cid * dim + i), F.lit(2001)) - 1000
+                ).cast("double")
+                / 1000.0
+                + (
+                    F.pmod(
+                        F.xxhash64(F.col("id") * dim + i + 7_777_777),
+                        F.lit(2001),
+                    )
+                    - 1000
+                ).cast("double")
+                / 4000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    emb = emb.repartition(32).cache()
+    emb.count()
+    t0 = time.time()
+    edges = nsw_build_edges_descent(
+        emb, seed_planes=10, seed_tables=4
+    ).unionByName(nsw_longrange_edges(emb)).dropDuplicates(["src", "dst"])
+    n_edges = edges.count()
+    build = round(time.time() - t0, 2)
+    path = f"{TMP}/r7_nsw_descent_edges.parquet"
+    edges.write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # hop count scales with graph diameter (~log2 n): 3 hops navigates
+    # a 500-node graph, a 20k-node one needs ~15 to reach the query's
+    # region from the fixed entry — candidates stay beam-bounded per hop
+    t0 = time.time()
+    beam = nsw_beam_search(emb, edges, q, hops=15)
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
+    got = (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _NSW_K)
+        .select("query_id", F.col("node").alias("neighbor_id"))
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
+        )
+    )
+    wx = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), "neighbor_id"
+    )
+    exact = (
+        exact.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= _NSW_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = got.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    search = round(time.time() - t0, 2)
+    emb.unpersist()
+    return {
+        "exp": "nsw_descent_20k",
+        "n_vecs": n,
+        "n_edges": n_edges,
+        "build_sec": build,
+        "search_plus_verify_sec": search,
+        "recall_at_10": f"{hits}/{5 * _NSW_K}",
+    }
+
+
 def _ensure_docs10(spark) -> str:
     """Materialize (once) the 10x replicated+perturbed documents corpus
     shared by the bm25/lsh/dsir x10 experiments."""
@@ -724,6 +825,7 @@ def main() -> None:
         "maxscorezipf": exp_maxscore_zipf,
         "nswserve": exp_nswserve,
         "dsirx10": exp_dsirx10,
+        "nswdescent": exp_nswdescent,
     }
     for name, fn in exps.items():
         if which not in ("all", name):
