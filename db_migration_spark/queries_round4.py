@@ -2179,6 +2179,52 @@ ORDER BY 1, 2
 ORACLE_HNSW = _hnsw_oracle_sql()
 
 
+def q_ann_nsw_descent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR-build graph-ANN tier as a declared acceptance row:
+    NN-descent kNN graph (nsw_build_edges_descent) + md5-seeded
+    small-world long-range links (nsw_longrange_edges), beam-searched
+    exactly like ann_nsw_topk.  The descent iterations and seeded
+    hyperplanes are not SQL-expressible, so — like ann_lsh_topk — the
+    recall CONTRACT is the gate: mean recall@10 vs the in-query exact
+    top-10 must be ≥ 0.5 (measured 0.74 at sf0.001, 0.88 at sf0.01;
+    50/50 at 20k clustered vectors in tools/scale_round7.py).  Every
+    ingredient is deterministic, so the boolean is a fixed property of
+    the fixture, not a flaky check.  This is the variant a 100 TB
+    corpus actually builds — cost ∝ n·(2m)² per descent round — where
+    ann_nsw_topk's exact n² build is the oracle-replayable tier."""
+    from .operators import similarity
+    from .queries import _ann_recall_gate
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    edges = (
+        nsw_build_edges_descent(emb)
+        .unionByName(nsw_longrange_edges(emb))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    beam = nsw_beam_search(emb, edges, q)
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
+    approx = (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _NSW_K)
+        .select("query_id", F.col("node").alias("neighbor_id"))
+    )
+    exact = similarity.brute_force_topk(
+        emb,
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 8
+        ),
+        k=10,
+    ).select("query_id", "neighbor_id")
+    return _ann_recall_gate(approx, exact, bound=0.5)
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["emb_mmr_diversify"] = q_emb_mmr_diversify
     oracles["emb_mmr_diversify"] = ORACLE_MMR
@@ -2188,6 +2234,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["ann_nsw_topk"] = ORACLE_NSW
     queries["ann_hnsw_topk"] = q_ann_hnsw_topk
     oracles["ann_hnsw_topk"] = ORACLE_HNSW
+    from .queries import _ORACLE_ANN_EXACT_HEAD
+
+    queries["ann_nsw_descent_topk"] = q_ann_nsw_descent_topk
+    oracles["ann_nsw_descent_topk"] = _ORACLE_ANN_EXACT_HEAD
     queries["corpus_fim_split"] = q_corpus_fim_split
     oracles["corpus_fim_split"] = ORACLE_FIM_SPLIT
     queries["sql_udf_functions"] = q_sql_udf_functions
