@@ -373,6 +373,7 @@ FULL_SUITE = [
     "txlog_check_constraint",
     "txlog_restore_checkpoint",
     "ann_hnsw_topk",
+    "ann_nsw_descent_topk",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -1456,6 +1456,35 @@ class TxTable:
             "n_constraints int, n_columns int",
         )
 
+    def export_manifest(self, path: str, version: int | None = None) -> list[str]:
+        """Write the pinned LIVE file list at ``version`` (default
+        latest) to a newline-delimited manifest (Delta's GENERATE
+        symlink_format_manifest; Iceberg metadata-table analogue), so
+        engines with no txlog reader can read a CONSISTENT snapshot
+        instead of a half-committed directory listing.  Refuses tables
+        whose logical state is not raw-file-faithful — live deletion
+        vectors or column mapping would make raw parquet reads WRONG,
+        the same restriction Delta documents.  O(groups) metadata;
+        returns the sorted file list."""
+        v = self.latest_version() if version is None else version
+        active, _stats, dvs = self._replay(v) if v >= 0 else ([], {}, [])
+        if dvs:
+            raise ValueError(
+                f"manifest export at v{v} refused: {len(dvs)} live "
+                "deletion vectors — raw parquet readers cannot apply "
+                "them; OPTIMIZE/compact first"
+            )
+        pm = self._physical_map(upto=v)
+        if any(log != phys for log, phys in pm.items()):
+            raise ValueError(
+                f"manifest export at v{v} refused: column mapping is "
+                "active — physical column names differ from logical"
+            )
+        files = sorted(self._gpath(g) for g in active)
+        with open(path, "w") as fh:
+            fh.write("\n".join(files) + ("\n" if files else ""))
+        return files
+
     # -- reads --------------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

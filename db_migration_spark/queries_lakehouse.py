@@ -1155,6 +1155,67 @@ ORDER BY 1
 """
 
 
+def q_txlog_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest EXPORT for external engines (Delta's GENERATE
+    symlink_format_manifest; Iceberg's metadata tables): write the
+    pinned LIVE file list of a txlog table to a plain-text manifest so
+    engines with no txlog reader (Trino external tables, DuckDB
+    read_parquet over a glob) can read a CONSISTENT snapshot — never a
+    half-committed directory listing.  The declared row re-reads the
+    table THROUGH the manifest's raw parquet paths (bypassing the
+    txlog reader entirely) and aggregates; its oracle is the same pure
+    function of ``orders`` the live table equals, so a manifest that
+    leaked a dropped group or missed a live one shifts a sum.
+    ``manifest_consistent`` cross-checks row counts manifest-vs-log.
+    O(groups) metadata; zero data copied.  Valid exactly when the
+    table carries no masking state — this fixture (appends + restore)
+    has no DVs and no column mapping; a manifest export of a table
+    WITH deletion vectors must compact first (the documented contract,
+    same as Delta's)."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    t = _ensure_restore_store(spark, sf_dir)
+    root = _fx(sf_dir, "txlog_restore_checkpoint")
+    man_path = _os.path.join(root, "_manifest.txt")
+    t.export_manifest(man_path)
+    with open(man_path) as fh:
+        listed = [ln.strip() for ln in fh if ln.strip()]
+    raw = spark.read.parquet(*listed)
+    live_n = t.read(spark).count()
+    return (
+        raw.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "status",
+            "n_rows",
+            "sum_cents",
+            (
+                F.sum("n_rows").over(Window.partitionBy())
+                == F.lit(live_n)
+            ).alias("manifest_consistent"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_EXPORT_MANIFEST = """
+SELECT o_orderstatus AS status,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       TRUE AS manifest_consistent
+FROM orders
+WHERE o_orderkey % 4 IN (0, 1, 3)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def _ensure_replace_where_store(spark: SparkSession, sf_dir: str) -> TxTable:
     """Events ingested once, then the ``click`` slice atomically
     REPLACEd with a doubled-cents backfill via ``replace_where`` — the
@@ -2387,6 +2448,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["txlog_check_constraint"] = ORACLE_CHECK_CONSTRAINT
     queries["txlog_restore_checkpoint"] = q_txlog_restore_checkpoint
     oracles["txlog_restore_checkpoint"] = ORACLE_RESTORE
+    queries["txlog_export_manifest"] = q_txlog_export_manifest
+    oracles["txlog_export_manifest"] = ORACLE_EXPORT_MANIFEST
     queries["stream_partitioned_sink"] = q_stream_partitioned_sink
     oracles["stream_partitioned_sink"] = ORACLE_STREAM_PARTITIONED
     queries["txlog_bloom_lookup"] = q_txlog_bloom_lookup

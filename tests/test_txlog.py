@@ -876,3 +876,39 @@ def test_concurrent_overlapping_updates_serialize(spark, tmp_path):
         expect = k * 2 + (1200 if k % 3 == 0 else 0)
         assert got[k] == expect, f"lost update at k={k}"
     assert t.latest_version() == 2
+
+
+def test_export_manifest_and_refusals(spark, tmp_path):
+    """Manifest export: consistent pinned file list; refuses live DVs
+    and active column mapping (raw readers would be wrong)."""
+    import pytest as _pytest
+
+    from db_migration_spark.plans.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.commit_append(df)
+    t.commit_append(df.withColumn("k", F.col("k") + 100))
+    man = str(tmp_path / "manifest.txt")
+    files = t.export_manifest(man)
+    assert len(files) == 2
+    raw = spark.read.parquet(*files)
+    assert raw.count() == t.read(spark).count() == 20
+    # time-travel manifest pins the OLD file set
+    files_v0 = t.export_manifest(str(tmp_path / "m0.txt"), version=0)
+    assert len(files_v0) == 1
+    assert spark.read.parquet(*files_v0).count() == 10
+
+    # live DV -> refuse
+    t.delete_where(spark, F.col("k") == 3)
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        t.export_manifest(str(tmp_path / "m_dv.txt"))
+
+    # column mapping -> refuse (fresh table, rename)
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.commit_append(df)
+    t2.alter_rename_column(spark, "v", "val")
+    with _pytest.raises(ValueError, match="column mapping"):
+        t2.export_manifest(str(tmp_path / "m_cm.txt"))
