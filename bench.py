@@ -374,6 +374,7 @@ FULL_SUITE = [
     "txlog_restore_checkpoint",
     "ann_hnsw_topk",
     "ann_nsw_descent_topk",
+    "txlog_export_manifest",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver
