@@ -111,7 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column aliases).
 
-    Every registry entry has an oracle (417/417).  Sketch/approximate
+    Every registry entry has an oracle (416/416).  Sketch/approximate
     queries (minhash, simhash, LSH/IVF/PQ ANN, HLL distinct, GK
     quantiles) gate on deterministic acceptance rows: exact-side counts
     the oracle recomputes in SQL plus error/recall-bound booleans the
