@@ -963,6 +963,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "fit":
             if not (args.target and args.output):
                 raise SystemExit("fit requires --target and --output")
+            if args.stats or args.gumbel:
+                raise SystemExit(
+                    "--stats/--gumbel are select-only flags; "
+                    "fit ignores nothing silently"
+                )
             stats = dsir_bucket_stats(occ, F.expr(args.target))
             stats.write.mode("overwrite").parquet(args.output)
             with open(
@@ -989,8 +994,15 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.stats:
             meta_path = os.path.join(args.stats, "_dsir_meta.json")
-            with open(meta_path) as fh:
-                meta = json.load(fh)
+            try:
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            except (OSError, ValueError) as e:
+                raise SystemExit(
+                    f"--stats {args.stats} has no readable "
+                    f"_dsir_meta.json ({e}); point --stats at a "
+                    "directory produced by `dsir --action fit`"
+                ) from e
             if meta["buckets"] != DSIR_BUCKETS:
                 raise SystemExit(
                     f"stats fitted at {meta['buckets']} buckets; this "
@@ -1008,7 +1020,12 @@ def main(argv: list[str] | None = None) -> int:
             order_col = "key_micro"
         top = w.orderBy(F.desc(order_col), "doc_id").limit(args.top)
         if args.output:
+            # write once, read the selection back — never execute the
+            # full scoring DAG twice
             top.write.mode("overwrite").parquet(args.output)
+            top = spark.read.parquet(args.output).orderBy(
+                F.desc(order_col), "doc_id"
+            )
         rows = [r.asDict() for r in top.collect()]
         print(
             json.dumps(

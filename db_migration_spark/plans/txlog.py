@@ -1466,8 +1466,19 @@ class TxTable:
         vectors or column mapping would make raw parquet reads WRONG,
         the same restriction Delta documents.  O(groups) metadata;
         returns the sorted file list."""
-        v = self.latest_version() if version is None else version
-        active, _stats, dvs = self._replay(v) if v >= 0 else ([], {}, [])
+        head = self.latest_version()
+        v = head if version is None else version
+        if v < 0 or v > head:
+            raise ValueError(
+                f"manifest export refused: version {v} does not exist "
+                f"(table head is v{head})"
+            )
+        active, _stats, dvs = self._replay(v)
+        if not active:
+            raise ValueError(
+                f"manifest export at v{v} refused: table has no live "
+                "data files — an empty manifest would crash raw readers"
+            )
         if dvs:
             raise ValueError(
                 f"manifest export at v{v} refused: {len(dvs)} live "

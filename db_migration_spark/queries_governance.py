@@ -175,8 +175,9 @@ d AS (
          CAST(max(2 * n_g * n_tot) AS BIGINT) AS d_den
   FROM (SELECT grp.nk, grp.bal, grp.n_g, gl.seg, gl.cv, tot.n_tot
         FROM grp CROSS JOIN gl CROSS JOIN tot) fx
-  LEFT JOIN gv ON gv.nk = fx.nk AND gv.bal = fx.bal
-             AND gv.seg = fx.seg
+  LEFT JOIN gv ON gv.nk IS NOT DISTINCT FROM fx.nk
+             AND gv.bal IS NOT DISTINCT FROM fx.bal
+             AND gv.seg IS NOT DISTINCT FROM fx.seg
   GROUP BY 1, 2
 )
 SELECT {_T_DEN} * d_num <= {_T_NUM} * d_den AS meets_t,

@@ -1137,7 +1137,11 @@ def q_txlog_restore_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.sum("cents").alias("cents_pre_restore"))
     )
-    return live.join(pre, "status").orderBy("status")
+    # LEFT join: the row set is exactly the LIVE statuses (a status
+    # restored away entirely keeps no live row; one present only in
+    # the post-restore append has a NULL pre-restore sum) — mirrored
+    # by the oracle's HAVING over the live slice
+    return live.join(pre, "status", "left").orderBy("status")
 
 
 ORACLE_RESTORE = """
@@ -1151,6 +1155,7 @@ SELECT o_orderstatus AS status,
             AS BIGINT) AS cents_pre_restore
 FROM orders
 GROUP BY 1
+HAVING count(CASE WHEN o_orderkey % 4 IN (0, 1, 3) THEN 1 END) > 0
 ORDER BY 1
 """
 

@@ -1626,6 +1626,33 @@ ORDER BY query_id, rank
 _NSW_M, _NSW_W, _NSW_H, _NSW_K = 8, 16, 3, 10
 
 
+def _topm_edges(dots: DataFrame, m: int) -> DataFrame:
+    """Per-src top-``m`` of a scored (src, dst, dot) frame with id
+    tie-breaks — the ONE ranking every graph builder uses."""
+    wk = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+    return (
+        dots.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= m)
+        .select("src", "dst")
+    )
+
+
+def _symmetrize(knn: DataFrame) -> DataFrame:
+    """Undirect a (src, dst) adjacency — the ONE edge-set closure."""
+    return knn.unionByName(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+
+
+def _score_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact fixed-point dot for each (src, dst) candidate pair."""
+    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    return cand.join(ea, "src").join(eb, "dst").select(
+        "src", "dst", _fp_dot(F.col("va"), F.col("vb")).alias("dot")
+    )
+
+
 def nsw_build_edges(emb: DataFrame, m: int = _NSW_M) -> DataFrame:
     """Symmetrized exact top-``m`` kNN adjacency (the offline graph
     build).  ONE definition shared by the declared queries (NSW layer
@@ -1644,15 +1671,7 @@ def nsw_build_edges(emb: DataFrame, m: int = _NSW_M) -> DataFrame:
             ),
         )
     )
-    wk = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
-    knn = (
-        dots.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= m)
-        .select("src", "dst")
-    )
-    return knn.unionByName(
-        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates(["src", "dst"])
+    return _symmetrize(_topm_edges(dots, m))
 
 
 def nsw_build_edges_lsh(
@@ -1674,6 +1693,17 @@ def nsw_build_edges_lsh(
     neighbor missed by every table drops its edge (recall is tuned by
     num_tables; the graph stays navigable because symmetrization and
     the beam's breadth tolerate missing edges)."""
+    return _symmetrize(
+        _topm_edges(_lsh_candidate_dots(emb, dim, num_planes, num_tables), m)
+    )
+
+
+def _lsh_candidate_dots(
+    emb: DataFrame, dim: int, num_planes: int, num_tables: int
+) -> DataFrame:
+    """Scored (src, dst, dot) candidates from sign-LSH bucket
+    collisions — shared by the LSH build and the descent SEED (which
+    ranks these scored pairs directly instead of rescoring them)."""
     from .operators.similarity import lsh_bucket
 
     tabs = [
@@ -1700,20 +1730,7 @@ def nsw_build_edges_lsh(
         )
         .dropDuplicates(["src", "dst"])
     )
-    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
-    dots = cand.join(ea, "src").join(eb, "dst").select(
-        "src", "dst", _fp_dot(F.col("va"), F.col("vb")).alias("dot")
-    )
-    wk = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
-    knn = (
-        dots.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= m)
-        .select("src", "dst")
-    )
-    return knn.unionByName(
-        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates(["src", "dst"])
+    return _score_pairs(emb, cand)
 
 
 def nsw_build_edges_descent(
@@ -1748,30 +1765,12 @@ def nsw_build_edges_descent(
     oracle replays bit-for-bit, and this builder is the documented,
     unit-tested linear-cost path for corpora where n² is not an
     option."""
-    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
-
-    def top_m(cand: DataFrame) -> DataFrame:
-        dots = cand.join(ea, "src").join(eb, "dst").select(
-            "src", "dst", _fp_dot(F.col("va"), F.col("vb")).alias("dot")
-        )
-        wk = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
-        return (
-            dots.withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= m)
-            .select("src", "dst")
-        )
-
-    knn = top_m(
-        nsw_build_edges_lsh(
-            emb, dim=dim, m=m, num_planes=seed_planes,
-            num_tables=seed_tables,
-        )
+    # seed ranks the LSH-scored candidates DIRECTLY (no rescoring pass)
+    knn = _topm_edges(
+        _lsh_candidate_dots(emb, dim, seed_planes, seed_tables), m
     ).localCheckpoint(eager=False)
     for _ in range(iters):
-        sym = knn.unionByName(
-            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).dropDuplicates(["src", "dst"])
+        sym = _symmetrize(knn)
         x, y = sym.alias("x"), sym.alias("y")
         cand = (
             x.join(y, F.col("x.dst") == F.col("y.src"))
@@ -1782,10 +1781,10 @@ def nsw_build_edges_descent(
             .unionByName(knn)
             .dropDuplicates(["src", "dst"])
         )
-        knn = top_m(cand).localCheckpoint(eager=False)
-    return knn.unionByName(
-        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates(["src", "dst"])
+        knn = _topm_edges(_score_pairs(emb, cand), m).localCheckpoint(
+            eager=False
+        )
+    return _symmetrize(knn)
 
 
 def nsw_longrange_edges(emb: DataFrame, links: int = 4) -> DataFrame:
@@ -2192,7 +2191,6 @@ def q_ann_nsw_descent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture, not a flaky check.  This is the variant a 100 TB
     corpus actually builds — cost ∝ n·(2m)² per descent round — where
     ann_nsw_topk's exact n² build is the oracle-replayable tier."""
-    from .operators import similarity
     from .queries import _ann_recall_gate
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -2215,13 +2213,26 @@ def q_ann_nsw_descent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _NSW_K)
         .select("query_id", F.col("node").alias("neighbor_id"))
     )
-    exact = similarity.brute_force_topk(
-        emb,
-        load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id") < 8
-        ),
-        k=10,
-    ).select("query_id", "neighbor_id")
+    # exact side ranked by the SAME fixed-point dot the beam ranks by
+    # (metric-consistent recall; brute_force_topk's float cosine would
+    # make the gate compare two different metrics on non-unit vectors)
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _fp_dot(F.col("qv"), F.col("embedding")).alias("xrel"),
+        )
+    )
+    wx = Window.partitionBy("query_id").orderBy(
+        F.desc("xrel"), "neighbor_id"
+    )
+    exact = (
+        exact.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= _NSW_K)
+        .select("query_id", "neighbor_id")
+    )
     return _ann_recall_gate(approx, exact, bound=0.5)
 
 

@@ -1067,9 +1067,13 @@ def q_stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def feature_psi(df: DataFrame, feat_name: str, bin_col) -> DataFrame:
+        # NULL feature values are ONE bin, named explicitly so the
+        # cross-engine sort/compare never depends on NULL ordering
         binned = df.select(
             F.lit(feat_name).alias("feature"),
-            bin_col.cast("string").alias("bin"),
+            F.coalesce(bin_col.cast("string"), F.lit("(null)")).alias(
+                "bin"
+            ),
             "is_ref",
         )
         stats = binned.groupBy("feature", "bin").agg(
@@ -1125,18 +1129,25 @@ stats_{src} AS (
   FROM {src} GROUP BY 1, 2
 ),
 psi_{src} AS (
-  SELECT feature, bin, ref_n - 1 AS ref_n, cur_n - 1 AS cur_n,
-         CAST(floor(1e9 *
-             (cur_n::DOUBLE / cur_tot::DOUBLE
-              - ref_n::DOUBLE / ref_tot::DOUBLE)
-             * ln((cur_n::DOUBLE * ref_tot::DOUBLE)
-                  / (ref_n::DOUBLE * cur_tot::DOUBLE))
-             + 0.5) AS BIGINT) AS term_nano
-  FROM stats_{src} CROSS JOIN (
-    SELECT CAST(sum(ref_n) AS BIGINT) AS ref_tot,
-           CAST(sum(cur_n) AS BIGINT) AS cur_tot
-    FROM stats_{src}
-  ) t
+  -- inner scope computes the term from the SMOOTHED columns; the
+  -- outer scope renames to the raw counts, so no output alias ever
+  -- shadows a column the term expression reads (lateral-alias
+  -- precedence differs between engines)
+  SELECT feature, bin, ref_s - 1 AS ref_n, cur_s - 1 AS cur_n, term_nano
+  FROM (
+    SELECT feature, bin, ref_n AS ref_s, cur_n AS cur_s,
+           CAST(floor(1e9 *
+               (cur_n::DOUBLE / cur_tot::DOUBLE
+                - ref_n::DOUBLE / ref_tot::DOUBLE)
+               * ln((cur_n::DOUBLE * ref_tot::DOUBLE)
+                    / (ref_n::DOUBLE * cur_tot::DOUBLE))
+               + 0.5) AS BIGINT) AS term_nano
+    FROM stats_{src} CROSS JOIN (
+      SELECT CAST(sum(ref_n) AS BIGINT) AS ref_tot,
+             CAST(sum(cur_n) AS BIGINT) AS cur_tot
+      FROM stats_{src}
+    ) t
+  )
 )
 """
 
@@ -1146,11 +1157,14 @@ WITH base AS (
   SELECT doc_id, lang, n_chars, doc_id % 2 = 0 AS is_ref FROM documents
 ),
 langf AS (
-  SELECT 'lang' AS feature, CAST(lang AS VARCHAR) AS bin, is_ref FROM base
+  SELECT 'lang' AS feature,
+         coalesce(CAST(lang AS VARCHAR), '(null)') AS bin, is_ref
+  FROM base
 ),
 lenf AS (
   SELECT 'len500' AS feature,
-         CAST(CAST(floor(n_chars / 500) AS BIGINT) AS VARCHAR) AS bin,
+         coalesce(CAST(CAST(floor(n_chars / 500) AS BIGINT) AS VARCHAR),
+                  '(null)') AS bin,
          is_ref
   FROM base
 ),

@@ -341,9 +341,14 @@ def test_branch_racing_soak(spark, tmp_path):
             c = TxCatalog(root)
             m = c.table(f"m{wid}")
             for t in range(4):
+                # append ONCE; retry only the catalog pin — a retried
+                # append would duplicate the row inside the table's own
+                # lineage and corrupt the exactly-once audit (each
+                # writer owns its table, so the pinned version can
+                # never regress another writer's)
+                v = m.commit_append(_df(spark, [wid * 100 + t]))
                 for _ in range(120):
                     base = c.latest_version()
-                    v = m.commit_append(_df(spark, [wid * 100 + t]))
                     try:
                         c.commit({f"m{wid}": v}, based_on=base)
                         break
@@ -368,9 +373,9 @@ def test_branch_racing_soak(spark, tmp_path):
                 raise RuntimeError("create_branch starved")
             tb = c.table(f"t{bid}")
             for t in range(4):
+                v = tb.commit_append(_df(spark, [bid * 1000 + t]))
                 for _ in range(120):
                     base = br.latest_version()
-                    v = tb.commit_append(_df(spark, [bid * 1000 + t]))
                     try:
                         br.commit({f"t{bid}": v}, based_on=base)
                         break
