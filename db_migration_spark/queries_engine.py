@@ -394,6 +394,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["eav_db_filter"] = ORACLE_DB_FILTER
     queries["corpus_e2e_pipeline"] = q_corpus_e2e_pipeline
     oracles["corpus_e2e_pipeline"] = ORACLE_CORPUS_E2E
+    queries["corpus_survival_funnel"] = q_corpus_survival_funnel
+    oracles["corpus_survival_funnel"] = ORACLE_SURVIVAL_FUNNEL
     queries["sql_pipe_syntax"] = q_sql_pipe_syntax
     oracles["sql_pipe_syntax"] = ORACLE_PIPE
     queries["sql_collation_group"] = q_sql_collation_group
@@ -794,6 +796,105 @@ FROM visible GROUP BY a
 # ---------------------------------------------------------------------------
 
 
+def _corpus_gated(docs: DataFrame) -> DataFrame:
+    """The quality-gate stage (length band + max word-repetition
+    ratio) with the normalized-content fingerprint — ONE definition
+    shared by the e2e pipeline and the survival funnel so the two
+    cannot drift."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(norm).alias("fp"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    ).filter(
+        (F.col("n_chars") >= 120)
+        & (F.col("n_chars") <= 1600)
+        & (F.col("n_uniq") * 4 >= F.col("n_toks"))
+    )
+
+
+def q_corpus_survival_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: the per-SOURCE survival funnel
+    (raw → quality-gated → dedup survivors) every training-data
+    pipeline reports before a mixture decision — a source whose
+    retention collapses at one stage is how crawl regressions and
+    licensing over-filters get caught.  Stage definitions are the
+    SHARED _corpus_gated frame (so the funnel can never disagree with
+    corpus_e2e_pipeline about what 'gated' means); survivor
+    attribution is the keep-first winner's source.  kept_ppm is an
+    exact integer (floor of the million-scaled ratio).  Plan: three
+    map-side-combinable aggregates on the source dim joined on a
+    ≤|sources| frame — one corpus scan per stage tier, no shuffles
+    beyond the bounded dim."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    g = _corpus_gated(docs)
+    gated = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_gated"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_survivors"))
+    )
+    return (
+        raw.join(gated, "source", "left")
+        .join(surv, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce(F.col("n_gated"), F.lit(0)).alias("n_gated"),
+            F.coalesce(F.col("n_survivors"), F.lit(0)).alias(
+                "n_survivors"
+            ),
+            F.floor(
+                F.coalesce(F.col("n_survivors"), F.lit(0))
+                * F.lit(1000000.0)
+                / F.col("n_raw")
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SURVIVAL_FUNNEL = r"""
+WITH g AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n_toks,
+         len(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> ''))) AS n_uniq,
+         n_chars
+  FROM documents
+), gated AS (
+  SELECT * FROM g
+  WHERE n_chars >= 120 AND n_chars <= 1600 AND n_uniq * 4 >= n_toks
+), surv AS (
+  SELECT source FROM (
+    SELECT source, row_number() OVER (
+        PARTITION BY fp ORDER BY doc_id) AS rk
+    FROM gated) WHERE rk = 1
+), raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY 1),
+ga AS (SELECT source, count(*) AS n_gated FROM gated GROUP BY 1),
+sa AS (SELECT source, count(*) AS n_survivors FROM surv GROUP BY 1)
+SELECT r.source, r.n_raw,
+       coalesce(ga.n_gated, 0) AS n_gated,
+       coalesce(sa.n_survivors, 0) AS n_survivors,
+       CAST(floor(coalesce(sa.n_survivors, 0) * 1000000.0 / r.n_raw)
+            AS BIGINT) AS kept_ppm
+FROM raw r
+LEFT JOIN ga ON ga.source = r.source
+LEFT JOIN sa ON sa.source = r.source
+ORDER BY r.source
+"""
+
+
 def q_corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production corpus chain COMPOSED end-to-end in one plan:
     quality gate (length band + max word-repetition ratio) → exact
@@ -804,18 +905,7 @@ def q_corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     they COMPOSE — one Catalyst plan, no materialization between
     stages, and the oracle replays the identical four-stage SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
-    gated = docs.select(
-        "doc_id", "lang", "n_chars",
-        F.md5(norm).alias("fp"),
-        F.size(toks).alias("n_toks"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
-    ).filter(
-        (F.col("n_chars") >= 120)
-        & (F.col("n_chars") <= 1600)
-        & (F.col("n_uniq") * 4 >= F.col("n_toks"))
-    )
+    gated = _corpus_gated(docs)
     w = Window.partitionBy("fp").orderBy("doc_id")
     deduped = (
         gated.withColumn("rk", F.row_number().over(w))
