@@ -375,6 +375,7 @@ FULL_SUITE = [
     "ann_hnsw_topk",
     "ann_nsw_descent_topk",
     "txlog_export_manifest",
+    "corpus_survival_funnel",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver
