@@ -44,3 +44,25 @@ def test_oracles_subset_of_queries():
 
     stray = set(ORACLES) - set(QUERIES)
     assert not stray, f"oracle keys without queries: {stray}"
+
+
+def test_bench_suite_names_resolve():
+    """Every bench HEADLINE / FULL_SUITE name must be a registry key —
+    a renamed or dropped query must fail here, not at bench time."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_module"] = mod
+    spec.loader.exec_module(mod)
+    from db_migration_spark.queries import QUERIES
+
+    missing_h = [n for n in mod.HEADLINE if n not in QUERIES]
+    missing_f = [n for n in mod.FULL_SUITE if n not in QUERIES]
+    assert not missing_h, missing_h
+    assert not missing_f, missing_f
+    assert len(set(mod.FULL_SUITE)) == len(mod.FULL_SUITE)
+    assert len(set(mod.HEADLINE)) == len(mod.HEADLINE)
