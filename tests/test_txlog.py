@@ -912,3 +912,26 @@ def test_export_manifest_and_refusals(spark, tmp_path):
     t2.alter_rename_column(spark, "v", "val")
     with _pytest.raises(ValueError, match="column mapping"):
         t2.export_manifest(str(tmp_path / "m_cm.txt"))
+
+
+def test_export_manifest_partitioned_table(spark, tmp_path):
+    """Manifest export covers partitioned group layouts: the file list
+    spans every partition's groups and raw reads reconstruct the table
+    (partition columns are stored in-file, so raw readers see them)."""
+    from db_migration_spark.plans.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "p"))
+    df = spark.range(40).select(
+        (F.col("id") % 4).cast("string").alias("tag"),
+        F.col("id").alias("v"),
+    )
+    t.commit_append_partitioned(df, "tag")
+    files = t.export_manifest(str(tmp_path / "m.txt"))
+    assert len(files) >= 4  # at least one group per partition
+    raw = spark.read.parquet(*files)
+    assert raw.count() == 40
+    got = {
+        (r.tag, r.n) for r in raw.groupBy("tag").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got == {("0", 10), ("1", 10), ("2", 10), ("3", 10)}
