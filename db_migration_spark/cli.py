@@ -992,6 +992,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 0
+        if args.stats and args.target:
+            # mirror the fit branch's strictness: nothing is ignored
+            # silently — a caller passing both has two conflicting
+            # sources for the target distribution
+            raise SystemExit(
+                "select takes --stats OR --target, not both: --stats "
+                "replays a fitted distribution, --target fits one now"
+            )
         if args.stats:
             meta_path = os.path.join(args.stats, "_dsir_meta.json")
             try:

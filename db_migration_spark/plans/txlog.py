@@ -1492,8 +1492,13 @@ class TxTable:
                 "active — physical column names differ from logical"
             )
         files = sorted(self._gpath(g) for g in active)
-        with open(path, "w") as fh:
+        # atomic publish: a concurrent external reader must see either
+        # the old manifest or the new one, never a truncated write —
+        # the same temp+rename protocol the commit log itself uses
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
             fh.write("\n".join(files) + ("\n" if files else ""))
+        os.replace(tmp, path)
         return files
 
     # -- reads --------------------------------------------------------------

@@ -204,7 +204,12 @@ def _ensure_stream_dsir_mv(spark: SparkSession, sf_dir: str):
         q.stop()
         raise RuntimeError("dsir mv stream drain did not finish")
     before = t.latest_version()
-    replay = load_table(spark, sf_dir, "documents").limit(50)
+    # deterministic replay slice (limit() is an arbitrary subset) so a
+    # dedup regression corrupts reproducibly — and rmtree on failure so
+    # a failed gate never leaves a poisoned half-built fixture
+    replay = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    )
 
     def clobber(current):
         return dsir_bucket_stats(
@@ -213,6 +218,7 @@ def _ensure_stream_dsir_mv(spark: SparkSession, sf_dir: str):
 
     t.merge(spark, clobber, txn=("dsir_mv", 0))
     if t.latest_version() != before:
+        shutil.rmtree(root, ignore_errors=True)
         raise RuntimeError("replayed batch must not commit (txn dedup broke)")
     with open(done, "w"):
         pass

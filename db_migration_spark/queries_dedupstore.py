@@ -321,13 +321,16 @@ def q_stream_dedup_lsh_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         # adversarial replay: batch 0's identity is already in the log —
         # the commit must be a version no-op, or exactly-once is broken
         before = t.latest_version()
+        # deterministic replay slice + rmtree-on-failure: if txn dedup
+        # ever regresses, the fixture is not left half-poisoned
         refresh(
             load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .limit(50),
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "text"),
             0,
         )
         if t.latest_version() != before:
+            shutil.rmtree(root, ignore_errors=True)
             raise RuntimeError("replayed batch 0 was not idempotent")
         with open(done, "w"):
             pass

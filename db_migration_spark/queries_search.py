@@ -597,14 +597,19 @@ def _ensure_stream_postings_mv(spark: SparkSession, sf_dir: str):
         q.stop()
         raise RuntimeError("postings mv stream drain did not finish")
     before = {k: TxTable(p).latest_version() for k, p in paths.items()}
+    # replay a DETERMINISTIC slice (limit() is an arbitrary subset):
+    # txn dedup must skip it, and if dedup ever regresses the damage
+    # is at least reproducible — and the rmtree below guarantees a
+    # failed gate never leaves a poisoned half-built fixture behind
     refresh(
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .limit(50),
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text"),
         0,
     )
     after = {k: TxTable(p).latest_version() for k, p in paths.items()}
     if before != after:
+        shutil.rmtree(root, ignore_errors=True)
         raise RuntimeError(
             f"replayed batch 0 must no-op all three tables: {before} {after}"
         )

@@ -397,8 +397,8 @@ def _ensure_stream_hll_mv(spark: SparkSession, sf_dir: str):
     before = t.latest_version()
     replay = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)  # deterministic replay slice
         .select("event_type", "user_id")
-        .limit(500)
     )
 
     def clobber(current):
@@ -406,6 +406,7 @@ def _ensure_stream_hll_mv(spark: SparkSession, sf_dir: str):
 
     t.merge(spark, clobber, txn=("hll_mv", 0))
     if t.latest_version() != before:  # not an assert: -O must not strip it
+        shutil.rmtree(root, ignore_errors=True)
         raise RuntimeError("replayed batch must not commit (txn dedup broke)")
     with open(done, "w"):
         pass
@@ -866,8 +867,8 @@ def _ensure_stream_theta_mv(spark: SparkSession, sf_dir: str):
     before = t.latest_version()
     replay = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)  # deterministic replay slice
         .select("event_type", "user_id")
-        .limit(500)
     )
 
     def clobber(current):
@@ -877,6 +878,7 @@ def _ensure_stream_theta_mv(spark: SparkSession, sf_dir: str):
 
     t.merge(spark, clobber, txn=("theta_mv", 0))
     if t.latest_version() != before:  # not an assert: -O must not strip it
+        shutil.rmtree(root, ignore_errors=True)
         raise RuntimeError("replayed batch must not commit (txn dedup broke)")
     with open(done, "w"):
         pass
@@ -1212,7 +1214,9 @@ def _ensure_stream_quantile_mv(spark: SparkSession, sf_dir: str):
         raise RuntimeError("quantile mv stream drain did not finish")
     before = t.latest_version()
     replay = _cents(
-        load_table(spark, sf_dir, "events").limit(500)
+        load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") < 500  # deterministic replay slice
+        )
     )
 
     def clobber(current):
@@ -1222,6 +1226,7 @@ def _ensure_stream_quantile_mv(spark: SparkSession, sf_dir: str):
 
     t.merge(spark, clobber, txn=("qsk_mv", 0))
     if t.latest_version() != before:  # not an assert: -O must not strip it
+        shutil.rmtree(root, ignore_errors=True)
         raise RuntimeError("replayed batch must not commit (txn dedup broke)")
     with open(done, "w"):
         pass
@@ -1631,10 +1636,10 @@ def _ensure_stream_priority_mv(spark: SparkSession, sf_dir: str):
     before = t.latest_version()
     replay = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)  # deterministic replay slice
         .select(
             F.col("event_type").alias("seg"), "event_id", "value"
         )
-        .limit(500)
     )
 
     def clobber(current):
@@ -1644,6 +1649,7 @@ def _ensure_stream_priority_mv(spark: SparkSession, sf_dir: str):
 
     t.merge(spark, clobber, txn=("priority_mv", 0))
     if t.latest_version() != before:  # not an assert: -O must not strip it
+        shutil.rmtree(root, ignore_errors=True)
         raise RuntimeError("replayed batch must not commit (txn dedup broke)")
     with open(done, "w"):
         pass
@@ -1812,10 +1818,10 @@ def _ensure_stream_bottomk_mv(spark: SparkSession, sf_dir: str):
     before = t.latest_version()
     replay = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)  # deterministic replay slice
         .select(
             F.col("event_type").alias("seg"), "event_id", cents.alias("cents")
         )
-        .limit(500)
     )
 
     def clobber(current):
@@ -1825,6 +1831,7 @@ def _ensure_stream_bottomk_mv(spark: SparkSession, sf_dir: str):
 
     t.merge(spark, clobber, txn=("bottomk_mv", 0))
     if t.latest_version() != before:  # not an assert: -O must not strip it
+        shutil.rmtree(root, ignore_errors=True)
         raise RuntimeError("replayed batch must not commit (txn dedup broke)")
     with open(done, "w"):
         pass
