@@ -1376,28 +1376,12 @@ GROUP BY lang
 
 _MMR_CANDS = 12  # per-query candidate pool (top by relevance)
 _MMR_K = 5  # selected set size
-_MMR_SCALE = 16777216.0  # 2^24 — exact power-of-two fixed-point scale
-# integer trade-off weights: score = rel − max_sim_to_selected — the
-# canonical λ=0.5 MMR balance (Carbonell & Goldstein's default)
+from .operators.similarity import FP_SCALE as _MMR_SCALE  # noqa: E402
+from .operators.similarity import fp_dot as _fp_dot  # noqa: E402
+
+# integer trade-off weights: score = rel - max_sim_to_selected — the
+# canonical lambda=0.5 MMR balance (Carbonell & Goldstein's default)
 _MMR_LAM, _MMR_MU = 1, 1
-
-
-def _fp_dot(a, b):
-    """Fixed-point inner product: each element product is quantized to
-    a BIGINT (floor(x·y·2^24 + 0.5) of the identical IEEE doubles), so
-    the SUM is an associative integer — bit-identical in any engine at
-    any fold order, unlike a float dot product."""
-    prod = F.zip_with(
-        a,
-        b,
-        lambda x, y: F.floor(
-            x.cast("double") * y.cast("double") * F.lit(_MMR_SCALE)
-            + F.lit(0.5)
-        ).cast("long"),
-    )
-    return F.aggregate(
-        prod, F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
 
 
 def q_emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,274 +1606,20 @@ ORDER BY query_id, rank
 """
 
 
-# NSW graph-search parameters: M out-degree, W beam width, H hops, K answer
-_NSW_M, _NSW_W, _NSW_H, _NSW_K = 8, 16, 3, 10
-
-
-def _topm_edges(dots: DataFrame, m: int) -> DataFrame:
-    """Per-src top-``m`` of a scored (src, dst, dot) frame with id
-    tie-breaks — the ONE ranking every graph builder uses."""
-    wk = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
-    return (
-        dots.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= m)
-        .select("src", "dst")
-    )
-
-
-def _symmetrize(knn: DataFrame) -> DataFrame:
-    """Undirect a (src, dst) adjacency — the ONE edge-set closure."""
-    return knn.unionByName(
-        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates(["src", "dst"])
-
-
-def _score_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact fixed-point dot for each (src, dst) candidate pair."""
-    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
-    return cand.join(ea, "src").join(eb, "dst").select(
-        "src", "dst", _fp_dot(F.col("va"), F.col("vb")).alias("dot")
-    )
-
-
-def nsw_build_edges(emb: DataFrame, m: int = _NSW_M) -> DataFrame:
-    """Symmetrized exact top-``m`` kNN adjacency (the offline graph
-    build).  ONE definition shared by the declared queries (NSW layer
-    0, HNSW upper layer) and the scale tool — the serving-flatness
-    evidence must measure the algorithm under the oracle gate, not a
-    copy that can drift (the bm25_contrib rule)."""
-    a, b = emb.alias("a"), emb.alias("b")
-    dots = (
-        a.crossJoin(b)
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            _fp_dot(F.col("a.embedding"), F.col("b.embedding")).alias(
-                "dot"
-            ),
-        )
-    )
-    return _symmetrize(_topm_edges(dots, m))
-
-
-def nsw_build_edges_lsh(
-    emb: DataFrame,
-    dim: int,
-    m: int = _NSW_M,
-    num_planes: int = 8,
-    num_tables: int = 6,
-) -> DataFrame:
-    """Scale tier of :func:`nsw_build_edges`: candidate pairs come from
-    sign-LSH bucket collisions (OR-construction over ``num_tables``
-    hash tables — operators/similarity.lsh_bucket, the same seeded
-    hyperplanes dedup_embedding_cosine blocks with), then the exact
-    fixed-point dot rescores candidates and keeps the per-src top-m,
-    symmetrized.  Build cost is ∝ collision pairs (tunable via
-    ``num_planes`` — buckets double per plane), never corpus²; the
-    output has the same SHAPE as the exact build, so nsw_beam_search
-    serves it unchanged.  Approximate by construction: a true
-    neighbor missed by every table drops its edge (recall is tuned by
-    num_tables; the graph stays navigable because symmetrization and
-    the beam's breadth tolerate missing edges)."""
-    return _symmetrize(
-        _topm_edges(_lsh_candidate_dots(emb, dim, num_planes, num_tables), m)
-    )
-
-
-def _lsh_candidate_dots(
-    emb: DataFrame, dim: int, num_planes: int, num_tables: int
-) -> DataFrame:
-    """Scored (src, dst, dot) candidates from sign-LSH bucket
-    collisions — shared by the LSH build and the descent SEED (which
-    ranks these scored pairs directly instead of rescoring them)."""
-    from .operators.similarity import lsh_bucket
-
-    tabs = [
-        emb.select(
-            "vec_id",
-            F.lit(t).alias("tbl"),
-            lsh_bucket("embedding", dim, num_planes, t).alias("bkt"),
-        )
-        for t in range(num_tables)
-    ]
-    bk = tabs[0]
-    for t in tabs[1:]:
-        bk = bk.unionByName(t)
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
-        )
-        .dropDuplicates(["src", "dst"])
-    )
-    return _score_pairs(emb, cand)
-
-
-def nsw_build_edges_descent(
-    emb: DataFrame,
-    m: int = _NSW_M,
-    iters: int = 4,
-    seed_planes: int = 6,
-    seed_tables: int = 4,
-    dim: int = 64,
-) -> DataFrame:
-    """The honest 100 TB build path for the kNN graph — NN-DESCENT
-    (Dong et al., WWW'11): seed a rough graph from cheap sign-LSH
-    collisions, then iterate "my neighbors' neighbors are candidate
-    neighbors" — join the symmetrized adjacency with itself, rescore
-    candidates with the exact fixed-point dot, keep the per-src top-m.
-    Each round costs O(n·(2m)²) candidate scorings — LINEAR in corpus
-    size — and empirically converges to the exact kNN graph in a few
-    rounds (sign-LSH ALONE recovers ~25% of kNN edges here, because
-    k-th-neighbor similarity is far below near-dup range; descent
-    repairs exactly that).  Deterministic: seeded hyperplanes, exact
-    integer scores, id tie-breaks — the output is a pure function of
-    the corpus.
-
-    Measured honestly on the RANDOM test embeddings — the adversarial
-    case for descent, since uniform high-dim vectors have almost no
-    neighborhood transitivity for "my neighbors' neighbors" to
-    exploit: edge recovery plateaus ≈70-75% (4→8 rounds), yet the
-    SERVING metric barely moves — beam-search recall@10 over the
-    descent graph is 21/30 vs 22/30 over the exact graph at sf0.01.
-    Clustered real-world embeddings converge far higher (the paper's
-    regime); the declared ann_nsw_topk keeps the exact build so its
-    oracle replays bit-for-bit, and this builder is the documented,
-    unit-tested linear-cost path for corpora where n² is not an
-    option."""
-    # seed ranks the LSH-scored candidates DIRECTLY (no rescoring pass)
-    knn = _topm_edges(
-        _lsh_candidate_dots(emb, dim, seed_planes, seed_tables), m
-    ).localCheckpoint(eager=False)
-    for _ in range(iters):
-        sym = _symmetrize(knn)
-        x, y = sym.alias("x"), sym.alias("y")
-        cand = (
-            x.join(y, F.col("x.dst") == F.col("y.src"))
-            .select(
-                F.col("x.src").alias("src"), F.col("y.dst").alias("dst")
-            )
-            .filter(F.col("src") != F.col("dst"))
-            .unionByName(knn)
-            .dropDuplicates(["src", "dst"])
-        )
-        knn = _topm_edges(_score_pairs(emb, cand), m).localCheckpoint(
-            eager=False
-        )
-    return _symmetrize(knn)
-
-
-def nsw_longrange_edges(emb: DataFrame, links: int = 4) -> DataFrame:
-    """Deterministic LONG-RANGE links — the small-world ingredient
-    (Kleinberg routing; NSW gets it implicitly from insertion-order
-    randomness): each node gains ``links`` md5-derived random
-    out-neighbors, symmetrized.  Without these, a kNN graph over
-    CLUSTERED embeddings degenerates into disconnected near-cliques and
-    a fixed-entry beam can never leave the entry's cluster — measured
-    in tools/scale_round7.py nswdescent: recall@10 went 10/50 → 50/50
-    at 20k clustered vectors when these links were added.  dst is
-    hash(src, j) mod n over the dense vec_id domain; self-links drop."""
-    n = emb.count()
-    j = F.explode(
-        F.array(*[F.lit(i) for i in range(1, links + 1)])
-    ).alias("j")
-    base = emb.select(F.col("vec_id").alias("src"), j)
-    lr = base.select(
-        "src",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "_",
-                            F.lit("lr"),
-                            F.col("src").cast("string"),
-                            F.col("j").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % n
-        ).alias("dst"),
-    ).filter(F.col("src") != F.col("dst"))
-    return lr.unionByName(
-        lr.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates(["src", "dst"])
-
-
-def nsw_beam_search(
-    emb: DataFrame,
-    edges: DataFrame,
-    q: DataFrame,
-    on_candidates=None,
-    entry: DataFrame | None = None,
-    hops: int = _NSW_H,
-    width: int = _NSW_W,
-) -> DataFrame:
-    """Deterministic breadth-beam search: ``hops`` rounds of expand →
-    rescore → top-``width`` with id tie-breaks.  ``q`` is (query_id,
-    qv); returns the final (query_id, node, rel) beam.  ``entry`` is an
-    optional per-query (query_id, node) seed frame (HNSW's upper layer
-    routes through it); default is the global min-vec_id node.
-    ``on_candidates`` (if given) observes each hop's candidate frame —
-    the scale tool counts rows through it without forking the loop."""
-    nodes = emb.select(F.col("vec_id").alias("node"), "embedding")
-
-    def score(cand: DataFrame) -> DataFrame:
-        return (
-            cand.join(nodes, "node")
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "node",
-                _fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
-            )
-        )
-
-    if entry is None:
-        entry0 = emb.agg(F.min("vec_id").alias("node"))
-        seed = q.select("query_id").crossJoin(F.broadcast(entry0))
-    else:
-        seed = entry.select("query_id", "node")
-    beam = score(seed).localCheckpoint(eager=False)
-    for _hop in range(hops):
-        s = beam.alias("s")
-        cand = (
-            beam.select("query_id", "node")
-            .unionByName(
-                s.join(
-                    edges.alias("e"), F.col("s.node") == F.col("e.src")
-                ).select(
-                    F.col("s.query_id").alias("query_id"),
-                    F.col("e.dst").alias("node"),
-                )
-            )
-            .dropDuplicates(["query_id", "node"])
-        )
-        if on_candidates is not None:
-            on_candidates(cand)
-        wb = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
-        beam = (
-            score(cand)
-            .withColumn("rn", F.row_number().over(wb))
-            .filter(F.col("rn") <= width)
-            .drop("rn")
-            .localCheckpoint(eager=False)
-        )
-    return beam
-
+# NSW graph machinery lives in operators/similarity (round-8 move); the
+# aliases keep this module's oracles and external callers (tests, tools)
+# working unchanged.
+from .operators.similarity import (  # noqa: E402
+    NSW_H as _NSW_H,
+    NSW_K as _NSW_K,
+    NSW_M as _NSW_M,
+    NSW_W as _NSW_W,
+    nsw_beam_search,
+    nsw_build_edges,
+    nsw_build_edges_descent,
+    nsw_build_edges_lsh,
+    nsw_longrange_edges,
+)
 
 def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based ANN serving (Navigable Small World — Malkov et al.;
