@@ -376,6 +376,10 @@ FULL_SUITE = [
     "ann_nsw_descent_topk",
     "txlog_export_manifest",
     "corpus_survival_funnel",
+    # round 8: persisted graph-ANN store (serving tier), incrementally
+    # maintained adjacency MV
+    "ann_nsw_store_topk",
+    "stream_nsw_mv",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

@@ -2464,6 +2464,39 @@ class TxTable:
             picked.append(g)
         return picked, len(active)
 
+    def prune_groups_points(
+        self,
+        column: str,
+        values,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Batched zone-map POINT planning: one log replay, many probe
+        values — the multi-point analogue of ``prune_groups`` for
+        planners whose key set is a bounded frontier (a graph hop's
+        beam, a dedup probe's band buckets).  A group survives if ANY
+        probe value can fall inside its recorded [min, max]; groups
+        with no stats always survive (pruning is an optimization,
+        never a filter).  Returns (kept groups, total live count)."""
+        import bisect
+
+        upto = self.latest_version() if version is None else version
+        column = self._physical_map(upto).get(column, column)
+        active, stats, _dvs = self._replay(upto)
+        vals = sorted({_stat_scalar(v) for v in values})
+        picked: list[str] = []
+        for g in active:
+            s = stats.get(g, {}).get(column)
+            if s is None or s[0] is None or s[1] is None:
+                picked.append(g)
+                continue
+            try:
+                i = bisect.bisect_left(vals, s[0])
+                if i < len(vals) and vals[i] <= s[1]:
+                    picked.append(g)
+            except TypeError:  # bound/stat domain mismatch → keep
+                picked.append(g)
+        return picked, len(active)
+
     def read_changes(
         self,
         spark: SparkSession,

@@ -3995,6 +3995,11 @@ from .queries_dedupstore import register as _register_dedupstore  # noqa: E402
 
 _register_dedupstore(QUERIES, ORACLES)
 
+# persisted graph-ANN store + incrementally-maintained adjacency MV
+from .queries_annstore import register as _register_annstore  # noqa: E402
+
+_register_annstore(QUERIES, ORACLES)
+
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (Spark-native columnar alternative to Parquet —

@@ -1923,13 +1923,17 @@ def q_ann_nsw_descent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_nsw_topk's exact n² build is the oracle-replayable tier."""
     from .queries import _ann_recall_gate
 
+    from .queries_annstore import ensure_nsw_graph_store
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    # the descent + long-range build is PRIMED once into the shared
+    # txlog graph store (queries_annstore.ensure_nsw_graph_store) —
+    # this query times serving, not construction (r7 verdict task 7)
     edges = (
-        nsw_build_edges_descent(emb)
-        .unionByName(nsw_longrange_edges(emb))
-        .dropDuplicates(["src", "dst"])
+        ensure_nsw_graph_store(spark, sf_dir)
+        .read(spark)
         .localCheckpoint(eager=False)
     )
     q = emb.filter(F.col("vec_id") < 8).select(
