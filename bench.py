@@ -380,6 +380,7 @@ FULL_SUITE = [
     # maintained adjacency MV
     "ann_nsw_store_topk",
     "stream_nsw_mv",
+    "search_bm25_blockmax",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

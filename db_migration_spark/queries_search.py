@@ -51,6 +51,10 @@ N_PROBES = 3  # query-by-example probes: doc_id < 3
 # never part of results
 MAXSCORE_LAST_STATS: dict[int, dict] = {}
 MAXSCORE_LAST_ESSENTIAL: set[str] = set()
+# block-level planner diagnostics of the last blockmax_topk run:
+# group/(term,group) allow counts vs totals — the group-skip fraction
+# the SCALE tool reports; never part of results
+BLOCKMAX_LAST_STATS: dict[str, int] = {}
 
 # ---------------------------------------------------------------------------
 # shared shapes
@@ -772,21 +776,25 @@ def q_search_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxscore_topk(spark, post, c, q, spark.read.parquet(ub_path))
 
 
-def maxscore_topk(
+def _wand_planner(
     spark: SparkSession,
     post: DataFrame,
     c: dict,
     q: DataFrame,
     ub: DataFrame,
     k: int = 10,
-) -> DataFrame:
-    """The three MaxScore phases of :func:`q_search_bm25_maxscore`,
-    reusable against any postings relation (term, doc_id, tf, dl, df)
-    + constants dict {n_docs, avgdl} + query (query_id, term) + per-term
-    upper bounds (term, ub).  Kept separate so the SCALE tool can drive
-    it against the ×10 store and assert pruning."""
-    # query-planner state: per-term ub for the probe vocabulary (~40
-    # terms x 3 probes).  Driver-side in any serving engine.
+) -> dict:
+    """Phases 1 (seed thresholds) and 2 (essential terms) of the
+    MaxScore/Block-Max family — ONE definition shared by the term-level
+    (maxscore_topk) and block-level (blockmax_topk) tiers, so the two
+    plans can never disagree about theta or essentiality.  Returns the
+    driver-side planner state: per-query term lists, the global ub map,
+    theta lower bounds, essential (query_id, term) pairs, and the
+    scoring expression.  Also refreshes MAXSCORE_LAST_STATS /
+    MAXSCORE_LAST_ESSENTIAL (planner observability for tests and the
+    SCALE tool)."""
+    # per-term ub for the probe vocabulary (~40 terms x 3 probes).
+    # Driver-side in any serving engine.
     q_terms: dict[int, list[str]] = {}
     for r in q.collect():
         q_terms.setdefault(r.query_id, []).append(r.term)
@@ -858,6 +866,35 @@ def maxscore_topk(
         }
     MAXSCORE_LAST_ESSENTIAL.clear()
     MAXSCORE_LAST_ESSENTIAL.update(ess_terms)
+
+    return {
+        "q_terms": q_terms,
+        "ub_map": ub_map,
+        "theta": theta,
+        "ess_pairs": ess_pairs,
+        "q_ess": q_ess,
+        "ess_terms": ess_terms,
+        "all_terms": all_terms,
+        "contrib": contrib,
+    }
+
+
+def maxscore_topk(
+    spark: SparkSession,
+    post: DataFrame,
+    c: dict,
+    q: DataFrame,
+    ub: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The three MaxScore phases of :func:`q_search_bm25_maxscore`,
+    reusable against any postings relation (term, doc_id, tf, dl, df)
+    + constants dict {n_docs, avgdl} + query (query_id, term) + per-term
+    upper bounds (term, ub).  Kept separate so the SCALE tool can drive
+    it against the ×10 store and assert pruning."""
+    st = _wand_planner(spark, post, c, q, ub, k)
+    q_ess, ess_terms = st["q_ess"], st["ess_terms"]
+    all_terms, contrib = st["all_terms"], st["contrib"]
 
     # --- phase 3: candidates from essential postings, full exact score --
     cands = (
@@ -1301,6 +1338,211 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# search_bm25_blockmax — exact top-k with BLOCK-level upper-bound pruning
+# ---------------------------------------------------------------------------
+
+
+def _grp_col() -> F.Column:
+    """File-group name of the current row: parent directory of the
+    scanned part file (txlog groups are uuid-named directories)."""
+    return F.element_at(F.split(F.input_file_name(), "/"), -2)
+
+
+def _ensure_blockmax(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(file-group, term) scoring upper bound sidecar for the
+    postings store: (grp, term, bub) where bub = max over the term's
+    postings IN THAT GROUP of its BM25 contribution.
+
+    This is the block-level tier of the impact metadata
+    (_ensure_maximpact is the term-level tier): Lucene stores these as
+    per-block "impacts" beside each postings list; here a "block" is a
+    txlog file group of the term-clustered store, so skipping a block
+    is skipping a FILE — the same planning currency as the zone maps.
+    Size is ≤ vocabulary × groups rows (each term lives in few groups
+    of a term-sorted layout), derived from the store in one aggregate
+    pass at build time.  A store append invalidates it (same staleness
+    contract as the term-level sidecar; a stale row is handled
+    conservatively by the planner)."""
+    import json as _json
+    import os
+    import shutil
+
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "search_blockmax")
+    done = os.path.join(root, "_BUILD_DONE")
+    path = os.path.join(root, "block_ub")
+    if os.path.exists(done):
+        return path
+    t, consts_path = _ensure_search_index(spark, sf_dir)
+    with open(consts_path) as fh:
+        c = _json.load(fh)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    bub = (
+        t.read(spark)
+        .withColumn("grp", _grp_col())
+        .groupBy("grp", "term")
+        .agg(F.max(bm25_contrib(c["n_docs"], c["avgdl"])).alias("bub"))
+    )
+    bub.coalesce(1).write.mode("overwrite").parquet(path)
+    with open(done, "w"):
+        pass
+    return path
+
+
+def q_search_bm25_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 BM25 with Block-Max pruning (Ding & Suel 2011's
+    BMW, adapted to file-group blocks) over the postings store — same
+    answer as ORACLE_BM25, provably, while candidate generation reads
+    only the file groups whose block-level score ceiling can still
+    reach the threshold.
+
+    MaxScore (the term-level tier) prunes whole TERMS: a common word
+    drops out only if the sum of ITS ceiling and the other
+    non-essential ceilings is below θ.  But an essential common term
+    still drags its entire postings list into candidate generation.
+    Block-max prunes WITHIN the essential terms: group g of essential
+    term t is skipped when
+
+        bub(g, t) + Σ_{t' ≠ t in query} ub(t')  <  θ
+
+    — any doc whose only essential-term rows live in skipped groups
+    has score ≤ that bound < θ ≤ the true 10th-best score, so it can
+    never enter the top 10 (and every seed doc keeps ≥ 1 allowed
+    group, so the candidate set is never starved).  Missing metadata
+    degrades conservatively: an unknown global ub makes the slack −∞
+    (never skip), an unknown block bound keeps the group.
+
+    Per-query planner state is the block sidecar restricted to the
+    query's terms (≤ |terms| × groups rows, collected) — exactly the
+    impacts a BMW engine walks per query.  Scoring math is the
+    identical decimal-leaf sum, so the oracle is literally
+    ORACLE_BM25: pruning must be invisible in the result, bit for
+    bit.  No counterpart in the reference (azanium has no retrieval;
+    core.clj:1-80)."""
+    import json as _json
+
+    t, consts_path = _ensure_search_index(spark, sf_dir)
+    ub_path = _ensure_maximpact(spark, sf_dir)
+    bub_path = _ensure_blockmax(spark, sf_dir)
+    with open(consts_path) as fh:
+        c = _json.load(fh)
+    post = t.read(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.filter(F.col("doc_id") < N_PROBES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .distinct()
+    )
+    return blockmax_topk(
+        spark,
+        t,
+        post,
+        c,
+        q,
+        spark.read.parquet(ub_path),
+        spark.read.parquet(bub_path),
+    )
+
+
+def blockmax_topk(
+    spark: SparkSession,
+    t,
+    post: DataFrame,
+    c: dict,
+    q: DataFrame,
+    ub: DataFrame,
+    bub: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The Block-Max phases of :func:`q_search_bm25_blockmax`: the
+    shared MaxScore planner (θ + essential terms), then BLOCK planning
+    — allow (query, term, group) triples whose block ceiling can still
+    reach θ — then candidate generation over ONLY the allowed groups
+    (``read_groups`` on their union), then the identical full exact
+    scoring.  Kept separate so the SCALE tool can drive it against the
+    ×10 store and assert group skipping."""
+    _INF = float("inf")
+    st = _wand_planner(spark, post, c, q, ub, k)
+    q_terms, ub_map, theta = st["q_terms"], st["ub_map"], st["theta"]
+    ess_pairs, all_terms, contrib = (
+        st["ess_pairs"],
+        st["all_terms"],
+        st["contrib"],
+    )
+
+    # block planning state: the sidecar restricted to the query's own
+    # vocabulary (≤ |terms| × groups rows — driver-side by design)
+    bub_rows = bub.filter(F.col("term").isin(all_terms)).collect()
+    blocks: dict[str, list] = {}
+    for r in bub_rows:
+        blocks.setdefault(r.term, []).append((r.grp, r.bub))
+    ess_by_q: dict[int, list[str]] = {}
+    for qid, t_ in ess_pairs:
+        ess_by_q.setdefault(qid, []).append(t_)
+    allow: list[tuple[int, str, str]] = []
+    pairs_total = 0
+    for qid, ts in q_terms.items():
+        th = theta.get(qid, float("-inf"))
+        for t_ in ess_by_q.get(qid, []):
+            other = sum(ub_map.get(x, _INF) for x in ts if x != t_)
+            for grp, b in blocks.get(t_, []):
+                pairs_total += 1
+                if not (b + other < th):  # NaN/inf-safe: keep on ties
+                    allow.append((qid, t_, grp))
+    allowed_grps = sorted({g for _, _, g in allow})
+    total_grps = len(t.active_groups())
+    BLOCKMAX_LAST_STATS.clear()
+    BLOCKMAX_LAST_STATS.update(
+        {
+            "groups_allowed": len(allowed_grps),
+            "groups_total": total_grps,
+            "pairs_allowed": len(allow),
+            "pairs_total": pairs_total,
+        }
+    )
+
+    # candidate generation over ONLY the allowed groups: one planned
+    # multi-group scan, the (term, grp) allow-list joined broadcast
+    allow_df = spark.createDataFrame(
+        allow or [(-1, "", "")], ["query_id", "term", "grp"]
+    )
+    cands = (
+        t.read_groups(spark, allowed_grps)
+        .withColumn("grp", _grp_col())
+        .select("term", "grp", "doc_id")
+        .join(F.broadcast(allow_df), ["term", "grp"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    scored = (
+        post.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(q), "term")
+        .join(cands, ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(_dec9(contrib)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["search_bm25_topk"] = q_search_bm25_topk
     oracles["search_bm25_topk"] = ORACLE_BM25
@@ -1308,6 +1550,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["search_bm25_indexed"] = ORACLE_BM25
     queries["search_bm25_maxscore"] = q_search_bm25_maxscore
     oracles["search_bm25_maxscore"] = ORACLE_BM25
+    queries["search_bm25_blockmax"] = q_search_bm25_blockmax
+    oracles["search_bm25_blockmax"] = ORACLE_BM25
     queries["stream_postings_mv"] = q_stream_postings_mv
     oracles["stream_postings_mv"] = ORACLE_BM25
     queries["search_eval_ndcg"] = q_search_eval_ndcg

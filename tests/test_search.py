@@ -223,3 +223,94 @@ def test_phrase_match_plan_no_cartesian_and_broadcast_probes(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p  # anchor/others/phrase probe sides
+
+
+def test_bm25_blockmax_equals_from_scratch(spark):
+    # the Block-Max pruning contract: bit-identical to the unpruned path
+    a = {(r.query_id, r.rank): (r.doc_id, r.score)
+         for r in _rows(spark, "search_bm25_topk")}
+    b = {(r.query_id, r.rank): (r.doc_id, r.score)
+         for r in _rows(spark, "search_bm25_blockmax")}
+    assert a == b
+
+
+def _blockmax_fixture(spark, tmp_path):
+    """A corpus WHERE BLOCK SKIPPING PROVABLY FIRES.  MaxScore's
+    term-level tier prunes a low-ub term entirely, but the ESSENTIAL
+    (high-ub) term still drags its whole list into candidate
+    generation; BMW's win is skipping the low-impact BLOCKS inside
+    that list.  Here: 'a' is ubiquitous (idf ~0 -> non-essential), 'r'
+    is the essential scorer whose postings split into a high-impact
+    head (dl=10, docs 0-39) and a low-impact tail (dl=500, docs
+    400-499).  theta lands at head level, so tail groups satisfy
+    bub + ub(a) < theta and are skipped at file level.  Clustered
+    (term, doc_id), head and tail land in different file groups."""
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.plans.txlog import TxTable
+
+    rows = []
+    for d in range(800):
+        dl = 10 if d < 40 else 500
+        rows.append(("a", d, 1, dl))
+        if d < 40 or 400 <= d < 500:
+            rows.append(("r", d, 1, dl))
+    post = spark.createDataFrame(rows, ["term", "doc_id", "tf", "dl"])
+    df_ = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    post = post.join(df_, "term").select("term", "doc_id", "tf", "dl", "df")
+    t = TxTable(str(tmp_path / "bmx"))
+    t.commit_append(post)
+    t.optimize(spark, sort_key=["term", "doc_id"], target_groups=16)
+    c = {"n_docs": 800.0, "avgdl": post.select("doc_id", "dl").distinct()
+         .agg(F.avg("dl")).collect()[0][0]}
+    return t, c
+
+
+def test_bm25_blockmax_skips_groups_and_stays_exact(spark, tmp_path):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.queries_search import (
+        BLOCKMAX_LAST_STATS,
+        _dec9,
+        blockmax_topk,
+        bm25_contrib,
+    )
+
+    t, c = _blockmax_fixture(spark, tmp_path)
+    post = t.read(spark)
+    contrib = bm25_contrib(c["n_docs"], c["avgdl"])
+    ub = post.groupBy("term").agg(F.max(contrib).alias("ub"))
+    bub = (
+        post.withColumn(
+            "grp",
+            F.element_at(F.split(F.input_file_name(), "/"), -2),
+        )
+        .groupBy("grp", "term")
+        .agg(F.max(contrib).alias("bub"))
+    ).localCheckpoint(eager=False)
+    q = spark.createDataFrame(
+        [(100, "r"), (100, "a")], ["query_id", "term"]
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in blockmax_topk(spark, t, post, c, q, ub, bub).collect()
+    }
+    st = dict(BLOCKMAX_LAST_STATS)
+    # the low-impact half of 'c' is provably skipped at file level
+    assert st["pairs_allowed"] < st["pairs_total"]
+    assert st["groups_allowed"] < st["groups_total"]
+    # ... and the answer is still the exact unpruned top-10
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    want = {
+        (r.query_id, r.rank): (r.doc_id, float(r.score))
+        for r in post.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(_dec9(contrib)).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id",
+                F.col("score").cast("double").alias("score"), "rank")
+        .collect()
+    }
+    assert got == want
