@@ -448,3 +448,91 @@ def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
             + F.shiftleft(F.shiftrightunsigned(bv, i).bitwiseAND(one), 2 * i + 1)
         )
     return z
+
+
+def exact_rank_boundaries(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str,
+    ranks: list[int],
+    bucket_bits: int = 20,
+) -> DataFrame:
+    """The (sort_val, id_val) tuples sitting at the given GLOBAL ranks
+    under the total order (sort_col ASC, id_col ASC) — computed WITHOUT
+    an un-partitioned per-row window (the plan pattern that dies at
+    10⁹ keys: one task sorts the world).
+
+    Two-level prefix sum:
+
+    1. rows collapse to per-BUCKET counts (bucket = sort_val >> bits —
+       order-preserving, so bucket order extends sort order); the
+       cumulative window runs over the collapsed bucket domain, whose
+       size is bounded by the VALUE RANGE / 2^bits, not the row count;
+    2. each target rank locates its bucket with a broadcast range
+       probe (cum_below < rank ≤ cum_below + count), and per-row
+       ranking happens ONLY inside located buckets — a
+       bucket-PARTITIONED window over bounded partitions.
+
+    ``sort_col`` must be integral (callers negate for descending
+    order, scale decimals to integer units).  Ranks are 1-based.
+    Returns (rank, sort_val, id_val) — one row per requested rank.
+    This is the fact-scale twin of ``ntile``/running-total reporting
+    plans (rfm_segments / orders_abc_pareto keep the window form for
+    dim-sized inputs)."""
+    spark = df.sparkSession
+    b = df.select(
+        F.col(sort_col).cast("long").alias("sv"),
+        F.col(id_col).alias("idv"),
+        F.shiftright(F.col(sort_col).cast("long"), bucket_bits).alias(
+            "bkt"
+        ),
+    )
+    per = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.withColumn(
+        "cum_below", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    rdf = spark.createDataFrame([(int(r),) for r in ranks], "rank long")
+    loc = (
+        cum.join(
+            F.broadcast(rdf),
+            (F.col("rank") > F.col("cum_below"))
+            & (F.col("rank") <= F.col("cum_below") + F.col("c")),
+        )
+        .select(
+            "rank",
+            "bkt",
+            (F.col("rank") - F.col("cum_below")).alias("r_in"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cand = b.join(
+        F.broadcast(loc.select("bkt").distinct()), "bkt"
+    )
+    w2 = Window.partitionBy("bkt").orderBy("sv", "idv")
+    ranked = cand.withColumn("rn", F.row_number().over(w2))
+    lo = loc.alias("lo")
+    return (
+        ranked.alias("rk")
+        .join(
+            F.broadcast(lo),
+            (F.col("rk.bkt") == F.col("lo.bkt"))
+            & (F.col("rk.rn") == F.col("lo.r_in")),
+        )
+        .select("lo.rank", "rk.sv", "rk.idv")
+    )
+
+
+def ntile_cut_ranks(n: int, k: int) -> list[int]:
+    """The cumulative tile boundary ranks b_1..b_{k-1} matching SQL
+    ``ntile(k)`` over n rows (first n %% k tiles get the extra row):
+    a row of global rank rn belongs to tile 1 + |{i : rn > b_i}|."""
+    big, m = n // k + 1, n % k
+    sizes = [big if i < m else n // k for i in range(k)]
+    out, acc = [], 0
+    for s in sizes[:-1]:
+        acc += s
+        out.append(acc)
+    return out

@@ -2429,6 +2429,170 @@ FROM counts c JOIN ppm p ON c.digit = p.digit
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# fact-scale twins of the two dim-sized global-window reporting plans
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segments_factscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rfm_segments at FACT SCALE: identical output (ORACLE_RFM
+    verbatim), no un-partitioned per-row window.  ``ntile(4)`` needs
+    only the three tile BOUNDARY tuples per metric; those come from
+    operators/relational.exact_rank_boundaries — the two-level prefix
+    sum (collapsed bucket domain → bucket-partitioned in-bucket rank)
+    — and tile membership is then a map-only lexicographic comparison
+    against nine broadcast-literal tuples.  The single count() and the
+    9 collected boundary rows are the planner state (the θ/maxscore
+    precedent).  This is the plan to default to when the keyed
+    relation exceeds dim size (SCALE.md:303 measured the ntile cliff:
+    one task sorts 10⁹ customers); rfm_segments keeps the window form
+    for the dim-sized reporting tier."""
+    from .operators.relational import exact_rank_boundaries, ntile_cut_ranks
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_date").alias("anchor"))
+    pc = (
+        per_cust.join(F.broadcast(anchor))
+        .withColumn(
+            "recency_days", F.datediff(F.col("anchor"), F.col("last_date"))
+        )
+        .withColumn("neg_f", (-F.col("frequency")).cast("long"))
+        .withColumn(
+            "neg_m", (-(F.col("monetary") * 100)).cast("long")
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = ntile_cut_ranks(pc.count(), 4)
+
+    # days/order-counts collapse hard (tiny domains); cents need wide
+    # buckets so the bucket domain stays value-range-bounded.  The
+    # three metrics' boundary probes union into ONE job (9 rows out).
+    parts = []
+    for tag, col, bits in (
+        ("r", "recency_days", 2),
+        ("f", "neg_f", 2),
+        ("m", "neg_m", 20),
+    ):
+        parts.append(
+            exact_rank_boundaries(
+                pc, col, "o_custkey", ranks, bucket_bits=bits
+            ).withColumn("metric", F.lit(tag))
+        )
+    rows = parts[0].unionByName(parts[1]).unionByName(parts[2]).collect()
+    by = {(r.metric, r["rank"]): (r.sv, r.idv) for r in rows}
+    b_r = [by[("r", r)] for r in ranks]
+    b_f = [by[("f", r)] for r in ranks]
+    b_m = [by[("m", r)] for r in ranks]
+
+    def tile(sv_col: str, bs: list[tuple[int, int]]) -> F.Column:
+        e = F.lit(1)
+        for bsv, bid in bs:
+            after = (F.col(sv_col) > F.lit(bsv)) | (
+                (F.col(sv_col) == F.lit(bsv))
+                & (F.col("o_custkey") > F.lit(bid))
+            )
+            e = e + after.cast("int")
+        return e
+
+    tiled = pc.select(
+        "o_custkey",
+        "monetary",
+        tile("recency_days", b_r).alias("r_tile"),
+        tile("neg_f", b_f).alias("f_tile"),
+        tile("neg_m", b_m).alias("m_tile"),
+    )
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("segment_spend"),
+    )
+
+
+def q_orders_abc_factscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders_abc_pareto at FACT SCALE: identical output (ORACLE_ABC
+    verbatim), the global running-total window replaced by the same
+    two-level prefix sum.  Rows bucket by spend rank order
+    (-cents >> 20); the cumulative spend of WHOLE buckets runs over
+    the collapsed bucket domain; a bucket is wholly A when even its
+    last row's running total is ≤ 80% (cum_below + bucket_sum vs the
+    threshold), wholly C when even its first row's is past 95%
+    (cum_below alone suffices: totals are strictly positive), wholly B
+    between — and only the ≤ 2 boundary-crossing buckets compute
+    per-row running totals, inside a bucket-PARTITIONED window with
+    the bucket's carry-in.  total_cents rides driver-side (1 row, the
+    planner's θ)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    ).localCheckpoint(eager=False)
+    total = per_cust.agg(F.sum("cents")).collect()[0][0]
+    b = per_cust.withColumn(
+        "bkt", F.shiftright(-F.col("cents"), 20)
+    )
+    per = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("cents").alias("s")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.withColumn(
+        "cum_below", F.coalesce(F.sum("s").over(wb), F.lit(0))
+    ).localCheckpoint(eager=False)
+    # bucket-level classification; NULL marks a boundary bucket
+    whole = cum.withColumn(
+        "bclass",
+        F.when((F.col("cum_below") + F.col("s")) * 100 <= total * 80, "A")
+        .when(
+            (F.col("cum_below") * 100 >= total * 80)
+            & ((F.col("cum_below") + F.col("s")) * 100 <= total * 95),
+            "B",
+        )
+        .when(F.col("cum_below") * 100 >= total * 95, "C"),
+    )
+    settled = b.join(
+        F.broadcast(whole.filter(F.col("bclass").isNotNull())), "bkt"
+    ).select("o_custkey", "cents", F.col("bclass").alias("abc"))
+    boundary = b.join(
+        F.broadcast(
+            whole.filter(F.col("bclass").isNull()).select(
+                "bkt", "cum_below"
+            )
+        ),
+        "bkt",
+    )
+    wr = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("cents").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exact = boundary.withColumn(
+        "cum_cents", F.col("cum_below") + F.sum("cents").over(wr)
+    ).select(
+        "o_custkey",
+        "cents",
+        F.when(F.col("cum_cents") * 100 <= total * 80, "A")
+        .when(F.col("cum_cents") * 100 <= total * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        settled.unionByName(exact)
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("class_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["ivm_join_delta"] = q_ivm_join_delta
     oracles["ivm_join_delta"] = ORACLE_IVM_JOIN
@@ -2500,6 +2664,10 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["assoc_rules"] = ORACLE_ASSOC
     queries["rfm_segments"] = q_rfm_segments
     oracles["rfm_segments"] = ORACLE_RFM
+    queries["rfm_segments_factscale"] = q_rfm_segments_factscale
+    oracles["rfm_segments_factscale"] = ORACLE_RFM
+    queries["orders_abc_factscale"] = q_orders_abc_factscale
+    oracles["orders_abc_factscale"] = ORACLE_ABC
     queries["stats_ab_test"] = q_stats_ab_test
     oracles["stats_ab_test"] = ORACLE_AB_TEST
     queries["ts_ohlc_bars"] = q_ts_ohlc_bars
