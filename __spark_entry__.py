@@ -43,52 +43,52 @@ FLAGSHIP_ORDER = [
     "chunk_dedup",           # r3 hash-red #1 (HUGEINT oracle) — green
     "sql_recursive_cte",     # r3 hash-red #2 — green
     "stream_outer_join",     # r3 hash-red #3 — green
-    # --- round-7 rotation: 35 never-driver-certified entries ---------
-    # Every round-6 rotating entry went green (CORRECTNESS_r06 50/50),
-    # so the whole band rotates to backlog; overlap with r6 is exactly
-    # the 15 sentinels.  Cumulative distinct: 188 -> 223.
-    # (a) the r6 judge-verified serving/governance tier (VERDICT task 7)
-    "search_bm25_indexed",       # term-clustered postings store
-    "ann_ivf_pruned_store",      # IVF via txlog zone-map file skipping
-    "txlog_rtbf_erasure",        # GDPR DV-delete -> rewrite -> vacuum
-    "txlog_partition_evolution", # per-era pruning across spec changes
-    "stream_theta_mv",           # incremental KMV MV == batch
-    "stream_quantile_mv",        # incremental log-bin MV == batch
-    "sample_aqp_revenue",        # deterministic hash-Bernoulli AQP
-    # (b) the four r6-displaced backlog picks (promised rotate-back)
-    "graph_kcore",
-    "heavy_hitters_cms",
-    "ts_cusum_changepoint",
-    "stats_ks_test",
-    # (c) streaming tail deferred at r6
-    "stream_topk_per_window",
-    "stream_merge_upsert",
-    # (d) classical-stats family (largest never-certified block)
-    "stats_mann_whitney",
-    "stats_bootstrap_means",
-    "stats_runs_test",
-    "stats_km_lifetable",
-    "stats_cohens_kappa",
-    "ts_ewma",
-    "ts_max_drawdown",
-    "ts_autocorrelation",
-    "ts_twap",
-    "winsorize_values",
-    # (e) TPC-H close-out tail
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_count",
-    "q20_concentrated_suppliers",
-    # (f) textweb / multimodal codec tail
-    "udtf_passage_split",
-    "multimodal_gif_decode",
-    "multimodal_g711_stats",
-    "multimodal_bmp_decode",
-    "multimodal_image_resize",
-    # (g) governance + lakehouse CDC tail + judge-verified text gate
-    "privacy_l_diversity",
-    "txlog_cdf_read",
-    "text_contamination",
+    # --- round-8 rotation: 35 never-driver-certified entries ---------
+    # Every round-7 rotating entry went green (CORRECTNESS_r07 50/50),
+    # so the whole band rotates to backlog; overlap with r7 is exactly
+    # the 15 sentinels.  Cumulative distinct: 223 -> 258.
+    # (a) the round-7 surface the judge re-verified (VERDICT task 2):
+    #     DSIR, graph ANN, MaxScore, postings MV, NDCG, t-closeness,
+    #     PSI, priority/bottom-k sketches + MVs, catalog txn family,
+    #     check-constraint / restore / manifest, phrase, funnel, IVM
+    "corpus_dsir_select",
+    "corpus_dsir_resample",
+    "stream_dsir_mv",
+    "ann_nsw_topk",
+    "ann_hnsw_topk",
+    "ann_nsw_descent_topk",
+    "search_bm25_maxscore",
+    "stream_postings_mv",
+    "search_eval_ndcg",
+    "privacy_t_closeness",
+    "stats_psi_drift",
+    "sketch_priority_sample",
+    "stream_priority_mv",
+    "sketch_bottomk_quantiles",
+    "stream_bottomk_mv",
+    "txlog_catalog_snapshot",
+    "stream_catalog_txn",
+    "txlog_catalog_branch",
+    "txlog_check_constraint",
+    "txlog_restore_checkpoint",
+    "txlog_export_manifest",
+    "search_phrase_match",
+    "corpus_survival_funnel",
+    "ivm_join_delta",
+    # (b) the round-8 surface: persisted graph-ANN store + adjacency
+    #     MV, Block-Max WAND, fact-scale RFM/ABC twins
+    "ann_nsw_store_topk",
+    "stream_nsw_mv",
+    "search_bm25_blockmax",
+    "rfm_segments_factscale",
+    "orders_abc_factscale",
+    # (c) serving-tier + reporting backlog
+    "dedup_lsh_store_probe",
+    "stream_dedup_lsh_mv",
+    "emb_mmr_diversify",
+    "ann_filtered_topk",
+    "a10_percentile_cont",
+    "orders_abc_pareto",
 ]
 
 
