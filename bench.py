@@ -381,6 +381,9 @@ FULL_SUITE = [
     "ann_nsw_store_topk",
     "stream_nsw_mv",
     "search_bm25_blockmax",
+    "ann_ivfpq_store_topk",
+    "rfm_segments_factscale",
+    "orders_abc_factscale",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

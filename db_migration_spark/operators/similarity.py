@@ -563,6 +563,58 @@ def pq_encode(
     )
 
 
+def pq_lut(
+    queries: DataFrame,
+    books: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup table lut[m*n_codes + code] = dot(q_m,
+    codeword_{m,code}) — ONE definition shared by pq_topk and the
+    IVF-PQ store serving path, built relationally (broadcast codebook
+    x query subvectors, one flat array per query)."""
+    dim_over_m = F.size(F.col("__v")) / n_sub
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "query_id",
+        "m",
+        F.slice(
+            "__v",
+            (F.col("m") * dim_over_m + 1).cast("int"),
+            dim_over_m.cast("int"),
+        ).alias("qsub"),
+    )
+    return (
+        qsub.join(F.broadcast(books), "m")
+        .select(
+            "query_id",
+            (F.col("m") * n_codes + F.col("code")).alias("slot"),
+            F.aggregate(
+                F.zip_with(
+                    "qsub", "codeword", lambda x, y: (x * y).cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("contrib"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("slot", "contrib"))).alias(
+                "sc"
+            )
+        )
+        .select(
+            "query_id",
+            F.transform(F.col("sc"), lambda s: s["contrib"]).alias("lut"),
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -590,44 +642,7 @@ def pq_topk(
     """
     books = pq_codebooks(corpus, n_sub, n_codes, id_col, vec_col)
     encoded = pq_encode(corpus, books, n_sub, id_col, vec_col)
-    dim_over_m = F.size(F.col("__v")) / n_sub
-    qsub = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
-        F.col(vec_col).alias("__v"),
-    ).select(
-        "query_id",
-        "m",
-        F.slice(
-            "__v",
-            (F.col("m") * dim_over_m + 1).cast("int"),
-            dim_over_m.cast("int"),
-        ).alias("qsub"),
-    )
-    lut = (
-        qsub.join(F.broadcast(books), "m")
-        .select(
-            "query_id",
-            (F.col("m") * n_codes + F.col("code")).alias("slot"),
-            F.aggregate(
-                F.zip_with(
-                    "qsub", "codeword", lambda x, y: (x * y).cast("double")
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("contrib"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("slot", "contrib"))).alias(
-                "sc"
-            )
-        )
-        .select(
-            "query_id",
-            F.transform(F.col("sc"), lambda s: s["contrib"]).alias("lut"),
-        )
-    )
+    lut = pq_lut(queries, books, n_sub, n_codes, id_col, vec_col)
     scored = (
         encoded.crossJoin(F.broadcast(lut))
         .filter(F.col(id_col) != F.col("query_id"))

@@ -1645,10 +1645,16 @@ def q_ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation dedup_embedding_cosine already demonstrates, which
     bounds build candidates per node without touching the serving
     plan.  No counterpart in the reference; §2.12 similarity tier."""
+    from .queries_annstore import ensure_nsw_exact_edges
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    edges = nsw_build_edges(emb).localCheckpoint(eager=False)
+    # the exact build is PRIMED once per code version (r7 verdict task
+    # 7): same edges, same oracle — the query times serving only
+    edges = spark.read.parquet(
+        ensure_nsw_exact_edges(spark, sf_dir)["l0"]
+    )
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -1723,8 +1729,11 @@ def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    from .queries_annstore import ensure_nsw_exact_edges
+
+    paths = ensure_nsw_exact_edges(spark, sf_dir)
     l1 = emb.filter(F.col("vec_id") % _HNSW_STRIDE == 0)
-    edges1 = nsw_build_edges(l1, m=_HNSW_M1).localCheckpoint(eager=False)
+    edges1 = spark.read.parquet(paths["l1"])
     beam1 = nsw_beam_search(
         l1, edges1, q, hops=_HNSW_H1, width=_HNSW_W1
     )
@@ -1734,7 +1743,7 @@ def q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", "node")
     )
-    edges0 = nsw_build_edges(emb).localCheckpoint(eager=False)
+    edges0 = spark.read.parquet(paths["l0"])
     beam = nsw_beam_search(emb, edges0, q, entry=entry0)
     return _nsw_answer(beam, emb, q)
 
