@@ -577,6 +577,220 @@ def q_ann_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_stream_ivfpq_mv(spark: SparkSession, sf_dir: str):
+    """The IVF-PQ code store maintained INCREMENTALLY under streaming
+    vector appends — the production vector-ingestion pattern: the
+    coarse quantizer (centroids) and PQ codebooks are trained ONCE on
+    the bootstrap slice (vec_id %% 4 == 0) and FROZEN; every arriving
+    micro-batch then encodes map-only against the frozen quantizers
+    and appends its (list_id, vec_id, codes) rows under a per-batch
+    txn identity.  Because encoding is a pure per-row function of the
+    frozen quantizers, the streamed store equals a one-shot batch
+    encode of the full corpus ROW-FOR-ROW — gated by two exceptAll
+    passes after the drain; batch 0 is adversarially replayed (must
+    version-no-op); any failure rmtrees the fixture.  Returns
+    (code TxTable, codebooks path)."""
+    from .operators import similarity
+    from .plans.txlog import TxTable
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "txlog_stream_ivfpq_mv")
+    done = os.path.join(root, "_BUILD_DONE")
+    store_root = os.path.join(root, "codes")
+    books_path = os.path.join(root, "codebooks.parquet")
+    if os.path.exists(done):
+        return TxTable(store_root), books_path
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    boot = emb.filter(F.col("vec_id") % _N_SLICES == 0)
+    similarity.pq_codebooks(
+        boot, n_sub=_IVFPQ_SUB, n_codes=_IVFPQ_CODES
+    ).coalesce(1).write.mode("overwrite").parquet(books_path)
+    books = spark.read.parquet(books_path)
+    cents = similarity.deterministic_centroids(boot, _IVFPQ_LISTS)
+    cents_path = os.path.join(root, "centroids.parquet")
+    cents.coalesce(1).write.mode("overwrite").parquet(cents_path)
+    for i in range(_N_SLICES):
+        tmp = os.path.join(root, f"_tmp{i}")
+        emb.filter(F.col("vec_id") % _N_SLICES == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src_dir, f"slice_{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    def encode(b: DataFrame) -> DataFrame:
+        sp = b.sparkSession
+        bks = sp.read.parquet(books_path)
+        cts = sp.read.parquet(cents_path)
+        assigned = similarity.ivf_assign(b, cts).select(
+            "vec_id", "list_id"
+        )
+        return (
+            similarity.pq_encode(b, bks, n_sub=_IVFPQ_SUB)
+            .join(assigned, "vec_id")
+            .select("list_id", "vec_id", "codes")
+        )
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        TxTable(store_root).commit_append(
+            encode(bdf.select("vec_id", "embedding")),
+            txn=("ivfpq_mv", batch_id),
+        )
+
+    schema = emb.schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("ivfpq mv stream drain did not finish")
+    t = TxTable(store_root)
+    before = t.latest_version()
+    refresh(emb.filter(F.col("vec_id") % _N_SLICES == 0), 0)
+    if t.latest_version() != before:
+        shutil.rmtree(root, ignore_errors=True)
+        raise RuntimeError(
+            "replayed batch 0 must no-op the code store (txn dedup broke)"
+        )
+    stored = t.read(spark).select("list_id", "vec_id", "codes")
+    batch = encode(emb)
+    extra = stored.exceptAll(batch).count()
+    missing = batch.exceptAll(stored).count()
+    if extra or missing:
+        shutil.rmtree(root, ignore_errors=True)
+        raise RuntimeError(
+            f"streamed code store != batch encode: +{extra} -{missing}"
+        )
+    with open(done, "w"):
+        pass
+    return t, books_path
+
+
+def q_stream_ivfpq_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from the STREAM-maintained IVF-PQ code store
+    (_ensure_stream_ivfpq_mv): the frozen bootstrap quantizers make the
+    streamed store provably equal to a batch encode, and this query
+    serves the ann_ivfpq_store_topk plan through it — zone-map list
+    pruning, compressed ADC scoring, exact shortlist re-rank — under
+    the same recall contract.  A dropped, doubled, or replay-leaked
+    batch removes or duplicates candidate rows and moves the recall
+    boolean or the exact-side counts."""
+    from .operators import similarity
+    from .operators.similarity import centroid_array, cosine
+    from .queries import _ann_recall_gate
+
+    t, books_path = _ensure_stream_ivfpq_mv(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    boot = emb.filter(F.col("vec_id") % _N_SLICES == 0)
+    cents = similarity.deterministic_centroids(boot, _IVFPQ_LISTS)
+    probe_sorted = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                (-cosine(F.col("query_vec"), s["centroid"])).alias("ns"),
+                s["list_id"].alias("lid"),
+            ),
+        )
+    )
+    q_probe = q.crossJoin(F.broadcast(centroid_array(cents))).select(
+        "query_id",
+        F.explode(F.slice(probe_sorted, 1, _IVFPQ_PROBES)["lid"]).alias(
+            "list_id"
+        ),
+    )
+    probes = sorted(
+        r.list_id for r in q_probe.select("list_id").distinct().collect()
+    )
+    picked, total = t.prune_groups_points("list_id", probes)
+    corpus = t.read_groups(spark, picked).filter(
+        F.col("list_id").isin(probes)
+    )
+    lut = similarity.pq_lut(
+        q.withColumnRenamed("query_id", "vec_id").withColumnRenamed(
+            "query_vec", "embedding"
+        ),
+        spark.read.parquet(books_path),
+        n_sub=_IVFPQ_SUB,
+        n_codes=_IVFPQ_CODES,
+    )
+    scored = (
+        corpus.join(F.broadcast(q_probe), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(_IVFPQ_SUB - 1)),
+                F.lit(0.0),
+                lambda acc, m: acc
+                + F.element_at(
+                    F.col("lut"),
+                    (
+                        m * _IVFPQ_CODES
+                        + F.element_at(F.col("codes"), m + 1)
+                        + 1
+                    ).cast("int"),
+                ),
+            ).alias("approx_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("query_id", "neighbor_id")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    exact_rr = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("query_vec", "corpus_vec").alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    approx = (
+        exact_rr.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    exact = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10
+    ).select("query_id", "neighbor_id")
+    return _ann_recall_gate(approx, exact, bound=0.4).withColumn(
+        "pruned",
+        F.lit(0 < len(picked) < total or len(probes) >= total),
+    )
+
+
 def register(queries: dict, oracles: dict) -> None:
     from .queries import _ORACLE_ANN_EXACT_HEAD
     from .queries_round4 import ORACLE_NSW
@@ -590,3 +804,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stream_nsw_mv"] = ORACLE_NSW
     queries["ann_ivfpq_store_topk"] = q_ann_ivfpq_store_topk
     oracles["ann_ivfpq_store_topk"] = pruned_head
+    queries["stream_ivfpq_mv"] = q_stream_ivfpq_mv
+    oracles["stream_ivfpq_mv"] = pruned_head
