@@ -637,8 +637,13 @@ def _ensure_stream_ivfpq_mv(spark: SparkSession, sf_dir: str):
         )
 
     def refresh(bdf: DataFrame, batch_id: int) -> None:
-        TxTable(store_root).commit_append(
+        # partitioned append: each batch's rows land one file group PER
+        # INVERTED LIST (min==max zone maps), so the streamed store
+        # keeps the batch store's file-skipping property — a probe
+        # plans ~n_probe/n_lists of the groups at ANY batch count
+        TxTable(store_root).commit_append_partitioned(
             encode(bdf.select("vec_id", "embedding")),
+            "list_id",
             txn=("ivfpq_mv", batch_id),
         )
 

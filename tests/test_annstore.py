@@ -152,3 +152,49 @@ def test_stream_nsw_mv_gate_destroys_poisoned_fixture(spark, monkeypatch):
     sym = _symmetrize(kt.read(spark).select("src", "dst"))
     assert sym.exceptAll(nsw_build_edges(emb)).count() == 0
     assert nsw_build_edges(emb).exceptAll(sym).count() == 0
+
+
+def test_ivfpq_store_serves_with_pruning(spark):
+    from db_migration_spark.queries_annstore import q_ann_ivfpq_store_topk
+
+    row = q_ann_ivfpq_store_topk(spark, SF).collect()[0]
+    assert row.recall_ok and row.pruned
+    assert row.n_queries == 8 and row.n_exact == 80
+
+
+def test_stream_ivfpq_equals_batch_encode(spark):
+    """The frozen-quantizer property the streaming tier stands on: the
+    drained stream's code store row-equals a one-shot batch encode
+    (the ensure itself gates this; re-assert from the primed store)."""
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.catalog import load_table
+    from db_migration_spark.operators import similarity
+    from db_migration_spark.queries_annstore import (
+        _IVFPQ_CODES,
+        _IVFPQ_LISTS,
+        _IVFPQ_SUB,
+        _N_SLICES,
+        _ensure_stream_ivfpq_mv,
+    )
+
+    t, books_path = _ensure_stream_ivfpq_mv(spark, SF)
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    boot = emb.filter(F.col("vec_id") % _N_SLICES == 0)
+    books = spark.read.parquet(books_path)
+    cents = similarity.deterministic_centroids(boot, _IVFPQ_LISTS)
+    batch = (
+        similarity.pq_encode(emb, books, n_sub=_IVFPQ_SUB)
+        .join(similarity.ivf_assign(emb, cents).select("vec_id", "list_id"), "vec_id")
+        .select("list_id", "vec_id", "codes")
+    )
+    stored = t.read(spark).select("list_id", "vec_id", "codes")
+    assert stored.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stored).count() == 0
+    # and the streamed layout keeps per-list file groups (one group per
+    # (batch, list) — a probe plans only its lists' groups at any
+    # batch count)
+    n_lists = stored.select("list_id").distinct().count()
+    assert len(t.active_groups()) >= n_lists
+    picked, total = t.prune_groups_points("list_id", [0])
+    assert 0 < len(picked) < total
