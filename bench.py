@@ -382,6 +382,7 @@ FULL_SUITE = [
     "stream_nsw_mv",
     "search_bm25_blockmax",
     "ann_ivfpq_store_topk",
+    "stream_ivfpq_mv",
     "rfm_segments_factscale",
     "orders_abc_factscale",
 ]

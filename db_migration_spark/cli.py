@@ -367,6 +367,36 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "ann",
+        help="vector-store operations (queries_annstore/operators/"
+        "similarity): build a persisted IVF-PQ code store or an "
+        "NN-descent small-world graph store over an embeddings table "
+        "(vec_id, embedding), then serve top-k probes through it — "
+        "zone-map list/frontier pruning, compressed ADC or beam search",
+    )
+    sp.add_argument(
+        "--action",
+        choices=("build-ivfpq", "probe-ivfpq", "build-graph", "probe-graph"),
+        required=True,
+    )
+    sp.add_argument(
+        "--input", default=None,
+        help="embeddings parquet (vec_id, embedding); required for "
+        "build actions and for probes (query vectors come from it)",
+    )
+    sp.add_argument("--store", required=True, help="store root directory")
+    sp.add_argument(
+        "--query-ids", default="0,1,2",
+        help="probe: comma-separated vec_ids to use as queries",
+    )
+    sp.add_argument("--k", type=int, default=10, help="probe: top-k")
+    sp.add_argument(
+        "--probes", type=int, default=6,
+        help="probe-ivfpq: inverted lists scanned per query",
+    )
+    sp.add_argument("--lists", type=int, default=16, help="IVF lists")
+
+    sp = sub.add_parser(
         "corpus-prep",
         help="training-corpus pipeline: quality gate -> exact dedup "
         "survivors -> pack manifest over a documents table",
@@ -1043,6 +1073,198 @@ def main(argv: list[str] | None = None) -> int:
                     "k": args.top,
                     "rows": rows[:10],
                     "n_selected": len(rows),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "ann":
+        import shutil as _sh
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from .operators import similarity
+        from .operators.similarity import centroid_array, cosine
+        from .plans.txlog import TxTable
+
+        spark = get_spark("ann-cli")
+        n_sub, n_codes = 8, 16
+        if args.action.startswith("build") and not args.input:
+            raise SystemExit(f"{args.action} requires --input")
+        if args.action == "build-ivfpq":
+            emb = spark.read.parquet(args.input).select(
+                "vec_id", "embedding"
+            )
+            _sh.rmtree(args.store, ignore_errors=True)
+            os.makedirs(args.store, exist_ok=True)
+            books_path = os.path.join(args.store, "codebooks.parquet")
+            similarity.pq_codebooks(
+                emb, n_sub=n_sub, n_codes=n_codes
+            ).coalesce(1).write.mode("overwrite").parquet(books_path)
+            books = spark.read.parquet(books_path)
+            cents = similarity.deterministic_centroids(emb, args.lists)
+            t = TxTable(os.path.join(args.store, "codes"))
+            t.commit_append_partitioned(
+                similarity.pq_encode(emb, books, n_sub=n_sub)
+                .join(
+                    similarity.ivf_assign(emb, cents).select(
+                        "vec_id", "list_id"
+                    ),
+                    "vec_id",
+                )
+                .select("list_id", "vec_id", "codes"),
+                "list_id",
+            )
+            print(
+                json.dumps(
+                    {
+                        "store": args.store,
+                        "n_vectors": t.count_rows(spark),
+                        "n_groups": len(t.active_groups()),
+                        "lists": args.lists,
+                    }
+                )
+            )
+            return 0
+        if args.action == "build-graph":
+            emb = spark.read.parquet(args.input).select(
+                "vec_id", "embedding"
+            )
+            from .operators.similarity import (
+                nsw_build_edges_descent,
+                nsw_longrange_edges,
+            )
+
+            _sh.rmtree(args.store, ignore_errors=True)
+            t = TxTable(os.path.join(args.store, "edges"))
+            t.commit_append(
+                nsw_build_edges_descent(emb)
+                .unionByName(nsw_longrange_edges(emb))
+                .dropDuplicates(["src", "dst"])
+            )
+            t.optimize(spark, sort_key=["src"], target_groups=8)
+            print(
+                json.dumps(
+                    {
+                        "store": args.store,
+                        "edges": t.count_rows(spark),
+                        "n_groups": len(t.active_groups()),
+                    }
+                )
+            )
+            return 0
+        qids = [int(x) for x in args.query_ids.split(",") if x != ""]
+        if not args.input:
+            raise SystemExit("probe actions need --input for query vectors")
+        emb = spark.read.parquet(args.input).select("vec_id", "embedding")
+        q = emb.filter(F.col("vec_id").isin(qids))
+        if args.action == "probe-graph":
+            from .queries_annstore import store_beam_search
+
+            t = TxTable(os.path.join(args.store, "edges"))
+            beam, scanned, scannable = store_beam_search(
+                spark,
+                t,
+                emb,
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qv"),
+                ),
+            )
+            wf = Window.partitionBy("query_id").orderBy(
+                F.desc("rel"), "node"
+            )
+            rows = (
+                beam.filter(F.col("node") != F.col("query_id"))
+                .withColumn("rank", F.row_number().over(wf))
+                .filter(F.col("rank") <= args.k)
+                .select("query_id", "rank", F.col("node").alias("neighbor_id"))
+                .orderBy("query_id", "rank")
+                .collect()
+            )
+            print(
+                json.dumps(
+                    {
+                        "groups_planned": [scanned, scannable],
+                        "results": [list(r) for r in rows],
+                    }
+                )
+            )
+            return 0
+        # probe-ivfpq
+        t = TxTable(os.path.join(args.store, "codes"))
+        books = spark.read.parquet(
+            os.path.join(args.store, "codebooks.parquet")
+        )
+        cents = similarity.deterministic_centroids(emb, args.lists)
+        qv = q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        probe_sorted = F.array_sort(
+            F.transform(
+                F.col("__cents"),
+                lambda s: F.struct(
+                    (-cosine(F.col("query_vec"), s["centroid"])).alias(
+                        "ns"
+                    ),
+                    s["list_id"].alias("lid"),
+                ),
+            )
+        )
+        q_probe = qv.crossJoin(F.broadcast(centroid_array(cents))).select(
+            "query_id",
+            F.explode(F.slice(probe_sorted, 1, args.probes)["lid"]).alias(
+                "list_id"
+            ),
+        )
+        probes = sorted(
+            r.list_id
+            for r in q_probe.select("list_id").distinct().collect()
+        )
+        picked, total = t.prune_groups_points("list_id", probes)
+        corpus = t.read_groups(spark, picked).filter(
+            F.col("list_id").isin(probes)
+        )
+        lut = similarity.pq_lut(q, books, n_sub=n_sub, n_codes=n_codes)
+        scored = (
+            corpus.join(F.broadcast(q_probe), "list_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(lut), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                    F.lit(0.0),
+                    lambda acc, m: acc
+                    + F.element_at(
+                        F.col("lut"),
+                        (
+                            m * n_codes
+                            + F.element_at(F.col("codes"), m + 1)
+                            + 1
+                        ).cast("int"),
+                    ),
+                ).alias("approx_score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("approx_score"), F.col("neighbor_id")
+        )
+        rows = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= args.k)
+            .select("query_id", "rank", "neighbor_id")
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        print(
+            json.dumps(
+                {
+                    "groups_planned": [len(picked), total],
+                    "results": [list(r) for r in rows],
                 }
             )
         )

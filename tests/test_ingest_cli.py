@@ -443,3 +443,47 @@ def test_cli_dsir_fit_select(tmp_path):
     # weights are sorted desc with doc_id tie-break
     ws = [row["w_micro"] for row in sel["rows"]]
     assert ws == sorted(ws, reverse=True)
+
+
+def test_cli_ann_build_probe(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "db_migration_spark.cli", "ann", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    store = str(tmp_path / "ivfpq")
+    built = run("--action", "build-ivfpq", "--input", emb, "--store", store)
+    assert built["n_vectors"] == 500 and built["n_groups"] == 16
+
+    probed = run(
+        "--action", "probe-ivfpq", "--input", emb, "--store", store,
+        "--query-ids", "0,1", "--k", "5",
+    )
+    planned, total = probed["groups_planned"]
+    assert 0 < planned < total  # the probe physically skipped groups
+    assert len(probed["results"]) == 10  # 2 queries x top-5
+    by_q = {}
+    for qid, rank, nid in probed["results"]:
+        assert nid != qid  # self excluded
+        by_q.setdefault(qid, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+    gstore = str(tmp_path / "graph")
+    gbuilt = run("--action", "build-graph", "--input", emb, "--store", gstore)
+    assert gbuilt["edges"] > 0 and gbuilt["n_groups"] == 8
+    gprobe = run(
+        "--action", "probe-graph", "--input", emb, "--store", gstore,
+        "--query-ids", "0", "--k", "5",
+    )
+    scanned, scannable = gprobe["groups_planned"]
+    assert 0 < scanned < scannable  # per-hop frontier pruning fired
+    assert [r[1] for r in gprobe["results"]] == [1, 2, 3, 4, 5]
