@@ -365,6 +365,123 @@ def exp_catalog100(spark) -> dict:
     }
 
 
+def exp_rfm_x100(spark) -> dict:
+    """The ntile cliff vs the two-level prefix sum at ×100 key volume
+    (1.5M keyed rows — the volume where SCALE.md:303 measured the
+    global window at 10.4s): same three-metric quartile segmentation,
+    (a) the global un-partitioned ntile plan, (b) the
+    exact_rank_boundaries plan (collapsed buckets + in-bucket ranks +
+    map-only tile comparison).  Segment aggregates asserted equal."""
+    from pyspark.sql import Window
+
+    from db_migration_spark.operators.relational import (
+        exact_rank_boundaries,
+        ntile_cut_ranks,
+    )
+
+    n = 1_500_000
+    pc = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.abs(F.xxhash64("id", F.lit(1))) % 365).alias("recency"),
+            (F.abs(F.xxhash64("id", F.lit(2))) % 40).alias("freq"),
+            (F.abs(F.xxhash64("id", F.lit(3))) % 10_000_000).alias(
+                "cents"
+            ),
+        )
+        .localCheckpoint()
+    )
+
+    def window_plan():
+        w_r = Window.orderBy("recency", "k")
+        w_f = Window.orderBy(F.col("freq").desc(), "k")
+        w_m = Window.orderBy(F.col("cents").desc(), "k")
+        return (
+            pc.select(
+                "k",
+                "cents",
+                F.ntile(4).over(w_r).alias("r"),
+                F.ntile(4).over(w_f).alias("f"),
+                F.ntile(4).over(w_m).alias("m"),
+            )
+            .groupBy("r", "f", "m")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("spend"),
+            )
+        )
+
+    def boundary_plan():
+        pcx = pc.withColumn("neg_f", -F.col("freq")).withColumn(
+            "neg_m", -F.col("cents")
+        )
+        ranks = ntile_cut_ranks(n, 4)
+        parts = []
+        for tag, col, bits in (
+            ("r", "recency", 2),
+            ("f", "neg_f", 2),
+            ("m", "neg_m", 18),
+        ):
+            parts.append(
+                exact_rank_boundaries(
+                    pcx, col, "k", ranks, bucket_bits=bits
+                ).withColumn("metric", F.lit(tag))
+            )
+        rows = (
+            parts[0].unionByName(parts[1]).unionByName(parts[2]).collect()
+        )
+        by = {(r.metric, r["rank"]): (r.sv, r.idv) for r in rows}
+
+        def tile(sv_col, tag):
+            e = F.lit(1)
+            for rk in ranks:
+                bsv, bid = by[(tag, rk)]
+                e = e + (
+                    (F.col(sv_col) > F.lit(bsv))
+                    | (
+                        (F.col(sv_col) == F.lit(bsv))
+                        & (F.col("k") > F.lit(bid))
+                    )
+                ).cast("int")
+            return e
+
+        return (
+            pcx.select(
+                "k",
+                "cents",
+                tile("recency", "r").alias("r"),
+                tile("neg_f", "f").alias("f"),
+                tile("neg_m", "m").alias("m"),
+            )
+            .groupBy("r", "f", "m")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("spend"),
+            )
+        )
+
+    def timed(fn) -> float:
+        t0 = time.time()
+        _noop(fn())
+        return time.time() - t0
+
+    timed(window_plan)
+    win_sec = round(min(timed(window_plan) for _ in range(3)), 3)
+    timed(boundary_plan)
+    bnd_sec = round(min(timed(boundary_plan) for _ in range(3)), 3)
+    a = {tuple(r) for r in window_plan().collect()}
+    b = {tuple(r) for r in boundary_plan().collect()}
+    assert a == b, "boundary plan changed the segment aggregates"
+    return {
+        "exp": "rfm_ntile_vs_boundaries_x100",
+        "n_keys": n,
+        "ntile_window_warm_min3_sec": win_sec,
+        "rank_boundaries_warm_min3_sec": bnd_sec,
+        "segments_equal": True,
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("scale-r8")
@@ -373,6 +490,7 @@ def main() -> None:
         "blockmaxzipf": exp_blockmax_zipf,
         "nswstore": exp_nswstore,
         "catalog100": exp_catalog100,
+        "rfmx100": exp_rfm_x100,
     }
     for name, fn in exps.items():
         if which not in ("all", name):
