@@ -482,6 +482,189 @@ def exp_rfm_x100(spark) -> dict:
     }
 
 
+def _clustered_vectors(spark, n=20_000, dim=64, n_clusters=200):
+    """The round-7 clustered-embedding generator (200 centers +
+    0.25-amplitude noise — the regime real embeddings live in)."""
+    cid = F.col("id") % n_clusters
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                (
+                    F.pmod(F.xxhash64(cid * dim + i), F.lit(2001)) - 1000
+                ).cast("double")
+                / 1000.0
+                + (
+                    F.pmod(
+                        F.xxhash64(F.col("id") * dim + i + 7_777_777),
+                        F.lit(2001),
+                    )
+                    - 1000
+                ).cast("double")
+                / 4000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    emb = emb.repartition(32).cache()
+    emb.count()
+    return emb
+
+
+def exp_ivfpq_x10(spark) -> dict:
+    """IVF-PQ store at 20k clustered vectors (×10 the sf0.1 corpus):
+    build the partitioned code store once, then compare warm serving —
+    zone-map-pruned compressed ADC + exact 50-deep re-rank — against
+    the brute-force scan, with recall@10 for 8 probes.  The quantities
+    that matter at 100 TB: bytes/vector in the serving store (8 int
+    codes vs 64 floats), fraction of file groups a probe plans, and
+    probe wall vs brute."""
+    from pyspark.sql import Window
+
+    from db_migration_spark.operators import similarity
+    from db_migration_spark.operators.similarity import (
+        centroid_array,
+        cosine,
+    )
+    from db_migration_spark.plans.txlog import TxTable
+
+    emb = _clustered_vectors(spark)
+    n = emb.count()
+    store_root = f"{TMP}/r8_ivfpq_x10"
+    books_path = f"{store_root}/codebooks.parquet"
+    t = TxTable(f"{store_root}/codes")
+    t0 = time.time()
+    lists = 64
+    if not t.active_groups():
+        similarity.pq_codebooks(emb, n_sub=8, n_codes=16).coalesce(
+            1
+        ).write.mode("overwrite").parquet(books_path)
+        books = spark.read.parquet(books_path)
+        cents = similarity.deterministic_centroids(emb, lists)
+        t.commit_append_partitioned(
+            similarity.pq_encode(emb, books, n_sub=8)
+            .join(
+                similarity.ivf_assign(emb, cents).select(
+                    "vec_id", "list_id"
+                ),
+                "vec_id",
+            )
+            .select("list_id", "vec_id", "codes"),
+            "list_id",
+        )
+    build = round(time.time() - t0, 2)
+    books = spark.read.parquet(books_path)
+    cents = similarity.deterministic_centroids(emb, lists)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    probe_sorted = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                (-cosine(F.col("query_vec"), s["centroid"])).alias("ns"),
+                s["list_id"].alias("lid"),
+            ),
+        )
+    )
+    q_probe = q.crossJoin(F.broadcast(centroid_array(cents))).select(
+        "query_id",
+        F.explode(F.slice(probe_sorted, 1, 8)["lid"]).alias("list_id"),
+    )
+    probes = sorted(
+        r.list_id for r in q_probe.select("list_id").distinct().collect()
+    )
+    picked, total = t.prune_groups_points("list_id", probes)
+    lut = similarity.pq_lut(
+        q.withColumnRenamed("query_id", "vec_id").withColumnRenamed(
+            "query_vec", "embedding"
+        ),
+        books,
+    )
+
+    def store_topk():
+        corpus = t.read_groups(spark, picked).filter(
+            F.col("list_id").isin(probes)
+        )
+        scored = (
+            corpus.join(F.broadcast(q_probe), "list_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(lut), "query_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    F.lit(0.0),
+                    lambda acc, m: acc
+                    + F.element_at(
+                        F.col("lut"),
+                        (
+                            m * 16 + F.element_at(F.col("codes"), m + 1) + 1
+                        ).cast("int"),
+                    ),
+                ).alias("approx_score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("approx_score"), F.col("neighbor_id")
+        )
+        short = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 50)
+            .select("query_id", "neighbor_id")
+        )
+        cv = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("corpus_vec"),
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.col("neighbor_id")
+        )
+        return (
+            short.join(F.broadcast(q), "query_id")
+            .join(cv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine("query_vec", "corpus_vec").alias("score"),
+            )
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= 10)
+        )
+
+    def brute():
+        return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+    def timed(fn):
+        t0 = time.time()
+        _noop(fn().select("query_id", "neighbor_id"))
+        return time.time() - t0
+
+    timed(store_topk); timed(brute)
+    store_sec = round(min(timed(store_topk) for _ in range(3)), 3)
+    brute_sec = round(min(timed(brute) for _ in range(3)), 3)
+    got = {(r.query_id, r.neighbor_id) for r in store_topk().collect()}
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in brute().select("query_id", "neighbor_id").collect()
+    }
+    recall = len(got & want) / len(want)
+    return {
+        "exp": "ivfpq_store_x10",
+        "n_vectors": n,
+        "lists": lists,
+        "store_build_sec": build,
+        "groups_planned": [len(picked), total],
+        "group_plan_frac": round(len(picked) / total, 4),
+        "bytes_per_vector": "8 int codes vs 64 float dims (8x smaller serving store)",
+        "store_probe_warm_min3_sec": store_sec,
+        "brute_warm_min3_sec": brute_sec,
+        "recall_at_10": round(recall, 3),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("scale-r8")
@@ -491,6 +674,7 @@ def main() -> None:
         "nswstore": exp_nswstore,
         "catalog100": exp_catalog100,
         "rfmx100": exp_rfm_x100,
+        "ivfpqx10": exp_ivfpq_x10,
     }
     for name, fn in exps.items():
         if which not in ("all", name):
