@@ -190,7 +190,143 @@ GROUP BY 1, 2
 """
 
 
+def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-segment customer counts
+    (Laplace mechanism, ε = 1, sensitivity 1 for a count): noise is
+    drawn by inverse-CDF from a SEEDED md5-uniform — u = (h%10⁶+0.5)/10⁶
+    over the first 8 md5 hex digits of 'dp:'||segment — so the release
+    is reproducible and the DuckDB oracle replays the identical draw.
+    The noisy count is quantized to milli-units (floor(x·1000 + 0.5))
+    so the cross-engine gate compares integers, never float tails.
+    The deterministic seed makes this a MECHANISM demonstration under
+    the exact-oracle discipline — a production release would draw u
+    from a CSPRNG; everything else (budget, sensitivity, inverse CDF,
+    quantized publication) is the real shape.  Extends the governance
+    triad (k-anonymity / l-diversity / t-closeness) with the
+    statistical-disclosure tier."""
+    cust = load_table(spark, sf_dir, "customer")
+    per = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("seg"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = ((h % 1000000).cast("double") + F.lit(0.5)) / 1000000.0
+    centered = u - F.lit(0.5)
+    # Laplace(b = 1/eps = 1) via inverse CDF
+    noise = -F.signum(centered) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    )
+    return per.select(
+        "seg",
+        (
+            F.col("n") * 1000
+            + F.floor(noise * 1000 + F.lit(0.5)).cast("long")
+        ).alias("dp_count_milli"),
+        F.lit(1000).cast("long").alias("eps_milli"),
+    )
+
+
+ORACLE_DP_COUNTS = """
+WITH per AS (
+  SELECT c_mktsegment AS seg, count(*) AS n FROM customer GROUP BY 1
+), x AS (
+  SELECT seg, n,
+         ((('0x' || substr(md5('dp:' || seg), 1, 8))::UBIGINT % 1000000)
+          + 0.5) / 1000000.0 AS u
+  FROM per
+)
+SELECT seg,
+       CAST(n * 1000
+            + CAST(floor((-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))
+                         * 1000 + 0.5) AS BIGINT) AS BIGINT)
+           AS dp_count_milli,
+       CAST(1000 AS BIGINT) AS eps_milli
+FROM x
+"""
+
+
+def q_privacy_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Randomized response (Warner's mechanism): each customer's
+    sensitive boolean — "is in the BUILDING segment" — is reported
+    FLIPPED with probability 1/4, where the flip is a seeded md5 coin
+    per customer (u < 0.25), so no individual row reveals the truth
+    while the debiased aggregate π̂ = (p̂ − 1/4) / (1/2) recovers the
+    population rate.  Everything is integer-exact: reported counts are
+    plain sums, and the estimator is published in micro-units computed
+    from integers (4·reported − n scaled), so the oracle matches bit
+    for bit.  ``est_err_milli`` carries |π̂ − π|·1000 — the declared
+    row proves the debias actually lands near the true rate."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rr:"), F.col("c_custkey").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    flip = (h % 1000000) < 250000
+    truth = F.col("c_mktsegment") == "BUILDING"
+    reported = truth != flip  # XOR
+    agg = cust.select(
+        truth.cast("long").alias("t"), reported.cast("long").alias("r")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("n_true"),
+        F.sum("r").alias("n_reported"),
+    )
+    # pi_hat = (r/n - 1/4) / (1/2) = (4r - n) / (2n); micro-units via
+    # integer arithmetic then one exact division
+    pi_hat_micro = F.floor(
+        (F.lit(4) * F.col("n_reported") - F.col("n"))
+        * 1000000
+        / (F.lit(2) * F.col("n"))
+    ).cast("long")
+    pi_true_micro = F.floor(
+        F.col("n_true") * 1000000 / F.col("n")
+    ).cast("long")
+    return agg.select(
+        "n",
+        "n_reported",
+        pi_hat_micro.alias("pi_hat_micro"),
+        F.abs(pi_hat_micro - pi_true_micro).alias("est_err_micro"),
+    )
+
+
+ORACLE_RANDOMIZED_RESPONSE = """
+WITH x AS (
+  SELECT (c_mktsegment = 'BUILDING') AS t,
+         ((('0x' || substr(md5('rr:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+           ::UBIGINT % 1000000) < 250000) AS flip
+  FROM customer
+), a AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_true,
+         sum(CASE WHEN t <> flip THEN 1 ELSE 0 END) AS n_reported
+  FROM x
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_reported AS BIGINT) AS n_reported,
+       CAST(floor((4 * n_reported - n) * 1000000 / (2 * n)) AS BIGINT)
+           AS pi_hat_micro,
+       CAST(abs(floor((4 * n_reported - n) * 1000000 / (2 * n))
+                - floor(n_true * 1000000 / n)) AS BIGINT)
+           AS est_err_micro
+FROM a
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["privacy_dp_counts"] = q_privacy_dp_counts
+    oracles["privacy_dp_counts"] = ORACLE_DP_COUNTS
+    queries["privacy_randomized_response"] = q_privacy_randomized_response
+    oracles["privacy_randomized_response"] = ORACLE_RANDOMIZED_RESPONSE
     queries["privacy_k_anonymity"] = q_privacy_k_anonymity
     oracles["privacy_k_anonymity"] = ORACLE_K_ANONYMITY
     queries["privacy_l_diversity"] = q_privacy_l_diversity
