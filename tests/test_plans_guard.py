@@ -569,3 +569,34 @@ def test_theta_set_ops_no_data_path_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_round8_queries_no_cartesian_no_python(spark):
+    """The round-8 serving surface stays JVM-side and never falls back
+    to a cartesian: store-served graph/IVF-PQ probes, Block-Max
+    candidate generation, fact-scale reporting twins, the governance
+    disclosure tier."""
+    for name in (
+        "ann_nsw_store_topk",
+        "stream_nsw_mv",
+        "ann_ivfpq_store_topk",
+        "stream_ivfpq_mv",
+        "search_bm25_blockmax",
+        "rfm_segments_factscale",
+        "orders_abc_factscale",
+        "privacy_dp_counts",
+        "privacy_randomized_response",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert (
+            "ArrowEvalPython" not in plan
+            and "BatchEvalPython" not in plan
+        ), name
+
+
+def test_blockmax_candidates_join_broadcast_allowlist(spark):
+    plan = _plan(spark, "search_bm25_blockmax")
+    # the (query, term, group) allow-list joins broadcast — candidate
+    # generation must never shuffle the store side by the tiny list
+    assert "BroadcastHashJoin" in plan
