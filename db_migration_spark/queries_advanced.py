@@ -224,14 +224,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ``ntile`` over an un-partitioned window is a global sort —
     right for a customer-dim-sized input (dims are small next to
-    facts); for a fact-sized input the same cut points come from
-    percentile pre-aggregation instead (see a6_percentiles)."""
+    facts).  Above ``_FACTSCALE_THRESHOLD`` keyed rows this query
+    DELEGATES to the rank-boundary plan (q_rfm_segments_factscale —
+    two-level prefix sum, no single-task sort), which shares this
+    oracle; the threshold branch costs one count() of the keyed
+    aggregate, the same planner-state precedent as maxscore's θ."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
+    if per_cust.count() > _FACTSCALE_THRESHOLD:
+        return q_rfm_segments_factscale(spark, sf_dir)
     anchor = per_cust.agg(F.max("last_date").alias("anchor"))
     per_cust = per_cust.join(F.broadcast(anchor)).withColumn(
         "recency_days", F.datediff(F.col("anchor"), F.col("last_date"))
@@ -1809,14 +1814,18 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative share computed in integer cents (cum·10000 vs total —
     no float division), class A = first 80%% of revenue, B = to 95%%,
     C = the tail.  One global sort over the customer DIM (bounded next
-    to facts — same contract as rfm_segments) and a 1-row broadcast
-    total.  Output: per class, customers and spend."""
+    to facts — same contract as rfm_segments); above
+    ``_FACTSCALE_THRESHOLD`` keyed rows it DELEGATES to the bucketed
+    running-total plan (q_orders_abc_factscale, same oracle).
+    Output: per class, customers and spend."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("cents")
     )
+    if per_cust.count() > _FACTSCALE_THRESHOLD:
+        return q_orders_abc_factscale(spark, sf_dir)
     total = per_cust.agg(F.sum("cents").alias("total_cents"))
     w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
     ranked = (
@@ -2432,6 +2441,12 @@ FROM counts c JOIN ppm p ON c.digit = p.digit
 # ---------------------------------------------------------------------------
 # fact-scale twins of the two dim-sized global-window reporting plans
 # ---------------------------------------------------------------------------
+
+# above this keyed-row count the window-form reporting queries delegate
+# to the rank-boundary plans: one task sorting 5M+ rows three times is
+# where the global-window plan's ceiling starts to show (SCALE.md ×100
+# row), and the boundary plan is already cheaper at 1.5M
+_FACTSCALE_THRESHOLD = 5_000_000
 
 
 def q_rfm_segments_factscale(spark: SparkSession, sf_dir: str) -> DataFrame:
