@@ -385,6 +385,9 @@ FULL_SUITE = [
     "stream_ivfpq_mv",
     "rfm_segments_factscale",
     "orders_abc_factscale",
+    "privacy_dp_counts",
+    "privacy_randomized_response",
+    "stats_permutation_fdr",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver

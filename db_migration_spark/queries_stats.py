@@ -1180,7 +1180,209 @@ ORDER BY feature, bin
 )
 
 
+# ---------------------------------------------------------------------------
+# stats_permutation_fdr — seeded permutation tests + Benjamini–Hochberg
+# ---------------------------------------------------------------------------
+
+_PERM_B = 32       # permutations per test (cost bound: B × rows, map-only)
+_FDR_ALPHA_MILLI = 100  # α = 0.10 in milli-units
+
+
+def q_stats_permutation_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing at scale: per event_type, a PERMUTATION test of
+    "does mean(value) differ between even- and odd-user_id traffic?",
+    then Benjamini–Hochberg step-up across the m tests.  Everything is
+    integer-exact and seeded, so the DuckDB oracle replays it bit for
+    bit:
+
+    * test statistic T = |n1·S0 − n0·S1| in cents-scaled integers
+      (= n0·n1·|mean0 − mean1|, no division);
+    * permutation b relabels each row by the parity of the first 8 md5
+      hex digits of 'perm:b:event_id' — the standard randomization
+      test, B = 32 draws, p̂_micro = floor((1 + #{T_b ≥ T})·10⁶/(B+1))
+      (the add-one estimator, never zero);
+    * BH: reject tests with rank r (p ascending, ties by name) where
+      some r' ≥ r has m·p_(r') ≤ r'·α — the step-up computed with a
+      reversed running max over the m-row collapsed frame.
+
+    Scale shape: the permutation frame is rows × B but map-only into a
+    (event_type, b) hash aggregate — no window, no shuffle beyond
+    m·(B+1) aggregate rows; BH itself runs on m rows.  Cost is bounded
+    by B, chosen per budget.  No counterpart in the reference; extends
+    the §2.12 classical-stats family to multiple-testing control."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("user_id") % 2).cast("int").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def stat(df: DataFrame, label) -> DataFrame:
+        agg = df.groupBy(*df.columns[:1] if False else ["event_type"]).agg(
+            F.sum(F.when(label == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(label == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(label == 0, F.col("cents")).otherwise(0)).alias(
+                "s0"
+            ),
+            F.sum(F.when(label == 1, F.col("cents")).otherwise(0)).alias(
+                "s1"
+            ),
+        )
+        return agg.select(
+            "event_type",
+            F.abs(
+                F.col("n1") * F.col("s0") - F.col("n0") * F.col("s1")
+            ).alias("t"),
+        )
+
+    obs = stat(rows, F.col("g"))
+    b = rows.crossJoin(
+        F.broadcast(
+            spark.range(1, _PERM_B + 1).select(F.col("id").alias("b"))
+        )
+    )
+    perm_label = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("perm"),
+                        F.col("b").cast("string"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    perm = (
+        b.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.when(perm_label == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(perm_label == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(
+                F.when(perm_label == 0, F.col("cents")).otherwise(0)
+            ).alias("s0"),
+            F.sum(
+                F.when(perm_label == 1, F.col("cents")).otherwise(0)
+            ).alias("s1"),
+        )
+        .select(
+            "event_type",
+            F.abs(
+                F.col("n1") * F.col("s0") - F.col("n0") * F.col("s1")
+            ).alias("tb"),
+        )
+    )
+    p = (
+        perm.join(F.broadcast(obs), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("tb") >= F.col("t"), 1).otherwise(0)
+            ).alias("n_ge")
+        )
+        .select(
+            "event_type",
+            F.floor(
+                (F.lit(1) + F.col("n_ge"))
+                * 1000000
+                / F.lit(_PERM_B + 1)
+            )
+            .cast("long")
+            .alias("p_micro"),
+        )
+    )
+    m = F.count(F.lit(1)).over(Window.partitionBy())
+    wr = Window.orderBy("p_micro", "event_type")
+    ranked = p.select(
+        "event_type",
+        "p_micro",
+        F.row_number().over(wr).cast("long").alias("rank"),
+        m.alias("m"),
+    )
+    # BH step-up: ok(r) = [m·p_(r)·1000 <= r·α_milli·10⁶]; significant
+    # iff ANY r' >= r has ok(r') — a reversed running max on m rows
+    ok = (
+        F.col("m") * F.col("p_micro") * 1000
+        <= F.col("rank") * _FDR_ALPHA_MILLI * 1000000
+    ).cast("int")
+    wrev = Window.orderBy(F.desc("rank")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ranked.select(
+        "event_type",
+        "p_micro",
+        "rank",
+        (F.max(ok).over(wrev) == 1).alias("significant"),
+    )
+
+
+def _perm_fdr_oracle() -> str:
+    return f"""
+WITH rows_ AS (
+  SELECT event_type, event_id,
+         CAST(user_id % 2 AS INTEGER) AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), obs AS (
+  SELECT event_type,
+         abs(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+             * sum(CASE WHEN g = 0 THEN cents ELSE 0 END)
+             - sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+             * sum(CASE WHEN g = 1 THEN cents ELSE 0 END)) AS t
+  FROM rows_ GROUP BY 1
+), perm AS (
+  SELECT event_type, b,
+         abs(sum(CASE WHEN pl = 1 THEN 1 ELSE 0 END)
+             * sum(CASE WHEN pl = 0 THEN cents ELSE 0 END)
+             - sum(CASE WHEN pl = 0 THEN 1 ELSE 0 END)
+             * sum(CASE WHEN pl = 1 THEN cents ELSE 0 END)) AS tb
+  FROM (
+    SELECT r.event_type, r.cents, bb.b,
+           CAST(('0x' || substr(md5('perm:' || CAST(bb.b AS VARCHAR)
+                 || ':' || CAST(r.event_id AS VARCHAR)), 1, 8))::UBIGINT
+                % 2 AS INTEGER) AS pl
+    FROM rows_ r CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS b) bb
+  ) GROUP BY 1, 2
+), p AS (
+  SELECT perm.event_type,
+         CAST(floor((1 + sum(CASE WHEN tb >= t THEN 1 ELSE 0 END))
+              * 1000000 / {_PERM_B + 1}) AS BIGINT) AS p_micro
+  FROM perm JOIN obs ON perm.event_type = obs.event_type
+  GROUP BY 1
+), ranked AS (
+  SELECT event_type, p_micro,
+         CAST(row_number() OVER (ORDER BY p_micro, event_type) AS BIGINT)
+             AS rank,
+         count(*) OVER () AS m
+  FROM p
+)
+SELECT event_type, p_micro, rank,
+       max(CASE WHEN m * p_micro * 1000
+                     <= rank * {_FDR_ALPHA_MILLI} * 1000000
+                THEN 1 ELSE 0 END)
+           OVER (ORDER BY rank DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+           AS significant
+FROM ranked
+"""
+
+
+ORACLE_PERM_FDR = _perm_fdr_oracle()
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["stats_permutation_fdr"] = q_stats_permutation_fdr
+    oracles["stats_permutation_fdr"] = ORACLE_PERM_FDR
     queries["stats_psi_drift"] = q_stats_psi_drift
     oracles["stats_psi_drift"] = ORACLE_PSI
     queries["ts_changepoint"] = q_ts_changepoint
