@@ -15,8 +15,13 @@
    a 25-commit branch merged back.  Expect: snapshot resolution and
    commit/conflict-check latency FLAT in table data size — the catalog
    touches only its own JSON log, never table bytes.
+4. ``rfmx100`` — global-ntile vs the exact-rank-boundary plan on 1.5M
+   keyed rows (segment aggregates asserted equal).
+5. ``ivfpqx10`` — the IVF-PQ store at 20k clustered vectors: build
+   once, planned-group probes + compressed ADC + exact re-rank vs
+   brute force, recall@10.
 
-Usage: python tools/scale_round8.py [blockmaxzipf|nswstore|catalog100|all]
+Usage: python tools/scale_round8.py [blockmaxzipf|nswstore|catalog100|rfmx100|ivfpqx10|all]
 Prints one JSON line per experiment; paste the numbers into SCALE.md.
 """
 
