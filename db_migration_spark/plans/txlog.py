@@ -1928,6 +1928,128 @@ class TxTable:
                 continue
         raise CommitConflict(f"merge_into lost {max_retries} races")
 
+    def apply_cdc(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key_cols,
+        op_col: str = "op",
+        max_retries: int = 5,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Apply a CDC change set as ONE atomic merge-on-read commit —
+        the full MERGE triad (WHEN MATCHED UPDATE / WHEN MATCHED DELETE
+        / WHEN NOT MATCHED INSERT) that ``merge_into`` lacks the DELETE
+        arm of.  ``changes`` carries the table columns plus ``op_col``
+        ∈ {'upsert', 'delete'} and must be unique on ``key_cols``
+        (checked).  Every matched key's live rows are masked by a
+        deletion vector; ONLY the upsert rows land as the delta group —
+        so a delete row removes its key and an upsert row replaces (or
+        inserts) its key.  Write cost is O(|changes| + rows matched),
+        never a table rewrite — the primitive an incremental
+        materialized view uses when a batch changes a bounded subset of
+        keys (the stream_nsw_mv adjacency: only edges whose per-src
+        top-M actually moved).  ``txn`` makes the commit idempotent on
+        the transaction identity, including the provable-no-op case."""
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        if txn is not None:
+            seen = self.txn_version(*txn)
+            if seen is not None:
+                return seen
+        from pyspark.sql import functions as F
+
+        bad = changes.filter(
+            ~F.col(op_col).isin("upsert", "delete")
+        ).take(1)
+        if bad:
+            raise ValueError(
+                f"apply_cdc: {op_col} must be 'upsert' or 'delete'"
+            )
+        for _ in range(max_retries):
+            read_v = self.latest_version()
+            if read_v < 0:
+                raise ValueError("cannot apply CDC to an empty table")
+            active, _stats, dvs = self._replay(read_v)
+            scan = self._scan(spark, active, read_v)
+            # align data columns to the log-owned schema while keeping
+            # the op marker riding the same frame
+            src = changes.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in scan.schema.fields
+                ],
+                F.col(op_col),
+            )
+            if src.groupBy(*keys).count().where("count > 1").take(1):
+                raise ValueError(f"CDC source is not unique on {keys}")
+            live = self._apply_dvs(spark, scan, dvs)
+            tagged = live.select(
+                *keys,
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").cast("long").alias("row_index"),
+            )
+            hit = tagged.join(
+                src.select(*keys).distinct(), on=keys, how="left_semi"
+            ).select("file_path", "row_index")
+            dv_group, n_masked, covered = self._write_dv(hit)
+            dv_path = os.path.join(self.data_dir, dv_group)
+            delta = src.filter(F.col(op_col) == "upsert").drop(op_col)
+            self._check_constraints(delta)
+            group, gstats = self._write_group(self._to_physical(delta))
+            import pyarrow.parquet as _pq
+
+            gpath = os.path.join(self.data_dir, group)
+            n_delta = sum(
+                _pq.ParquetFile(os.path.join(gpath, f)).metadata.num_rows
+                for f in os.listdir(gpath)
+                if f.endswith(".parquet")
+            )
+            if n_masked == 0 and n_delta == 0:  # provable no-op
+                shutil.rmtree(dv_path, ignore_errors=True)
+                shutil.rmtree(gpath, ignore_errors=True)
+                if txn is None:
+                    return read_v
+                try:
+                    return self._try_commit(
+                        "apply_cdc", [], [], read_v + 1, txn=txn
+                    )
+                except CommitConflict:
+                    seen = self.txn_version(*txn)
+                    if seen is not None:
+                        return seen
+                    continue
+            if n_delta == 0:
+                shutil.rmtree(gpath, ignore_errors=True)
+            if n_masked == 0:
+                shutil.rmtree(dv_path, ignore_errors=True)
+            try:
+                return self._try_commit(
+                    "apply_cdc",
+                    [group] if n_delta else [],
+                    [],
+                    read_v + 1,
+                    stats={group: gstats} if n_delta else None,
+                    txn=txn,
+                    dv=(
+                        {
+                            "group": dv_group,
+                            "covers": covered,
+                            "n": n_masked,
+                        }
+                        if n_masked
+                        else None
+                    ),
+                )
+            except CommitConflict:
+                shutil.rmtree(dv_path, ignore_errors=True)
+                shutil.rmtree(gpath, ignore_errors=True)
+                if txn is not None:
+                    seen = self.txn_version(*txn)
+                    if seen is not None:
+                        return seen
+                continue
+        raise CommitConflict(f"apply_cdc lost {max_retries} races")
+
     def replace_where(
         self,
         spark: SparkSession,

@@ -21,15 +21,18 @@ module gives the graph family the same two store tiers:
 * ``stream_nsw_mv`` — the kNN adjacency maintained INCREMENTALLY
   under streaming appends of vectors.  Per micro-batch: score only
   the pairs with ≥ 1 endpoint in the batch (|batch| × corpus-so-far
-  — linear per batch, n² TOTAL, same as one batch build), then fold
-  into the stored directed top-M via the serializable ``merge``
-  primitive with per-batch txn identity.  Top-M per src is a
-  MERGEABLE summary — a pair discarded at batch i was beaten by M
-  better pairs that can only ever be displaced by still-better ones,
-  so it can never re-enter the true top-M — which makes the fold
-  EXACT: after the drain the stored graph is proved edge-for-edge
-  equal to the one-shot batch build (two exceptAll gates), batch 0
-  is adversarially replayed (must be a txn no-op), and the declared
+  — linear per batch, n² TOTAL, same as one batch build), recompute
+  the per-src top-M over (old ∪ candidates), and commit ONLY the
+  CHANGED edges as one atomic CDC delta (``TxTable.apply_cdc`` —
+  inserts for pairs entering a top-M, DV-deletes for pairs falling
+  out) under per-batch txn identity; the WRITE cost is ∝ changed
+  edges, never the adjacency size.  Top-M per src is a MERGEABLE
+  summary — a pair discarded at batch i was beaten by M better pairs
+  that can only ever be displaced by still-better ones, so it can
+  never re-enter the true top-M — which makes the fold EXACT: after
+  the drain the stored graph is proved edge-for-edge equal to the
+  one-shot batch build (two exceptAll gates), batch 0 is
+  adversarially replayed (must be a txn no-op), and the declared
   answer is served from the MV graph against ORACLE_NSW VERBATIM.
   The approximate scale path (per-batch NN-descent delta rounds over
   the batch's neighborhood instead of batch × corpus scoring) keeps
@@ -269,8 +272,10 @@ def _ensure_stream_nsw_mv(spark: SparkSession, sf_dir: str):
 
     1. candidates = every ordered pair with ≥ 1 endpoint in B
        (B × (V∪B) plus V × B), scored with the exact fixed-point dot;
-    2. K ← per-src top-M of (K ∪ candidates) via ``merge`` with txn
-       identity ("nsw_knn", batch) — the mergeable-summary fold;
+    2. K ← the per-src top-M of (K ∪ candidates), committed as a CDC
+       DELTA (apply_cdc: changed edges only) with txn identity
+       ("nsw_knn", batch) — the mergeable-summary fold at
+       O(changed-edge) write cost;
     3. B appends to V under txn ("nsw_vec", batch).
 
     Crash/replay safety: the fold commits before the vector append, so
@@ -323,23 +328,38 @@ def _ensure_stream_nsw_mv(spark: SparkSession, sf_dir: str):
             )
         pairs = pairs.filter(F.col("src") != F.col("dst"))
         scored = _score_pairs(allv, pairs)
-
-        def fold(cur: DataFrame | None) -> DataFrame:
-            base = (
-                scored
-                if cur is None
-                else cur.unionByName(scored).dropDuplicates(
-                    ["src", "dst"]
-                )
-            )
-            w = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
-            return (
-                base.withColumn("rn", F.row_number().over(w))
+        kt = TxTable(knn_root)
+        w = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+        if kt.latest_version() < 0:
+            first = (
+                scored.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= NSW_M)
                 .select("src", "dst", "dot")
             )
-
-        TxTable(knn_root).merge(sp, fold, txn=("nsw_knn", batch_id))
+            kt.commit_append(first, txn=("nsw_knn", batch_id))
+        else:
+            # CDC delta instead of a table rewrite: recompute the per-src
+            # top-M over (old ∪ new candidates), then commit ONLY the
+            # edges that actually changed — inserts for pairs entering a
+            # top-M, deletes for pairs falling out.  Write cost ∝ changed
+            # edges (steady-state small), never the adjacency size.
+            old = kt.read(sp).select("src", "dst", "dot")
+            new = (
+                old.unionByName(scored)
+                .dropDuplicates(["src", "dst"])
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= NSW_M)
+                .select("src", "dst", "dot")
+                .localCheckpoint(eager=False)
+            )
+            changes = (
+                new.exceptAll(old)
+                .withColumn("op", F.lit("upsert"))
+                .unionByName(
+                    old.exceptAll(new).withColumn("op", F.lit("delete"))
+                )
+            )
+            kt.apply_cdc(sp, changes, ["src", "dst"], txn=("nsw_knn", batch_id))
         vt.commit_append(b, txn=("nsw_vec", batch_id))
 
     schema = emb.schema

@@ -198,3 +198,47 @@ def test_stream_ivfpq_equals_batch_encode(spark):
     assert len(t.active_groups()) >= n_lists
     picked, total = t.prune_groups_points("list_id", [0])
     assert 0 < len(picked) < total
+
+
+def test_apply_cdc_triad_and_idempotence(spark, tmp_path):
+    """apply_cdc = MERGE with all three arms: matched-update,
+    matched-delete, not-matched-insert — one atomic commit, replay
+    no-op on txn identity, and a provable-no-op batch still records
+    its identity (the cursor contract)."""
+    t = TxTable(str(tmp_path / "cdc"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+    )
+    ch = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (4, "d", "upsert")],
+        "k long, v string, op string",
+    )
+    v = t.apply_cdc(spark, ch, ["k"], txn=("cdc", 0))
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a"),
+        (2, "B"),
+        (4, "d"),
+    ]
+    assert t.apply_cdc(spark, ch, ["k"], txn=("cdc", 0)) == v  # replay
+    assert t.latest_version() == v
+    v2 = t.apply_cdc(spark, ch.filter("k < 0"), ["k"], txn=("cdc", 1))
+    assert v2 == t.txn_version("cdc", 1)  # empty batch advances cursor
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t.apply_cdc(
+            spark,
+            spark.createDataFrame([(1, "x", "nope")], "k long, v string, op string"),
+            ["k"],
+        )
+    with _pt.raises(ValueError):
+        t.apply_cdc(
+            spark,
+            spark.createDataFrame(
+                [(1, "x", "upsert"), (1, "y", "delete")],
+                "k long, v string, op string",
+            ),
+            ["k"],
+        )
