@@ -394,7 +394,14 @@ def main(argv: list[str] | None = None) -> int:
         "--probes", type=int, default=6,
         help="probe-ivfpq: inverted lists scanned per query",
     )
-    sp.add_argument("--lists", type=int, default=16, help="IVF lists")
+    sp.add_argument(
+        "--lists",
+        type=int,
+        default=None,
+        help="IVF lists (build-ivfpq: default 16; probe-ivfpq: read "
+        "from the store's params.json — a conflicting value is an "
+        "error)",
+    )
 
     sp = sub.add_parser(
         "corpus-prep",
@@ -1093,17 +1100,41 @@ def main(argv: list[str] | None = None) -> int:
         if args.action.startswith("build") and not args.input:
             raise SystemExit(f"{args.action} requires --input")
         if args.action == "build-ivfpq":
+            if args.lists is None:
+                args.lists = 16
             emb = spark.read.parquet(args.input).select(
                 "vec_id", "embedding"
             )
             _sh.rmtree(args.store, ignore_errors=True)
             os.makedirs(args.store, exist_ok=True)
             books_path = os.path.join(args.store, "codebooks.parquet")
-            similarity.pq_codebooks(
-                emb, n_sub=n_sub, n_codes=n_codes
+            similarity.pq_refine_codebooks(
+                emb,
+                similarity.pq_codebooks(
+                    emb, n_sub=n_sub, n_codes=n_codes
+                ),
+                n_sub=n_sub,
+                iterations=2,
             ).coalesce(1).write.mode("overwrite").parquet(books_path)
             books = spark.read.parquet(books_path)
             cents = similarity.deterministic_centroids(emb, args.lists)
+            # Persist the coarse quantizer + parameters with the store:
+            # probes must use the SAME centroids (and lists/n_sub/n_codes)
+            # the codes were assigned under, or list_ids silently diverge.
+            cents.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(args.store, "centroids.parquet")
+            )
+            with open(
+                os.path.join(args.store, "params.json"), "w"
+            ) as fh:
+                json.dump(
+                    {
+                        "lists": args.lists,
+                        "n_sub": n_sub,
+                        "n_codes": n_codes,
+                    },
+                    fh,
+                )
             t = TxTable(os.path.join(args.store, "codes"))
             t.commit_append_partitioned(
                 similarity.pq_encode(emb, books, n_sub=n_sub)
@@ -1192,12 +1223,34 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 0
-        # probe-ivfpq
+        # probe-ivfpq: the quantizer state (centroids, lists, n_sub,
+        # n_codes) is read FROM THE STORE, never recomputed from the
+        # probe-time --input — recomputing from a different embeddings
+        # file silently maps queries to list_ids that don't match the
+        # stored assignments.
         t = TxTable(os.path.join(args.store, "codes"))
         books = spark.read.parquet(
             os.path.join(args.store, "codebooks.parquet")
         )
-        cents = similarity.deterministic_centroids(emb, args.lists)
+        params_path = os.path.join(args.store, "params.json")
+        if not os.path.exists(params_path):
+            raise SystemExit(
+                f"store {args.store} has no params.json — rebuild with "
+                "build-ivfpq (stores written before centroid "
+                "persistence cannot be probed safely)"
+            )
+        with open(params_path) as fh:
+            params = json.load(fh)
+        n_sub, n_codes = params["n_sub"], params["n_codes"]
+        if args.lists is not None and args.lists != params["lists"]:
+            raise SystemExit(
+                f"--lists {args.lists} does not match the store's "
+                f"lists={params['lists']}; the stored value is "
+                "authoritative"
+            )
+        cents = spark.read.parquet(
+            os.path.join(args.store, "centroids.parquet")
+        )
         qv = q.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),

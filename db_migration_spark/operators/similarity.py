@@ -505,6 +505,98 @@ def _l2sq(a, b):
     )
 
 
+def pq_refine_codebooks(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd refinement of PQ codebooks — the per-subspace
+    twin of :func:`kmeans_refine`.  Each round: broadcast-assign every
+    (vector, subspace) subvector to its nearest codeword (L2, ties to
+    the lower code), then recompute each (m, code) codeword as the
+    elementwise mean of its assigned subvectors, accumulated through
+    DECIMAL so the result is bit-identical across partitionings.  A
+    codeword that attracts no subvectors keeps its previous value.
+
+    Two iterations on the hash-seeded books cut ADC distortion enough
+    to move shortlist recall@10 from ~0.54 to ~0.90 on the isotropic
+    synthetic corpus (see SCALE.md's recall curve).  Plan per round:
+    one broadcast map stage + one (m, code, pos) hash aggregate — the
+    codebook stays O(n_sub × n_codes × dim/n_sub), a broadcast payload.
+    At 100 TB: refine on a sample (the standard PQ train/add split),
+    then pq_encode the full corpus once against the frozen books."""
+    dim_over_m = F.size(F.col("__v")) / n_sub
+    sub = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "__id",
+        "m",
+        F.slice(
+            "__v",
+            (F.col("m") * dim_over_m + 1).cast("int"),
+            dim_over_m.cast("int"),
+        ).alias("sub"),
+    )
+    for _ in range(iterations):
+        best = (
+            sub.join(F.broadcast(codebooks), "m")
+            .select(
+                "__id",
+                "m",
+                "code",
+                "sub",
+                _l2sq(F.col("sub"), F.col("codeword")).alias("__d"),
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__id", "m").orderBy("__d", "code")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+        )
+        means = (
+            best.select("m", "code", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("mu")
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias(
+                    "pm"
+                )
+            )
+            .select(
+                "m",
+                "code",
+                F.transform(
+                    F.col("pm"), lambda s: s["mu"].cast("float")
+                ).alias("new_cw"),
+            )
+        )
+        codebooks = (
+            codebooks.join(means, ["m", "code"], "left")
+            .select(
+                "m",
+                "code",
+                F.coalesce("new_cw", "codeword").alias("codeword"),
+            )
+            .localCheckpoint()
+        )
+    return codebooks
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,

@@ -1764,11 +1764,8 @@ class TxTable:
             # one and silently drop it from the rebuilt delta rows)
             scan = self._scan(spark, active, read_v)
             matched = self._apply_dvs(spark, scan, dvs).filter(predicate)
-            dv_group, n, covered = self._write_dv(self._positions(matched))
-            dv_path = os.path.join(self.data_dir, dv_group)
-            if n == 0:
-                shutil.rmtree(dv_path, ignore_errors=True)
-                return read_v
+            # constraints BEFORE any on-disk write: a violation must
+            # raise with zero orphaned uncommitted DV/group directories
             updated = matched.select(
                 *[
                     (
@@ -1781,6 +1778,11 @@ class TxTable:
             )
             updated = self._align_to_schema(updated, scan.schema)
             self._check_constraints(updated)
+            dv_group, n, covered = self._write_dv(self._positions(matched))
+            dv_path = os.path.join(self.data_dir, dv_group)
+            if n == 0:
+                shutil.rmtree(dv_path, ignore_errors=True)
+                return read_v
             group, gstats = self._write_group(self._to_physical(updated))
             try:
                 return self._try_commit(
@@ -1859,8 +1861,8 @@ class TxTable:
             hit = tagged.join(
                 src.select(*keys).distinct(), on=keys, how="left_semi"
             ).select("file_path", "row_index")
-            dv_group, n_masked, covered = self._write_dv(hit)
-            dv_path = os.path.join(self.data_dir, dv_group)
+            # constraints BEFORE any on-disk write: a violation must
+            # raise with zero orphaned uncommitted DV/group directories
             delta = (
                 src
                 if insert
@@ -1869,6 +1871,8 @@ class TxTable:
                 )
             )
             self._check_constraints(delta)
+            dv_group, n_masked, covered = self._write_dv(hit)
+            dv_path = os.path.join(self.data_dir, dv_group)
             group, gstats = self._write_group(self._to_physical(delta))
             import pyarrow.parquet as _pq
 
@@ -1991,10 +1995,12 @@ class TxTable:
             hit = tagged.join(
                 src.select(*keys).distinct(), on=keys, how="left_semi"
             ).select("file_path", "row_index")
-            dv_group, n_masked, covered = self._write_dv(hit)
-            dv_path = os.path.join(self.data_dir, dv_group)
+            # constraints BEFORE any on-disk write: a violation must
+            # raise with zero orphaned uncommitted DV/group directories
             delta = src.filter(F.col(op_col) == "upsert").drop(op_col)
             self._check_constraints(delta)
+            dv_group, n_masked, covered = self._write_dv(hit)
+            dv_path = os.path.join(self.data_dir, dv_group)
             group, gstats = self._write_group(self._to_physical(delta))
             import pyarrow.parquet as _pq
 

@@ -230,13 +230,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; the threshold branch costs one count() of the keyed
     aggregate, the same planner-state precedent as maxscore's θ."""
     o = load_table(spark, sf_dir, "orders")
+    # localCheckpoint BEFORE the threshold count so the keyed aggregate
+    # is computed once and REUSED by whichever branch runs (the count
+    # would otherwise cost a full extra aggregation over orders)
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)
     if per_cust.count() > _FACTSCALE_THRESHOLD:
-        return q_rfm_segments_factscale(spark, sf_dir)
+        return q_rfm_segments_factscale(spark, sf_dir, per_cust=per_cust)
     anchor = per_cust.agg(F.max("last_date").alias("anchor"))
     per_cust = per_cust.join(F.broadcast(anchor)).withColumn(
         "recency_days", F.datediff(F.col("anchor"), F.col("last_date"))
@@ -1819,13 +1822,15 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-total plan (q_orders_abc_factscale, same oracle).
     Output: per class, customers and spend."""
     o = load_table(spark, sf_dir, "orders")
+    # localCheckpoint BEFORE the threshold count: one keyed aggregate,
+    # reused by whichever branch runs
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("cents")
-    )
+    ).localCheckpoint(eager=False)
     if per_cust.count() > _FACTSCALE_THRESHOLD:
-        return q_orders_abc_factscale(spark, sf_dir)
+        return q_orders_abc_factscale(spark, sf_dir, per_cust=per_cust)
     total = per_cust.agg(F.sum("cents").alias("total_cents"))
     w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
     ranked = (
@@ -2449,7 +2454,9 @@ FROM counts c JOIN ppm p ON c.digit = p.digit
 _FACTSCALE_THRESHOLD = 5_000_000
 
 
-def q_rfm_segments_factscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rfm_segments_factscale(
+    spark: SparkSession, sf_dir: str, per_cust: DataFrame | None = None
+) -> DataFrame:
     """rfm_segments at FACT SCALE: identical output (ORACLE_RFM
     verbatim), no un-partitioned per-row window.  ``ntile(4)`` needs
     only the three tile BOUNDARY tuples per metric; those come from
@@ -2464,12 +2471,15 @@ def q_rfm_segments_factscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the dim-sized reporting tier."""
     from .operators.relational import exact_rank_boundaries, ntile_cut_ranks
 
-    o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
-    )
+    if per_cust is None:  # delegation passes its cached aggregate in
+        o = load_table(spark, sf_dir, "orders")
+        per_cust = o.groupBy("o_custkey").agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
     anchor = per_cust.agg(F.max("last_date").alias("anchor"))
     pc = (
         per_cust.join(F.broadcast(anchor))
@@ -2527,7 +2537,9 @@ def q_rfm_segments_factscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_orders_abc_factscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_orders_abc_factscale(
+    spark: SparkSession, sf_dir: str, per_cust: DataFrame | None = None
+) -> DataFrame:
     """orders_abc_pareto at FACT SCALE: identical output (ORACLE_ABC
     verbatim), the global running-total window replaced by the same
     two-level prefix sum.  Rows bucket by spend rank order
@@ -2540,12 +2552,15 @@ def q_orders_abc_factscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row running totals, inside a bucket-PARTITIONED window with
     the bucket's carry-in.  total_cents rides driver-side (1 row, the
     planner's θ)."""
-    o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-        ).alias("cents")
-    ).localCheckpoint(eager=False)
+    if per_cust is None:  # delegation passes its cached aggregate in
+        o = load_table(spark, sf_dir, "orders")
+        per_cust = o.groupBy("o_custkey").agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("cents")
+        ).localCheckpoint(eager=False)
     total = per_cust.agg(F.sum("cents")).collect()[0][0]
     b = per_cust.withColumn(
         "bkt", F.shiftright(-F.col("cents"), 20)

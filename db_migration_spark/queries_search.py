@@ -1459,6 +1459,7 @@ def blockmax_topk(
     ub: DataFrame,
     bub: DataFrame,
     k: int = 10,
+    exec_planner_threshold: int = 256,
 ) -> DataFrame:
     """The Block-Max phases of :func:`q_search_bm25_blockmax`: the
     shared MaxScore planner (θ + essential terms), then BLOCK planning
@@ -1466,7 +1467,26 @@ def blockmax_topk(
     reach θ — then candidate generation over ONLY the allowed groups
     (``read_groups`` on their union), then the identical full exact
     scoring.  Kept separate so the SCALE tool can drive it against the
-    ×10 store and assert group skipping."""
+    ×10 store and assert group skipping.
+
+    Staleness contract (conservative by construction): a group ABSENT
+    from the block sidecar entirely — i.e. appended to the store after
+    the sidecar build; every store group has postings rows, so build
+    covers it for all its terms — is allowed for EVERY essential
+    (query, term) pair, bound +inf, never skipped.  A (term, group)
+    pair absent while the group IS covered genuinely means the term
+    has no postings in that group, so skipping it is exact.
+
+    Block planning runs in one of two places. Below
+    ``exec_planner_threshold`` active groups, the sidecar slice for the
+    query vocabulary is collected and planned driver-side (≤ |terms| ×
+    groups rows — what a BMW engine walks per query).  Above it, the
+    slice would be millions of rows (a common term's postings span
+    ~10⁴–10⁶ groups at 100 TB), so the allow-list is computed as a
+    DataFrame join — sidecar ⋈ broadcast(per-(query,term) slack) —
+    executor-side, and only the DISTINCT allowed group ids (bounded by
+    |groups|, not |terms|×|groups|) ever reach the driver, as the
+    ``read_groups`` path list."""
     _INF = float("inf")
     st = _wand_planner(spark, post, c, q, ub, k)
     q_terms, ub_map, theta = st["q_terms"], st["ub_map"], st["theta"]
@@ -1476,47 +1496,107 @@ def blockmax_topk(
         st["contrib"],
     )
 
-    # block planning state: the sidecar restricted to the query's own
-    # vocabulary (≤ |terms| × groups rows — driver-side by design)
-    bub_rows = bub.filter(F.col("term").isin(all_terms)).collect()
-    blocks: dict[str, list] = {}
-    for r in bub_rows:
-        blocks.setdefault(r.term, []).append((r.grp, r.bub))
-    ess_by_q: dict[int, list[str]] = {}
-    for qid, t_ in ess_pairs:
-        ess_by_q.setdefault(qid, []).append(t_)
-    allow: list[tuple[int, str, str]] = []
-    pairs_total = 0
+    active = t.active_groups()
+    total_grps = len(active)
+    # per-(query, essential term) slack rows: other = Σ ub(t'≠t), plus
+    # the query's θ.  |ess_pairs| rows — driver-scale in either planner.
+    ess_rows = []
     for qid, ts in q_terms.items():
         th = theta.get(qid, float("-inf"))
-        for t_ in ess_by_q.get(qid, []):
+        ess_ts = [t_ for q2, t_ in ess_pairs if q2 == qid]
+        for t_ in ess_ts:
             other = sum(ub_map.get(x, _INF) for x in ts if x != t_)
-            for grp, b in blocks.get(t_, []):
+            ess_rows.append((qid, t_, float(other), float(th)))
+
+    if total_grps > exec_planner_threshold:
+        # --- executor-side block planning ---------------------------
+        ess_df = spark.createDataFrame(
+            ess_rows or [(-1, "", 0.0, _INF)],
+            "query_id long, term string, other double, theta double",
+        )
+        joined = bub.join(F.broadcast(ess_df), "term")
+        # keep on ties / NaN / inf — same predicate as the driver path
+        keep = ~(F.col("bub") + F.col("other") < F.col("theta"))
+        covered = joined.filter(keep).select("query_id", "term", "grp")
+        # stale groups: in the store but never seen by the sidecar
+        sidecar_grps = {r.grp for r in bub.select("grp").distinct().collect()}
+        stale = sorted(set(active) - sidecar_grps)
+        allow_df = covered
+        if stale:
+            stale_df = spark.createDataFrame(
+                [(g,) for g in stale], "grp string"
+            )
+            allow_df = covered.unionByName(
+                ess_df.select("query_id", "term").crossJoin(stale_df)
+            )
+        stats_row = joined.agg(
+            F.count(F.lit(1)).alias("pt"),
+            F.sum(keep.cast("long")).alias("pa"),
+        ).collect()[0]
+        pairs_total = int(stats_row.pt or 0)
+        pairs_allowed = int(stats_row.pa or 0) + len(stale) * len(ess_rows)
+        # only the distinct group ids come back to the driver — bounded
+        # by |groups|, never |terms| × |groups|
+        allowed_grps = sorted(
+            r.grp for r in allow_df.select("grp").distinct().collect()
+        )
+        planner = "executor"
+    else:
+        # --- driver-side block planning (small stores) --------------
+        bub_rows = bub.filter(F.col("term").isin(all_terms)).collect()
+        blocks: dict[str, dict[str, float]] = {}
+        sidecar_grps = set()
+        for r in bub_rows:
+            blocks.setdefault(r.term, {})[r.grp] = r.bub
+            sidecar_grps.add(r.grp)
+        # groups the sidecar has never seen (store append after build):
+        # the query-vocabulary slice can't prove coverage, so fall back
+        # to the sidecar's full group set (one tiny distinct) only when
+        # the slice alone doesn't already cover the store.
+        if not (set(active) <= sidecar_grps):
+            sidecar_grps |= {
+                r.grp for r in bub.select("grp").distinct().collect()
+            }
+        stale = sorted(set(active) - sidecar_grps)
+        allow: list[tuple[int, str, str]] = []
+        pairs_total = 0
+        for qid, t_, other, th in ess_rows:
+            for grp, b in blocks.get(t_, {}).items():
                 pairs_total += 1
                 if not (b + other < th):  # NaN/inf-safe: keep on ties
                     allow.append((qid, t_, grp))
-    allowed_grps = sorted({g for _, _, g in allow})
-    total_grps = len(t.active_groups())
+            for grp in stale:  # unknown block bound keeps the group
+                allow.append((qid, t_, grp))
+        pairs_allowed = len(allow)
+        allowed_grps = sorted({g for _, _, g in allow})
+        allow_df = spark.createDataFrame(
+            allow or [(-1, "", "")], ["query_id", "term", "grp"]
+        )
+        planner = "driver"
+
     BLOCKMAX_LAST_STATS.clear()
     BLOCKMAX_LAST_STATS.update(
         {
             "groups_allowed": len(allowed_grps),
             "groups_total": total_grps,
-            "pairs_allowed": len(allow),
+            "pairs_allowed": pairs_allowed,
             "pairs_total": pairs_total,
+            "stale_groups": len(stale),
+            "planner": planner,
         }
     )
 
     # candidate generation over ONLY the allowed groups: one planned
     # multi-group scan, the (term, grp) allow-list joined broadcast
-    allow_df = spark.createDataFrame(
-        allow or [(-1, "", "")], ["query_id", "term", "grp"]
-    )
+    # (small-store path) or AQE-planned (executor path, where the
+    # allow-list can be |terms| × allowed-groups rows)
+    if planner == "driver":
+        allow_df = F.broadcast(allow_df)
     cands = (
         t.read_groups(spark, allowed_grps)
         .withColumn("grp", _grp_col())
         .select("term", "grp", "doc_id")
-        .join(F.broadcast(allow_df), ["term", "grp"])
+        .join(allow_df, ["term", "grp"])
         .filter(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id")
         .distinct()

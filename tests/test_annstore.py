@@ -159,6 +159,18 @@ def test_ivfpq_store_serves_with_pruning(spark):
 
     row = q_ann_ivfpq_store_topk(spark, SF).collect()[0]
     assert row.recall_ok and row.pruned
+    assert row.n_queries == 4 and row.n_exact == 40
+
+
+def test_ivfpq_hirecall_setting(spark):
+    """The documented high-recall probe setting (14/16 probes, 300-deep
+    exact re-rank, Lloyd-refined books) clears the 0.9 recall gate."""
+    from db_migration_spark.queries_annstore import (
+        q_ann_ivfpq_hirecall_topk,
+    )
+
+    row = q_ann_ivfpq_hirecall_topk(spark, SF).collect()[0]
+    assert row.recall_ok
     assert row.n_queries == 8 and row.n_exact == 80
 
 

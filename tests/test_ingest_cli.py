@@ -477,6 +477,35 @@ def test_cli_ann_build_probe(tmp_path):
         by_q.setdefault(qid, []).append(rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
 
+    # Quantizer state is read FROM THE STORE (centroids.parquet +
+    # params.json), not recomputed from the probe-time --input: probing
+    # with a subset file holding only the query vectors must return the
+    # same neighbors as probing with the full corpus input.
+    import os
+
+    assert os.path.exists(os.path.join(store, "centroids.parquet"))
+    assert os.path.exists(os.path.join(store, "params.json"))
+    import duckdb
+
+    sub = str(tmp_path / "subset.parquet")
+    duckdb.sql(
+        f"copy (select * from '{emb}' where vec_id in (0, 1)) to '{sub}'"
+    )
+    probed_sub = run(
+        "--action", "probe-ivfpq", "--input", sub, "--store", store,
+        "--query-ids", "0,1", "--k", "5",
+    )
+    assert probed_sub["results"] == probed["results"]
+    # a --lists conflicting with the store's params is a hard error
+    r_bad = subprocess.run(
+        [sys.executable, "-m", "db_migration_spark.cli", "ann",
+         "--action", "probe-ivfpq", "--input", emb, "--store", store,
+         "--query-ids", "0", "--k", "5", "--lists", "32"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r_bad.returncode != 0
+    assert "does not match the store" in r_bad.stderr
+
     gstore = str(tmp_path / "graph")
     gbuilt = run("--action", "build-graph", "--input", emb, "--store", gstore)
     assert gbuilt["edges"] > 0 and gbuilt["n_groups"] == 8

@@ -314,3 +314,120 @@ def test_bm25_blockmax_skips_groups_and_stays_exact(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_bm25_blockmax_executor_planner_matches_driver(spark, tmp_path):
+    """Above the group threshold the allow-list is computed as a
+    DataFrame join (no |terms|x|groups| driver collect); forcing
+    threshold 0 must give the bit-identical top-k and report the
+    executor planner."""
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.queries_search import (
+        BLOCKMAX_LAST_STATS,
+        blockmax_topk,
+        bm25_contrib,
+    )
+
+    t, c = _blockmax_fixture(spark, tmp_path)
+    post = t.read(spark)
+    contrib = bm25_contrib(c["n_docs"], c["avgdl"])
+    ub = post.groupBy("term").agg(F.max(contrib).alias("ub"))
+    bub = (
+        post.withColumn(
+            "grp",
+            F.element_at(F.split(F.input_file_name(), "/"), -2),
+        )
+        .groupBy("grp", "term")
+        .agg(F.max(contrib).alias("bub"))
+    ).localCheckpoint(eager=False)
+    q = spark.createDataFrame(
+        [(100, "r"), (100, "a")], ["query_id", "term"]
+    )
+    drv = sorted(
+        tuple(r)
+        for r in blockmax_topk(spark, t, post, c, q, ub, bub).collect()
+    )
+    st_drv = dict(BLOCKMAX_LAST_STATS)
+    exe = sorted(
+        tuple(r)
+        for r in blockmax_topk(
+            spark, t, post, c, q, ub, bub, exec_planner_threshold=0
+        ).collect()
+    )
+    st_exe = dict(BLOCKMAX_LAST_STATS)
+    assert st_drv["planner"] == "driver"
+    assert st_exe["planner"] == "executor"
+    assert exe == drv
+    # both planners agree on what was skipped
+    assert st_exe["groups_allowed"] == st_drv["groups_allowed"]
+    assert st_exe["groups_allowed"] < st_exe["groups_total"]
+
+
+def test_bm25_blockmax_stale_sidecar_is_conservative(spark, tmp_path):
+    """A group appended to the store AFTER the sidecar build has no
+    block bounds; the planner must keep (never skip) it — dropping it
+    would silently exclude its postings from the top-k.  Both planner
+    paths."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.plans.txlog import TxTable  # noqa: F401
+    from db_migration_spark.queries_search import (
+        BLOCKMAX_LAST_STATS,
+        _dec9,
+        blockmax_topk,
+        bm25_contrib,
+    )
+
+    t, c = _blockmax_fixture(spark, tmp_path)
+    # sidecars built on the PRE-append store
+    pre = t.read(spark)
+    contrib = bm25_contrib(c["n_docs"], c["avgdl"])
+    ub = pre.groupBy("term").agg(F.max(contrib).alias("ub")).localCheckpoint()
+    bub = (
+        pre.withColumn(
+            "grp",
+            F.element_at(F.split(F.input_file_name(), "/"), -2),
+        )
+        .groupBy("grp", "term")
+        .agg(F.max(contrib).alias("bub"))
+    ).localCheckpoint()
+    # append high-impact postings for the essential term 'r': short
+    # docs that belong at the TOP of the ranking
+    extra = spark.createDataFrame(
+        [("r", 900 + i, 3, 10, 140) for i in range(5)],
+        ["term", "doc_id", "tf", "dl", "df"],
+    )
+    t.commit_append(extra)
+    post = t.read(spark)
+    q = spark.createDataFrame(
+        [(100, "r"), (100, "a")], ["query_id", "term"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    want = {
+        (r.query_id, r.rank): (r.doc_id, float(r.score))
+        for r in post.join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(_dec9(contrib)).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id",
+                F.col("score").cast("double").alias("score"), "rank")
+        .collect()
+    }
+    # the appended docs must appear in the exact answer for the test
+    # to prove anything
+    assert any(d >= 900 for (_, _), (d, _) in want.items())
+    for thr in (256, 0):
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in blockmax_topk(
+                spark, t, post, c, q, ub, bub,
+                exec_planner_threshold=thr,
+            ).collect()
+        }
+        st = dict(BLOCKMAX_LAST_STATS)
+        assert st["stale_groups"] >= 1
+        assert got == want, st["planner"]

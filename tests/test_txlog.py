@@ -538,6 +538,48 @@ def test_check_constraint_blocks_bad_writes(spark, tmp_path):
     assert t.read(spark).filter(F.col("v") < 0).count() == 1
 
 
+def test_constraint_violation_leaves_no_orphan_dirs(spark, tmp_path):
+    """A merge-on-read writer (apply_cdc / merge_into / update_where)
+    that trips a CHECK constraint must raise BEFORE any on-disk write:
+    no uncommitted DV or delta group directories may be left behind in
+    data_dir."""
+    import os
+
+    from db_migration_spark.plans.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    t.add_constraint(spark, "v_nonneg", "v >= 0")
+
+    def dirs():
+        return sorted(
+            d for d in os.listdir(t.data_dir)
+            if os.path.isdir(os.path.join(t.data_dir, d))
+        )
+
+    before = dirs()
+    bad_cdc = spark.range(1).select(
+        F.lit(1).alias("k"), F.lit(-3).alias("v"),
+        F.lit("upsert").alias("op"),
+    )
+    with pytest.raises(ConstraintViolation):
+        t.apply_cdc(spark, bad_cdc, "k")
+    assert dirs() == before
+    with pytest.raises(ConstraintViolation):
+        t.merge_into(
+            spark,
+            spark.range(1).select(
+                F.lit(1).alias("k"), F.lit(-7).alias("v")
+            ),
+            "k",
+        )
+    assert dirs() == before
+    with pytest.raises(ConstraintViolation):
+        t.update_where(spark, F.col("k") == 1, {"v": F.lit(-1)})
+    assert dirs() == before
+    assert t.read(spark).count() == 10
+
+
 def test_add_constraint_rejects_existing_violations(spark, tmp_path):
     from db_migration_spark.plans.txlog import ConstraintViolation
 
