@@ -34,10 +34,22 @@ module gives the graph family the same two store tiers:
   one-shot batch build (two exceptAll gates), batch 0 is
   adversarially replayed (must be a txn no-op), and the declared
   answer is served from the MV graph against ORACLE_NSW VERBATIM.
-  The approximate scale path (per-batch NN-descent delta rounds over
-  the batch's neighborhood instead of batch × corpus scoring) keeps
-  the same fold shape; the exact fold is declared because its oracle
-  is bit-exact.
+  The exact fold is declared because its oracle is bit-exact — and it
+  is the VERIFICATION TWIN of the scale path below.
+* ``stream_nsw_descent_mv`` — the approximate SCALE path (round-9
+  verdict task 1): per-batch candidates come from beam-seeding each
+  batch vector through the live stored graph plus NN-descent delta
+  rounds over the batch frontier, so the scored-candidate count per
+  batch is bounded by a CONSTANT per vector (_DESCENT_MV_BUDGET — a
+  function of beam hops/width, the degree cap, and the round count,
+  independent of |V|), where the exact tier scores |B|·|V|.  Same
+  localized per-src top-M fold, same apply_cdc CDC-delta commits,
+  same txn replay safety; gate = the ann_nsw_descent_topk recall
+  contract plus a ``bounded`` boolean read from the maintenance-stats
+  sidecar the stream writes as it runs.  Measured at 20k clustered
+  vectors (tools/scale_round9.py): per-vector candidates plateau
+  ~800 while the exact tier's grow linearly (47× more by batch 7);
+  serving recall@10 0.875 vs 0.95 for the one-shot descent build.
 
 No counterpart in the reference (azanium has no similarity tier;
 pseudoace.py:1-40 is Datomic import plumbing); this completes SURVEY
@@ -427,6 +439,445 @@ def q_stream_nsw_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     beam = nsw_beam_search(emb, edges, q)
     return _nsw_answer(beam, emb, q)
+
+
+# ---------------------------------------------------------------------------
+# stream_nsw_descent_mv — the SCALE-SAFE incremental graph maintenance
+# ---------------------------------------------------------------------------
+
+_DESCENT_MV_ROUNDS = 2
+# expansion degree cap: kNN digraphs grow unbounded IN-degree at hub
+# nodes, so the symmetrized adjacency used for seeding/expansion is
+# capped to the per-src top-D by dot — without it, per-batch candidate
+# counts grow with the corpus through the hubs (the quadratic leak the
+# exact tier has by construction)
+_DESCENT_MV_DEGREE = 2 * NSW_M
+# beam-entry selection: each batch vector scores a hash sample of ~64
+# corpus nodes and enters the beam from its best 4 — without this a
+# single global entry cannot reach a new vector's cluster
+_DESCENT_MV_ENTRY_SAMPLE = 64
+_DESCENT_MV_ENTRIES = 4
+# per-vector scored-candidate budget — a CONSTANT of the topology
+# parameters only (entry sampling + beam hops x width x capped degree
+# for seeding, two capped delta rounds + intra-batch descent +
+# reversals; effective expansion degree = cap + the 8 symmetrized
+# long-range links), independent of |V|: the bound the ``bounded``
+# gate asserts per batch
+_DESCENT_MV_EFF_DEGREE = _DESCENT_MV_DEGREE + 8
+_DESCENT_MV_BUDGET = (
+    2 * _DESCENT_MV_ENTRY_SAMPLE
+    + NSW_H * NSW_W * (_DESCENT_MV_EFF_DEGREE + 1)
+    + 2
+    * (
+        NSW_W
+        * (1 + _DESCENT_MV_EFF_DEGREE + _DESCENT_MV_EFF_DEGREE**2)
+        + 8 * NSW_M
+    )
+)
+
+
+def descent_mv_refresh(
+    sp: SparkSession,
+    vec_root: str,
+    knn_root: str,
+    stats_path: str,
+    bdf: DataFrame,
+    batch_id: int,
+    txn_family: tuple[str, str] = ("nswd_knn", "nswd_vec"),
+) -> None:
+    """One micro-batch of scale-safe incremental graph maintenance —
+    the body of _ensure_stream_nsw_descent_mv's foreachBatch, exposed
+    at module level so tools/scale_round9.py can drive the IDENTICAL
+    code against the ×10 corpus.  See the ensure's docstring for the
+    four phases (seed / delta rounds / localized fold / vector
+    append)."""
+    import json as _json
+
+    from .operators.similarity import nsw_beam_search
+    from .plans.txlog import TxTable
+
+    # Spark 4's Union.rewriteConstraints loses attributes when a union
+    # child is a projection OF ITS SIBLING (the fwd ∪ reverse(fwd) and
+    # old_t ∪ scored shapes below) and the plan is then checkpointed —
+    # java.util.NoSuchElementException: key not found: src#N.  Scoped
+    # workaround: constraint propagation off for the fold, restored
+    # after (it only disables inferred IsNotNull/filter constraints —
+    # never results).
+    _CP = "spark.sql.constraintPropagation.enabled"
+    cp_prev = sp.conf.get(_CP, "true")
+    sp.conf.set(_CP, "false")
+    try:
+        _descent_mv_refresh_inner(
+            sp, vec_root, knn_root, stats_path, bdf, batch_id, txn_family
+        )
+    finally:
+        sp.conf.set(_CP, cp_prev)
+
+
+def _descent_mv_refresh_inner(
+    sp: SparkSession,
+    vec_root: str,
+    knn_root: str,
+    stats_path: str,
+    bdf: DataFrame,
+    batch_id: int,
+    txn_family: tuple[str, str],
+) -> None:
+    import json as _json
+
+    from .operators.similarity import nsw_beam_search
+    from .plans.txlog import TxTable
+
+    w_top = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+    b = bdf.select("vec_id", "embedding").localCheckpoint()
+    vt, kt = TxTable(vec_root), TxTable(knn_root)
+    k_before = kt.latest_version()
+    n_batch = b.count()
+    prev = vt.read(sp) if vt.latest_version() >= 0 else None
+    n_corpus = 0 if prev is None else prev.count()
+    if k_before < 0:
+        # bootstrap: NN-descent WITHIN the batch (linear in |B|),
+        # rescored to the directed per-src top-M the MV maintains
+        edges0 = nsw_build_edges_descent(b)
+        scored0 = _score_pairs(b, edges0)
+        n_cand = edges0.count()
+        first = (
+            scored0.withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") <= NSW_M)
+            .select("src", "dst", "dot")
+        )
+        kt.commit_append(first, txn=(txn_family[0], batch_id))
+    else:
+        old = (
+            kt.read(sp)
+            .select("src", "dst", "dot")
+            .localCheckpoint()
+        )
+        allv = prev.unionByName(b)
+        # degree-CAPPED symmetrized adjacency for seeding/expansion:
+        # top-D by dot per src, so hub in-degree cannot couple the
+        # per-batch candidate count to the corpus size
+        w_cap = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+        sym_old = (
+            old.unionByName(
+                old.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "dot",
+                )
+            )
+            .dropDuplicates(["src", "dst"])
+            .withColumn("rn", F.row_number().over(w_cap))
+            .filter(F.col("rn") <= _DESCENT_MV_DEGREE)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        # NAVIGATION graph = capped adjacency + the stateless md5
+        # long-range links over the live corpus (map-only derivation,
+        # no scoring): top-M edges on clustered data are near-cliques,
+        # and a maintenance beam with no inter-cluster tunnels can
+        # never escape a wrong entry cluster — the graph it builds
+        # stays wrong no matter how the serve side routes.  The DELTA
+        # ROUNDS below deliberately expand over the capped kNN edges
+        # ONLY: "my neighbors' neighbors" is a locality argument, and
+        # expanding through random tunnels multiplies the candidate
+        # count with junk pairs.
+        nav = (
+            sym_old.unionByName(nsw_longrange_edges(prev))
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint()
+        )
+        # 1. seed: batch vectors beam-search the live graph.  Beam
+        # entries come from a ~64-node hash sample of the corpus scored
+        # against each batch vector (≤ ~64 scorings/vector — bounded):
+        # a single global entry cannot reach a new vector's cluster on
+        # clustered data, and a graph seeded through the wrong cluster
+        # stays wrong no matter how many delta rounds refine it.
+        qb = b.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        p = max(1, n_corpus // _DESCENT_MV_ENTRY_SAMPLE)
+        samp = prev.filter(
+            F.pmod(F.xxhash64("vec_id", F.lit(batch_id)), F.lit(p)) == 0
+        ).select(F.col("vec_id").alias("node"), "embedding")
+        ent_scored = (
+            qb.crossJoin(samp)
+            .select(
+                "query_id",
+                "node",
+                fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
+            )
+            .localCheckpoint()
+        )
+        n_entry_scored = ent_scored.count()
+        w_ent = Window.partitionBy("query_id").orderBy(
+            F.desc("rel"), "node"
+        )
+        entries = (
+            ent_scored.withColumn("rn", F.row_number().over(w_ent))
+            .filter(F.col("rn") <= _DESCENT_MV_ENTRIES)
+            .select("query_id", "node")
+        )
+        seed_counts: list[int] = [n_entry_scored]
+        beam = nsw_beam_search(
+            prev,
+            nav,
+            qb,
+            entry=entries,
+            on_candidates=lambda c: seed_counts.append(c.count()),
+        )
+        cand = (
+            beam.select(
+                F.col("query_id").alias("src"),
+                F.col("node").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .localCheckpoint()
+        )
+        # 2. descent delta rounds over the batch frontier +
+        #    intra-batch descent + reversals
+        for _ in range(_DESCENT_MV_ROUNDS):
+            hop = (
+                cand.alias("a")
+                .join(
+                    sym_old.alias("g"),
+                    F.col("a.dst") == F.col("g.src"),
+                )
+                .select(
+                    F.col("a.src").alias("src"),
+                    F.col("g.dst").alias("dst"),
+                )
+            )
+            cand = (
+                cand.unionByName(hop)
+                .filter(F.col("src") != F.col("dst"))
+                .dropDuplicates(["src", "dst"])
+                .localCheckpoint()
+            )
+        intra = nsw_build_edges_descent(b)
+        fwd = cand.unionByName(intra).dropDuplicates(["src", "dst"])
+        pairs = (
+            fwd.unionByName(
+                fwd.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                )
+            )
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint()
+        )
+        scored = _score_pairs(allv, pairs).localCheckpoint()
+        n_cand = scored.count() + sum(seed_counts)
+        # 3. localized fold: re-window ONLY the touched srcs
+        touched = scored.select("src").distinct()
+        old_t = old.join(F.broadcast(touched), "src", "left_semi")
+        new_t = (
+            old_t.unionByName(scored)
+            .dropDuplicates(["src", "dst"])
+            .withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") <= NSW_M)
+            .select("src", "dst", "dot")
+            .localCheckpoint()
+        )
+        changes = (
+            new_t.exceptAll(old_t)
+            .withColumn("op", F.lit("upsert"))
+            .unionByName(
+                old_t.exceptAll(new_t).withColumn("op", F.lit("delete"))
+            )
+        )
+        kt.apply_cdc(
+            sp, changes, ["src", "dst"], txn=(txn_family[0], batch_id)
+        )
+    vt.commit_append(b, txn=(txn_family[1], batch_id))
+    if kt.latest_version() != k_before:  # not a replayed no-op
+        with open(stats_path, "a") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "batch": batch_id,
+                        "n_batch": n_batch,
+                        "n_corpus": n_corpus,
+                        "candidates": n_cand,
+                    }
+                )
+                + "\n"
+            )
+
+
+def _ensure_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str):
+    """Incremental kNN-graph maintenance whose per-batch cost is
+    ∝ |B|·beam·degree — NEVER |B|·|V| — the approximate scale path
+    SCALE.md names beside the exact tier (_ensure_stream_nsw_mv, its
+    verification twin: exact tier gates, this tier serves at 10⁹
+    vectors).  Per micro-batch B against corpus-so-far V:
+
+    1. SEED — beam-search each batch vector THROUGH the live stored
+       graph (nsw_beam_search over the symmetrized adjacency): per
+       vector ≤ hops × width × (degree+1) scored candidates, giving
+       its ~top-W existing neighbors without touching the corpus;
+    2. DELTA ROUNDS — NN-descent's "my neighbors' neighbors" applied
+       only to the batch frontier: expand the candidate dsts one graph
+       hop per round (≤ |B|·W·2M new pairs per round), plus an
+       intra-batch NN-descent build (linear in |B| — batch entrants
+       must be able to pair with each other), plus every pair
+       REVERSED so existing nodes can adopt batch entrants;
+    3. LOCALIZED FOLD — re-window the per-src top-M only for srcs with
+       ≥ 1 new candidate (the exact tier re-windows the ENTIRE
+       adjacency each batch), and commit only the changed edges as one
+       atomic CDC delta (apply_cdc) under txn ("nswd_knn", batch);
+    4. B appends to the vectors table under txn ("nswd_vec", batch).
+
+    Every batch's scored-candidate count lands in
+    ``maintenance_stats.jsonl`` beside the store; the declared query's
+    ``bounded`` gate asserts candidates < |B|·|V| for every post-
+    bootstrap batch — the property that separates this plan from the
+    exact tier's batch×corpus cross-join.  Batch 0 bootstraps with the
+    in-batch NN-descent build and is adversarially replayed after the
+    drain (must version-no-op both tables)."""
+    from .plans.txlog import TxTable
+    from .queries_e2e import _fx
+
+    root = _fx(sf_dir, "txlog_stream_nsw_descent_mv")
+    done = os.path.join(root, "_BUILD_DONE")
+    vec_root = os.path.join(root, "vectors")
+    knn_root = os.path.join(root, "knn")
+    stats_path = os.path.join(root, "maintenance_stats.jsonl")
+    if os.path.exists(done):
+        return TxTable(knn_root), stats_path
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    for i in range(_N_SLICES):
+        tmp = os.path.join(root, f"_tmp{i}")
+        emb.filter(F.col("vec_id") % _N_SLICES == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src_dir, f"slice_{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    def refresh(bdf: DataFrame, batch_id: int) -> None:
+        descent_mv_refresh(
+            bdf.sparkSession,
+            vec_root,
+            knn_root,
+            stats_path,
+            bdf,
+            batch_id,
+        )
+
+    schema = emb.schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError("nsw descent mv stream drain did not finish")
+    kt, vt = TxTable(knn_root), TxTable(vec_root)
+    before = (kt.latest_version(), vt.latest_version())
+    refresh(emb.filter(F.col("vec_id") % _N_SLICES == 0), 0)
+    if (kt.latest_version(), vt.latest_version()) != before:
+        shutil.rmtree(root, ignore_errors=True)
+        raise RuntimeError(
+            "replayed batch 0 must no-op both tables (txn dedup broke)"
+        )
+    with open(done, "w"):
+        pass
+    return kt, stats_path
+
+
+def _descent_mv_bounded(stats_path: str) -> bool:
+    """True iff every post-bootstrap batch's scored-candidate count
+    stayed within the CORPUS-INDEPENDENT per-vector budget
+    (_DESCENT_MV_BUDGET — a constant of beam hops/width, the degree
+    cap, and the delta-round count).  The exact tier's cost is
+    |B|·|V| — linear in the corpus — so this bound is exactly the
+    property that separates the two maintenance plans; the cross-tier
+    measurement at ×10 corpus lives in tools/scale_round9.py."""
+    import json as _json
+
+    ok = True
+    with open(stats_path) as fh:
+        for line in fh:
+            s = _json.loads(line)
+            if s["n_corpus"] > 0:
+                ok = ok and (
+                    s["candidates"] <= s["n_batch"] * _DESCENT_MV_BUDGET
+                )
+    return ok
+
+
+def q_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN served from the DESCENT-maintained streaming adjacency
+    (_ensure_stream_nsw_descent_mv).  Two-boolean gate: the
+    ann_nsw_descent_topk recall contract (mean recall@10 vs the
+    fixed-point-dot exact top-10 ≥ 0.5 — the graph is approximate by
+    design, its exact twin stream_nsw_mv carries the bit-exact oracle)
+    AND ``bounded`` — every post-bootstrap batch's scored-candidate
+    count was strictly below |B|·|V|, read from the maintenance-stats
+    sidecar the stream wrote as it ran.  Together they certify the
+    100 TB property: maintenance cost proportional to the batch and
+    the graph degree, not the corpus."""
+    from .operators.similarity import nsw_beam_search
+    from .queries import _ann_recall_gate
+
+    kt, stats_path = _ensure_stream_nsw_descent_mv(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # the small-world long-range links are md5-derived from node ids —
+    # a STATELESS map-only function of the corpus, recomputed at serve
+    # time with zero maintenance (the same ingredient the batch store
+    # bakes in at build; here nothing needs to persist it)
+    edges = (
+        _symmetrize(kt.read(spark).select("src", "dst"))
+        .unionByName(nsw_longrange_edges(emb))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    beam = nsw_beam_search(emb, edges, q)
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
+    approx = (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", F.col("node").alias("neighbor_id"))
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            fp_dot(F.col("qv"), F.col("embedding")).alias("xrel"),
+        )
+    )
+    wx = Window.partitionBy("query_id").orderBy(
+        F.desc("xrel"), "neighbor_id"
+    )
+    exact = (
+        exact.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    return _ann_recall_gate(approx, exact, bound=0.5).withColumn(
+        "bounded", F.lit(_descent_mv_bounded(stats_path))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -828,3 +1279,7 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stream_ivfpq_mv"] = pruned_head_q4
     queries["ann_ivfpq_hirecall_topk"] = q_ann_ivfpq_hirecall_topk
     oracles["ann_ivfpq_hirecall_topk"] = _ORACLE_ANN_EXACT_HEAD
+    queries["stream_nsw_descent_mv"] = q_stream_nsw_descent_mv
+    oracles["stream_nsw_descent_mv"] = _ORACLE_ANN_EXACT_HEAD.replace(
+        "TRUE AS recall_ok", "TRUE AS recall_ok,\n       TRUE AS bounded"
+    )

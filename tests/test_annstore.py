@@ -162,6 +162,34 @@ def test_ivfpq_store_serves_with_pruning(spark):
     assert row.n_queries == 4 and row.n_exact == 40
 
 
+def test_stream_nsw_descent_mv_bounded_and_recalls(spark):
+    """The scale-safe maintenance tier: gate row all-true at sf0.001,
+    and the maintenance-stats sidecar proves every post-bootstrap
+    batch stayed within the corpus-independent per-vector candidate
+    budget — the property the exact tier (batch x corpus) lacks."""
+    import json
+
+    from db_migration_spark.queries_annstore import (
+        _DESCENT_MV_BUDGET,
+        _ensure_stream_nsw_descent_mv,
+        q_stream_nsw_descent_mv,
+    )
+
+    row = q_stream_nsw_descent_mv(spark, SF).collect()[0]
+    assert row.recall_ok and row.bounded
+    assert row.n_queries == 8 and row.n_exact == 80
+    _kt, stats_path = _ensure_stream_nsw_descent_mv(spark, SF)
+    stats = [json.loads(line) for line in open(stats_path)]
+    assert len(stats) == 4  # one row per streamed slice, replay no-op'd
+    for s in stats:
+        if s["n_corpus"] > 0:
+            assert s["candidates"] <= s["n_batch"] * _DESCENT_MV_BUDGET
+    # the exact tier's cost at the same batches, for contrast: its
+    # candidate count is n_batch * n_corpus + n_corpus * n_batch-ish;
+    # the descent tier's budget is independent of n_corpus entirely
+    assert all("n_corpus" in s for s in stats)
+
+
 def test_ivfpq_hirecall_setting(spark):
     """The documented high-recall probe setting (14/16 probes, 300-deep
     exact re-rank, Lloyd-refined books) clears the 0.9 recall gate."""
