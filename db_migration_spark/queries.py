@@ -2233,6 +2233,13 @@ from .queries_stats import register as _register_stats  # noqa: E402
 
 _register_stats(QUERIES, ORACLES)
 
+# exact-arithmetic time-series tier (EWMA, Holt, Theil-Sen, rolling
+# correlation, changepoints, drawdown, interval concurrency,
+# autocorrelation) — split out of queries_stats
+from .queries_timeseries import register as _register_timeseries  # noqa: E402
+
+_register_timeseries(QUERIES, ORACLES)
+
 # GROUP BY ALL front door, binaryFile multimodal ingestion source,
 # WIMBD-style bigram census, gazetteer entity tagging
 from .queries_engine import register as _register_engine  # noqa: E402

@@ -564,485 +564,6 @@ LIMIT 20
 """
 
 
-# ---------------------------------------------------------------------------
-# trailing dyadic EWMA
-# ---------------------------------------------------------------------------
-
-
-def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event trailing EWMA (α = 1/2, depth 8) of ``value`` in
-    micro-units: weight of the j-th lag is 2^(7−j), so numerator and
-    denominator are exact BIGINTs (the halving-decay EWMA is the one
-    exponential average that is exactly representable — no float
-    recurrence, no accumulation order).  Early rows (< 8 of history)
-    renormalize by summing only the weights present.  One window pass
-    per user; nothing global."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    base = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.floor(F.col("value") * 1000000).cast("long").alias("v_micro"),
-    )
-    lags = base
-    for j in range(8):
-        lags = lags.withColumn(
-            f"l{j}", F.lag("v_micro", j).over(w)
-        )
-    num = sum(
-        (
-            F.when(F.col(f"l{j}").isNotNull(), F.col(f"l{j}") * (1 << (7 - j)))
-            .otherwise(F.lit(0))
-            for j in range(8)
-        ),
-        start=F.lit(0),
-    )
-    den = sum(
-        (
-            F.when(F.col(f"l{j}").isNotNull(), F.lit(1 << (7 - j)))
-            .otherwise(F.lit(0))
-            for j in range(8)
-        ),
-        start=F.lit(0),
-    )
-    return lags.select(
-        "user_id",
-        "event_id",
-        "v_micro",
-        num.cast("long").alias("ewma_num"),
-        den.cast("long").alias("ewma_den"),
-    )
-
-
-def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brown's double exponential smoothing (Holt linear trend with a
-    single α) per event-type series, EXACT in BIGINT arithmetic: with
-    α = 1/2 and depth 8, the first smooth is the halving-decay EWMA
-    numerator num_t = Σ 2^(7−j)·v_(t−j) (denominator 255), the second
-    smooth re-smooths the NUMERATORS snum_t = Σ 2^(7−j)·num_(t−j)
-    (denominator 255²), and Brown's identities become integer
-    combinations over the constant denominator 255²:
-
-        level = 2·S' − S''          → 2·255·num − snum
-        trend = (α/(1−α))(S'−S'')   → 255·num − snum
-        3-step forecast             → level + 3·trend
-
-    Output rows are the FULL-HISTORY region only (≥ 14 prior rows —
-    null lag propagation enforces it), so the denominator is constant
-    and every value is an exact integer the oracle reproduces bit-for-
-    bit; no float recurrence, no accumulation order.  Two chained
-    window passes per series; nothing global, no self-joins.  At
-    100 TB: series partition by event_type, each streamed once per
-    pass.  No counterpart in the reference; extends the §2.12
-    time-series tier next to ts_ewma (level only) and
-    ts_seasonal_forecast."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    base = ev.select(
-        "event_type",
-        "event_id",
-        "ts",
-        F.floor(F.col("value") * 1000000).cast("long").alias("v_micro"),
-    )
-    # first smooth: null lags PROPAGATE (plain sum, no coalesce), so
-    # num is non-null only with 8 rows of history
-    num = sum(
-        (F.lag("v_micro", j).over(w) * F.lit(1 << (7 - j)) for j in range(8)),
-        start=F.lit(0),
-    )
-    s1 = base.withColumn("num", num.cast("long"))
-    snum = sum(
-        (F.lag("num", j).over(w) * F.lit(1 << (7 - j)) for j in range(8)),
-        start=F.lit(0),
-    )
-    s2 = s1.withColumn("snum", snum.cast("long")).filter(
-        F.col("snum").isNotNull()
-    )
-    level = F.lit(2 * 255) * F.col("num") - F.col("snum")
-    trend = F.lit(255) * F.col("num") - F.col("snum")
-    return s2.select(
-        "event_type",
-        "event_id",
-        "v_micro",
-        level.cast("long").alias("level_num"),
-        trend.cast("long").alias("trend_num"),
-        (level + F.lit(3) * trend).cast("long").alias("fc3_num"),
-    )
-
-
-def _holt_sql_terms() -> tuple[str, str]:
-    t1 = " + ".join(
-        f"lag(v_micro, {j}) OVER w * {1 << (7 - j)}" for j in range(8)
-    )
-    t2 = " + ".join(
-        f"lag(num, {j}) OVER w2 * {1 << (7 - j)}" for j in range(8)
-    )
-    return t1, t2
-
-
-_HOLT_T1, _HOLT_T2 = _holt_sql_terms()
-
-ORACLE_HOLT = f"""
-WITH base AS (
-  SELECT event_type, event_id, ts,
-         CAST(floor(value * 1000000) AS BIGINT) AS v_micro
-  FROM events
-),
-s1 AS (
-  SELECT event_type, event_id, ts, v_micro,
-         CAST({_HOLT_T1} AS BIGINT) AS num
-  FROM base
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-),
-s2 AS (
-  SELECT event_type, event_id, v_micro, num,
-         CAST({_HOLT_T2} AS BIGINT) AS snum
-  FROM s1
-  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id)
-)
-SELECT event_type, event_id, v_micro,
-       CAST(2 * 255 * num - snum AS BIGINT) AS level_num,
-       CAST(255 * num - snum AS BIGINT) AS trend_num,
-       CAST((2 * 255 * num - snum) + 3 * (255 * num - snum) AS BIGINT)
-         AS fc3_num
-FROM s2 WHERE snum IS NOT NULL
-"""
-
-
-def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil–Sen robust trend per event-type series: the median of all
-    pairwise slopes over the DAILY-aggregated series (y = exact daily
-    cents, x = integer day index), plus the median-residual intercept.
-    Robust to outliers where least squares (stats_linreg) is not —
-    breakdown point ≈ 29%.
-
-    Determinism: every slope is one IEEE division of exact BIGINTs
-    ((y_j − y_i) / (x_j − x_i)) — identical bits in both engines — and
-    the median is an order statistic (lo = (p+1)÷2, hi = (p+2)÷2,
-    med = (v_lo + v_hi)/2.0), so tie order cannot change the selected
-    VALUES.  Scale shape: the pairwise join is over the aggregated
-    series, bounded by the CALENDAR (L days → L(L−1)/2 pairs per
-    series), never by raw volume; the daily aggregate itself is one
-    map-side-combinable pass.  No counterpart in the reference;
-    extends §2.12's robust-statistics tier next to stats_mad and
-    winsorize_values."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            "event_type",
-            F.datediff(
-                F.to_date("ts"), F.lit("2024-01-01").cast("date")
-            ).alias("x"),
-        )
-        .agg(
-            F.sum(
-                F.floor(
-                    F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
-                ).cast("bigint")
-            ).alias("y")
-        )
-    )
-    a, b = daily.alias("a"), daily.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("a.x") < F.col("b.x")),
-    ).select(
-        F.col("a.event_type").alias("event_type"),
-        (
-            (F.col("b.y") - F.col("a.y")).cast("double")
-            / (F.col("b.x") - F.col("a.x")).cast("double")
-        ).alias("slope"),
-    )
-
-    def med(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("event_type").orderBy(col)
-        n = Window.partitionBy("event_type")
-        r = df.withColumn("rn", F.row_number().over(w)).withColumn(
-            "p", F.count(F.lit(1)).over(n)
-        )
-        return r.groupBy("event_type").agg(
-            F.max("p").alias(f"{out}_n"),
-            (
-                (
-                    F.min(
-                        F.when(
-                            F.col("rn") == F.expr("(p + 1) div 2"),
-                            F.col(col),
-                        )
-                    )
-                    + F.min(
-                        F.when(
-                            F.col("rn") == F.expr("(p + 2) div 2"),
-                            F.col(col),
-                        )
-                    )
-                )
-                / F.lit(2.0)
-            ).alias(out),
-        )
-
-    slope_med = med(pairs, "slope", "slope_cents_per_day")
-    resid = daily.join(
-        F.broadcast(slope_med.select("event_type", "slope_cents_per_day")),
-        "event_type",
-    ).select(
-        "event_type",
-        (
-            F.col("y").cast("double")
-            - F.col("slope_cents_per_day") * F.col("x").cast("double")
-        ).alias("ic"),
-    )
-    ic_med = med(resid, "ic", "intercept_c")
-    return (
-        slope_med.join(ic_med, "event_type")
-        .select(
-            "event_type",
-            F.col("slope_cents_per_day_n").alias("n_pairs"),
-            F.col("intercept_c_n").alias("n_days"),
-            "slope_cents_per_day",
-            "intercept_c",
-        )
-        .orderBy("event_type")
-    )
-
-
-ORACLE_THEIL_SEN = """
-WITH daily AS (
-  SELECT event_type,
-         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
-                       AS BIGINT)) AS BIGINT) AS y
-  FROM events GROUP BY 1, 2),
-pairs AS (
-  SELECT a.event_type,
-         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
-  FROM daily a JOIN daily b
-    ON a.event_type = b.event_type AND a.x < b.x),
-sm AS (
-  SELECT event_type, max(p) AS n_pairs,
-         (min(CASE WHEN rn = (p + 1) // 2 THEN slope END)
-          + min(CASE WHEN rn = (p + 2) // 2 THEN slope END)) / 2.0
-           AS slope_cents_per_day
-  FROM (SELECT event_type, slope,
-               row_number() OVER (PARTITION BY event_type ORDER BY slope)
-                 AS rn,
-               count(*) OVER (PARTITION BY event_type) AS p
-        FROM pairs) GROUP BY 1),
-resid AS (
-  SELECT d.event_type,
-         CAST(d.y AS DOUBLE) - s.slope_cents_per_day * CAST(d.x AS DOUBLE)
-           AS ic
-  FROM daily d JOIN sm s USING (event_type)),
-im AS (
-  SELECT event_type, max(p) AS n_days,
-         (min(CASE WHEN rn = (p + 1) // 2 THEN ic END)
-          + min(CASE WHEN rn = (p + 2) // 2 THEN ic END)) / 2.0
-           AS intercept_c
-  FROM (SELECT event_type, ic,
-               row_number() OVER (PARTITION BY event_type ORDER BY ic) AS rn,
-               count(*) OVER (PARTITION BY event_type) AS p
-        FROM resid) GROUP BY 1)
-SELECT s.event_type, s.n_pairs, i.n_days, s.slope_cents_per_day,
-       i.intercept_c
-FROM sm s JOIN im i USING (event_type) ORDER BY s.event_type
-"""
-
-
-def _ewma_sql_terms() -> tuple[str, str]:
-    nums = []
-    dens = []
-    for j in range(8):
-        wgt = 1 << (7 - j)
-        lag = f"lag(v_micro, {j}) OVER w"
-        nums.append(
-            f"CASE WHEN {lag} IS NOT NULL THEN {lag} * {wgt} ELSE 0 END"
-        )
-        dens.append(f"CASE WHEN {lag} IS NOT NULL THEN {wgt} ELSE 0 END")
-    return " + ".join(nums), " + ".join(dens)
-
-
-_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
-
-ORACLE_EWMA = f"""
-WITH base AS (
-  SELECT user_id, event_id, ts,
-         CAST(floor(value * 1000000) AS BIGINT) AS v_micro
-  FROM events
-)
-SELECT user_id, event_id, v_micro,
-       CAST({_EWMA_NUM} AS BIGINT) AS ewma_num,
-       CAST({_EWMA_DEN} AS BIGINT) AS ewma_den
-FROM base
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
-
-
-# ---------------------------------------------------------------------------
-# rolling 24h correlation of hourly view/purchase counts
-# ---------------------------------------------------------------------------
-
-
-def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-24-bucket Pearson correlation between hourly view and
-    purchase counts, as exact integer sufficient statistics: counts are
-    integers, so corr_num = nΣxy − ΣxΣy and the two variance numerators
-    are exact BIGINTs (the float rho is one driver-side division+sqrt
-    away; the data plane stays bit-exact).  The window runs over the
-    hourly AGGREGATE — thousands of rows regardless of raw event scale;
-    the raw table collapses in one map-side-combinable hash aggregate
-    first."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.filter(F.col("event_type").isin("view", "purchase"))
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(
-            F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
-            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
-                "y"
-            ),
-        )
-    )
-    w = Window.orderBy("hour").rowsBetween(-23, 0)
-    stats = hourly.select(
-        "hour",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("x").over(w).alias("sx"),
-        F.sum("y").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).over(w).alias("sy2"),
-    )
-    return stats.select(
-        "hour",
-        "n",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
-            "corr_num"
-        ),
-        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).alias(
-            "varx_num"
-        ),
-        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).alias(
-            "vary_num"
-        ),
-    )
-
-
-ORACLE_ROLLING_CORR = """
-WITH hourly AS (
-  SELECT date_trunc('hour', ts) AS hour,
-         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-              AS BIGINT) AS x,
-         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-              AS BIGINT) AS y
-  FROM events
-  WHERE event_type IN ('view', 'purchase')
-  GROUP BY date_trunc('hour', ts)
-), stats AS (
-  SELECT hour,
-         count(*) OVER w AS n,
-         sum(x) OVER w AS sx,
-         sum(y) OVER w AS sy,
-         sum(x * y) OVER w AS sxy,
-         sum(x * x) OVER w AS sx2,
-         sum(y * y) OVER w AS sy2
-  FROM hourly
-  WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
-)
-SELECT hour, n,
-       CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
-       CAST(n * sx2 - sx * sx AS BIGINT) AS varx_num,
-       CAST(n * sy2 - sy * sy AS BIGINT) AS vary_num
-FROM stats
-"""
-
-
-# ---------------------------------------------------------------------------
-
-
-def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offline single changepoint per event-type series: the split
-    maximizing the mean-shift likelihood statistic
-    stat² = (i·(n−i)/n)·(mean_left − mean_right)² — the CUSUM-family
-    likelihood-ratio test for one mean change (Hinkley 1970).
-
-    Exactness discipline: values quantize to micro-units once
-    (floor(v·1e6) BIGINT), the running and total sums are exact
-    BIGINTs, and the score numerator cum·n − S·i is an exact BIGINT
-    (|S·i| < 2^62 at every declared sf), so the ARGMAX is decided on
-    exact integers up to ONE deterministic double division
-    d²/(i·(n−i)) — identical IEEE in both engines.  Ties break on the
-    earlier split.  Plan: two window passes over each series (running
-    sum, then rank by score) — no self-joins, no collects; at 100 TB
-    each series partition streams once."""
-    ev = load_table(spark, sf_dir, "events")
-    w_run = Window.partitionBy("seg").orderBy("ts", "event_id")
-    w_all = Window.partitionBy("seg")
-    base = ev.select(
-        F.col("event_type").alias("seg"),
-        "ts",
-        "event_id",
-        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
-    )
-    cum = (
-        base.withColumn("i", F.row_number().over(w_run))
-        .withColumn("cum", F.sum("v").over(w_run))
-        .withColumn("n", F.count(F.lit(1)).over(w_all))
-        .withColumn("s", F.sum("v").over(w_all))
-        .filter(F.col("i") < F.col("n"))  # split AFTER row i needs a right side
-    )
-    d = (F.col("cum") * F.col("n") - F.col("s") * F.col("i")).cast("double")
-    stat2 = (d * d) / (
-        (F.col("i") * (F.col("n") - F.col("i"))).cast("double")
-        * F.col("n").cast("double")
-    )
-    scored = cum.withColumn("stat2", stat2)
-    w_rank = Window.partitionBy("seg").orderBy(F.desc("stat2"), "i")
-    return (
-        scored.withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") == 1)
-        .select(
-            "seg",
-            F.col("n").alias("n_points"),
-            F.col("i").alias("split_i"),
-            F.col("event_id").alias("split_event_id"),
-            F.col("cum").alias("left_sum_micro"),
-            (F.col("s") - F.col("cum")).alias("right_sum_micro"),
-            "stat2",
-        )
-        .orderBy("seg")
-    )
-
-
-ORACLE_TS_CHANGEPOINT = """
-WITH base AS (
-  SELECT event_type AS seg, ts, event_id,
-         CAST(floor(value * 1000000) AS BIGINT) AS v
-  FROM events),
-cum AS (
-  SELECT seg, ts, event_id, v,
-         row_number() OVER w AS i,
-         SUM(v) OVER w AS cum,
-         COUNT(*) OVER (PARTITION BY seg) AS n,
-         SUM(v) OVER (PARTITION BY seg) AS s
-  FROM base
-  WINDOW w AS (PARTITION BY seg ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-scored AS (
-  SELECT *,
-         CAST(cum * n - s * i AS DOUBLE) * CAST(cum * n - s * i AS DOUBLE)
-           / (CAST(i * (n - i) AS DOUBLE) * CAST(n AS DOUBLE)) AS stat2
-  FROM cum WHERE i < n)
-SELECT seg, n AS n_points, i AS split_i, event_id AS split_event_id,
-       CAST(cum AS BIGINT) AS left_sum_micro,
-       CAST(s - cum AS BIGINT) AS right_sum_micro, stat2
-FROM (SELECT *, row_number() OVER (PARTITION BY seg
-        ORDER BY stat2 DESC, i) AS rk FROM scored)
-WHERE rk = 1 ORDER BY seg
-"""
-
-
 def q_stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between two corpus snapshots — the
     standard drift monitor a data pipeline runs between yesterday's
@@ -1385,8 +906,6 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_permutation_fdr"] = ORACLE_PERM_FDR
     queries["stats_psi_drift"] = q_stats_psi_drift
     oracles["stats_psi_drift"] = ORACLE_PSI
-    queries["ts_changepoint"] = q_ts_changepoint
-    oracles["ts_changepoint"] = ORACLE_TS_CHANGEPOINT
     queries["stats_spearman"] = q_stats_spearman
     oracles["stats_spearman"] = ORACLE_SPEARMAN
     queries["stats_linreg"] = q_stats_linreg
@@ -1397,22 +916,12 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["graph_clustering_coeff"] = ORACLE_CLUSTERING
     queries["graph_jaccard_linkpred"] = q_graph_jaccard_linkpred
     oracles["graph_jaccard_linkpred"] = ORACLE_JACCARD_LP
-    queries["ts_ewma"] = q_ts_ewma
-    oracles["ts_ewma"] = ORACLE_EWMA
-    queries["ts_holt_trend"] = q_ts_holt_trend
-    oracles["ts_holt_trend"] = ORACLE_HOLT
-    queries["ts_theil_sen"] = q_ts_theil_sen
-    oracles["ts_theil_sen"] = ORACLE_THEIL_SEN
-    queries["ts_rolling_corr"] = q_ts_rolling_corr
-    oracles["ts_rolling_corr"] = ORACLE_ROLLING_CORR
     queries["eav_attr_stats"] = q_eav_attr_stats
     oracles["eav_attr_stats"] = ORACLE_ATTR_STATS
     queries["a10_percentile_cont"] = q_a10_percentile_cont
     oracles["a10_percentile_cont"] = ORACLE_P_CONT
     queries["stats_kruskal_wallis"] = q_stats_kruskal_wallis
     oracles["stats_kruskal_wallis"] = ORACLE_KRUSKAL
-    queries["ts_max_drawdown"] = q_ts_max_drawdown
-    oracles["ts_max_drawdown"] = ORACLE_DRAWDOWN
     queries["stats_cohens_kappa"] = q_stats_cohens_kappa
     oracles["stats_cohens_kappa"] = ORACLE_KAPPA
     queries["graph_temporal_reach"] = q_graph_temporal_reach
@@ -1425,12 +934,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["graph_ktruss"] = ORACLE_KTRUSS
     queries["stats_km_lifetable"] = q_stats_km_lifetable
     oracles["stats_km_lifetable"] = ORACLE_KM
-    queries["ts_autocorrelation"] = q_ts_autocorrelation
-    oracles["ts_autocorrelation"] = ORACLE_AUTOCORR
     queries["cohort_ltv"] = q_cohort_ltv
     oracles["cohort_ltv"] = ORACLE_COHORT_LTV
-    queries["ts_concurrent_intervals"] = q_ts_concurrent_intervals
-    oracles["ts_concurrent_intervals"] = ORACLE_CONCURRENT
     queries["stats_gini_inequality"] = q_stats_gini_inequality
     oracles["stats_gini_inequality"] = ORACLE_GINI_INEQ
     queries["stats_hhi_concentration"] = q_stats_hhi_concentration
@@ -1443,8 +948,6 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["stats_mad"] = ORACLE_MAD
     queries["graph_modularity"] = q_graph_modularity
     oracles["graph_modularity"] = ORACLE_MODULARITY
-    queries["ts_cusum_changepoint"] = q_ts_cusum_changepoint
-    oracles["ts_cusum_changepoint"] = ORACLE_CUSUM
     queries["stats_welch_suffstats"] = q_stats_welch_suffstats
     oracles["stats_welch_suffstats"] = ORACLE_WELCH
     queries["graph_degree_histogram"] = q_graph_degree_histogram
@@ -1719,54 +1222,6 @@ GROUP BY g.c_mktsegment, g.o_orderpriority, t.n_total
 
 
 # ---------------------------------------------------------------------------
-# maximum drawdown (running-peak shortfall)
-# ---------------------------------------------------------------------------
-
-
-def q_ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user maximum drawdown of the event value series: running peak
-    via one cumulative-max window in the unique (ts, event_id) order,
-    drawdown = peak − value in exact micro-units, then one hash
-    aggregate for the max and its depth relative to the peak.  The
-    financial risk metric that needs sequence order but still compiles
-    to one window + one aggregate — no self-join, nothing global."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    spans = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.floor(F.col("value") * 1000000).cast("long").alias("v_micro"),
-    ).withColumn("peak", F.max("v_micro").over(w))
-    return spans.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max("peak").alias("peak_micro"),
-        F.max(F.col("peak") - F.col("v_micro")).alias("max_drawdown_micro"),
-    )
-
-
-ORACLE_DRAWDOWN = """
-WITH spans AS (
-  SELECT user_id,
-         CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
-         max(CAST(floor(value * 1000000) AS BIGINT))
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
-  FROM events
-)
-SELECT user_id,
-       count(*) AS n_events,
-       max(peak) AS peak_micro,
-       max(peak - v_micro) AS max_drawdown_micro
-FROM spans GROUP BY user_id
-"""
-
-
-# ---------------------------------------------------------------------------
 # approximate quantiles (mergeable sketch; rows-only by design, like a5)
 # ---------------------------------------------------------------------------
 
@@ -2031,70 +1486,6 @@ SELECT d_c.p_brand,
        4 * m.m * m.m AS q_den
 FROM d_c LEFT JOIN intra ON d_c.p_brand = intra.p_brand
 CROSS JOIN m
-"""
-
-
-# ---------------------------------------------------------------------------
-# CUSUM changepoint score (exact integers)
-# ---------------------------------------------------------------------------
-
-
-def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user CUSUM changepoint score, exact: the classical statistic
-    max_t |Σ_{i≤t}(v_i − mean)| needs the global mean, so multiply
-    through by n — n·CUSUM_t = n·prefix_t − t·total is an exact BIGINT
-    (v in micro-units), and the argmax over t is the changepoint
-    candidate.  One prefix-sum window in the unique (ts, event_id)
-    order + one aggregate; the n/total ride along via a per-user
-    window, so there is no self-join."""
-    ev = load_table(spark, sf_dir, "events")
-    wseq = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("user_id")
-    base = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
-    ).select(
-        "user_id",
-        F.sum("v").over(wseq).alias("prefix"),
-        F.count(F.lit(1)).over(wseq).alias("t"),
-        F.sum("v").over(wall).alias("total"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-    )
-    dev = F.abs(
-        F.col("n") * F.col("prefix") - F.col("t") * F.col("total")
-    )
-    return base.groupBy("user_id").agg(
-        F.max(dev).alias("max_dev_xn"),
-        F.max("n").alias("n"),
-        F.max("total").alias("total_micro"),
-    )
-
-
-ORACLE_CUSUM = """
-WITH base AS (
-  SELECT user_id,
-         sum(CAST(floor(value * 1000000) AS BIGINT))
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS prefix,
-         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
-         sum(CAST(floor(value * 1000000) AS BIGINT))
-           OVER (PARTITION BY user_id) AS total,
-         count(*) OVER (PARTITION BY user_id) AS n
-  FROM events
-)
-SELECT user_id,
-       CAST(max(abs(n * prefix - t * total)) AS BIGINT) AS max_dev_xn,
-       max(n) AS n,
-       CAST(max(total) AS BIGINT) AS total_micro
-FROM base GROUP BY user_id
 """
 
 
@@ -2466,166 +1857,6 @@ SELECT c_mktsegment,
        CAST(sum(c * v) AS BIGINT) AS total_cents
 FROM cum
 GROUP BY c_mktsegment
-"""
-
-
-# ---------------------------------------------------------------------------
-# concurrent-interval backlog (delta events + running sum)
-# ---------------------------------------------------------------------------
-
-
-def q_ts_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Open-order backlog over time — the interval-stabbing operator:
-    each order contributes an interval [orderdate, last shipdate of its
-    lines]; instead of joining every day against every interval
-    (quadratic), the intervals become ±1 delta events and one
-    cumulative window over the collapsed DATE domain yields the exact
-    concurrent count per day.  Output is the month-end backlog profile:
-    per month, max and end-of-month open orders.  The classic
-    "concurrent sessions" rewrite that turns O(days·intervals) into
-    O(n log n)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    spans = (
-        li.groupBy("l_orderkey")
-        .agg(F.max(F.col("l_shipdate").cast("date")).alias("close_d"))
-        .join(
-            orders.select(
-                F.col("o_orderkey").alias("l_orderkey"),
-                F.col("o_orderdate").cast("date").alias("open_d"),
-            ),
-            "l_orderkey",
-        )
-    )
-    deltas = spans.select(
-        F.col("open_d").alias("d"), F.lit(1).alias("delta")
-    ).unionAll(
-        # half-open [open, close+1): decrement the day AFTER last ship
-        spans.select(
-            F.date_add(F.col("close_d"), 1).alias("d"),
-            F.lit(-1).alias("delta"),
-        )
-    )
-    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    running = daily.withColumn("open_orders", F.sum("net").over(w))
-    by_month = running.groupBy(
-        F.date_trunc("month", F.col("d")).cast("date").alias("month")
-    ).agg(
-        F.max("open_orders").alias("max_delta_day"),
-        F.max_by("open_orders", F.col("d")).alias("eom_open"),
-    )
-    # a month whose backlog only falls still STARTS at the carried-in
-    # plateau (previous month's end value) — without this lag the max
-    # understates every strictly-decreasing month
-    wm = Window.orderBy("month")
-    return by_month.select(
-        "month",
-        F.greatest(
-            F.col("max_delta_day"),
-            F.coalesce(F.lag("eom_open").over(wm), F.lit(0)),
-        ).alias("max_open"),
-        "eom_open",
-    )
-
-
-ORACLE_CONCURRENT = """
-WITH spans AS (
-  SELECT l.l_orderkey,
-         CAST(o.o_orderdate AS DATE) AS open_d,
-         max(CAST(l.l_shipdate AS DATE)) AS close_d
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
-), deltas AS (
-  SELECT open_d AS d, 1 AS delta FROM spans
-  UNION ALL
-  SELECT close_d + INTERVAL 1 DAY, -1 FROM spans
-), daily AS (
-  SELECT d, sum(delta) AS net FROM deltas GROUP BY d
-), running AS (
-  SELECT d, sum(net) OVER (ORDER BY d
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS open_orders
-  FROM daily
-), by_month AS (
-  SELECT CAST(date_trunc('month', d) AS DATE) AS month,
-         max(open_orders) AS max_delta_day,
-         max_by(open_orders, d) AS eom_open
-  FROM running
-  GROUP BY CAST(date_trunc('month', d) AS DATE)
-)
-SELECT month,
-       CAST(greatest(max_delta_day,
-            COALESCE(lag(eom_open) OVER (ORDER BY month), 0)) AS BIGINT)
-         AS max_open,
-       CAST(eom_open AS BIGINT) AS eom_open
-FROM by_month
-"""
-
-
-# ---------------------------------------------------------------------------
-# autocorrelation at lag k (integer-exact on the hourly series)
-# ---------------------------------------------------------------------------
-
-
-def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation sufficient statistics of the hourly event-count
-    series at lags 1 and 24 (hour-over-hour and day-over-day): counts
-    are integers, so n, Σx_t, Σx_{t−k}, Σx_t·x_{t−k}, Σx², all exact
-    BIGINTs per lag — the float r_k is one driver-side formula away.
-    One lag window over the AGGREGATED hourly series; seasonality
-    detection for the ingest-rate dashboards, exact."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    w = Window.orderBy("h")
-    lagged = hourly.select(
-        "h",
-        "x",
-        F.lag("x", 1).over(w).alias("x1"),
-        F.lag("x", 24).over(w).alias("x24"),
-    )
-    out = []
-    for k, col in ((1, "x1"), (24, "x24")):
-        pairs = lagged.filter(F.col(col).isNotNull())
-        out.append(
-            pairs.agg(
-                F.lit(k).alias("lag"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum("x").alias("sx"),
-                F.sum(col).alias("sxk"),
-                F.sum(F.col("x") * F.col(col)).alias("sxxk"),
-                F.sum(F.col("x") * F.col("x")).alias("sx2"),
-                F.sum(F.col(col) * F.col(col)).alias("sxk2"),
-            )
-        )
-    return out[0].unionByName(out[1])
-
-
-ORACLE_AUTOCORR = """
-WITH hourly AS (
-  SELECT date_trunc('hour', ts) AS h, count(*) AS x
-  FROM events GROUP BY date_trunc('hour', ts)
-), lagged AS (
-  SELECT h, x,
-         lag(x, 1) OVER (ORDER BY h) AS x1,
-         lag(x, 24) OVER (ORDER BY h) AS x24
-  FROM hourly
-)
-SELECT 1 AS lag, count(*) AS n,
-       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x1) AS BIGINT) AS sxk,
-       CAST(sum(x * x1) AS BIGINT) AS sxxk,
-       CAST(sum(x * x) AS BIGINT) AS sx2,
-       CAST(sum(x1 * x1) AS BIGINT) AS sxk2
-FROM lagged WHERE x1 IS NOT NULL
-UNION ALL
-SELECT 24, count(*),
-       CAST(sum(x) AS BIGINT), CAST(sum(x24) AS BIGINT),
-       CAST(sum(x * x24) AS BIGINT),
-       CAST(sum(x * x) AS BIGINT),
-       CAST(sum(x24 * x24) AS BIGINT)
-FROM lagged WHERE x24 IS NOT NULL
 """
 
 
