@@ -388,6 +388,10 @@ FULL_SUITE = [
     "privacy_dp_counts",
     "privacy_randomized_response",
     "stats_permutation_fdr",
+    # round-9 surface
+    "stream_nsw_descent_mv",
+    "ann_ivfpq_hirecall_topk",
+    "txlog_cdc_feed",
 ]
 
 # r2-stable headline subset — the single stdout JSON line (the driver
@@ -501,13 +505,8 @@ def _gc_millis(spark) -> int:
     return sum(max(b.getCollectionTime(), 0) for b in beans)
 
 
-def _calibrate(spark, sf_dir: str) -> dict:
-    """Fixed calibration pair, timed exactly like the headline queries
-    (untimed warm-up, then median/min of 3).  Round-6 finding: the same
-    commit measured 54.7s / 74.1s / 123.7s headline in three sessions on
-    one machine boot — without an in-artifact probe nobody can tell
-    engine regressions from session noise.  The ratio headline/calib is
-    the session-invariant quantity.
+def _probe_fns(spark, sf_dir: str):
+    """The two fixed calibration probes.
 
     * ``scan_agg``: a canonical JVM-bound probe — the warmed lineitem
       scan + groupBy aggregate (parquet scan, whole-stage codegen,
@@ -543,6 +542,17 @@ def _calibrate(spark, sf_dir: str) -> dict:
             h = hashlib.sha256(h).digest()
         return time.time() - t0
 
+    return scan_agg, cpu_py
+
+
+def _calibrate(spark, sf_dir: str) -> dict:
+    """Fixed calibration pair, timed exactly like the headline queries
+    (untimed warm-up, then median/min of 3).  Round-6 finding: the same
+    commit measured 54.7s / 74.1s / 123.7s headline in three sessions on
+    one machine boot — without an in-artifact probe nobody can tell
+    engine regressions from session noise.  The ratio headline/calib is
+    the session-invariant quantity."""
+    scan_agg, cpu_py = _probe_fns(spark, sf_dir)
     out: dict = {}
     for name, fn in (("scan_agg", scan_agg), ("cpu_py", cpu_py)):
         fn()  # warm-up, untimed
@@ -601,11 +611,51 @@ def main() -> None:
     # tracks the engine.  Median kept as the secondary robustness check.
     timings: dict[str, float] = {}     # min-of-3 (primary)
     head_med3: dict[str, float] = {}   # median-of-3 (secondary)
-    for name in HEADLINE:
+    # Round-9 protocol (r8 verdict task 6): the single pre-suite probe
+    # ranged 0.855–1.344s ACROSS sessions this round — as wide as the
+    # session swings it normalizes — so ≥5 probe pairs interleave
+    # through the headline phase (pre / 25% / 50% / 75% / post) and the
+    # artifact publishes the vector + median + spread.  The pre-suite
+    # min3/med3 keys stay for cross-round ratio continuity; the
+    # round-9+ session-invariant ratio is headline/calib.scan_agg_med5.
+    scan_probe, cpu_probe = _probe_fns(spark, sf_dir)
+    probe_vec: list[dict] = [
+        {
+            "at": "pre",
+            "scan_agg": calib["scan_agg_min3"],
+            "cpu_py": calib["cpu_py_min3"],
+        }
+    ]
+    marks = {
+        len(HEADLINE) // 4: "q25",
+        len(HEADLINE) // 2: "q50",
+        (3 * len(HEADLINE)) // 4: "q75",
+    }
+    for i, name in enumerate(HEADLINE):
+        if i in marks:
+            probe_vec.append(
+                {
+                    "at": marks[i],
+                    "scan_agg": round(scan_probe(), 3),
+                    "cpu_py": round(cpu_probe(), 3),
+                }
+            )
         _run_once(name)  # warm-up: JIT + shuffle-file page cache
         runs = sorted(_run_timed(name) for _ in range(3))
         timings[name] = round(runs[0], 3)
         head_med3[name] = round(runs[1], 3)
+    probe_vec.append(
+        {
+            "at": "post",
+            "scan_agg": round(scan_probe(), 3),
+            "cpu_py": round(cpu_probe(), 3),
+        }
+    )
+    for key in ("scan_agg", "cpu_py"):
+        vals = sorted(p[key] for p in probe_vec)
+        calib[key + "_med5"] = round(vals[len(vals) // 2], 3)
+        calib[key + "_spread"] = round(vals[-1] / vals[0], 2)
+    calib["probes"] = probe_vec
     # sum of the per-query counters, NOT a before/after JVM span: the
     # span would fold the untimed warm-up runs' GC into a field whose
     # meaning is "GC during the TIMED headline runs"

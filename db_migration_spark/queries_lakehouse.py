@@ -785,6 +785,87 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_cdc_feed_store(spark: SparkSession, sf_dir: str):
+    """A table whose history is one base append (v0) + one apply_cdc
+    MERGE-triad commit (v1): matched-DELETE for o_orderkey % 7 == 1,
+    matched-UPDATE (cents doubled) for % 7 == 2, not-matched-INSERT
+    for % 7 == 0 (absent from the base).  Deterministic from orders,
+    so the change feed between v0 and v1 is SQL-recomputable."""
+    root = _fx(sf_dir, "txlog_cdc_feed_v1")
+    done = os.path.join(root, "_BUILD_DONE")
+    t = TxTable(root)
+    if os.path.exists(done):
+        return t
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mod = F.col("o_orderkey") % 7
+    t.commit_append(base.filter(mod != 0))
+    changes = (
+        base.filter(mod == 1)
+        .withColumn("op", F.lit("delete"))
+        .unionByName(
+            base.filter(mod == 2)
+            .withColumn("cents", F.col("cents") * 2)
+            .withColumn("op", F.lit("upsert"))
+        )
+        .unionByName(
+            base.filter(mod == 0).withColumn("op", F.lit("upsert"))
+        )
+    )
+    t.apply_cdc(spark, changes, "o_orderkey", txn=("cdc_feed", 1))
+    with open(done, "w"):
+        pass
+    return t
+
+
+def q_txlog_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-feed CONSUMPTION across an apply_cdc commit —
+    the read half of the CDC contract the lakehouse tier claims
+    (plans/txlog.py ``changes``: Delta CDF / Iceberg incremental
+    scan).  The feed between v0 and v1 is assembled from the commit
+    METADATA alone — the MERGE's delta group becomes the '+' rows and
+    its deletion-vector positions (semi-joined back against the
+    covered files) become the '-' rows; no snapshot is diffed.  The
+    oracle IS the full diff of the two snapshots recomputed in SQL —
+    an update must surface as exactly one '-' (old row) plus one '+'
+    (new row), a delete as one '-', an insert as one '+' — so any
+    feed row missed, duplicated, or mis-signed by the metadata path
+    hash-mismatches against the snapshot truth.  Reference analog:
+    the patch step's incremental semantics (pseudoace.py:105-110
+    applies per-release diffs rather than re-importing)."""
+    t = _ensure_cdc_feed_store(spark, sf_dir)
+    feed = t.read_changes(spark, from_version=0, to_version=1)
+    return feed.select(
+        F.when(F.col("_change_op") == "delete", F.lit("-"))
+        .otherwise(F.lit("+"))
+        .alias("change"),
+        "o_orderkey",
+        "cents",
+    )
+
+
+ORACLE_CDC_FEED = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT '+' AS change, o_orderkey, cents * 2 AS cents
+FROM base WHERE o_orderkey % 7 = 2
+UNION ALL
+SELECT '+' AS change, o_orderkey, cents FROM base WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT '-' AS change, o_orderkey, cents
+FROM base WHERE o_orderkey % 7 IN (1, 2)
+"""
+
+
 ORACLE_CDC_UPSERT = """
 WITH ranked AS (
   SELECT user_id, event_type,
@@ -2443,6 +2524,8 @@ FROM s ORDER BY cv, seg
 
 
 def register(queries: dict, oracles: dict) -> None:
+    queries["txlog_cdc_feed"] = q_txlog_cdc_feed
+    oracles["txlog_cdc_feed"] = ORACLE_CDC_FEED
     queries["txlog_zonemap_scan"] = q_txlog_zonemap_scan
     oracles["txlog_zonemap_scan"] = ORACLE_ZONEMAP
     queries["txlog_partitioned_scan"] = q_txlog_partitioned_scan

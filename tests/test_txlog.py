@@ -538,6 +538,35 @@ def test_check_constraint_blocks_bad_writes(spark, tmp_path):
     assert t.read(spark).filter(F.col("v") < 0).count() == 1
 
 
+def test_read_changes_across_apply_cdc_equals_snapshot_diff(spark, tmp_path):
+    """The change feed across an apply_cdc MERGE-triad commit must
+    equal the full diff of the two snapshots: an update surfaces as
+    one delete (old row) + one insert (new row), a delete as one
+    delete, an insert as one insert — assembled from commit metadata
+    (delta group + DV positions), never by diffing snapshots."""
+    t = TxTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))  # v0: keys 0..9
+    changes = spark.createDataFrame(
+        [(1, 0, "delete"), (2, 222, "upsert"), (50, 500, "upsert")],
+        ["k", "v", "op"],
+    )
+    t.apply_cdc(spark, changes, "k")  # v1
+    v0 = t.read(spark, 0).select("k", "v")
+    v1 = t.read(spark, 1).select("k", "v")
+    feed = t.read_changes(spark, from_version=0, to_version=1)
+    plus = feed.filter(F.col("_change_op") != "delete").select("k", "v")
+    minus = feed.filter(F.col("_change_op") == "delete").select("k", "v")
+    want_plus = v1.exceptAll(v0)
+    want_minus = v0.exceptAll(v1)
+    assert plus.exceptAll(want_plus).count() == 0
+    assert want_plus.exceptAll(plus).count() == 0
+    assert minus.exceptAll(want_minus).count() == 0
+    assert want_minus.exceptAll(minus).count() == 0
+    # shape: key 1 deleted (1 minus), key 2 updated (1 minus + 1 plus),
+    # key 50 inserted (1 plus)
+    assert plus.count() == 2 and minus.count() == 2
+
+
 def test_constraint_violation_leaves_no_orphan_dirs(spark, tmp_path):
     """A merge-on-read writer (apply_cdc / merge_into / update_where)
     that trips a CHECK constraint must raise BEFORE any on-disk write:
