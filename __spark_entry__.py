@@ -43,52 +43,52 @@ FLAGSHIP_ORDER = [
     "chunk_dedup",           # r3 hash-red #1 (HUGEINT oracle) — green
     "sql_recursive_cte",     # r3 hash-red #2 — green
     "stream_outer_join",     # r3 hash-red #3 — green
-    # --- round-8 rotation: 35 never-driver-certified entries ---------
-    # Every round-7 rotating entry went green (CORRECTNESS_r07 50/50),
-    # so the whole band rotates to backlog; overlap with r7 is exactly
-    # the 15 sentinels.  Cumulative distinct: 223 -> 258.
-    # (a) the round-7 surface the judge re-verified (VERDICT task 2):
-    #     DSIR, graph ANN, MaxScore, postings MV, NDCG, t-closeness,
-    #     PSI, priority/bottom-k sketches + MVs, catalog txn family,
-    #     check-constraint / restore / manifest, phrase, funnel, IVM
-    "corpus_dsir_select",
-    "corpus_dsir_resample",
-    "stream_dsir_mv",
-    "ann_nsw_topk",
-    "ann_hnsw_topk",
-    "ann_nsw_descent_topk",
-    "search_bm25_maxscore",
-    "stream_postings_mv",
-    "search_eval_ndcg",
-    "privacy_t_closeness",
-    "stats_psi_drift",
-    "sketch_priority_sample",
-    "stream_priority_mv",
-    "sketch_bottomk_quantiles",
-    "stream_bottomk_mv",
-    "txlog_catalog_snapshot",
-    "stream_catalog_txn",
-    "txlog_catalog_branch",
-    "txlog_check_constraint",
-    "txlog_restore_checkpoint",
-    "txlog_export_manifest",
-    "search_phrase_match",
-    "corpus_survival_funnel",
-    "ivm_join_delta",
-    # (b) the round-8 surface: persisted graph-ANN store + adjacency
-    #     MV, Block-Max WAND, fact-scale RFM/ABC twins
-    "ann_nsw_store_topk",
-    "stream_nsw_mv",
-    "search_bm25_blockmax",
-    "rfm_segments_factscale",
-    "orders_abc_factscale",
-    # (c) serving-tier + reporting backlog
-    "dedup_lsh_store_probe",
-    "stream_dedup_lsh_mv",
-    "emb_mmr_diversify",
-    "ann_filtered_topk",
-    "a10_percentile_cont",
-    "orders_abc_pareto",
+    # --- round-9 rotation: 35 never-driver-certified entries ---------
+    # Every round-8 rotating entry went green (CORRECTNESS_r08 50/50),
+    # so the whole band rotates to backlog; overlap with r8 is exactly
+    # the 15 sentinels.  Cumulative distinct: 258 -> 293.
+    # (a) the round-9 surface (scale-safe graph maintenance, IVF-PQ
+    #     high-recall gate, CDC-feed consumption) + the two round-8
+    #     stores that landed after the r8 window froze
+    "stream_nsw_descent_mv",
+    "ann_ivfpq_hirecall_topk",
+    "txlog_cdc_feed",
+    "ann_ivfpq_store_topk",
+    "stream_ivfpq_mv",
+    # (b) the complete f_* scalar-function surface (16 suites — the
+    #     largest never-certified family, judge rotation priority)
+    "f_variant_json",
+    "f_array_suite",
+    "f_interval_suite",
+    "f_window_suite2",
+    "f_array_suite2",
+    "f_bitwise_suite",
+    "f_aggorder_suite",
+    "f_aggmisc_suite",
+    "f_like_suite",
+    "f_datetime_suite2",
+    "f_math_suite",
+    "f_hof_suite",
+    "f_generator_suite",
+    "f_null_semantics",
+    "f_try_suite",
+    "f_map_suite",
+    # (c) families with at most one certified representative
+    "graph_label_propagation",
+    "graph_bfs_hops",
+    "graph_modularity",
+    "graph_degree_histogram",
+    "eav_cas_patch",
+    "eav_lookup_ref",
+    "eav_tx_metadata",
+    "eav_since",
+    "datalog_pull_wildcard",
+    "datalog_with",
+    "ace_datasource_roundtrip",
+    "sql_frontend",
+    # (d) heaviest never-certified bench entries
+    "events_sessionize",
+    "ts_gapfill",
 ]
 
 
