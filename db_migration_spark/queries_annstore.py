@@ -46,10 +46,16 @@ module gives the graph family the same two store tiers:
   localized per-src top-M fold, same apply_cdc CDC-delta commits,
   same txn replay safety; gate = the ann_nsw_descent_topk recall
   contract plus a ``bounded`` boolean read from the maintenance-stats
-  sidecar the stream writes as it runs.  Measured at 20k clustered
-  vectors (tools/scale_round9.py): per-vector candidates plateau
-  ~800 while the exact tier's grow linearly (47× more by batch 7);
-  serving recall@10 0.875 vs 0.95 for the one-shot descent build.
+  sidecar the stream writes as it runs.  A post-drain REPAIR round
+  (descent_mv_repair — full-graph NN-descent, ≤ D·(D+1) new scorings
+  per node, LINEAR in |V|, scheduled like file compaction) heals the
+  staleness touch-only folds leave behind: an early node keeps its
+  then-best top-M until a batch candidate happens to touch it.
+  Measured at 20k clustered vectors (tools/scale_round9.py):
+  per-vector candidates plateau ~800 while the exact tier's grow
+  linearly (47× more by batch 7); serving recall@10 0.875 before
+  repair vs 0.95 for the one-shot descent build (post-repair number
+  in SCALE.md).
 
 No counterpart in the reference (azanium has no similarity tier;
 pseudoace.py:1-40 is Datomic import plumbing); this completes SURVEY
@@ -474,6 +480,16 @@ _DESCENT_MV_BUDGET = (
         + 8 * NSW_M
     )
 )
+# REPAIR pass (compaction-analog maintenance): one full-graph
+# NN-descent round — every node proposes its capped neighbors'
+# neighbors — costing ≤ D·(D+1) NEW scorings per node per round
+# (LINEAR in |V|, amortized on a schedule like file compaction; the
+# incremental refreshes above stay corpus-independent per batch).
+# Touch-only folds never revisit an old node whose true kNN drifted
+# as later batches arrived; the repair round is how those staleness
+# errors get healed without ever paying the exact tier's |V|² rebuild.
+_DESCENT_MV_REPAIR_ROUNDS = 1
+_DESCENT_MV_REPAIR_BUDGET = _DESCENT_MV_DEGREE * (_DESCENT_MV_DEGREE + 1)
 
 
 def descent_mv_refresh(
@@ -706,6 +722,123 @@ def _descent_mv_refresh_inner(
             )
 
 
+def descent_mv_repair(
+    sp: SparkSession,
+    vec_root: str,
+    knn_root: str,
+    stats_path: str,
+    rounds: int = _DESCENT_MV_REPAIR_ROUNDS,
+) -> None:
+    """Full-graph NN-descent repair round(s) over the maintained
+    adjacency — the compaction-analog maintenance op that heals the
+    staleness incremental refreshes cannot: a node ingested early keeps
+    serving its then-best top-M even after closer neighbors arrive in
+    later batches, unless a batch candidate happens to touch it.  Each
+    round every node proposes its capped symmetrized neighbors'
+    neighbors (≤ D² pairs/node, D = _DESCENT_MV_DEGREE), pairs already
+    in the adjacency are anti-joined out before scoring (their dot is
+    known), and only the changed per-src top-M edges commit — the same
+    atomic CDC delta shape as the per-batch refresh.  Cost is LINEAR in
+    |V| per round (≤ D·(D+1) new scorings/node, asserted into the
+    maintenance-stats sidecar under the ``repair`` key), against the
+    exact tier's |V|² rebuild; at 10⁹ vectors this runs on a schedule
+    exactly like parquet file compaction.  Reference analog: the
+    periodic full QA re-verification after incremental patch rounds
+    (azanium/pseudoace.py:105-110)."""
+    import json as _json
+
+    from .plans.txlog import TxTable
+
+    _CP = "spark.sql.constraintPropagation.enabled"
+    cp_prev = sp.conf.get(_CP, "true")
+    sp.conf.set(_CP, "false")
+    try:
+        vt, kt = TxTable(vec_root), TxTable(knn_root)
+        allv = (
+            vt.read(sp).select("vec_id", "embedding").localCheckpoint()
+        )
+        n_corpus = allv.count()
+        w_top = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+        w_cap = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+        for r in range(rounds):
+            old = (
+                kt.read(sp)
+                .select("src", "dst", "dot")
+                .localCheckpoint()
+            )
+            sym = (
+                old.unionByName(
+                    old.select(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        "dot",
+                    )
+                )
+                .dropDuplicates(["src", "dst"])
+                .withColumn("rn", F.row_number().over(w_cap))
+                .filter(F.col("rn") <= _DESCENT_MV_DEGREE)
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            hop = (
+                sym.alias("a")
+                .join(sym.alias("g"), F.col("a.dst") == F.col("g.src"))
+                .select(
+                    F.col("a.src").alias("src"),
+                    F.col("g.dst").alias("dst"),
+                )
+            )
+            pairs = (
+                sym.unionByName(hop)
+                .filter(F.col("src") != F.col("dst"))
+                .dropDuplicates(["src", "dst"])
+                .join(
+                    old.select("src", "dst"),
+                    ["src", "dst"],
+                    "left_anti",
+                )
+                .localCheckpoint()
+            )
+            scored = _score_pairs(allv, pairs).localCheckpoint()
+            n_cand = scored.count()
+            new_t = (
+                old.unionByName(scored)
+                .dropDuplicates(["src", "dst"])
+                .withColumn("rn", F.row_number().over(w_top))
+                .filter(F.col("rn") <= NSW_M)
+                .select("src", "dst", "dot")
+                .localCheckpoint()
+            )
+            changes = (
+                new_t.exceptAll(old)
+                .withColumn("op", F.lit("upsert"))
+                .unionByName(
+                    old.exceptAll(new_t).withColumn(
+                        "op", F.lit("delete")
+                    )
+                )
+            )
+            k_before = kt.latest_version()
+            kt.apply_cdc(
+                sp, changes, ["src", "dst"], txn=("nswd_repair", r)
+            )
+            if kt.latest_version() == k_before:  # replayed no-op
+                continue
+            with open(stats_path, "a") as fh:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "repair": r,
+                            "n_corpus": n_corpus,
+                            "candidates": n_cand,
+                        }
+                    )
+                    + "\n"
+                )
+    finally:
+        sp.conf.set(_CP, cp_prev)
+
+
 def _ensure_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str):
     """Incremental kNN-graph maintenance whose per-batch cost is
     ∝ |B|·beam·degree — NEVER |B|·|V| — the approximate scale path
@@ -793,6 +926,9 @@ def _ensure_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str):
         raise RuntimeError(
             "replayed batch 0 must no-op both tables (txn dedup broke)"
         )
+    # post-drain repair round: heal the staleness touch-only folds
+    # leave behind (linear in |V| — the compaction-analog schedule)
+    descent_mv_repair(spark, vec_root, knn_root, stats_path)
     with open(done, "w"):
         pass
     return kt, stats_path
@@ -812,7 +948,14 @@ def _descent_mv_bounded(stats_path: str) -> bool:
     with open(stats_path) as fh:
         for line in fh:
             s = _json.loads(line)
-            if s["n_corpus"] > 0:
+            if "repair" in s:
+                # repair rounds are LINEAR in the corpus by design:
+                # ≤ D·(D+1) new scorings per node per round
+                ok = ok and (
+                    s["candidates"]
+                    <= s["n_corpus"] * _DESCENT_MV_REPAIR_BUDGET
+                )
+            elif s["n_corpus"] > 0:
                 ok = ok and (
                     s["candidates"] <= s["n_batch"] * _DESCENT_MV_BUDGET
                 )

@@ -180,14 +180,96 @@ def test_stream_nsw_descent_mv_bounded_and_recalls(spark):
     assert row.n_queries == 8 and row.n_exact == 80
     _kt, stats_path = _ensure_stream_nsw_descent_mv(spark, SF)
     stats = [json.loads(line) for line in open(stats_path)]
-    assert len(stats) == 4  # one row per streamed slice, replay no-op'd
-    for s in stats:
+    batch_rows = [s for s in stats if "repair" not in s]
+    repair_rows = [s for s in stats if "repair" in s]
+    # one row per streamed slice (replay no-op'd) + the post-drain
+    # repair round the ensure runs
+    assert len(batch_rows) == 4 and len(repair_rows) == 1
+    for s in batch_rows:
         if s["n_corpus"] > 0:
             assert s["candidates"] <= s["n_batch"] * _DESCENT_MV_BUDGET
     # the exact tier's cost at the same batches, for contrast: its
     # candidate count is n_batch * n_corpus + n_corpus * n_batch-ish;
-    # the descent tier's budget is independent of n_corpus entirely
+    # the descent tier's budget is independent of n_corpus entirely;
+    # the repair round is LINEAR in the corpus (≤ D·(D+1) per node)
+    from db_migration_spark.queries_annstore import (
+        _DESCENT_MV_REPAIR_BUDGET,
+    )
+
+    for s in repair_rows:
+        assert (
+            s["candidates"] <= s["n_corpus"] * _DESCENT_MV_REPAIR_BUDGET
+        )
     assert all("n_corpus" in s for s in stats)
+
+
+def test_descent_mv_repair_improves_and_noops_on_replay(spark, tmp_path):
+    """The full-graph repair round: (a) per-src edge quality (sum of
+    kept dots) weakly improves — the fold is top-M over old ∪ newly
+    scored candidates, so a src can never end worse; (b) the scoring
+    volume stays within the LINEAR budget; (c) replaying the same
+    repair txn no-ops the table version (apply_cdc txn dedup)."""
+    import json
+
+    from db_migration_spark.queries_annstore import (
+        _DESCENT_MV_REPAIR_BUDGET,
+        descent_mv_refresh,
+        descent_mv_repair,
+    )
+
+    root = str(tmp_path / "repair")
+    vec_root, knn_root = root + "/vec", root + "/knn"
+    stats_path = root + "/stats.jsonl"
+    os.makedirs(root, exist_ok=True)
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    # two incremental batches → a graph with touch-only staleness
+    for i, pred in enumerate(
+        [F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1]
+    ):
+        descent_mv_refresh(
+            spark, vec_root, knn_root, stats_path, emb.filter(pred), i
+        )
+    kt = TxTable(knn_root)
+    before = (
+        kt.read(spark)
+        .groupBy("src")
+        .agg(F.sum("dot").alias("s"))
+        .collect()
+    )
+    v_before = kt.latest_version()
+    descent_mv_repair(spark, vec_root, knn_root, stats_path)
+    assert kt.latest_version() > v_before
+    after = {
+        r["src"]: r["s"]
+        for r in kt.read(spark)
+        .groupBy("src")
+        .agg(F.sum("dot").alias("s"))
+        .collect()
+    }
+    for r in before:
+        assert after[r["src"]] >= r["s"]  # top-M over a superset
+    repair_rows = [
+        json.loads(line)
+        for line in open(stats_path)
+        if "repair" in json.loads(line)
+    ]
+    assert len(repair_rows) == 1
+    s = repair_rows[0]
+    assert s["candidates"] <= s["n_corpus"] * _DESCENT_MV_REPAIR_BUDGET
+    # replay: same txn id must no-op the version AND the stats sidecar
+    v_repaired = kt.latest_version()
+    descent_mv_repair(spark, vec_root, knn_root, stats_path)
+    assert kt.latest_version() == v_repaired
+    assert (
+        len(
+            [
+                line
+                for line in open(stats_path)
+                if "repair" in json.loads(line)
+            ]
+        )
+        == 1
+    )
 
 
 def test_ivfpq_hirecall_setting(spark):
