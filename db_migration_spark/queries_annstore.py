@@ -966,8 +966,10 @@ def q_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph ANN served from the DESCENT-maintained streaming adjacency
     (_ensure_stream_nsw_descent_mv).  Two-boolean gate: the
     ann_nsw_descent_topk recall contract (mean recall@10 vs the
-    fixed-point-dot exact top-10 ≥ 0.5 — the graph is approximate by
-    design, its exact twin stream_nsw_mv carries the bit-exact oracle)
+    fixed-point-dot exact top-10 ≥ 0.7 — the graph is approximate by
+    design, its exact twin stream_nsw_mv carries the bit-exact oracle;
+    post-repair measured 0.825 at sf0.001 / 0.9 at sf0.01,
+    deterministic by construction)
     AND ``bounded`` — every post-bootstrap batch's scored-candidate
     count was strictly below |B|·|V|, read from the maintenance-stats
     sidecar the stream wrote as it ran.  Together they certify the
@@ -993,7 +995,16 @@ def q_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    beam = nsw_beam_search(emb, edges, q)
+    # serve-beam depth grows with log |V| (the small-world diameter):
+    # a fixed 3-hop/16-wide beam that recalls 0.9 at 500 vectors drops
+    # to 0.56 at 2,000 — the beam, not the maintained graph, is the
+    # binding constraint (the same graph serves 0.975 at 6/32).  Cost
+    # stays O(log |V| · width · degree) per query — the scale story is
+    # unchanged.
+    n = emb.count()
+    hops = max(NSW_H, n.bit_length() - 7)
+    width = max(NSW_W, 2 * n.bit_length())
+    beam = nsw_beam_search(emb, edges, q, hops=hops, width=width)
     wf = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
     approx = (
         beam.filter(F.col("node") != F.col("query_id"))
@@ -1018,7 +1029,7 @@ def q_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("query_id", "neighbor_id")
     )
-    return _ann_recall_gate(approx, exact, bound=0.5).withColumn(
+    return _ann_recall_gate(approx, exact, bound=0.7).withColumn(
         "bounded", F.lit(_descent_mv_bounded(stats_path))
     )
 
