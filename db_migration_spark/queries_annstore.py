@@ -818,9 +818,15 @@ def descent_mv_repair(
                     )
                 )
             )
+            # txn identity = the adjacency version this round READ: a
+            # crash-and-retry of the same round replays the same id and
+            # no-ops once the commit landed, while a LATER scheduled
+            # repair (new version) gets a fresh id — a fixed per-round
+            # id would silently no-op all future scheduled repairs
+            # against the build-time txn
             k_before = kt.latest_version()
             kt.apply_cdc(
-                sp, changes, ["src", "dst"], txn=("nswd_repair", r)
+                sp, changes, ["src", "dst"], txn=("nswd_repair", k_before)
             )
             if kt.latest_version() == k_before:  # replayed no-op
                 continue

@@ -207,8 +207,10 @@ def test_descent_mv_repair_improves_and_noops_on_replay(spark, tmp_path):
     """The full-graph repair round: (a) per-src edge quality (sum of
     kept dots) weakly improves — the fold is top-M over old ∪ newly
     scored candidates, so a src can never end worse; (b) the scoring
-    volume stays within the LINEAR budget; (c) replaying the same
-    repair txn no-ops the table version (apply_cdc txn dedup)."""
+    volume stays within the LINEAR budget; (c) repair txn identity is
+    the adjacency version the round read, so a crash-replay of an
+    already-landed round no-ops (apply_cdc txn dedup) while a LATER
+    scheduled repair gets a fresh txn and still improves."""
     import json
 
     from db_migration_spark.queries_annstore import (
@@ -256,20 +258,37 @@ def test_descent_mv_repair_improves_and_noops_on_replay(spark, tmp_path):
     assert len(repair_rows) == 1
     s = repair_rows[0]
     assert s["candidates"] <= s["n_corpus"] * _DESCENT_MV_REPAIR_BUDGET
-    # replay: same txn id must no-op the version AND the stats sidecar
+    # crash-replay: re-committing under the txn id round 1 used (the
+    # pre-repair version) must no-op — the landed txn dedupes it
     v_repaired = kt.latest_version()
-    descent_mv_repair(spark, vec_root, knn_root, stats_path)
-    assert kt.latest_version() == v_repaired
-    assert (
-        len(
-            [
-                line
-                for line in open(stats_path)
-                if "repair" in json.loads(line)
-            ]
-        )
-        == 1
+    poison = (
+        kt.read(spark)
+        .limit(1)
+        .select("src", "dst", "dot")
+        .withColumn("op", F.lit("delete"))
     )
+    kt.apply_cdc(spark, poison, ["src", "dst"], txn=("nswd_repair", v_before))
+    assert kt.latest_version() == v_repaired
+    # a LATER scheduled repair reads a new version → fresh txn: it may
+    # commit converging refinements but can never regress quality and
+    # stays within the linear budget
+    descent_mv_repair(spark, vec_root, knn_root, stats_path)
+    after2 = {
+        r["src"]: r["s"]
+        for r in kt.read(spark)
+        .groupBy("src")
+        .agg(F.sum("dot").alias("s"))
+        .collect()
+    }
+    for src, sdot in after.items():
+        assert after2[src] >= sdot
+    for line in open(stats_path):
+        s2 = json.loads(line)
+        if "repair" in s2:
+            assert (
+                s2["candidates"]
+                <= s2["n_corpus"] * _DESCENT_MV_REPAIR_BUDGET
+            )
 
 
 def test_ivfpq_hirecall_setting(spark):
