@@ -376,7 +376,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument(
         "--action",
-        choices=("build-ivfpq", "probe-ivfpq", "build-graph", "probe-graph"),
+        choices=(
+            "build-ivfpq",
+            "probe-ivfpq",
+            "build-graph",
+            "probe-graph",
+            "repair-graph",
+        ),
         required=True,
     )
     sp.add_argument(
@@ -1181,6 +1187,40 @@ def main(argv: list[str] | None = None) -> int:
                         "store": args.store,
                         "edges": t.count_rows(spark),
                         "n_groups": len(t.active_groups()),
+                    }
+                )
+            )
+            return 0
+        if args.action == "repair-graph":
+            # the compaction-analog maintenance op over a stream-
+            # maintained MV store root (vectors/ + knn/, the layout
+            # _ensure_stream_nsw_descent_mv and descent_mv_refresh
+            # write): one full-graph NN-descent round, ≤ D·(D+1) new
+            # scorings per node, changed edges committed as one CDC
+            # delta.  The one-shot build-graph store bakes long-range
+            # links into a single edges table and is rebuilt, not
+            # repaired.
+            from .queries_annstore import descent_mv_repair
+
+            vec_root = os.path.join(args.store, "vectors")
+            knn_root = os.path.join(args.store, "knn")
+            if not (os.path.isdir(vec_root) and os.path.isdir(knn_root)):
+                raise SystemExit(
+                    "repair-graph needs a stream-MV store root with "
+                    "vectors/ and knn/ (build-graph stores are one-shot "
+                    "-- rebuild them instead)"
+                )
+            stats = os.path.join(args.store, "maintenance_stats.jsonl")
+            t = TxTable(knn_root)
+            v0 = t.latest_version()
+            descent_mv_repair(spark, vec_root, knn_root, stats)
+            print(
+                json.dumps(
+                    {
+                        "store": args.store,
+                        "repaired": t.latest_version() > v0,
+                        "version": t.latest_version(),
+                        "edges": t.count_rows(spark),
                     }
                 )
             )

@@ -516,3 +516,57 @@ def test_cli_ann_build_probe(tmp_path):
     scanned, scannable = gprobe["groups_planned"]
     assert 0 < scanned < scannable  # per-hop frontier pruning fired
     assert [r[1] for r in gprobe["results"]] == [1, 2, 3, 4, 5]
+
+
+def test_cli_ann_repair_graph(spark, tmp_path):
+    """The repair-graph action: runs the compaction-analog full-graph
+    NN-descent round over a stream-MV store root (vectors/ + knn/) and
+    commits only changed edges; a one-shot build-graph store (no MV
+    layout) is refused with a pointed error."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from db_migration_spark.queries_annstore import descent_mv_refresh
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    root = str(tmp_path / "mv")
+    os.makedirs(root)
+    vec_root = os.path.join(root, "vectors")
+    knn_root = os.path.join(root, "knn")
+    stats = os.path.join(root, "maintenance_stats.jsonl")
+    for i, pred in enumerate(
+        [F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1]
+    ):
+        descent_mv_refresh(
+            spark, vec_root, knn_root, stats, emb.filter(pred), i
+        )
+
+    def run(*argv, expect_fail=False):
+        r = subprocess.run(
+            [sys.executable, "-m", "db_migration_spark.cli", "ann", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        if expect_fail:
+            assert r.returncode != 0
+            return r.stderr
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    out = run("--action", "repair-graph", "--store", root)
+    assert out["repaired"] is True and out["edges"] > 0
+    repair_rows = [
+        json.loads(line) for line in open(stats) if '"repair"' in line
+    ]
+    assert len(repair_rows) == 1
+    # refusal on a non-MV layout
+    err = run(
+        "--action", "repair-graph", "--store", str(tmp_path / "nope"),
+        expect_fail=True,
+    )
+    assert "stream-MV store root" in err
