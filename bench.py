@@ -506,7 +506,7 @@ def _gc_millis(spark) -> int:
 
 
 def _probe_fns(spark, sf_dir: str):
-    """The two fixed calibration probes.
+    """The three fixed calibration probes.
 
     * ``scan_agg``: a canonical JVM-bound probe — the warmed lineitem
       scan + groupBy aggregate (parquet scan, whole-stage codegen,
@@ -514,10 +514,34 @@ def _probe_fns(spark, sf_dir: str):
       JIT, shuffle I/O, core contention.
     * ``cpu_py``: a pure-CPU single-thread Python probe (fixed hash
       loop, no JVM).  Tracks raw host CPU / frequency / steal.
+    * ``stream``: a small stateful streaming drain (availableNow
+      micro-batch over a fixed parquet slice, stateful groupBy into a
+      noop sink, fresh checkpoint per run).  Round-10 addition (r9
+      verdict finding #3): the r9 driver artifact's worst per-query
+      spikes were 3-4x on STREAMING/STATEFUL shapes while the scan-agg
+      probe only read 1.2x — the calib vector could not see state-store
+      /micro-batch machinery contention.  This probe tracks exactly
+      that session dimension.
     """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
     from pyspark.sql import functions as F
 
     from db_migration_spark.catalog import load_table
+
+    probe_src = "/tmp/dbm_bench_stream_probe"
+    if not os.path.exists(os.path.join(probe_src, "_SUCCESS")):
+        (
+            spark.range(50_000)
+            .select(
+                (F.col("id") % 997).alias("k"),
+                (F.col("id") % 31).alias("v"),
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(probe_src)
+        )
 
     def scan_agg() -> float:
         t0 = time.time()
@@ -542,7 +566,28 @@ def _probe_fns(spark, sf_dir: str):
             h = hashlib.sha256(h).digest()
         return time.time() - t0
 
-    return scan_agg, cpu_py
+    def stream() -> float:
+        chk = _tempfile.mkdtemp(prefix="bench_probe_chk_")
+        t0 = time.time()
+        q = (
+            spark.readStream.schema("k long, v long")
+            .parquet(probe_src)
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        dt = time.time() - t0
+        _shutil.rmtree(chk, ignore_errors=True)
+        return dt
+
+    return scan_agg, cpu_py, stream
 
 
 def _calibrate(spark, sf_dir: str) -> dict:
@@ -552,9 +597,13 @@ def _calibrate(spark, sf_dir: str) -> dict:
     one machine boot — without an in-artifact probe nobody can tell
     engine regressions from session noise.  The ratio headline/calib is
     the session-invariant quantity."""
-    scan_agg, cpu_py = _probe_fns(spark, sf_dir)
+    scan_agg, cpu_py, stream = _probe_fns(spark, sf_dir)
     out: dict = {}
-    for name, fn in (("scan_agg", scan_agg), ("cpu_py", cpu_py)):
+    for name, fn in (
+        ("scan_agg", scan_agg),
+        ("cpu_py", cpu_py),
+        ("stream", stream),
+    ):
         fn()  # warm-up, untimed
         runs = sorted(fn() for _ in range(3))
         out[name + "_min3"] = round(runs[0], 3)
@@ -618,12 +667,13 @@ def main() -> None:
     # artifact publishes the vector + median + spread.  The pre-suite
     # min3/med3 keys stay for cross-round ratio continuity; the
     # round-9+ session-invariant ratio is headline/calib.scan_agg_med5.
-    scan_probe, cpu_probe = _probe_fns(spark, sf_dir)
+    scan_probe, cpu_probe, stream_probe = _probe_fns(spark, sf_dir)
     probe_vec: list[dict] = [
         {
             "at": "pre",
             "scan_agg": calib["scan_agg_min3"],
             "cpu_py": calib["cpu_py_min3"],
+            "stream": calib["stream_min3"],
         }
     ]
     marks = {
@@ -638,6 +688,7 @@ def main() -> None:
                     "at": marks[i],
                     "scan_agg": round(scan_probe(), 3),
                     "cpu_py": round(cpu_probe(), 3),
+                    "stream": round(stream_probe(), 3),
                 }
             )
         _run_once(name)  # warm-up: JIT + shuffle-file page cache
@@ -649,9 +700,10 @@ def main() -> None:
             "at": "post",
             "scan_agg": round(scan_probe(), 3),
             "cpu_py": round(cpu_probe(), 3),
+            "stream": round(stream_probe(), 3),
         }
     )
-    for key in ("scan_agg", "cpu_py"):
+    for key in ("scan_agg", "cpu_py", "stream"):
         vals = sorted(p[key] for p in probe_vec)
         calib[key + "_med5"] = round(vals[len(vals) // 2], 3)
         calib[key + "_spread"] = round(vals[-1] / vals[0], 2)
@@ -716,6 +768,16 @@ def main() -> None:
                 "protocol": "headline=warmup+min3; rest=min-of-2",
                 "headline_median3": head_med3,
                 "headline_median3_total": med3_total,
+                # per-query med3/min3 spread (r9 verdict finding #3):
+                # a single-session spike shows up here as a wide ratio,
+                # so artifact outliers are visibly noise, not plan
+                # regressions
+                "headline_spread": {
+                    k: round(head_med3[k] / timings[k], 2)
+                    if timings.get(k)
+                    else None
+                    for k in head_med3
+                },
                 "calib": calib,
                 "gc_ms_per_query": gc_timings,
                 "headline_gc_sec": head_gc_sec,

@@ -2625,6 +2625,30 @@ class TxTable:
                 picked.append(g)
         return picked, len(active)
 
+    def column_range(
+        self,
+        column: str,
+        version: int | None = None,
+    ) -> tuple:
+        """Global [min, max] of ``column`` from commit zone maps alone —
+        no data files opened, at any table size.  Returns (None, None)
+        when any live group lacks stats for the column (the answer
+        cannot be proved from metadata); deletion vectors can only make
+        the true range narrower, so the metadata answer is a correct
+        conservative envelope for planners (e.g. deriving an id-domain
+        to hash-sample entry points from)."""
+        upto = self.latest_version() if version is None else version
+        column = self._physical_map(upto).get(column, column)
+        active, stats, _dvs = self._replay(upto)
+        lo = hi = None
+        for g in active:
+            s = stats.get(g, {}).get(column)
+            if s is None or s[0] is None or s[1] is None:
+                return (None, None)
+            lo = s[0] if lo is None else min(lo, s[0])
+            hi = s[1] if hi is None else max(hi, s[1])
+        return (lo, hi)
+
     def read_changes(
         self,
         spark: SparkSession,

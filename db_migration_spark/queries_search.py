@@ -1522,7 +1522,11 @@ def blockmax_topk(
         sidecar_grps = {r.grp for r in bub.select("grp").distinct().collect()}
         stale = sorted(set(active) - sidecar_grps)
         allow_df = covered
-        if stale:
+        # no essential terms → nothing can reach θ through a stale
+        # group either; crossing the placeholder row with stale groups
+        # would allow (and scan) every stale group for a query set the
+        # driver path allows nothing for (r9 ADVICE #2)
+        if stale and ess_rows:
             stale_df = spark.createDataFrame(
                 [(g,) for g in stale], "grp string"
             )

@@ -47,20 +47,35 @@ def get_spark(
       fit executor memory.
     """
     cpus = DEFAULT_CPUS
+    # Scale-dependent knobs are ENV-parameterised with local defaults
+    # (r10 optimization-round rule: config values tuned for local[32]
+    # must not be baked in).  Local defaults, production rationale:
+    # * advisory partition size 4m: default 64m coalesces every
+    #   small-SF shuffle to one partition — one core; at cluster scale
+    #   set 256m (guide §2.2: 100 MB-1 GB post-AQE partitions).
+    # * broadcast threshold 64m: the engine's dimension tables are
+    #   tiny next to the fact stream; on executors with ≥ 8 GB heaps
+    #   this is safe up to a few hundred MB.
+    # * maxPartitionBytes 128m: at 100 TB this yields ~800k splits;
+    #   raise to 512m-1g for big sequential scans on fast storage
+    #   (guide §6).
+    advisory = os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m")
+    bcast = os.environ.get(
+        "SPARK_GRAFT_BROADCAST_THRESHOLD", str(64 * 1024 * 1024)
+    )
+    max_part = os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # default 64m advisory size coalesces every small-SF shuffle down to
-        # one partition — one core.  4m keeps local runs parallel while still
-        # merging genuinely tiny partitions; at cluster scale partitions are
-        # fat enough that this knob is irrelevant.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        .config("spark.sql.autoBroadcastJoinThreshold", bcast)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", max_part)
         # store codec: measured ~20% smaller than snappy on the lineitem
         # fixture at equal-or-better read/write speed — at 100 TB that is
         # 20 TB of storage and scan bytes

@@ -383,3 +383,182 @@ def test_apply_cdc_triad_and_idempotence(spark, tmp_path):
             ),
             ["k"],
         )
+
+
+# ---------------------------------------------------------------------------
+# round-10: store-pruned descent-MV maintenance/serving internals
+# ---------------------------------------------------------------------------
+
+
+def test_column_range_metadata_only(spark, tmp_path):
+    t = TxTable(str(tmp_path / "cr"))
+    t.commit_append(
+        spark.range(10, 500).select(F.col("id").alias("k"))
+    )
+    t.commit_append(
+        spark.range(700, 900).select(F.col("id").alias("k"))
+    )
+    assert t.column_range("k") == (10, 899)
+
+
+def test_pruned_sym_out_edges_equals_full_symmetrize(spark, tmp_path):
+    """The pruned per-hop adjacency read (src/dst zone-map point plans
+    + per-src cap) is row-for-row the full-table symmetrize + cap
+    restricted to the frontier — pruning changes I/O, never edges."""
+    from db_migration_spark.queries_annstore import (
+        _DESCENT_MV_DEGREE,
+        _pruned_sym_out_edges,
+    )
+
+    t = TxTable(str(tmp_path / "adj"))
+    # deterministic pseudo-random sparse digraph with symmetric dots
+    e = (
+        spark.range(0, 400)
+        .select(
+            (F.col("id") % 80).alias("src"),
+            F.pmod(F.xxhash64("id"), F.lit(80)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn(
+            "dot",
+            F.pmod(
+                F.xxhash64(
+                    F.least("src", "dst"), F.greatest("src", "dst")
+                ),
+                F.lit(1000),
+            ),
+        )
+    )
+    t.commit_append(e)
+    t.optimize(spark, sort_key=["src"], target_groups=6)
+    frontier = [1, 7, 42, 79]
+    got = {
+        tuple(r)
+        for r in _pruned_sym_out_edges(
+            spark, t, frontier, cap=_DESCENT_MV_DEGREE
+        ).collect()
+    }
+    full = t.read(spark)
+    sym = full.unionByName(
+        full.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "dot"
+        )
+    ).dropDuplicates(["src", "dst"])
+    w = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+    want = {
+        tuple(r)
+        for r in sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DESCENT_MV_DEGREE)
+        .select("src", "dst")
+        .filter(F.col("src").isin(frontier))
+        .collect()
+    }
+    assert got == want
+
+
+def test_descent_lr_links_match_longrange_formula(spark):
+    """Per-batch persisted tunnels over ALL ids with the final corpus
+    size reproduce nsw_longrange_edges exactly — same md5 formula,
+    same symmetrization, so the incremental table converges to the
+    map-pass graph it replaced when batches cover the corpus."""
+    from db_migration_spark.operators.similarity import (
+        nsw_longrange_edges,
+    )
+    from db_migration_spark.queries_annstore import _descent_lr_links
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    a = {
+        tuple(r)
+        for r in _descent_lr_links(emb.select("vec_id"), n).collect()
+    }
+    b = {tuple(r) for r in nsw_longrange_edges(emb).collect()}
+    assert a == b
+
+
+def test_descent_mv_bootstrap_crash_replay_heals(spark, tmp_path):
+    """r9 ADVICE #1: batch 0 commits knn before vectors; a crash
+    between the two commits used to wedge recovery (redelivery saw
+    k_before >= 0 with an empty vectors table and dereferenced None).
+    The bootstrap branch now re-enters on an empty corpus: the knn
+    commit txn-no-ops, the vector append lands."""
+    from db_migration_spark.queries_annstore import descent_mv_refresh
+
+    root = str(tmp_path / "crash")
+    vec_root, knn_root = root + "/vec", root + "/knn"
+    stats_path = root + "/stats.jsonl"
+    os.makedirs(root, exist_ok=True)
+    b0 = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 40)
+    )
+    # simulate the partial batch 0: knn landed, vectors did not
+    kt = TxTable(knn_root)
+    kt.commit_append(
+        b0.limit(1).select(
+            F.col("vec_id").alias("src"),
+            (F.col("vec_id") + 1).alias("dst"),
+            F.lit(0).cast("long").alias("dot"),
+        ),
+        txn=("nswd_knn", 0),
+    )
+    k_v = kt.latest_version()
+    # redelivery of batch 0 must not raise and must land the vectors
+    descent_mv_refresh(spark, vec_root, knn_root, stats_path, b0, 0)
+    assert kt.latest_version() == k_v  # txn no-op
+    assert TxTable(vec_root).count_rows(spark) == b0.count()
+
+
+def test_descent_serve_paths_agree(spark):
+    """The size-gated serve planner never changes the answer: the
+    zone-map-pruned hop loop and the in-memory lazy plan serve the
+    SAME persisted graph (adjacency ∪ tunnel table) and must produce
+    the identical final beam, hop for hop."""
+    from db_migration_spark.operators.similarity import (
+        NSW_H,
+        NSW_W,
+        nsw_beam_search,
+    )
+    from db_migration_spark.queries_annstore import (
+        _ensure_stream_nsw_descent_mv,
+        _pruned_beam_search_local,
+    )
+
+    kt, _stats = _ensure_stream_nsw_descent_mv(spark, SF)
+    base = os.path.dirname(kt.root)
+    vt = TxTable(os.path.join(base, "vectors"))
+    lt = TxTable(os.path.join(base, "lr"))
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    n = vt.count_rows(spark)
+    hops = max(NSW_H, n.bit_length() - 7)
+    width = max(NSW_W, 2 * n.bit_length())
+    lo, _hi = vt.column_range("vec_id")
+    pruned = {
+        (r.query_id, r.node, r.rel)
+        for r in _pruned_beam_search_local(
+            spark, kt, lt, vt, q, int(lo), hops=hops, width=width
+        )
+    }
+    edges = (
+        _symmetrize(kt.read(spark).select("src", "dst"))
+        .unionByName(lt.read(spark).select("src", "dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    entry = q.select("query_id").withColumn("node", F.lit(int(lo)))
+    plain = {
+        (r.query_id, r.node, r.rel)
+        for r in nsw_beam_search(
+            emb, edges, q, entry=entry, hops=hops, width=width
+        ).collect()
+    }
+    assert pruned == plain

@@ -31,17 +31,25 @@ def main() -> None:
     from db_migration_spark.queries import QUERIES
 
     certified: set[str] = set()
+    no_hash: set[str] = set()  # rows/schema matched, hash not verified
     rounds = sorted(glob.glob("CORRECTNESS_r*.json"))
     for f in rounds:
         d = json.load(open(f))
         for k, v in d.items():
-            if (
+            if not (
                 isinstance(v, dict)
                 and v.get("rows_match")
                 and v.get("schema_match")
-                and v.get("hash_match") in (True, None)
             ):
+                continue
+            # r9 ADVICE #4: hash_match=None is NOT full certification —
+            # count it separately so rotation priorities are not
+            # overstated by rows/schema-only results
+            if v.get("hash_match") is True:
                 certified.add(k)
+            else:
+                no_hash.add(k)
+    no_hash -= certified
     allq = list(QUERIES)
     never = [q for q in allq if q not in certified]
     fam_tot: dict[str, int] = defaultdict(int)
@@ -53,6 +61,9 @@ def main() -> None:
     out = {
         "registry": len(allq),
         "cumulative_certified": len([q for q in allq if q in certified]),
+        "certified_no_hash": len(
+            [q for q in allq if q in no_hash]
+        ),
         "never_certified": len(never),
         "families": {
             f: {"certified": fam_cert[f], "total": fam_tot[f]}
