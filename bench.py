@@ -23,6 +23,14 @@ headline/calib.scan_agg — quote it when comparing rounds.  min-of-3 is
 the primary headline (median-of-3 secondary), per-query GC time goes to
 BENCH_FULL.json, and the bench heap defaults to 24g (the round-6 GC-cliff
 fix).
+
+Round-10 protocol ADDITIONS (nothing timed changed — same 40 queries,
+same warm-up+min3 noop-sink methodology, ``queries`` keys 1:1 with
+r2..r9): a third calibration probe ``stream`` (a small stateful
+streaming drain — the r9 driver artifact's 3-4x per-query spikes were
+on streaming/stateful shapes the scan-agg probe could not see), and
+``headline_spread`` (per-query med3/min3) in BENCH_FULL.json so a
+single-session spike reads as noise, not a plan regression.
 """
 
 from __future__ import annotations

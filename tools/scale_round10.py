@@ -18,8 +18,11 @@ persisted per-batch tunnels).  Expect:
   comparable to round-9's full-scan serve (0.875 pre-repair / ~0.95
   batch build at this corpus).
 
-Usage: python tools/scale_round10.py [descentio]
-Prints one JSON line; paste the numbers into SCALE.md.
+Usage: python tools/scale_round10.py [descentio|descentcontig|all]
+(``descentcontig`` re-runs the experiment on cluster-CONTIGUOUS ids —
+the production ingestion-ordered layout — where group skipping is
+measurable; the default scattered layout is the zone-map-adversarial
+contrast.)  Prints one JSON line per experiment; numbers in SCALE.md.
 """
 
 from __future__ import annotations
@@ -42,10 +45,25 @@ from db_migration_spark.session import get_spark
 TMP = "/root/repo/.tmp"
 
 
-def _clustered_vectors(spark, n=20_000, dim=64, n_clusters=200):
+def _clustered_vectors(
+    spark, n=20_000, dim=64, n_clusters=200, contiguous=False
+):
     """The round-7/8/9 clustered-embedding generator (200 centers +
-    0.25-amplitude noise — the regime real embeddings live in)."""
-    cid = F.col("id") % n_clusters
+    0.25-amplitude noise — the regime real embeddings live in).
+
+    ``contiguous=False`` (the r7-r9 layout) assigns cluster = id mod
+    n_clusters — every contiguous id range spans ALL clusters, the
+    ADVERSARIAL layout for id-range zone maps (any batch's neighbor
+    set is maximally id-scattered).  ``contiguous=True`` assigns
+    cluster = id div (n/n_clusters) — ingestion-ordered ids where
+    sources/shards cluster, the common production layout, where a
+    batch's neighbors localize in few id ranges."""
+    per = max(1, n // n_clusters)
+    cid = (
+        (F.col("id") / per).cast("long")
+        if contiguous
+        else F.col("id") % n_clusters
+    )
     emb = spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.transform(
@@ -71,7 +89,7 @@ def _clustered_vectors(spark, n=20_000, dim=64, n_clusters=200):
     return emb
 
 
-def exp_descent_io(spark) -> dict:
+def exp_descent_io(spark, contiguous: bool = False) -> dict:
     from db_migration_spark.operators.similarity import NSW_H, NSW_W, fp_dot
     from db_migration_spark.plans.txlog import TxTable
     from db_migration_spark.queries_annstore import (
@@ -81,14 +99,14 @@ def exp_descent_io(spark) -> dict:
         descent_mv_repair,
     )
 
-    root = f"{TMP}/r10_descent_io"
+    root = f"{TMP}/r10_descent_io" + ("_contig" if contiguous else "")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     vec_root = os.path.join(root, "vectors")
     knn_root = os.path.join(root, "knn")
     lr_root = os.path.join(root, "lr")
     stats_path = os.path.join(root, "stats.jsonl")
-    emb = _clustered_vectors(spark)
+    emb = _clustered_vectors(spark, contiguous=contiguous)
     n_batches, bsz = 8, 2_500
     walls = []
     live_after = []  # live adjacency groups after each batch
@@ -128,6 +146,41 @@ def exp_descent_io(spark) -> dict:
     kt.optimize(spark, sort_key=["src"], target_groups=16)
     lt.optimize(spark, sort_key=["src"], target_groups=16)
     vt.optimize(spark, sort_key=["vec_id"], target_groups=16)
+
+    # STEADY-STATE phase: 4 small batches (250 vectors — 1.2% of the
+    # corpus, the regime a production ingest runs in) against the
+    # compacted store.  This is where per-batch reads must decouple
+    # from the corpus: each read call plans only the groups owning its
+    # probe ids, so a small batch's group-reads stay bounded while the
+    # live group count keeps growing.
+    emb_extra = _clustered_vectors(spark, n=21_000, contiguous=contiguous)
+    small_walls = []
+    for j in range(4):
+        lo_id = 20_000 + j * 250
+        b = emb_extra.filter(
+            (F.col("vec_id") >= lo_id) & (F.col("vec_id") < lo_id + 250)
+        )
+        t0 = time.time()
+        descent_mv_refresh(
+            spark, vec_root, knn_root, stats_path, b, 100 + j
+        )
+        small_walls.append(round(time.time() - t0, 2))
+    small_rows = []
+    for line in open(stats_path):
+        s = json.loads(line)
+        if "repair" not in s and s["batch"] >= 100:
+            small_rows.append(
+                {
+                    "batch": s["batch"],
+                    "n_batch": s["n_batch"],
+                    "n_corpus": s["n_corpus"],
+                    "candidates": s["candidates"],
+                    "groups_read": s.get("groups_read"),
+                    "groups_scannable": s.get("groups_total"),
+                    "wall_sec": small_walls[s["batch"] - 100],
+                }
+            )
+    emb = emb_extra  # serve/exact sides cover the grown corpus
 
     # serving through the PRUNED beam (the declared serve path),
     # counting the groups each hop actually scanned
@@ -175,19 +228,23 @@ def exp_descent_io(spark) -> dict:
     ).count()
     serve_wall = round(time.time() - t0, 2)
     return {
-        "exp": "descent_mv_io_x10",
-        "n_vectors": 20_000,
+        "exp": "descent_mv_io_x10_contig" if contiguous else "descent_mv_io_x10",
+        "n_vectors": 21_000,
         "batches": rows,
+        "steady_state_small_batches": small_rows,
         "per_vector_budget": _DESCENT_MV_BUDGET,
         "budget_held_every_batch": all(
             r["candidates"] <= bsz * _DESCENT_MV_BUDGET
             for r in rows
             if r["n_corpus"] > 0
         ),
-        "groups_read_flat": (
-            rows[-1]["groups_read"] is not None
-            and rows[1]["groups_read"] is not None
-            and rows[-1]["groups_read"] <= 2 * rows[1]["groups_read"]
+        # steady-state pruning: every small batch must physically skip
+        # groups (reads strictly below the per-call full-scan
+        # counterfactual the old plan paid)
+        "steady_state_pruned": all(
+            r["groups_read"] is not None
+            and r["groups_read"] < r["groups_scannable"]
+            for r in small_rows
         ),
         "repair_wall_sec": repair_wall,
         "serve": {
@@ -207,6 +264,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if which in ("all", "descentio"):
         print(json.dumps(exp_descent_io(spark)), flush=True)
+    if which in ("all", "descentcontig"):
+        print(json.dumps(exp_descent_io(spark, contiguous=True)), flush=True)
 
 
 if __name__ == "__main__":
