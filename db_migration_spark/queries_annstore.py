@@ -55,7 +55,20 @@ module gives the graph family the same two store tiers:
   per-vector candidates plateau ~800 while the exact tier's grow
   linearly (47× more by batch 7); serving recall@10 0.875 before
   repair vs 0.95 for the one-shot descent build (post-repair number
-  in SCALE.md).
+  in SCALE.md).  Round-10 (r9 verdict task 1): the per-batch I/O is
+  corpus-independent too — every maintenance read is zone-map
+  point-planned (src/dst-pruned adjacency groups with the exact
+  per-src degree cap, vec_id-pruned embedding reads, touched-src
+  fold reads), long-range tunnels persist to a side table per batch
+  (md5-stateless, both directions) instead of a full-corpus
+  derivation per micro-batch, and corpus count / id-domain come from
+  commit metadata (count_rows / column_range) — zero full-table
+  scans per batch.  Post-drain, the repair round is followed by the
+  compaction-analog OPTIMIZE re-clustering (src / src / vec_id) so
+  the point plans keep tight groups to skip; serving is size-gated
+  (_PRUNED_SERVE_MIN_ROWS) between one in-memory lazy plan and the
+  2-jobs-per-hop pruned loop — identical beam either way
+  (tools/scale_round10.py + plans/r10/ carry the evidence).
 
 No counterpart in the reference (azanium has no similarity tier;
 pseudoace.py:1-40 is Datomic import plumbing); this completes SURVEY
