@@ -131,6 +131,11 @@ class CommitConflict(RuntimeError):
     """Another writer owned the version this transaction raced for."""
 
 
+# parsed bloom sidecars, cached by absolute path — safe forever because
+# file groups are immutable (a rewrite mints a new uuid directory)
+_BLOOM_SIDECAR_CACHE: dict = {}
+
+
 class ConstraintViolation(ValueError):
     """A write (or ADD CONSTRAINT) found rows failing a CHECK expression."""
 
@@ -1179,6 +1184,7 @@ class TxTable:
         target_groups: int = 1,
         max_retries: int = 5,
         where: tuple | None = None,
+        cluster_map: tuple | None = None,
     ) -> int:
         """Compact the active groups into ``target_groups`` rewritten
         groups, optionally clustered by ``sort_key`` (a Column — e.g.
@@ -1196,9 +1202,23 @@ class TxTable:
         range is rewritten WHOLE (group granularity, Delta's rule), so
         row content never changes.
 
+        ``cluster_map=(mapping_df, on_col)`` clusters by an EXTERNAL
+        key (round 11): ``mapping_df`` carries ``(on_col, __ckey)`` and
+        is left-joined in purely to ORDER the rewrite —
+        ``repartitionByRange(__ckey, *sort_key)`` — then dropped before
+        the write, so row content stays byte-identical while the
+        physical layout follows a key the rows themselves don't carry
+        (e.g. a vector's IVF list id: semantic clustering, so that
+        frontier point-lookups land in few groups on ANY id layout).
+        The mapping is deduplicated on ``on_col`` before the join
+        (row multiset preservation is the optimize contract); unmapped
+        rows sort together under a null key.
+
         On a cluster ``target_groups`` is sized from live bytes the way
         operators/compaction does; conflicts re-read the advanced active
         set and retry on top of it."""
+        from pyspark.sql import functions as F
+
         for _ in range(max_retries):
             read_v = self.latest_version()
             if read_v < 0:
@@ -1231,10 +1251,21 @@ class TxTable:
                 # range split below is the per-file-stats granularity
                 # Delta/Iceberg record.
                 keys = sort_key if isinstance(sort_key, list) else [sort_key]
+                if cluster_map is not None:
+                    mdf, on_col = cluster_map
+                    mdf = mdf.select(
+                        F.col(on_col).alias("__ck_on"), "__ckey"
+                    ).dropDuplicates(["__ck_on"])
+                    df = df.join(
+                        mdf, df[on_col] == mdf["__ck_on"], "left"
+                    ).drop("__ck_on")
+                    keys = ["__ckey"] + keys
                 staged = (
                     df.repartitionByRange(target_groups, *keys)
                     .sortWithinPartitions(*keys)
                 )
+                if cluster_map is not None:
+                    staged = staged.drop("__ckey")
                 added, stats = self._write_split_groups(
                     self._to_physical(staged)
                 )
@@ -2173,6 +2204,117 @@ class TxTable:
 
     # -- bloom-filter point-lookup index --------------------------------------
 
+    @staticmethod
+    def _bloom_probe_hashes(values, k: int, int_width: int):
+        """The k xxHash64 lane hashes of every probe value, computed ON
+        THE DRIVER (numpy) — bit-identical to the JVM expressions the
+        sidecar builder used (``pmod(xxhash64(col, lit(j)), m)``), so
+        batched planners can consult bloom sidecars with ZERO Spark
+        jobs.  Spark's XxHash64 expression folds columns left-to-right:
+        ``xxhash64(col, lit(j))`` is ``hashInt(j, hashLong(v, 42))`` for
+        a bigint column (``hashInt(j, hashInt(v, 42))`` for an int
+        column) — the published xxHash64 short-input paths
+        (XXH64.hashLong/hashInt in the Spark source), reproduced here
+        over uint64 numpy lanes.  Returns a (k, len(values)) int64
+        array of SIGNED hashes (the JVM long the builder pmod'ed);
+        verified bit-exact against ``F.xxhash64`` by
+        tests/test_txlog_bloom.py."""
+        import numpy as np
+
+        P1 = np.uint64(0x9E3779B185EBCA87)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        P3 = np.uint64(0x165667B19E3779F9)
+        P4 = np.uint64(0x85EBCA77C2B2AE63)
+        P5 = np.uint64(0x27D4EB2F165667C5)
+
+        def rotl(x, r):
+            return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+        def fmix(h):
+            h = h ^ (h >> np.uint64(33))
+            h = h * P2
+            h = h ^ (h >> np.uint64(29))
+            h = h * P3
+            h = h ^ (h >> np.uint64(32))
+            return h
+
+        def hash_long(v_u64, seed_u64):
+            h = seed_u64 + P5 + np.uint64(8)
+            h = h ^ (rotl(v_u64 * P2, 31) * P1)
+            h = rotl(h, 27) * P1 + P4
+            return fmix(h)
+
+        def hash_int(v_u64, seed_u64):
+            # input is the 32-bit value zero-extended to 64 bits
+            h = seed_u64 + P5 + np.uint64(4)
+            h = h ^ ((v_u64 & np.uint64(0xFFFFFFFF)) * P1)
+            h = rotl(h, 23) * P2 + P3
+            return fmix(h)
+
+        with np.errstate(over="ignore"):
+            vals = np.asarray(
+                [int(v) & ((1 << 64) - 1) for v in values], dtype=np.uint64
+            )
+            seed = np.full(len(vals), 42, dtype=np.uint64)
+            h1 = (
+                hash_long(vals, seed)
+                if int_width == 64
+                else hash_int(vals, seed)
+            )
+            lanes = [
+                hash_int(np.full(len(vals), j, dtype=np.uint64), h1)
+                for j in range(k)
+            ]
+        return np.stack(lanes).view(np.int64)
+
+    def _bloom_sidecar(self, group: str, phys_col: str):
+        """Parsed bloom sidecar of ``group`` for ``phys_col`` — cached
+        per path forever (file groups are immutable: a rewritten group
+        gets a fresh uuid directory, so a cached parse can never go
+        stale).  None when the group has no sidecar YET (negative
+        results are not cached: ``add_bloom_index`` may build one later
+        in the same process)."""
+        import base64
+
+        import numpy as np
+
+        try:
+            side = os.path.join(self._gpath(group), f"_bloom_{phys_col}.json")
+        except FileNotFoundError:
+            return None
+        cached = _BLOOM_SIDECAR_CACHE.get(side)
+        if cached is not None:
+            return cached
+        if not os.path.exists(side):
+            return None
+        with open(side) as fh:
+            idx = json.load(fh)
+        parsed = {
+            "m": int(idx["m"]),
+            "k": int(idx["k"]),
+            "bits": np.frombuffer(
+                base64.b64decode(idx["bitmap"]), dtype=np.uint8
+            ),
+        }
+        if len(_BLOOM_SIDECAR_CACHE) > 65536:
+            _BLOOM_SIDECAR_CACHE.clear()
+        _BLOOM_SIDECAR_CACHE[side] = parsed
+        return parsed
+
+    def _bloom_int_width(self, phys_col: str, upto: int):
+        """64/32 when the LOG-recorded schema types the (physical)
+        column as bigint/int (the only types the driver-side probe
+        hasher reproduces); None otherwise — probing then falls back to
+        zone maps alone, never a wrong prune."""
+        js = self.table_schema_json(upto)
+        if not js:
+            return None
+        for f in js.get("fields", []):
+            phys = (f.get("metadata") or {}).get("physical", f.get("name"))
+            if phys == phys_col:
+                return {"long": 64, "integer": 32}.get(f.get("type"))
+        return None
+
     def _bloom_positions(self, spark: SparkSession, col, m, k: int):
         """The k bloom bit positions of ``col`` (a Column), as Spark
         expressions — pmod(xxhash64(value, seed_j), m).  Hashing stays
@@ -2604,7 +2746,19 @@ class TxTable:
         beam, a dedup probe's band buckets).  A group survives if ANY
         probe value can fall inside its recorded [min, max]; groups
         with no stats always survive (pruning is an optimization,
-        never a filter).  Returns (kept groups, total live count)."""
+        never a filter).  Returns (kept groups, total live count).
+
+        Groups that pass the zone maps are additionally probed against
+        their bloom sidecars when ``add_bloom_index`` built one (round
+        11): a group survives only if at least one probe value has all
+        k bits set.  Hashing runs on the driver (numpy,
+        ``_bloom_probe_hashes`` — bit-exact with the JVM builder, by
+        test), so the batched probe stays a ZERO-job metadata
+        operation.  This is what makes point planning layout-proof: a
+        table OPTIMIZE-clustered by a SEMANTIC key (so min/max id zone
+        maps go wide) still answers "which groups hold these ids" from
+        per-group membership — the Delta bloom-index composition at
+        planner granularity."""
         import bisect
 
         upto = self.latest_version() if version is None else version
@@ -2623,6 +2777,29 @@ class TxTable:
                     picked.append(g)
             except TypeError:  # bound/stat domain mismatch → keep
                 picked.append(g)
+        # bloom refinement: only attempted when every probe value is an
+        # int and the schema proves the column's hashed width
+        if picked and vals and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in vals
+        ):
+            width = self._bloom_int_width(column, upto)
+            if width is not None:
+                hashes = None  # (k, n) lanes, computed on first sidecar
+                kept: list[str] = []
+                for g in picked:
+                    idx = self._bloom_sidecar(g, column)
+                    if idx is None:
+                        kept.append(g)
+                        continue
+                    if hashes is None or hashes.shape[0] < idx["k"]:
+                        hashes = self._bloom_probe_hashes(
+                            vals, idx["k"], width
+                        )
+                    pos = hashes[: idx["k"]] % idx["m"]  # pmod (m > 0)
+                    bit = (idx["bits"][pos >> 3] >> (pos & 7)) & 1
+                    if bool(bit.all(axis=0).any()):
+                        kept.append(g)
+                picked = kept
         return picked, len(active)
 
     def column_range(

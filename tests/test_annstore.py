@@ -457,6 +457,171 @@ def test_pruned_sym_out_edges_equals_full_symmetrize(spark, tmp_path):
     assert got == want
 
 
+def test_pruned_sym_out_edges_lossless_under_semantic_clustering(
+    spark, tmp_path
+):
+    """Round 11: after OPTIMIZE with an EXTERNAL cluster key (the ids'
+    semantic cluster — deliberately uncorrelated with id order, so the
+    id zone maps go maximally wide) plus batched-probe bloom sidecars,
+    the pruned per-hop read returns the identical edge set AND
+    physically skips groups where the id zone maps alone could not."""
+    from db_migration_spark.queries_annstore import (
+        _DESCENT_MV_DEGREE,
+        _pruned_sym_out_edges,
+    )
+
+    t = TxTable(str(tmp_path / "adj2"))
+    # a kNN-shaped graph: each node's neighbors are SAME-CLUSTER nodes
+    # (cluster = id mod 8 — id-scattered), like a real descent graph
+    # over clustered embeddings; plus one cross-cluster hub edge per
+    # node so the dst side is not artificially pure
+    ks = F.explode(F.array(*[F.lit(k) for k in range(1, 6)])).alias("k")
+    e = (
+        spark.range(0, 80)
+        .select(F.col("id").alias("src"), ks)
+        .select(
+            "src",
+            F.when(
+                F.col("k") < 5, F.pmod(F.col("src") + 8 * F.col("k"), F.lit(80))
+            )
+            .otherwise(F.pmod(F.xxhash64("src"), F.lit(3)))
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn(
+            "dot",
+            F.pmod(
+                F.xxhash64(
+                    F.least("src", "dst"), F.greatest("src", "dst")
+                ),
+                F.lit(1000),
+            ),
+        )
+    )
+    t.commit_append(e)
+    # semantic cluster = id mod 8 — every cluster's ids span the whole
+    # id range (the r10 adversarial layout)
+    amap = spark.range(80).select(
+        F.col("id").alias("src"), (F.col("id") % 8).alias("__ckey")
+    )
+    t.optimize(
+        spark,
+        sort_key=["src", "dst"],
+        target_groups=8,
+        cluster_map=(amap, "src"),
+    )
+    t.add_bloom_index(spark, "src", bits_per_key=32, k=22)
+    t.add_bloom_index(spark, "dst", bits_per_key=32, k=22)
+    # a frontier that is ONE semantic cluster: ids 3, 11, 19, ... — the
+    # worst case for id zone maps, the best case for the semantic layout
+    frontier = [3 + 8 * i for i in range(10)]
+    io = {"groups_read": 0, "groups_total": 0}
+    got = {
+        tuple(r)
+        for r in _pruned_sym_out_edges(
+            spark, t, frontier, cap=_DESCENT_MV_DEGREE, io=io
+        ).collect()
+    }
+    full = t.read(spark)
+    sym = full.unionByName(
+        full.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "dot"
+        )
+    ).dropDuplicates(["src", "dst"])
+    w = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+    want = {
+        tuple(r)
+        for r in sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DESCENT_MV_DEGREE)
+        .select("src", "dst")
+        .filter(F.col("src").isin(frontier))
+        .collect()
+    }
+    assert got == want
+    # the id zone maps are wide (every group spans ~the id domain), so
+    # skipping here proves the bloom+semantic layout did the work.
+    # src-side: 1 owning group; dst-side: the frontier's in-neighbors
+    # scatter, but membership still skips some groups
+    assert io["groups_read"] < io["groups_total"]
+
+
+def test_pruned_beam_matches_plain_beam(spark):
+    """The 2-jobs-per-hop maintenance beam (round 11) is semantics-
+    identical to operators.similarity.nsw_beam_search over the same
+    capped-symmetrized adjacency ∪ persisted tunnels — candidate sets,
+    scores, and tie-breaks bit for bit."""
+    from db_migration_spark.operators.similarity import (
+        NSW_H,
+        NSW_W,
+        nsw_beam_search,
+    )
+    from db_migration_spark.queries_annstore import (
+        _DESCENT_MV_DEGREE,
+        _ensure_stream_nsw_descent_mv,
+        _pruned_beam_search,
+    )
+
+    kt, _stats = _ensure_stream_nsw_descent_mv(spark, SF)
+    base = os.path.dirname(kt.root)
+    vt = TxTable(os.path.join(base, "vectors"))
+    lt = TxTable(os.path.join(base, "lr"))
+    allv = vt.read(spark).select("vec_id", "embedding")
+    q = allv.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    entries = q.select("query_id").crossJoin(
+        spark.createDataFrame([(11,), (23,)], "node bigint")
+    )
+    counts_pruned: list[int] = []
+    pruned = {
+        tuple(r)
+        for r in _pruned_beam_search(
+            spark,
+            kt,
+            lt,
+            vt,
+            q,
+            entries,
+            hops=NSW_H,
+            width=NSW_W,
+            cap=_DESCENT_MV_DEGREE,
+            on_candidates=counts_pruned.append,
+        ).collect()
+    }
+    full = kt.read(spark).select("src", "dst", "dot")
+    sym = full.unionByName(
+        full.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "dot"
+        )
+    ).dropDuplicates(["src", "dst"])
+    w = Window.partitionBy("src").orderBy(F.desc("dot"), "dst")
+    capped = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DESCENT_MV_DEGREE)
+        .select("src", "dst")
+    )
+    edges = capped.unionByName(
+        lt.read(spark).select("src", "dst")
+    ).dropDuplicates(["src", "dst"])
+    counts_plain: list[int] = []
+    plain = {
+        tuple(r)
+        for r in nsw_beam_search(
+            allv,
+            edges,
+            q,
+            entry=entries,
+            hops=NSW_H,
+            width=NSW_W,
+            on_candidates=lambda c: counts_plain.append(c.count()),
+        ).collect()
+    }
+    assert pruned == plain
+    # the stats the bounded gate reads must be the identical numbers
+    assert counts_pruned == counts_plain
+
+
 def test_descent_lr_links_match_longrange_formula(spark):
     """Per-batch persisted tunnels over ALL ids with the final corpus
     size reproduce nsw_longrange_edges exactly — same md5 formula,

@@ -155,7 +155,10 @@ def test_blocked_cosine_high_dim_arrow_path(spark):
     planted high-similarity pairs."""
     import numpy as np
 
-    dim, n = 1024, 120
+    # any dim above FLAT_DOT_MAX_DIM exercises the same Arrow branch;
+    # 320 keeps the LSH bucketing expression ~3× cheaper than the old
+    # 1024 (63 s of the r10 suite wall — r10 VERDICT task 2)
+    dim, n = 320, 120
     rng = np.random.RandomState(7)
     base = rng.randn(n, dim)
     # plant 8 near-dup pairs: rows 100+i are tiny perturbations of rows i

@@ -12,6 +12,33 @@ import pytest
 from db_migration_spark.sources import ingest
 
 
+def _cli(*argv, expect_fail=False):
+    """Drive the CLI entry IN-PROCESS against the session the suite
+    already booted (cli.main → get_spark → getOrCreate).  Each former
+    per-assertion subprocess paid a full JVM boot — ~25 boots ≈ 5 of
+    the r10 suite's 31 minutes, which truncated the driver's pytest
+    gate (r10 VERDICT task 2).  The subprocess surface itself (argv
+    parsing, exit code, stderr step notifications) stays covered by
+    test_cli_migrate_end_to_end.  Returns the last stdout JSON line;
+    with ``expect_fail`` returns the SystemExit message instead."""
+    import contextlib
+    import io
+    import json as _json
+
+    from db_migration_spark import cli as CLI
+
+    out = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(out):
+            rc = CLI.main(list(argv))
+    except SystemExit as e:
+        assert expect_fail, f"cli {argv} failed: {e}"
+        return str(e)
+    assert rc == 0
+    assert not expect_fail, f"cli {argv} unexpectedly succeeded"
+    return _json.loads(out.getvalue().strip().splitlines()[-1])
+
+
 def test_select_by_regex():
     names = [
         "all_classes_report.WS250.txt.gz",
@@ -89,22 +116,13 @@ def test_cli_migrate_end_to_end(tmp_path):
 
 
 def test_cli_corpus_prep(tmp_path):
-    import json
-    import subprocess
-    import sys
-
     out = tmp_path / "out"
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "db_migration_spark.cli", "corpus-prep",
-            "--input", "/root/testdata/sf0.001/documents.parquet",
-            "--output", str(out),
-            "--seq-len", "128",
-        ],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    stats = _cli(
+        "corpus-prep",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(out),
+        "--seq-len", "128",
     )
-    assert r.returncode == 0, r.stderr[-2000:]
-    stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["surviving_docs"] <= stats["gated_docs"] <= stats["input_docs"]
     assert stats["sequences"] > 0
     assert (out / "documents").is_dir()
@@ -134,20 +152,10 @@ def test_cli_distinct_rollup(tmp_path):
     subset and the global estimate lands within the HLL error bound of
     the true 15 distinct users in the sf0.001 events fixture (a
     cardinality this far below m is linear counting — near-exact)."""
-    import json
-    import subprocess
-    import sys
-
     roll = tmp_path / "roll"
 
     def run(*argv):
-        r = subprocess.run(
-            [sys.executable, "-m", "db_migration_spark.cli",
-             "distinct-rollup", *argv],
-            capture_output=True, text=True, cwd="/root/repo", timeout=300,
-        )
-        assert r.returncode == 0, r.stderr[-2000:]
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        return _cli("distinct-rollup", *argv)
 
     built = run(
         "--action", "build",
@@ -166,24 +174,15 @@ def test_cli_distinct_rollup(tmp_path):
 
 def test_cli_theta_sketch_and_det_sample(tmp_path):
     """theta-sketch build/estimate/intersect/diff + det-sample, driven
-    end-to-end as subprocesses against the sf0.001 orders fixture.
+    end-to-end (in-process CLI) against the sf0.001 orders fixture.
     The priority segments share ~85% of their customers, so the
     intersect estimate must land near the exact overlap (sketches are
     exact at this scale: n < k) and diff near the exact anti-count."""
-    import json
-    import subprocess
-    import sys
-
     sk = tmp_path / "sk"
     samp = tmp_path / "samp"
 
     def run(cmd, *argv):
-        r = subprocess.run(
-            [sys.executable, "-m", "db_migration_spark.cli", cmd, *argv],
-            capture_output=True, text=True, cwd="/root/repo", timeout=300,
-        )
-        assert r.returncode == 0, r.stderr[-2000:]
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        return _cli(cmd, *argv)
 
     built = run(
         "theta-sketch", "--action", "build",
@@ -223,26 +222,16 @@ def test_cli_theta_sketch_and_det_sample(tmp_path):
 
 
 def test_cli_quantile_rollup(tmp_path):
-    """quantile-rollup build + estimate as subprocesses over the
+    """quantile-rollup build + estimate (in-process CLI) over the
     sf0.001 orders fixture; rollup must be bounded and the p50/p90
     estimates within the 6.25% contract of DuckDB's exact order
     statistics at the same ceil(q*n) rank."""
-    import json
-    import subprocess
-    import sys
-
     import duckdb
 
     roll = tmp_path / "qroll"
 
     def run(*argv):
-        r = subprocess.run(
-            [sys.executable, "-m", "db_migration_spark.cli",
-             "quantile-rollup", *argv],
-            capture_output=True, text=True, cwd="/root/repo", timeout=300,
-        )
-        assert r.returncode == 0, r.stderr[-2000:]
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        return _cli("quantile-rollup", *argv)
 
     # build over a cents projection: write it first via duckdb
     src = tmp_path / "cents.parquet"
@@ -275,23 +264,10 @@ def test_cli_theta_sketch_k_is_persisted(tmp_path):
     the build writes _sketch_meta.json, estimate reads it, and a
     conflicting explicit --k is rejected (a larger k would silently
     treat the truncated sketch as exact)."""
-    import json
-    import subprocess
-    import sys
-
     sk = tmp_path / "sk"
 
     def run(*argv, expect_fail=False):
-        r = subprocess.run(
-            [sys.executable, "-m", "db_migration_spark.cli",
-             "theta-sketch", *argv],
-            capture_output=True, text=True, cwd="/root/repo", timeout=300,
-        )
-        if expect_fail:
-            assert r.returncode != 0
-            return r.stderr
-        assert r.returncode == 0, r.stderr[-2000:]
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        return _cli("theta-sketch", *argv, expect_fail=expect_fail)
 
     run("--action", "build",
         "--input", "/root/testdata/sf0.001/orders.parquet",
@@ -318,15 +294,11 @@ def test_cli_theta_sketch_k_is_persisted(tmp_path):
 
 
 def test_cli_lsh_store_build_probe_point(tmp_path):
-    """lsh-store build/probe/point as subprocesses: build the band
+    """lsh-store build/probe/point (in-process CLI): build the band
     index over the even half of sf0.001 documents, probe with the odd
     half (+ --append), then point-probe with a stored doc's exact text
     — the self-match must surface with est 1.0 through the bloom-pruned
     path, and the probe after --append must see the appended batch."""
-    import json
-    import subprocess
-    import sys
-
     import duckdb
 
     store = tmp_path / "store"
@@ -350,16 +322,7 @@ def test_cli_lsh_store_build_probe_point(tmp_path):
     ).fetchone()[0:2]
 
     def run(*argv, expect_fail=False):
-        r = subprocess.run(
-            [sys.executable, "-m", "db_migration_spark.cli",
-             "lsh-store", *argv],
-            capture_output=True, text=True, cwd="/root/repo", timeout=600,
-        )
-        if expect_fail:
-            assert r.returncode != 0
-            return r.stderr
-        assert r.returncode == 0, r.stderr[-2000:]
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        return _cli("lsh-store", *argv, expect_fail=expect_fail)
 
     built = run("--action", "build", "--input", str(even),
                 "--store", str(store))
@@ -404,38 +367,22 @@ def test_cli_lsh_store_build_probe_point(tmp_path):
 
 
 def test_cli_dsir_fit_select(tmp_path):
-    import json
-    import subprocess
-    import sys
-
     stats_dir = tmp_path / "stats"
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "db_migration_spark.cli", "dsir",
-            "--action", "fit",
-            "--input", "/root/testdata/sf0.001/documents.parquet",
-            "--target", "lang = 'en'",
-            "--output", str(stats_dir),
-        ],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    fit = _cli(
+        "dsir", "--action", "fit",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--target", "lang = 'en'",
+        "--output", str(stats_dir),
     )
-    assert r.returncode == 0, r.stderr[-2000:]
-    fit = json.loads(r.stdout.strip().splitlines()[-1])
     assert 0 < fit["target_bigrams"] < fit["raw_bigrams"]
     assert fit["buckets"] <= 256
 
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "db_migration_spark.cli", "dsir",
-            "--action", "select",
-            "--input", "/root/testdata/sf0.001/documents.parquet",
-            "--stats", str(stats_dir),
-            "--top", "10",
-        ],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    sel = _cli(
+        "dsir", "--action", "select",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--stats", str(stats_dir),
+        "--top", "10",
     )
-    assert r.returncode == 0, r.stderr[-2000:]
-    sel = json.loads(r.stdout.strip().splitlines()[-1])
     assert sel["n_selected"] == 10
     # deterministic top-k skews toward the target slice
     langs = [row["lang"] for row in sel["rows"]]
@@ -446,19 +393,10 @@ def test_cli_dsir_fit_select(tmp_path):
 
 
 def test_cli_ann_build_probe(tmp_path):
-    import json
-    import subprocess
-    import sys
-
     emb = "/root/testdata/sf0.001/embeddings.parquet"
 
     def run(*argv):
-        r = subprocess.run(
-            [sys.executable, "-m", "db_migration_spark.cli", "ann", *argv],
-            capture_output=True, text=True, cwd="/root/repo", timeout=300,
-        )
-        assert r.returncode == 0, r.stderr[-2000:]
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        return _cli("ann", *argv)
 
     store = str(tmp_path / "ivfpq")
     built = run("--action", "build-ivfpq", "--input", emb, "--store", store)
@@ -497,14 +435,12 @@ def test_cli_ann_build_probe(tmp_path):
     )
     assert probed_sub["results"] == probed["results"]
     # a --lists conflicting with the store's params is a hard error
-    r_bad = subprocess.run(
-        [sys.executable, "-m", "db_migration_spark.cli", "ann",
-         "--action", "probe-ivfpq", "--input", emb, "--store", store,
-         "--query-ids", "0", "--k", "5", "--lists", "32"],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    err = _cli(
+        "ann", "--action", "probe-ivfpq", "--input", emb,
+        "--store", store, "--query-ids", "0", "--k", "5",
+        "--lists", "32", expect_fail=True,
     )
-    assert r_bad.returncode != 0
-    assert "does not match the store" in r_bad.stderr
+    assert "does not match the store" in err
 
     gstore = str(tmp_path / "graph")
     gbuilt = run("--action", "build-graph", "--input", emb, "--store", gstore)
@@ -525,8 +461,6 @@ def test_cli_ann_repair_graph(spark, tmp_path):
     layout) is refused with a pointed error."""
     import json
     import os
-    import subprocess
-    import sys
 
     from pyspark.sql import functions as F
 
@@ -548,15 +482,7 @@ def test_cli_ann_repair_graph(spark, tmp_path):
         )
 
     def run(*argv, expect_fail=False):
-        r = subprocess.run(
-            [sys.executable, "-m", "db_migration_spark.cli", "ann", *argv],
-            capture_output=True, text=True, cwd="/root/repo", timeout=300,
-        )
-        if expect_fail:
-            assert r.returncode != 0
-            return r.stderr
-        assert r.returncode == 0, r.stderr[-2000:]
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        return _cli("ann", *argv, expect_fail=expect_fail)
 
     out = run("--action", "repair-graph", "--store", root)
     assert out["repaired"] is True and out["edges"] > 0

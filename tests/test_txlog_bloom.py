@@ -84,6 +84,119 @@ def test_sidecar_invisible_to_scans_and_stats(spark, tmp_path):
     assert t.read(spark).count() == N_GROUPS * KEYS_PER_GROUP
 
 
+def test_driver_probe_hashes_match_jvm(spark):
+    """The round-11 batched probe hashes sidecar lookups ON THE DRIVER
+    (numpy) — it must be BIT-EXACT with the JVM expressions the sidecar
+    builder used (``pmod(xxhash64(col, lit(j)), m)``), for both hashed
+    widths, across the full signed domain, or pruning would silently
+    drop real rows."""
+    import random
+
+    rnd = random.Random(11)
+    k = 6
+    for width, sql_t, lo, hi in (
+        (64, "long", -(2**63), 2**63 - 1),
+        (32, "int", -(2**31), 2**31 - 1),
+    ):
+        vals = sorted(
+            {0, 1, -1, 42, lo, hi}
+            | {rnd.randint(lo, hi) for _ in range(200)}
+        )
+        jvm = (
+            spark.createDataFrame([(v,) for v in vals], f"v {sql_t}")
+            .select(
+                "v",
+                *[
+                    F.xxhash64(F.col("v"), F.lit(j)).alias(f"h{j}")
+                    for j in range(k)
+                ],
+            )
+            .collect()
+        )
+        got = TxTable._bloom_probe_hashes(vals, k, width)
+        by_val = {r.v: [int(r[f"h{j}"]) for j in range(k)] for r in jvm}
+        for i, v in enumerate(vals):
+            assert [int(got[j][i]) for j in range(k)] == by_val[v], (
+                width,
+                v,
+            )
+
+
+def test_points_bloom_prunes_scrambled_layout_losslessly(spark, tmp_path):
+    """prune_groups_points composes bloom sidecars with zone maps: on
+    the strided fixture (every group's [min,max] covers the domain, so
+    zone maps keep all), the batched probe keeps every OWNING group (no
+    false negative — content-checked) and physically prunes
+    non-owners."""
+    t = _build(spark, tmp_path)
+    t.add_bloom_index(spark, "k", bits_per_key=32, k=22)
+    probes = [5, 6, 1003]  # owners: groups 1, 2, 3 (k mod 4)
+    zone_kept, _ = t.prune_groups("k", lo=min(probes), hi=max(probes))
+    assert len(zone_kept) == N_GROUPS  # zone maps alone can't skip
+    kept, total = t.prune_groups_points("k", probes)
+    assert total == N_GROUPS and 1 <= len(kept) < N_GROUPS
+    got = (
+        t.read_groups(spark, kept)
+        .filter(F.col("k").isin(probes))
+        .collect()
+    )
+    assert sorted((r.k, r.v) for r in got) == [
+        (5, "g1"),
+        (6, "g2"),
+        (1003, "g3"),
+    ]
+    # non-int probe sets skip the bloom path (no sidecar for v either)
+    # and stay lossless through the zone maps
+    kept2, _ = t.prune_groups_points("v", ["g1"])
+    assert (
+        t.read_groups(spark, kept2).filter(F.col("v") == "g1").count()
+        == KEYS_PER_GROUP
+    )
+
+
+def test_optimize_cluster_map_preserves_rows_and_localizes(spark, tmp_path):
+    """OPTIMIZE with an external cluster_map is a logical no-op (row
+    multiset byte-identical) whose LAYOUT follows the mapped key: after
+    clustering an id-scattered table by its semantic cluster id, a
+    whole semantic cluster's ids — maximally spread in id space —
+    point-plan to one group (bloom membership; the id zone maps are
+    deliberately useless here)."""
+    t = TxTable(str(tmp_path / "cm"))
+    df = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7).alias("payload"),
+    )
+    t.commit_append(df)
+    before = sorted(
+        (r.vec_id, r.payload) for r in t.read(spark).collect()
+    )
+    amap = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 10).alias("__ckey"),  # semantic cluster, id-scattered
+    )
+    t.optimize(
+        spark,
+        sort_key=["vec_id"],
+        target_groups=10,
+        cluster_map=(amap, "vec_id"),
+    )
+    after = sorted(
+        (r.vec_id, r.payload) for r in t.read(spark).collect()
+    )
+    assert after == before
+    assert "__ckey" not in t.read(spark).columns
+    t.add_bloom_index(spark, "vec_id", bits_per_key=32, k=22)
+    probes = list(range(3, 1000, 10))  # all 100 members of cluster 3
+    kept, total = t.prune_groups_points("vec_id", probes)
+    assert total == 10 and len(kept) <= 2
+    got = (
+        t.read_groups(spark, kept)
+        .filter(F.col("vec_id").isin(probes))
+        .count()
+    )
+    assert got == 100  # lossless
+
+
 def test_batched_build_with_evolved_and_renamed_groups(spark, tmp_path):
     """Round-6 batched builder: groups written BEFORE an evolve lack the
     indexed column physically (null-filled at scan — only deterministic

@@ -27,8 +27,16 @@ from pyspark.sql import functions as F
 
 from db_migration_spark.plans.txlog import TxTable
 
-N_WRITERS = int(os.environ.get("SOAK_WRITERS", "16"))
-OPS_PER_WRITER = int(os.environ.get("SOAK_OPS", "4"))
+# Default sizing is the CI tier: 8 writers × 2 ops still races every
+# op kind through real optimistic-commit contention (16 committed
+# versions, measured retry amplification > 1) at ~1/4 the wall of the
+# full soak — the 16×4 deep soak that found nothing new since round 4
+# remains one env var away (SOAK_WRITERS=16 SOAK_OPS=4) and is the
+# sizing SCALE.md quotes.  Round-11 motivation: the driver's pytest
+# gate truncated at the r10 suite's 31-minute wall (VERDICT task 2);
+# these two tests alone were 8.7 minutes of it.
+N_WRITERS = int(os.environ.get("SOAK_WRITERS", "8"))
+OPS_PER_WRITER = int(os.environ.get("SOAK_OPS", "2"))
 KEY_DOMAIN = 2_000          # merges/updates/deletes contend inside this
 MERGE_BATCH = 200
 APPEND_BATCH = 500
