@@ -731,7 +731,19 @@ def _pruned_beam_search(
         ),
         {r.node for r in e_rows},
     )
+    prev_beam: set = set()
     for _hop in range(hops):
+        # fixed-point early termination: the beam determines the
+        # frontier, the frontier the edges, the edges the candidates,
+        # the candidates the next beam — all deterministically — so a
+        # repeated beam proves every remaining hop is a no-op.  The
+        # returned beam is bit-identical to running all ``hops``
+        # (converged serve/maintenance beams at ×10 spent half their
+        # hops re-scoring the same candidate set).
+        cur = {(r.query_id, r.node) for r in beam_rows}
+        if cur == prev_beam:
+            break
+        prev_beam = cur
         frontier = sorted({r.node for r in beam_rows})
         edges = _pruned_sym_out_edges(sp, kt, frontier, cap, io=io)
         if lt is not None and lt.latest_version() >= 0:
@@ -778,7 +790,7 @@ def _pruned_beam_search_local(
     lt,
     vt,
     q: DataFrame,
-    entry_node: int,
+    entry_node,
     hops: int,
     width: int,
     io: dict | None = None,
@@ -818,7 +830,12 @@ def _pruned_beam_search_local(
         )
 
     qids = sorted(r.query_id for r in q.select("query_id").collect())
-    beam = score_rows([(qid, entry_node) for qid in qids])
+    if isinstance(entry_node, int):
+        seed_pairs = [(qid, entry_node) for qid in qids]
+    else:  # per-query (query_id, node) seed pairs — shared with the
+        # lazy path so both serve plans walk the identical beam
+        seed_pairs = sorted(set(entry_node))
+    beam = score_rows(seed_pairs)
     for _hop in range(hops):
         frontier = sorted({r.node for r in beam})
         edges = _pruned_sym_out_edges(sp, kt, frontier, cap=None, io=io)
@@ -835,6 +852,61 @@ def _pruned_beam_search_local(
                 pairs.add((r.query_id, d))
         beam = score_rows(pairs)
     return beam
+
+
+def _serve_entries(
+    sp: SparkSession, vt, q: DataFrame, lo: int, span: int, n: int
+) -> list:
+    """Per-query serve-beam entry points (round 11): score a
+    deterministic hash-drawn sample of the id domain (metadata-only
+    draw + vec_id point reads — the maintenance seeding's exact
+    discipline) and keep each query's best _DESCENT_MV_ENTRIES.  The
+    r10 serve entered every query at the global min id, so the beam
+    paid ~3 navigation hops whose frontiers span the whole graph —
+    group reads those hops plan are corpus-shaped no matter how the
+    store is clustered.  Semantic entries start each beam inside its
+    own neighborhood (HNSW's upper-layer routing, done by sampling),
+    which is what lets the semantically-clustered layout prune.
+    Deterministic: fixed hash strings over the metadata id domain.
+    Returns a sorted list of (query_id, node) tuples."""
+    import hashlib as _hashlib
+
+    density = max(n / span, 1e-9)
+    m = min(
+        span,
+        64 * _DESCENT_MV_ENTRY_SAMPLE,
+        int(_DESCENT_MV_ENTRY_SAMPLE / density) + 1,
+    )
+    draw = sorted(
+        {
+            lo
+            + int(
+                _hashlib.md5(f"serve_ent_{i}".encode()).hexdigest()[:8],
+                16,
+            )
+            % span
+            for i in range(m)
+        }
+    )
+    samp = (
+        _pruned_nodes(sp, vt, draw)
+        .orderBy(F.xxhash64("node"), "node")
+        .limit(2 * _DESCENT_MV_ENTRY_SAMPLE)
+    )
+    w_ent = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
+    rows = (
+        q.crossJoin(samp)
+        .select(
+            "query_id",
+            "node",
+            fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(w_ent))
+        .filter(F.col("rn") <= _DESCENT_MV_ENTRIES)
+        .select("query_id", "node")
+        .collect()
+    )
+    return sorted((r.query_id, r.node) for r in rows)
 
 
 def _descent_mv_refresh_inner(
@@ -1090,6 +1162,19 @@ def _descent_mv_refresh_inner(
     lr = _descent_lr_links(b, n_corpus + n_batch)
     lt.commit_append(lr, txn=("nswd_lr", batch_id))
     vt.commit_append(b, txn=(txn_family[1], batch_id))
+    # bloom sidecars for THIS batch's fresh groups (add_bloom_index is
+    # incremental — already-indexed groups are skipped, replayed no-op
+    # batches find nothing to do): without them every CDC delta group
+    # is a permanent "always read" in the point plans, and at steady
+    # state the unindexed tail is exactly what blunts pruning.  Cost is
+    # ∝ the batch's new groups, never the table (round 11).
+    for t, cols in (
+        (kt, ("src", "dst")),
+        (lt, ("src",)),
+        (vt, ("vec_id",)),
+    ):
+        for c in cols:
+            t.add_bloom_index(sp, c, bits_per_key=32, k=22)
     if kt.latest_version() != k_before:  # not a replayed no-op
         with open(stats_path, "a") as fh:
             fh.write(
@@ -1235,7 +1320,7 @@ def descent_mv_recluster(
     vec_root: str,
     knn_root: str,
     lr_root: str,
-    target_groups: int = 8,
+    target_groups: int | None = None,
 ) -> None:
     """Post-repair compaction of the descent-MV store tables, clustered
     by a SEMANTIC key (round-10 verdict task 1): each node's IVF list id
@@ -1261,7 +1346,25 @@ def descent_mv_recluster(
 
     vt, kt, lt = TxTable(vec_root), TxTable(knn_root), TxTable(lr_root)
     allv = vt.read(spark).select("vec_id", "embedding")
-    n_lists = max(8, 4 * target_groups)
+    n = vt.count_rows(spark)
+    if target_groups is None:
+        # scale-adaptive group count: ~650 vector rows (≈ a couple
+        # hundred KB at dim 64) per group at toy scale so pruning has
+        # granularity to skip; a production compactor sizes groups by
+        # BYTES (operators/compaction) — this is the row-count analog,
+        # env-overridable like the other scale knobs
+        target_groups = int(
+            os.environ.get(
+                "SPARK_GRAFT_ANN_RECLUSTER_GROUPS", max(8, round(n / 650))
+            )
+        )
+    # the coarse quantizer must have enough centroids to give every
+    # natural cluster a nearby seed — too few (e.g. 4 × groups) makes
+    # unseeded clusters SHATTER across lists on noise and beams never
+    # localize (measured at ×10: 64 lists over a 200-cluster corpus
+    # left converged serve frontiers spanning 20/22 groups).  The
+    # standard IVF sizing is ~4·√n lists.
+    n_lists = min(int(n), max(32, 4 * int(n**0.5)))
     cents = deterministic_centroids(allv, n_lists)
     amap = (
         ivf_assign(allv, cents)
@@ -1486,9 +1589,12 @@ def q_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     hops = max(NSW_H, n.bit_length() - 7)
     width = max(NSW_W, 2 * n.bit_length())
     lo, _hi = vt.column_range("vec_id")
+    # per-query semantic entries (round 11) — shared verbatim by both
+    # serve plans, so the size gate still cannot change the answer
+    entries = _serve_entries(spark, vt, q, int(lo), int(_hi) - int(lo) + 1, n)
     if n >= _PRUNED_SERVE_MIN_ROWS:
         rows = _pruned_beam_search_local(
-            spark, kt, lt, vt, q, int(lo), hops=hops, width=width
+            spark, kt, lt, vt, q, entries, hops=hops, width=width
         )
         beam = spark.createDataFrame(
             [(r.query_id, r.node, r.rel) for r in rows],
@@ -1504,7 +1610,9 @@ def q_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = edges.dropDuplicates(["src", "dst"]).localCheckpoint(
             eager=False
         )
-        entry = q.select("query_id").withColumn("node", F.lit(int(lo)))
+        entry = spark.createDataFrame(
+            entries, "query_id long, node bigint"
+        )
         beam = nsw_beam_search(
             emb, edges, q, entry=entry, hops=hops, width=width
         )

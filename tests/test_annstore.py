@@ -707,10 +707,15 @@ def test_descent_serve_paths_agree(spark):
     hops = max(NSW_H, n.bit_length() - 7)
     width = max(NSW_W, 2 * n.bit_length())
     lo, _hi = vt.column_range("vec_id")
+    from db_migration_spark.queries_annstore import _serve_entries
+
+    entries = _serve_entries(
+        spark, vt, q, int(lo), int(_hi) - int(lo) + 1, n
+    )
     pruned = {
         (r.query_id, r.node, r.rel)
         for r in _pruned_beam_search_local(
-            spark, kt, lt, vt, q, int(lo), hops=hops, width=width
+            spark, kt, lt, vt, q, entries, hops=hops, width=width
         )
     }
     edges = (
@@ -719,7 +724,7 @@ def test_descent_serve_paths_agree(spark):
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=False)
     )
-    entry = q.select("query_id").withColumn("node", F.lit(int(lo)))
+    entry = spark.createDataFrame(entries, "query_id long, node bigint")
     plain = {
         (r.query_id, r.node, r.rel)
         for r in nsw_beam_search(
@@ -727,3 +732,9 @@ def test_descent_serve_paths_agree(spark):
         ).collect()
     }
     assert pruned == plain
+    # the single-entry form (int) must keep working for callers that
+    # route through a global entry node
+    single = _pruned_beam_search_local(
+        spark, kt, lt, vt, q, int(lo), hops=1, width=width
+    )
+    assert len(single) > 0

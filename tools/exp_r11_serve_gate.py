@@ -92,6 +92,7 @@ def _measure(spark, root: str, n: int) -> dict:
     from db_migration_spark.plans.txlog import TxTable
     from db_migration_spark.queries_annstore import (
         _pruned_beam_search_local,
+        _serve_entries,
     )
 
     vt = TxTable(os.path.join(root, "vectors"))
@@ -104,23 +105,26 @@ def _measure(spark, root: str, n: int) -> dict:
     hops = max(NSW_H, n.bit_length() - 7)
     width = max(NSW_W, 2 * n.bit_length())
     lo, _hi = vt.column_range("vec_id")
+    span = int(_hi) - int(lo) + 1
 
     def run_pruned():
+        entries = _serve_entries(spark, vt, q, int(lo), span, n)
         return {
             (r.query_id, r.node, r.rel)
             for r in _pruned_beam_search_local(
-                spark, kt, lt, vt, q, int(lo), hops=hops, width=width
+                spark, kt, lt, vt, q, entries, hops=hops, width=width
             )
         }
 
     def run_lazy():
+        entries = _serve_entries(spark, vt, q, int(lo), span, n)
         edges = (
             _symmetrize(kt.read(spark).select("src", "dst"))
             .unionByName(lt.read(spark).select("src", "dst"))
             .dropDuplicates(["src", "dst"])
             .localCheckpoint(eager=False)
         )
-        entry = q.select("query_id").withColumn("node", F.lit(int(lo)))
+        entry = spark.createDataFrame(entries, "query_id long, node bigint")
         return {
             (r.query_id, r.node, r.rel)
             for r in nsw_beam_search(

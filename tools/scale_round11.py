@@ -48,6 +48,7 @@ def exp_descent_semantic(spark, contiguous: bool = False) -> dict:
         _DESCENT_MV_DEGREE,
         _pruned_beam_search,
         _pruned_beam_search_local,
+        _serve_entries,
         descent_mv_recluster,
         descent_mv_refresh,
         descent_mv_repair,
@@ -97,9 +98,7 @@ def exp_descent_semantic(spark, contiguous: bool = False) -> dict:
     descent_mv_repair(spark, vec_root, knn_root, stats_path)
     repair_wall = round(time.time() - t0, 2)
     t0 = time.time()
-    descent_mv_recluster(
-        spark, vec_root, knn_root, lr_root, target_groups=16
-    )
+    descent_mv_recluster(spark, vec_root, knn_root, lr_root)
     recluster_wall = round(time.time() - t0, 2)
     kt, vt, lt = TxTable(knn_root), TxTable(vec_root), TxTable(lr_root)
 
@@ -176,18 +175,26 @@ def exp_descent_semantic(spark, contiguous: bool = False) -> dict:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     entries = qj.select("query_id").withColumn("node", F.lit(0))
+    # job-count audit with AQE off so one driver ACTION == one Spark
+    # job (with AQE each action fans into one job per materialized
+    # query stage, which would count plan internals, not driver
+    # round-trips — the thing the r10 verdict's "4 jobs/hop" measured)
     sc = spark.sparkContext
-    sc.setJobGroup("r11_beam_audit", "maintenance beam jobs/hop")
-    _pruned_beam_search(
-        spark, kt, lt, vt, qj, entries,
-        hops=NSW_H, width=NSW_W, cap=_DESCENT_MV_DEGREE,
-    ).count()
-    sc.setJobGroup("", "")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("r11_beam_audit", "maintenance beam jobs/hop")
+        _pruned_beam_search(
+            spark, kt, lt, vt, qj, entries,
+            hops=NSW_H, width=NSW_W, cap=_DESCENT_MV_DEGREE,
+        ).count()
+        sc.setJobGroup("", "")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     jobs = len(
         sc.statusTracker().getJobIdsForGroup("r11_beam_audit")
     )
-    # the final .count() and the entry phase cost ~3 jobs outside the
-    # hop loop; report raw count and the per-hop quotient
+    # entry phase = 2 actions + the final .count() = 3 jobs outside
+    # the hop loop; report raw count and the per-hop quotient
     beam_jobs = {"total_jobs": jobs, "hops": NSW_H,
                  "jobs_per_hop": round((jobs - 3) / NSW_H, 2)}
 
@@ -221,8 +228,11 @@ def exp_descent_semantic(spark, contiguous: bool = False) -> dict:
     lo, _hi = vt.column_range("vec_id")
     io = {"groups_read": 0, "groups_total": 0}
     t0 = time.time()
+    entries = _serve_entries(
+        spark, vt, q, int(lo), int(_hi) - int(lo) + 1, n
+    )
     rows_beam = _pruned_beam_search_local(
-        spark, kt, lt, vt, q, int(lo), hops=hops, width=width, io=io
+        spark, kt, lt, vt, q, entries, hops=hops, width=width, io=io
     )
     beam = spark.createDataFrame(
         [(r.query_id, r.node, r.rel) for r in rows_beam],
