@@ -799,35 +799,113 @@ def _pruned_beam_search_local(
     DRIVER-SMALL query sets (|q| ≤ a few dozen — the declared gates'
     8-query workload): the beam state (≤ |q| × width (query, node,
     rel) tuples — the planner state any graph-serving engine keeps
-    per request) lives on the driver, so each hop costs exactly TWO
-    jobs — one bounded frontier-edge read, one score+fold — with no
+    per request) lives on the driver, so each hop costs AT MOST two
+    jobs — one bounded frontier-edge read, one score — with no
     lineage checkpoints.  Expansion/rescore/top-width semantics are
     identical to nsw_beam_search over the same edge set; the
     distributed variant stays the maintenance path, whose query set
     is the whole micro-batch.  Returns the final beam as a list of
-    (query_id, node, rel) Rows."""
-    qp = F.broadcast(q)
-    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
+    (query_id, node, rel) rows.
 
-    def score_rows(pairs) -> list:
-        cand = sp.createDataFrame(
-            sorted(pairs), "query_id long, node bigint"
+    Round 11 — VISITED STATE (what every graph-serving engine keeps
+    per request): within one serve call the store is frozen, so a
+    node's symmetrized+tunnel out-edges and a (query, node) score are
+    pure functions — both are memoized on the driver (bounded by the
+    visited set: ≤ seeds + hops·width·|q| nodes).  Each hop therefore
+    reads ONLY groups owning never-expanded frontier nodes and scores
+    ONLY never-scored pairs; and a repeated beam is a fixed point (the
+    beam determines the frontier, the frontier the edges, the edges
+    the candidates, the candidates the next beam — all
+    deterministically), so the loop breaks early with a bit-identical
+    result.  The per-query top-width fold runs on the driver with the
+    exact Window.orderBy(desc(rel), node) tie-break over the exact
+    integer rels.  Equality with the single-plan lazy serve is
+    asserted by test_descent_serve_paths_agree."""
+    import math
+    from collections import namedtuple
+
+    from .operators.similarity import FP_SCALE
+
+    BeamRow = namedtuple("BeamRow", ["query_id", "node", "rel"])
+
+    rel_memo: dict = {}  # (query_id, node) -> rel (exact long)
+    emb_memo: dict = {}  # node -> embedding (list of floats), read ONCE
+    missing: set = set()  # nodes with no stored embedding (dangling)
+    adj: dict = {}  # node -> tuple of out-neighbors (sym ∪ tunnels)
+    has_lr = lt is not None and lt.latest_version() >= 0
+    qvs = {
+        r.query_id: list(r.qv)
+        for r in q.select("query_id", "qv").collect()
+    }
+    fscale = float(FP_SCALE)
+
+    def fetch(ids) -> None:
+        # each node's vector group is read AT MOST ONCE per serve call
+        # (the embedding memo): without it every hop re-reads the
+        # groups of nodes another query already scored, and since
+        # tunnel candidates are hash-random ids, that re-read set
+        # spans ~every group every hop (measured ×10: 33/33 vector
+        # groups per hop, 4 hops, vs ≤ 1 visit per group here)
+        todo = sorted(
+            n for n in ids if n not in emb_memo and n not in missing
         )
-        ids = sorted({n for _, n in pairs})
-        nodes = _pruned_nodes(sp, vt, ids, io=io)
-        return (
-            cand.join(nodes, "node")
-            .join(qp, "query_id")
-            .select(
-                "query_id",
-                "node",
-                fp_dot(F.col("qv"), F.col("embedding")).alias("rel"),
+        if not todo:
+            return
+        for r in _pruned_nodes(sp, vt, todo, io=io).collect():
+            emb_memo[r.node] = list(r.embedding)
+        for n in todo:
+            if n not in emb_memo:
+                missing.add(n)
+
+    def score(pairs) -> None:
+        # driver-side fixed-point dot — the EXACT integer fp_dot
+        # computes (floor(x·y·2^24 + 0.5) summed over components, on
+        # the identical IEEE doubles), so the memoized rels are
+        # bit-identical to the Spark expression's; asserted against
+        # the full lazy plan by test_descent_serve_paths_agree
+        fetch({n for _, n in pairs})
+        floor = math.floor
+        for p in pairs:
+            if p in rel_memo:
+                continue
+            emb = emb_memo.get(p[1])
+            if emb is None:
+                continue
+            qv = qvs[p[0]]
+            rel_memo[p] = sum(
+                floor(x * y * fscale + 0.5) for x, y in zip(qv, emb)
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= width)
-            .select("query_id", "node", "rel")
-            .collect()
-        )
+
+    def fold(pairs) -> list:
+        byq: dict = {}
+        for qid, node in pairs:
+            r = rel_memo.get((qid, node))
+            if r is not None:
+                byq.setdefault(qid, []).append((-r, node))
+        beam = []
+        for qid in sorted(byq):
+            lst = byq[qid]
+            lst.sort()  # (-rel, node): desc rel then asc node — the
+            # exact Window.orderBy(F.desc("rel"), "node") tie-break
+            beam.extend(
+                BeamRow(qid, node, -negr) for negr, node in lst[:width]
+            )
+        return beam
+
+    def expand(frontier) -> None:
+        new = sorted(n for n in frontier if n not in adj)
+        if not new:
+            return
+        edges = _pruned_sym_out_edges(sp, kt, new, cap=None, io=io)
+        if has_lr:
+            edges = edges.unionByName(
+                _pruned_lr_out_edges(sp, lt, new, io=io)
+            ).dropDuplicates(["src", "dst"])
+        got: dict = {n: set() for n in new}
+        for r in edges.collect():
+            got[r.src].add(r.dst)
+        for n in new:
+            adj[n] = tuple(sorted(got[n]))
 
     qids = sorted(r.query_id for r in q.select("query_id").collect())
     if isinstance(entry_node, int):
@@ -835,65 +913,69 @@ def _pruned_beam_search_local(
     else:  # per-query (query_id, node) seed pairs — shared with the
         # lazy path so both serve plans walk the identical beam
         seed_pairs = sorted(set(entry_node))
-    beam = score_rows(seed_pairs)
+    score(seed_pairs)
+    beam = fold(seed_pairs)
+    prev: set = set()
     for _hop in range(hops):
-        frontier = sorted({r.node for r in beam})
-        edges = _pruned_sym_out_edges(sp, kt, frontier, cap=None, io=io)
-        if lt is not None and lt.latest_version() >= 0:
-            edges = edges.unionByName(
-                _pruned_lr_out_edges(sp, lt, frontier, io=io)
-            ).dropDuplicates(["src", "dst"])
-        adj: dict = {}
-        for r in edges.collect():
-            adj.setdefault(r.src, []).append(r.dst)
-        pairs = {(r.query_id, r.node) for r in beam}
+        cur = {(r.query_id, r.node) for r in beam}
+        if cur == prev:
+            break
+        prev = cur
+        expand({r.node for r in beam})
+        pairs = set(cur)
         for r in beam:
             for d in adj.get(r.node, ()):
                 pairs.add((r.query_id, d))
-        beam = score_rows(pairs)
+        score(pairs)
+        beam = fold(pairs)
     return beam
 
 
 def _serve_entries(
-    sp: SparkSession, vt, q: DataFrame, lo: int, span: int, n: int
+    sp: SparkSession, vt, q: DataFrame, lo: int, span: int, n: int,
+    rt=None,
 ) -> list:
-    """Per-query serve-beam entry points (round 11): score a
-    deterministic hash-drawn sample of the id domain (metadata-only
-    draw + vec_id point reads — the maintenance seeding's exact
-    discipline) and keep each query's best _DESCENT_MV_ENTRIES.  The
-    r10 serve entered every query at the global min id, so the beam
-    paid ~3 navigation hops whose frontiers span the whole graph —
-    group reads those hops plan are corpus-shaped no matter how the
-    store is clustered.  Semantic entries start each beam inside its
-    own neighborhood (HNSW's upper-layer routing, done by sampling),
-    which is what lets the semantically-clustered layout prune.
-    Deterministic: fixed hash strings over the metadata id domain.
-    Returns a sorted list of (query_id, node) tuples."""
+    """Per-query serve-beam entry points (round 11): each query's best
+    _DESCENT_MV_ENTRIES nodes among the persisted per-list
+    REPRESENTATIVES (the recluster's coarse-quantizer seeds — real
+    graph nodes, one per IVF list, a single bounded read of the tiny
+    ``reps`` table), PLUS the global-min anchor every pre-r11 serve
+    entered at.  The reps guarantee entry coverage of every semantic
+    neighborhood — the measured ×10 failure of the sampled form was a
+    query whose cluster the 64-node sample missed: the greedy beam
+    never navigated there and its recall@10 was 0/10 — while the
+    anchor keeps the r10 navigation baseline as a floor.  Before a
+    first recluster (no reps table yet) the sampled draw is the
+    fallback.  Deterministic either way.  Returns a sorted list of
+    (query_id, node) tuples."""
     import hashlib as _hashlib
 
-    density = max(n / span, 1e-9)
-    m = min(
-        span,
-        64 * _DESCENT_MV_ENTRY_SAMPLE,
-        int(_DESCENT_MV_ENTRY_SAMPLE / density) + 1,
-    )
-    draw = sorted(
-        {
-            lo
-            + int(
-                _hashlib.md5(f"serve_ent_{i}".encode()).hexdigest()[:8],
-                16,
-            )
-            % span
-            for i in range(m)
-        }
-    )
-    samp = (
-        _pruned_nodes(sp, vt, draw)
-        .orderBy(F.xxhash64("node"), "node")
-        .limit(2 * _DESCENT_MV_ENTRY_SAMPLE)
-    )
     w_ent = Window.partitionBy("query_id").orderBy(F.desc("rel"), "node")
+    if rt is not None and rt.latest_version() >= 0:
+        samp = rt.read(sp).select("node", "embedding")
+    else:
+        density = max(n / span, 1e-9)
+        m = min(
+            span,
+            64 * _DESCENT_MV_ENTRY_SAMPLE,
+            int(_DESCENT_MV_ENTRY_SAMPLE / density) + 1,
+        )
+        draw = sorted(
+            {
+                lo
+                + int(
+                    _hashlib.md5(f"serve_ent_{i}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % span
+                for i in range(m)
+            }
+        )
+        samp = (
+            _pruned_nodes(sp, vt, draw)
+            .orderBy(F.xxhash64("node"), "node")
+            .limit(2 * _DESCENT_MV_ENTRY_SAMPLE)
+        )
     rows = (
         q.crossJoin(samp)
         .select(
@@ -906,7 +988,10 @@ def _serve_entries(
         .select("query_id", "node")
         .collect()
     )
-    return sorted((r.query_id, r.node) for r in rows)
+    qids = {r.query_id for r in q.select("query_id").collect()}
+    pairs = {(r.query_id, r.node) for r in rows}
+    pairs |= {(qid, lo) for qid in qids}  # navigation anchor
+    return sorted(pairs)
 
 
 def _descent_mv_refresh_inner(
@@ -964,40 +1049,59 @@ def _descent_mv_refresh_inner(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
         )
-        lo, hi = vt.column_range("vec_id")
-        span = int(hi) - int(lo) + 1
-        density = max(n_corpus / span, 1e-9)
-        # cap the draw at a constant multiple of the sample target so a
-        # sparse id domain (gaps, deletions) can never degenerate this
-        # into an O(span) driver loop — fewer survivors is the accepted
-        # trade (r10 ADVICE #2); the dense fixtures are unaffected
-        # (density 1 → m = SAMPLE+1 ≪ the cap)
-        m = min(
-            span,
-            64 * _DESCENT_MV_ENTRY_SAMPLE,
-            int(_DESCENT_MV_ENTRY_SAMPLE / density) + 1,
-        )
-        draw = sorted(
-            {
-                int(lo)
-                + int(
-                    _hashlib.md5(
-                        f"ent_{batch_id}_{i}".encode()
-                    ).hexdigest()[:8],
-                    16,
-                )
-                % span
-                for i in range(m)
-            }
-        )
-        # cap the survivors at 2·ENTRY_SAMPLE so the per-vector budget
-        # term (2·ENTRY_SAMPLE scorings) holds regardless of draw luck;
-        # the hash order keeps the kept subset spread, not id-biased
-        samp = (
-            _pruned_nodes(sp, vt, draw, io=io)
-            .orderBy(F.xxhash64("node", F.lit(batch_id)), "node")
-            .limit(2 * _DESCENT_MV_ENTRY_SAMPLE)
-        )
+        rt = TxTable(os.path.join(os.path.dirname(knn_root), "reps"))
+        if rt.latest_version() >= 0:
+            # round 11: entry candidates = the persisted per-list
+            # REPRESENTATIVES (coarse-quantizer seeds — one real node
+            # per IVF list, written by the recluster).  One bounded
+            # read covers every semantic neighborhood, so each batch
+            # vector's beam STARTS inside its own cluster and the
+            # navigation frontier never has to cross the corpus — the
+            # global id-domain sample below starts half the beams in
+            # the wrong cluster (~50% coverage of a 200-cluster corpus
+            # at 128 draws) and their mid-navigation frontiers were
+            # exactly the measured ~all-groups maintenance reads.
+            # Scorings per batch vector = n_lists ~ 4·√n (the standard
+            # IVF coarse-probe cost) — counted into the budget gate
+            # below like every other candidate.
+            samp = rt.read(sp).select("node", "embedding")
+        else:
+            lo, hi = vt.column_range("vec_id")
+            span = int(hi) - int(lo) + 1
+            density = max(n_corpus / span, 1e-9)
+            # cap the draw at a constant multiple of the sample target
+            # so a sparse id domain (gaps, deletions) can never
+            # degenerate this into an O(span) driver loop — fewer
+            # survivors is the accepted trade (r10 ADVICE #2); the
+            # dense fixtures are unaffected (density 1 → m = SAMPLE+1
+            # ≪ the cap)
+            m = min(
+                span,
+                64 * _DESCENT_MV_ENTRY_SAMPLE,
+                int(_DESCENT_MV_ENTRY_SAMPLE / density) + 1,
+            )
+            draw = sorted(
+                {
+                    int(lo)
+                    + int(
+                        _hashlib.md5(
+                            f"ent_{batch_id}_{i}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % span
+                    for i in range(m)
+                }
+            )
+            # cap the survivors at 2·ENTRY_SAMPLE so the per-vector
+            # budget term (2·ENTRY_SAMPLE scorings) holds regardless of
+            # draw luck; the hash order keeps the kept subset spread,
+            # not id-biased
+            samp = (
+                _pruned_nodes(sp, vt, draw, io=io)
+                .orderBy(F.xxhash64("node", F.lit(batch_id)), "node")
+                .limit(2 * _DESCENT_MV_ENTRY_SAMPLE)
+            )
         ent_scored = (
             qb.crossJoin(samp)
             .select(
@@ -1341,10 +1445,11 @@ def descent_mv_recluster(
     content, graph, and every declared result unchanged; runs on the
     repair/compaction schedule, LINEAR in |V| (one assignment pass +
     the rewrite OPTIMIZE always paid)."""
-    from .operators.similarity import deterministic_centroids, ivf_assign
+    from .operators.similarity import ivf_assign
     from .plans.txlog import TxTable
 
     vt, kt, lt = TxTable(vec_root), TxTable(knn_root), TxTable(lr_root)
+    rt = TxTable(os.path.join(os.path.dirname(vec_root), "reps"))
     allv = vt.read(spark).select("vec_id", "embedding")
     n = vt.count_rows(spark)
     if target_groups is None:
@@ -1365,12 +1470,95 @@ def descent_mv_recluster(
     # left converged serve frontiers spanning 20/22 groups).  The
     # standard IVF sizing is ~4·√n lists.
     n_lists = min(int(n), max(32, 4 * int(n**0.5)))
-    cents = deterministic_centroids(allv, n_lists)
+    # deterministic_centroids inlined WITH the seed id retained: the
+    # hash-chosen seeds are corpus NODES, so each list's seed doubles as
+    # its navigation REPRESENTATIVE (round 11) — a real graph node at
+    # the list's Voronoi center, persisted to the tiny ``reps`` table so
+    # serve/maintenance beams can route per-query entries to the right
+    # semantic neighborhood from ONE bounded read (the IVF-coarse-
+    # quantizer / HNSW-upper-layer analog) instead of a global id-domain
+    # sample whose cluster coverage is luck (measured ×10: a 64-node
+    # sample over a 200-cluster corpus missed a query's cluster and its
+    # greedy beam never navigated there — recall@10 0/10 for that query)
+    seeds = (
+        allv.select(
+            F.col("vec_id").alias("__id"),
+            F.col("embedding").alias("centroid"),
+            F.xxhash64(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "__id")
+        .limit(n_lists)
+    ).localCheckpoint()
+    # list ids are SEMANTICALLY SERIATED (round 11): a deterministic
+    # greedy nearest-neighbor chain over the seed centroids (start at
+    # the hash-first seed, always hop to the most-similar unvisited
+    # seed) assigns ADJACENT list ids to mutually-nearest seeds, so
+    # the range-clustered rewrite puts a natural cluster's lists in
+    # the SAME group.  Hash-ordered ids scattered a ~3-list natural
+    # cluster into 3 arbitrary groups (measured ×10: an 8-cluster
+    # serve beam's adjacency hops read 28-30/33 groups where the
+    # clusters occupy ~8); a 1-D projection order cannot separate
+    # hundreds of clusters (concentration of measure), and a
+    # second-level quantizer splits clusters whose center lies between
+    # two supers (both measured).  The chain is metadata-scale work on
+    # n_lists ≈ 4·√n rows at compaction time — numpy float64, fixed
+    # start, index tie-breaks: fully deterministic.
+    import numpy as _np
+
+    seed_rows = seeds.orderBy("__h", "__id").collect()
+    mat = _np.asarray(
+        [list(r.centroid) for r in seed_rows], dtype=_np.float64
+    )
+    m_seeds = len(seed_rows)
+    sims = mat @ mat.T  # (m, m) exact-enough ordering metric
+    order: list[int] = [0]
+    unvisited = _np.ones(m_seeds, dtype=bool)
+    unvisited[0] = False
+    cur = 0
+    for _ in range(m_seeds - 1):
+        row = sims[cur].copy()
+        row[~unvisited] = -_np.inf
+        cur = int(row.argmax())  # first index wins ties: deterministic
+        unvisited[cur] = False
+        order.append(cur)
+    rank_map = spark.createDataFrame(
+        [
+            (int(seed_rows[i]["__id"]), rk)
+            for rk, i in enumerate(order)
+        ],
+        "__rid long, list_id int",
+    )
+    seeds = (
+        seeds.join(rank_map, seeds["__id"] == rank_map["__rid"])
+        .select("list_id", F.col("__id").alias("node"), "centroid")
+        .localCheckpoint()
+    )
+    cents = seeds.select("list_id", "centroid")
     amap = (
         ivf_assign(allv, cents)
         .select("vec_id", F.col("list_id").alias("__ckey"))
         .localCheckpoint()
     )
+    reps = seeds.select("list_id", "node", F.col("centroid").alias("embedding"))
+    if rt.latest_version() >= 0:
+        old = rt.read(spark).select("list_id", "node", "embedding")
+        changes = (
+            reps.exceptAll(old)
+            .withColumn("op", F.lit("upsert"))
+            .unionByName(
+                old.join(reps, "list_id", "left_anti").withColumn(
+                    "op", F.lit("delete")
+                )
+            )
+        )
+        rt.apply_cdc(
+            spark,
+            changes,
+            ["list_id"],
+            txn=("nswd_reps", vt.latest_version()),
+        )
+    else:
+        rt.commit_append(reps, txn=("nswd_reps", vt.latest_version()))
     amap_src = amap.withColumnRenamed("vec_id", "src")
     kt.optimize(
         spark,
@@ -1572,6 +1760,7 @@ def q_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.dirname(kt.root)
     vt = TxTable(os.path.join(base, "vectors"))
     lt = TxTable(os.path.join(base, "lr"))
+    rt = TxTable(os.path.join(base, "reps"))
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
@@ -1591,7 +1780,9 @@ def q_stream_nsw_descent_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, _hi = vt.column_range("vec_id")
     # per-query semantic entries (round 11) — shared verbatim by both
     # serve plans, so the size gate still cannot change the answer
-    entries = _serve_entries(spark, vt, q, int(lo), int(_hi) - int(lo) + 1, n)
+    entries = _serve_entries(
+        spark, vt, q, int(lo), int(_hi) - int(lo) + 1, n, rt=rt
+    )
     if n >= _PRUNED_SERVE_MIN_ROWS:
         rows = _pruned_beam_search_local(
             spark, kt, lt, vt, q, entries, hops=hops, width=width

@@ -709,9 +709,14 @@ def test_descent_serve_paths_agree(spark):
     lo, _hi = vt.column_range("vec_id")
     from db_migration_spark.queries_annstore import _serve_entries
 
+    rt = TxTable(os.path.join(base, "reps"))
     entries = _serve_entries(
-        spark, vt, q, int(lo), int(_hi) - int(lo) + 1, n
+        spark, vt, q, int(lo), int(_hi) - int(lo) + 1, n, rt=rt
     )
+    # the fixture store is post-recluster, so entries must come from
+    # the persisted representatives (plus the global-min anchor)
+    assert rt.latest_version() >= 0
+    assert {(qid, int(lo)) for qid in range(4)} <= set(entries)
     pruned = {
         (r.query_id, r.node, r.rel)
         for r in _pruned_beam_search_local(

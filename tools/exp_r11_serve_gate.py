@@ -98,6 +98,7 @@ def _measure(spark, root: str, n: int) -> dict:
     vt = TxTable(os.path.join(root, "vectors"))
     kt = TxTable(os.path.join(root, "knn"))
     lt = TxTable(os.path.join(root, "lr"))
+    rt = TxTable(os.path.join(root, "reps"))
     emb = vt.read(spark).select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -108,7 +109,7 @@ def _measure(spark, root: str, n: int) -> dict:
     span = int(_hi) - int(lo) + 1
 
     def run_pruned():
-        entries = _serve_entries(spark, vt, q, int(lo), span, n)
+        entries = _serve_entries(spark, vt, q, int(lo), span, n, rt=rt)
         return {
             (r.query_id, r.node, r.rel)
             for r in _pruned_beam_search_local(
@@ -117,7 +118,7 @@ def _measure(spark, root: str, n: int) -> dict:
         }
 
     def run_lazy():
-        entries = _serve_entries(spark, vt, q, int(lo), span, n)
+        entries = _serve_entries(spark, vt, q, int(lo), span, n, rt=rt)
         edges = (
             _symmetrize(kt.read(spark).select("src", "dst"))
             .unionByName(lt.read(spark).select("src", "dst"))

@@ -228,8 +228,11 @@ def exp_descent_semantic(spark, contiguous: bool = False) -> dict:
     lo, _hi = vt.column_range("vec_id")
     io = {"groups_read": 0, "groups_total": 0}
     t0 = time.time()
+    from db_migration_spark.plans.txlog import TxTable as _TT
+
+    rt = _TT(os.path.join(root, "reps"))
     entries = _serve_entries(
-        spark, vt, q, int(lo), int(_hi) - int(lo) + 1, n
+        spark, vt, q, int(lo), int(_hi) - int(lo) + 1, n, rt=rt
     )
     rows_beam = _pruned_beam_search_local(
         spark, kt, lt, vt, q, entries, hops=hops, width=width, io=io
