@@ -546,8 +546,15 @@ _DESCENT_MV_LR_LINKS = 4
 # skips, so the SAME persisted graph is served as one in-memory lazy
 # plan instead — the broadcast-vs-shuffle-join decision, applied to
 # graph serving.  Identical edges either way (asserted by test).
+# Default = the MEASURED crossover (round 11, r10 verdict task 6,
+# plans/r11/exp_serve_gate_crossover.json: lazy wins at ≤20k rows,
+# tie at 50k, pruned 1.3×/1.9× faster at 100k/200k — warm-up+min3 per
+# path per size on identical graphs, beams asserted equal).  Memoizing
+# the lazy plan per store version was considered and REJECTED: its
+# localCheckpoint would keep materialized edges across timed runs —
+# cross-run result caching, which the bench rules forbid.
 _PRUNED_SERVE_MIN_ROWS = int(
-    os.environ.get("SPARK_GRAFT_ANN_PRUNED_SERVE_MIN_ROWS", "100000")
+    os.environ.get("SPARK_GRAFT_ANN_PRUNED_SERVE_MIN_ROWS", "50000")
 )
 
 
